@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's full declared operator surface: each entry is a
+  * DataFrame program exercising one operator family from SURVEY.md §2, and
+  * (where SQL-expressible) `oracleSql` carries the equivalent ANSI SQL the
+  * driver runs in DuckDB over the same parquet tables. Column names/aliases
+  * match pairwise by construction.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.q5NationRevenue(spark, "/root/testdata/sf0.001")
+
+  private val registries: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
+    RelationalQueries.all,
+  )
+
+  private val oracleRegistries: Seq[Map[String, String]] = Seq(
+    RelationalQueries.oracles,
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registries.reduce(_ ++ _)
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    oracleRegistries.reduce(_ ++ _)
 }
