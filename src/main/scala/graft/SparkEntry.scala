@@ -19,10 +19,12 @@ object SparkEntry {
 
   private val registries: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
     RelationalQueries.all,
+    EtlQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
     RelationalQueries.oracles,
+    EtlQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

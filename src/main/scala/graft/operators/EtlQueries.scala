@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.EtlFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** ETL-parity query battery: the scalar function library (SURVEY.md §2.6),
+  * the coercion battery (§1.2/§2.2), and the sink merge strategies (§2.5)
+  * exercised distributed over the test tables, each with a DuckDB oracle.
+  */
+object EtlQueries {
+
+  /** AT-calendar holidays 1995-2002 for the oracle side: fixed dates are
+    * mechanical; Easter-derived dates (Easter Monday, Ascension, Whit
+    * Monday, Corpus Christi) are embedded as independently-known literals
+    * so the oracle does NOT share our Easter computation. */
+  private val easterDerivedMMDD = Map(
+    1995 -> Seq("0417", "0525", "0605", "0615"),
+    1996 -> Seq("0408", "0516", "0527", "0606"),
+    1997 -> Seq("0331", "0508", "0519", "0529"),
+    1998 -> Seq("0413", "0521", "0601", "0611"),
+    1999 -> Seq("0405", "0513", "0524", "0603"),
+    2000 -> Seq("0424", "0601", "0612", "0622"),
+    2001 -> Seq("0416", "0524", "0604", "0614"),
+    2002 -> Seq("0401", "0509", "0520", "0530"))
+  private val fixedMMDD = Seq("0101", "0106", "0501", "0815", "1026", "1101",
+    "1208", "1225", "1226")
+  private val atHolidayList: String = (for {
+    y <- 1995 to 2002
+    mmdd <- fixedMMDD ++ easterDerivedMMDD(y)
+  } yield s"'$y$mmdd'").mkString(", ")
+
+  /** F7/F8/F5 over orders: weekday convention, weekend/holiday predicates,
+    * next-business-day shift, last-day-of-month, roll-forward month add. */
+  def q11DateFunctions(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("ymd"))
+      .withColumn("wd", weekdayUdf(col("ymd")).cast("long"))
+      .withColumn("weekend", isWeekendUdf(col("ymd")))
+      .withColumn("at_holiday", isHolidayUdf(lit("AT"), col("ymd")))
+      .withColumn("next_bd", addDaysHolUdf(col("ymd"), lit(1), lit("YMD"), lit("AT")))
+      .withColumn("last_dom", lastDomUdf(col("ymd")))
+      .withColumn("month_roll", addMonthsRollUdf(col("ymd"), lit(1)))
+      .drop("o_orderdate")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** T8 date/time coercion cascade over 7 input shapes built from
+    * o_orderdate (incl. SAP YYYYMMDDHHMM60 fudge and 2-digit-year pivot). */
+  def q12CoerceDates(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate")
+    val informat = expr("o_orderkey % 7").cast("int")
+    val input =
+      when(informat === 0, date_format(d, "dd.MM.yyyy"))
+      .when(informat === 1, concat(date_format(d, "dd/MM/yyyy"), lit(" 12:34:56")))
+      .when(informat === 2, concat(date_format(d, "yyyyMMdd"), lit("235960")))
+      .when(informat === 3, date_format(d, "yyyyMMdd"))
+      .when(informat === 4, date_format(d, "yyyy.MM.dd"))
+      .when(informat === 5, date_format(d, "dd.MM.yy"))
+      .otherwise(lit("N/A"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), input.as("instr"))
+      .withColumn("odbc", coerceDateTimeUdf(col("instr")))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** T2+T8 numeric/bool coercions: German thousand format, scientific
+    * notation, SAP postfix minus, percent strip, trailing-zero strip, N/A,
+    * and WAHR/FALSCH bool mapping. */
+  def q13CoerceNumerics(spark: SparkSession, dir: String): DataFrame = {
+    val k = expr("(l_orderkey * 10 + l_linenumber) % 6").cast("int")
+    val qtyInt = col("l_quantity").cast("int")
+    val german = translate(format_number(col("l_extendedprice"), 2), ",.", ".,")
+    val input =
+      when(k === 0, german)
+      .when(k === 1, concat(qtyInt.cast("string"), lit("E2")))
+      .when(k === 2, concat(qtyInt.cast("string"), lit("-")))
+      .when(k === 3, concat(qtyInt.cast("string"), lit("%")))
+      // ",000" (German decimal): normalize → ".000" → trailing-zero strip.
+      // (".000" would be a thousand-group under German separators!)
+      .when(k === 4, concat(qtyInt.cast("string"), lit(",000")))
+      .otherwise(lit("N/A"))
+    val b = expr("l_linenumber % 5").cast("int")
+    val boolInput =
+      when(b === 0, lit("WAHR")).when(b === 1, lit("false"))
+      .when(b === 2, lit("TRUE")).when(b === 3, lit("FALSCH"))
+      .otherwise(lit("x"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        input.as("instr"), boolInput.as("boolstr"))
+      .withColumn("val", coerceNumericUdf(normalizeNumericsUdf(col("instr"), lit("."), lit(","))))
+      .withColumn("boolval", coerceBoolUdf(col("boolstr")))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** K3 upsert last-wins: base orders + an update batch for keys %7==0;
+    * highest sequence number per key survives. */
+  def q14UpsertLastWins(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = ord.withColumn("_seq", lit(0L))
+    val updates = ord.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice",
+        (col("o_totalprice") * lit(1.1)).cast(DecimalType(18, 3)).cast("double"))
+      .withColumn("_seq", lit(1L))
+    MergeOps.upsertLastWins(base, updates, Seq("o_orderkey"), "_seq")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J2/K6 delete-before-insert: incoming batch replaces matching keys,
+    * result summarized per status. */
+  def q15DeleteInsert(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val incoming = ord.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("N"))
+    MergeOps.deleteInsert(ord, incoming, Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** F9 business-day series for 2012 under the AT calendar, distributed as
+    * an exploded array column. */
+  def q16DateSeries(spark: SparkSession, dir: String): DataFrame = {
+    spark.range(1)
+      .select(explode(dateSeriesUdf(lit("20120101"), lit("20121231"), lit("AT"))).as("ymd"))
+      .orderBy(col("ymd"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_date_functions"  -> q11DateFunctions _,
+    "q12_coerce_dates"    -> q12CoerceDates _,
+    "q13_coerce_numerics" -> q13CoerceNumerics _,
+    "q14_upsert_lastwins" -> q14UpsertLastWins _,
+    "q15_delete_insert"   -> q15DeleteInsert _,
+    "q16_dateseries"      -> q16DateSeries _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q11_date_functions" ->
+      s"""WITH hol AS (SELECT unnest([$atHolidayList]) AS hd),
+        |base AS (SELECT o_orderkey, o_orderdate AS d,
+        |                strftime(o_orderdate, '%Y%m%d') AS ymd FROM orders),
+        |cand AS (SELECT b.o_orderkey, b.d + i * INTERVAL '1 day' AS c
+        |         FROM base b CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS i) g),
+        |nb AS (SELECT o_orderkey, min(c) AS nbd FROM cand
+        |       WHERE isodow(c) < 6 AND strftime(c, '%Y%m%d') NOT IN (SELECT hd FROM hol)
+        |       GROUP BY o_orderkey)
+        |SELECT b.o_orderkey, b.ymd,
+        |  CAST(isodow(b.d) % 7 + 1 AS BIGINT) AS wd,
+        |  isodow(b.d) >= 6 AS weekend,
+        |  b.ymd IN (SELECT hd FROM hol) AS at_holiday,
+        |  strftime(nb.nbd, '%Y%m%d') AS next_bd,
+        |  strftime(last_day(b.d), '%Y%m%d') AS last_dom,
+        |  strftime(date_trunc('month', b.d) + INTERVAL '1 month'
+        |           + (day(b.d) - 1) * INTERVAL '1 day', '%Y%m%d') AS month_roll
+        |FROM base b JOIN nb USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q12_coerce_dates" ->
+      """SELECT o_orderkey,
+        |  CASE CAST(o_orderkey % 7 AS INT)
+        |    WHEN 0 THEN strftime(o_orderdate, '%d.%m.%Y')
+        |    WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y') || ' 12:34:56'
+        |    WHEN 2 THEN strftime(o_orderdate, '%Y%m%d') || '235960'
+        |    WHEN 3 THEN strftime(o_orderdate, '%Y%m%d')
+        |    WHEN 4 THEN strftime(o_orderdate, '%Y.%m.%d')
+        |    WHEN 5 THEN strftime(o_orderdate, '%d.%m.%y')
+        |    ELSE 'N/A' END AS instr,
+        |  CASE CAST(o_orderkey % 7 AS INT)
+        |    WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d') || ' 12:34:56'
+        |    WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d') || ' 23:59:59'
+        |    WHEN 6 THEN NULL
+        |    ELSE strftime(o_orderdate, '%Y-%m-%d') || ' 00:00:00' END AS odbc
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q13_coerce_numerics" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CASE CAST((l_orderkey * 10 + l_linenumber) % 6 AS INT)
+        |    WHEN 0 THEN translate(concat(
+                  format('{:,}', CAST(floor(l_extendedprice) AS BIGINT)), '.',
+                  printf('%02d', CAST(round((l_extendedprice - floor(l_extendedprice)) * 100) AS INT))),
+                  ',.', '.,')
+        |    WHEN 1 THEN printf('%dE2', CAST(l_quantity AS INT))
+        |    WHEN 2 THEN printf('%d-', CAST(l_quantity AS INT))
+        |    WHEN 3 THEN printf('%d%%', CAST(l_quantity AS INT))
+        |    WHEN 4 THEN printf('%d,000', CAST(l_quantity AS INT))
+        |    ELSE 'N/A' END AS instr,
+        |  CASE CAST(l_linenumber % 5 AS INT)
+        |    WHEN 0 THEN 'WAHR' WHEN 1 THEN 'false' WHEN 2 THEN 'TRUE'
+        |    WHEN 3 THEN 'FALSCH' ELSE 'x' END AS boolstr,
+        |  CASE CAST((l_orderkey * 10 + l_linenumber) % 6 AS INT)
+        |    WHEN 0 THEN l_extendedprice
+        |    WHEN 1 THEN CAST(CAST(l_quantity AS INT) * 100 AS DOUBLE)
+        |    WHEN 2 THEN CAST(-CAST(l_quantity AS INT) AS DOUBLE)
+        |    WHEN 3 THEN CAST(CAST(l_quantity AS INT) AS DOUBLE)
+        |    WHEN 4 THEN CAST(CAST(l_quantity AS INT) AS DOUBLE)
+        |    ELSE NULL END AS val,
+        |  CASE CAST(l_linenumber % 5 AS INT)
+        |    WHEN 0 THEN true WHEN 1 THEN false WHEN 2 THEN true
+        |    WHEN 3 THEN false ELSE NULL END AS boolval
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q14_upsert_lastwins" ->
+      """WITH staged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U',
+        |    CAST(CAST(o_totalprice * CAST(1.1 AS DOUBLE) AS DECIMAL(18,3)) AS DOUBLE), 1
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM staged) t
+        |WHERE rn = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    "q15_delete_insert" ->
+      """WITH incoming AS (
+        |  SELECT o_orderkey, o_custkey, 'N' AS o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+        |  UNION ALL SELECT * FROM incoming)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q16_dateseries" ->
+      """SELECT strftime(d, '%Y%m%d') AS ymd
+        |FROM (SELECT unnest(generate_series(DATE '2012-01-01', DATE '2012-12-31',
+        |                                    INTERVAL '1 day')) AS d) t
+        |WHERE isodow(d) < 6
+        |  AND strftime(d, '%Y%m%d') NOT IN
+        |    ('20120101','20120106','20120409','20120501','20120517','20120528',
+        |     '20120607','20120815','20121026','20121101','20121208','20121225','20121226')
+        |ORDER BY ymd""".stripMargin,
+  )
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Set-oriented re-expression of the reference's row-at-a-time sink
+  * conflict strategies (SURVEY.md §2.5 K3-K6, §4.2):
+  * `/root/reference/Wrap/DB.pm:337-412` decides insert/update/delete per
+  * row in statement order; the distributed contract is **last-row-wins per
+  * key, resolved by an explicit ordering column** — one shuffle on the key,
+  * no driver round-trips, scales linearly with input.
+  */
+object MergeOps {
+
+  /** Upsert with last-wins semantics (`upsert`, `Wrap/DB.pm:386-412`):
+    * `base` plays the target table, `updates` the incoming batch; within the
+    * union, the row with the highest `ord` per key survives (statement order
+    * = file order in the reference; ties broken deterministically by `ord`
+    * descending). Both inputs must share a schema plus the `ord` column. */
+  def upsertLastWins(base: DataFrame, updates: DataFrame, keys: Seq[String], ord: String): DataFrame = {
+    val staged = base.unionByName(updates)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord).desc)
+    staged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", ord)
+  }
+
+  /** Delete-before-insert (`deleteBeforeInsertSelector`,
+    * `Wrap/DB.pm:337-347`): drop target rows whose key appears in the
+    * incoming batch, then append the batch. Anti join + union — both sides
+    * shuffle once on the key; with a broadcastable incoming batch Catalyst
+    * turns the anti join into a broadcast hash join. */
+  def deleteInsert(target: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(incoming)
+
+  /** Update-only merge (`updateInDB`, `Wrap/DB.pm:453-508`): overwrite the
+    * listed value columns for target rows whose key appears in `updates`;
+    * rows without a match keep their values; update rows without a target
+    * row are dropped (UPDATE affects 0 rows). */
+  def updateOnly(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                 valueCols: Seq[String]): DataFrame = {
+    val renamed = valueCols.foldLeft(updates.select((keys ++ valueCols).map(col): _*)) {
+      case (df, c) => df.withColumnRenamed(c, s"__u_$c")
+    }
+    val joined = target.join(renamed, keys, "left")
+    val projected = target.columns.map { c =>
+      if (valueCols.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c) else col(c)
+    }
+    joined.select(projected.toIndexedSeq: _*)
+  }
+
+  /** Keyed delete (`deleteFromDB`, `Wrap/DB.pm:423-450`). */
+  def deleteByKey(target: DataFrame, deletes: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(deletes.select(keys.map(col): _*).distinct(), keys, "left_anti")
+}
