@@ -20,11 +20,13 @@ object SparkEntry {
   private val registries: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
     RelationalQueries.all,
     EtlQueries.all,
+    PipelineQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
     RelationalQueries.oracles,
     EtlQueries.oracles,
+    PipelineQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

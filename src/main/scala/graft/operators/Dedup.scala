@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, designed
+  * partition-parallel for 100 TB corpora:
+  *
+  *  - exact: hash-groupBy on a text fingerprint (one shuffle on the hash,
+  *    map-side combine);
+  *  - n-gram Jaccard: shingle explode → self-join on shingle → per-pair
+  *    intersection counts (shuffle on shingle; frequent-shingle cap bounds
+  *    skew);
+  *  - MinHash+LSH: shingle → K minhashes → B bands → candidate pairs per
+  *    band bucket → exact-Jaccard verification (shuffles bounded by band
+  *    buckets instead of the full pair matrix);
+  *  - SimHash: 64-bit signature, banded by 16-bit chunks for Hamming ≤ k
+  *    candidate generation.
+  *
+  * No driver-side collect anywhere; every stage is a DataFrame op.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(TextOps.normalizeText(text), " ")
+    // slide an index window: shingle i = tokens[i .. i+n-1]
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => length(s) > 0)
+  }
+
+  /** Exact dedup: keep the lowest-id representative per fingerprint.
+    * Returns (fingerprint, keep_id, n_copies). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, shingle) pairs — the base relation for Jaccard-family
+    * dedup. */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold. The
+    * self-join is on the shingle value; at 100 TB you'd pre-hash shingles
+    * (64-bit) and cap document frequency of a shingle to bound skew —
+    * `maxShingleFreq` implements the cap. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        maxShingleFreq: Int = 1000): DataFrame = {
+    val ds = docShingles(df, idCol, textCol, n).cache()
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val capped = ds.withColumn("df_sh",
+        count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df_sh") <= maxShingleFreq).drop("df_sh")
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit shingle hash (xxhash64 — Spark-native, codegen'd). */
+  private def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docShingles(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+
+  /** MinHash signature matrix via K universal-hash permutations
+    * h_k(x) = (a_k * x + b_k) mod p computed columnar (no UDF), then
+    * LSH banding: candidates collide in ≥1 band; exact Jaccard verifies.
+    * Returns verified pairs (id_a, id_b, jaccard ≥ threshold). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    // 31-bit lanes: products stay < 2^62, so the universal-hash arithmetic
+    // never wraps and the min-hash collision property holds exactly
+    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val rnd = new scala.util.Random(42)
+    val coefs = Seq.fill(numHashes)((rnd.nextInt((p - 1).toInt).toLong + 1,
+                                     rnd.nextInt(p.toInt).toLong))
+    val hashed = shingleHashes(df, idCol, textCol, n)
+    val x = pmod(col("h"), lit(p))
+    val minhashes = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(x * lit(a) + lit(b), lit(p))).as(s"mh_$i")
+    }
+    val sigs = hashed.groupBy(col("id")).agg(minhashes.head, minhashes.tail: _*)
+    // banding: one row per (id, band, band-signature)
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        hash((bi * rowsPerBand until (bi + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*)
+          .as("sig"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verification of candidates only
+    val ds = shingleHashes(df, idCol, textCol, n)
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = candidates
+      .join(ds.withColumnRenamed("id", "id_a"), "id_a")
+      .join(ds.withColumnRenamed("id", "id_b").withColumnRenamed("h", "h2"), "id_b")
+      .filter(col("h") === col("h2"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over token hashes: sign of per-bit weighted sums.
+    * Columnar construction: explode tokens → per-bit contribution ±1 →
+    * sum per (id, bit) → assemble signature. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(TextOps.normalizeText(col(textCol)), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bits = toks.select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("contrib",
+        when(expr("shiftright(h, CAST(bit AS INT)) & 1") === 1L, 1).otherwise(-1))
+    bits.groupBy(col("id"), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+          .otherwise(lit(0L)))
+      .groupBy(col("id"))
+      .agg(sum(col("bitval")).as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs with Hamming distance ≤ maxDist,
+    * banded on 4 × 16-bit chunks (pigeonhole: any pair within distance 3
+    * agrees on ≥1 chunk). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol).cache()
+    val chunks = sig.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+}

@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline query battery: text analysis, dedup family,
+  * similarity search — each a `queries()` entry over the documents /
+  * embeddings tables. SQL-expressible operators carry a DuckDB oracle;
+  * the seeded-randomness ones (MinHash-LSH, SimHash banding, hyperplane
+  * LSH) are rows-only checked but deterministic.
+  */
+object PipelineQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** documents ∪ a perturbed copy (first token dropped, id+100000) — the
+    * corpus used by the dedup queries so near-duplicates actually exist. */
+  private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+  }
+
+  /** Per-document stats: token counts, char counts, BPE-ish token
+    * estimate, punctuation count, stopword ratio. */
+  def q17TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(t).cast("long").as("n_tokens"),
+      length(t).cast("long").as("n_chars_c"),
+      TextOps.tokenEstimate(t).as("tok_est"),
+      TextOps.punctCount(t).cast("long").as("n_punct"),
+      TextOps.wordRatio(t, stopwords).as("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality score + language ID (marker heuristic). */
+  def q18TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scores = TextOps.langScores(t).toMap
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextOps.qualityScore(t, stopwords).as("quality"),
+      scores("en").cast("long").as("en_score"),
+      scores("de").cast("long").as("de_score"),
+      TextOps.langId(t).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact dedup via text fingerprint over the duplicated corpus. */
+  def q19DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    // only full duplicates collapse: corpus has each doc twice under
+    // different ids only when the perturbation was a no-op (single-token
+    // docs); otherwise n_copies=1 — the interesting signal is the group-by
+    // itself, verified exactly.
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    Dedup.exact(corpus, "doc_id", "text")
+      .orderBy(col("fp"))
+  }
+
+  /** N-gram Jaccard near-dup pairs (threshold 0.5) over the perturbed
+    * corpus. */
+  def q20DedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.ngramJaccardPairs(dupCorpus(spark, dir), "doc_id", "text",
+        n = 5, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash+LSH near-dup pairs — banded candidates + exact verification.
+    * Deterministic (seeded permutations) but not SQL-expressible → rows-only
+    * oracle. */
+  def q21MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.minhashLshPairs(dupCorpus(spark, dir), "doc_id", "text",
+        n = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup pairs (Hamming ≤ 3) — rows-only oracle. */
+  def q22Simhash(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.simhashPairs(dupCorpus(spark, dir), "doc_id", "text", maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. */
+  def q23SimTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-style probe: top-3 within the query's own label cluster, for
+    * vec_id < 20. */
+  def q24SimIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH top-k — deterministic seeded planes, rows-only
+    * oracle. */
+  def q25SimLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", dim = 64, numBits = 8, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_text_stats"   -> q17TextStats _,
+    "q18_text_quality" -> q18TextQuality _,
+    "q19_dedup_exact"  -> q19DedupExact _,
+    "q20_dedup_ngram"  -> q20DedupNgram _,
+    "q21_minhash_lsh"  -> q21MinhashLsh _,
+    "q22_simhash"      -> q22Simhash _,
+    "q23_sim_topk"     -> q23SimTopK _,
+    "q24_sim_ivf"      -> q24SimIvf _,
+    "q25_sim_lsh"      -> q25SimLsh _,
+  )
+
+  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+  private val cosineSql =
+    """list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cv),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, x) -> acc + x)
+      |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+      |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, x) -> acc + x))
+      |     * sqrt(list_reduce(list_prepend(0.0, list_transform(cv,
+      |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, x) -> acc + x)))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q17_text_stats" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_c,
+        |  CAST((length(regexp_replace(text, '[^A-Za-z]', '', 'g')) + 3) // 4
+        |       + length(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) AS BIGINT) AS tok_est,
+        |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
+        |    / greatest(len(toks), 1) AS stop_ratio
+        |FROM base
+        |ORDER BY doc_id""".stripMargin,
+    "q18_text_quality" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n,
+        |    len(list_filter(toks, t -> t IN ($stopList))) AS stop_hits,
+        |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in'))) AS en_s,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS de_s,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','une'))) AS fr_s,
+        |    len(list_filter(toks, t -> t IN ('el','los','y','las','es','una','por'))) AS es_s
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST(least(n, 40) + least(stop_hits * 5, 30) + 30 - least(punct, 30) AS BIGINT) AS quality,
+        |  CAST(en_s AS BIGINT) AS en_score,
+        |  CAST(de_s AS BIGINT) AS de_score,
+        |  CASE
+        |    WHEN es_s > en_s AND es_s > de_s AND es_s > fr_s THEN 'es'
+        |    WHEN fr_s > en_s AND fr_s > de_s THEN 'fr'
+        |    WHEN de_s > en_s THEN 'de'
+        |    WHEN en_s > 0 THEN 'en'
+        |    ELSE 'und' END AS lang_pred
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+    "q19_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0),
+        |fps AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM corpus)
+        |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM fps GROUP BY fp ORDER BY fp""".stripMargin,
+    "q20_dedup_ngram" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '^\S+\s+', '') FROM documents),
+        |norm AS (
+        |  SELECT doc_id AS id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT id, sh FROM (
+        |    SELECT id, unnest(list_transform(
+        |      generate_series(0, greatest(len(toks) - 5, 0)),
+        |      i -> array_to_string(toks[i+1:i+5], ' '))) AS sh
+        |    FROM norm) t WHERE length(sh) > 0),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b,
+        |  CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q23_sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS cv, q.qv,
+        |    $cosineSql AS cos
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |         AS BIGINT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q24_sim_ivf" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qc
+        |           FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS cv, q.qv,
+        |    $cosineSql AS cos
+        |  FROM embeddings e JOIN q ON e.label = q.qc
+        |  WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |         AS BIGINT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * pure Column expressions (codegen'd, no UDFs) so they run inside
+  * whole-stage codegen over a 100 TB corpus — per-row cost only, no
+  * shuffles.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword estimate: letter runs count ~1 token per 4 chars
+    * (ceil), digits and punctuation 1 each — a standard cheap
+    * chars-per-token heuristic. */
+  def tokenEstimate(text: Column): Column = {
+    val letterChars = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val other = length(regexp_replace(text, "[A-Za-z\\s]", ""))
+    // integer ceil-div keeps the estimate engine-exact
+    floor((letterChars + lit(3)).cast("double") / 4.0).cast("long") + other.cast("long")
+  }
+
+  /** Ratio of tokens found in `words` (e.g. stopwords) — array_intersect-free
+    * so duplicated stopwords still count. */
+  def wordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def matchCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Punctuation count (non-alphanumeric, non-space chars). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  /** Quality heuristics (length / punctuation / stopword balance), on a
+    * 0-100 integer scale computed with exact integer/rational arithmetic so
+    * the score is engine-independent. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val n = tokenCount(text)
+    val lenScore = least(n, lit(40))                          // up to 40 pts
+    val stopHits = matchCount(text, stopwords)
+    val stopScore = least(stopHits * 5, lit(30))              // up to 30 pts
+    val punct = punctCount(text)
+    val punctPenalty = least(punct, lit(30))                  // up to -30 pts
+    (lenScore + stopScore + lit(30) - punctPenalty).cast("long")
+  }
+
+  /** Marker-word language ID: score per language = marker-token hits;
+    * highest score wins, first-listed wins ties, zero everywhere → "und"
+    * (undetermined). CJK characters short-circuit to "zh". */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "es" -> Seq("el", "los", "y", "las", "es", "una", "por"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, words) => lang -> matchCount(text, words) }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val hasCjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }._1
+    when(hasCjk, lit("zh")).otherwise(best)
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase + collapse
+    * whitespace. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of normalized text — stable across engines,
+    * partition-parallel, and joinable for exact dedup. */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Order-sensitive rolling token hash (polynomial over 64-bit lanes) —
+    * cheap near-id for shingles; Scala-side twin of [[Dedup.shingleHash]].
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+}
