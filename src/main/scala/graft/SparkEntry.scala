@@ -21,12 +21,14 @@ object SparkEntry {
     RelationalQueries.all,
     EtlQueries.all,
     PipelineQueries.all,
+    SourceQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
     RelationalQueries.oracles,
     EtlQueries.oracles,
     PipelineQueries.oracles,
+    SourceQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
