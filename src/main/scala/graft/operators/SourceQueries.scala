@@ -74,10 +74,53 @@ object SourceQueries {
       .orderBy(col("r_regionkey"))
   }
 
+  /** Full import pipeline (SURVEY.md §3.1) inside the gate: orders → messy
+    * German-locale CSV (base rows + an update batch appended) → staged load
+    * with normalize/coerce → upsert-last-wins parquet table → table
+    * contents. The oracle recomputes the expected table directly. */
+  def q29LoadPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Config._
+    import graft.pipeline.LoadRunner
+    import graft.sources.TextFormat
+
+    val ord = Tables.orders(spark, dir).filter(col("o_orderkey") < 3000)
+    val asCsv = ord.select(
+      col("o_orderkey").cast("string").as("o_orderkey"),
+      col("o_orderstatus"),
+      translate(format_number(col("o_totalprice"), 2), ",.", ".,").as("o_totalprice"),
+      date_format(col("o_orderdate"), "dd.MM.yyyy").as("o_orderdate"))
+    val base = asCsv.withColumn("_ord", lit(0))
+    val updates = asCsv.filter(col("o_orderkey").cast("long") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U")).withColumn("_ord", lit(1))
+    val staged = base.unionByName(updates)
+      .orderBy(col("_ord"), col("o_orderkey").cast("long")).drop("_ord")
+    val dirPath = Files.createTempDirectory("graft-q29-")
+    val csv = dirPath.resolve("orders.csv").toString
+    TextSink.write(staged, TextWriteFormat(
+      columns = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+      sep = ";"), csv)
+
+    val load = LoadRunner.Load(
+      source = LoadRunner.TextSpec(TextFormat(
+        header = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        sep = ";", skip = 1, thousandSep = ".", decimalSep = ",")),
+      db = DbConfig(
+        targetSchema = Seq(
+          TargetColumn("o_orderkey", "bigint"),
+          TargetColumn("o_orderstatus", "varchar", size = 10),
+          TargetColumn("o_totalprice", "double"),
+          TargetColumn("o_orderdate", "datetime")),
+        strategy = Upsert(Seq("o_orderkey"))))
+    val table = dirPath.resolve("orders_table").toString
+    LoadRunner.run(spark, Seq(csv), load, table)
+    graft.sinks.ParquetTable.load(spark, table).orderBy(col("o_orderkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_text_roundtrip" -> q26TextRoundtrip _,
     "q27_xlsx_roundtrip" -> q27XlsxRoundtrip _,
     "q28_xml_roundtrip"  -> q28XmlRoundtrip _,
+    "q29_load_pipeline"  -> q29LoadPipeline _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,5 +130,11 @@ object SourceQueries {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "q28_xml_roundtrip" ->
       "SELECT 'graft' AS src, r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q29_load_pipeline" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey < 3000
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

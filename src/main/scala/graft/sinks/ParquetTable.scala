@@ -1,0 +1,81 @@
+package graft.sinks
+
+import graft.operators.MergeOps
+import graft.pipeline.Config._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Parquet-backed "table" with the reference's sink contract (SURVEY.md
+  * §2.5 K3-K6, K8): conflict strategies (append / upsert-last-wins /
+  * delete-insert / update-only), optional truncate (`keepContent=false` →
+  * overwrite, K4), and an atomic commit: the new table version is written
+  * to a temp directory and swapped in with a rename — readers see the old
+  * or the new version, never a partial one (the reference's
+  * transaction-per-load, `Wrap.pm:346-417`, re-expressed for files; on a
+  * real deployment the same contract comes from Iceberg/Delta-style table
+  * formats or a JDBC transaction).
+  *
+  * Incoming rows must carry an ordering column when the strategy is
+  * `Upsert` — statement order resolves last-wins like the reference's
+  * per-row loop (`Wrap/DB.pm:386-412`).
+  */
+object ParquetTable {
+
+  def load(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(table)
+
+  def exists(table: String): Boolean = {
+    val p = Paths.get(table)
+    Files.exists(p) && Files.list(p).findFirst().isPresent
+  }
+
+  /** Store `incoming` into `table` under the configured strategy; the whole
+    * store is atomic (temp-dir + swap). `ordCol` orders the incoming batch
+    * for last-wins resolution. */
+  def store(spark: SparkSession, incoming: DataFrame, table: String,
+            db: DbConfig, ordCol: String = "_lineno"): Unit = {
+    val withId = db.addID.foldLeft(incoming) { case (df, (k, v)) => df.withColumn(k, lit(v)) }
+    val target = if (exists(table) && db.keepContent) Some(load(spark, table)) else None
+
+    val merged: DataFrame = (target, db.strategy) match {
+      case (None, _) =>
+        // empty/truncated target: still resolve duplicates within the batch
+        db.strategy match {
+          case Upsert(keys) if withId.columns.contains(ordCol) =>
+            MergeOps.upsertLastWins(
+              withId.limit(0), withId, keys, ordCol)
+          case _ => withId.drop(ordCol)
+        }
+      case (Some(t), Append) => t.unionByName(withId.drop(ordCol), allowMissingColumns = true)
+      case (Some(t), Upsert(keys)) =>
+        // target rows are "older" than every incoming row
+        val tOrd = t.withColumn(ordCol, lit(Long.MinValue))
+        MergeOps.upsertLastWins(tOrd, withId, keys, ordCol)
+      case (Some(t), DeleteInsert(selector)) =>
+        MergeOps.deleteInsert(t, withId.drop(ordCol), selector)
+      case (Some(t), UpdateOnly(keys, valueCols)) =>
+        MergeOps.updateOnly(t, withId.drop(ordCol), keys, valueCols)
+    }
+
+    if (db.noTransaction) {
+      merged.write.mode(SaveMode.Overwrite).parquet(table)
+    } else {
+      // atomic swap: write-new → retire-old → rename-in (K8)
+      val tablePath = Paths.get(table).toAbsolutePath
+      val tmp = tablePath.resolveSibling(tablePath.getFileName.toString + ".tmp-graft")
+      val old = tablePath.resolveSibling(tablePath.getFileName.toString + ".old-graft")
+      deleteRecursively(tmp)
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      deleteRecursively(old)
+      if (Files.exists(tablePath)) Files.move(tablePath, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, tablePath, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+  }
+}
