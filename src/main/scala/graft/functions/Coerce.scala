@@ -1,33 +1,60 @@
 package graft.functions
 
+import java.util.regex.Pattern
+import java.util.concurrent.ConcurrentHashMap
+
 /** Parse-time numeric normalization and sink-side type coercion — behavioral
   * parity with the reference (SURVEY.md §1.2 / §2.2 T2+T8):
   * `normalizeNumerics` from `/root/reference/Wrap/File.pm:427-434`, the
   * numeric/bool/datetime coercion battery from
   * `/root/reference/Wrap/DB.pm:238-312`. Pure string functions (no Spark
   * dependency); Column wrappers in [[EtlFunctions]].
+  *
+  * All patterns are precompiled (these run per-field on the ingest hot
+  * path — `String.matches` would recompile per call).
   */
 object Coerce {
+
+  // ---- normalizeNumerics --------------------------------------------------
+  private case class SepPatterns(grouped: Pattern, plainDec: Pattern, sciDec: Pattern,
+                                 thousandAll: Pattern, decimalOne: Pattern)
+  private val sepCache = new ConcurrentHashMap[(String, String), SepPatterns]()
+  private def sepPatterns(t: String, d: String): SepPatterns =
+    sepCache.computeIfAbsent((t, d), { case (ts, ds) =>
+      val tq = Pattern.quote(ts); val dq = Pattern.quote(ds)
+      SepPatterns(
+        grouped = Pattern.compile(s"-?\\d{1,3}($tq\\d{3})+($dq\\d*)?"),
+        plainDec = Pattern.compile(s"-?\\d+$dq\\d+"),
+        sciDec = Pattern.compile(s"-*\\d*$dq?\\d+E*[-+]*\\d*"),
+        thousandAll = Pattern.compile(tq),
+        decimalOne = Pattern.compile(dq))
+    })
 
   /** Locale-aware numeric normalization (`Wrap/File.pm:427-434`): remove
     * thousand separators when the string is a fully-grouped numeral, then
     * rewrite the decimal separator to '.' when the string is a plain or
     * scientific numeral. Non-numeric shapes pass through untouched.
-    * Defaults: thousand ',', decimal '.' (`Wrap/File.pm:445`).
-    */
+    * Defaults: thousand ',', decimal '.' (`Wrap/File.pm:445`). */
   def normalizeNumerics(s0: String, thousandSep: String = ",", decimalSep: String = "."): String = {
     if (s0 == null) return null
     var s = s0
-    val t = java.util.regex.Pattern.quote(thousandSep)
-    val d = java.util.regex.Pattern.quote(decimalSep)
-    if (s.matches(s"-?\\d{1,3}($t\\d{3})+($d\\d*)?"))
-      s = s.replaceAll(t, "")
+    val p = sepPatterns(thousandSep, decimalSep)
+    if (p.grouped.matcher(s).matches())
+      s = p.thousandAll.matcher(s).replaceAll("")
     if (decimalSep != ".") {
-      if (s.matches(s"-?\\d+$d\\d+") || s.matches(s"-*\\d*$d?\\d+E*[-+]*\\d*"))
-        s = s.replaceFirst(d, ".")
+      if (p.plainDec.matcher(s).matches() || p.sciDec.matcher(s).matches())
+        s = p.decimalOne.matcher(s).replaceFirst(".")
     }
     s
   }
+
+  // ---- numeric ------------------------------------------------------------
+  private val trailingZeros = Pattern.compile(".*\\d+\\.0+")
+  private val trailingZerosStrip = Pattern.compile("\\.0+$")
+  private val postfixMinus = Pattern.compile("[\\d.]*-")
+  private val postfixMinusSwap = Pattern.compile("([\\d.]*)-")
+  private val percent = Pattern.compile("[\\d.]*%")
+  private val numericShape = Pattern.compile("-*\\d*\\.?\\d+E*[-+]*\\d*")
 
   /** Numeric coercion battery (`Wrap/DB.pm:244-256`): strip trailing ".0+",
     * SAP postfix minus `123-` → `-123`, strip trailing '%', reject
@@ -36,10 +63,10 @@ object Coerce {
   def coerceNumeric(s0: String): Option[Double] = {
     if (s0 == null) return None
     var s = s0
-    if (s.matches(".*\\d+\\.0+")) s = s.replaceAll("\\.0+$", "")
-    if (s.matches("[\\d.]*-")) s = s.replaceFirst("([\\d.]*)-", "-$1")
-    if (s.matches("[\\d.]*%")) s = s.replaceFirst("%$", "")
-    if (!s.matches("-*\\d*\\.?\\d+E*[-+]*\\d*")) return None
+    if (trailingZeros.matcher(s).matches()) s = trailingZerosStrip.matcher(s).replaceAll("")
+    if (postfixMinus.matcher(s).matches()) s = postfixMinusSwap.matcher(s).replaceFirst("-$1")
+    if (percent.matcher(s).matches()) s = s.substring(0, s.length - 1)
+    if (!numericShape.matcher(s).matches()) return None
     if (s == "N/A") return None
     val v = try s.toDouble catch { case _: NumberFormatException => return None }
     if (math.abs(v) <= 1.79e-308 && math.abs(v) > 0) Some(0.0) else Some(v)
@@ -56,57 +83,63 @@ object Coerce {
     else None
   }
 
+  // ---- datetime -----------------------------------------------------------
+  private def p(re: String) = Pattern.compile(re)
+  private val gate1 = p("^\\d{2}[./]*\\d{2}[./]*\\d{2,4}.*")
+  private val gate2 = p("^\\d{4}-\\d{2}-\\d{2}.*")
+  private val gate3 = p("^\\d{2}:\\d{2}:\\d{2}.*")
+  private val dmyTime = p("^(\\d{2})[./](\\d{2})[./](\\d{4}) (\\d{2}):(\\d{2}):(\\d{2})")
+  private val sap60 = p("^(\\d{4})(\\d{2})(\\d{2})(\\d{2})(\\d{2})(60)")
+  private val sapFull = p("^(\\d{4})(\\d{2})(\\d{2})(\\d{2})(\\d{2})(\\d{2})")
+  private val dmy = p("^(\\d{2})[./](\\d{2})[./](\\d{4})")
+  private val ymd8 = p("^(\\d{4})(\\d{2})(\\d{2})")
+  private val ymdDot = p("^(\\d{4})\\.(\\d{2})\\.(\\d{2})")
+  private val shortYear = p("^(\\d{2})[./](\\d{2})[./](\\d{2})")
+  private val zeroTime = p("^00:00:00$")
+  private val zeroDate = p("^0000-00-00 00:00:00$")
+  private val hms = p("^(\\d{2}):(\\d{2}):(\\d{2})")
+  private val hms6 = p("^(\\d{2})(\\d{2})(\\d{2})")
+  private val hmOnly = p("^(\\d{2}):(\\d{2})$")
+  private val canonical = p("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$")
+  private val canonicalDate = p("^\\d{4}-\\d{2}-\\d{2}$")
+  private val digits8 = p("^\\d{8}.*")
+  private val digits6 = p("^\\d{6}.*")
+  private val digits14 = p("^\\d{14}.*")
+
   /** Date/time coercion cascade (`Wrap/DB.pm:264-301`), normalizing ≥12
     * input shapes to the ODBC canonical `YYYY-MM-DD hh:mm:ss`. Returns the
     * canonical STRING (the reference passes strings to ODBC); None mirrors
-    * the reference's `undef` (with its severity-1 error channel).
-    *
-    * Rule order matters and is kept exactly:
-    *  1. shape gate; 2. `DD[./]MM[./]YYYY hh:mm:ss`; 3. (reference's msec
-    *  rule is an unreachable no-op — replicated by omission, msec inputs
-    *  fall through to the final check and become None);
-    *  4. SAP `...mmss=60` fudge → :59; 5. `YYYYMMDDHHMMSS`;
-    *  6. `DD[./]MM[./]YYYY` → midnight; 7. `YYYYMMDD...` → midnight;
-    *  8. `YYYY.MM.DD`; 9. 2-digit year with `cutoffYr2000` pivot
-    *  (default 60, `Wrap/Common.pm:83`); 10. zero date/time → None;
-    *  11-13. bare times → 1900-01-01; 14. leading-zero year → None;
-    *  15. final canonical-shape check.
+    * the reference's `undef` (with its severity-1 error channel). Rule
+    * order is kept exactly; the reference's msec rule is an unreachable
+    * no-op (replicated by omission) and so is its bare `HH:MM` rule (the
+    * shape gate rejects it first).
     */
   def coerceDateTime(s0: String, cutoffYr2000: Int = 60): Option[String] = {
     if (s0 == null) return None
     var s = s0
-    val gate = s.matches("^\\d{2}[./]*\\d{2}[./]*\\d{2,4}.*") ||
-      s.matches("^\\d{4}-\\d{2}-\\d{2}.*") ||
-      s.matches("^\\d{2}:\\d{2}:\\d{2}.*")
-    if (!gate) return None
-    if (s.matches("^\\d{2}[./]\\d{2}[./]\\d{4} \\d{2}:\\d{2}:\\d{2}.*"))
-      s = s.replaceFirst("^(\\d{2})[./](\\d{2})[./](\\d{4}) (\\d{2}):(\\d{2}):(\\d{2})", "$3-$2-$1 $4:$5:$6")
-    if (s.matches("^\\d{4}\\d{2}\\d{2}\\d{2}\\d{2}60.*"))
-      s = s.replaceFirst("^(\\d{4})(\\d{2})(\\d{2})(\\d{2})(\\d{2})(60)", "$1-$2-$3 $4:$5:59")
-    if (s.matches("^\\d{4}\\d{2}\\d{2}\\d{2}\\d{2}\\d{2}.*"))
-      s = s.replaceFirst("^(\\d{4})(\\d{2})(\\d{2})(\\d{2})(\\d{2})(\\d{2})", "$1-$2-$3 $4:$5:$6")
-    if (s.matches("^\\d{2}[./]\\d{2}[./]\\d{4}.*"))
-      s = s.replaceFirst("^(\\d{2})[./](\\d{2})[./](\\d{4})", "$3-$2-$1 00:00:00")
-    if (s.matches("^\\d{8}.*"))
-      s = s.replaceFirst("^(\\d{4})(\\d{2})(\\d{2})", "$1-$2-$3 00:00:00")
-    if (s.matches("^\\d{4}\\.\\d{2}\\.\\d{2}.*"))
-      s = s.replaceFirst("^(\\d{4})\\.(\\d{2})\\.(\\d{2})", "$1-$2-$3 00:00:00")
-    val shortYear = "^(\\d{2})[./](\\d{2})[./](\\d{2})".r
-    shortYear.findFirstMatchIn(s).foreach { m =>
-      val prefix = if (m.group(3).toInt > cutoffYr2000) "19" else "20"
-      s = s.replaceFirst("^(\\d{2})[./](\\d{2})[./](\\d{2})", s"$prefix$$3-$$2-$$1 00:00:00")
+    if (!(gate1.matcher(s).matches() || gate2.matcher(s).matches() || gate3.matcher(s).matches()))
+      return None
+    if (dmyTime.matcher(s).find())
+      s = dmyTime.matcher(s).replaceFirst("$3-$2-$1 $4:$5:$6")
+    if (digits14.matcher(s).matches()) {
+      if (sap60.matcher(s).find()) s = sap60.matcher(s).replaceFirst("$1-$2-$3 $4:$5:59")
+      if (sapFull.matcher(s).find()) s = sapFull.matcher(s).replaceFirst("$1-$2-$3 $4:$5:$6")
     }
-    if (s.matches("^00:00:00$")) return None
-    if (s.matches("^0000-00-00 00:00:00$")) return None
-    if (s.matches("^\\d{2}:\\d{2}:\\d{2}.*"))
-      s = s.replaceFirst("^(\\d{2}):(\\d{2}):(\\d{2})", "1900-01-01 $1:$2:$3")
-    else if (s.matches("^\\d{6}.*"))
-      s = s.replaceFirst("^(\\d{2})(\\d{2})(\\d{2})", "1900-01-01 $1:$2:$3")
-    else if (s.matches("^\\d{2}:\\d{2}$"))
-      s = s.replaceFirst("^(\\d{2}):(\\d{2})$", "1900-01-01 $1:$2:00")
+    if (dmy.matcher(s).find()) s = dmy.matcher(s).replaceFirst("$3-$2-$1 00:00:00")
+    if (digits8.matcher(s).matches()) s = ymd8.matcher(s).replaceFirst("$1-$2-$3 00:00:00")
+    if (ymdDot.matcher(s).find()) s = ymdDot.matcher(s).replaceFirst("$1-$2-$3 00:00:00")
+    val sy = shortYear.matcher(s)
+    if (sy.find()) {
+      val prefix = if (sy.group(3).toInt > cutoffYr2000) "19" else "20"
+      s = shortYear.matcher(s).replaceFirst(s"$prefix$$3-$$2-$$1 00:00:00")
+    }
+    if (zeroTime.matcher(s).matches()) return None
+    if (zeroDate.matcher(s).matches()) return None
+    if (hms.matcher(s).find()) s = hms.matcher(s).replaceFirst("1900-01-01 $1:$2:$3")
+    else if (digits6.matcher(s).matches()) s = hms6.matcher(s).replaceFirst("1900-01-01 $1:$2:$3")
+    else if (hmOnly.matcher(s).matches()) s = hmOnly.matcher(s).replaceFirst("1900-01-01 $1:$2:00")
     if (s.startsWith("0")) return None
-    if (!s.matches("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$") &&
-        !s.matches("^\\d{4}-\\d{2}-\\d{2}$")) return None
+    if (!canonical.matcher(s).matches() && !canonicalDate.matcher(s).matches()) return None
     Some(s)
   }
 

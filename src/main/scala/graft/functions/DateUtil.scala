@@ -116,7 +116,13 @@ object DateUtil {
     LocalDate.of(y, 3, 1).plusDays(off.toLong)
   }
 
-  private def easterHol(cal: String, y: Int): Set[LocalDate] = {
+  private val easterCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Set[LocalDate]]()
+
+  private def easterHol(cal: String, y: Int): Set[LocalDate] =
+    easterCache.computeIfAbsent((cal, y), { case (c, yr) => easterHol0(c, yr) })
+
+  private def easterHol0(cal: String, y: Int): Set[LocalDate] = {
     val easter = easterSunday(y)
     val goodFriday = easter.minusDays(2)
     val easterMonday = easter.plusDays(1)

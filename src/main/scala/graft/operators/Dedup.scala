@@ -90,7 +90,9 @@ object Dedup {
     val rnd = new scala.util.Random(42)
     val coefs = Seq.fill(numHashes)((rnd.nextInt((p - 1).toInt).toLong + 1,
                                      rnd.nextInt(p.toInt).toLong))
-    val hashed = shingleHashes(df, idCol, textCol, n)
+    // one shingle-hash relation shared by signature build AND verification
+    // (recomputing it would redo the explode+distinct shuffle twice)
+    val hashed = shingleHashes(df, idCol, textCol, n).cache()
     val x = pmod(col("h"), lit(p))
     val minhashes = coefs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(x * lit(a) + lit(b), lit(p))).as(s"mh_$i")
@@ -110,8 +112,8 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verification of candidates only
-    val ds = shingleHashes(df, idCol, textCol, n)
+    // exact verification of candidates only (reuses the cached relation)
+    val ds = hashed
     val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = candidates
       .join(ds.withColumnRenamed("id", "id_a"), "id_a")

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit (run with `Test/runMain graft.PlanAudit [sfDir]`):
+  * checks the properties the 100 TB design depends on — filters reaching
+  * the parquet scan, dimension joins broadcast, no unexpected cartesian
+  * products, whole-stage codegen spans present. Prints PASS/FAIL per
+  * check; exits nonzero on failure.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE's plan wrapper hides codegen stages and join strategies from the
+      // static plan string; the audit checks STATIC properties, so turn it
+      // off here (prod sessions keep it on)
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var failures = 0
+    def check(name: String, cond: Boolean, detail: => String = ""): Unit = {
+      if (cond) println(s"PASS $name")
+      else { println(s"FAIL $name $detail"); failures += 1 }
+    }
+    def plan(q: String): String =
+      SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+    // q2: all three predicates must reach the parquet scan
+    val p2 = plan("q2_revenue_filter")
+    check("q2 pushes filters to scan",
+      p2.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "no PushedFilters on l_shipdate")
+    check("q2 prunes columns",
+      p2.contains("ReadSchema") && !p2.contains("l_orderkey"),
+      "scan reads columns the query never uses")
+
+    // q3/q5: dimension joins must be broadcast, no shuffled hash join of
+    // the fact table against a dim
+    val p3 = plan("q3_top_orders")
+    check("q3 broadcasts customer dim", p3.contains("BroadcastHashJoin"))
+    val p5 = plan("q5_nation_revenue")
+    check("q5 broadcasts all dims",
+      "BroadcastHashJoin".r.findAllIn(p5).size >= 4,
+      s"expected >=4 broadcast joins, got ${"BroadcastHashJoin".r.findAllIn(p5).size}")
+    check("q5 no cartesian product", !p5.contains("CartesianProduct"))
+
+    // q1: partial aggregation (map-side combine) before the exchange
+    val p1 = plan("q1_pricing_summary")
+    check("q1 has partial aggregation",
+      p1.contains("partial_sum") || p1.contains("partial_count"))
+    check("q1 whole-stage codegen", p1.contains("*(")) // `*(N)` = codegen span
+
+    // q4: semi join stays a join (no row explosion)
+    check("q4 uses semi join", plan("q4_semi_join").contains("LeftSemi"))
+
+    // q23: the only intentional cross join (brute-force scoring)
+    check("q23 broadcasts the query side",
+      plan("q23_sim_topk").contains("BroadcastNestedLoopJoin"))
+    // q24 must NOT be cartesian: cluster pruning via equi-join
+    val p24 = plan("q24_sim_ivf")
+    check("q24 IVF probe is an equi-join (pruned scan)",
+      p24.contains("BroadcastHashJoin") && !p24.contains("CartesianProduct"))
+
+    // q19 dedup: aggregation on fingerprint, partial first
+    check("q19 partial agg on fingerprint", plan("q19_dedup_exact").contains("partial_"))
+
+    println(if (failures == 0) "AUDIT OK" else s"AUDIT FAILURES: $failures")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
