@@ -112,7 +112,30 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Multimodal plumbing: documents as opaque binary payloads → batched
+    * (stubbed) decode → feature extraction → frame sampling, aggregated
+    * back per document. The stub arithmetic is re-expressed in the oracle,
+    * certifying the schema/batching/partition plumbing end-to-end. */
+  def q30Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val withPayload = Multimodal.withPayload(
+      docs.withColumn("content", encode(col("text"), "UTF-8")), "content")
+      .drop("content", "text")
+    val decoded = Multimodal.decodeBatched(withPayload, "payload")
+    val featured = Multimodal.extractFeatures(decoded, "payload", dim = 8)
+    val sampled = Multimodal.sampleFrames(decoded, stride = 7)
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_sampled"))
+    featured
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        col("n_frames"),
+        element_at(col("features"), 1).cast("double").as("f0"),
+        element_at(col("features"), 8).cast("double").as("f7"))
+      .join(sampled, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_multimodal"   -> q30Multimodal _,
     "q17_text_stats"   -> q17TextStats _,
     "q18_text_quality" -> q18TextQuality _,
     "q19_dedup_exact"  -> q19DedupExact _,
@@ -134,6 +157,17 @@ object PipelineQueries {
       |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, x) -> acc + x)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q30_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(length(text) % 640 + 1 AS INT) AS width,
+        |  CAST(length(text) % 480 + 1 AS INT) AS height,
+        |  CAST(length(text) % 30 + 1 AS INT) AS n_frames,
+        |  CAST(CAST((length(text) * 7) % 1000 AS REAL) / CAST(1000 AS REAL) AS DOUBLE) AS f0,
+        |  CAST(CAST((length(text) * 14) % 1000 AS REAL) / CAST(1000 AS REAL) AS DOUBLE) AS f7,
+        |  CAST((length(text) % 30) // 7 + 1 AS BIGINT) AS n_sampled
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q17_text_stats" ->
       s"""WITH base AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.pipeline.Config.DbConfig
+import graft.sinks.ParquetTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+/** Streaming re-expression of the reference's polling batch loop
+  * (SURVEY.md §2.7): the reference re-runs a load until `processEnd`,
+  * picking up files as they appear (`Test/test.pl:70-84`); Structured
+  * Streaming's file source IS that loop — each arriving file becomes one
+  * micro-batch, the checkpoint replaces the manual retry/processed-file
+  * bookkeeping (R1/R3/R4), and `Trigger.ProcessingTime` replaces the
+  * `retrySeconds` cadence (R2).
+  */
+object StreamingLoad {
+
+  /** Watch `inputDir` for delimited text files and keep loading them into
+    * `table` with the configured conflict strategy. Each micro-batch runs
+    * the same merge path as the batch pipeline (`foreachBatch` →
+    * [[ParquetTable.store]]), so batch and streaming loads share one sink
+    * contract — at-least-once delivery + keyed upsert = effectively-once
+    * table state (the reference's delete-before-insert idempotency, R4).
+    */
+  def fileLoadStream(spark: SparkSession, inputDir: String, schema: StructType,
+                     sep: String, table: String, db: DbConfig,
+                     checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("sep", sep)
+      .option("header", "false")
+      .option("maxFilesPerTrigger", 1) // one file = one load, like the reference
+      .csv(inputDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val ordered = batch.withColumn("_lineno", monotonically_increasing_id())
+          ParquetTable.store(spark, ordered, table, db)
+        }
+      }
+      .start()
+  }
+
+  /** Event-time windowed aggregation with a watermark — the streaming
+    * analytics surface over the `events` table shape: tumbling windows,
+    * late data dropped after `watermark`. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: per-user running
+    * totals that emit an updated row per input batch — the typed-state
+    * extension point the reference's per-row hook users would reach for
+    * (SURVEY.md §2.8). */
+  def runningTotals(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val batch = rows.toSeq
+          val updated = UserRunning(userId, prev.n + batch.size,
+            prev.total + batch.map(_.value).sum)
+          state.update(updated)
+          Iterator.single(updated)
+      }
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.StreamingLoad
+import graft.streaming.StreamingLoad.{UserEvent, UserRunning}
+import graft.pipeline.Config.{DbConfig, Upsert}
+import graft.sinks.ParquetTable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.7): file-source micro-batch
+  * loads, watermark windowed aggregation, flatMapGroupsWithState. */
+class StreamingSpec extends SparkSpec {
+
+  test("file stream: each arriving file is one upsert micro-batch (R1/R4)") {
+    val in = Files.createTempDirectory("graft-stream-in-").toString
+    val table = Files.createTempDirectory("graft-stream-t-").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-stream-ck-").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val q = StreamingLoad.fileLoadStream(spark, in, schema, ";", table,
+      DbConfig(strategy = Upsert(Seq("k")), keepContent = true), ckpt)
+    try {
+      Files.write(Paths.get(in, "f1.csv"), "1;a\n2;b\n".getBytes)
+      q.processAllAvailable()
+      assert(ParquetTable.load(spark, table).count() == 2)
+      // second file updates k=2 and adds k=3 — upsert semantics per batch
+      Files.write(Paths.get(in, "f2.csv"), "2;B2\n3;c\n".getBytes)
+      q.processAllAvailable()
+      val rows = ParquetTable.load(spark, table).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("watermark windowed aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingLoad.windowedCounts(events, "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("update").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      mem.addData((t(0), "click", 1.0), (t(1), "click", 2.0), (t(6), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(rows.toSet == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 10:05:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val out = StreamingLoad.runningTotals(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      def t(s: Int) = new Timestamp(1704100000000L + s * 1000L)
+      mem.addData(UserEvent(1, t(0), 10.0), UserEvent(1, t(1), 5.0), UserEvent(2, t(2), 7.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, t(3), 1.0))
+      q.processAllAvailable()
+      val last = spark.table("running").as[UserRunning].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n) }
+      assert(last(1L) == UserRunning(1L, 3, 16.0))
+      assert(last(2L) == UserRunning(2L, 1, 7.0))
+    } finally q.stop()
+  }
+}
