@@ -15,6 +15,7 @@ object Verify {
       // events.parquet uses TIMESTAMP(NANOS); read as long, converted back
       // to a timestamp in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -63,7 +63,7 @@ object EtlQueries {
       .otherwise(lit("N/A"))
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), input.as("instr"))
-      .withColumn("odbc", coerceDateTimeUdf(col("instr")))
+      .withColumn("odbc", graft.plans.GraftExtensions.coerce_datetime(col("instr")))
       .orderBy(col("o_orderkey"))
   }
 
@@ -91,7 +91,8 @@ object EtlQueries {
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         input.as("instr"), boolInput.as("boolstr"))
-      .withColumn("val", coerceNumericUdf(normalizeNumericsUdf(col("instr"), lit("."), lit(","))))
+      .withColumn("val", graft.plans.GraftExtensions.coerce_numeric(
+        graft.plans.GraftExtensions.normalize_numerics(col("instr"), ".", ",")))
       .withColumn("boolval", coerceBoolUdf(col("boolstr")))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }

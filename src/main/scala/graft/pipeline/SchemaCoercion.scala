@@ -49,7 +49,7 @@ object SchemaCoercion {
       val src = col(tc.name)
       val (value, err) = typeClass(tc.typeName) match {
         case "numeric" =>
-          val v = EtlFunctions.coerceNumericUdf(src.cast("string"))
+          val v = graft.plans.GraftExtensions.coerce_numeric(src.cast("string"))
           (v.cast(sparkType(tc.typeName)),
             Some(when(src.isNotNull && v.isNull,
               concat(lit(s"non-numeric value for ${tc.name}: "), src.cast("string")))))
@@ -58,7 +58,7 @@ object SchemaCoercion {
           (v, Some(when(src.isNotNull && v.isNull,
             concat(lit(s"non-boolean value for ${tc.name}: "), src.cast("string")))))
         case "datetime" =>
-          val odbc = EtlFunctions.coerceDateTimeUdf(src.cast("string"))
+          val odbc = graft.plans.GraftExtensions.coerce_datetime(src.cast("string"))
           val ts = to_timestamp(odbc, "yyyy-MM-dd HH:mm:ss")
           val v = if (sparkType(tc.typeName) == "date") ts.cast("date") else ts
           (v, Some(when(src.isNotNull && odbc.isNull,

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions for SQL use. Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * call [[GraftExtensions.install]] on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans.GraftExpressions", null, name, usage, "")
+
+  val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("normalize_numerics",
+      info("normalize_numerics",
+        "normalize_numerics(str, thousandSep, decimalSep) - locale numeral normalization"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => NormalizeNumeric(s, Literal(","), Literal("."))
+        case Seq(s, t, d) => NormalizeNumeric(s, t, d)
+        case _ => throw new IllegalArgumentException(
+          "normalize_numerics expects 1 or 3 arguments")
+      }),
+    ("coerce_numeric",
+      info("coerce_numeric", "coerce_numeric(str) - reference numeric coercion battery"),
+      (args: Seq[Expression]) => CoerceNumeric(args.head)),
+    ("coerce_datetime",
+      info("coerce_datetime", "coerce_datetime(str) - reference datetime cascade to ODBC canonical"),
+      (args: Seq[Expression]) => CoerceDateTime(args.head)))
+
+  /** Register on a live session (same effect as the extensions conf). */
+  def install(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    registrations.foreach { case (name, inf, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+  }
+
+  // Column API over the native expressions
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def normalize_numerics(c: Column, thousandSep: String = ",", decimalSep: String = "."): Column =
+    column(NormalizeNumeric(expression(c), Literal(thousandSep), Literal(decimalSep)))
+  def coerce_numeric(c: Column): Column = column(CoerceNumeric(expression(c)))
+  def coerce_datetime(c: Column): Column = column(CoerceDateTime(expression(c)))
+}

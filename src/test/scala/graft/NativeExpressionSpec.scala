@@ -1,0 +1,64 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expressions: codegen and interpreted paths must agree
+  * with the pure-Scala Coerce implementations, and SQL registration must
+  * work both via install() and the extensions conf. */
+class NativeExpressionSpec extends SparkSpec {
+
+  test("native expressions agree with Coerce on a value battery") {
+    import spark.implicits._
+    val inputs = Seq("22.123.123,013", "17E2", "123-", "12%", "N/A", "x", "1,5",
+      "02.01.1995", "19950102123456", "02.01.95", "garbage", null)
+    val df = inputs.toDF("s")
+    val out = df.select(
+      col("s"),
+      GraftExtensions.normalize_numerics(col("s"), ".", ",").as("norm"),
+      GraftExtensions.coerce_numeric(
+        GraftExtensions.normalize_numerics(col("s"), ".", ",")).as("num"),
+      GraftExtensions.coerce_datetime(col("s")).as("dt"))
+    val rows = out.collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val expNorm = if (s == null) null else graft.functions.Coerce.normalizeNumerics(s, ".", ",")
+      val expNum = if (s == null) None else graft.functions.Coerce.coerceNumeric(expNorm)
+      val expDt = if (s == null) None else graft.functions.Coerce.coerceDateTime(s)
+      assert(Option(r.getString(1)) == Option(expNorm), s"norm($s)")
+      assert((if (r.isNullAt(2)) None else Some(r.getDouble(2))) == expNum, s"num($s)")
+      assert(Option(r.getString(3)) == expDt.orElse(None) ||
+        (r.isNullAt(3) && expDt.isEmpty), s"dt($s)")
+    }
+  }
+
+  test("codegen path actually compiles (no fallback exception)") {
+    import spark.implicits._
+    // wide enough to force whole-stage codegen through the expression
+    val df = (1 to 1000).map(i => s"$i,5").toDF("s")
+    val sum = df.select(GraftExtensions.coerce_numeric(
+      GraftExtensions.normalize_numerics(col("s"), ".", ",")).as("v"))
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0)
+    assert(sum == (1 to 1000).map(i => i + 0.5).sum)
+  }
+
+  test("SQL registration via install()") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT coerce_numeric(normalize_numerics('1.234,5', '.', ',')) AS v, " +
+      "coerce_datetime('02.01.95') AS dt").head()
+    assert(r.getDouble(0) == 1234.5)
+    assert(r.getString(1) == "1995-01-02 00:00:00")
+  }
+
+  test("extensions class injects all registrations") {
+    // a fresh session can't be built in the shared test JVM (getOrCreate
+    // reuses the context and ignores spark.sql.extensions); the conf path
+    // is exercised for real by the Verify/Bench session builders — here we
+    // drive the injection hook directly
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw
+    assert(GraftExtensions.registrations.map(_._1).toSet ==
+      Set("normalize_numerics", "coerce_numeric", "coerce_datetime"))
+  }
+}
