@@ -22,6 +22,7 @@ object SparkEntry {
     EtlQueries.all,
     PipelineQueries.all,
     SourceQueries.all,
+    ExtendedQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
@@ -29,6 +30,7 @@ object SparkEntry {
     EtlQueries.oracles,
     PipelineQueries.oracles,
     SourceQueries.oracles,
+    ExtendedQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second relational battery: the SQL passthrough surface (W3 — the
+  * reference delegates exactly this to its DBMS), the as-of join extension,
+  * grouping sets, exact percentiles, string functions, calendar rollups,
+  * outer-join semantics. */
+object ExtendedQueries {
+
+  /** The reference's DBMS-delegation surface: user-supplied SQL text over
+    * registered views (`$DB->{query}` passthrough, `Wrap/DB.pm:73`). */
+  def q31SqlPassthrough(spark: SparkSession, dir: String): DataFrame = {
+    Seq("region", "nation", "customer", "orders")
+      .foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(
+      """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, year(o_orderdate)
+        |ORDER BY r_name, yr""".stripMargin)
+  }
+
+  /** As-of join: each click event matched with the user's most recent
+    * error event at-or-before it. */
+  def q32AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("value").as("err_value"))
+    AsOfJoin.asof(clicks, errors, Seq("user_id"), "ts", "ts", Seq("err_value"))
+      .select(col("event_id"), col("user_id"), col("asof_err_value").as("err_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** GROUPING SETS with sentinel labels. */
+  def q33GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, '_ALL_') AS returnflag,
+        |  coalesce(l_linestatus, '_ALL_') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles (order statistics — deterministic). */
+  def q34Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  percentile(l_quantity, 0.25) AS p25,
+        |  percentile(l_quantity, 0.5)  AS p50,
+        |  percentile(l_quantity, 0.75) AS p75,
+        |  percentile(l_extendedprice, 0.5) AS price_median
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** String function battery over part names. */
+  def q35StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 3, 8).as("sub"),
+        regexp_replace(col("p_name"), "a", "@").as("repl"),
+        lpad(col("p_brand"), 12, "_").as("padded"),
+        reverse(col("p_type")).as("rev"),
+        length(col("p_name")).cast("long").as("len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Calendar rollup: monthly order revenue (date_trunc both engines). */
+  def q36Monthly(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy(col("month"))
+  }
+
+  /** Outer-join semantics: every customer with their order count/revenue,
+    * customers without orders kept at zero. */
+  def q37OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_sql_passthrough" -> q31SqlPassthrough _,
+    "q32_asof_join"       -> q32AsofJoin _,
+    "q33_grouping_sets"   -> q33GroupingSets _,
+    "q34_percentiles"     -> q34Percentiles _,
+    "q35_string_funcs"    -> q35StringFuncs _,
+    "q36_monthly"         -> q36Monthly _,
+    "q37_outer_join"      -> q37OuterJoin _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q31_sql_passthrough" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, year(o_orderdate)
+        |ORDER BY r_name, yr""".stripMargin,
+    "q32_asof_join" ->
+      """SELECT c.event_id, c.user_id, e.value AS err_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q33_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '_ALL_') AS returnflag,
+        |  coalesce(l_linestatus, '_ALL_') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q34_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5)  AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_extendedprice, 0.5) AS price_median
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q35_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  substring(p_name, 3, 8) AS sub,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS repl,
+        |  lpad(p_brand, 12, '_') AS padded,
+        |  reverse(p_type) AS rev,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  concat_ws('|', p_brand, p_type) AS joined
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q36_monthly" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q37_outer_join" ->
+      """SELECT c_custkey,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(revenue, 0.0) AS revenue
+        |FROM customer
+        |LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}
