@@ -35,10 +35,16 @@ object Bench {
     val results = names.map { name =>
       val t = try {
         execute(name) // warm-up (not timed)
-        math.min(execute(name), execute(name))
+        val best = math.min(execute(name), execute(name))
+        best
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
+      } finally {
+        // operators that cache intermediate relations register a fresh
+        // cache entry per execution — drop them so later queries don't
+        // fight orphaned storage memory
+        spark.catalog.clearCache()
       }
       name -> t
     }

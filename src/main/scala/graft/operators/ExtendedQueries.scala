@@ -105,7 +105,33 @@ object ExtendedQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Salted skew-join: physically redistributed, semantically identical —
+    * the oracle runs the PLAIN join, certifying the rewrite preserves
+    * results. */
+  def q38SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    SkewOps.saltedJoin(li, ord, Seq("l_orderkey"), saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Exact distinct counts (shuffle-heavy dedup aggregation). */
+  def q39CountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_salted_join"     -> q38SaltedJoin _,
+    "q39_count_distinct"  -> q39CountDistinct _,
     "q31_sql_passthrough" -> q31SqlPassthrough _,
     "q32_asof_join"       -> q32AsofJoin _,
     "q33_grouping_sets"   -> q33GroupingSets _,
@@ -116,6 +142,14 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q38_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q39_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q31_sql_passthrough" ->
       """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  count(*) AS n_orders,

@@ -74,6 +74,22 @@ object ParquetTable {
     }
   }
 
+  /** Partitioned table layout: writes `df` hive-partitioned by
+    * `partitionCols` so scans with partition predicates prune directories
+    * instead of reading them (`PartitionFilters` in the scan node) — the
+    * layout every 100 TB fact table needs. Dynamic partition overwrite
+    * replaces only the partitions present in `df` (the partition-level
+    * analog of delete-before-insert, K3's idempotent-reload contract). */
+  def storePartitioned(spark: SparkSession, df: DataFrame, table: String,
+                       partitionCols: Seq[String],
+                       overwritePartitions: Boolean = true): Unit = {
+    val mode = if (overwritePartitions) SaveMode.Overwrite else SaveMode.Append
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(mode).partitionBy(partitionCols: _*).parquet(table)
+    finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+  }
+
   private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))

@@ -70,6 +70,26 @@ object PlanAudit {
     // q19 dedup: aggregation on fingerprint, partial first
     check("q19 partial agg on fingerprint", plan("q19_dedup_exact").contains("partial_"))
 
+    // q38: salted join must still be a shuffled hash/sort-merge equi-join
+    val p38 = plan("q38_salted_join")
+    check("q38 salted join is an equi-join", !p38.contains("CartesianProduct") &&
+      (p38.contains("SortMergeJoin") || p38.contains("ShuffledHashJoin") ||
+       p38.contains("BroadcastHashJoin")))
+
+    // partitioned layout: a partition predicate must prune directories
+    {
+      import graft.sinks.ParquetTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part-").toString + "/events_p"
+      val ev = graft.Tables.events(spark, sfDir)
+      ParquetTable.storePartitioned(spark, ev, tmp, Seq("event_type"))
+      val scan = spark.read.parquet(tmp)
+        .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      val ps = scan.queryExecution.executedPlan.toString
+      check("partitioned scan prunes by partition filter",
+        ps.contains("PartitionFilters: [") && ps.contains("event_type"),
+        "no PartitionFilters on event_type")
+    }
+
     println(if (failures == 0) "AUDIT OK" else s"AUDIT FAILURES: $failures")
     spark.stop()
     if (failures > 0) sys.exit(1)
