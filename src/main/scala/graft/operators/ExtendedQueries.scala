@@ -129,7 +129,22 @@ object ExtendedQueries {
       .orderBy(col("event_type"))
   }
 
+  /** K5 update-only merge: acctbal bumped for keys %5==0; rows without an
+    * update keep their value, update rows without a target are dropped. */
+  def q40UpdateOnly(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val updates = cust.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+      .unionByName( // an update for a nonexistent key must be dropped
+        spark.range(1).select(lit(99999999L).as("c_custkey"),
+          lit(1.0).as("c_acctbal"), lit("X").as("c_mktsegment")))
+    MergeOps.updateOnly(cust, updates, Seq("c_custkey"), Seq("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_update_only"     -> q40UpdateOnly _,
     "q38_salted_join"     -> q38SaltedJoin _,
     "q39_count_distinct"  -> q39CountDistinct _,
     "q31_sql_passthrough" -> q31SqlPassthrough _,
@@ -142,6 +157,11 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q40_update_only" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q38_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
