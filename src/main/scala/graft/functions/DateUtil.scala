@@ -44,17 +44,20 @@ object DateUtil {
     * month, mmm→German month (first occurrence each, like the reference's
     * single-substitution regexes). */
   def formatDate(y: Int, m: Int, d: Int, template: String = "YMD"): String = {
-    var r = if (template == null || template.isEmpty) "YMD" else template
-    if (r.toUpperCase.contains("MMM")) {
-      val (idx, len, rep) =
-        if (r.contains("MMM")) (r.indexOf("MMM"), 3, monthsEn(m - 1))
-        else (r.indexOf("mmm"), 3, monthsDe(m - 1))
-      r = r.substring(0, idx) + rep + r.substring(idx + len)
-    } else {
-      r = r.replaceFirst("M", f"$m%02d")
+    val t = if (template == null || template.isEmpty) "YMD" else template
+    // single-substitution semantics like the reference's regexes, but
+    // index-based (this runs per row on the date-function hot path)
+    def replaceFirstLiteral(s: String, find: String, rep: String): String = {
+      val i = s.indexOf(find)
+      if (i < 0) s else s.substring(0, i) + rep + s.substring(i + find.length)
     }
-    r = r.replaceFirst("Y", f"$y%04d")
-    r.replaceFirst("D", f"$d%02d")
+    var r = t
+    val iMMM = r.indexOf("MMM"); val immm = r.indexOf("mmm")
+    if (iMMM >= 0) r = r.substring(0, iMMM) + monthsEn(m - 1) + r.substring(iMMM + 3)
+    else if (immm >= 0) r = r.substring(0, immm) + monthsDe(m - 1) + r.substring(immm + 3)
+    else r = replaceFirstLiteral(r, "M", f"$m%02d")
+    r = replaceFirstLiteral(r, "Y", f"$y%04d")
+    replaceFirstLiteral(r, "D", f"$d%02d")
   }
 
   def formatDateFromYYYYMMDD(date: String, template: String = "YMD"): String = {

@@ -134,7 +134,69 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary: top-5 tokens per language by frequency (the
+    * explode-heavy shape of vocabulary building at scale: one shuffle on
+    * (lang, token) with partial counts, then a per-lang top-k window). */
+  def q41Vocab(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+    toks.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Document frequency / inverse-ratio per token (TF-IDF's corpus pass);
+    * ratio instead of ln() so the result is libm-independent. */
+  def q42DocFreq(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_ratio", lit(n.toDouble) / col("df").cast("double"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(20)
+  }
+
+  /** Per-label embedding centroids: element-wise means with an
+    * order-canonicalized double fold (sort each group's values, fold
+    * left) so the result is bit-exact regardless of partitioning — the
+    * corpus side of IVF/cluster training. (Engines round float→decimal
+    * differently, so a decimal-sum mean is NOT cross-engine exact.) */
+  def q43Centroids(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sort_array(collect_list(col("v").cast("double"))).as("vs"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x) / size(col("vs")))
+          .as("centroid"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user (lag + cumulative
+    * flag sum — one shuffle on user_id). */
+  def q44Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_vocab"        -> q41Vocab _,
+    "q42_doc_freq"     -> q42DocFreq _,
+    "q43_centroids"    -> q43Centroids _,
+    "q44_sessionize"   -> q44Sessionize _,
     "q30_multimodal"   -> q30Multimodal _,
     "q17_text_stats"   -> q17TextStats _,
     "q18_text_quality" -> q18TextQuality _,
@@ -157,6 +219,46 @@ object PipelineQueries {
       |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, x) -> acc + x)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q41_vocab" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |counts AS (SELECT lang, token, count(*) AS n FROM toks GROUP BY lang, token)
+        |SELECT lang, token, n, rank FROM (
+        |  SELECT lang, token, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS BIGINT) AS rank
+        |  FROM counts) t
+        |WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+    "q42_doc_freq" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents)
+        |SELECT token, df, n.total / CAST(df AS DOUBLE) AS idf_ratio
+        |FROM dfreq, n
+        |ORDER BY df DESC, token
+        |LIMIT 20""".stripMargin,
+    "q43_centroids" ->
+      """SELECT label, CAST(x[2] AS BIGINT) AS pos,
+        |  list_reduce(list_prepend(0.0, list_sort(list(CAST(x[1] AS DOUBLE)))),
+        |              (acc, v) -> acc + v) / count(*) AS centroid
+        |FROM (
+        |  SELECT label,
+        |    unnest(list_zip(embedding, generate_series(0, len(embedding) - 1))) AS x
+        |  FROM embeddings) t
+        |GROUP BY label, CAST(x[2] AS BIGINT)
+        |ORDER BY label, pos""".stripMargin,
+    "q44_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q30_multimodal" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_bytes,

@@ -27,11 +27,20 @@ object StreamingLoad {
   def fileLoadStream(spark: SparkSession, inputDir: String, schema: StructType,
                      sep: String, table: String, db: DbConfig,
                      checkpoint: String,
-                     trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+                     trigger: Trigger = Trigger.ProcessingTime(0),
+                     errorTable: Option[String] = None): StreamingQuery = {
+    // carry the raw line so malformed rows can be routed, not silently
+    // nulled (the batch pipeline's severity-1 error channel, streaming
+    // flavor)
+    val schemaWithCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType))
     val stream = spark.readStream
-      .schema(schema)
+      .schema(schemaWithCorrupt)
       .option("sep", sep)
       .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
       .option("maxFilesPerTrigger", 1) // one file = one load, like the reference
       .csv(inputDir)
     stream.writeStream
@@ -39,8 +48,17 @@ object StreamingLoad {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val ordered = batch.withColumn("_lineno", monotonically_increasing_id())
-          ParquetTable.store(spark, ordered, table, db)
+          val cached = batch.cache()
+          try {
+            val bad = cached.filter(col("_corrupt").isNotNull)
+              .select(col("_corrupt").as("raw"), lit(batchId).as("batch_id"))
+            errorTable.foreach { et =>
+              if (!bad.isEmpty) bad.write.mode("append").parquet(et)
+            }
+            val good = cached.filter(col("_corrupt").isNull).drop("_corrupt")
+              .withColumn("_lineno", monotonically_increasing_id())
+            if (!good.isEmpty) ParquetTable.store(spark, good, table, db)
+          } finally cached.unpersist()
         }
       }
       .start()

@@ -34,6 +34,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("malformed rows route to the error table, not the target (severity-1)") {
+    val in = Files.createTempDirectory("graft-stream-in-").toString
+    val table = Files.createTempDirectory("graft-stream-t-").toString + "/t"
+    val errs = Files.createTempDirectory("graft-stream-e-").toString + "/e"
+    val ckpt = Files.createTempDirectory("graft-stream-ck-").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val q = StreamingLoad.fileLoadStream(spark, in, schema, ";", table,
+      DbConfig(strategy = Upsert(Seq("k")), keepContent = true), ckpt,
+      errorTable = Some(errs))
+    try {
+      Files.write(Paths.get(in, "f1.csv"), "1;a\ngarbage;;;\n2;b\n".getBytes)
+      q.processAllAvailable()
+      val good = ParquetTable.load(spark, table).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(good.toSeq == Seq((1L, "a"), (2L, "b"))) // no null-key row
+      val bad = spark.read.parquet(errs).collect().map(_.getString(0))
+      assert(bad.toSeq == Seq("garbage;;;"))
+    } finally q.stop()
+  }
+
   test("watermark windowed aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
