@@ -112,13 +112,14 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verification of candidates only (reuses the cached relation)
+    // exact verification of candidates only (reuses the cached relation);
+    // the h column joins as an equi-key — an id-only join would explode
+    // each pair into |shingles|² rows before filtering
     val ds = hashed
     val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = candidates
       .join(ds.withColumnRenamed("id", "id_a"), "id_a")
-      .join(ds.withColumnRenamed("id", "id_b").withColumnRenamed("h", "h2"), "id_b")
-      .filter(col("h") === col("h2"))
+      .join(ds.withColumnRenamed("id", "id_b"), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
