@@ -35,7 +35,15 @@ object ParquetTable {
     * for last-wins resolution. */
   def store(spark: SparkSession, incoming: DataFrame, table: String,
             db: DbConfig, ordCol: String = "_lineno"): Unit = {
-    val withId = db.addID.foldLeft(incoming) { case (df, (k, v)) => df.withColumn(k, lit(v)) }
+    val withId0 = db.addID.foldLeft(incoming) { case (df, (k, v)) => df.withColumn(k, lit(v)) }
+    // upsert resolution needs the ordering column; batches that lack one
+    // get partition-stable arrival order (matches the reference's
+    // statement-order contract for a single batch)
+    val withId = db.strategy match {
+      case Upsert(_) if !withId0.columns.contains(ordCol) =>
+        withId0.withColumn(ordCol, monotonically_increasing_id())
+      case _ => withId0
+    }
     val target = if (exists(table) && db.keepContent) Some(load(spark, table)) else None
 
     val merged: DataFrame = (target, db.strategy) match {
