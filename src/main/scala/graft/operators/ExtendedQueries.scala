@@ -143,7 +143,32 @@ object ExtendedQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Batch tumbling windows: hourly event rollup (the batch twin of the
+    * streaming windowed aggregation). */
+  def q45HourlyEvents(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Pivot: per user-decile event-type counts as columns (Spark `.pivot`;
+    * the oracle uses portable conditional aggregation). */
+  def q46Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .withColumn("decile", (col("user_id") % 10).cast("long"))
+      .groupBy(col("decile"))
+      .pivot(col("event_type"), types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("decile"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_hourly_events"   -> q45HourlyEvents _,
+    "q46_pivot"           -> q46Pivot _,
     "q40_update_only"     -> q40UpdateOnly _,
     "q38_salted_join"     -> q38SaltedJoin _,
     "q39_count_distinct"  -> q39CountDistinct _,
@@ -157,6 +182,18 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q46_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS decile,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY decile""".stripMargin,
     "q40_update_only" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,

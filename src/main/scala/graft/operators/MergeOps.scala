@@ -38,10 +38,20 @@ object MergeOps {
   /** Update-only merge (`updateInDB`, `Wrap/DB.pm:453-508`): overwrite the
     * listed value columns for target rows whose key appears in `updates`;
     * rows without a match keep their values; update rows without a target
-    * row are dropped (UPDATE affects 0 rows). */
+    * row are dropped (UPDATE affects 0 rows). Duplicate update keys
+    * resolve last-wins by `ordCol` when given (statement order, like the
+    * reference's per-row loop); otherwise an arbitrary-but-single row is
+    * kept so the join can't explode the target. */
   def updateOnly(target: DataFrame, updates: DataFrame, keys: Seq[String],
-                 valueCols: Seq[String]): DataFrame = {
-    val renamed = valueCols.foldLeft(updates.select((keys ++ valueCols).map(col): _*)) {
+                 valueCols: Seq[String], ordCol: Option[String] = None): DataFrame = {
+    val deduped = ordCol match {
+      case Some(o) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(o).desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", o)
+      case None => updates.dropDuplicates(keys)
+    }
+    val renamed = valueCols.foldLeft(deduped.select((keys ++ valueCols).map(col): _*)) {
       case (df, c) => df.withColumnRenamed(c, s"__u_$c")
     }
     val joined = target.join(renamed, keys, "left")
