@@ -166,7 +166,23 @@ object ExtendedQueries {
       .orderBy(col("decile"))
   }
 
+  /** Skew diagnosis: the hot-key histogram (SkewOps.keyHistogram). */
+  def q47KeyHistogram(spark: SparkSession, dir: String): DataFrame =
+    SkewOps.keyHistogram(Tables.events(spark, dir), "user_id", topN = 20)
+
+  /** L2 vector normalization: norms and first normalized component via
+    * deterministic double folds. */
+  def q48NormEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Similarity.norm(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), norm.as("l2"),
+        (element_at(col("embedding"), 1).cast("double") / norm).as("e0_normed"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_key_histogram"   -> q47KeyHistogram _,
+    "q48_norm_embeddings" -> q48NormEmbeddings _,
     "q45_hourly_events"   -> q45HourlyEvents _,
     "q46_pivot"           -> q46Pivot _,
     "q40_update_only"     -> q40UpdateOnly _,
@@ -182,6 +198,17 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_key_histogram" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+    "q48_norm_embeddings" ->
+      """SELECT vec_id,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, x) -> acc + x)) AS l2,
+        |  CAST(embedding[1] AS DOUBLE)
+        |    / sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, x) -> acc + x)) AS e0_normed
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q45_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
