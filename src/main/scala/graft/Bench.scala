@@ -51,7 +51,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // machine load at bench end: co-tenant CPU bursts can inflate wall times
+    // several-fold, so the record carries its own noise diagnostic
+    val load = try {
+      scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$load"}"""
+    // sbt interleaves [info]/WARN prefixes on stdout, which broke the
+    // driver's parse in round 1 — persist the result line to a file too
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

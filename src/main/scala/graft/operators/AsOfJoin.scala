@@ -38,8 +38,13 @@ object AsOfJoin {
         payload.map(c => lit(null).as(s"__p_$c")) ++
         leftCols.filterNot(c => keys.contains(c)).map(col): _*)
     val unioned = taggedRight.unionByName(taggedLeft)
+    // final tiebreak: among right rows sharing (key, ts), the
+    // lexicographically greatest payload row sorts last and is the one
+    // carried — without it, `last(..., ignoreNulls)` would pick an
+    // arbitrary row among ties and the result would be nondeterministic
+    val tieBreak = struct(payload.map(c => col(s"__p_$c")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), tieBreak.asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))

@@ -12,11 +12,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EtlQueries {
 
-  /** AT-calendar holidays 1995-2002 for the oracle side: fixed dates are
+  /** AT-calendar holidays 1992-2005 for the oracle side: fixed dates are
     * mechanical; Easter-derived dates (Easter Monday, Ascension, Whit
     * Monday, Corpus Christi) are embedded as independently-known literals
-    * so the oracle does NOT share our Easter computation. */
+    * so the oracle does NOT share our Easter computation. The range covers
+    * the generator's order-date span (1992..2004 input dates; +1 for the
+    * next-business-day / month-roll spill into the following year) with
+    * margin; q11 raise_errors loudly if regenerated data escapes it. */
   private val easterDerivedMMDD = Map(
+    1992 -> Seq("0420", "0528", "0608", "0618"),
+    1993 -> Seq("0412", "0520", "0531", "0610"),
+    1994 -> Seq("0404", "0512", "0523", "0602"),
     1995 -> Seq("0417", "0525", "0605", "0615"),
     1996 -> Seq("0408", "0516", "0527", "0606"),
     1997 -> Seq("0331", "0508", "0519", "0529"),
@@ -24,11 +30,14 @@ object EtlQueries {
     1999 -> Seq("0405", "0513", "0524", "0603"),
     2000 -> Seq("0424", "0601", "0612", "0622"),
     2001 -> Seq("0416", "0524", "0604", "0614"),
-    2002 -> Seq("0401", "0509", "0520", "0530"))
+    2002 -> Seq("0401", "0509", "0520", "0530"),
+    2003 -> Seq("0421", "0529", "0609", "0619"),
+    2004 -> Seq("0412", "0520", "0531", "0610"),
+    2005 -> Seq("0328", "0505", "0516", "0526"))
   private val fixedMMDD = Seq("0101", "0106", "0501", "0815", "1026", "1101",
     "1208", "1225", "1226")
   private val atHolidayList: String = (for {
-    y <- 1995 to 2002
+    y <- 1992 to 2005
     mmdd <- fixedMMDD ++ easterDerivedMMDD(y)
   } yield s"'$y$mmdd'").mkString(", ")
 
@@ -38,6 +47,13 @@ object EtlQueries {
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate"),
         date_format(col("o_orderdate"), "yyyyMMdd").as("ymd"))
+      // the oracle's holiday literals cover 1992-2005 (input dates up to
+      // 2004 so next_bd / month_roll stay inside the table) — fail loudly
+      // rather than silently diverge if regenerated data escapes the range
+      .withColumn("ymd",
+        when(col("ymd") < "19920101" || col("ymd") > "20041231",
+          raise_error(concat(lit("q11 oracle holiday range exceeded: "), col("ymd"))))
+        .otherwise(col("ymd")))
       .withColumn("wd", weekdayUdf(col("ymd")).cast("long"))
       .withColumn("weekend", isWeekendUdf(col("ymd")))
       .withColumn("at_holiday", isHolidayUdf(lit("AT"), col("ymd")))

@@ -256,19 +256,21 @@ object PipelineQueries {
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM events)
         |SELECT user_id,
-        |  sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q30_multimodal" ->
-      """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  CAST(length(text) % 640 + 1 AS INT) AS width,
-        |  CAST(length(text) % 480 + 1 AS INT) AS height,
-        |  CAST(length(text) % 30 + 1 AS INT) AS n_frames,
-        |  CAST(CAST((length(text) * 7) % 1000 AS REAL) / CAST(1000 AS REAL) AS DOUBLE) AS f0,
-        |  CAST(CAST((length(text) * 14) % 1000 AS REAL) / CAST(1000 AS REAL) AS DOUBLE) AS f7,
-        |  CAST((length(text) % 30) // 7 + 1 AS BIGINT) AS n_sampled
-        |FROM documents
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+        |SELECT doc_id,
+        |  CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(nb % 640 + 1 AS INT) AS width,
+        |  CAST(nb % 480 + 1 AS INT) AS height,
+        |  CAST(nb % 30 + 1 AS INT) AS n_frames,
+        |  CAST(CAST((nb * 7) % 1000 AS REAL) / CAST(1000 AS REAL) AS DOUBLE) AS f0,
+        |  CAST(CAST((nb * 14) % 1000 AS REAL) / CAST(1000 AS REAL) AS DOUBLE) AS f7,
+        |  CAST((nb % 30) // 7 + 1 AS BIGINT) AS n_sampled
+        |FROM b
         |ORDER BY doc_id""".stripMargin,
     "q17_text_stats" ->
       s"""WITH base AS (

@@ -79,10 +79,14 @@ class FileStaging(workDir: String, historyDir: String,
       case -1 => (canonicalName, "")
       case i  => (canonicalName.substring(0, i), canonicalName.substring(i))
     }
-    val re = (java.util.regex.Pattern.quote(base) +
-      "(_\\d{8}_\\d{6}|\\d{14})?" + java.util.regex.Pattern.quote(ext) + "$").r
+    // anchored both ends (Wrap.pm anchors the whole filename): an
+    // unanchored match would let canonical "a.csv" claim history files of
+    // unrelated loads like "data_20240708_120000.csv" via the embedded
+    // "a_20240708_120000.csv" suffix
+    val re = ("^" + java.util.regex.Pattern.quote(base) +
+      "(_\\d{8}_\\d{6}|_\\d{8}|\\d{14})?" + java.util.regex.Pattern.quote(ext) + "$").r
     val found = Files.list(history).iterator().asScala
-      .filter(f => re.findFirstIn(f.getFileName.toString).isDefined)
+      .filter(f => re.pattern.matcher(f.getFileName.toString).matches())
       .toSeq.sortBy(_.toString)
     found.map { f =>
       val target = work.resolve(canonicalName)
