@@ -154,12 +154,24 @@ object Dedup {
     * banded on 4 × 16-bit chunks (pigeonhole: any pair within distance 3
     * agrees on ≥1 chunk). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
-    val sig = simhash(df, idCol, textCol).cache()
+                   maxDist: Int = 3): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol), chunkBits = 16, nChunks = 4,
+      maxDist = maxDist)
+
+  /** Banded Hamming-distance pairs over a (id, simhash) relation: signatures
+    * are split into `nChunks` chunks of `chunkBits` bits; by pigeonhole any
+    * pair with Hamming distance < nChunks agrees on ≥1 chunk, so for
+    * maxDist ≤ nChunks - 1 the banding is EXACT (100% recall) — the chunk
+    * equi-join replaces the all-pairs product at scale. */
+  private def hammingPairs(sig0: DataFrame, chunkBits: Int, nChunks: Int,
+                           maxDist: Int): DataFrame = {
+    require(maxDist < nChunks, "pigeonhole banding needs maxDist < nChunks")
+    val sig = sig0.cache()
+    val mask = (1L << chunkBits) - 1
     val chunks = sig.select(col("id"), col("simhash"),
-        explode(array((0 until 4).map(c =>
+        explode(array((0 until nChunks).map(c =>
           struct(lit(c).as("chunk"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("cc"))
+            shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask)).as("ck"))): _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
     chunks.as("a")
       .join(chunks.as("b"),
@@ -172,4 +184,59 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
+
+  /** Portable 31-bit polynomial token hash: left fold over characters,
+    * acc = (acc*31 + codepoint) mod (2^31 - 1). Unlike xxhash64 this is
+    * expressible identically in any engine with a list fold (the DuckDB
+    * oracle recomputes it verbatim), making simhash results cross-engine
+    * verifiable. Products stay < 2^36 — no overflow under ANSI mode. */
+  def polyHash(t: Column): Column =
+    aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, c) => pmod(acc * 31 + c, lit(2147483647L)))
+
+  /** Oracle-checkable SimHash: 60-bit signature where bit i's per-token
+    * contribution is the sign of a universal hash (a_i*h + b_i) mod p of the
+    * portable [[polyHash]] — every step re-expressible in SQL, so a DuckDB
+    * oracle can recompute signatures bit-exactly (unlike the xxhash64 fast
+    * path in [[simhash]]). 60 bits = 4 × 15-bit pigeonhole chunks while
+    * keeping every shift strictly below the sign bit in engines without
+    * unsigned 64-bit ints. */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 60, seed: Long = 42L): DataFrame = {
+    val p = 2147483647L
+    val coefs = simhashCoefs(bits, seed)
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(TextOps.normalizeText(col(textCol)), " ")).as("t"))
+      .withColumn("h", polyHash(col("t")))
+    val contribs = coefs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("bit"),
+        when(pmod(col("h") * lit(a) + lit(b), lit(p)) < lit(p / 2), 1)
+          .otherwise(-1).as("contrib"))
+    }
+    toks.select(col("id"), explode(array(contribs: _*)).as("bc"))
+      .select(col("id"), col("bc.bit").as("bit"), col("bc.contrib").as("contrib"))
+      .groupBy(col("id"), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+          .otherwise(lit(0L)))
+      .groupBy(col("id"))
+      .agg(sum(col("bitval")).as("simhash"))
+  }
+
+  /** Universal-hash coefficients (a_i, b_i) for [[simhashPortable]] — also
+    * consumed by the oracle-SQL generator so both engines share them. */
+  def simhashCoefs(bits: Int, seed: Long): Seq[(Long, Long)] = {
+    val p = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)((rnd.nextInt((p - 1).toInt).toLong + 1,
+                    rnd.nextInt(p.toInt).toLong))
+  }
+
+  /** Portable-simhash near-dup pairs (Hamming ≤ maxDist over the 60-bit
+    * signature), banded 4 × 15 bits — exact recall by pigeonhole. */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int = 3): DataFrame =
+    hammingPairs(simhashPortable(df, idCol, textCol), chunkBits = 15,
+      nChunks = 4, maxDist = maxDist)
 }

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Training-data pipeline query battery: text analysis, dedup family,
   * similarity search — each a `queries()` entry over the documents /
-  * embeddings tables. SQL-expressible operators carry a DuckDB oracle;
-  * the seeded-randomness ones (MinHash-LSH, SimHash banding, hyperplane
-  * LSH) are rows-only checked but deterministic.
+  * embeddings tables, every one carrying a DuckDB oracle. The
+  * seeded-randomness operators are verified by recomputation: SimHash and
+  * hyperplane-LSH oracles interpolate the seeded coefficients/planes into
+  * generated SQL and redo the full computation; MinHash-LSH is gated
+  * against the exact n-gram Jaccard pair set (recall-1 on this corpus,
+  * precision-1 by its exact-verify stage).
   */
 object PipelineQueries {
 
@@ -72,17 +75,25 @@ object PipelineQueries {
   }
 
   /** MinHash+LSH near-dup pairs — banded candidates + exact verification.
-    * Deterministic (seeded permutations) but not SQL-expressible → rows-only
-    * oracle. */
+    * The exact-Jaccard verification step means precision is 1 by
+    * construction; the oracle (q20's exact pair set) additionally asserts
+    * 100% LSH recall on this corpus, verified to hold at sf0.001/sf0.01
+    * (candidate recall only matters near the 0.5 threshold, and the
+    * perturbed-copy pairs sit well above it). */
   def q21MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     Dedup.minhashLshPairs(dupCorpus(spark, dir), "doc_id", "text",
         n = 5, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash near-dup pairs (Hamming ≤ 3) — rows-only oracle. */
+  /** SimHash near-dup pairs (Hamming ≤ 3 over the 60-bit portable
+    * signature). The portable variant's polynomial + universal hashes are
+    * re-expressible in SQL, so the oracle recomputes the signatures
+    * bit-exactly; pigeonhole banding makes the emitted pair set EXACTLY
+    * all pairs within the Hamming radius (no sampling slack to hide in). */
   def q22Simhash(spark: SparkSession, dir: String): DataFrame = {
-    Dedup.simhashPairs(dupCorpus(spark, dir), "doc_id", "text", maxDist = 3)
+    Dedup.simhashPairsPortable(dupCorpus(spark, dir), "doc_id", "text",
+        maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -103,8 +114,10 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Random-hyperplane LSH top-k — deterministic seeded planes, rows-only
-    * oracle. */
+  /** Random-hyperplane LSH top-k. The seeded ±1 planes are generated
+    * Scala-side and embedded as literals into the oracle SQL, which
+    * replicates the sign-projection bucketing and the exact left-fold
+    * cosine — a full independent recomputation, not a rows-only check. */
   def q25SimLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
@@ -218,6 +231,106 @@ object PipelineQueries {
       |     * sqrt(list_reduce(list_prepend(0.0, list_transform(cv,
       |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, x) -> acc + x)))""".stripMargin
 
+  private val ngramPairsSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '^\S+\s+', '') FROM documents),
+      |norm AS (
+      |  SELECT doc_id AS id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT DISTINCT id, sh FROM (
+      |    SELECT id, unnest(list_transform(
+      |      generate_series(0, greatest(len(toks) - 5, 0)),
+      |      i -> array_to_string(toks[i+1:i+5], ' '))) AS sh
+      |    FROM norm) t WHERE length(sh) > 0),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      |  GROUP BY a.id, b.id)
+      |SELECT id_a, id_b,
+      |  CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.id = id_a
+      |JOIN sizes sb ON sb.id = id_b
+      |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Full recomputation of [[Dedup.simhashPairsPortable]] in DuckDB: the
+    * same polynomial char hash, the same (a_i, b_i) universal hashes
+    * (interpolated from [[Dedup.simhashCoefs]]), the same 60-bit signature
+    * assembly — then an all-pairs Hamming filter, which equals the banded
+    * result because pigeonhole banding has exact recall for maxDist ≤ 3. */
+  private val simhashSql: String = {
+    val coefRows = Dedup.simhashCoefs(60, 42L).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '') FROM documents),
+      |toks AS (
+      |  SELECT doc_id AS id,
+      |    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+      |  FROM corpus),
+      |hashed AS (
+      |  SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(t)),
+      |                     i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      |  FROM toks),
+      |bits AS (
+      |  SELECT id, bit,
+      |    CASE WHEN (h * a + b) % 2147483647 < 1073741823 THEN 1 ELSE -1 END AS contrib
+      |  FROM hashed, (VALUES $coefRows) AS coef(bit, a, b)),
+      |sums AS (SELECT id, bit, sum(contrib) AS s FROM bits GROUP BY id, bit),
+      |sig AS (
+      |  SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+      |                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |  FROM sums GROUP BY id)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.id < b.id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Full recomputation of [[Similarity.lshTopK]] in DuckDB: the seeded ±1
+    * planes (interpolated from [[Similarity.hyperplanes]]) drive the same
+    * sign-projection bucketing, then exact left-fold cosine + top-k within
+    * buckets. */
+  private val lshSql: String = {
+    val planes = Similarity.hyperplanes(dim = 64, numBits = 8, seed = 42L)
+    val projCols = planes.zipWithIndex.map { case (plane, i) =>
+      val lits = plane.map(v => s"$v.0").mkString(", ")
+      s"""list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, [$lits]),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, x) -> acc + x) AS p$i""".stripMargin
+    }.mkString(",\n    ")
+    val bucketExpr = planes.indices
+      .map(i => s"(CASE WHEN p$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH proj AS (
+      |  SELECT vec_id, embedding,
+      |    $projCols
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM proj),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, qv, cv, $cosineSql AS cos
+      |  FROM c JOIN q USING (bucket)
+      |  WHERE neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, cos, rank FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+      |         AS BIGINT) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q41_vocab" ->
       """WITH toks AS (
@@ -321,33 +434,15 @@ object PipelineQueries {
         |  FROM corpus)
         |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM fps GROUP BY fp ORDER BY fp""".stripMargin,
-    "q20_dedup_ngram" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, regexp_replace(text, '^\S+\s+', '') FROM documents),
-        |norm AS (
-        |  SELECT doc_id AS id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT DISTINCT id, sh FROM (
-        |    SELECT id, unnest(list_transform(
-        |      generate_series(0, greatest(len(toks) - 5, 0)),
-        |      i -> array_to_string(toks[i+1:i+5], ' '))) AS sh
-        |    FROM norm) t WHERE length(sh) > 0),
-        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-        |pairs AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-        |  GROUP BY a.id, b.id)
-        |SELECT id_a, id_b,
-        |  CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
-        |FROM pairs
-        |JOIN sizes sa ON sa.id = id_a
-        |JOIN sizes sb ON sb.id = id_b
-        |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q20_dedup_ngram" -> ngramPairsSql,
+    // MinHash+LSH emits exactly the exact-Jaccard pair set when banding
+    // recall is 100% (verified on this corpus at sf0.001/sf0.01, and the
+    // exact-verify stage guarantees precision) — so the exact pair set IS
+    // the oracle, making the LSH path fully value-checked rather than
+    // rows-only.
+    "q21_minhash_lsh" -> ngramPairsSql,
+    "q22_simhash" -> simhashSql,
+    "q25_sim_lsh" -> lshSql,
     "q23_sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (

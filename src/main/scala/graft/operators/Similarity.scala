@@ -74,13 +74,18 @@ object Similarity {
     * deterministic ±1 hyperplanes (seeded), giving a bucket id; near
     * neighbors collide with high probability. Candidates are then scored
     * exactly within buckets — the scan cost drops to the bucket size. */
+  /** Deterministic ±1 hyperplanes for [[lshTopK]] — also consumed by the
+    * oracle-SQL generator so both engines project against the same planes. */
+  def hyperplanes(dim: Int, numBits: Int, seed: Long): Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1 else -1))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, dim: Int, numBits: Int, k: Int,
               seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
     // hyperplane p = vector of ±1; bucket bit p = sign(dot(v, plane))
-    val planes: Seq[Seq[Int]] =
-      Seq.fill(numBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1 else -1))
+    val planes: Seq[Seq[Int]] = hyperplanes(dim, numBits, seed)
     def bucket(vec: Column): Column = {
       val bits = planes.zipWithIndex.map { case (plane, bi) =>
         val proj = aggregate(
