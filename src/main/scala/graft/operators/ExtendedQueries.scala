@@ -54,16 +54,19 @@ object ExtendedQueries {
         |ORDER BY returnflag, linestatus""".stripMargin)
   }
 
-  /** Exact interpolated percentiles (order statistics — deterministic). */
+  /** Exact interpolated percentiles (order statistics — deterministic).
+    * Uses [[OrderStats.exactPercentiles]] rather than Spark's `percentile`
+    * aggregate: same values, but rank-based two-pass instead of an
+    * all-values-per-group aggregation buffer (the latter OOMs a reducer at
+    * 100 TB on near-continuous doubles). */
   def q34Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-    spark.sql(
-      """SELECT l_returnflag,
-        |  percentile(l_quantity, 0.25) AS p25,
-        |  percentile(l_quantity, 0.5)  AS p50,
-        |  percentile(l_quantity, 0.75) AS p75,
-        |  percentile(l_extendedprice, 0.5) AS price_median
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    OrderStats.exactPercentiles(Tables.lineitem(spark, dir),
+        Seq("l_returnflag"),
+        Seq(("p25", "l_quantity", 0.25),
+            ("p50", "l_quantity", 0.5),
+            ("p75", "l_quantity", 0.75),
+            ("price_median", "l_extendedprice", 0.5)))
+      .orderBy(col("l_returnflag"))
   }
 
   /** String function battery over part names. */

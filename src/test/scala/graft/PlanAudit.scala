@@ -76,6 +76,15 @@ object PlanAudit {
       (p38.contains("SortMergeJoin") || p38.contains("ShuffledHashJoin") ||
        p38.contains("BroadcastHashJoin")))
 
+    // q34: exact percentiles must be the rank-based two-pass plan — no
+    // `percentile` aggregate (its per-group all-values buffer OOMs at
+    // scale), counts broadcast back, window + hash aggregation instead
+    val p34 = plan("q34_percentiles")
+    check("q34 avoids the percentile buffer aggregate",
+      !p34.toLowerCase.contains("percentile"))
+    check("q34 rank window + broadcast counts",
+      p34.contains("row_number") && p34.contains("BroadcastHashJoin"))
+
     // partitioned layout: a partition predicate must prune directories
     {
       import graft.sinks.ParquetTable
