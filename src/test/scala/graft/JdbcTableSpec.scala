@@ -1,0 +1,226 @@
+package graft
+
+import graft.pipeline.Config._
+import graft.sinks.{JdbcSql, JdbcTable}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Hermetic verification of the JDBC sink twin: no DBMS exists in this
+  * container, so (a) the real [[JdbcTable.ConnectionSession]] batching
+  * loop runs against java.sql dynamic proxies, and (b) the store
+  * orchestration runs against a recording session asserting emitted SQL
+  * and transaction order. The production DriverManager path differs only
+  * in who hands out the Connection. */
+object RecordingJdbc {
+  val events = new ConcurrentLinkedQueue[String]()
+  def clear(): Unit = events.clear()
+  def list: Seq[String] = events.asScala.toSeq
+
+  class Session(failOnPrefix: String) extends JdbcTable.JdbcSession {
+    def execute(sql: String): Unit = {
+      if (failOnPrefix.nonEmpty && sql.startsWith(failOnPrefix))
+        throw new RuntimeException(s"boom on: $sql")
+      events.add(s"execute:$sql")
+    }
+    def executeBatch(sql: String, rows: Iterator[Seq[Any]], batchSize: Int): Long = {
+      val n = rows.size
+      events.add(s"batch:$sql|rows=$n|batchSize=$batchSize")
+      n
+    }
+    def commit(): Unit = events.add("commit")
+    def rollback(): Unit = events.add("rollback")
+    def close(): Unit = events.add("close")
+  }
+
+  def factory(failOnPrefix: String = ""): JdbcTable.SessionFactory =
+    () => new Session(failOnPrefix)
+}
+
+class JdbcTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- real ConnectionSession against java.sql proxies ----------------
+
+  private def proxyPair(): (java.sql.Connection, ConcurrentLinkedQueue[String]) = {
+    val calls = new ConcurrentLinkedQueue[String]()
+    lazy val ps: java.sql.PreparedStatement = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "setObject"    => calls.add(s"setObject(${args(0)})"); null
+          case "addBatch"     => calls.add("addBatch"); null
+          case "executeBatch" => calls.add("executeBatch"); Array.empty[Int]
+          case "close"        => calls.add("ps.close"); null
+          case _              => null
+        }
+      }).asInstanceOf[java.sql.PreparedStatement]
+    val st: java.sql.Statement = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Statement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "execute" => calls.add(s"execute(${args(0)})"); java.lang.Boolean.FALSE
+          case "close"   => null
+          case _         => null
+        }
+      }).asInstanceOf[java.sql.Statement]
+    val conn: java.sql.Connection = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" => calls.add(s"prepare(${args(0)})"); ps
+          case "createStatement"  => st
+          case "setAutoCommit"    => calls.add(s"autoCommit(${args(0)})"); null
+          case "commit"           => calls.add("commit"); null
+          case "rollback"         => calls.add("rollback"); null
+          case "close"            => calls.add("conn.close"); null
+          case _                  => null
+        }
+      }).asInstanceOf[java.sql.Connection]
+    (conn, calls)
+  }
+
+  test("ConnectionSession flushes executeBatch at batchSize boundaries") {
+    val (conn, calls) = proxyPair()
+    val s = new JdbcTable.ConnectionSession(conn)
+    val rows = (1 to 7).iterator.map(i => Seq[Any](i, s"v$i"))
+    val n = s.executeBatch("INSERT INTO t VALUES (?, ?)", rows, batchSize = 3)
+    s.commit(); s.close()
+    val cs = calls.asScala.toSeq
+    assert(n == 7)
+    assert(cs.head == "autoCommit(false)") // txn bracket: autocommit off
+    assert(cs.count(_ == "addBatch") == 7)
+    assert(cs.count(_ == "executeBatch") == 3) // 3 + 3 + 1
+    assert(cs.count(_.startsWith("setObject")) == 14)
+    // last flush happens before close, commit after flushes
+    assert(cs.indexOf("commit") > cs.lastIndexOf("executeBatch"))
+    assert(cs.contains("ps.close") && cs.last == "conn.close")
+  }
+
+  // ---- SQL generation --------------------------------------------------
+
+  test("upsert compiles to one ANSI MERGE with update+insert arms") {
+    val Seq(merge) = JdbcSql.applyStatements(Upsert(Seq("k")), "tgt", "stg",
+      Seq("k", "a", "b"))
+    assert(merge ==
+      """MERGE INTO "tgt" USING "stg" ON "tgt"."k" = "stg"."k" """ +
+      """WHEN MATCHED THEN UPDATE SET "a" = "stg"."a", "b" = "stg"."b" """ +
+      """WHEN NOT MATCHED THEN INSERT ("k", "a", "b") VALUES ("stg"."k", "stg"."a", "stg"."b")""")
+  }
+
+  test("delete-insert compiles to keyed DELETE then INSERT SELECT") {
+    val stmts = JdbcSql.applyStatements(DeleteInsert(Seq("k1", "k2")), "tgt",
+      "stg", Seq("k1", "k2", "v"))
+    assert(stmts == Seq(
+      """DELETE FROM "tgt" WHERE EXISTS (SELECT 1 FROM "stg" """ +
+        """WHERE "tgt"."k1" = "stg"."k1" AND "tgt"."k2" = "stg"."k2")""",
+      """INSERT INTO "tgt" ("k1", "k2", "v") SELECT "k1", "k2", "v" FROM "stg""""))
+  }
+
+  test("update-only MERGE has no insert arm; identifiers escape quotes") {
+    val Seq(merge) = JdbcSql.applyStatements(
+      UpdateOnly(Seq("k"), Seq("""we"ird""")), "tgt", "stg", Seq("k", """we"ird"""))
+    assert(merge.contains("""WHEN MATCHED THEN UPDATE SET "we""ird" = "stg"."we""ird""""))
+    assert(!merge.contains("NOT MATCHED"))
+  }
+
+  test("staging DDL maps Spark types to ANSI and keeps ? placeholders") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("d", DoubleType), StructField("dec", DecimalType(18, 2)),
+      StructField("s", StringType), StructField("ts", TimestampType,
+        nullable = false)))
+    assert(JdbcSql.createTable("t_stg", schema) ==
+      """CREATE TABLE "t_stg" ("i" INTEGER, "l" BIGINT, "d" DOUBLE PRECISION, """ +
+      """"dec" DECIMAL(18,2), "s" VARCHAR, "ts" TIMESTAMP NOT NULL)""")
+    assert(JdbcSql.insert("t", Seq("a", "b")) ==
+      """INSERT INTO "t" ("a", "b") VALUES (?, ?)""")
+  }
+
+  // ---- store orchestration --------------------------------------------
+
+  private def storeEvents(db: DbConfig, df: org.apache.spark.sql.DataFrame,
+                          failOnPrefix: String = ""): Seq[String] = {
+    RecordingJdbc.clear()
+    JdbcTable.store(df, "tgt", db, RecordingJdbc.factory(failOnPrefix),
+      batchSize = 2)
+    RecordingJdbc.list
+  }
+
+  test("append store: create staging, stage partitions, apply in one txn") {
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v").repartition(1)
+    val ev = storeEvents(DbConfig(strategy = Append, keepContent = true), df)
+    val setup = ev.takeWhile(!_.startsWith("batch"))
+    assert(setup == Seq(
+      """execute:DROP TABLE IF EXISTS "tgt_graft_stg"""",
+      """execute:CREATE TABLE "tgt_graft_stg" ("k" INTEGER NOT NULL, "v" VARCHAR)""",
+      "commit", "close"))
+    val batches = ev.filter(_.startsWith("batch"))
+    assert(batches == Seq(
+      """batch:INSERT INTO "tgt_graft_stg" ("k", "v") VALUES (?, ?)|rows=3|batchSize=2"""))
+    // apply phase: strictly after staging, one commit, drops staging
+    val apply = ev.drop(ev.lastIndexWhere(_.startsWith("batch")) + 2) // skip batch+its commit
+    assert(apply.filter(_.startsWith("execute")) == Seq(
+      """execute:INSERT INTO "tgt" ("k", "v") SELECT "k", "v" FROM "tgt_graft_stg"""",
+      """execute:DROP TABLE "tgt_graft_stg""""))
+    assert(apply.count(_ == "commit") == 1 && !apply.contains("rollback"))
+  }
+
+  test("truncate (keepContent=false) deletes target before applying") {
+    val df = Seq((1, "a")).toDF("k", "v").repartition(1)
+    val ev = storeEvents(DbConfig(strategy = Append, keepContent = false), df)
+    val applyExecs = ev.drop(ev.lastIndexWhere(_.startsWith("batch")) + 1)
+      .filter(_.startsWith("execute"))
+    assert(applyExecs.head == """execute:DELETE FROM "tgt"""")
+  }
+
+  test("upsert store dedupes last-wins before staging and emits MERGE") {
+    // key 1 appears twice; later _lineno must win → 2 staged rows
+    val df = Seq((1, "old", 0L), (1, "new", 1L), (2, "x", 2L))
+      .toDF("k", "v", "_lineno").repartition(1)
+    val ev = storeEvents(
+      DbConfig(strategy = Upsert(Seq("k")), keepContent = true), df)
+    val batch = ev.filter(_.startsWith("batch"))
+    assert(batch.size == 1 && batch.head.contains("rows=2"),
+      s"expected 2 deduped staged rows, got: $batch")
+    assert(ev.exists(e => e.startsWith("execute:MERGE INTO \"tgt\"") &&
+      e.contains("WHEN NOT MATCHED")))
+  }
+
+  test("addID constants are staged as columns") {
+    val df = Seq((1, "a")).toDF("k", "v").repartition(1)
+    val ev = storeEvents(DbConfig(strategy = Append, keepContent = true,
+      addID = Map("load_id" -> "L42")), df)
+    assert(ev.exists(_.contains(""""k" INTEGER NOT NULL, "v" VARCHAR, "load_id" VARCHAR""")))
+    assert(ev.exists(_.contains(""""k", "v", "load_id") VALUES (?, ?, ?)""")))
+  }
+
+  test("apply-phase failure rolls back and skips the staging drop") {
+    val df = Seq((1, "a")).toDF("k", "v").repartition(1)
+    RecordingJdbc.clear()
+    // fail on the INSERT INTO "tgt" apply statement
+    val err = intercept[RuntimeException] {
+      JdbcTable.store(df, "tgt",
+        DbConfig(strategy = Append, keepContent = true),
+        RecordingJdbc.factory(failOnPrefix = "INSERT INTO \"tgt\" "),
+        batchSize = 2)
+    }
+    assert(err.getMessage.startsWith("boom"))
+    val ev = RecordingJdbc.list
+    assert(ev.contains("rollback"))
+    assert(!ev.exists(_.startsWith("""execute:DROP TABLE "tgt_graft_stg"""")))
+    assert(ev.last == "close") // connection released even on failure
+  }
+
+  test("deleteKeys emits batched keyed DELETE") {
+    RecordingJdbc.clear()
+    val keys = Seq((1, "x"), (2, "y")).toDF("k", "other").repartition(1)
+    JdbcTable.deleteKeys(keys, "tgt", Seq("k"), RecordingJdbc.factory(), 10)
+    val ev = RecordingJdbc.list
+    assert(ev.head == """batch:DELETE FROM "tgt" WHERE "k" = ?|rows=2|batchSize=10""")
+    assert(ev.tail == Seq("commit", "close"))
+  }
+}
