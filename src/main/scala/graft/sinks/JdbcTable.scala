@@ -164,6 +164,36 @@ object JdbcTable {
     } finally apply.close()
   }
 
+  /** S8 `doInDB`, JDBC flavor (`Wrap/DB.pm:133-163`): execute one
+    * parameterized statement and drain EVERY result set it produces (the
+    * reference's `odbc_more_results` loop — stored procedures returning
+    * several sets). Returns one row-map sequence per result set. Driver-
+    * side utility for control statements, not a data path — bulk data
+    * moves through [[store]]/[[load]]. */
+  def execStatement(conn: java.sql.Connection, sql: String,
+                    params: Seq[Any] = Nil): Seq[Seq[Map[String, Any]]] = {
+    val ps = conn.prepareStatement(sql)
+    try {
+      params.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+      var results = Vector.empty[Seq[Map[String, Any]]]
+      var isRs = ps.execute()
+      var done = false
+      while (!done) {
+        if (isRs) {
+          val rs = ps.getResultSet
+          val md = rs.getMetaData
+          val cols = (1 to md.getColumnCount).map(md.getColumnLabel)
+          val buf = Vector.newBuilder[Map[String, Any]]
+          while (rs.next()) buf += cols.map(c => c -> rs.getObject(c)).toMap
+          results :+= buf.result()
+          rs.close()
+        } else if (ps.getUpdateCount == -1) done = true
+        if (!done) isRs = ps.getMoreResults()
+      }
+      results
+    } finally ps.close()
+  }
+
   /** Keyed delete (K6, `Wrap/DB.pm:453-480`): batched
     * `DELETE ... WHERE key = ?` over the key relation. */
   def deleteKeys(keys: DataFrame, table: String, keyCols: Seq[String],

@@ -215,6 +215,64 @@ class JdbcTableSpec extends SparkSpec {
     assert(ev.last == "close") // connection released even on failure
   }
 
+  test("execStatement drains multiple result sets (odbc_more_results loop)") {
+    // simulate a procedure returning TWO result sets: [(a=1),(a=2)] then [(b="x")]
+    def rsProxy(cols: Seq[String], rows: Seq[Seq[Any]]): java.sql.ResultSet = {
+      var idx = -1
+      val md = Proxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[java.sql.ResultSetMetaData]), new InvocationHandler {
+          def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+            case "getColumnCount" => Int.box(cols.length)
+            case "getColumnLabel" => cols(args(0).asInstanceOf[Int] - 1)
+            case _                => null
+          }
+        }).asInstanceOf[java.sql.ResultSetMetaData]
+      Proxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[java.sql.ResultSet]), new InvocationHandler {
+          def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+            case "getMetaData" => md
+            case "next"        => idx += 1; java.lang.Boolean.valueOf(idx < rows.length)
+            case "getObject"   =>
+              rows(idx)(cols.indexOf(args(0).asInstanceOf[String])).asInstanceOf[AnyRef]
+            case _             => null
+          }
+        }).asInstanceOf[java.sql.ResultSet]
+    }
+    val sets = Iterator(
+      rsProxy(Seq("a"), Seq(Seq(1), Seq(2))),
+      rsProxy(Seq("b"), Seq(Seq("x"))))
+    var current: java.sql.ResultSet = null
+    var remaining = 2
+    val calls = new ConcurrentLinkedQueue[String]()
+    val ps = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.PreparedStatement]), new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "setObject" => calls.add(s"setObject(${args(0)},${args(1)})"); null
+          case "execute" =>
+            current = sets.next(); remaining -= 1; java.lang.Boolean.TRUE
+          case "getResultSet" => current
+          case "getMoreResults" =>
+            if (remaining > 0) { current = sets.next(); remaining -= 1; java.lang.Boolean.TRUE }
+            else { current = null; java.lang.Boolean.FALSE }
+          case "getUpdateCount" => Int.box(-1)
+          case "close"          => null
+          case _                => null
+        }
+      }).asInstanceOf[java.sql.PreparedStatement]
+    val conn = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Connection]), new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" => ps
+          case _                  => null
+        }
+      }).asInstanceOf[java.sql.Connection]
+    val out = JdbcTable.execStatement(conn, "EXEC two_sets ?", Seq(42))
+    assert(calls.asScala.toSeq == Seq("setObject(1,42)"))
+    assert(out == Seq(
+      Seq(Map("a" -> 1), Map("a" -> 2)),
+      Seq(Map("b" -> "x"))))
+  }
+
   test("deleteKeys emits batched keyed DELETE") {
     RecordingJdbc.clear()
     val keys = Seq((1, "x"), (2, "y")).toDF("k", "other").repartition(1)
