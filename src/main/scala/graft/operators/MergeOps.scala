@@ -13,6 +13,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object MergeOps {
 
+  /** Reject an ordering column tagged as a split-order surrogate
+    * ([[graft.sources.TextSource.OrderSurrogateKey]]): last-wins resolved
+    * against it would silently vary with split planning. Called by both
+    * table sinks before Upsert resolution. */
+  def requireExactOrder(df: DataFrame, ordCol: String): Unit =
+    df.schema.fields.find(_.name == ordCol).foreach { f =>
+      val key = graft.sources.TextSource.OrderSurrogateKey
+      require(!(f.metadata.contains(key) && f.metadata.getBoolean(key)),
+        s"'$ordCol' is a split-order surrogate (splittable CSV path); " +
+          "Upsert last-wins needs exact file order — read with " +
+          "TextSource.read, supply an explicit ordering column, or use " +
+          "Append/DeleteInsert")
+    }
+
   /** Upsert with last-wins semantics (`upsert`, `Wrap/DB.pm:386-412`):
     * `base` plays the target table, `updates` the incoming batch; within the
     * union, the row with the highest `ord` per key survives (statement order

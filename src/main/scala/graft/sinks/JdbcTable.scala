@@ -119,6 +119,7 @@ object JdbcTable {
     // the distributed analog of the reference's statement-order loop
     val resolved = db.strategy match {
       case Upsert(keys) =>
+        MergeOps.requireExactOrder(withId, ordCol)
         val ordered =
           if (withId.columns.contains(ordCol)) withId
           else withId.withColumn(ordCol, monotonically_increasing_id())

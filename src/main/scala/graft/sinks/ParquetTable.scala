@@ -35,6 +35,10 @@ object ParquetTable {
     * for last-wins resolution. */
   def store(spark: SparkSession, incoming: DataFrame, table: String,
             db: DbConfig, ordCol: String = "_lineno"): Unit = {
+    db.strategy match {
+      case Upsert(_) => MergeOps.requireExactOrder(incoming, ordCol)
+      case _         =>
+    }
     val withId0 = db.addID.foldLeft(incoming) { case (df, (k, v)) => df.withColumn(k, lit(v)) }
     // upsert resolution needs the ordering column; batches that lack one
     // get partition-stable arrival order (matches the reference's

@@ -66,6 +66,10 @@ case class TextFormat(
   */
 object TextSource {
 
+  /** Column-metadata marker: the ordering column is a split-order
+    * surrogate, unusable for last-wins upsert resolution. */
+  val OrderSurrogateKey = "graft_order_surrogate"
+
   /** Line-faithful read (binaryFile path). Files parallelize 1 task/file —
     * right for the reference's many-medium-files shape; use [[readCsv]]
     * for huge single files. */
@@ -130,7 +134,12 @@ object TextSource {
 
   /** Splittable CSV path for huge files: Spark's native reader (predicate
     * pushdown, parallel splits) — same column contract, but `_lineno` is a
-    * within-partition order surrogate, not an exact file line number. */
+    * within-partition order surrogate, NOT file order across splits. It is
+    * tagged with [[TextSource.OrderSurrogateKey]] column metadata, and
+    * [[graft.sinks.ParquetTable.store]] rejects it as an Upsert ordering
+    * column — last-wins against a surrogate would silently depend on split
+    * planning. Use [[read]] (exact file order) for upsert loads, or
+    * Append/DeleteInsert strategies here. */
   def readCsv(spark: SparkSession, paths: Seq[String], fmt: TextFormat): DataFrame = {
     val schema = StructType(fmt.header.map(StructField(_, StringType)))
     val base = spark.read
@@ -143,8 +152,11 @@ object TextSource {
       case (df, (h, t)) if h != t => df.withColumnRenamed(h, t)
       case (df, _) => df
     }
+    val surrogateMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(TextSource.OrderSurrogateKey, true).build()
     val outCols = input_file_name().as("_file") +:
-      monotonically_increasing_id().as("_lineno") +: fmt.targets.map(col)
+      monotonically_increasing_id().as("_lineno", surrogateMeta) +:
+      fmt.targets.map(col)
     renamed.select(outCols: _*)
   }
 

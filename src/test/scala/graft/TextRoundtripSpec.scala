@@ -130,6 +130,33 @@ class TextRoundtripSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(Paths.get(out3))) == "ab;c\nd;ef\n")
   }
 
+  test("readCsv _lineno surrogate is rejected as Upsert ordering") {
+    import graft.pipeline.Config._
+    import graft.sinks.ParquetTable
+    val f = tmp("split.csv", "1,a\n1,b\n2,c\n")
+    val fmt = TextFormat(header = Seq("k", "v"), sep = ",")
+    val df = TextSource.readCsv(spark, Seq(f), fmt)
+    // the surrogate marker is on the column…
+    val meta = df.schema("_lineno").metadata
+    assert(meta.contains(TextSource.OrderSurrogateKey) &&
+      meta.getBoolean(TextSource.OrderSurrogateKey))
+    // …so last-wins upsert against it must refuse loudly
+    val tbl = Files.createTempDirectory("graft-upsert-").resolve("t").toString
+    val err = intercept[IllegalArgumentException] {
+      ParquetTable.store(spark, df, tbl, DbConfig(strategy = Upsert(Seq("k"))))
+    }
+    assert(err.getMessage.contains("split-order surrogate"))
+    // non-Upsert strategies still work from the splittable path
+    ParquetTable.store(spark, df, tbl, DbConfig(strategy = Append))
+    assert(ParquetTable.load(spark, tbl).count() == 3)
+    // and an explicit exact ordering column re-enables upsert
+    val explicitOrd = df.drop("_lineno")
+      .withColumn("_lineno", org.apache.spark.sql.functions.col("v").cast("string"))
+    ParquetTable.store(spark, explicitOrd, tbl,
+      DbConfig(strategy = Upsert(Seq("k")), keepContent = false))
+    assert(ParquetTable.load(spark, tbl).count() == 2)
+  }
+
   test("write: cp1252 transcode on rename") {
     import spark.implicits._
     val df = Seq(("März", "1")).toDF("m", "v")
