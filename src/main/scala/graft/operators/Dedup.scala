@@ -94,15 +94,26 @@ object Dedup {
     // (recomputing it would redo the explode+distinct shuffle twice)
     val hashed = shingleHashes(df, idCol, textCol, n).cache()
     val x = pmod(col("h"), lit(p))
-    val minhashes = coefs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(x * lit(a) + lit(b), lit(p))).as(s"mh_$i")
+    // per-row signature array h_k(x) for all K permutations at once, folded
+    // to the per-document element-wise minimum by ONE ArrayMinAgg aggregate
+    // (instead of K separate min columns widening plan + agg buffer K-fold)
+    val coefArr = typedlit(coefs)
+    val sigRow = transform(coefArr,
+      c => pmod(x * c.getField("_1") + c.getField("_2"), lit(p)))
+    val sigAgg = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(
+        graft.plans.ArrayMinAgg(GraftColumnBridge.expression(sigRow), numHashes)
+          .toAggregateExpression())
     }
-    val sigs = hashed.groupBy(col("id")).agg(minhashes.head, minhashes.tail: _*)
-    // banding: one row per (id, band, band-signature)
+    val sigs = hashed.groupBy(col("id")).agg(sigAgg.as("sig"))
+    // banding: one row per (id, band, band-signature); hash inputs are the
+    // same minhash values as the per-column formulation, so buckets (and
+    // therefore candidates) are unchanged
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
-        hash((bi * rowsPerBand until (bi + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*)
-          .as("sig"))
+        hash((bi * rowsPerBand until (bi + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("sig"))
     }
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))

@@ -70,6 +70,64 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Squared L2 distance as a deterministic left fold. */
+  def squaredDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid assignment against a broadcast-literal codebook;
+    * deterministic (first index on distance ties). */
+  def assignCluster(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = transform(typedlit(centroids), c => squaredDist(vec, c))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Deterministic distributed k-means — the coarse-quantizer trainer IVF
+    * needs when no cluster column exists. Assignment and the per-cluster
+    * mean are DataFrame programs (one shuffle on (cluster, pos) per
+    * iteration); only the k×dim codebook itself lands on the driver, which
+    * is model state, not data. Initial centroids = the k lowest-id vectors
+    * (seeded and reproducible). Empty clusters keep their previous
+    * centroid. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 5): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toSeq)
+      .toSeq
+    for (_ <- 1 to iters) {
+      val updated = corpus
+        .withColumn("__c", assignCluster(col(vecCol), cents))
+        .select(col("__c"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy(col("__c"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF with a *learned* quantizer: train the codebook, assign corpus and
+    * queries to their nearest centroid, then probe within the cluster —
+    * [[ivfTopK]] without requiring a provided cluster column. At 100 TB
+    * the assignment would be written once and the corpus physically
+    * partitioned by it, so probes prune parquet partitions. */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nlist: Int,
+                     iters: Int = 5): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    ivfTopK(
+      queries.withColumn("__cluster", assignCluster(col(vecCol), cents)),
+      corpus.withColumn("__cluster", assignCluster(col(vecCol), cents)),
+      idCol, vecCol, "__cluster", k)
+  }
+
   /** Random-hyperplane LSH bucketing: `numBits` sign-projections against
     * deterministic ±1 hyperplanes (seeded), giving a bucket id; near
     * neighbors collide with high probability. Candidates are then scored

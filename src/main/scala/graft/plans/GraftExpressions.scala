@@ -126,3 +126,37 @@ case class CoerceDateTime(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+/** Element-wise minimum over fixed-length `array<long>` rows — the MinHash
+  * signature fold as ONE aggregate column instead of `numHashes` separate
+  * `min` aggregates (which widen the plan and the aggregation buffer
+  * schema 32-fold). Declarative: update/merge are Catalyst expressions
+  * (`zip_with(buf, row, least)`), so map-side partial aggregation and
+  * buffer merging come for free, exactly like the built-in `min`.
+  */
+case class ArrayMinAgg(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  private val arrTpe = ArrayType(LongType, containsNull = true)
+  override def dataType: DataType = arrTpe
+  override def nullable: Boolean = false
+
+  private lazy val buf = AttributeReference("minbuf", arrTpe, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(buf)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal.create(Seq.fill(n)(Long.MaxValue), arrTpe))
+
+  private def ewMin(a: Expression, b: Expression): Expression = {
+    val x = NamedLambdaVariable("x", LongType, nullable = true)
+    val y = NamedLambdaVariable("y", LongType, nullable = true)
+    ZipWith(a, b, LambdaFunction(Least(Seq(x, y)), Seq(x, y)))
+  }
+  override lazy val updateExpressions: Seq[Expression] = Seq(ewMin(buf, child))
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(ewMin(buf.left, buf.right))
+  override lazy val evaluateExpression: Expression = buf
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -51,6 +51,21 @@ class NativeExpressionSpec extends SparkSpec {
     assert(r.getString(1) == "1995-01-02 00:00:00")
   }
 
+  test("ArrayMinAgg folds element-wise minima with partial aggregation") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.functions.{col, typedlit, transform => tf}
+    val df = Seq((1, Seq(5L, 1L, 9L)), (1, Seq(3L, 7L, 2L)), (1, Seq(4L, 4L, 4L)),
+                 (2, Seq(10L, 20L, 30L)))
+      .toDF("id", "arr").repartition(3) // multiple partitions → merge path runs
+    val agg = GraftColumnBridge.column(
+      graft.plans.ArrayMinAgg(GraftColumnBridge.expression(col("arr")), 3)
+        .toAggregateExpression())
+    val got = df.groupBy("id").agg(agg.as("sig")).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+    assert(got.toSeq == Seq((1, Seq(3L, 1L, 2L)), (2, Seq(10L, 20L, 30L))))
+  }
+
   test("extensions class injects all registrations") {
     // a fresh session can't be built in the shared test JVM (getOrCreate
     // reuses the context and ignores spark.sql.extensions); the conf path
