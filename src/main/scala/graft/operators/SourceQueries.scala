@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import graft.sources.{TextFormat, TextSource, XlsxFormat, XlsxSource, XmlFormat, XmlSource}
-import graft.sinks.{TextSink, TextWriteFormat, XlsxSink}
+import graft.sources.{TextFormat, TextSource, XlsSource, XlsxFormat, XlsxSource, XmlFormat, XmlSource}
+import graft.sinks.{TextSink, TextWriteFormat, XlsSink, XlsxSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -50,6 +50,28 @@ object SourceQueries {
         col("s_nationkey").cast("int").as("s_nationkey"),
         col("s_acctbal").cast("double").as("s_acctbal"))
       .orderBy(col("s_suppkey"))
+  }
+
+  /** Legacy xls (BIFF8) roundtrip over customer: written through the
+    * graft BIFF8+CFB writer, read back through the CFB+record parser,
+    * worksheet selected by NAME (xls sheets are name-addressable here,
+    * unlike the reference's ordinal-only xls path). */
+  def q49XlsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("string"), col("c_name"),
+        col("c_nationkey").cast("string"), col("c_acctbal").cast("string"))
+      .orderBy(col("c_custkey").cast("long"))
+    val file = Files.createTempDirectory("graft-q49-").resolve("customer.xls").toString
+    XlsSink.write(cust, Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+      file, sheetName = "customers")
+    val fmt = XlsxFormat(
+      header = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+      worksheet = Some("customers"))
+    XlsSource.read(spark, Seq(file), fmt)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+      .orderBy(col("c_custkey"))
   }
 
   /** XML roundtrip over region: document built driver-side (25 rows),
@@ -121,6 +143,7 @@ object SourceQueries {
     "q27_xlsx_roundtrip" -> q27XlsxRoundtrip _,
     "q28_xml_roundtrip"  -> q28XmlRoundtrip _,
     "q29_load_pipeline"  -> q29LoadPipeline _,
+    "q49_xls_roundtrip"  -> q49XlsRoundtrip _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +151,8 @@ object SourceQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q27_xlsx_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "q49_xls_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer ORDER BY c_custkey",
     "q28_xml_roundtrip" ->
       "SELECT 'graft' AS src, r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q29_load_pipeline" ->

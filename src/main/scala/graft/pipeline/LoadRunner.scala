@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.pipeline.Config._
 import graft.sinks.ParquetTable
-import graft.sources.{TextFormat, TextSource, XlsxFormat, XlsxSource, XmlFormat, XmlSource}
+import graft.sources.{TextFormat, TextSource, XlsSource, XlsxFormat, XlsxSource, XmlFormat, XmlSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -18,6 +18,8 @@ object LoadRunner {
   sealed trait SourceSpec
   case class TextSpec(fmt: TextFormat) extends SourceSpec
   case class XlsxSpec(fmt: XlsxFormat) extends SourceSpec
+  /** Legacy BIFF8 workbooks (S3) — same format spec as xlsx. */
+  case class XlsSpec(fmt: XlsxFormat) extends SourceSpec
   case class XmlSpec(fmt: XmlFormat) extends SourceSpec
 
   case class Load(
@@ -34,6 +36,7 @@ object LoadRunner {
     load.source match {
       case TextSpec(fmt) => TextSource.read(spark, paths, fmt)
       case XlsxSpec(fmt) => XlsxSource.read(spark, paths, fmt)
+      case XlsSpec(fmt)  => XlsSource.read(spark, paths, fmt)
       case XmlSpec(fmt)  => XmlSource.read(spark, paths, fmt)
     }
 

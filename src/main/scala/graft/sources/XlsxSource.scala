@@ -162,6 +162,19 @@ object XlsxSource {
       if (row > maxRow) maxRow = row
     }
 
+    ExcelRows.emit(path, cells, maxRow, fmt)
+  }
+}
+
+/** Shared sheet-to-rows semantics for BOTH Excel formats (xlsx here, xls
+  * in [[XlsSource]]): header verification, `stopOnEmptyValueColumn`
+  * truncation, declared date columns (serial → YYYYMMDD), trim +
+  * numeric normalization — `Wrap/File.pm:154-187` (xls handler) and
+  * `:190-230` (xlsx handler) implement these twice; the engine once. */
+private[sources] object ExcelRows {
+
+  def emit(path: String, cells: collection.Map[(Int, Int), String],
+           maxRow: Int, fmt: XlsxFormat): Iterator[Row] = {
     val positions: Seq[Int] =
       if (fmt.headerColumns.nonEmpty) fmt.headerColumns else (1 to fmt.header.length)
     val headerRow = 1 + fmt.skip
@@ -188,7 +201,7 @@ object XlsxSource {
             if (raw == null) null
             else {
               val v = if (dateCols.contains(pos) && raw.nonEmpty)
-                serialToYYYYMMDD(raw.toDouble)
+                XlsxSource.serialToYYYYMMDD(raw.toDouble)
               else raw
               val trimmed = v.trim
               if (fmt.normalizeNumerics)
