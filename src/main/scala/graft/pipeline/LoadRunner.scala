@@ -79,14 +79,26 @@ object LoadRunner {
     val coerced =
       if (load.db.targetSchema.nonEmpty) SchemaCoercion(hooked, load.db.targetSchema)
       else hooked.withColumn("_errors", array().cast("array<string>"))
-    if (load.db.targetSchema.nonEmpty)
-      SchemaCoercion.validateWidths(coerced, load.db.targetSchema)
 
     // cache: error collection and store read the same plan once
     val materialized = coerced.cache()
     val errors = materialized.filter(size(col("_errors")) > 0)
       .select(explode(col("_errors"))).limit(100)
       .collect().map(_.getString(0)).toSeq
+    // severity-2 gate (string overflow) rides the same cached error
+    // channel — no separate width-scan job. The sample is capped at 100,
+    // so only a full sample needs the existence re-check (on the cache).
+    val sev2: Option[String] =
+      errors.find(_.startsWith(SchemaCoercion.Severity2Prefix)).orElse {
+        if (errors.length < 100) None
+        else materialized.select(explode(col("_errors")).as("e"))
+          .filter(col("e").startsWith(SchemaCoercion.Severity2Prefix))
+          .limit(1).collect().headOption.map(_.getString(0))
+      }
+    sev2.foreach { msg =>
+      materialized.unpersist()
+      throw new IllegalStateException(msg)
+    }
     val keep = load.db.targetSchema.filterNot(_.identity).map(_.name)
       .filter(materialized.columns.contains)
     val toStore =

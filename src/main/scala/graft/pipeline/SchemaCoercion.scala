@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object SchemaCoercion {
 
-  private val numericRe = "^(numeric|float|real|smallmoney|money|decimal|tinyint|smallint|int|integer|bigint|long|double).*".r
+  /** Error-message prefix marking load-aborting (severity-2) rows in the
+    * `_errors` channel. */
+  val Severity2Prefix = "severity2: "
+
+  private val numericRe ="^(numeric|float|real|smallmoney|money|decimal|tinyint|smallint|int|integer|bigint|long|double).*".r
 
   def typeClass(typeName: String): String = typeName.toLowerCase match {
     case numericRe(_) => "numeric"
@@ -64,8 +68,17 @@ object SchemaCoercion {
           (v, Some(when(src.isNotNull && odbc.isNull,
             concat(lit(s"invalid date/time for ${tc.name}: "), src.cast("string")))))
         case "string" =>
-          // newline strip (Wrap/DB.pm:310); overflow handled in validate()
-          (regexp_replace(src.cast("string"), "\n", ""), None)
+          // newline strip (Wrap/DB.pm:310); declared-width overflow is
+          // severity 2 (`Wrap/DB.pm:305-308`) — recorded in the same
+          // `_errors` channel (prefix contract with LoadRunner) so the
+          // gate costs no extra scan
+          val v = regexp_replace(src.cast("string"), "\n", "")
+          val err =
+            if (tc.size > 0) Some(when(length(v) > tc.size,
+              concat(lit(s"${Severity2Prefix}content too long for ${tc.name} " +
+                s"(declared size ${tc.size}): "), v)))
+            else None
+          (v, err)
       }
       tc.name -> (value, err)
     }.toMap
@@ -79,8 +92,11 @@ object SchemaCoercion {
     df.select(projected :+ errs.as("_errors"): _*)
   }
 
-  /** Severity-2 gate: any string column over its declared size aborts the
-    * load (`Wrap/DB.pm:305-308`). Call before storing. */
+  /** Standalone severity-2 gate: any string column over its declared size
+    * aborts (`Wrap/DB.pm:305-308`). [[LoadRunner.run]] no longer needs
+    * this extra job — [[apply]] fuses the check into the `_errors`
+    * channel; kept for callers validating a DataFrame outside the load
+    * pipeline. */
   def validateWidths(df: DataFrame, schema: Seq[TargetColumn]): Unit = {
     val over = schema.filter(c => typeClass(c.typeName) == "string" && c.size > 0)
       .filter(c => df.columns.contains(c.name))
