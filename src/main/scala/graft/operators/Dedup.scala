@@ -250,4 +250,50 @@ object Dedup {
                            maxDist: Int = 3): DataFrame =
     hammingPairs(simhashPortable(df, idCol, textCol), chunkBits = 15,
       nChunks = 4, maxDist = maxDist)
+
+  /** Resolve near-dup pairs into duplicate GROUPS — the step an actual
+    * dedup pipeline runs after pair generation: connected components over
+    * the undirected pair graph, labelling every document with the minimum
+    * id reachable from it (the canonical representative to keep).
+    *
+    * Distributed min-label propagation: each iteration joins labels to
+    * edges and takes the per-node neighborhood minimum (one shuffle per
+    * iteration, converges in O(component diameter) rounds — near-dup
+    * components are shallow, so a handful). Label relations are
+    * `localCheckpoint`ed to cut lineage growth across iterations; the
+    * driver sees only the one-row convergence check per round. This is
+    * the standard large-graph CC shape (Pregel / hash-to-min) — no
+    * union-find on the driver.
+    *
+    * @return (id, group_id, group_size, is_canonical) for EVERY corpus
+    *         document; singletons form their own group.
+    */
+  def dupGroups(corpus: DataFrame, idCol: String, pairs: DataFrame,
+                maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    var labels = corpus.select(col(idCol).cast("long").as("id"))
+      .distinct().withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("id_b"), col("label").as("nl")), "id_b")
+        .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("nmin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("next") < col("label")).isEmpty
+      labels = updated.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("group_id"))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(col("group_id"))))
+      .withColumn("is_canonical", col("id") === col("group_id"))
+  }
 }

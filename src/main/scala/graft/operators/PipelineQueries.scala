@@ -97,6 +97,17 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup GROUP resolution: exact-Jaccard pairs → connected
+    * components → canonical representative per group (the decision step
+    * of a dedup pipeline). Oracle recomputes the transitive closure with
+    * a recursive CTE. */
+  def q50DupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 5, threshold = 0.5)
+    Dedup.dupGroups(corpus, "doc_id", pairs).orderBy(col("id"))
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def q23SimTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -220,6 +231,7 @@ object PipelineQueries {
     "q23_sim_topk"     -> q23SimTopK _,
     "q24_sim_ivf"      -> q24SimIvf _,
     "q25_sim_lsh"      -> q25SimLsh _,
+    "q50_dup_groups"   -> q50DupGroups _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -331,7 +343,51 @@ object PipelineQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Transitive closure of the q20 pair graph via recursive CTE: min
+    * reachable id per node = the group label [[Dedup.dupGroups]] computes
+    * by distributed label propagation. */
+  private val dupGroupsSql =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '^\S+\s+', '') FROM documents),
+      |norm AS (
+      |  SELECT doc_id AS id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT DISTINCT id, sh FROM (
+      |    SELECT id, unnest(list_transform(
+      |      generate_series(0, greatest(len(toks) - 5, 0)),
+      |      i -> array_to_string(toks[i+1:i+5], ' '))) AS sh
+      |    FROM norm) t WHERE length(sh) > 0),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      |cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      |  GROUP BY a.id, b.id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand
+      |  JOIN sizes sa ON sa.id = id_a
+      |  JOIN sizes sb ON sb.id = id_b
+      |  WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
+      |edges AS (
+      |  SELECT CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b FROM pairs
+      |  UNION ALL
+      |  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM pairs),
+      |reach AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id AS BIGINT) AS r FROM corpus
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      |grp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+      |SELECT id, group_id,
+      |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+      |  id = group_id AS is_canonical
+      |FROM grp
+      |ORDER BY id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q50_dup_groups" -> dupGroupsSql,
     "q41_vocab" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Connected-component group resolution over near-dup pairs: multi-hop
+  * chains collapse to one group, singletons stand alone, the minimum id
+  * is the canonical representative. */
+class DupGroupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains merge transitively; singletons self-group") {
+    val corpus = (1L to 8L).toDF("doc_id").withColumn("text", lit("x"))
+    // pairs: 1-2, 2-3 (chain), 7-8; 4,5,6 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.dupGroups(corpus, "doc_id", pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true), (5L, 5L, 1L, true), (6L, 6L, 1L, true),
+      (7L, 7L, 2L, true), (8L, 7L, 2L, false)))
+  }
+
+  test("long chain needs multiple propagation rounds") {
+    // path 10-11-12-...-17: diameter 7 → several iterations, one group
+    val n = 8
+    val corpus = (10L until 10L + n).toDF("doc_id").withColumn("text", lit("x"))
+    val pairs = (10L until 10L + n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupGroups(corpus, "doc_id", pairs)
+    assert(got.filter(col("group_id") === 10L).count() == n)
+    assert(got.filter(col("is_canonical")).count() == 1)
+  }
+}
