@@ -108,6 +108,18 @@ object PipelineQueries {
     Dedup.dupGroups(corpus, "doc_id", pairs).orderBy(col("id"))
   }
 
+  /** Deterministic corpus curation sample: balanced per-language quota
+    * (20 docs/lang by key hash) + stable train/val/test split labels —
+    * both decided by engine-portable universal hashes, fully recomputed
+    * by the oracle. */
+  def q51Sample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val quota = Sampling.stratifiedQuota(docs, "lang", "doc_id", k = 20, seed = 7L)
+    Sampling.withSplit(quota, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11L)
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def q23SimTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -232,6 +244,7 @@ object PipelineQueries {
     "q24_sim_ivf"      -> q24SimIvf _,
     "q25_sim_lsh"      -> q25SimLsh _,
     "q50_dup_groups"   -> q50DupGroups _,
+    "q51_sample"       -> q51Sample _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -386,8 +399,35 @@ object PipelineQueries {
       |FROM grp
       |ORDER BY id""".stripMargin
 
+  /** Recomputes q51's universal hashes / quota ranks / split thresholds
+    * from the same seeded coefficients ([[Sampling.coef]]). */
+  private val sampleSql: String = {
+    val p = Sampling.P
+    val (a1, b1) = Sampling.coef(7L)
+    val (a2, b2) = Sampling.coef(11L)
+    val th = Sampling.splitThresholds(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    s"""WITH h AS (
+      |  SELECT doc_id, lang,
+      |    ((doc_id % $p) * $a1 + $b1) % $p AS h1,
+      |    ((doc_id % $p) * $a2 + $b2) % $p AS h2
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h1, doc_id) AS BIGINT) AS sample_rank,
+      |    h2
+      |  FROM h)
+      |SELECT doc_id, lang, sample_rank,
+      |  CASE WHEN h2 < ${th(0)._2} THEN 'train'
+      |       WHEN h2 < ${th(1)._2} THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM ranked WHERE sample_rank <= 20
+      |ORDER BY lang, sample_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q50_dup_groups" -> dupGroupsSql,
+    "q51_sample"     -> sampleSql,
     "q41_vocab" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
