@@ -120,6 +120,15 @@ object PipelineQueries {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** Sliding-window chunking of the corpus (64-token windows, stride 48)
+    * — context-window preparation; oracle recomputes windows from the
+    * same arithmetic. */
+  def q52Chunks(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.chunkTokens(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def q23SimTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -245,6 +254,7 @@ object PipelineQueries {
     "q25_sim_lsh"      -> q25SimLsh _,
     "q50_dup_groups"   -> q50DupGroups _,
     "q51_sample"       -> q51Sample _,
+    "q52_chunks"       -> q52Chunks _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -428,6 +438,21 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q50_dup_groups" -> dupGroupsSql,
     "q51_sample"     -> sampleSql,
+    "q52_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(list_filter(list_transform(
+        |      generate_series(0, len(toks) // 48), i -> i * 48),
+        |      s -> s < len(toks))) AS s
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST(s // 48 AS BIGINT) AS chunk_id,
+        |  CAST(least(n - s, 64) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(toks[s+1:s+64], ' ') AS chunk_text
+        |FROM st
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q41_vocab" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token

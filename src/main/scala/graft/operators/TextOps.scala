@@ -90,4 +90,30 @@ object TextOps {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** Sliding-window document chunking (context-window prep): one row per
+    * chunk of `chunkSize` tokens advancing by `stride` (overlap =
+    * chunkSize − stride). Pure Column program — the explode is the only
+    * row amplification, everything stays in whole-stage codegen, and
+    * `chunk_id = start/stride` is derivable (no ordinal dependence on
+    * execution order). Emits (idCol, chunk_id, chunk_tokens, chunk_text).
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val starts = filter(
+      transform(sequence(lit(0), (n.cast("long") / stride).cast("int")),
+        i => i * stride),
+      s => s < n)
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"),
+        explode(starts).as("__s"))
+      .select(col(idCol),
+        (col("__s") / stride).cast("long").as("chunk_id"),
+        least(col("__n") - col("__s"), lit(chunkSize)).cast("long").as("chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("__s") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
 }
