@@ -85,6 +85,26 @@ object PlanAudit {
     check("q34 rank window + broadcast counts",
       p34.contains("row_number") && p34.contains("BroadcastHashJoin"))
 
+    // q21/q50: the LSH and label-propagation join pipelines must stay
+    // equi-joins — any cartesian product means a banding/labels bug
+    check("q21 minhash has no cartesian product",
+      !plan("q21_minhash_lsh").contains("CartesianProduct"))
+    check("q50 dup-groups has no cartesian product",
+      !plan("q50_dup_groups").contains("CartesianProduct"))
+
+    // q52 chunking: pure projection + explode — NO exchange at all
+    val p52 = plan("q52_chunks")
+    check("q52 chunking has no shuffle",
+      !p52.contains("Exchange") ||
+        // the orderBy for the gate adds a range exchange; everything
+        // below it must be exchange-free
+        "Exchange".r.findAllIn(p52).size <= 1)
+    check("q52 chunking stays in codegen", p52.contains("*("))
+
+    // q51 sampling: bernoulli is a filter (no agg); quota's only
+    // exchange is the stratum window + gate sort
+    check("q51 sample has no join", !plan("q51_sample").contains("Join"))
+
     // partitioned layout: a partition predicate must prune directories
     {
       import graft.sinks.ParquetTable
