@@ -48,4 +48,54 @@ object Monitoring {
         re.findFirstIn(line).isDefined
     }
   }
+
+  // ---- alert delivery (checkLogExist.pl:96-103, Common.pm:410+) --------
+
+  /** One monitored job — the reference's `checkLookup{script}` entry
+    * (`Wrap/Common.pm:29`): frequency spec, start-entry regex, and the
+    * alert routing fields. */
+  case class JobCheck(name: String, freq: String, logcheck: String,
+                      errmailaddress: String = "", errmailsubject: String = "")
+
+  case class Alert(job: String, ymd: String, recipient: String,
+                   subject: String, message: String)
+
+  /** Delivery SPI. The reference mails via MIME::Lite — transport is
+    * deployment-specific (no network here), so delivery is pluggable;
+    * [[FileAlertSink]] writes a durable JSONL feed an ops mailer tails. */
+  trait AlertSink { def deliver(alert: Alert): Unit }
+
+  final class FileAlertSink(path: java.nio.file.Path) extends AlertSink {
+    private def esc(s: String) =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    def deliver(a: Alert): Unit = {
+      val line = s"""{"job":"${esc(a.job)}","ymd":"${esc(a.ymd)}",""" +
+        s""""recipient":"${esc(a.recipient)}","subject":"${esc(a.subject)}",""" +
+        s""""message":"${esc(a.message)}"}""" + "\n"
+      java.nio.file.Files.write(path, line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  /** The `checkLogExist` main loop: for every configured job whose
+    * frequency is due on `ymd`, scan its log for a start entry and alert
+    * when missing. Returns the alerts raised. */
+  def checkJobs(jobs: Seq[JobCheck], ymd: String,
+                logLines: String => Iterator[String], sink: AlertSink,
+                holidayCal: String = "AT"): Seq[Alert] =
+    jobs.flatMap { j =>
+      if (!frequencyDue(j.freq, ymd, holidayCal)) None
+      else if (logHasStartEntry(logLines(j.name), ymd, j.logcheck)) None
+      else {
+        val recipient = if (j.errmailaddress.nonEmpty) j.errmailaddress else "ops"
+        val subject = if (j.errmailsubject.nonEmpty) j.errmailsubject
+                      else s"job ${j.name} did not start"
+        val a = Alert(j.name, ymd, recipient, subject,
+          s"no start entry for ${j.name} on $ymd (freq ${j.freq})")
+        sink.deliver(a)
+        Some(a)
+      }
+    }
 }

@@ -67,4 +67,26 @@ class OpsSpec extends AnyFunSuite {
     assert(!logHasStartEntry(Iterator("02-07-2024 10:00\tother job"),
       ymd, "alpha")) // regex miss
   }
+
+  test("checkJobs alerts only due-and-missing jobs, through the sink") {
+    import Monitoring._
+    val logs = Map(
+      "alpha" -> Seq("02-07-2024 10:00\tjob alpha started"),   // due + present
+      "beta"  -> Seq("02-07-2024 10:00\tunrelated"),           // due + MISSING
+      "gamma" -> Seq.empty[String])                            // not due (M1)
+    val jobs = Seq(
+      JobCheck("alpha", "B", "alpha started"),
+      JobCheck("beta", "B", "beta started",
+        errmailaddress = "oncall@example", errmailsubject = "beta down"),
+      JobCheck("gamma", "M1", "gamma started"))
+    val out = java.nio.file.Files.createTempDirectory("graft-alerts-")
+      .resolve("alerts.jsonl")
+    val raised = checkJobs(jobs, "20240702",
+      name => logs(name).iterator, new FileAlertSink(out))
+    assert(raised.map(_.job) == Seq("beta"))
+    assert(raised.head.recipient == "oncall@example" &&
+      raised.head.subject == "beta down")
+    val lines = java.nio.file.Files.readAllLines(out)
+    assert(lines.size == 1 && lines.get(0).contains("\"job\":\"beta\""))
+  }
 }
