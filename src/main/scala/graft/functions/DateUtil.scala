@@ -184,18 +184,19 @@ object DateUtil {
   }
 
   // --- F4: format conversions (`DateUtil.pm:216-240, 368-377`) ------------
+  private val convertDateRe = raw"(\d{4})[./](\d\d)[./](\d\d)".r
+  private val convertMMMRe = raw"(\d{2})-(\w{3})-(\d{4})".r
+
   /** YYYY.MM.DD or YYYY/MM/DD → YYYYMMDD. */
   def convertDate(s: String): String = {
-    val re = raw"(\d{4})[./](\d\d)[./](\d\d)".r
-    re.findFirstMatchIn(s) match {
+    convertDateRe.findFirstMatchIn(s) match {
       case Some(m) => f"${m.group(1).toInt}%04d${m.group(2).toInt}%02d${m.group(3).toInt}%02d"
       case None => "00000000"
     }
   }
   /** dd-MMM-yyyy (English months) → DD.MM.YYYY. */
   def convertDateFromMMM(s: String): String = {
-    val re = raw"(\d{2})-(\w{3})-(\d{4})".r
-    re.findFirstMatchIn(s) match {
+    convertMMMRe.findFirstMatchIn(s) match {
       case Some(m) =>
         f"${m.group(1).toInt}%02d.${monthsToNum(m.group(2))}%02d.${m.group(3).toInt}%04d"
       case None => ""
@@ -303,10 +304,10 @@ object DateUtil {
     * (day 31 of a 30-day month normalizes forward like Perl timelocal
     * would error — we reject only the reference's checks, then parse
     * leniently). */
+  private val ddmmyyyyRe = raw"(.+)\.(.+)\.(\d{4})".r
   def parseFromDDMMYYYY(s: String, zone: ZoneId = ZoneOffset.UTC): Option[Long] = {
-    val re = raw"(.+)\.(.+)\.(\d{4})".r
     s match {
-      case re(d, m, y) => epochIfValid(y, m, d, zone)
+      case ddmmyyyyRe(d, m, y) => epochIfValid(y, m, d, zone)
       case _ => None
     }
   }
