@@ -129,6 +129,28 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Train/test decontamination: split the (near-dup-seeded) corpus with
+    * stable key hashes, then find test documents sharing ≥5 distinct
+    * 8-gram shingles with any train document — the n-gram-overlap
+    * contamination check run before an evaluation split ships. Shingle
+    * equi-join (never all-pairs), reusing the dedup machinery. */
+  def q53Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sampling.withSplit(dupCorpus(spark, dir), "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1), seed = 13L)
+    val sh = docs.select(col("doc_id"), col("split"),
+        explode(Dedup.shingles(col("text"), 8)).as("sh"))
+      .filter(length(col("sh")) > 0).distinct()
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("sh"))
+    val test = sh.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), col("sh"))
+    test.join(train, "sh")
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 5)
+      .orderBy(col("test_id"), col("train_id"))
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def q23SimTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -255,6 +277,7 @@ object PipelineQueries {
     "q50_dup_groups"   -> q50DupGroups _,
     "q51_sample"       -> q51Sample _,
     "q52_chunks"       -> q52Chunks _,
+    "q53_decontam"     -> q53Decontam _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -435,9 +458,45 @@ object PipelineQueries {
       |ORDER BY lang, sample_rank""".stripMargin
   }
 
+  /** Recomputes q53: the same split hash (seed 13) and 8-gram shingle
+    * equi-join in DuckDB. */
+  private val decontamSql: String = {
+    val p = Sampling.P
+    val (a, b) = Sampling.coef(13L)
+    val trainUpper = Sampling.splitThresholds(
+      Seq("train" -> 0.9, "test" -> 0.1)).head._2
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '') FROM documents),
+      |split AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN ((doc_id % $p) * $a + $b) % $p < $trainUpper
+      |         THEN 'train' ELSE 'test' END AS split
+      |  FROM corpus),
+      |norm AS (
+      |  SELECT doc_id, split,
+      |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      |  FROM split),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, split, sh FROM (
+      |    SELECT doc_id, split, unnest(list_transform(
+      |      generate_series(0, greatest(len(toks) - 8, 0)),
+      |      i -> array_to_string(toks[i+1:i+8], ' '))) AS sh
+      |    FROM norm) t WHERE length(sh) > 0)
+      |SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+      |  count(*) AS n_common
+      |FROM sh te JOIN sh tr ON te.sh = tr.sh
+      |WHERE te.split = 'test' AND tr.split = 'train'
+      |GROUP BY te.doc_id, tr.doc_id
+      |HAVING count(*) >= 5
+      |ORDER BY test_id, train_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q50_dup_groups" -> dupGroupsSql,
     "q51_sample"     -> sampleSql,
+    "q53_decontam"   -> decontamSql,
     "q52_chunks" ->
       """WITH base AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
