@@ -151,6 +151,27 @@ object PipelineQueries {
       .orderBy(col("test_id"), col("train_id"))
   }
 
+  /** PII scrubbing: deterministic synthetic PII (derived from doc_id, so
+    * both engines construct identical text) is seeded into the corpus,
+    * then counted and redacted — placeholder-stable so fingerprints/dedup
+    * don't churn across reruns. */
+  def q54PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("text", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(200)).cast("string"),
+        lit("."), pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(" tel +43 660 "), (lit(100) + pmod(col("doc_id"), lit(900))).cast("string"),
+        lit(" "), (lit(1000) + pmod(col("doc_id"), lit(9000))).cast("string")))
+    val counts = TextOps.piiCounts(col("text")).toMap
+    seeded.select(col("doc_id"),
+        counts("email").as("n_email"), counts("ip").as("n_ip"),
+        counts("phone").as("n_phone"),
+        TextOps.redactPii(col("text")).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def q23SimTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -278,6 +299,7 @@ object PipelineQueries {
     "q51_sample"       -> q51Sample _,
     "q52_chunks"       -> q52Chunks _,
     "q53_decontam"     -> q53Decontam _,
+    "q54_pii_redact"   -> q54PiiRedact _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -493,10 +515,33 @@ object PipelineQueries {
       |ORDER BY test_id, train_id""".stripMargin
   }
 
+  /** Recomputes q54 with the same regexes (RE2-compatible subset) and the
+    * same doc_id-derived synthetic PII. */
+  private val piiSql: String = {
+    val e = TextOps.EmailRe
+    val ip = TextOps.Ipv4Re
+    val ph = TextOps.PhoneRe
+    s"""WITH seeded AS (
+      |  SELECT doc_id,
+      |    concat(text, ' contact user', doc_id, '@example.com',
+      |           ' from 10.0.', doc_id % 200, '.', doc_id % 250,
+      |           ' tel +43 660 ', 100 + doc_id % 900, ' ', 1000 + doc_id % 9000) AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+      |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS redacted
+      |FROM seeded
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q50_dup_groups" -> dupGroupsSql,
     "q51_sample"     -> sampleSql,
     "q53_decontam"   -> decontamSql,
+    "q54_pii_redact" -> piiSql,
     "q52_chunks" ->
       """WITH base AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

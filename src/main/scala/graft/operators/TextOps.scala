@@ -91,6 +91,28 @@ object TextOps {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
 
+  /** PII scrubbing for training corpora: emails, IPv4 addresses and
+    * international-format phone numbers replaced by stable placeholder
+    * tokens (redaction must be deterministic so dedup/fingerprints stay
+    * consistent across reruns). Pure `regexp_replace` chain — codegen'd,
+    * no UDF; patterns are conservative on purpose (precision over recall,
+    * like production scrubbers' first pass). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\b"
+  val PhoneRe = "\\+\\d{1,3}[- ]?\\d{2,4}[- ]?\\d{3,4}[- ]?\\d{2,4}"
+
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
+  /** Count of PII hits by class (for corpus-quality reporting). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "email" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+    "ip"    -> size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long"),
+    "phone" -> size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
+
   /** Sliding-window document chunking (context-window prep): one row per
     * chunk of `chunkSize` tokens advancing by `stride` (overlap =
     * chunkSize − stride). Pure Column program — the explode is the only
