@@ -200,6 +200,22 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs over the embeddings table seeded with
+    * exact-direction twins (vectors scaled by 2 — a power of two, so every
+    * float/double operation on them is exact in BOTH engines and the
+    * sign-projection buckets are identical to the original's). Banded
+    * hyperplane LSH candidates + exact cosine ≥ 0.9 verify; the oracle
+    * interpolates the seeded planes and redoes the whole computation. */
+  def q55EmbedDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val twins = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), v => v * lit(2.0f)).as("embedding"))
+    Similarity.embedNearDupPairs(emb.unionByName(twins), "vec_id", "embedding",
+        dim = 64, bands = 4, bitsPerBand = 8, minCos = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Multimodal plumbing: documents as opaque binary payloads → batched
     * (stubbed) decode → feature extraction → frame sampling, aggregated
     * back per document. The stub arithmetic is re-expressed in the oracle,
@@ -300,6 +316,7 @@ object PipelineQueries {
     "q52_chunks"       -> q52Chunks _,
     "q53_decontam"     -> q53Decontam _,
     "q54_pii_redact"   -> q54PiiRedact _,
+    "q55_embed_dup"    -> q55EmbedDup _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -409,6 +426,47 @@ object PipelineQueries {
       |  FROM scored) t
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Full DuckDB recomputation of [[q55EmbedDup]]: seeded twins, the 32
+    * plane projections (4 bands × 8 bits, planes interpolated as literals),
+    * per-band bucket join, pair dedup, exact left-fold cosine. */
+  private val embedDupSql: String = {
+    val bands = 4
+    val bits = 8
+    val planes = Similarity.hyperplanes(dim = 64, numBits = bands * bits, seed = 42L)
+    val projCols = planes.zipWithIndex.map { case (plane, i) =>
+      val lits = plane.map(v => s"$v.0").mkString(", ")
+      s"""list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, [$lits]),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, x) -> acc + x) AS p$i""".stripMargin
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val bucket = (0 until bits)
+        .map(bi => s"(CASE WHEN p${b * bits + bi} > 0 THEN ${1L << bi} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, embedding, $b AS band, $bucket AS bucket FROM proj"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, v -> CAST(v * 2 AS REAL))
+      |  FROM embeddings WHERE vec_id % 5 = 0),
+      |proj AS (
+      |  SELECT vec_id, embedding,
+      |    $projCols
+      |  FROM corpus),
+      |banded AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    a.embedding AS qv, b.embedding AS cv
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT id_a, id_b, $cosineSql AS cos FROM cand)
+      |SELECT id_a, id_b, cos FROM scored
+      |WHERE cos >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Transitive closure of the q20 pair graph via recursive CTE: min
@@ -668,6 +726,7 @@ object PipelineQueries {
     "q21_minhash_lsh" -> ngramPairsSql,
     "q22_simhash" -> simhashSql,
     "q25_sim_lsh" -> lshSql,
+    "q55_embed_dup" -> embedDupSql,
     "q23_sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (

@@ -139,6 +139,49 @@ object Similarity {
     Seq.fill(numBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1 else -1))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the embedding-space member of
+    * the dedup family (exact / n-gram / minhash / simhash live in
+    * [[Dedup]]). Banded random-hyperplane LSH generates candidates: each
+    * vector gets one bucket per band (signs of `bitsPerBand` seeded ±1
+    * projections), candidates are pairs colliding in at least one band, and
+    * the exact left-fold cosine then verifies every candidate against
+    * `minCos`. No all-pairs join anywhere: the only join is the per-band
+    * bucket equi-join, so at 100 TB the cost is bounded by bucket sizes
+    * (tune `bands`/`bitsPerBand` for the recall/cost point; sign-projection
+    * buckets are scale-invariant, so exact-direction duplicates collide in
+    * every band — recall 1.0 for true copies). Pairs colliding in several
+    * bands are deduplicated on (id_a, id_b) before scoring so each pair is
+    * scored once. */
+  def embedNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, bands: Int, bitsPerBand: Int,
+                        minCos: Double, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    def bandBucket(vec: Column, band: Int): Column =
+      (0 until bitsPerBand).map { bi =>
+        val plane = planes(band * bitsPerBand + bi)
+        val proj = aggregate(
+          zip_with(vec, typedlit(plane), (x, s) => x.cast("double") * s.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << bi)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val banded = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandBucket(col("v"), b).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("qv"), col("b.v").as("cv"))
+      .distinct()
+    cand.withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, dim: Int, numBits: Int, k: Int,
               seed: Long = 42L): DataFrame = {

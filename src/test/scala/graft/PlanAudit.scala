@@ -91,6 +91,14 @@ object PlanAudit {
       !plan("q21_minhash_lsh").contains("CartesianProduct"))
     check("q50 dup-groups has no cartesian product",
       !plan("q50_dup_groups").contains("CartesianProduct"))
+    // q55 embedding near-dup: candidates must come from the banded bucket
+    // equi-join — an all-pairs (cartesian/nested-loop) plan would be the
+    // 100 TB scale bug this operator exists to avoid
+    val p55 = plan("q55_embed_dup")
+    check("q55 embed near-dup is a bucket equi-join",
+      !p55.contains("CartesianProduct") && !p55.contains("BroadcastNestedLoopJoin") &&
+        (p55.contains("SortMergeJoin") || p55.contains("ShuffledHashJoin") ||
+         p55.contains("BroadcastHashJoin")))
 
     // q52 chunking: pure projection + explode — NO exchange at all
     val p52 = plan("q52_chunks")

@@ -28,6 +28,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cents == Similarity.trainCentroids(df, "vec_id", "embedding", 2, 4))
   }
 
+  test("embedNearDupPairs finds exactly the scaled twins, never all-pairs") {
+    val df = blobs()
+    // twins of the even ids, scaled ×2: same direction, cos ≈ 1
+    val twins = df.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), v => v * lit(2.0f)).as("embedding"))
+    val pairs = Similarity.embedNearDupPairs(df.unionByName(twins),
+        "vec_id", "embedding", dim = 4, bands = 4, bitsPerBand = 4,
+        minCos = 0.999999)
+      .orderBy("id_a", "id_b").collect()
+    // every twin pair recovered (scale-invariant buckets ⇒ recall 1)
+    val twinPairs = pairs.map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => b == a + 1000 }
+    assert(twinPairs.toSeq == (0 until 20 by 2).map(i => (i.toLong, i + 1000L)))
+    // every emitted pair really clears the threshold (precision by verify)
+    assert(pairs.forall(_.getDouble(2) >= 0.999999))
+    // and the blob data itself has near-parallel in-blob vectors the LSH may
+    // surface — but nothing across blobs below the threshold
+    assert(pairs.forall(r => r.getDouble(2) <= 1.0 + 1e-12))
+  }
+
   test("ivfTopKTrained matches brute force within the query's blob") {
     val df = blobs()
     val queries = df.filter(col("vec_id") < 2)
