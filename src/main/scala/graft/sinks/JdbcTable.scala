@@ -42,6 +42,8 @@ object JdbcTable {
     def execute(sql: String): Unit
     /** Prepared-statement batch insert; returns rows written. */
     def executeBatch(sql: String, rows: Iterator[Seq[Any]], batchSize: Int): Long
+    /** Parameterized SELECT returning all rows (registry reads). */
+    def query(sql: String, params: Seq[Any] = Nil): Seq[Seq[Any]]
     def commit(): Unit
     def rollback(): Unit
     def close(): Unit
@@ -71,6 +73,18 @@ object JdbcTable {
         }
         if (pending > 0) ps.executeBatch()
         total
+      } finally ps.close()
+    }
+    def query(sql: String, params: Seq[Any] = Nil): Seq[Seq[Any]] = {
+      val ps = conn.prepareStatement(sql)
+      try {
+        params.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+        val rs = ps.executeQuery()
+        val n = rs.getMetaData.getColumnCount
+        val buf = Vector.newBuilder[Seq[Any]]
+        while (rs.next()) buf += (1 to n).map(rs.getObject(_): Any)
+        rs.close()
+        buf.result()
       } finally ps.close()
     }
     def commit(): Unit = conn.commit()
@@ -104,20 +118,20 @@ object JdbcTable {
     }.load()
   }
 
-  /** Store `incoming` into `table` under the configured strategy, staged
-    * through `stagingSuffix` and applied in one driver transaction.
-    * Mirrors [[ParquetTable.store]]'s contract on a DBMS. */
-  def store(incoming: DataFrame, table: String, db: DbConfig,
-            sessionFactory: SessionFactory, batchSize: Int = 1000,
-            ordCol: String = "_lineno",
-            stagingSuffix: String = "_graft_stg"): Unit = {
+  /** Staging-table partition-ownership column: each Spark task stages only
+    * rows tagged with its own partition id, and re-stages them
+    * delete-then-insert in one transaction — so task retries and
+    * speculative duplicates converge to exactly one copy per partition. */
+  val PartCol = "_graft_part"
+
+  /** addID constants + strategy-specific pre-resolution (upsert last-wins
+    * dedup so the apply-phase MERGE sees one row per key). */
+  private def resolveForStrategy(incoming: DataFrame, db: DbConfig,
+                                 ordCol: String): DataFrame = {
     val withId = db.addID.foldLeft(incoming) { case (df, (k, v)) =>
       df.withColumn(k, lit(v))
     }
-    // upsert: resolve last-wins inside the batch BEFORE staging, so the
-    // apply-phase MERGE sees one row per key (ANSI MERGE requires it) —
-    // the distributed analog of the reference's statement-order loop
-    val resolved = db.strategy match {
+    db.strategy match {
       case Upsert(keys) =>
         MergeOps.requireExactOrder(withId, ordCol)
         val ordered =
@@ -126,43 +140,133 @@ object JdbcTable {
         MergeOps.upsertLastWins(ordered.limit(0), ordered, keys, ordCol)
       case _ => if (withId.columns.contains(ordCol)) withId.drop(ordCol) else withId
     }
+  }
 
-    val stg = table + stagingSuffix
-    val cols = resolved.schema.fields.map(_.name).toSeq
-    val insertSql = JdbcSql.insert(stg, cols)
+  private def createStaging(s: JdbcSession, stg: String,
+                            schema: StructType): Unit = {
+    s.execute(JdbcSql.dropIfExists(stg))
+    s.execute(JdbcSql.createTable(stg,
+      StructType(schema.fields :+ StructField(PartCol, IntegerType, nullable = false))))
+  }
 
-    val driver = sessionFactory()
-    try {
-      driver.execute(JdbcSql.dropIfExists(stg))
-      driver.execute(JdbcSql.createTable(stg, resolved.schema))
-      driver.commit()
-    } finally driver.close()
-
-    // phase 1: parallel batched staging inserts, one connection+txn per
-    // partition (append-only → partition retries are idempotent once the
-    // apply phase hasn't run)
+  /** Phase 1: parallel batched staging inserts, one connection+txn per
+    * partition. Each task first deletes its own partition's rows
+    * (`PartCol`), then inserts — idempotent under task retry. */
+  private def stagePartitions(resolved: DataFrame, stg: String,
+                              cols: Seq[String], sessionFactory: SessionFactory,
+                              batchSize: Int): Unit = {
+    val insertSql = JdbcSql.insert(stg, cols :+ PartCol)
+    val deleteSql = JdbcSql.deleteByKey(stg, Seq(PartCol))
     resolved.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         val s = sessionFactory()
         try {
-          s.executeBatch(insertSql, rows.map(_.toSeq), batchSize)
+          s.executeBatch(deleteSql, Iterator(Seq[Any](pid)), 1)
+          s.executeBatch(insertSql, rows.map(_.toSeq :+ pid), batchSize)
           s.commit()
         } catch { case t: Throwable => s.rollback(); throw t }
         finally s.close()
       }
     }
+  }
 
-    // phase 2: ONE transaction applies staging to the target
+  /** Phase 2: ONE transaction applies staging to the target and drops the
+    * staging table. Because the drop rides the same transaction, a load
+    * can never apply twice: after the first commit the staging table is
+    * gone, and any re-apply fails instead of double-writing. */
+  private def applyPhase(db: DbConfig, table: String, stg: String,
+                         cols: Seq[String], sessionFactory: SessionFactory,
+                         registry: Option[(String, String)]): Unit = {
     val apply = sessionFactory()
     try {
       if (!db.keepContent) apply.execute(JdbcSql.truncate(table))
       JdbcSql.applyStatements(db.strategy, table, stg, cols)
         .foreach(apply.execute)
+      registry.foreach { case (reg, loadId) =>
+        apply.executeBatch(JdbcSql.setStatus(reg),
+          Iterator(Seq[Any]("APPLIED", loadId)), 1)
+      }
       apply.execute(JdbcSql.drop(stg))
       apply.commit()
     } catch {
       case t: Throwable => apply.rollback(); throw t
     } finally apply.close()
+  }
+
+  /** Store `incoming` into `table` under the configured strategy, staged
+    * through `stagingSuffix` and applied in one driver transaction.
+    * Mirrors [[ParquetTable.store]]'s contract on a DBMS. For restart
+    * resumability across driver failures, use [[storeResumable]]. */
+  def store(incoming: DataFrame, table: String, db: DbConfig,
+            sessionFactory: SessionFactory, batchSize: Int = 1000,
+            ordCol: String = "_lineno",
+            stagingSuffix: String = "_graft_stg"): Unit = {
+    val resolved = resolveForStrategy(incoming, db, ordCol)
+    val stg = table + stagingSuffix
+    val cols = resolved.schema.fields.map(_.name).toSeq
+    val driver = sessionFactory()
+    try {
+      createStaging(driver, stg, resolved.schema)
+      driver.commit()
+    } finally driver.close()
+    stagePartitions(resolved, stg, cols, sessionFactory, batchSize)
+    applyPhase(db, table, stg, cols, sessionFactory, registry = None)
+  }
+
+  /** Exactly-once resumable store: [[store]] plus a load-registry protocol
+    * that survives driver restarts. The caller names the load (`loadId` —
+    * e.g. the reference's process + run date, the first-run-success memory
+    * of `Wrap.pm`'s planned repetitions); re-invoking with the same id
+    * after ANY failure resumes instead of double-applying:
+    *
+    *  - registry row `STAGING` → staging may be partial; it is rebuilt
+    *    from scratch (drop/create + part-scoped restage).
+    *  - `STAGED` → staging is complete; skip straight to the apply phase.
+    *  - `APPLIED` → the load already committed; the call is a no-op.
+    *
+    * The `STAGED` marker commits only after every partition staged; the
+    * `APPLIED` marker rides the apply transaction itself, and the staging
+    * drop in that same transaction makes a second apply structurally
+    * impossible. Registry + staging live in the target DBMS, so the
+    * protocol needs no coordinator beyond the database. */
+  def storeResumable(incoming: DataFrame, table: String, db: DbConfig,
+                     sessionFactory: SessionFactory, loadId: String,
+                     batchSize: Int = 1000, ordCol: String = "_lineno",
+                     registryTable: String = "graft_loads"): Unit = {
+    val stg = s"${table}_graft_stg_$loadId"
+    val boot = sessionFactory()
+    val status = try {
+      boot.execute(JdbcSql.createRegistry(registryTable))
+      boot.commit()
+      boot.query(JdbcSql.selectStatus(registryTable), Seq(loadId))
+        .headOption.map(_.head.toString)
+    } finally boot.close()
+    if (status.contains("APPLIED")) return
+
+    val resolved = resolveForStrategy(incoming, db, ordCol)
+    val cols = resolved.schema.fields.map(_.name).toSeq
+    if (!status.contains("STAGED")) {
+      val d = sessionFactory()
+      try {
+        d.executeBatch(JdbcSql.deleteByKey(registryTable, Seq("load_id")),
+          Iterator(Seq[Any](loadId)), 1)
+        d.executeBatch(JdbcSql.insert(registryTable, Seq("load_id", "target", "status")),
+          Iterator(Seq[Any](loadId, table, "STAGING")), 1)
+        createStaging(d, stg, resolved.schema)
+        d.commit()
+      } catch { case t: Throwable => d.rollback(); throw t }
+      finally d.close()
+      stagePartitions(resolved, stg, cols, sessionFactory, batchSize)
+      val m = sessionFactory()
+      try {
+        m.executeBatch(JdbcSql.setStatus(registryTable),
+          Iterator(Seq[Any]("STAGED", loadId)), 1)
+        m.commit()
+      } finally m.close()
+    }
+    applyPhase(db, table, stg, cols, sessionFactory,
+      registry = Some((registryTable, loadId)))
   }
 
   /** S8 `doInDB`, JDBC flavor (`Wrap/DB.pm:133-163`): execute one
@@ -257,6 +361,20 @@ object JdbcSql {
   def deleteByKey(table: String, keyCols: Seq[String]): String =
     s"DELETE FROM ${q(table)} WHERE " +
       keyCols.map(k => s"${q(k)} = ?").mkString(" AND ")
+
+  /** Load-registry DDL for [[JdbcTable.storeResumable]]. `IF NOT EXISTS`
+    * is the one non-ANSI form used (supported by every mainstream DBMS;
+    * swap for a catalog probe where it isn't). */
+  def createRegistry(table: String): String =
+    s"CREATE TABLE IF NOT EXISTS ${q(table)} (" +
+      s"${q("load_id")} VARCHAR NOT NULL, ${q("target")} VARCHAR NOT NULL, " +
+      s"${q("status")} VARCHAR NOT NULL, PRIMARY KEY (${q("load_id")}))"
+
+  def selectStatus(registry: String): String =
+    s"SELECT ${q("status")} FROM ${q(registry)} WHERE ${q("load_id")} = ?"
+
+  def setStatus(registry: String): String =
+    s"UPDATE ${q(registry)} SET ${q("status")} = ? WHERE ${q("load_id")} = ?"
 
   private def onClause(tgt: String, stg: String, keys: Seq[String]): String =
     keys.map(k => s"${q(tgt)}.${q(k)} = ${q(stg)}.${q(k)}").mkString(" AND ")

@@ -19,7 +19,8 @@ object RecordingJdbc {
   def clear(): Unit = events.clear()
   def list: Seq[String] = events.asScala.toSeq
 
-  class Session(failOnPrefix: String) extends JdbcTable.JdbcSession {
+  class Session(failOnPrefix: String,
+                queryFn: String => Seq[Seq[Any]]) extends JdbcTable.JdbcSession {
     def execute(sql: String): Unit = {
       if (failOnPrefix.nonEmpty && sql.startsWith(failOnPrefix))
         throw new RuntimeException(s"boom on: $sql")
@@ -30,13 +31,18 @@ object RecordingJdbc {
       events.add(s"batch:$sql|rows=$n|batchSize=$batchSize")
       n
     }
+    def query(sql: String, params: Seq[Any]): Seq[Seq[Any]] = {
+      events.add(s"query:$sql|params=${params.mkString(",")}")
+      queryFn(sql)
+    }
     def commit(): Unit = events.add("commit")
     def rollback(): Unit = events.add("rollback")
     def close(): Unit = events.add("close")
   }
 
-  def factory(failOnPrefix: String = ""): JdbcTable.SessionFactory =
-    () => new Session(failOnPrefix)
+  def factory(failOnPrefix: String = "",
+              queryFn: String => Seq[Seq[Any]] = _ => Nil): JdbcTable.SessionFactory =
+    () => new Session(failOnPrefix, queryFn)
 }
 
 class JdbcTableSpec extends SparkSpec {
@@ -156,11 +162,14 @@ class JdbcTableSpec extends SparkSpec {
     val setup = ev.takeWhile(!_.startsWith("batch"))
     assert(setup == Seq(
       """execute:DROP TABLE IF EXISTS "tgt_graft_stg"""",
-      """execute:CREATE TABLE "tgt_graft_stg" ("k" INTEGER NOT NULL, "v" VARCHAR)""",
+      """execute:CREATE TABLE "tgt_graft_stg" ("k" INTEGER NOT NULL, "v" VARCHAR, """ +
+        """"_graft_part" INTEGER NOT NULL)""",
       "commit", "close"))
+    // each partition task: delete own part rows (retry idempotency), insert
     val batches = ev.filter(_.startsWith("batch"))
     assert(batches == Seq(
-      """batch:INSERT INTO "tgt_graft_stg" ("k", "v") VALUES (?, ?)|rows=3|batchSize=2"""))
+      """batch:DELETE FROM "tgt_graft_stg" WHERE "_graft_part" = ?|rows=1|batchSize=1""",
+      """batch:INSERT INTO "tgt_graft_stg" ("k", "v", "_graft_part") VALUES (?, ?, ?)|rows=3|batchSize=2"""))
     // apply phase: strictly after staging, one commit, drops staging
     val apply = ev.drop(ev.lastIndexWhere(_.startsWith("batch")) + 2) // skip batch+its commit
     assert(apply.filter(_.startsWith("execute")) == Seq(
@@ -183,7 +192,7 @@ class JdbcTableSpec extends SparkSpec {
       .toDF("k", "v", "_lineno").repartition(1)
     val ev = storeEvents(
       DbConfig(strategy = Upsert(Seq("k")), keepContent = true), df)
-    val batch = ev.filter(_.startsWith("batch"))
+    val batch = ev.filter(_.startsWith("batch:INSERT"))
     assert(batch.size == 1 && batch.head.contains("rows=2"),
       s"expected 2 deduped staged rows, got: $batch")
     assert(ev.exists(e => e.startsWith("execute:MERGE INTO \"tgt\"") &&
@@ -195,7 +204,7 @@ class JdbcTableSpec extends SparkSpec {
     val ev = storeEvents(DbConfig(strategy = Append, keepContent = true,
       addID = Map("load_id" -> "L42")), df)
     assert(ev.exists(_.contains(""""k" INTEGER NOT NULL, "v" VARCHAR, "load_id" VARCHAR""")))
-    assert(ev.exists(_.contains(""""k", "v", "load_id") VALUES (?, ?, ?)""")))
+    assert(ev.exists(_.contains(""""k", "v", "load_id", "_graft_part") VALUES (?, ?, ?, ?)""")))
   }
 
   test("apply-phase failure rolls back and skips the staging drop") {
@@ -213,6 +222,111 @@ class JdbcTableSpec extends SparkSpec {
     assert(ev.contains("rollback"))
     assert(!ev.exists(_.startsWith("""execute:DROP TABLE "tgt_graft_stg"""")))
     assert(ev.last == "close") // connection released even on failure
+  }
+
+  // ---- resumable load-id protocol -------------------------------------
+
+  test("resumable store: fresh load runs registry → stage → STAGED → apply+APPLIED") {
+    RecordingJdbc.clear()
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v").repartition(1)
+    JdbcTable.storeResumable(df, "tgt",
+      DbConfig(strategy = Append, keepContent = true),
+      RecordingJdbc.factory(), loadId = "L1", batchSize = 10)
+    val ev = RecordingJdbc.list
+    // boot: ensure registry, read status
+    assert(ev.head.startsWith("""execute:CREATE TABLE IF NOT EXISTS "graft_loads""""))
+    assert(ev.exists(_.startsWith(
+      """query:SELECT "status" FROM "graft_loads" WHERE "load_id" = ?|params=L1""")))
+    // registry row written as STAGING before any staging insert
+    val regIns = ev.indexWhere(_.startsWith(
+      """batch:INSERT INTO "graft_loads" ("load_id", "target", "status")"""))
+    val stgIns = ev.indexWhere(_.startsWith("""batch:INSERT INTO "tgt_graft_stg_L1""""))
+    assert(regIns >= 0 && stgIns > regIns)
+    // staging table carries the load id
+    assert(ev.exists(_.startsWith("""execute:CREATE TABLE "tgt_graft_stg_L1"""")))
+    // STAGED marker after staging, before the apply transaction
+    val staged = ev.indexWhere(_.startsWith(
+      """batch:UPDATE "graft_loads" SET "status" = ? WHERE "load_id" = ?|rows=1"""))
+    val applyIns = ev.indexWhere(_.startsWith("""execute:INSERT INTO "tgt" """))
+    assert(staged > stgIns && applyIns > staged)
+    // APPLIED marker + staging drop ride the apply transaction (before its commit)
+    val applied = ev.lastIndexWhere(_.startsWith(
+      """batch:UPDATE "graft_loads" SET "status" = ?"""))
+    val drop = ev.indexWhere(_ == """execute:DROP TABLE "tgt_graft_stg_L1"""")
+    assert(applied > applyIns && drop > applied)
+    assert(ev.indexOf("commit", applied) > drop) // same txn commits after both
+  }
+
+  test("resumable store resumes from STAGED: no restaging, straight to apply") {
+    RecordingJdbc.clear()
+    val df = Seq((1, "a")).toDF("k", "v").repartition(1)
+    JdbcTable.storeResumable(df, "tgt",
+      DbConfig(strategy = Append, keepContent = true),
+      RecordingJdbc.factory(queryFn = _ => Seq(Seq("STAGED"))), loadId = "L2")
+    val ev = RecordingJdbc.list
+    assert(!ev.exists(_.startsWith("""execute:CREATE TABLE "tgt_graft_stg""")),
+      "STAGED resume must not rebuild staging")
+    assert(!ev.exists(_.startsWith("""batch:INSERT INTO "tgt_graft_stg""")),
+      "STAGED resume must not restage rows")
+    assert(ev.exists(_.startsWith(
+      """execute:INSERT INTO "tgt" ("k", "v") SELECT "k", "v" FROM "tgt_graft_stg_L2"""")))
+    assert(ev.exists(_ == """execute:DROP TABLE "tgt_graft_stg_L2""""))
+  }
+
+  test("resumable store is a no-op when the load is already APPLIED") {
+    RecordingJdbc.clear()
+    val df = Seq((1, "a")).toDF("k", "v").repartition(1)
+    JdbcTable.storeResumable(df, "tgt",
+      DbConfig(strategy = Append, keepContent = false),
+      RecordingJdbc.factory(queryFn = _ => Seq(Seq("APPLIED"))), loadId = "L3")
+    val ev = RecordingJdbc.list
+    // only the boot session: ensure registry + status read, nothing else
+    assert(ev.count(_.startsWith("execute:")) == 1)
+    assert(!ev.exists(_.startsWith("batch:")))
+    assert(!ev.exists(_.contains("DELETE FROM \"tgt\"")),
+      "APPLIED no-op must not truncate the target")
+  }
+
+  test("ConnectionSession.query binds params and drains the result set") {
+    val calls = new ConcurrentLinkedQueue[String]()
+    val rows = Seq(Seq[Any]("STAGED"))
+    var idx = -1
+    val md = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.ResultSetMetaData]), new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "getColumnCount" => Int.box(1)
+          case _                => null
+        }
+      }).asInstanceOf[java.sql.ResultSetMetaData]
+    val rs = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.ResultSet]), new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "getMetaData" => md
+          case "next"        => idx += 1; java.lang.Boolean.valueOf(idx < rows.length)
+          case "getObject"   => rows(idx)(args(0).asInstanceOf[Int] - 1).asInstanceOf[AnyRef]
+          case _             => null
+        }
+      }).asInstanceOf[java.sql.ResultSet]
+    val ps = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.PreparedStatement]), new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "setObject"    => calls.add(s"setObject(${args(0)},${args(1)})"); null
+          case "executeQuery" => calls.add("executeQuery"); rs
+          case "close"        => null
+          case _              => null
+        }
+      }).asInstanceOf[java.sql.PreparedStatement]
+    val conn = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Connection]), new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" => ps
+          case "setAutoCommit"    => null
+          case _                  => null
+        }
+      }).asInstanceOf[java.sql.Connection]
+    val out = new JdbcTable.ConnectionSession(conn).query("SELECT s FROM r WHERE id = ?", Seq("L1"))
+    assert(calls.asScala.toSeq == Seq("setObject(1,L1)", "executeQuery"))
+    assert(out == Seq(Seq("STAGED")))
   }
 
   test("execStatement drains multiple result sets (odbc_more_results loop)") {
