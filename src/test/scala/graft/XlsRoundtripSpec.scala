@@ -16,6 +16,67 @@ class XlsRoundtripSpec extends SparkSpec {
   private def tmpXls(name: String): String =
     Files.createTempDirectory("graft-xls-").resolve(name).toString
 
+  test("CfbFile follows a non-sequential mini-FAT chain for small streams") {
+    // Hand-built minimal CFB: 512-byte sectors, 64-byte mini sectors.
+    // Sector map: 0=FAT, 1=directory, 2=mini-FAT, 3=mini stream.
+    // Stream "Small" is 100 bytes < the 4096 cutoff, stored in the mini
+    // stream with chain mini-sector 1 → 0 (deliberately out of order, so a
+    // sequential read would produce the wrong bytes).
+    val EOC = 0xFFFFFFFE
+    val FREE = 0xFFFFFFFF
+    val bytes = new Array[Byte](512 * 5)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // header
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).zipWithIndex
+      .foreach { case (v, i) => bytes(i) = v.toByte }
+    bb.putShort(28, 0xFFFE.toShort) // little-endian marker
+    bb.putShort(30, 9)              // 512-byte sectors
+    bb.putShort(32, 6)              // 64-byte mini sectors
+    bb.putInt(44, 1)                // 1 FAT sector
+    bb.putInt(48, 1)                // directory at sector 1
+    bb.putInt(56, 4096)             // mini-stream cutoff
+    bb.putInt(60, 2)                // mini-FAT at sector 2
+    bb.putInt(64, 1)                // 1 mini-FAT sector
+    bb.putInt(68, EOC)              // no chained DIFAT
+    bb.putInt(72, 0)
+    bb.putInt(76, 0)                // DIFAT[0]: FAT at sector 0
+    (1 until 109).foreach(i => bb.putInt(76 + i * 4, FREE))
+    // FAT (sector 0): 0=FAT marker, 1=dir end, 2=minifat end, 3=ministream end
+    val fatBase = 512
+    bb.putInt(fatBase, 0xFFFFFFFD)
+    bb.putInt(fatBase + 4, EOC)
+    bb.putInt(fatBase + 8, EOC)
+    bb.putInt(fatBase + 12, EOC)
+    (4 until 128).foreach(i => bb.putInt(fatBase + i * 4, FREE))
+    // directory (sector 1): entry 0 = Root (type 5, owns the mini stream),
+    // entry 1 = "Small" (type 2, start mini-sector 1, 100 bytes)
+    def dirEntry(idx: Int, name: String, objType: Int, start: Int, size: Long): Unit = {
+      val base = 512 * 2 + idx * 128
+      val utf16 = name.getBytes("UTF-16LE")
+      System.arraycopy(utf16, 0, bytes, base, utf16.length)
+      bb.putShort(base + 64, (utf16.length + 2).toShort)
+      bytes(base + 66) = objType.toByte
+      bb.putInt(base + 116, start)
+      bb.putLong(base + 120, size)
+    }
+    dirEntry(0, "Root Entry", 5, 3, 128)
+    dirEntry(1, "Small", 2, 1, 100)
+    // mini-FAT (sector 2): chain 1 → 0 → end
+    bb.putInt(512 * 3, EOC)     // miniFat(0) = end
+    bb.putInt(512 * 3 + 4, 0)   // miniFat(1) = 0
+    (2 until 128).foreach(i => bb.putInt(512 * 3 + i * 4, FREE))
+    // mini stream (sector 3): mini-sector 0 holds the TAIL, 1 holds the HEAD
+    (0 until 64).foreach(i => bytes(512 * 4 + i) = 'T'.toByte)
+    (0 until 64).foreach(i => bytes(512 * 4 + 64 + i) = 'H'.toByte)
+
+    val parsed = graft.sources.CfbFile.parse(bytes)
+    assert(parsed.entries.map(_.name) == Seq("Small"))
+    val got = parsed.stream("Small").get
+    assert(got.length == 100) // exact entry size, not padded sector length
+    assert(got.take(64).forall(_ == 'H'.toByte), "head must come from mini-sector 1")
+    assert(got.drop(64).forall(_ == 'T'.toByte), "tail must follow the chain to mini-sector 0")
+  }
+
   test("write/read roundtrip with mixed label and number cells") {
     val df = Seq(("val11", "21", "3.5"), ("val12", "22", "-0.25"),
                  ("Ümläut", "23", "1e-3"))
