@@ -83,19 +83,46 @@ object Similarity {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+  /** Deterministic k-means++-style seeding by farthest-first traversal:
+    * the first seed is the lowest-id vector; each next seed is the vector
+    * maximizing the distance to its nearest already-chosen seed (ties →
+    * lowest id). The spread-out property is what k-means++'s D² sampling
+    * buys, made reproducible by dropping the randomness. Each of the k-1
+    * rounds is ONE distributed top-1 job (per-partition max, merge on the
+    * driver — `TakeOrderedAndProject`, no full sort), so seeding 100 TB
+    * costs k scans, and only the k×dim codebook touches the driver. */
+  def seedFarthestFirst(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int): Seq[Seq[Double]] = {
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var cents = Seq(vecOf(base.orderBy(col("id")).limit(1).collect().head))
+    while (cents.length < k) {
+      val dNearest = cents.map(c => squaredDist(col("v"), typedlit(c)))
+        .reduce((a, b) => least(a, b))
+      val next = base.withColumn("d", dNearest)
+        .orderBy(col("d").desc, col("id")).limit(1).collect().head
+      cents :+= vecOf(next)
+    }
+    cents
+  }
+
   /** Deterministic distributed k-means — the coarse-quantizer trainer IVF
     * needs when no cluster column exists. Assignment and the per-cluster
     * mean are DataFrame programs (one shuffle on (cluster, pos) per
     * iteration); only the k×dim codebook itself lands on the driver, which
-    * is model state, not data. Initial centroids = the k lowest-id vectors
-    * (seeded and reproducible). Empty clusters keep their previous
-    * centroid. */
+    * is model state, not data. Initial centroids = `init` if given (e.g.
+    * [[seedFarthestFirst]]), else the k lowest-id vectors (both
+    * reproducible). Empty clusters keep their previous centroid. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                     k: Int, iters: Int = 5): Seq[Seq[Double]] = {
-    var cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toSeq)
-      .toSeq
+                     k: Int, iters: Int = 5,
+                     init: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = init.getOrElse(
+      corpus.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toSeq)
+        .toSeq)
+    require(cents.length == k, s"init must provide $k centroids, got ${cents.length}")
     for (_ <- 1 to iters) {
       val updated = corpus
         .withColumn("__c", assignCluster(col(vecCol), cents))

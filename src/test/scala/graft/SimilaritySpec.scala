@@ -28,6 +28,20 @@ class SimilaritySpec extends SparkSpec {
     assert(cents == Similarity.trainCentroids(df, "vec_id", "embedding", 2, 4))
   }
 
+  test("seedFarthestFirst spreads seeds across blobs, deterministically") {
+    val df = blobs()
+    val seeds = Similarity.seedFarthestFirst(df, "vec_id", "embedding", k = 2)
+    val means = seeds.map(_.sum / 4)
+    // first seed = lowest id (blob 0); second = farthest point (blob 1)
+    assert(means.head < 1.0 && means(1) > 9.0)
+    assert(seeds == Similarity.seedFarthestFirst(df, "vec_id", "embedding", 2))
+    // ++-seeded training converges to the same separated codebook
+    val cents = Similarity.trainCentroids(df, "vec_id", "embedding", k = 2,
+      iters = 4, init = Some(seeds))
+    val cmeans = cents.map(_.sum / 4)
+    assert(cmeans.exists(_ < 1.0) && cmeans.exists(_ > 9.0))
+  }
+
   test("embedNearDupPairs finds exactly the scaled twins, never all-pairs") {
     val df = blobs()
     // twins of the even ids, scaled ×2: same direction, cos ≈ 1
