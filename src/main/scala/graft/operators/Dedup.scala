@@ -70,6 +70,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Emit-once banding filter: given each side's full per-band signature
+    * array and the current (0-based) band position, a pair is kept only if
+    * NO earlier band already collided — so every colliding pair is emitted
+    * exactly once, at its first colliding band, and the cross-band
+    * `distinct()` (a full extra shuffle of up to `bands` copies of every
+    * candidate pair) disappears into a join-side filter. */
+  private[operators] def firstCollisionOnly(aArr: Column, bArr: Column,
+                                            pos: Column): Column =
+    !exists(zip_with(slice(aArr, lit(1), pos), slice(bArr, lit(1), pos),
+      (x, y) => x === y), p => p)
+
   /** 64-bit shingle hash (xxhash64 — Spark-native, codegen'd). */
   private def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docShingles(df, idCol, textCol, n)
@@ -107,22 +118,23 @@ object Dedup {
           .toAggregateExpression())
     }
     val sigs = hashed.groupBy(col("id")).agg(sigAgg.as("sig"))
-    // banding: one row per (id, band, band-signature); hash inputs are the
-    // same minhash values as the per-column formulation, so buckets (and
-    // therefore candidates) are unchanged
-    val bandCols = (0 until bands).map { bi =>
-      struct(lit(bi).as("band"),
-        hash((bi * rowsPerBand until (bi + 1) * rowsPerBand)
-          .map(i => element_at(col("sig"), i + 1)): _*).as("sig"))
-    }
-    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // banding: one row per (id, band, band-signature), carrying the full
+    // band-signature array so the join can emit each pair exactly once (at
+    // its first colliding band) instead of deduplicating with a distinct;
+    // hash inputs are the same minhash values as the per-column
+    // formulation, so buckets (and therefore candidates) are unchanged
+    val bandSigArr = array((0 until bands).map { bi =>
+      hash((bi * rowsPerBand until (bi + 1) * rowsPerBand)
+        .map(i => element_at(col("sig"), i + 1)): _*)
+    }: _*)
+    val banded = sigs.select(col("id"), bandSigArr.as("sigs"))
+      .select(col("id"), col("sigs"), posexplode(col("sigs")).as(Seq("band", "bsig")))
     val candidates = banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.id") < col("b.id"))
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.id") < col("b.id") &&
+        firstCollisionOnly(col("a.sigs"), col("b.sigs"), col("a.band")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
     // exact verification of candidates only (reuses the cached relation);
     // the h column joins as an equi-key — an id-only join would explode
     // each pair into |shingles|² rows before filtering
@@ -179,18 +191,18 @@ object Dedup {
     require(maxDist < nChunks, "pigeonhole banding needs maxDist < nChunks")
     val sig = sig0.cache()
     val mask = (1L << chunkBits) - 1
-    val chunks = sig.select(col("id"), col("simhash"),
-        explode(array((0 until nChunks).map(c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask)).as("ck"))): _*)).as("cc"))
-      .select(col("id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+    val chunkArr = array((0 until nChunks).map(c =>
+      shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))): _*)
+    val chunks = sig.select(col("id"), col("simhash"), chunkArr.as("cks"))
+      .select(col("id"), col("simhash"), col("cks"),
+        posexplode(col("cks")).as(Seq("chunk", "ck")))
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
-        col("a.id") < col("b.id"))
+        col("a.id") < col("b.id") &&
+        firstCollisionOnly(col("a.cks"), col("b.cks"), col("a.chunk")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
-      .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))

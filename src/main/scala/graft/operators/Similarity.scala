@@ -194,16 +194,18 @@ object Similarity {
     val banded = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandBucket(col("v"), b).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        array((0 until bands).map(b => bandBucket(col("v"), b)): _*).as("bks"))
+      .select(col("id"), col("v"), col("bks"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    // emit-once: a pair colliding in several bands surfaces only at its
+    // first colliding band ([[Dedup.firstCollisionOnly]]) — no distinct
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          Dedup.firstCollisionOnly(col("a.bks"), col("b.bks"), col("a.band")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.v").as("qv"), col("b.v").as("cv"))
-      .distinct()
     cand.withColumn("cos", cosine(col("qv"), col("cv")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
