@@ -172,6 +172,24 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition filters over the corpus: top-unigram /
+    * top-bigram / duplicate-unigram fractions with an integer-decided
+    * keep gate. */
+  def q56Repetition(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.repetitionStats(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4-style rule gate: per-document rule verdicts + keep conjunction. */
+  def q57QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.qualityGate(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", stopwords, blocklist = Seq("slow"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def q23SimTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -317,6 +335,8 @@ object PipelineQueries {
     "q53_decontam"     -> q53Decontam _,
     "q54_pii_redact"   -> q54PiiRedact _,
     "q55_embed_dup"    -> q55EmbedDup _,
+    "q56_repetition"   -> q56Repetition _,
+    "q57_quality_gate" -> q57QualityGate _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -727,6 +747,53 @@ object PipelineQueries {
     "q22_simhash" -> simhashSql,
     "q25_sim_lsh" -> lshSql,
     "q55_embed_dup" -> embedDupSql,
+    "q56_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |u AS (
+        |  SELECT doc_id, t, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM base) GROUP BY doc_id, t),
+        |uni AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(n) AS BIGINT) AS top_uni
+        |  FROM u GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, b, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(0, greatest(len(toks) - 2, 0)),
+        |      i -> array_to_string(toks[i+1:i+2], ' '))) AS b FROM base)
+        |  GROUP BY doc_id, b),
+        |bi AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |    CAST(max(n) AS BIGINT) AS top_bi
+        |  FROM bg GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(top_uni AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_unigram_frac,
+        |  CAST(top_bi AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
+        |  CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_unigram_frac,
+        |  (top_uni * 5 <= n_tokens AND top_bi * 2 <= n_bigrams
+        |   AND (n_tokens - n_distinct) * 10 <= n_tokens * 7) AS keep
+        |FROM uni JOIN bi USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q57_quality_gate" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  len(toks) BETWEEN 10 AND 1000 AS ok_len,
+        |  (length(regexp_replace(text, '\\s', '', 'g')) >= len(toks) * 3 AND
+        |   length(regexp_replace(text, '\\s', '', 'g')) <= len(toks) * 10) AS ok_word_len,
+        |  len(list_filter(toks, x -> x IN ($stopList))) > 0 AS has_stop,
+        |  len(list_filter(toks, x -> x IN ('slow'))) = 0 AS no_block,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 5 >= length(text) * 4 AS ok_alpha,
+        |  (len(toks) BETWEEN 10 AND 1000 AND
+        |   length(regexp_replace(text, '\\s', '', 'g')) >= len(toks) * 3 AND
+        |   length(regexp_replace(text, '\\s', '', 'g')) <= len(toks) * 10 AND
+        |   len(list_filter(toks, x -> x IN ($stopList))) > 0 AND
+        |   len(list_filter(toks, x -> x IN ('slow'))) = 0 AND
+        |   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 5 >= length(text) * 4) AS keep
+        |FROM base
+        |ORDER BY doc_id""".stripMargin,
     "q23_sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (

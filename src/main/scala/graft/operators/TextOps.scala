@@ -120,6 +120,77 @@ object TextOps {
     * `chunk_id = start/stride` is derivable (no ordinal dependence on
     * execution order). Emits (idCol, chunk_id, chunk_tokens, chunk_text).
     */
+  /** Gopher-style repetition statistics (the repetition filters of the
+    * large-corpus curation recipe, re-derived): per document the
+    * most-frequent-unigram fraction, most-frequent-bigram fraction, and
+    * duplicate-unigram fraction, plus a `keep` gate. Thresholds are
+    * rationals applied by integer cross-multiplication — no float
+    * comparisons, so the gate is bit-stable across engines. Two
+    * explode→count shapes (shuffle on (id, gram), partial-agg friendly);
+    * the reported fractions are exact int/int double divisions. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String,
+                      maxTopUnigram: (Int, Int) = (1, 5),
+                      maxTopBigram: (Int, Int) = (1, 2),
+                      maxDupUnigram: (Int, Int) = (7, 10)): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val uni = base.select(col("id"), explode(col("toks")).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"), max(col("n")).as("top_uni"))
+    // bigram i = tokens[i .. i+1]; single-token docs degenerate to the
+    // token itself (mirrored verbatim in the oracle arithmetic)
+    val bigramArr = transform(
+      sequence(lit(0), greatest(size(col("toks")) - 2, lit(0))),
+      i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))
+    val bi = base.select(col("id"), explode(bigramArr).as("b"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).cast("long").as("n_bigrams"), max(col("n")).as("top_bi"))
+    uni.join(bi, "id")
+      .select(col("id").as(idCol), col("n_tokens"), col("n_distinct"),
+        (col("top_uni").cast("double") / col("n_tokens").cast("double"))
+          .as("top_unigram_frac"),
+        (col("top_bi").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"),
+        ((col("n_tokens") - col("n_distinct")).cast("double")
+          / col("n_tokens").cast("double")).as("dup_unigram_frac"),
+        (col("top_uni") * maxTopUnigram._2 <= col("n_tokens") * maxTopUnigram._1 &&
+          col("top_bi") * maxTopBigram._2 <= col("n_bigrams") * maxTopBigram._1 &&
+          (col("n_tokens") - col("n_distinct")) * maxDupUnigram._2
+            <= col("n_tokens") * maxDupUnigram._1).as("keep"))
+  }
+
+  /** C4-style rule-based quality gate (the web-corpus cleaning recipe,
+    * re-derived for this corpus): token-count bounds, mean-token-length
+    * bounds, stopword presence, blocklist absence, alphabetic-character
+    * floor. Every rule is a pure per-row Column expression decided by
+    * integer arithmetic — zero shuffles, whole-stage codegen, engine-exact
+    * booleans. Emits one row per document with the individual rule
+    * verdicts (for curation dashboards) and the conjunction `keep`. */
+  def qualityGate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, stopwords: Seq[String],
+                  blocklist: Seq[String], minTokens: Int = 10,
+                  maxTokens: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("long")
+    val tokChars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    df.select(col(idCol),
+        nTok.as("n_tokens"),
+        (nTok >= minTokens && nTok <= maxTokens).as("ok_len"),
+        (tokChars >= nTok * 3 && tokChars <= nTok * 10).as("ok_word_len"),
+        (size(filter(toks, x => x.isin(stopwords.map(lit(_)): _*))) > 0)
+          .as("has_stop"),
+        (size(filter(toks, x => x.isin(blocklist.map(lit(_)): _*))) === 0)
+          .as("no_block"),
+        (alpha * 5 >= length(t).cast("long") * 4).as("ok_alpha"))
+      .withColumn("keep", col("ok_len") && col("ok_word_len") &&
+        col("has_stop") && col("no_block") && col("ok_alpha"))
+  }
+
   def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
