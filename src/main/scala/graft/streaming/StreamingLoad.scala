@@ -76,6 +76,49 @@ object StreamingLoad {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  case class FpDoc(doc_id: Long, text: String, fp: String)
+  case class SeenFp(fp: String, keep_id: Long, n_dupes: Long)
+  case class DedupDecision(doc_id: Long, fp: String, is_first: Boolean)
+
+  /** Dedup-on-ingest: exact-fingerprint streaming dedup across
+    * micro-batches. Keyed state (`flatMapGroupsWithState` on the text
+    * fingerprint — the streaming twin of [[graft.operators.Dedup.exact]])
+    * remembers the first-seen document per fingerprint; later copies, in
+    * the same batch or any later one, are emitted flagged `is_first =
+    * false` so the caller can route them (drop, count, audit). Within a
+    * batch the lowest id wins — deterministic under redelivery, so
+    * at-least-once input still yields exactly-one kept doc per
+    * fingerprint. State is one (fp, keep_id, count) row per DISTINCT
+    * document — the corpus-dedup memory a 100 TB ingest keeps anyway,
+    * sharded across executors by the groupByKey hash. */
+  def dedupStream(docs: DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val withFp = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"),
+        graft.operators.TextOps.fingerprint(col(textCol)).as("fp"))
+      .as[FpDoc]
+    withFp.groupByKey(_.fp)
+      .flatMapGroupsWithState[SeenFp, DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fp: String, rows: Iterator[FpDoc], state: GroupState[SeenFp]) =>
+          val batch = rows.toSeq.sortBy(_.doc_id)
+          state.getOption match {
+            case Some(seen) =>
+              // redelivery of the kept doc is not a dupe — idempotent
+              val dupes = batch.filterNot(_.doc_id == seen.keep_id)
+              state.update(seen.copy(n_dupes = seen.n_dupes + dupes.size))
+              dupes.iterator.map(d => DedupDecision(d.doc_id, fp, is_first = false))
+            case None =>
+              val first = batch.head
+              state.update(SeenFp(fp, first.doc_id, batch.size - 1L))
+              Iterator.single(DedupDecision(first.doc_id, fp, is_first = true)) ++
+                batch.tail.iterator.map(d => DedupDecision(d.doc_id, fp, is_first = false))
+          }
+      }
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 
