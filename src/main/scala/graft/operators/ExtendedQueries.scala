@@ -169,6 +169,20 @@ object ExtendedQueries {
       .orderBy(col("decile"))
   }
 
+  /** Keyed delete (K6 `deleteFromDB`, `Wrap/DB.pm:423-450`): remove every
+    * customer that placed a high-value order — an anti join on the key
+    * relation (one shuffle; a broadcastable delete set becomes a
+    * broadcast anti join, never a scan-and-mutate loop). */
+  def q59KeyedDelete(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val dels = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    MergeOps.deleteByKey(cust, dels, Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Skew diagnosis: the hot-key histogram (SkewOps.keyHistogram). */
   def q47KeyHistogram(spark: SparkSession, dir: String): DataFrame =
     SkewOps.keyHistogram(Tables.events(spark, dir), "user_id", topN = 20)
@@ -189,6 +203,7 @@ object ExtendedQueries {
     "q45_hourly_events"   -> q45HourlyEvents _,
     "q46_pivot"           -> q46Pivot _,
     "q40_update_only"     -> q40UpdateOnly _,
+    "q59_keyed_delete"    -> q59KeyedDelete _,
     "q38_salted_join"     -> q38SaltedJoin _,
     "q39_count_distinct"  -> q39CountDistinct _,
     "q31_sql_passthrough" -> q31SqlPassthrough _,
@@ -229,6 +244,11 @@ object ExtendedQueries {
         |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q59_keyed_delete" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
     "q38_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

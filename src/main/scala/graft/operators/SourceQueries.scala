@@ -34,6 +34,27 @@ object SourceQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Fixed-width roundtrip over nation (S2 `format_poslen` + K1's
+    * `sprintf("%-*s")` pad flavor): written left-aligned space-padded,
+    * read back by byte offsets, trimmed — certifying the positional
+    * column contract end-to-end. */
+  def q58FixedWidthRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("string"), col("n_name"),
+        col("n_regionkey").cast("string"))
+      .orderBy(col("n_nationkey").cast("int"))
+    val file = Files.createTempDirectory("graft-q58-").resolve("nation.fix").toString
+    TextSink.write(nation,
+      TextWriteFormat(columns = Seq("n_nationkey", "n_name", "n_regionkey"),
+        padLen = Seq(4, 28, 4)), file)
+    val fmt = TextFormat(header = Seq("n_nationkey", "n_name", "n_regionkey"),
+      poslen = Seq((0, 4), (4, 32), (32, 36)), skip = 1)
+    TextSource.read(spark, Seq(file), fmt)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("int").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** xlsx roundtrip over supplier (numbers survive as numeric cells). */
   def q27XlsxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(spark, dir)
@@ -144,10 +165,13 @@ object SourceQueries {
     "q28_xml_roundtrip"  -> q28XmlRoundtrip _,
     "q29_load_pipeline"  -> q29LoadPipeline _,
     "q49_xls_roundtrip"  -> q49XlsRoundtrip _,
+    "q58_fixed_width"    -> q58FixedWidthRoundtrip _,
   )
 
   val oracles: Map[String, String] = Map(
     "q26_text_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q58_fixed_width" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q27_xlsx_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
