@@ -191,12 +191,18 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x)
         when(proj > 0, lit(1L << bi)).otherwise(lit(0L))
       }.reduce(_ + _)
+    // projections and the vector norm are computed ONCE per vector and
+    // cached: the self-join would otherwise re-run the 32 interpreted
+    // higher-order folds on both sides, and the verify stage would redo
+    // both norms per candidate pair (same shared-relation discipline as
+    // the shingle cache in [[Dedup.minhashLshPairs]])
     val banded = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"),
+      .select(col("id"), col("v"), norm(col("v")).as("nrm"),
         array((0 until bands).map(b => bandBucket(col("v"), b)): _*).as("bks"))
-      .select(col("id"), col("v"), col("bks"),
+      .select(col("id"), col("v"), col("nrm"), col("bks"),
         posexplode(col("bks")).as(Seq("band", "bucket")))
+      .cache()
     // emit-once: a pair colliding in several bands surfaces only at its
     // first colliding band ([[Dedup.firstCollisionOnly]]) — no distinct
     val cand = banded.as("a")
@@ -205,8 +211,9 @@ object Similarity {
           col("a.id") < col("b.id") &&
           Dedup.firstCollisionOnly(col("a.bks"), col("b.bks"), col("a.band")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("qv"), col("b.v").as("cv"))
-    cand.withColumn("cos", cosine(col("qv"), col("cv")))
+        col("a.v").as("qv"), col("b.v").as("cv"),
+        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
+    cand.withColumn("cos", dot(col("qv"), col("cv")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
