@@ -137,9 +137,11 @@ object PipelineQueries {
   def q53Decontam(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sampling.withSplit(dupCorpus(spark, dir), "doc_id",
       Seq("train" -> 0.9, "test" -> 0.1), seed = 13L)
+    // cache: both the train and the test branch filter this relation —
+    // without it the explode+distinct shuffle runs twice
     val sh = docs.select(col("doc_id"), col("split"),
         explode(Dedup.shingles(col("text"), 8)).as("sh"))
-      .filter(length(col("sh")) > 0).distinct()
+      .filter(length(col("sh")) > 0).distinct().cache()
     val train = sh.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("sh"))
     val test = sh.filter(col("split") === "test")
