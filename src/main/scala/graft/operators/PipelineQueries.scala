@@ -184,6 +184,15 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing sketch of every document: (doc_id, fingerprint) pairs from
+    * 8-gram rolling hashes winnowed by windows of 4 — the oracle replays
+    * the identical char/gram/window arithmetic in DuckDB. */
+  def q60Winnow(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.winnow(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8, w = 4)
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
   /** C4-style rule gate: per-document rule verdicts + keep conjunction. */
   def q57QualityGate(spark: SparkSession, dir: String): DataFrame = {
     TextOps.qualityGate(
@@ -339,6 +348,7 @@ object PipelineQueries {
     "q55_embed_dup"    -> q55EmbedDup _,
     "q56_repetition"   -> q56Repetition _,
     "q57_quality_gate" -> q57QualityGate _,
+    "q60_winnow"       -> q60Winnow _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -777,6 +787,25 @@ object PipelineQueries {
         |   AND (n_tokens - n_distinct) * 10 <= n_tokens * 7) AS keep
         |FROM uni JOIN bi USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q60_winnow" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text)),
+        |      j -> CAST(ord(substring(text, j, 1)) AS BIGINT)) AS chars,
+        |    length(text) AS len
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(generate_series(0, greatest(len - 8, 0)),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), chars[i+1:i+8]),
+        |         (acc, ch) -> (acc * 257 + ch) % 2147483647)) AS grams
+        |  FROM c),
+        |w AS (
+        |  SELECT doc_id, list_transform(generate_series(0, greatest(len(grams) - 4, 0)),
+        |    j -> list_aggregate(grams[j+1:j+4], 'min')) AS wins
+        |  FROM g)
+        |SELECT doc_id, CAST(unnest(list_distinct(wins)) AS BIGINT) AS fp
+        |FROM w
+        |ORDER BY doc_id, fp""".stripMargin,
     "q57_quality_gate" ->
       s"""WITH base AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
