@@ -113,6 +113,17 @@ object PlanAudit {
     // exchange is the stratum window + gate sort
     check("q51 sample has no join", !plan("q51_sample").contains("Join"))
 
+    // q57/q60: pure per-row programs — only the gate orderBy may exchange
+    val p57 = plan("q57_quality_gate")
+    check("q57 quality gate has no shuffle beyond the gate sort",
+      "Exchange".r.findAllIn(p57).size <= 1)
+    check("q57 quality gate stays in codegen", p57.contains("*("))
+    check("q60 winnowing has no shuffle beyond the gate sort",
+      "Exchange".r.findAllIn(plan("q60_winnow")).size <= 1)
+    // q56 repetition: both gram branches aggregate partially before exchange
+    check("q56 repetition has partial aggregation",
+      plan("q56_repetition").contains("partial_"))
+
     // partitioned layout: a partition predicate must prune directories
     {
       import graft.sinks.ParquetTable
