@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import graft.operators.{Dedup, Sampling, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative corpus-curation pipeline — the training-data twin of the
+  * config-driven ETL loads (`ConfigFiles`/`LoadRunner`): a corpus flows
+  * through an ordered list of [[CurationPipeline.Step]]s, each a
+  * DataFrame→DataFrame program built from the verified operator library
+  * (quality gates, dedup families, decontamination, sampling, chunking).
+  * Steps only ever *filter or transform* — every decision is made by the
+  * same deterministic, engine-exact arithmetic the driver gates verify
+  * (q19/q20/q50/q51/q52/q53/q56/q57), so a pipeline run is reproducible
+  * on any cluster layout.
+  *
+  * Scale shape: filters compose into one plan (Catalyst fuses the
+  * per-row gates into a single pass); the dedup/decontamination steps
+  * are the shingle equi-join shapes from [[Dedup]] — never all-pairs.
+  */
+object CurationPipeline {
+
+  sealed trait Step
+
+  /** C4-style rule gate ([[TextOps.qualityGate]]); drops docs failing any
+    * rule. */
+  final case class QualityGate(stopwords: Seq[String],
+                               blocklist: Seq[String] = Nil,
+                               minTokens: Int = 10,
+                               maxTokens: Int = 1000) extends Step
+
+  /** Gopher-style repetition gate ([[TextOps.repetitionStats]]). */
+  final case class RepetitionFilter(
+      maxTopUnigram: (Int, Int) = (1, 5),
+      maxTopBigram: (Int, Int) = (1, 2),
+      maxDupUnigram: (Int, Int) = (7, 10)) extends Step
+
+  /** Exact dedup: keep the lowest-id doc per text fingerprint. */
+  case object ExactDedup extends Step
+
+  /** Near-dedup: n-gram Jaccard pairs → connected components → keep only
+    * each group's canonical (minimum-id) document. */
+  final case class NearDedup(n: Int = 5, threshold: Double = 0.5) extends Step
+
+  /** Benchmark decontamination: drop every corpus doc sharing at least
+    * `minCommon` distinct `ngram`-shingles with the holdout corpus (the
+    * eval set that must not leak into training data). */
+  final case class Decontaminate(holdout: DataFrame, ngram: Int = 8,
+                                 minCommon: Int = 5) extends Step
+
+  /** Balanced quota: keep min(k, |stratum|) docs per stratum, hash-chosen
+    * ([[Sampling.stratifiedQuota]]); adds `sample_rank`. */
+  final case class StratifiedSample(strataCol: String, k: Int,
+                                    seed: Long = 42L) extends Step
+
+  /** Stable train/val/test assignment by key hash; adds `split`. */
+  final case class Split(splits: Seq[(String, Double)],
+                         seed: Long = 42L) extends Step
+
+  /** Sliding-window chunking ([[TextOps.chunkTokens]]) — terminal step:
+    * the output rows are chunks, not documents. */
+  final case class Chunk(size: Int, stride: Int) extends Step
+
+  /** Run `steps` in order over `corpus`. Filters preserve the incoming
+    * columns; [[Split]]/[[StratifiedSample]] add their marker column;
+    * [[Chunk]] (if present) must be last. */
+  def run(corpus: DataFrame, idCol: String, textCol: String,
+          steps: Seq[Step]): DataFrame = {
+    steps.dropRight(1).foreach(s => require(!s.isInstanceOf[Chunk],
+      "Chunk transforms docs into chunks and must be the last step"))
+    steps.foldLeft(corpus) { (docs, step) =>
+      step match {
+        case QualityGate(sw, bl, mn, mx) =>
+          val keep = TextOps.qualityGate(
+              docs.select(col(idCol), col(textCol)), idCol, textCol, sw, bl, mn, mx)
+            .filter(col("keep")).select(col(idCol))
+          docs.join(keep, Seq(idCol), "left_semi")
+
+        case RepetitionFilter(tu, tb, du) =>
+          val keep = TextOps.repetitionStats(
+              docs.select(col(idCol), col(textCol)), idCol, textCol, tu, tb, du)
+            .filter(col("keep")).select(col(idCol))
+          docs.join(keep, Seq(idCol), "left_semi")
+
+        case ExactDedup =>
+          val keep = Dedup.exact(docs, idCol, textCol)
+            .select(col("keep_id").as(idCol))
+          docs.join(keep, Seq(idCol), "left_semi")
+
+        case NearDedup(n, th) =>
+          val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, n, th)
+          val canonical = Dedup.dupGroups(docs, idCol, pairs)
+            .filter(col("is_canonical")).select(col("id").as(idCol))
+          docs.join(canonical, Seq(idCol), "left_semi")
+
+        case Decontaminate(holdout, n, minCommon) =>
+          val corpusSh = docs
+            .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("sh"))
+            .filter(length(col("sh")) > 0).distinct()
+          val holdSh = holdout
+            .select(explode(Dedup.shingles(col(textCol), n)).as("sh"))
+            .filter(length(col("sh")) > 0).distinct()
+          val contaminated = corpusSh.join(holdSh, "sh")
+            .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") >= minCommon).select(col(idCol))
+          docs.join(contaminated, Seq(idCol), "left_anti")
+
+        case StratifiedSample(sc, k, seed) =>
+          Sampling.stratifiedQuota(docs, sc, idCol, k, seed)
+
+        case Split(splits, seed) =>
+          Sampling.withSplit(docs, idCol, splits, seed)
+
+        case Chunk(size, stride) =>
+          TextOps.chunkTokens(docs, idCol, textCol, size, stride)
+      }
+    }
+  }
+}

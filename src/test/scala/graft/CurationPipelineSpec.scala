@@ -1,0 +1,70 @@
+package graft
+
+import graft.pipeline.CurationPipeline
+import graft.pipeline.CurationPipeline._
+
+/** End-to-end declarative curation: each step removes exactly the doc
+  * planted to trip it, and the terminal chunking emits the survivors'
+  * windows. */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stop = Seq("the", "a", "of")
+
+  // doc 1: clean;  2: exact copy of 1;  3: near copy of 1 (last word
+  // changed);  4: too short;  5: repetitive;  6: clean and unique
+  private def corpus() = Seq(
+    (1L, "the quick brown fox jumps over a lazy dog today"),
+    (2L, "the quick brown fox jumps over a lazy dog today"),
+    (3L, "the quick brown fox jumps over a lazy dog yesterday"),
+    (4L, "zzz qqq"),
+    (5L, "the spam spam spam spam spam spam spam"),
+    (6L, "a small green apple fell from that old tree quickly"),
+  ).toDF("doc_id", "text")
+
+  test("each gate removes its planted doc; chunking emits survivor windows") {
+    val out = CurationPipeline.run(corpus(), "doc_id", "text", Seq(
+      QualityGate(stop, minTokens = 5, maxTokens = 100),
+      RepetitionFilter(),
+      ExactDedup,
+      NearDedup(n = 5, threshold = 0.5),
+      Chunk(size = 5, stride = 5)))
+    val rows = out.orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // survivors 1 and 6 (10 tokens each) → two 5-token chunks apiece
+    assert(rows.toSeq == Seq((1L, 0L), (1L, 1L), (6L, 0L), (6L, 1L)))
+  }
+
+  test("intermediate steps preserve doc columns; sample/split add markers") {
+    val out = CurationPipeline.run(corpus(), "doc_id", "text", Seq(
+      QualityGate(stop, minTokens = 5, maxTokens = 100),
+      Split(Seq("train" -> 0.5, "test" -> 0.5), seed = 11L)))
+    assert(out.columns.toSeq == Seq("doc_id", "text", "split"))
+    assert(out.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "test")))
+  }
+
+  test("decontaminate drops docs overlapping the holdout corpus") {
+    // holdout shares the 12-token prefix of doc 6's pattern? craft overlap:
+    // a holdout doc containing a 12-token run of doc 1 → 5 common 8-shingles
+    val holdout = Seq(
+      (100L, "benchmark says the quick brown fox jumps over a lazy dog today indeed"),
+    ).toDF("doc_id", "text")
+    val out = CurationPipeline.run(corpus(), "doc_id", "text", Seq(
+      ExactDedup,
+      Decontaminate(holdout, ngram = 8, minCommon = 3)))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 1 shares 3 of its 8-shingles with the holdout → dropped (doc 2
+    // already collapsed into 1). Doc 3's changed last word leaves it only
+    // 2 common shingles → below minCommon, kept. 4/5/6 untouched.
+    assert(ids == Set(3L, 4L, 5L, 6L))
+  }
+
+  test("Chunk must be terminal") {
+    val err = intercept[IllegalArgumentException] {
+      CurationPipeline.run(corpus(), "doc_id", "text",
+        Seq(Chunk(5, 5), ExactDedup))
+    }
+    assert(err.getMessage.contains("last step"))
+  }
+}
