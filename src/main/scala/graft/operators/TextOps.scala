@@ -125,27 +125,18 @@ object TextOps {
     * sliding window of `w` consecutive gram hashes, distinct minima = the
     * document's sketch. Near-identical documents share most sketch values,
     * so a sketch equi-join finds copied passages — position-robust, unlike
-    * whole-text fingerprints. Pure per-row Column program (explode is the
-    * only amplification); the char/gram arrays are bound once per row in
-    * projections so evaluation is O(len·k), not O(len²). The 31-bit
+    * whole-text fingerprints. The sketch is one native codegen'd
+    * expression ([[graft.plans.WinnowSketch]]: a tight primitive loop —
+    * higher-order-function trees evaluate interpreted and were ~100×
+    * slower per row); explode is the only amplification. The 31-bit
     * polynomial hash is the engine-portable [[Dedup.polyHash]] arithmetic,
     * so an oracle can recompute sketches bit-exactly. Emits (idCol, fp). */
   def winnow(df: org.apache.spark.sql.DataFrame, idCol: String,
              textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
-    val p = 2147483647L
-    val b = 257L
-    val t = col(textCol)
-    val chars = transform(sequence(lit(1), length(t)),
-      j => ascii(t.substr(j, lit(1))).cast("long"))
-    df.select(col(idCol), chars.as("__chars"), length(t).as("__len"))
-      .select(col(idCol),
-        transform(sequence(lit(0), greatest(col("__len") - k, lit(0))),
-          i => aggregate(slice(col("__chars"), i + 1, lit(k)), lit(0L),
-            (acc, c) => pmod(acc * b + c, lit(p)))).as("__grams"))
-      .select(col(idCol),
-        transform(sequence(lit(0), greatest(size(col("__grams")) - w, lit(0))),
-          j => array_min(slice(col("__grams"), j + 1, lit(w)))).as("__wins"))
-      .select(col(idCol), explode(array_distinct(col("__wins"))).as("fp"))
+    import org.apache.spark.sql.GraftColumnBridge
+    val sketch = GraftColumnBridge.column(
+      graft.plans.WinnowSketch(GraftColumnBridge.expression(col(textCol)), k, w))
+    df.select(col(idCol), explode(sketch).as("fp"))
   }
 
   /** Gopher-style repetition statistics (the repetition filters of the

