@@ -95,6 +95,28 @@ object SourceQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** JSON-lines roundtrip over supplier — the corpus-interchange format.
+    * Written via the native json sink; read back with an EXPLICIT schema
+    * (schema-on-read contract: no inference pass over 100 TB). Doubles
+    * survive bit-exactly (shortest round-trip encoding). */
+  def q61JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    val out = Files.createTempDirectory("graft-q61-").resolve("supplier_json").toString
+    sup.write.mode("overwrite").json(out)
+    spark.read.schema(sup.schema).json(out).orderBy(col("s_suppkey"))
+  }
+
+  /** ORC roundtrip over part (the columnar alternative when a deployment
+    * standardizes on ORC): native vectorized reader/writer, binary-exact. */
+  def q62OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+    val out = Files.createTempDirectory("graft-q62-").resolve("part_orc").toString
+    part.write.mode("overwrite").orc(out)
+    spark.read.orc(out).orderBy(col("p_partkey"))
+  }
+
   /** XML roundtrip over region: document built driver-side (25 rows),
     * parsed back distributed with an absolute-XPath constant column. */
   def q28XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -166,6 +188,8 @@ object SourceQueries {
     "q29_load_pipeline"  -> q29LoadPipeline _,
     "q49_xls_roundtrip"  -> q49XlsRoundtrip _,
     "q58_fixed_width"    -> q58FixedWidthRoundtrip _,
+    "q61_json_roundtrip" -> q61JsonRoundtrip _,
+    "q62_orc_roundtrip"  -> q62OrcRoundtrip _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,6 +197,10 @@ object SourceQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q58_fixed_width" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q61_json_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "q62_orc_roundtrip" ->
+      "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part ORDER BY p_partkey",
     "q27_xlsx_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "q49_xls_roundtrip" ->
