@@ -29,13 +29,18 @@ object TextOps {
   /** Ratio of tokens found in `words` (e.g. stopwords) — array_intersect-free
     * so duplicated stopwords still count. */
   def wordRatio(text: Column, words: Seq[String]): Column = {
-    val toks = tokens(text)
-    val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
-    hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
+    val hits = matchCount(text, words)
+    hits.cast("double") / greatest(size(tokens(text)), lit(1)).cast("double")
   }
 
-  def matchCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+  /** Native codegen'd token-in-set counting ([[graft.plans.TokenMatchCount]]
+    * — semantics of `size(filter(tokens(text), isin(words)))`, ~one order
+    * of magnitude faster per row than the interpreted lambda tree). */
+  def matchCount(text: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.TokenMatchCount(GraftColumnBridge.expression(text), words))
+  }
 
   /** Punctuation count (non-alphanumeric, non-space chars). */
   def punctCount(text: Column): Column =
@@ -201,10 +206,8 @@ object TextOps {
         nTok.as("n_tokens"),
         (nTok >= minTokens && nTok <= maxTokens).as("ok_len"),
         (tokChars >= nTok * 3 && tokChars <= nTok * 10).as("ok_word_len"),
-        (size(filter(toks, x => x.isin(stopwords.map(lit(_)): _*))) > 0)
-          .as("has_stop"),
-        (size(filter(toks, x => x.isin(blocklist.map(lit(_)): _*))) === 0)
-          .as("no_block"),
+        (matchCount(t, stopwords) > 0).as("has_stop"),
+        (matchCount(t, blocklist) === 0).as("no_block"),
         (alpha * 5 >= length(t).cast("long") * 4).as("ok_alpha"))
       .withColumn("keep", col("ok_len") && col("ok_word_len") &&
         col("has_stop") && col("no_block") && col("ok_alpha"))

@@ -40,6 +40,23 @@ object GraftExpressions {
       case None => null
     }
 
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Count of whitespace tokens of `trim(s)` present in `words` —
+    * identical semantics to `size(filter(split(trim(s), "\\s+"),
+    * isin(words)))` in one primitive pass (the HOF tree evaluates
+    * interpreted per token). */
+  def tokenMatchCount(s: UTF8String, words: java.util.HashSet[String]): Int = {
+    val toks = WsPattern.split(s.toString.trim, -1)
+    var c = 0
+    var i = 0
+    while (i < toks.length) {
+      if (words.contains(toks(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Winnowing sketch over code points: polynomial k-gram hashes
     * (acc·257 + cp mod 2³¹−1, the [[graft.operators.Dedup.polyHash]]
     * arithmetic), minima over windows of `w` grams, distinct in
@@ -191,6 +208,36 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s =>
       s"graft.plans.GraftExpressions.winnowSketch($s, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Stopword / marker-word / blocklist hit counting
+  * ([[graft.operators.TextOps.matchCount]]'s hot path) as one codegen'd
+  * expression: tokenize once, probe a shared hash set — replaces the
+  * interpreted per-token `filter`+`isin` lambda tree that dominated the
+  * text-quality and language-ID scans. */
+case class TokenMatchCount(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val h = new java.util.HashSet[String]()
+    words.foreach(h.add)
+    h
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftExpressions.tokenMatchCount(s.asInstanceOf[UTF8String], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSet", wordSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, s =>
+      s"graft.plans.GraftExpressions.tokenMatchCount($s, (java.util.HashSet) $ref)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
