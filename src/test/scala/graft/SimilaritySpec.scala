@@ -63,6 +63,22 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(r => r.getDouble(2) <= 1.0 + 1e-12))
   }
 
+  test("multi-probe IVF: nProbe=nlist equals brute force; nProbe=1 equals single-probe") {
+    val df = blobs()
+    val queries = df.filter(col("vec_id") < 2)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // full probing degenerates to exact brute force
+    assert(pairs(Similarity.ivfTopKMultiProbe(queries, df, "vec_id", "embedding",
+        k = 3, nlist = 2, nProbe = 2, iters = 4)) ==
+      pairs(Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", k = 3)))
+    // single probe matches the single-probe trained path
+    assert(pairs(Similarity.ivfTopKMultiProbe(queries, df, "vec_id", "embedding",
+        k = 3, nlist = 2, nProbe = 1, iters = 4)) ==
+      pairs(Similarity.ivfTopKTrained(queries, df, "vec_id", "embedding",
+        k = 3, nlist = 2, iters = 4)))
+  }
+
   test("ivfTopKTrained matches brute force within the query's blob") {
     val df = blobs()
     val queries = df.filter(col("vec_id") < 2)
