@@ -184,6 +184,24 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end curation COMPOSITION gate: the declarative
+    * [[graft.pipeline.CurationPipeline]] (quality rules → exact dedup →
+    * chunking) over a dup-seeded corpus, with the oracle recomputing the
+    * entire chain in SQL — certifying not just each operator but their
+    * composition. */
+  def q63Curation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.CurationPipeline
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    CurationPipeline.run(corpus, "doc_id", "text", Seq(
+        CurationPipeline.QualityGate(stopwords, blocklist = Seq("slow")),
+        CurationPipeline.ExactDedup,
+        CurationPipeline.Chunk(size = 64, stride = 48)))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Winnowing sketch of every document: (doc_id, fingerprint) pairs from
     * 8-gram rolling hashes winnowed by windows of 4 — the oracle replays
     * the identical char/gram/window arithmetic in DuckDB. */
@@ -349,6 +367,7 @@ object PipelineQueries {
     "q56_repetition"   -> q56Repetition _,
     "q57_quality_gate" -> q57QualityGate _,
     "q60_winnow"       -> q60Winnow _,
+    "q63_curation"     -> q63Curation _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -787,6 +806,39 @@ object PipelineQueries {
         |   AND (n_tokens - n_distinct) * 10 <= n_tokens * 7) AS keep
         |FROM uni JOIN bi USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q63_curation" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 4 = 0),
+        |toked AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+        |pass AS (
+        |  SELECT doc_id, text, toks FROM toked
+        |  WHERE len(toks) BETWEEN 10 AND 1000
+        |    AND length(regexp_replace(text, '\\s', '', 'g')) >= len(toks) * 3
+        |    AND length(regexp_replace(text, '\\s', '', 'g')) <= len(toks) * 10
+        |    AND len(list_filter(toks, x -> x IN ($stopList))) > 0
+        |    AND len(list_filter(toks, x -> x IN ('slow'))) = 0
+        |    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 5 >= length(text) * 4),
+        |dedup AS (
+        |  SELECT doc_id, toks FROM (
+        |    SELECT doc_id, toks, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |    FROM pass) t WHERE rn = 1),
+        |st AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(list_filter(list_transform(
+        |      generate_series(0, len(toks) // 48), i -> i * 48),
+        |      s -> s < len(toks))) AS s
+        |  FROM dedup)
+        |SELECT doc_id,
+        |  CAST(s // 48 AS BIGINT) AS chunk_id,
+        |  CAST(least(n - s, 64) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(toks[s+1:s+64], ' ') AS chunk_text
+        |FROM st
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q60_winnow" ->
       """WITH c AS (
         |  SELECT doc_id,
