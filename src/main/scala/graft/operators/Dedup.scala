@@ -22,14 +22,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** Word n-gram shingles of the normalized text. */
+  /** Word n-gram shingles of the normalized text — one native codegen'd
+    * pass ([[graft.plans.ShingleArray]]; the declarative
+    * transform/slice/concat_ws tree evaluated interpreted per shingle,
+    * which dominated every Jaccard-family scan). */
   def shingles(text: Column, n: Int): Column = {
-    val toks = split(TextOps.normalizeText(text), " ")
-    // slide an index window: shingle i = tokens[i .. i+n-1]
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      s => length(s) > 0)
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.ShingleArray(GraftColumnBridge.expression(text), n))
   }
 
   /** Exact dedup: keep the lowest-id representative per fingerprint.
@@ -208,14 +208,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** Portable 31-bit polynomial token hash: left fold over characters,
+  /** Portable 31-bit polynomial token hash: left fold over code points,
     * acc = (acc*31 + codepoint) mod (2^31 - 1). Unlike xxhash64 this is
     * expressible identically in any engine with a list fold (the DuckDB
     * oracle recomputes it verbatim), making simhash results cross-engine
-    * verifiable. Products stay < 2^36 — no overflow under ANSI mode. */
-  def polyHash(t: Column): Column =
-    aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
-      lit(0L), (acc, c) => pmod(acc * 31 + c, lit(2147483647L)))
+    * verifiable. Products stay < 2^36 — no overflow under ANSI mode.
+    * Native codegen'd ([[graft.plans.PolyHash]]). */
+  def polyHash(t: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.PolyHash(GraftColumnBridge.expression(t)))
+  }
 
   /** Oracle-checkable SimHash: 60-bit signature where bit i's per-token
     * contribution is the sign of a universal hash (a_i*h + b_i) mod p of the

@@ -57,6 +57,46 @@ object GraftExpressions {
     c
   }
 
+  /** Word n-gram shingles of the normalized text — semantics identical to
+    * the declarative `filter(transform(sequence(0, greatest(size(toks)-n,
+    * 0)), i => concat_ws(" ", slice(toks, i+1, n))), length > 0)` over
+    * `split(regexp_replace(lower(trim(text)), "\s+", " "), " ")`:
+    * UTF8String.trim/toLowerCase are the exact operations Spark's
+    * trim()/lower() use, the regex collapse and the clamped windows are
+    * replayed in one pass. */
+  def shingles(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val norm = WsPattern.matcher(s.trim().toLowerCase().toString).replaceAll(" ")
+    val toks = norm.split(" ", -1)
+    val nG = math.max(toks.length - n, 0) + 1
+    val out = new java.util.ArrayList[UTF8String](nG)
+    var i = 0
+    while (i < nG) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      if (sb.length > 0) out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[UTF8String](out.size)))
+  }
+
+  /** Portable 31-bit polynomial string hash — the
+    * [[graft.operators.Dedup.polyHash]] fold (acc·31 + codepoint mod
+    * 2³¹−1) in one primitive loop. */
+  def polyHash(s: UTF8String): Long = {
+    val p = 2147483647L
+    var acc = 0L
+    val it = s.toString.codePoints().iterator()
+    while (it.hasNext) acc = (acc * 31 + it.nextInt()) % p
+    acc
+  }
+
   /** Winnowing sketch over code points: polynomial k-gram hashes
     * (acc·257 + cp mod 2³¹−1, the [[graft.operators.Dedup.polyHash]]
     * arithmetic), minima over windows of `w` grams, distinct in
@@ -208,6 +248,44 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s =>
       s"graft.plans.GraftExpressions.winnowSketch($s, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Shingle explosion's hot path ([[graft.operators.Dedup.shingles]]) as a
+  * codegen'd expression — the declarative transform/slice/concat_ws tree
+  * evaluates interpreted per shingle. Feeds every Jaccard-family dedup
+  * join and the decontamination/curation gates. */
+case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  require(n > 0, "need n > 0")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftExpressions.shingles(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.GraftExpressions.shingles($s, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Portable polynomial hash ([[graft.operators.Dedup.polyHash]]) as a
+  * codegen'd expression (the declarative char-fold runs interpreted per
+  * token). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftExpressions.polyHash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.GraftExpressions.polyHash($s)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
