@@ -38,7 +38,28 @@ object GraftExtensions {
       (args: Seq[Expression]) => CoerceNumeric(args.head)),
     ("coerce_datetime",
       info("coerce_datetime", "coerce_datetime(str) - reference datetime cascade to ODBC canonical"),
-      (args: Seq[Expression]) => CoerceDateTime(args.head)))
+      (args: Seq[Expression]) => CoerceDateTime(args.head)),
+    ("winnow_sketch",
+      info("winnow_sketch",
+        "winnow_sketch(text, k, w) - winnowing fingerprint sketch (k-gram rolling hashes, window minima)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => WinnowSketch(s, 8, 4)
+        case Seq(s, Literal(k: Int, _), Literal(w: Int, _)) => WinnowSketch(s, k, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow_sketch expects (text) or (text, k, w) with literal k/w")
+      }),
+    ("shingles",
+      info("shingles",
+        "shingles(text, n) - word n-gram shingles of the normalized text"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, Literal(n: Int, _)) => ShingleArray(s, n)
+        case _ => throw new IllegalArgumentException(
+          "shingles expects (text, n) with literal n")
+      }),
+    ("poly_hash",
+      info("poly_hash",
+        "poly_hash(str) - portable 31-bit polynomial hash (engine-recomputable)"),
+      (args: Seq[Expression]) => PolyHash(args.head)))
 
   /** Register on a live session (same effect as the extensions conf). */
   def install(spark: SparkSession): Unit = {

@@ -101,6 +101,18 @@ class NativeExpressionSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
     assert(GraftExtensions.registrations.map(_._1).toSet ==
-      Set("normalize_numerics", "coerce_numeric", "coerce_datetime"))
+      Set("normalize_numerics", "coerce_numeric", "coerce_datetime",
+        "winnow_sketch", "shingles", "poly_hash"))
+  }
+
+  test("SQL-registered winnow_sketch/shingles/poly_hash evaluate") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT size(winnow_sketch('the quick brown fox', 4, 3)) AS nw, " +
+      "size(shingles('a b c d', 2)) AS ns, poly_hash('abc') AS ph").head()
+    assert(r.getInt(0) > 0)
+    assert(r.getInt(1) == 3) // 'a b', 'b c', 'c d'
+    // ((0*31+97)%p *31+98)%p *31+99 = 97*961 + 98*31 + 99
+    assert(r.getLong(2) == 97L * 961 + 98 * 31 + 99)
   }
 }
