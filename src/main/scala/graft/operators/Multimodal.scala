@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * a `mapInPandas` pipeline: rows are processed in size-bounded batches so
   * a real decoder could amortize model/codec setup per batch).
   *
-  * The actual media decoding is STUBBED — no image/audio libraries exist in
-  * this container — with deterministic fakes that depend only on the
-  * payload bytes. Everything around the stub is real and tested: the
-  * schema contract, the batching shape, the partition parallelism, and the
-  * column plumbing. Swap `stubDecode` for a JNI/Java codec and the
-  * pipeline is production-shaped.
+  * Formats whose metadata lives in a fixed binary header — PNG, GIF, BMP,
+  * WAV — are decoded for REAL with pure-JDK header parsing
+  * ([[Multimodal.decodeReal]], exercised by `MediaHeaderSpec`). Payloads
+  * in any other format fall back to a STUBBED deterministic fake (no full
+  * codec libraries exist in this container); everything around the
+  * decoders is real and tested: the schema contract, the batching shape,
+  * the partition parallelism, and the column plumbing. Swap the fallback
+  * for a JNI/ffmpeg codec and the pipeline is production-shaped.
   */
 object Multimodal {
 
@@ -39,9 +41,76 @@ object Multimodal {
         lit(null).cast("int").as("n_frames")))
 
   // =====================================================================
-  // STUB: deterministic fake decode. A real deployment replaces ONLY the
-  // body of this function (e.g. javax.imageio / ffmpeg JNI); signature and
-  // batch shape stay.
+  // REAL pure-JDK header decoders: metadata for PNG/GIF/BMP/WAV lives in
+  // fixed-layout headers — no codec library needed to extract it.
+  // =====================================================================
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private def le(b: Array[Byte]) = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+  private def be(b: Array[Byte]) = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+  private def ascii(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length && s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+  /** PNG: 8-byte signature, then the IHDR chunk with big-endian
+    * width/height at offsets 16/20. */
+  private[graft] def pngMeta(b: Array[Byte]): Option[(String, Int, Int, Int)] =
+    if (b.length >= 24 &&
+        (b(0) & 0xFF) == 0x89 && ascii(b, 1, "PNG") &&
+        b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A &&
+        ascii(b, 12, "IHDR"))
+      Some(("image/png", be(b).getInt(16), be(b).getInt(20), 1))
+    else None
+
+  /** GIF87a/89a: little-endian logical-screen width/height at 6/8. */
+  private[graft] def gifMeta(b: Array[Byte]): Option[(String, Int, Int, Int)] =
+    if (b.length >= 10 && (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")))
+      Some(("image/gif", le(b).getShort(6) & 0xFFFF, le(b).getShort(8) & 0xFFFF, 1))
+    else None
+
+  /** BMP (BITMAPINFOHEADER): "BM", little-endian file size at 2 (checked
+    * against the payload length so text starting with "BM" can't
+    * misdetect), width/height at 18/22 (height may be negative =
+    * top-down). */
+  private[graft] def bmpMeta(b: Array[Byte]): Option[(String, Int, Int, Int)] =
+    if (b.length >= 26 && ascii(b, 0, "BM") && le(b).getInt(2) == b.length)
+      Some(("image/bmp", le(b).getInt(18), math.abs(le(b).getInt(22)), 1))
+    else None
+
+  /** WAV (RIFF/WAVE): walk the chunk list; `fmt ` gives sample rate /
+    * channels / block align, `data` gives the frame count. Reported as
+    * (width = sample rate, height = channels, n_frames = audio frames). */
+  private[graft] def wavMeta(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
+    var off = 12
+    var rate = 0
+    var channels = 0
+    var blockAlign = 0
+    var dataSize = -1
+    val bb = le(b)
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      if (id == "fmt " && off + 8 + 16 <= b.length) {
+        channels = bb.getShort(off + 10) & 0xFFFF
+        rate = bb.getInt(off + 12)
+        blockAlign = bb.getShort(off + 20) & 0xFFFF
+      } else if (id == "data") dataSize = size
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (rate > 0 && channels > 0 && blockAlign > 0 && dataSize >= 0)
+      Some(("audio/wav", rate, channels, dataSize / blockAlign))
+    else None
+  }
+
+  /** Real header decode where the format allows it; None → caller falls
+    * back to the stub. */
+  private[graft] def decodeReal(b: Array[Byte]): Option[(String, Int, Int, Int)] =
+    pngMeta(b).orElse(gifMeta(b)).orElse(bmpMeta(b)).orElse(wavMeta(b))
+
+  // =====================================================================
+  // STUB fallback for formats needing a full codec: deterministic fake.
+  // A real deployment replaces ONLY this function (e.g. javax.imageio /
+  // ffmpeg JNI); signature and batch shape stay.
   // =====================================================================
   private[operators] def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
@@ -54,25 +123,31 @@ object Multimodal {
   private[operators] def stubFeatures(payload: Array[Byte], dim: Int): Array[Float] =
     Array.tabulate(dim)(i => ((payload.length.toLong * (i + 7)) % 1000).toFloat / 1000f)
 
-  /** Batched "decode": groups each partition's rows into ≤`batchSize`
-    * batches (the mapInPandas/Arrow batch shape), runs the stub decoder
-    * per row within a batch, and emits metadata columns. Output schema:
-    * input columns + (width, height, n_frames, n_bytes). */
+  /** Batched decode: groups each partition's rows into ≤`batchSize`
+    * batches (the mapInPandas/Arrow batch shape), decodes each payload —
+    * REAL header parsing for PNG/GIF/BMP/WAV ([[decodeReal]]), stub
+    * fallback otherwise — and emits metadata columns. Output schema:
+    * input columns + (width, height, n_frames, n_bytes, mime). For audio,
+    * width = sample rate and height = channels. */
   def decodeBatched(df: DataFrame, payloadCol: String,
                     batchSize: Int = 64): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ Seq(
       StructField("width", IntegerType), StructField("height", IntegerType),
-      StructField("n_frames", IntegerType), StructField("n_bytes", LongType)))
+      StructField("n_frames", IntegerType), StructField("n_bytes", LongType),
+      StructField("mime", StringType)))
     val payloadIdx = inSchema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // per-batch setup would init the codec once here
+        // per-batch setup would init the fallback codec once here
         batch.iterator.map { r =>
           val payload = r.getAs[Array[Byte]](payloadIdx)
-          val (w, h, f) = stubDecode(payload)
+          val (mime, w, h, f) = decodeReal(payload).getOrElse {
+            val (sw, sh, sf) = stubDecode(payload)
+            ("application/octet-stream", sw, sh, sf)
+          }
           // Seq[Any]: a plain Seq(w,h,f,long) would numeric-widen the Ints
-          Row.fromSeq(r.toSeq ++ Seq[Any](w, h, f, payload.length.toLong))
+          Row.fromSeq(r.toSeq ++ Seq[Any](w, h, f, payload.length.toLong, mime))
         }
       }
     }(Encoders.row(outSchema))

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Multimodal
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real (non-stub) multimodal decoding: hand-built PNG/GIF/BMP/WAV
+  * payloads must yield their true header metadata through the batched
+  * decode path; unknown payloads fall back to the deterministic stub. */
+class MediaHeaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(w).putInt(h)
+    b.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.array()
+  }
+
+  private def gif(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII"))
+    b.putShort(w.toShort).putShort(h.toShort)
+    b.array()
+  }
+
+  private def bmp(w: Int, h: Int): Array[Byte] = {
+    val size = 54
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h)
+    b.array()
+  }
+
+  private def wav(rate: Int, channels: Int, bits: Int, frames: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = frames * blockAlign
+    val b = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(1).putShort(channels.toShort).putInt(rate)
+    b.putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(bits.toShort)
+    b.put("data".getBytes).putInt(dataSize)
+    b.array()
+  }
+
+  test("header decoders extract true metadata; unknown payloads fall back") {
+    val rows = Seq(
+      (1L, png(640, 480)), (2L, gif(320, 200)), (3L, bmp(800, 600)),
+      (4L, wav(44100, 2, 16, 1000)), (5L, "plain text payload".getBytes("UTF-8")))
+    val decoded = Multimodal.decodeBatched(rows.toDF("id", "payload"), "payload")
+      .select("id", "mime", "width", "height", "n_frames")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .sortBy(_._1)
+    assert(decoded(0) == ((1L, "image/png", 640, 480, 1)))
+    assert(decoded(1) == ((2L, "image/gif", 320, 200, 1)))
+    assert(decoded(2) == ((3L, "image/bmp", 800, 600, 1)))
+    assert(decoded(3) == ((4L, "audio/wav", 44100, 2, 1000)))
+    // unknown → stub fake, flagged by mime
+    val n = "plain text payload".getBytes("UTF-8").length
+    assert(decoded(4) == ((5L, "application/octet-stream",
+      n % 640 + 1, n % 480 + 1, n % 30 + 1)))
+  }
+
+  test("top-down BMP (negative height) and text starting with BM don't confuse") {
+    val topDown = {
+      val b = bmp(100, 50)
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(22, -50) // negative = top-down row order
+      b
+    }
+    assert(Multimodal.bmpMeta(topDown).contains(("image/bmp", 100, 50, 1)))
+    // "BM..." text: file-size field won't match payload length → rejected
+    assert(Multimodal.bmpMeta("BMW models are listed here today ok".getBytes).isEmpty)
+  }
+
+  test("frame sampling uses real WAV frame counts") {
+    val df = Seq((1L, wav(8000, 1, 16, 10))).toDF("id", "payload")
+    val sampled = Multimodal.sampleFrames(Multimodal.decodeBatched(df, "payload"), stride = 4)
+      .select("frame_idx").collect().map(_.getInt(0)).toSeq
+    assert(sampled == Seq(0, 4, 8))
+  }
+}
