@@ -102,10 +102,35 @@ object Multimodal {
     else None
   }
 
+  /** JPEG: walk the marker segments to the first SOF frame header
+    * (baseline/progressive — C0-CF except the non-frame C4/C8/CC);
+    * big-endian height/width live at payload offsets 3/5. Pixel DECODING
+    * needs a codec; the dimensions do not. */
+  private[graft] def jpegMeta(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    var off = 2
+    while (off + 9 < b.length && (b(off) & 0xFF) == 0xFF) {
+      val marker = b(off + 1) & 0xFF
+      if (marker >= 0xD0 && marker <= 0xD9) off += 2 // standalone marker
+      else {
+        val size = ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+        if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          val h = ((b(off + 5) & 0xFF) << 8) | (b(off + 6) & 0xFF)
+          val w = ((b(off + 7) & 0xFF) << 8) | (b(off + 8) & 0xFF)
+          return Some(("image/jpeg", w, h, 1))
+        }
+        off += 2 + size
+      }
+    }
+    None
+  }
+
   /** Real header decode where the format allows it; None → caller falls
     * back to the stub. */
   private[graft] def decodeReal(b: Array[Byte]): Option[(String, Int, Int, Int)] =
     pngMeta(b).orElse(gifMeta(b)).orElse(bmpMeta(b)).orElse(wavMeta(b))
+      .orElse(jpegMeta(b))
 
   // =====================================================================
   // STUB fallback for formats needing a full codec: deterministic fake.

@@ -45,6 +45,24 @@ class MediaHeaderSpec extends SparkSpec {
     b.array()
   }
 
+  private def jpeg(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(2 + 18 + 19 + 2).order(ByteOrder.BIG_ENDIAN)
+    b.putShort(0xFFD8.toShort) // SOI
+    b.putShort(0xFFE0.toShort).putShort(16) // APP0, 16-byte payload
+    b.put("JFIF".getBytes).put(0.toByte).put(new Array[Byte](9))
+    b.putShort(0xFFC0.toShort).putShort(17) // SOF0, 17-byte payload
+    b.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+    b.put(new Array[Byte](9)) // 3 component specs
+    b.putShort(0xFFD9.toShort) // EOI
+    b.array()
+  }
+
+  test("JPEG SOF walk yields true dimensions") {
+    assert(Multimodal.jpegMeta(jpeg(1024, 768)).contains(("image/jpeg", 1024, 768, 1)))
+    assert(Multimodal.decodeReal(jpeg(64, 32)).contains(("image/jpeg", 64, 32, 1)))
+    assert(Multimodal.jpegMeta("not a jpeg".getBytes).isEmpty)
+  }
+
   test("header decoders extract true metadata; unknown payloads fall back") {
     val rows = Seq(
       (1L, png(640, 480)), (2L, gif(320, 200)), (3L, bmp(800, 600)),
