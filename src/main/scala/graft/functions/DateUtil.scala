@@ -85,7 +85,10 @@ object DateUtil {
 
   // --- F8: weekday / month-edge predicates (`DateUtil.pm:88-132`) ---------
   /** 1=Sunday … 7=Saturday. */
-  def weekday(date: String): Int = parse(date).getDayOfWeek.getValue % 7 + 1
+  /** LocalDate core (parse-free) — the string APIs delegate here so
+    * batch callers can parse once per row (EtlFunctions.dateProfileUdf). */
+  def weekdayDate(d: LocalDate): Int = d.getDayOfWeek.getValue % 7 + 1
+  def weekday(date: String): Int = weekdayDate(parse(date))
   def isWeekend(date: String): Boolean = { val w = weekday(date); w == 1 || w == 7 }
   def isFirstDayOfMonth(date: String): Boolean = parse(date).getDayOfMonth == 1
   def isLastDayOfMonth(date: String): Boolean = { val d = parse(date); d.getDayOfMonth == d.lengthOfMonth }
@@ -145,9 +148,12 @@ object DateUtil {
   /** True if `date` is a holiday under calendar `hol` (weekends are NOT
     * holidays here — `is_holiday("WE", …)` is always false, matching
     * `DateUtil.pm:136`). Unknown calendars → false. */
-  def isHoliday(hol: String, date: String): Boolean = {
+  def isHoliday(hol: String, date: String): Boolean =
+    isHolidayDate(hol, parse(date))
+
+  /** Parse-free core of [[isHoliday]]. */
+  def isHolidayDate(hol: String, d: LocalDate): Boolean = {
     if (hol == "WE" || hol == "NO" || !calendars.contains(hol)) return false
-    val d = parse(date)
     val fixed = fixedHol(hol).contains((d.getDayOfMonth, d.getMonthValue))
     val easter = easterHol(hol, d.getYear).contains(d)
     // UK bank holidays: first Monday of May, last Monday of May & August
@@ -220,26 +226,33 @@ object DateUtil {
   /** Months-add with the reference's roll-FORWARD on invalid month ends
     * (`DateUtil.pm:291-298`; golden: 20121030 + 16 → 20140302): Perl mktime
     * normalizes Feb 30 to Mar 2. Differs from Spark's clamping add_months. */
-  def addMonthsRollForward(date: String, months: Int, template: String = "YMD"): String = {
-    val d = parse(date)
+  /** Parse-free core of [[addMonthsRollForward]]. */
+  def addMonthsRollForwardDate(d: LocalDate, months: Int): LocalDate = {
     val m0 = d.getYear * 12 + (d.getMonthValue - 1) + months
     val (y, m) = (Math.floorDiv(m0, 12), Math.floorMod(m0, 12) + 1)
-    val first = LocalDate.of(y, m, 1)
-    val r = first.plusDays((d.getDayOfMonth - 1).toLong) // mktime-style overflow
+    LocalDate.of(y, m, 1).plusDays((d.getDayOfMonth - 1).toLong) // mktime-style overflow
+  }
+  def addMonthsRollForward(date: String, months: Int, template: String = "YMD"): String = {
+    val r = addMonthsRollForwardDate(parse(date), months)
     formatDate(r.getYear, r.getMonthValue, r.getDayOfMonth, template)
   }
 
   // --- F6: business-day shifts (`DateUtil.pm:261-289`) --------------------
   private def isNonBusiness(d: LocalDate, hol: String): Boolean = {
     val w = d.getDayOfWeek.getValue % 7 // 0=Sunday, 6=Saturday
-    w == 0 || w == 6 || isHoliday(hol, fmt(d))
+    w == 0 || w == 6 || isHolidayDate(hol, d)
+  }
+  /** Parse-free core of [[addDaysHol]]. */
+  def addDaysHolDate(d0: LocalDate, days: Int, hol0: String): LocalDate = {
+    val hol = if (hol0 == null || hol0.isEmpty) "AT" else hol0
+    var d = d0.plusDays(days.toLong)
+    if (hol != "NO") while (isNonBusiness(d, hol)) d = d.plusDays(1)
+    d
   }
   /** Add `days` calendar days, then keep stepping forward while on a weekend
     * or `hol`-calendar holiday ("NO" skips the stepping entirely). */
   def addDaysHol(date: String, days: Int, template: String = "YMD", hol0: String = "AT"): String = {
-    val hol = if (hol0 == null || hol0.isEmpty) "AT" else hol0
-    var d = parse(date).plusDays(days.toLong)
-    if (hol != "NO") while (isNonBusiness(d, hol)) d = d.plusDays(1)
+    val d = addDaysHolDate(parse(date), days, hol0)
     formatDate(d.getYear, d.getMonthValue, d.getDayOfMonth, template)
   }
   /** Same going backwards. */

@@ -32,6 +32,24 @@ object EtlFunctions {
     DateUtil.convertToThousendDecimal(x, ignoreDec))
   val convertCommaUdf = udf((x: Double, div: Double) => DateUtil.convertComma(x, div))
 
+  /** Batch date-enrichment profile: everything a load typically derives
+    * from one date, computed with ONE string parse and one UDF boundary
+    * per row (the individual UDFs above parse per call — fine for ad-hoc
+    * use, 6× the work when a load wants all of them). */
+  case class DateProfile(wd: Long, weekend: Boolean, holiday: Boolean,
+                         next_bd: String, last_dom: String, month_roll: String)
+  val dateProfileUdf = udf((ymd: String, cal: String) => {
+    val d = DateUtil.parse(ymd)
+    val wd = DateUtil.weekdayDate(d)
+    val bd = DateUtil.addDaysHolDate(d, 1, cal)
+    val roll = DateUtil.addMonthsRollForwardDate(d, 1)
+    DateProfile(
+      wd.toLong, wd == 1 || wd == 7, DateUtil.isHolidayDate(cal, d),
+      DateUtil.formatDate(bd.getYear, bd.getMonthValue, bd.getDayOfMonth),
+      DateUtil.fmt(d.withDayOfMonth(d.lengthOfMonth)),
+      DateUtil.formatDate(roll.getYear, roll.getMonthValue, roll.getDayOfMonth))
+  })
+
   // ---- coercions ----------------------------------------------------------
   val normalizeNumericsUdf = udf((s: String, t: String, d: String) =>
     Coerce.normalizeNumerics(s, t, d))

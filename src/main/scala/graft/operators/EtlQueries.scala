@@ -54,13 +54,17 @@ object EtlQueries {
         when(col("ymd") < "19920101" || col("ymd") > "20041231",
           raise_error(concat(lit("q11 oracle holiday range exceeded: "), col("ymd"))))
         .otherwise(col("ymd")))
-      .withColumn("wd", weekdayUdf(col("ymd")).cast("long"))
-      .withColumn("weekend", isWeekendUdf(col("ymd")))
-      .withColumn("at_holiday", isHolidayUdf(lit("AT"), col("ymd")))
-      .withColumn("next_bd", addDaysHolUdf(col("ymd"), lit(1), lit("YMD"), lit("AT")))
-      .withColumn("last_dom", lastDomUdf(col("ymd")))
-      .withColumn("month_roll", addMonthsRollUdf(col("ymd"), lit(1)))
-      .drop("o_orderdate")
+      // ONE parse + UDF boundary per row for all six derived columns
+      // (EtlFunctions.dateProfileUdf; the per-function UDFs remain for
+      // ad-hoc use and are value-covered by DateUtilSpec)
+      .withColumn("__p", graft.functions.EtlFunctions.dateProfileUdf(col("ymd"), lit("AT")))
+      .withColumn("wd", col("__p.wd"))
+      .withColumn("weekend", col("__p.weekend"))
+      .withColumn("at_holiday", col("__p.holiday"))
+      .withColumn("next_bd", col("__p.next_bd"))
+      .withColumn("last_dom", col("__p.last_dom"))
+      .withColumn("month_roll", col("__p.month_roll"))
+      .drop("o_orderdate", "__p")
       .orderBy(col("o_orderkey"))
   }
 
