@@ -37,6 +37,10 @@ object Coerce {
     * Defaults: thousand ',', decimal '.' (`Wrap/File.pm:445`). */
   def normalizeNumerics(s0: String, thousandSep: String = ",", decimalSep: String = "."): String = {
     if (s0 == null) return null
+    // fast path: with neither separator present every rewrite below is a
+    // no-op (grouped needs a thousand sep; the decimal rewrite replaces a
+    // decimal sep) — skip the regex battery entirely
+    if (s0.indexOf(thousandSep) < 0 && s0.indexOf(decimalSep) < 0) return s0
     var s = s0
     val p = sepPatterns(thousandSep, decimalSep)
     if (p.grouped.matcher(s).matches())
@@ -62,6 +66,21 @@ object Coerce {
     * to 0. */
   def coerceNumeric(s0: String): Option[Double] = {
     if (s0 == null) return None
+    // fast paths: no digit anywhere → every accepting shape (all require
+    // \d+) rejects; plain optionally-negative integers take none of the
+    // rewrites and parse directly
+    var hasDigit = false
+    var pureInt = s0.length > 0 && s0.length <= 16
+    var i = 0
+    while (i < s0.length) {
+      val c = s0.charAt(i)
+      val digit = c >= '0' && c <= '9'
+      hasDigit |= digit
+      pureInt &&= digit || (i == 0 && c == '-' && s0.length > 1)
+      i += 1
+    }
+    if (!hasDigit) return None
+    if (pureInt) return Some(s0.toDouble)
     var s = s0
     if (trailingZeros.matcher(s).matches()) s = trailingZerosStrip.matcher(s).replaceAll("")
     if (postfixMinus.matcher(s).matches()) s = postfixMinusSwap.matcher(s).replaceFirst("-$1")
