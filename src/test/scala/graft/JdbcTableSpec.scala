@@ -273,6 +273,22 @@ class JdbcTableSpec extends SparkSpec {
     assert(ev.exists(_ == """execute:DROP TABLE "tgt_graft_stg_L2""""))
   }
 
+  test("resumable store restages from scratch on a partial STAGING state") {
+    RecordingJdbc.clear()
+    val df = Seq((1, "a")).toDF("k", "v").repartition(1)
+    JdbcTable.storeResumable(df, "tgt",
+      DbConfig(strategy = Append, keepContent = true),
+      RecordingJdbc.factory(queryFn = _ => Seq(Seq("STAGING"))), loadId = "L4")
+    val ev = RecordingJdbc.list
+    // the half-staged table is dropped and rebuilt, rows restaged
+    assert(ev.exists(_ == """execute:DROP TABLE IF EXISTS "tgt_graft_stg_L4""""))
+    assert(ev.exists(_.startsWith("""execute:CREATE TABLE "tgt_graft_stg_L4"""")))
+    assert(ev.exists(_.startsWith("""batch:INSERT INTO "tgt_graft_stg_L4"""")))
+    // and the full marker sequence still runs: STAGED then APPLIED
+    val updates = ev.filter(_.startsWith("""batch:UPDATE "graft_loads""""))
+    assert(updates.size == 2, s"expected STAGED+APPLIED updates, got $updates")
+  }
+
   test("resumable store is a no-op when the load is already APPLIED") {
     RecordingJdbc.clear()
     val df = Seq((1, "a")).toDF("k", "v").repartition(1)
