@@ -61,6 +61,49 @@ object CurationPipeline {
     * the output rows are chunks, not documents. */
   final case class Chunk(size: Int, stride: Int) extends Step
 
+  /** Data-driven construction — the curation twin of `ConfigFiles.
+    * bootLoads`, so a pipeline ships as configuration: `steps` is a comma
+    * list (quality, repetition, exact_dedup, near_dedup, decontaminate,
+    * sample, split, chunk), parameterized by dotted keys like
+    * `quality.minTokens=10` or `split.weights=train:0.8,val:0.1,test:0.1`.
+    * `holdout` supplies the eval corpus a `decontaminate` step screens
+    * against. */
+  def fromConfig(conf: Map[String, String],
+                 holdout: Option[DataFrame] = None): Seq[Step] = {
+    def i(k: String, d: Int) = conf.get(k).map(_.trim.toInt).getOrElse(d)
+    def l(k: String, d: Long) = conf.get(k).map(_.trim.toLong).getOrElse(d)
+    def d0(k: String, d: Double) = conf.get(k).map(_.trim.toDouble).getOrElse(d)
+    def list(k: String) = conf.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    def weights(k: String, d: Seq[(String, Double)]) = conf.get(k).map {
+      _.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { pair =>
+        pair.split(":") match {
+          case Array(name, w) => name.trim -> w.trim.toDouble
+          case _ => throw new IllegalArgumentException(s"bad split weight '$pair'")
+        }
+      }
+    }.getOrElse(d)
+    conf.getOrElse("steps", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case "quality" => QualityGate(list("quality.stopwords"),
+        list("quality.blocklist"), i("quality.minTokens", 10),
+        i("quality.maxTokens", 1000))
+      case "repetition" => RepetitionFilter()
+      case "exact_dedup" => ExactDedup
+      case "near_dedup" => NearDedup(i("near_dedup.n", 5),
+        d0("near_dedup.threshold", 0.5))
+      case "decontaminate" => Decontaminate(
+        holdout.getOrElse(throw new IllegalArgumentException(
+          "decontaminate step needs a holdout corpus")),
+        i("decontaminate.ngram", 8), i("decontaminate.minCommon", 5))
+      case "sample" => StratifiedSample(conf.getOrElse("sample.strataCol", "lang"),
+        i("sample.k", 100), l("sample.seed", 42L))
+      case "split" => Split(weights("split.weights",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)), l("split.seed", 42L))
+      case "chunk" => Chunk(i("chunk.size", 64), i("chunk.stride", 48))
+      case other => throw new IllegalArgumentException(s"unknown curation step: $other")
+    }
+  }
+
   /** Run `steps` in order over `corpus`. Filters preserve the incoming
     * columns; [[Split]]/[[StratifiedSample]] add their marker column;
     * [[Chunk]] (if present) must be last. */

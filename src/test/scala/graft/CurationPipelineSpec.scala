@@ -60,6 +60,38 @@ class CurationPipelineSpec extends SparkSpec {
     assert(ids == Set(3L, 4L, 5L, 6L))
   }
 
+  test("pipeline defined entirely by config data matches the programmatic run") {
+    val conf = Map(
+      "steps" -> "quality, exact_dedup, near_dedup, chunk",
+      "quality.stopwords" -> "the,a,of",
+      "quality.minTokens" -> "5",
+      "quality.maxTokens" -> "100",
+      "near_dedup.n" -> "5",
+      "near_dedup.threshold" -> "0.5",
+      "chunk.size" -> "5",
+      "chunk.stride" -> "5")
+    val steps = CurationPipeline.fromConfig(conf)
+    assert(steps == Seq(
+      QualityGate(stop, Nil, 5, 100), ExactDedup, NearDedup(5, 0.5), Chunk(5, 5)))
+    val rows = CurationPipeline.run(corpus(), "doc_id", "text", steps)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 0L), (1L, 1L), (5L, 0L), (5L, 1L), (6L, 0L), (6L, 1L)))
+  }
+
+  test("fromConfig rejects unknown steps and decontaminate without holdout") {
+    intercept[IllegalArgumentException] {
+      CurationPipeline.fromConfig(Map("steps" -> "quality, frobnicate"))
+    }
+    intercept[IllegalArgumentException] {
+      CurationPipeline.fromConfig(Map("steps" -> "decontaminate"))
+    }
+    // split weights parse
+    val Seq(s) = CurationPipeline.fromConfig(Map(
+      "steps" -> "split", "split.weights" -> "train:0.9,test:0.1", "split.seed" -> "7"))
+    assert(s == Split(Seq("train" -> 0.9, "test" -> 0.1), 7L))
+  }
+
   test("Chunk must be terminal") {
     val err = intercept[IllegalArgumentException] {
       CurationPipeline.run(corpus(), "doc_id", "text",
