@@ -19,6 +19,13 @@ import org.apache.spark.sql.expressions.Window
   *    candidate generation.
   *
   * No driver-side collect anywhere; every stage is a DataFrame op.
+  *
+  * Cache lifecycle: the pair generators cache the shared shingle/signature
+  * relation (consumed by both the candidate join and the verification
+  * stage — recomputing it would double the dominant shuffle). The cache is
+  * bounded by that relation's size, not the corpus (hashes, not text); the
+  * caller owns the session-level lifecycle (`spark.catalog.clearCache()`
+  * between pipeline stages, as Bench does between queries).
   */
 object Dedup {
 
