@@ -86,6 +86,31 @@ object ParquetTable {
     }
   }
 
+  /** Small-file compaction: rewrite the table into ~`targetBytes` files
+    * (streaming micro-batch loads and frequent merges fragment a table
+    * into thousands of small files, which at 100 TB turns every scan into
+    * a listing/open storm). File count = ceil(current bytes /
+    * targetBytes); the rewrite reuses the atomic temp-dir swap, so
+    * readers never see a partial table. Content is unchanged — only the
+    * physical layout. */
+  def compact(spark: SparkSession, table: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val tablePath = Paths.get(table).toAbsolutePath
+    require(Files.exists(tablePath), s"no table at $table")
+    val totalBytes = Files.walk(tablePath).filter(Files.isRegularFile(_))
+      .mapToLong(Files.size(_)).sum()
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val data = load(spark, table).repartition(nFiles)
+    val tmp = tablePath.resolveSibling(tablePath.getFileName.toString + ".tmp-graft")
+    val old = tablePath.resolveSibling(tablePath.getFileName.toString + ".old-graft")
+    deleteRecursively(tmp)
+    data.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    deleteRecursively(old)
+    Files.move(tablePath, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, tablePath, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
   /** Partitioned table layout: writes `df` hive-partitioned by
     * `partitionCols` so scans with partition predicates prune directories
     * instead of reading them (`PartitionFilters` in the scan node) — the
