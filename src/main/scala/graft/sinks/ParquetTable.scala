@@ -111,6 +111,22 @@ object ParquetTable {
     deleteRecursively(old)
   }
 
+  /** [[compact]] for the hive-partitioned layout: each partition
+    * directory is compacted independently (file count from its own
+    * bytes), preserving the directory structure that partition pruning
+    * depends on. Partitions compact one atomic swap at a time, so a
+    * reader sees each partition either fully old or fully new — and at
+    * 1000 executors the per-partition rewrites are independent jobs that
+    * could run concurrently. */
+  def compactPartitioned(spark: SparkSession, table: String,
+                         targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val root = Paths.get(table).toAbsolutePath
+    require(Files.exists(root), s"no table at $table")
+    Files.list(root).toArray.map(_.asInstanceOf[Path])
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .foreach(p => compact(spark, p.toString, targetBytes))
+  }
+
   /** Partitioned table layout: writes `df` hive-partitioned by
     * `partitionCols` so scans with partition predicates prune directories
     * instead of reading them (`PartitionFilters` in the scan node) — the

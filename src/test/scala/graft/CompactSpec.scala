@@ -26,6 +26,25 @@ class CompactSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("partitioned compaction preserves layout, content, and pruning") {
+    val dir = Files.createTempDirectory("graft-compact3-").toString + "/t"
+    val df = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("k", "p")
+      .repartition(8)
+    ParquetTable.storePartitioned(spark, df, dir, Seq("p"))
+    def files(part: String) = Files.list(Paths.get(dir, s"p=$part")).toArray
+      .map(_.toString).count(f => f.contains("part-") && f.endsWith(".parquet"))
+    assert(files("a") > 1 && files("b") > 1)
+    ParquetTable.compactPartitioned(spark, dir, targetBytes = Long.MaxValue)
+    assert(files("a") == 1 && files("b") == 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200)
+    // partition pruning still applies after the rewrite
+    val plan = back.filter(org.apache.spark.sql.functions.col("p") === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["))
+    assert(back.filter("p = 'a'").count() == 100)
+  }
+
   test("compact file count scales with target size") {
     val dir = Files.createTempDirectory("graft-compact2-").toString + "/t"
     (1 to 1000).map(i => (i.toLong, "x" * 50)).toDF("k", "v")
