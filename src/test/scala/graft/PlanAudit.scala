@@ -123,6 +123,13 @@ object PlanAudit {
     // q56 repetition: both gram branches aggregate partially before exchange
     check("q56 repetition has partial aggregation",
       plan("q56_repetition").contains("partial_"))
+    // q63 curation composition: the filter gates must fuse as semi joins /
+    // aggregations — no cartesian anywhere in the composed plan
+    val p63 = plan("q63_curation")
+    check("q63 curation pipeline has no cartesian product",
+      !p63.contains("CartesianProduct") && !p63.contains("BroadcastNestedLoopJoin"))
+    check("q63 curation pipeline keeps semi-join gates",
+      p63.contains("LeftSemi"))
 
     // partitioned layout: a partition predicate must prune directories
     {
