@@ -316,7 +316,14 @@ object PipelineQueries {
     * order-canonicalized double fold (sort each group's values, fold
     * left) so the result is bit-exact regardless of partitioning — the
     * corpus side of IVF/cluster training. (Engines round float→decimal
-    * differently, so a decimal-sum mean is NOT cross-engine exact.) */
+    * differently, so a decimal-sum mean is NOT cross-engine exact.)
+    *
+    * Scale note: the sorted fold buffers one group's values
+    * (collect_list) — that is the price of CROSS-ENGINE bit-exactness and
+    * belongs to the verification gate only. The production centroid path
+    * ([[Similarity.trainCentroids]]) uses `avg` — partial-aggregated, no
+    * per-group buffer — which is deterministic per plan, just not
+    * bit-identical across engines. */
   def q43Centroids(spark: SparkSession, dir: String): DataFrame = {
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
