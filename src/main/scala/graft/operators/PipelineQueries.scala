@@ -202,6 +202,24 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Character-trigram language ID over the corpus: per-language profile
+    * scores + the winning language (first-listed wins ties, 0 everywhere
+    * → "und") — the n-gram flavor of q18's marker-word langID. The
+    * oracle interpolates the deterministic trigram profiles. */
+  def q64LangNgram(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scores = TextOps.langMarkers.map { case (lang, words) =>
+      lang -> TextOps.langScoreNgram(t, TextOps.trigramProfile(words))
+    }
+    val pred = scores.foldLeft((lit("und"), lit(0L))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }._1
+    Tables.documents(spark, dir).select(
+        (col("doc_id") +: scores.map { case (l, s) => s.as(s"${l}_tri") }) :+
+          pred.as("lang_pred"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing sketch of every document: (doc_id, fingerprint) pairs from
     * 8-gram rolling hashes winnowed by windows of 4 — the oracle replays
     * the identical char/gram/window arithmetic in DuckDB. */
@@ -375,6 +393,7 @@ object PipelineQueries {
     "q57_quality_gate" -> q57QualityGate _,
     "q60_winnow"       -> q60Winnow _,
     "q63_curation"     -> q63Curation _,
+    "q64_lang_ngram"   -> q64LangNgram _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -484,6 +503,29 @@ object PipelineQueries {
       |  FROM scored) t
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle for [[q64LangNgram]]: trigram profiles interpolated as
+    * literals; the fold's first-match-of-max tie rule expressed as a
+    * CASE chain. */
+  private val langNgramSql: String = {
+    val scoreExprs = TextOps.langMarkers.map { case (lang, words) =>
+      val lits = TextOps.trigramProfile(words)
+        .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+      s"CAST(len(list_filter([$lits], t -> contains(lower(text), t))) AS BIGINT) AS ${lang}_tri"
+    }.mkString(",\n  ")
+    s"""WITH s AS (
+      |  SELECT doc_id,
+      |  $scoreExprs
+      |  FROM documents)
+      |SELECT doc_id, en_tri, de_tri, fr_tri, es_tri,
+      |  CASE WHEN greatest(en_tri, de_tri, fr_tri, es_tri) = 0 THEN 'und'
+      |       WHEN en_tri = greatest(en_tri, de_tri, fr_tri, es_tri) THEN 'en'
+      |       WHEN de_tri = greatest(en_tri, de_tri, fr_tri, es_tri) THEN 'de'
+      |       WHEN fr_tri = greatest(en_tri, de_tri, fr_tri, es_tri) THEN 'fr'
+      |       ELSE 'es' END AS lang_pred
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
   }
 
   /** Full DuckDB recomputation of [[q55EmbedDup]]: seeded twins, the 32
@@ -785,6 +827,7 @@ object PipelineQueries {
     "q22_simhash" -> simhashSql,
     "q25_sim_lsh" -> lshSql,
     "q55_embed_dup" -> embedDupSql,
+    "q64_lang_ngram" -> langNgramSql,
     "q56_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -144,6 +144,22 @@ object TextOps {
     df.select(col(idCol), explode(sketch).as("fp"))
   }
 
+  /** Character-n-gram language ID: each language's profile is the set of
+    * distinct character trigrams of its marker words (computed once,
+    * deterministic — also embedded as literals into oracle SQL); a
+    * document scores one point per profile trigram contained in its
+    * normalized text. Pure Column expressions (`contains` scans), the
+    * n-gram flavor of [[langId]]'s marker heuristic. */
+  def trigramProfile(words: Seq[String]): Seq[String] =
+    words.flatMap(w => (0 to w.length - 3).map(i => w.substring(i, i + 3)))
+      .distinct.sorted
+
+  def langScoreNgram(text: Column, profile: Seq[String]): Column = {
+    val norm = lower(text)
+    profile.map(t => when(norm.contains(t), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+  }
+
   /** Gopher-style repetition statistics (the repetition filters of the
     * large-corpus curation recipe, re-derived): per document the
     * most-frequent-unigram fraction, most-frequent-bigram fraction, and
