@@ -290,6 +290,21 @@ object Dedup {
     * @return (id, group_id, group_size, is_canonical) for EVERY corpus
     *         document; singletons form their own group.
     */
+  /** Pick each dup group's surviving document by an arbitrary quality
+    * criterion (longest text, highest quality score, …) instead of
+    * [[dupGroups]]'s default lowest-id label: one window over the group —
+    * ties broken by id so the choice is deterministic. Returns the
+    * corpus rows that survive dedup. */
+  def selectCanonical(corpus: DataFrame, idCol: String, groups: DataFrame,
+                      preferBy: Column): DataFrame = {
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(preferBy.desc, col(idCol).asc)
+    corpus.join(groups.select(col("id").as(idCol), col("group_id")), idCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "group_id")
+  }
+
   def dupGroups(corpus: DataFrame, idCol: String, pairs: DataFrame,
                 maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))

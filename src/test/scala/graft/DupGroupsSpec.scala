@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
 class DupGroupsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("selectCanonical keeps the preferred doc per group, ties by id") {
+    import org.apache.spark.sql.functions.{col, length}
+    val corpus = Seq(
+      (1L, "short"), (2L, "the longest text here"), (3L, "medium text"),
+      (4L, "solo"), (7L, "same"), (8L, "same")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val groups = Dedup.dupGroups(corpus, "doc_id", pairs)
+    val kept = Dedup.selectCanonical(corpus, "doc_id", groups, length(col("text")))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // group {1,2,3}: longest = 2; {4}: itself; {7,8}: equal length → lowest id 7
+    assert(kept == Seq(2L, 4L, 7L))
+  }
+
   test("chains merge transitively; singletons self-group") {
     val corpus = (1L to 8L).toDF("doc_id").withColumn("text", lit("x"))
     // pairs: 1-2, 2-3 (chain), 7-8; 4,5,6 untouched

@@ -130,6 +130,9 @@ object PlanAudit {
       !p63.contains("CartesianProduct") && !p63.contains("BroadcastNestedLoopJoin"))
     check("q63 curation pipeline keeps semi-join gates",
       p63.contains("LeftSemi"))
+    // q64 trigram language ID: per-row scan, only the gate sort exchanges
+    check("q64 lang-ngram has no shuffle beyond the gate sort",
+      "Exchange".r.findAllIn(plan("q64_lang_ngram")).size <= 1)
 
     // partitioned layout: a partition predicate must prune directories
     {
