@@ -165,11 +165,17 @@ object PipelineQueries {
         lit(" from 10.0."), pmod(col("doc_id"), lit(200)).cast("string"),
         lit("."), pmod(col("doc_id"), lit(250)).cast("string"),
         lit(" tel +43 660 "), (lit(100) + pmod(col("doc_id"), lit(900))).cast("string"),
-        lit(" "), (lit(1000) + pmod(col("doc_id"), lit(9000))).cast("string")))
+        lit(" "), (lit(1000) + pmod(col("doc_id"), lit(9000))).cast("string"),
+        lit(" iban DE"), lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+        lit("5001"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit("06641234"),
+        lit(" card 4111-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit("-2222-"), lpad(pmod(col("doc_id"), lit(9999)).cast("string"), 4, "0")))
     val counts = TextOps.piiCounts(col("text")).toMap
     seeded.select(col("doc_id"),
         counts("email").as("n_email"), counts("ip").as("n_ip"),
-        counts("phone").as("n_phone"),
+        counts("phone").as("n_phone"), counts("iban").as("n_iban"),
+        counts("card").as("n_card"),
         TextOps.redactPii(col("text")).as("redacted"))
       .orderBy(col("doc_id"))
   }
@@ -679,18 +685,27 @@ object PipelineQueries {
     val e = TextOps.EmailRe
     val ip = TextOps.Ipv4Re
     val ph = TextOps.PhoneRe
+    val ib = TextOps.IbanRe
+    val cc = TextOps.CardRe
     s"""WITH seeded AS (
       |  SELECT doc_id,
       |    concat(text, ' contact user', doc_id, '@example.com',
       |           ' from 10.0.', doc_id % 200, '.', doc_id % 250,
-      |           ' tel +43 660 ', 100 + doc_id % 900, ' ', 1000 + doc_id % 9000) AS text
+      |           ' tel +43 660 ', 100 + doc_id % 900, ' ', 1000 + doc_id % 9000,
+      |           ' iban DE', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+      |           '5001', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '06641234',
+      |           ' card 4111-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |           '-2222-', lpad(CAST(doc_id % 9999 AS VARCHAR), 4, '0')) AS text
       |  FROM documents)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_email,
       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
       |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
-      |  regexp_replace(regexp_replace(regexp_replace(text,
-      |    '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS redacted
+      |  CAST(len(regexp_extract_all(text, '$ib')) AS BIGINT) AS n_iban,
+      |  CAST(len(regexp_extract_all(text, '$cc')) AS BIGINT) AS n_card,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g'),
+      |    '$ib', '<IBAN>', 'g'), '$cc', '<CARD>', 'g') AS redacted
       |FROM seeded
       |ORDER BY doc_id""".stripMargin
   }

@@ -105,18 +105,24 @@ object TextOps {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\b"
   val PhoneRe = "\\+\\d{1,3}[- ]?\\d{2,4}[- ]?\\d{3,4}[- ]?\\d{2,4}"
+  val IbanRe = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{12,30}\\b"
+  val CardRe = "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b"
 
   def redactPii(text: Column): Column = {
     val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
     val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
-    regexp_replace(noIp, PhoneRe, "<PHONE>")
+    val noPhone = regexp_replace(noIp, PhoneRe, "<PHONE>")
+    val noIban = regexp_replace(noPhone, IbanRe, "<IBAN>")
+    regexp_replace(noIban, CardRe, "<CARD>")
   }
 
   /** Count of PII hits by class (for corpus-quality reporting). */
   def piiCounts(text: Column): Seq[(String, Column)] = Seq(
     "email" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
     "ip"    -> size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long"),
-    "phone" -> size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
+    "phone" -> size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"),
+    "iban"  -> size(regexp_extract_all(text, lit(IbanRe), lit(0))).cast("long"),
+    "card"  -> size(regexp_extract_all(text, lit(CardRe), lit(0))).cast("long"))
 
   /** Sliding-window document chunking (context-window prep): one row per
     * chunk of `chunkSize` tokens advancing by `stride` (overlap =
