@@ -16,7 +16,10 @@ import org.apache.spark.sql.expressions.Window
   *    balanced-quota shape of corpus curation (k docs per language /
   *    domain). One shuffle on the stratum.
   *  - [[withSplit]]: stable train/val/test assignment by key — rows never
-  *    migrate between splits when the corpus grows.
+  *    migrate between splits when the corpus grows. To keep near-duplicate
+  *    documents in the SAME split (no leakage across train/test), key the
+  *    split on the dup-group label instead of the doc id: `withSplit(df
+  *    joined with Dedup.dupGroups, "group_id", …)`.
   */
 object Sampling {
 
