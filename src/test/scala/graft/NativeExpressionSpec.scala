@@ -42,6 +42,30 @@ class NativeExpressionSpec extends SparkSpec {
     assert(sum == (1 to 1000).map(i => i + 0.5).sum)
   }
 
+  test("new native expressions compile under codegen with fallback disabled") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextOps}
+    import org.apache.spark.sql.GraftColumnBridge
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = (1 to 100).map(i => s"doc $i the quick brown fox").toDF("t")
+      val sketch = GraftColumnBridge.column(graft.plans.WinnowSketch(
+        GraftColumnBridge.expression(col("t")), 4, 3))
+      val r = df.select(
+          TextOps.matchCount(col("t"), Seq("the", "fox")).cast("long").as("mc"),
+          Dedup.polyHash(col("t")).as("ph"),
+          org.apache.spark.sql.functions.size(Dedup.shingles(col("t"), 3))
+            .cast("long").as("ns"),
+          org.apache.spark.sql.functions.size(sketch).cast("long").as("nw"))
+        .agg(org.apache.spark.sql.functions.sum("mc"),
+          org.apache.spark.sql.functions.min("ph"),
+          org.apache.spark.sql.functions.min("ns"),
+          org.apache.spark.sql.functions.min("nw")).head()
+      assert(r.getLong(0) == 200) // 2 marker hits × 100 rows
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("SQL registration via install()") {
     GraftExtensions.install(spark)
     val r = spark.sql(
