@@ -87,15 +87,19 @@ object Multimodal {
     var blockAlign = 0
     var dataSize = -1
     val bb = le(b)
-    while (off + 8 <= b.length) {
+    var ok = true
+    while (ok && off + 8 <= b.length) {
       val id = new String(b, off, 4, "US-ASCII")
       val size = bb.getInt(off + 4)
-      if (id == "fmt " && off + 8 + 16 <= b.length) {
-        channels = bb.getShort(off + 10) & 0xFFFF
-        rate = bb.getInt(off + 12)
-        blockAlign = bb.getShort(off + 20) & 0xFFFF
-      } else if (id == "data") dataSize = size
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      if (size < 0) ok = false // malformed chunk: stop, don't loop forever
+      else {
+        if (id == "fmt " && off + 8 + 16 <= b.length) {
+          channels = bb.getShort(off + 10) & 0xFFFF
+          rate = bb.getInt(off + 12)
+          blockAlign = bb.getShort(off + 20) & 0xFFFF
+        } else if (id == "data") dataSize = size
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
     }
     if (rate > 0 && channels > 0 && blockAlign > 0 && dataSize >= 0)
       Some(("audio/wav", rate, channels, dataSize / blockAlign))

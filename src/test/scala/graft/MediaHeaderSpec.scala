@@ -93,6 +93,13 @@ class MediaHeaderSpec extends SparkSpec {
     assert(Multimodal.bmpMeta("BMW models are listed here today ok".getBytes).isEmpty)
   }
 
+  test("malformed WAV with negative chunk size falls back instead of hanging") {
+    val b = wav(8000, 1, 16, 4)
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, -5) // corrupt the fmt chunk size
+    assert(Multimodal.wavMeta(b).isEmpty) // rejected, terminates
+  }
+
   test("frame sampling uses real WAV frame counts") {
     val df = Seq((1L, wav(8000, 1, 16, 10))).toDF("id", "payload")
     val sampled = Multimodal.sampleFrames(Multimodal.decodeBatched(df, "payload"), stride = 4)
