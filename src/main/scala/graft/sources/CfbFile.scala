@@ -58,8 +58,13 @@ object CfbFile {
     }
     private val fat: Array[Int] = fatSectors.flatMap(s => ints(sector(s))).toArray
 
+    // bounded by the FAT size: a malformed/cyclic chain terminates (and
+    // yields a bounded garbage read that fails loudly downstream) instead
+    // of iterating forever
     private def chain(start: Int): Iterator[Int] =
-      Iterator.iterate(start)(s => fat(s)).takeWhile(s => s != EndOfChain && s != FreeSect)
+      Iterator.iterate(start)(s => fat(s))
+        .takeWhile(s => s != EndOfChain && s != FreeSect)
+        .take(math.max(fat.length, 1))
 
     private def readChain(start: Int): Array[Byte] =
       chain(start).flatMap(sector).toArray

@@ -77,6 +77,28 @@ class XlsRoundtripSpec extends SparkSpec {
     assert(got.drop(64).forall(_ == 'T'.toByte), "tail must follow the chain to mini-sector 0")
   }
 
+  test("cyclic FAT chain terminates instead of hanging") {
+    // reuse the mini-FAT fixture layout but corrupt the directory chain
+    // into a self-loop: fat(1) = 1
+    val EOC = 0xFFFFFFFE
+    val bytes = new Array[Byte](512 * 3)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).zipWithIndex
+      .foreach { case (v, i) => bytes(i) = v.toByte }
+    bb.putShort(30, 9).putShort(32, 6)
+    bb.putInt(48, 1)  // directory at sector 1
+    bb.putInt(56, 4096)
+    bb.putInt(60, EOC); bb.putInt(64, 0) // no mini-FAT
+    bb.putInt(68, EOC); bb.putInt(72, 0)
+    bb.putInt(76, 0) // FAT at sector 0
+    (1 until 109).foreach(i => bb.putInt(76 + i * 4, 0xFFFFFFFF))
+    bb.putInt(512, 0xFFFFFFFD)
+    bb.putInt(512 + 4, 1) // fat(1) = 1 → cycle
+    // must terminate (bounded walk); entries may be garbage or empty
+    val parsed = graft.sources.CfbFile.parse(bytes)
+    assert(parsed.entries.length >= 0)
+  }
+
   test("write/read roundtrip with mixed label and number cells") {
     val df = Seq(("val11", "21", "3.5"), ("val12", "22", "-0.25"),
                  ("Ümläut", "23", "1e-3"))
