@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as JSON. sbt's
+// default logger prefixes forked-run output with "[info] " and appends a
+// "[success] Total time: ..." line — both broke the parse in rounds 1-2
+// (BENCH_r01/r02 "parsed": null). Inherit stdout directly (no prefix,
+// child stderr stays on stderr) and drop the success banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not another setting —
+// exclude it from the unused-key lint so [warn] noise stays off stdout
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
