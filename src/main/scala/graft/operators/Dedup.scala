@@ -319,15 +319,27 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("id_b"), col("label").as("nl")), "id_b")
         .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("nmin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+      // pointer jumping: follow next → label(next) so label chains halve
+      // every round — convergence in O(log diameter) iterations instead of
+      // O(diameter), which the fixed cap could not otherwise guarantee
+      val fwd = propagated.select(col("id").as("jid"), col("next").as("jnext"))
+      val updated = propagated
+        .join(fwd, propagated("next") === fwd("jid"), "left")
+        .select(col("id"), col("label"),
+          least(col("next"), coalesce(col("jnext"), col("next"))).as("next"))
         .localCheckpoint(true)
       converged = updated.filter(col("next") < col("label")).isEmpty
       labels = updated.select(col("id"), col("next").as("label"))
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"dupGroups: min-label propagation did not converge in $maxIterations " +
+        "iterations — raise maxIterations (components of diameter " +
+        s"> 2^$maxIterations are implausible for dup graphs)")
     labels.select(col("id"), col("label").as("group_id"))
       .withColumn("group_size",
         count(lit(1)).over(Window.partitionBy(col("group_id"))))

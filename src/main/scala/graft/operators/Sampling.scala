@@ -32,10 +32,28 @@ object Sampling {
     (rnd.nextInt((P - 1).toInt).toLong + 1, rnd.nextInt(P.toInt).toLong)
   }
 
-  /** h(key) = (a·key + b) mod p over the non-negative residue of the key. */
+  /** h(key) = (a·key + b) mod p over the non-negative residue of the key.
+    * The key must already be integral — for strings use [[keyHashFor]],
+    * which routes through the portable polynomial hash first. */
   def keyHash(key: Column, seed: Long): Column = {
     val (a, b) = coef(seed)
     pmod(pmod(key.cast("long"), lit(P)) * lit(a) + lit(b), lit(P))
+  }
+
+  /** Schema-aware key hash: numeric keys feed [[keyHash]] directly,
+    * string keys are pre-hashed with [[Dedup.polyHash]] (a bare
+    * `cast("long")` on a string id yields null for every non-numeric
+    * value, silently dropping all rows from [[bernoulli]] and routing
+    * every row to the last [[withSplit]] label). Anything else is
+    * rejected loudly. */
+  def keyHashFor(df: DataFrame, idCol: String, seed: Long): Column = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    df.schema(idCol).dataType match {
+      case _: NumericType => keyHash(col(idCol), seed)
+      case StringType     => keyHash(Dedup.polyHash(col(idCol)), seed)
+      case other => throw new IllegalArgumentException(
+        s"Sampling key '$idCol' must be numeric or string, got $other")
+    }
   }
 
   /** Keep ~`fraction` of rows, decided by key hash — reproducible under
@@ -43,7 +61,7 @@ object Sampling {
   def bernoulli(df: DataFrame, idCol: String, fraction: Double,
                 seed: Long = 42L): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    df.filter(keyHash(col(idCol), seed) < lit((fraction * P).toLong))
+    df.filter(keyHashFor(df, idCol, seed) < lit((fraction * P).toLong))
   }
 
   /** Exactly min(k, |stratum|) rows per stratum, chosen by hash order
@@ -52,7 +70,7 @@ object Sampling {
   def stratifiedQuota(df: DataFrame, strataCol: String, idCol: String,
                       k: Int, seed: Long = 42L): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(keyHash(col(idCol), seed), col(idCol))
+      .orderBy(keyHashFor(df, idCol, seed), col(idCol))
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }
@@ -65,7 +83,7 @@ object Sampling {
                 splits: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
     val thresholds = splitThresholds(splits)
-    val h = keyHash(col(idCol), seed)
+    val h = keyHashFor(df, idCol, seed)
     val expr = thresholds.init.foldRight(lit(thresholds.last._1): Column) {
       case ((name, upper), rest) => when(h < lit(upper), lit(name)).otherwise(rest)
     }

@@ -347,7 +347,10 @@ case class ArrayMinAgg(child: Expression, n: Int)
     val y = NamedLambdaVariable("y", LongType, nullable = true)
     ZipWith(a, b, LambdaFunction(Least(Seq(x, y)), Seq(x, y)))
   }
-  override lazy val updateExpressions: Seq[Expression] = Seq(ewMin(buf, child))
+  // a null input array must be skipped (like the built-in min), not fed to
+  // zip_with — whose null-out would poison the buffer for the whole group
+  override lazy val updateExpressions: Seq[Expression] =
+    Seq(If(IsNull(child), buf, ewMin(buf, child)))
   override lazy val mergeExpressions: Seq[Expression] =
     Seq(ewMin(buf.left, buf.right))
   override lazy val evaluateExpression: Expression = buf

@@ -109,11 +109,14 @@ object JdbcTable {
   def load(spark: SparkSession, url: String, query: String,
            props: Map[String, String] = Map.empty,
            partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
-    val base = spark.read.format("jdbc")
-      .option("url", url).option("query", query)
+    val base = spark.read.format("jdbc").option("url", url)
     val withProps = props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
-    partitionColumn.fold(withProps) { case (c, lo, hi, n) =>
-      withProps.option("partitionColumn", c).option("lowerBound", lo)
+    // Spark's JDBC source rejects `query` together with `partitionColumn`
+    // (JDBCOptions demands `dbtable` on the partitioned path) — wrap the
+    // SQL as a derived table there; `query` stays for the single-reader path.
+    partitionColumn.fold(withProps.option("query", query)) { case (c, lo, hi, n) =>
+      withProps.option("dbtable", s"($query) graft_subq")
+        .option("partitionColumn", c).option("lowerBound", lo)
         .option("upperBound", hi).option("numPartitions", n)
     }.load()
   }

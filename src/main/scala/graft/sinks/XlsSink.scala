@@ -24,6 +24,12 @@ object XlsSink {
   // ---- BIFF8 records ---------------------------------------------------
 
   private def rec(typ: Int, data: Array[Byte]): Array[Byte] = {
+    // BIFF8 caps a record body at 8224 bytes; longer payloads would need a
+    // CONTINUE record, and `toShort` would silently wrap past 32767 into a
+    // corrupt workbook — fail loudly instead (mirrors write()'s row cap)
+    require(data.length <= 8224,
+      s"BIFF8 record body ${data.length} bytes exceeds the 8224-byte cap " +
+        "(cell too long for the xls writer)")
     val out = ByteBuffer.allocate(4 + data.length).order(ByteOrder.LITTLE_ENDIAN)
     out.putShort(typ.toShort).putShort(data.length.toShort).put(data)
     out.array()

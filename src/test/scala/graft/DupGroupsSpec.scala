@@ -43,4 +43,27 @@ class DupGroupsSpec extends SparkSpec {
     assert(got.filter(col("group_id") === 10L).count() == n)
     assert(got.filter(col("is_canonical")).count() == 1)
   }
+
+  test("diameter beyond the iteration cap converges via pointer jumping") {
+    // 60-node path: diameter 59 > maxIterations 20 — plain propagation
+    // would exit the loop unconverged (and must now throw, not silently
+    // mislabel); pointer jumping halves chains each round so the default
+    // cap suffices
+    val n = 60
+    val corpus = (1L to n).toDF("doc_id").withColumn("text", lit("x"))
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupGroups(corpus, "doc_id", pairs)
+    assert(got.filter(col("group_id") === 1L).count() == n)
+    assert(got.filter(col("is_canonical")).count() == 1)
+  }
+
+  test("non-convergence at the cap fails loudly instead of mislabeling") {
+    val n = 16
+    val corpus = (1L to n).toDF("doc_id").withColumn("text", lit("x"))
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupGroups(corpus, "doc_id", pairs, maxIterations = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

@@ -411,4 +411,122 @@ class JdbcTableSpec extends SparkSpec {
     assert(ev.head == """batch:DELETE FROM "tgt" WHERE "k" = ?|rows=2|batchSize=10""")
     assert(ev.tail == Seq("commit", "close"))
   }
+
+  // ---- real spark.read.format("jdbc") path against the stub driver ----
+
+  test("partitioned JDBC load wraps the query as a derived table") {
+    StubJdbcDriver.register()
+    StubJdbcDriver.queries.clear()
+    // `query` + `partitionColumn` is rejected by Spark's JDBC source — the
+    // partitioned path must go through `dbtable` with the SQL as a
+    // derived table, or the stated point of the API (parallel range
+    // reads) always throws
+    val df = JdbcTable.load(spark, "jdbc:graftstub:mem",
+      "SELECT id, v FROM t", partitionColumn = Some(("id", 0L, 100L, 4)))
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 0) // per-partition range queries hit the stub
+    val qs = StubJdbcDriver.queries.asScala.toSeq
+    assert(qs.exists(_.contains("(SELECT id, v FROM t) graft_subq")),
+      s"expected derived-table SQL, saw: $qs")
+  }
+
+  test("unpartitioned JDBC load keeps the single-reader query option") {
+    StubJdbcDriver.register()
+    val df = JdbcTable.load(spark, "jdbc:graftstub:mem", "SELECT id, v FROM t")
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(df.rdd.getNumPartitions == 1)
+  }
+}
+
+/** Minimal in-JVM JDBC driver (url scheme `jdbc:graftstub:`) answering
+  * exactly what Spark's JDBC source needs: every query resolves to
+  * (id BIGINT, v VARCHAR) with zero rows. Lets the REAL
+  * `spark.read.format("jdbc")` path — option validation, schema probe,
+  * column partitioning, per-partition range reads — run hermetically in a
+  * container with no DBMS. Must be a named top-level class: Spark
+  * re-registers the driver on executors via its canonical class name. */
+class StubJdbcDriver extends java.sql.Driver {
+
+  private def mk[T](cls: Class[T])(h: (String, Array[AnyRef]) => Option[AnyRef]): T =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(cls),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          h(m.getName, if (args == null) Array.empty else args).getOrElse {
+            m.getReturnType match {
+              case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
+              case java.lang.Integer.TYPE => Integer.valueOf(0)
+              case java.lang.Long.TYPE    => java.lang.Long.valueOf(0L)
+              case _                      => null
+            }
+          }
+      }).asInstanceOf[T]
+
+  private def meta: java.sql.ResultSetMetaData =
+    mk(classOf[java.sql.ResultSetMetaData]) { (name, args) =>
+      def first = args.nonEmpty && args(0) == Integer.valueOf(1)
+      name match {
+        case "getColumnCount" => Some(Integer.valueOf(2))
+        case "getColumnLabel" | "getColumnName" => Some(if (first) "id" else "v")
+        case "getColumnType" => Some(Integer.valueOf(
+          if (first) java.sql.Types.BIGINT else java.sql.Types.VARCHAR))
+        case "getColumnTypeName" => Some(if (first) "BIGINT" else "VARCHAR")
+        case "getPrecision" => Some(Integer.valueOf(if (first) 19 else 255))
+        case "isSigned" => Some(java.lang.Boolean.TRUE)
+        case "isNullable" =>
+          Some(Integer.valueOf(java.sql.ResultSetMetaData.columnNullable))
+        case _ => None
+      }
+    }
+
+  private def resultSet: java.sql.ResultSet =
+    mk(classOf[java.sql.ResultSet]) { (name, _) =>
+      name match {
+        case "getMetaData" => Some(meta)
+        case "next"        => Some(java.lang.Boolean.FALSE)
+        case _             => None
+      }
+    }
+
+  private def statement: java.sql.PreparedStatement =
+    mk(classOf[java.sql.PreparedStatement]) { (name, _) =>
+      name match {
+        case "executeQuery" => Some(resultSet)
+        case "getMetaData"  => Some(meta)
+        case _              => None
+      }
+    }
+
+  private def connection: java.sql.Connection =
+    mk(classOf[java.sql.Connection]) { (name, args) =>
+      name match {
+        case "prepareStatement" | "createStatement" =>
+          if (args.nonEmpty) StubJdbcDriver.queries.add(args(0).toString)
+          Some(statement)
+        case _ => None
+      }
+    }
+
+  override def connect(url: String, info: java.util.Properties): java.sql.Connection =
+    if (acceptsURL(url)) connection else null
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.startsWith("jdbc:graftstub:")
+  override def getPropertyInfo(url: String, info: java.util.Properties) =
+    Array.empty[java.sql.DriverPropertyInfo]
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def jdbcCompliant(): Boolean = false
+  override def getParentLogger: java.util.logging.Logger =
+    java.util.logging.Logger.getGlobal
+}
+
+object StubJdbcDriver {
+  val queries = new ConcurrentLinkedQueue[String]()
+  @volatile private var registered = false
+  def register(): Unit = synchronized {
+    if (!registered) {
+      java.sql.DriverManager.registerDriver(new StubJdbcDriver)
+      registered = true
+    }
+  }
 }

@@ -90,6 +90,25 @@ class NativeExpressionSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, Seq(3L, 1L, 2L)), (2, Seq(10L, 20L, 30L))))
   }
 
+  test("ArrayMinAgg skips null input arrays instead of poisoning the group") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, Option(Seq(5L, 1L, 9L))), (1, None),
+                 (1, Option(Seq(3L, 7L, 2L))), (2, None))
+      .toDF("id", "arr").repartition(3)
+    val agg = GraftColumnBridge.column(
+      graft.plans.ArrayMinAgg(GraftColumnBridge.expression(col("arr")), 3)
+        .toAggregateExpression())
+    val got = df.groupBy("id").agg(agg.as("sig")).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+    // group 1: null row ignored like built-in min; group 2: all-null input
+    // keeps the initial MaxValue buffer (never null — dataType promises it)
+    assert(got.toSeq == Seq(
+      (1, Seq(3L, 1L, 2L)),
+      (2, Seq(Long.MaxValue, Long.MaxValue, Long.MaxValue))))
+  }
+
   test("WinnowSketch matches a reference computation and handles edges") {
     import spark.implicits._
     import org.apache.spark.sql.GraftColumnBridge

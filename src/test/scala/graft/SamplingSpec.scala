@@ -29,6 +29,33 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratifiedQuota(tiny, "stratum", "id", k = 7).count() == 2)
   }
 
+  test("string keys hash through polyHash instead of a null-ing cast") {
+    // a bare cast("long") on these ids is null for every row — bernoulli
+    // would silently keep nothing and withSplit would send all rows to
+    // the last label
+    val sdf = (1L to 1000L).map(i => (s"doc-$i", i)).toDF("doc_id", "v")
+    val kept = Sampling.bernoulli(sdf, "doc_id", 0.3, seed = 5)
+    assert(math.abs(kept.count() - 300L) < 80)
+    val again = Sampling.bernoulli(sdf.repartition(7), "doc_id", 0.3, seed = 5)
+    assert(kept.select("doc_id").collect().map(_.getString(0)).toSet ==
+      again.select("doc_id").collect().map(_.getString(0)).toSet)
+
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val dist = Sampling.withSplit(sdf, "doc_id", splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist.keySet == Set("train", "val", "test")) // not all-one-label
+    assert(dist("train") > 700)
+  }
+
+  test("unsupported key types are rejected loudly") {
+    val adf = Seq((Seq(1L), 1)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.bernoulli(adf, "k", 0.5)
+    }
+    assert(e.getMessage.contains("must be numeric or string"))
+  }
+
   test("withSplit assignments are stable when the corpus grows") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val small = Sampling.withSplit(df.filter(col("id") <= 500), "id", splits)

@@ -113,6 +113,17 @@ class XlsRoundtripSpec extends SparkSpec {
       Seq("Ümläut", "23", "0.001"))) // 1e-3 written as NUMBER → canonical text
   }
 
+  test("cell beyond the BIFF8 record cap fails loudly, not corruptly") {
+    // 8224 data bytes is the BIFF8 record-body cap; past ~32 KiB the
+    // length field's toShort would wrap negative and emit an unreadable
+    // workbook — the writer must reject it instead
+    val df = Seq(("x" * 9000, "1")).toDF("big", "n")
+    val e = intercept[IllegalArgumentException] {
+      XlsSink.write(df, Seq("big", "n"), tmpXls("toolong.xls"))
+    }
+    assert(e.getMessage.contains("8224"))
+  }
+
   test("worksheet addressable by name; wrong name/header fail loudly") {
     val df = Seq(("a", "1")).toDF("x", "y")
     val f = tmpXls("named.xls")
