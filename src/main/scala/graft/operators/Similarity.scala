@@ -23,10 +23,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product in double precision — the codegen'd
+    * [[graft.plans.VecFold]] primitive loop (bit-identical to the
+    * declarative `aggregate(zip_with(...))` fold it replaced, which
+    * evaluated interpreted per element on every scored pair). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.VecFold(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      squared = false))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -70,11 +76,14 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
-  /** Squared L2 distance as a deterministic left fold. */
-  def squaredDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double"); d * d
-    }), lit(0.0), (acc, v) => acc + v)
+  /** Squared L2 distance as a deterministic left fold (codegen'd
+    * [[graft.plans.VecFold]], bit-identical to the declarative fold). */
+  def squaredDist(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.VecFold(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      squared = true))
+  }
 
   /** Nearest-centroid assignment against a broadcast-literal codebook;
     * deterministic (first index on distance ties). */
@@ -223,9 +232,7 @@ object Similarity {
     def bandBucket(vec: Column, band: Int): Column =
       (0 until bitsPerBand).map { bi =>
         val plane = planes(band * bitsPerBand + bi)
-        val proj = aggregate(
-          zip_with(vec, typedlit(plane), (x, s) => x.cast("double") * s.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
+        val proj = dot(vec, typedlit(plane))
         when(proj > 0, lit(1L << bi)).otherwise(lit(0L))
       }.reduce(_ + _)
     // projections and the vector norm are computed ONCE per vector and
@@ -262,9 +269,7 @@ object Similarity {
     val planes: Seq[Seq[Int]] = hyperplanes(dim, numBits, seed)
     def bucket(vec: Column): Column = {
       val bits = planes.zipWithIndex.map { case (plane, bi) =>
-        val proj = aggregate(
-          zip_with(vec, typedlit(plane), (x, s) => x.cast("double") * s.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
+        val proj = dot(vec, typedlit(plane))
         when(proj > 0, lit(1L) * lit(1L << bi)).otherwise(lit(0L))
       }
       bits.reduce(_ + _)

@@ -186,10 +186,14 @@ object TextOps {
       .agg(sum(col("n")).cast("long").as("n_tokens"),
         count(lit(1)).as("n_distinct"), max(col("n")).as("top_uni"))
     // bigram i = tokens[i .. i+1]; single-token docs degenerate to the
-    // token itself (mirrored verbatim in the oracle arithmetic)
-    val bigramArr = transform(
-      sequence(lit(0), greatest(size(col("toks")) - 2, lit(0))),
-      i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))
+    // token itself (mirrored verbatim in the oracle arithmetic). Native
+    // codegen'd windows ([[graft.plans.TokenNgrams]]) — the declarative
+    // transform/sequence/slice tree evaluated interpreted per window
+    val bigramArr = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.plans.TokenNgrams(
+        GraftColumnBridge.expression(col("toks")), 2))
+    }
     val bi = base.select(col("id"), explode(bigramArr).as("b"))
       .groupBy(col("id"), col("b")).agg(count(lit(1)).as("n"))
       .groupBy(col("id"))

@@ -86,6 +86,65 @@ object GraftExpressions {
       out.toArray(new Array[UTF8String](out.size)))
   }
 
+  /** Token n-grams over an already-tokenized array — semantics identical
+    * to the declarative `transform(sequence(0, greatest(size(toks) - n,
+    * 0)), i => concat_ws(" ", slice(toks, i + 1, n)))`: windows clamp at
+    * the array end, and an array shorter than `n` degenerates to its own
+    * join (the empty array to [""]), exactly as the oracle arithmetic
+    * replays. Unlike [[shingles]], empties are NOT filtered out. */
+  def tokenNgrams(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                  n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val space = UTF8String.fromString(" ")
+    val s = arr.numElements()
+    val cnt = math.max(s - n, 0) + 1
+    val out = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      val end = math.min(i + n, s)
+      val parts = new Array[UTF8String](end - i)
+      var j = i
+      while (j < end) { parts(j - i) = arr.getUTF8String(j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Dot-product / squared-L2 left fold over two numeric arrays —
+    * semantics identical to the declarative `aggregate(zip_with(...),
+    * 0.0, acc + _)` formulations in [[graft.operators.Similarity]]:
+    * per-element double casts, strict left-to-right accumulation from
+    * 0.0 (IEEE-754-exact, so the DuckDB oracle's ordered `list_reduce`
+    * replay stays bit-identical). A length mismatch or a null element
+    * yields null, matching zip_with's null padding flowing through
+    * null-propagating arithmetic. */
+  def vecFold(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData,
+              aKind: Int, bKind: Int,
+              squared: Boolean): java.lang.Double = {
+    // kind: 0 = float, 1 = double, 2 = int, 3 = long (all exact in double
+    // for the value ranges involved — same as the declarative cast)
+    def get(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            kind: Int, i: Int): Double = kind match {
+      case 0 => arr.getFloat(i).toDouble
+      case 1 => arr.getDouble(i)
+      case 2 => arr.getInt(i).toDouble
+      case _ => arr.getLong(i).toDouble
+    }
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = get(a, aKind, i)
+      val y = get(b, bKind, i)
+      if (squared) { val d = x - y; acc += d * d } else acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** Portable 31-bit polynomial string hash — the
     * [[graft.operators.Dedup.polyHash]] fold (acc·31 + codepoint mod
     * 2³¹−1) in one primitive loop. */
@@ -271,6 +330,83 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Token n-grams ([[GraftExpressions.tokenNgrams]]) as a codegen'd
+  * expression — the repetition-stats bigram construction's hot path. The
+  * declarative transform/sequence/slice/concat_ws tree it replaces
+  * evaluates interpreted per window, single-threaded when the source
+  * parquet is one split. */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  require(n > 0, "need n > 0")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExpressions.tokenNgrams(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.GraftExpressions.tokenNgrams($a, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Dot product (`squared = false`) or squared L2 distance (`squared =
+  * true`) between two numeric arrays as one codegen'd primitive loop —
+  * the embedding-similarity hot path. The declarative
+  * `aggregate(zip_with(...))` tree it replaces evaluates interpreted,
+  * re-walking boxed expression nodes per vector element on every scored
+  * pair; this is the same left-fold arithmetic (bit-exact, see
+  * [[GraftExpressions.vecFold]]) inside whole-stage codegen. */
+case class VecFold(left: Expression, right: Expression, squared: Boolean)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def kindOf(e: Expression): Int =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => 0
+      case DoubleType  => 1
+      case IntegerType => 2
+      case LongType    => 3
+    }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"VecFold needs numeric-array inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExpressions.vecFold(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      kindOf(left), kindOf(right), squared)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("vecFold")
+      s"""
+      java.lang.Double $tmp = graft.plans.GraftExpressions.vecFold(
+        $a, $b, ${kindOf(left)}, ${kindOf(right)}, $squared);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Portable polynomial hash ([[graft.operators.Dedup.polyHash]]) as a

@@ -51,18 +51,33 @@ class NativeExpressionSpec extends SparkSpec {
       val df = (1 to 100).map(i => s"doc $i the quick brown fox").toDF("t")
       val sketch = GraftColumnBridge.column(graft.plans.WinnowSketch(
         GraftColumnBridge.expression(col("t")), 4, 3))
+      val ngrams = GraftColumnBridge.column(graft.plans.TokenNgrams(
+        GraftColumnBridge.expression(split(col("t"), " ")), 2))
       val r = df.select(
           TextOps.matchCount(col("t"), Seq("the", "fox")).cast("long").as("mc"),
           Dedup.polyHash(col("t")).as("ph"),
           org.apache.spark.sql.functions.size(Dedup.shingles(col("t"), 3))
             .cast("long").as("ns"),
-          org.apache.spark.sql.functions.size(sketch).cast("long").as("nw"))
+          org.apache.spark.sql.functions.size(sketch).cast("long").as("nw"),
+          org.apache.spark.sql.functions.size(ngrams).cast("long").as("ng"))
         .agg(org.apache.spark.sql.functions.sum("mc"),
           org.apache.spark.sql.functions.min("ph"),
           org.apache.spark.sql.functions.min("ns"),
-          org.apache.spark.sql.functions.min("nw")).head()
+          org.apache.spark.sql.functions.min("nw"),
+          org.apache.spark.sql.functions.min("ng")).head()
       assert(r.getLong(0) == 200) // 2 marker hits × 100 rows
-      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0 && r.getLong(4) > 0)
+
+      // VecFold through a real aggregate pipeline (dot + squared L2)
+      val vdf = (1 to 100).map(i => (Seq(i.toFloat, 2f, 3f), Seq(1f, i.toFloat, 1f)))
+        .toDF("a", "b")
+      def vf(sq: Boolean) = GraftColumnBridge.column(graft.plans.VecFold(
+        GraftColumnBridge.expression(col("a")),
+        GraftColumnBridge.expression(col("b")), sq))
+      val v = vdf.select(vf(false).as("d"), vf(true).as("s"))
+        .agg(org.apache.spark.sql.functions.sum("d"),
+          org.apache.spark.sql.functions.sum("s")).head()
+      assert(v.getDouble(0) == (1 to 100).map(i => i * 1.0 + 2.0 * i + 3.0).sum)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 

@@ -94,4 +94,62 @@ class NativeParitySpec extends SparkSpec {
       assertParity(texts, nativeWinnow(k, w), declarativeWinnow(k, w),
         s"winnow($k,$w)")
   }
+
+  test("TokenNgrams ≡ declarative transform/sequence/slice formulation") {
+    import org.apache.spark.sql.GraftColumnBridge
+    def declarative(toks: Column, n: Int): Column =
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    def native(toks: Column, n: Int): Column = GraftColumnBridge.column(
+      graft.plans.TokenNgrams(GraftColumnBridge.expression(toks), n))
+    // arrays from the text generator's token shapes, plus the empty and
+    // the shorter-than-n degenerate cases the oracle replays
+    val arrays: Seq[Seq[String]] =
+      sample(100).map(_.split("\\s+").toSeq.filter(_.nonEmpty)) ++
+        Seq(Seq.empty, Seq("one"), Seq("a", "b"))
+    val df = arrays.toDF("toks")
+    for (n <- Seq(1, 2, 3)) {
+      val bad = df.select(native(col("toks"), n).as("a"),
+          declarative(col("toks"), n).as("b"))
+        .collect().filter(r => r.get(0) != r.get(1))
+      assert(bad.isEmpty, s"TokenNgrams(n=$n) diverged: ${bad.take(3).mkString(", ")}")
+    }
+  }
+
+  test("VecFold ≡ declarative aggregate/zip_with folds (dot + squared L2)") {
+    import org.apache.spark.sql.GraftColumnBridge
+    def declDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def declSq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    def native(a: Column, b: Column, squared: Boolean): Column =
+      GraftColumnBridge.column(graft.plans.VecFold(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), squared))
+
+    val rnd = new scala.util.Random(7)
+    def vec(n: Int): Seq[Float] = Seq.fill(n)((rnd.nextGaussian() * 3).toFloat)
+    // equal lengths, the empty vector, and a length mismatch (→ null via
+    // zip_with's null padding) — accumulation order must match bitwise
+    val rows = Seq.fill(60)((vec(16), vec(16))) ++
+      Seq((vec(0), vec(0)), (vec(5), vec(3)), (vec(3), vec(5)))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        native(col("a"), col("b"), squared = false).as("nd"),
+        declDot(col("a"), col("b")).as("dd"),
+        native(col("a"), col("b"), squared = true).as("ns"),
+        declSq(col("a"), col("b")).as("ds"))
+      .collect().filter(r => r.get(0) != r.get(1) || r.get(2) != r.get(3))
+    assert(bad.isEmpty, s"VecFold diverged: ${bad.take(3).mkString(", ")}")
+
+    // int-array side (the ±1 hyperplane literals) against float vectors
+    val planes = Seq.fill(30)((vec(8), Seq.fill(8)(if (rnd.nextBoolean()) 1 else -1)))
+    val badP = planes.toDF("v", "p").select(
+        native(col("v"), col("p"), squared = false).as("nd"),
+        declDot(col("v"), col("p")).as("dd"))
+      .collect().filter(r => r.get(0) != r.get(1))
+    assert(badP.isEmpty, s"VecFold(int planes) diverged: ${badP.take(3).mkString(", ")}")
+  }
 }
