@@ -305,6 +305,45 @@ object Dedup {
       .drop("__rk", "group_id")
   }
 
+  /** Cross-document line-level deduplication (the CCNet/RefinedWeb
+    * boilerplate-removal shape, re-derived): a line occurring in at least
+    * `minDocs` DISTINCT documents is boilerplate (headers, cookie
+    * banners, nav footers) and is dropped from EVERY document; surviving
+    * lines are reassembled in their original order. Documents losing all
+    * their lines stay in the output with empty text.
+    *
+    * Scale shape: one shuffle for the distinct-doc line count (partially
+    * aggregated map-side), one anti-join of the line table against the
+    * frequent-line relation (tiny by definition — boilerplate repeats —
+    * so AQE broadcasts it), one regroup per document. No collects, no
+    * per-document state.
+    *
+    * @return (idCol, textCol cleaned, n_lines_kept, n_lines_total)
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs >= 2 (a 1-threshold would drop every line)")
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val lines = docs.select(col("id"),
+      posexplode(split(col("t"), "\n")).as(Seq("line_no", "line")))
+    val frequent = lines.groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"))
+    val kept = lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line")), "\n").as("kept_text"),
+        count(lit(1)).as("n_lines_kept"))
+    docs.join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("kept_text"), lit("")).as(textCol),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        size(split(col("t"), "\n")).cast("long").as("n_lines_total"))
+  }
+
   def dupGroups(corpus: DataFrame, idCol: String, pairs: DataFrame,
                 maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))

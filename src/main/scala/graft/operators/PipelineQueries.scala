@@ -208,6 +208,29 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Cross-document line-level dedup gate ([[Dedup.lineDedup]]): a
+    * synthesized multi-line corpus — a shared header in EVERY doc, a
+    * cookie banner in every 3rd, a footer in every 5th, each doc's own
+    * text plus unique intro/outro lines, and exact-dup seeds below the
+    * threshold — where boilerplate lines must vanish from every document
+    * and everything else survives in original order. */
+  def q65LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val seeded = d.unionByName(
+      d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val corpus = seeded.select(col("doc_id"), concat_ws("\n",
+        lit("=== shared header ==="),
+        when(col("doc_id") % 3 === 0, lit("cookie banner accept"))
+          .otherwise(concat(lit("intro "), col("doc_id").cast("string"))),
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit("footer contact us"))
+          .otherwise(concat(lit("outro "), col("doc_id").cast("string")))
+      ).as("text"))
+    Dedup.lineDedup(corpus, "doc_id", "text", minDocs = 5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Character-trigram language ID over the corpus: per-language profile
     * scores + the winning language (first-listed wins ties, 0 everywhere
     * → "und") — the n-gram flavor of q18's marker-word langID. The
@@ -400,6 +423,7 @@ object PipelineQueries {
     "q60_winnow"       -> q60Winnow _,
     "q63_curation"     -> q63Curation _,
     "q64_lang_ngram"   -> q64LangNgram _,
+    "q65_line_dedup"   -> q65LineDedup _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -904,6 +928,39 @@ object PipelineQueries {
         |  array_to_string(toks[s+1:s+64], ' ') AS chunk_text
         |FROM st
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q65_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 4 = 0),
+        |built AS (
+        |  SELECT doc_id,
+        |    concat('=== shared header ===', chr(10),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'cookie banner accept'
+        |           ELSE concat('intro ', CAST(doc_id AS VARCHAR)) END, chr(10),
+        |      text, chr(10),
+        |      CASE WHEN doc_id % 5 = 0 THEN 'footer contact us'
+        |           ELSE concat('outro ', CAST(doc_id AS VARCHAR)) END) AS text
+        |  FROM corpus),
+        |src AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM built),
+        |l2 AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS line_no,
+        |    unnest(ls) AS line
+        |  FROM src),
+        |freq AS (
+        |  SELECT line FROM l2 GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+        |kept AS (
+        |  SELECT doc_id, line_no, line FROM l2
+        |  WHERE line NOT IN (SELECT line FROM freq)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+        |    CAST(count(*) AS BIGINT) AS n_lines_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(a.text, '') AS text,
+        |  CAST(coalesce(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(string_split(b.text, chr(10))) AS BIGINT) AS n_lines_total
+        |FROM built b LEFT JOIN agg a ON b.doc_id = a.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q60_winnow" ->
       """WITH c AS (
         |  SELECT doc_id,
