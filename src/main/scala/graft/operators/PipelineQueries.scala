@@ -231,6 +231,23 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter decontamination gate ([[Bloom.decontaminate]]): the
+    * q53 corpus/split, with the test split's 8-gram shingles folded into
+    * a 2²⁰-bit / 3-hash Bloom bitmap and the train split probed against
+    * it — per-document flagged-gram counts and the contamination verdict,
+    * false positives included (the oracle replays the exact bit set, so
+    * the filter's own semantics are value-checked, not approximated). */
+  def q66BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sampling.withSplit(dupCorpus(spark, dir), "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1), seed = 13L)
+    Bloom.decontaminate(
+        docs.filter(col("split") === "train"), "doc_id", "text",
+        docs.filter(col("split") === "test"), "text",
+        shingleN = 8, numBits = 1 << 20, numHashes = 3, minHits = 5,
+        seed = 29L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Character-trigram language ID over the corpus: per-language profile
     * scores + the winning language (first-listed wins ties, 0 everywhere
     * → "und") — the n-gram flavor of q18's marker-word langID. The
@@ -424,6 +441,7 @@ object PipelineQueries {
     "q63_curation"     -> q63Curation _,
     "q64_lang_ngram"   -> q64LangNgram _,
     "q65_line_dedup"   -> q65LineDedup _,
+    "q66_bloom_decontam" -> q66BloomDecontam _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -703,6 +721,66 @@ object PipelineQueries {
       |ORDER BY test_id, train_id""".stripMargin
   }
 
+  /** Recomputes q66's Bloom filter EXACTLY: the same seeded double-hash
+    * bit positions over the portable polynomial gram hash, with the bit
+    * set expressed as a distinct-position set (pos bit set ⟺ pos emitted
+    * by some benchmark gram) — so membership verdicts, false positives
+    * included, are value-checked rather than approximated. */
+  private val bloomDecontamSql: String = {
+    val p = Sampling.P
+    val (sa, sb) = Sampling.coef(13L)
+    val trainUpper = Sampling.splitThresholds(
+      Seq("train" -> 0.9, "test" -> 0.1)).head._2
+    val numBits = 1 << 20
+    val posExprs = (0 until 3).map { i =>
+      val (a, b) = Sampling.coef(29L + i)
+      s"((h * $a + $b) % $p) % $numBits AS p$i"
+    }.mkString(",\n      |    ")
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '') FROM documents),
+      |split AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN ((doc_id % $p) * $sa + $sb) % $p < $trainUpper
+      |         THEN 'train' ELSE 'test' END AS split
+      |  FROM corpus),
+      |norm AS (
+      |  SELECT doc_id, split,
+      |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      |  FROM split),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, split, sh FROM (
+      |    SELECT doc_id, split, unnest(list_transform(
+      |      generate_series(0, greatest(len(toks) - 8, 0)),
+      |      i -> array_to_string(toks[i+1:i+8], ' '))) AS sh
+      |    FROM norm) t WHERE length(sh) > 0),
+      |hashed AS (
+      |  SELECT doc_id, split,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(sh)),
+      |                     i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      |  FROM sh),
+      |pos AS (
+      |  SELECT doc_id, split,
+      |    $posExprs
+      |  FROM hashed),
+      |bset AS (
+      |  SELECT DISTINCT pb FROM (
+      |    SELECT unnest([p0, p1, p2]) AS pb FROM pos WHERE split = 'test') t),
+      |hits AS (
+      |  SELECT doc_id,
+      |    (p0 IN (SELECT pb FROM bset) AND p1 IN (SELECT pb FROM bset)
+      |     AND p2 IN (SELECT pb FROM bset)) AS hit
+      |  FROM pos WHERE split = 'train')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) >= 5 AS contaminated
+      |FROM hits GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** Recomputes q54 with the same regexes (RE2-compatible subset) and the
     * same doc_id-derived synthetic PII. */
   private val piiSql: String = {
@@ -738,6 +816,7 @@ object PipelineQueries {
     "q50_dup_groups" -> dupGroupsSql,
     "q51_sample"     -> sampleSql,
     "q53_decontam"   -> decontamSql,
+    "q66_bloom_decontam" -> bloomDecontamSql,
     "q54_pii_redact" -> piiSql,
     "q52_chunks" ->
       """WITH base AS (

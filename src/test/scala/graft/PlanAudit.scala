@@ -134,6 +134,23 @@ object PlanAudit {
     check("q64 lang-ngram has no shuffle beyond the gate sort",
       "Exchange".r.findAllIn(plan("q64_lang_ngram")).size <= 1)
 
+    // q65 line dedup: frequent-line filter must stay an anti-join (no
+    // cartesian), with partial aggregation on the line-frequency count
+    val p65 = plan("q65_line_dedup")
+    check("q65 line dedup keeps the anti-join",
+      p65.contains("LeftAnti") && !p65.contains("CartesianProduct"))
+    check("q65 line dedup has partial aggregation", p65.contains("partial_"))
+
+    // q66 bloom decontam: the bitmap is ONE broadcast row (nested-loop is
+    // the correct strategy for a single-row build side); the corpus side
+    // must NOT sort-merge/shuffle-join against the benchmark
+    val p66 = plan("q66_bloom_decontam")
+    check("q66 bloom bitmap is broadcast",
+      p66.contains("BroadcastNestedLoopJoin"))
+    check("q66 corpus never joins the benchmark relation",
+      !p66.contains("SortMergeJoin"))
+    check("q66 per-doc counts aggregate partially", p66.contains("partial_"))
+
     // partitioned layout: a partition predicate must prune directories
     {
       import graft.sinks.ParquetTable
