@@ -248,6 +248,27 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25-shaped retrieval gate ([[Retrieval.bm25TopK]]): query docs are
+    * the first 8 documents, each contributing its 4 lexicographically
+    * first distinct tokens as query terms; top-10 per query by the
+    * rational-idf score, ties broken on doc_id. The oracle mirrors the
+    * score's expression tree parenthesis-for-parenthesis (pure IEEE
+    * `+ * /`, no ln) and the order-canonicalized term-score fold. */
+  def q67Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("term"))
+    val qterms = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 4).drop("r")
+    Retrieval.bm25TopK(docs, "doc_id", "text", qterms, "query_id", "term",
+        k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Character-trigram language ID over the corpus: per-language profile
     * scores + the winning language (first-listed wins ties, 0 everywhere
     * → "und") — the n-gram flavor of q18's marker-word langID. The
@@ -442,6 +463,7 @@ object PipelineQueries {
     "q64_lang_ngram"   -> q64LangNgram _,
     "q65_line_dedup"   -> q65LineDedup _,
     "q66_bloom_decontam" -> q66BloomDecontam _,
+    "q67_bm25_topk"    -> q67Bm25 _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -781,6 +803,59 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Recomputes q67's rational-idf BM25 with the identical IEEE
+    * expression tree (constants interpolated from the Scala doubles so
+    * both engines parse the same bit patterns) and the identical
+    * sorted-fold term-score sum. */
+  private val bm25Sql: String = {
+    val k1 = 1.2
+    val b = 0.75
+    val c1 = k1 + 1.0
+    val c2 = 1.0 - b
+    s"""WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+      |tf AS (
+      |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS t FROM docs) u GROUP BY doc_id, t),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |qt AS (
+      |  SELECT query_id, term FROM (
+      |    SELECT query_id, term,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY term) AS r
+      |    FROM (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term
+      |          FROM docs WHERE doc_id < 8) t1) t2
+      |  WHERE r <= 4),
+      |m AS (
+      |  SELECT q.query_id, f.doc_id, f.tf, d.df, l.dl, s.n_docs, s.avgdl
+      |  FROM qt q
+      |  JOIN tf f ON f.term = q.term
+      |  JOIN dfr d ON d.term = q.term
+      |  JOIN dl l ON l.doc_id = f.doc_id, stats s),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |    * ((CAST(tf AS DOUBLE) * $c1)
+      |       / (CAST(tf AS DOUBLE) + $k1 * ($c2 + $b * (CAST(dl AS DOUBLE) / avgdl)))) AS s
+      |  FROM m),
+      |agg AS (
+      |  SELECT query_id, doc_id,
+      |    list_reduce(list_prepend(0.0, list_sort(list(s))), (acc, x) -> acc + x) AS score,
+      |    CAST(count(*) AS BIGINT) AS n_terms
+      |  FROM sc GROUP BY query_id, doc_id)
+      |SELECT query_id, doc_id, score, n_terms, rank FROM (
+      |  SELECT query_id, doc_id, score, n_terms,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+      |         AS BIGINT) AS rank
+      |  FROM agg) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Recomputes q54 with the same regexes (RE2-compatible subset) and the
     * same doc_id-derived synthetic PII. */
   private val piiSql: String = {
@@ -817,6 +892,7 @@ object PipelineQueries {
     "q51_sample"     -> sampleSql,
     "q53_decontam"   -> decontamSql,
     "q66_bloom_decontam" -> bloomDecontamSql,
+    "q67_bm25_topk"  -> bm25Sql,
     "q54_pii_redact" -> piiSql,
     "q52_chunks" ->
       """WITH base AS (

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sparse lexical retrieval over the corpus: BM25-shaped scoring with a
+  * RATIONAL idf — `(N − df + 0.5) / (df + 0.5)` instead of the textbook
+  * `ln` of it — so every score is reachable with IEEE-754 `+ * /` alone
+  * (each correctly rounded, hence bit-identical across engines; `ln` is
+  * libm-dependent and would break cross-engine verification — same
+  * reasoning as q42's idf ratio). Ranking is unaffected for single-term
+  * queries and nearly indistinguishable for short ones; the point is the
+  * retrieval SHAPE: inverted tf index, per-term weighting, deterministic
+  * top-k.
+  *
+  * Score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * The per-(query, doc) term-score sum is order-canonicalized (sorted
+  * values, left fold) so it is bit-exact regardless of partitioning —
+  * the [[PipelineQueries.q43Centroids]] discipline. A production path
+  * would use plain `sum` (partial-aggregated, no per-group buffer);
+  * the fold buffers only the handful of MATCHED query terms per doc.
+  *
+  * Scale shape: tf/dl/df are partial-aggregated shuffles of the token
+  * table; the query-term relation is broadcast; corpus stats ride one
+  * single-row broadcast. No cartesian anywhere.
+  */
+object Retrieval {
+
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queryTerms: DataFrame, queryIdCol: String, termCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = corpus.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val q = queryTerms
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("term")).distinct()
+
+    val matched = tf
+      .join(broadcast(q), "term")
+      .join(dfRel, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+    val s = termScore(col("tf"), col("df"), col("dl"),
+      col("n_docs"), col("avgdl"), k1, b)
+    val scored = matched.withColumn("s", s)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        aggregate(sort_array(collect_list(col("s"))), lit(0.0),
+          (acc, x) => acc + x).as("score"),
+        count(lit(1)).cast("long").as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("n_terms"), col("rank"))
+  }
+
+  /** One matched term's contribution — the exact expression tree the
+    * oracle SQL mirrors parenthesis-for-parenthesis. */
+  def termScore(tf: Column, df: Column, dl: Column, nDocs: Column,
+                avgdl: Column, k1: Double, b: Double): Column = {
+    val c1 = k1 + 1.0
+    val c2 = 1.0 - b
+    val idf = ((nDocs - df).cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5))
+    idf * ((tf.cast("double") * lit(c1)) /
+      (tf.cast("double") + lit(k1) * (lit(c2) + lit(b) * (dl.cast("double") / avgdl))))
+  }
+}

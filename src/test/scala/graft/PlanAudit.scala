@@ -151,6 +151,13 @@ object PlanAudit {
       !p66.contains("SortMergeJoin"))
     check("q66 per-doc counts aggregate partially", p66.contains("partial_"))
 
+    // q67 BM25: query terms broadcast onto the tf index; the only
+    // nested-loop join is the single-row corpus-stats broadcast
+    val p67 = plan("q67_bm25_topk")
+    check("q67 broadcasts query terms onto the tf index",
+      p67.contains("BroadcastHashJoin") && !p67.contains("CartesianProduct"))
+    check("q67 tf/df/dl aggregate partially", p67.contains("partial_count"))
+
     // partitioned layout: a partition predicate must prune directories
     {
       import graft.sinks.ParquetTable
