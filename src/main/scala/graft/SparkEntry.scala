@@ -23,6 +23,7 @@ object SparkEntry {
     PipelineQueries.all,
     SourceQueries.all,
     ExtendedQueries.all,
+    CurationQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
@@ -31,6 +32,7 @@ object SparkEntry {
     PipelineQueries.oracles,
     SourceQueries.oracles,
     ExtendedQueries.oracles,
+    CurationQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the data-quality summary a warehouse load
+  * runs after landing a table (row counts, null rates, cardinalities,
+  * ranges): the batch analogue of the reference's per-load log checks
+  * (/root/reference/checkLogExist.pl's post-load sanity layer), computed
+  * as ONE aggregation over the table instead of a query per column.
+  *
+  * Exact `count(distinct)` over many columns plans via Catalyst's Expand
+  * (the input is replicated once per distinct aggregate before the
+  * partial aggregation) — a deliberate trade: one scan, map-side partial
+  * aggs, and exact answers. At 100 TB with wide tables, profile the
+  * columns you need or switch the cardinality column to
+  * `approx_count_distinct` — the shape stays one job either way.
+  */
+object Profile {
+
+  /** One output row per profiled column: `column_name, n_rows, n_nulls,
+    * n_distinct, min_num, max_num, min_str, max_str, avg_len` (numeric
+    * stats NULL for string columns and vice versa). */
+  def profile(df: DataFrame, numericCols: Seq[String],
+              stringCols: Seq[String]): DataFrame = {
+    require((numericCols ++ stringCols).nonEmpty, "no columns to profile")
+    val all = numericCols.map(_ -> true) ++ stringCols.map(_ -> false)
+    val aggs: Seq[Column] = count(lit(1)).as("_rows") +: all.flatMap {
+      case (c, isNum) =>
+        Seq(count(col(c)).as(s"_nn_$c"),
+          count_distinct(col(c)).as(s"_nd_$c")) ++
+          (if (isNum) Seq(min(col(c)).cast("double").as(s"_min_$c"),
+            max(col(c)).cast("double").as(s"_max_$c"))
+          // mean length as an explicit exact-sum / count division: a single
+          // IEEE divide of two exact longs is bit-identical across engines,
+          // where built-in AVG accumulation strategies may not be
+          else Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c"),
+            sum(length(col(c)).cast("long")).as(s"_len_$c")))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = all.map { case (c, isNum) =>
+      struct(
+        lit(c).as("column_name"),
+        col("_rows").cast("long").as("n_rows"),
+        (col("_rows") - col(s"_nn_$c")).cast("long").as("n_nulls"),
+        col(s"_nd_$c").cast("long").as("n_distinct"),
+        (if (isNum) col(s"_min_$c") else lit(null).cast("double")).as("min_num"),
+        (if (isNum) col(s"_max_$c") else lit(null).cast("double")).as("max_num"),
+        (if (isNum) lit(null).cast("string") else col(s"_min_$c")).as("min_str"),
+        (if (isNum) lit(null).cast("string") else col(s"_max_$c")).as("max_str"),
+        (if (isNum) lit(null).cast("double")
+         else col(s"_len_$c").cast("double") /
+           col(s"_nn_$c").cast("double")).as("avg_len"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+}

@@ -96,4 +96,66 @@ object Sampling {
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
     splits.map(_._1).zip(cum.map(c => (c * P).toLong))
   }
+
+  /** Mixture / epoch weighting (data mixing for pretraining): each row is
+    * replicated `floor(num/den)` times plus one extra copy when its key
+    * hash falls under `((num mod den) · P) / den` — so a stratum with
+    * epochs 2.3 contributes every doc twice and a stable, key-decided 30%
+    * of docs a third time. `numCol` is an integral column (the per-row
+    * epoch numerator; e.g. a CASE over the domain column), `den` the
+    * common denominator — all-integer thresholds, so the copy count is
+    * bit-identical on any engine. Epochs < 1 downsample (zero copies drop
+    * the row). Narrow plan: no shuffle, just a filterable explode.
+    *
+    * Adds `n_copies` and `copy_id` (0-based). */
+  def epochMixRational(df: DataFrame, idCol: String, numCol: Column,
+                       den: Int, seed: Long = 42L): DataFrame = {
+    require(den > 0, "denominator must be positive")
+    val h = keyHashFor(df, idCol, seed)
+    val base = (numCol.cast("long") / lit(den.toLong)).cast("long")
+    val thr = (pmod(numCol.cast("long"), lit(den.toLong)) * lit(P)) / lit(den.toLong)
+    val copies = (base + when(h < thr.cast("long"), 1L).otherwise(0L)).as("n_copies")
+    // sequence(0, -1) defaults to step -1 (yielding [0,-1]) — guard the
+    // zero-copy case with an explicit empty array so explode drops the row
+    df.withColumn("n_copies", copies)
+      .withColumn("copy_id",
+        explode(when(col("n_copies") > 0,
+          sequence(lit(0L), col("n_copies") - 1))
+          .otherwise(array().cast("array<long>"))))
+  }
+
+  /** [[epochMixRational]] with per-stratum fractional epoch weights
+    * (milli-epoch resolution). */
+  def epochMix(df: DataFrame, strataCol: String, idCol: String,
+               weights: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "no mixture weights")
+    val num = weights.tail.foldLeft(
+      when(col(strataCol) === weights.head._1,
+        lit(math.round(weights.head._2 * 1000)))) {
+      case (acc, (name, w)) =>
+        acc.when(col(strataCol) === name, lit(math.round(w * 1000)))
+    }.otherwise(lit(0L))
+    epochMixRational(df, idCol, num, den = 1000, seed = seed)
+  }
+
+  /** Token-budget domain capping: within each stratum, keep documents in
+    * key-hash order until the stratum's cumulative token count reaches
+    * `budget` (a document starting under budget is kept whole). The
+    * token-space variant of [[stratifiedQuota]] — corpus curation caps
+    * domains by tokens, not document counts. One shuffle on the stratum;
+    * strata sort independently in parallel.
+    *
+    * Adds `tokens_before` (stratum tokens preceding this doc in hash
+    * order). */
+  def tokenBudget(df: DataFrame, strataCol: String, idCol: String,
+                  nTokensCol: String, budget: Long,
+                  seed: Long = 42L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(keyHashFor(df, idCol, seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = col(nTokensCol).cast("long")
+    df.withColumn("tokens_before", sum(n).over(w) - n)
+      .filter(col("tokens_before") < budget)
+  }
 }
