@@ -24,6 +24,7 @@ object SparkEntry {
     SourceQueries.all,
     ExtendedQueries.all,
     CurationQueries.all,
+    IndexQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
@@ -33,6 +34,7 @@ object SparkEntry {
     SourceQueries.oracles,
     ExtendedQueries.oracles,
     CurationQueries.oracles,
+    IndexQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions._
+
+/** Indexing / sketching / range-join gates (q74-q77): the operators a
+  * retrieval-and-curation stack layers on top of the core engine —
+  * postings-list construction, interval joins planned as equi-joins,
+  * mergeable KMV distinct sketches, and deterministic per-stratum
+  * sampling. All four ride [[graft.plans.BoundedMinKAgg]] or
+  * [[RangeJoin]], the two scale-bearing primitives added for them.
+  */
+object IndexQueries {
+
+  /** Knuth multiplicative hash of a non-negative long key, mod 2^32 —
+    * chosen because it is exactly expressible in ANSI SQL
+    * (`(key * 2654435761) % 4294967296`), so DuckDB oracles can replay
+    * sketch and sample contents bit-for-bit. */
+  private def knuthHash(key: Column): Column =
+    pmod(key * lit(2654435761L), lit(4294967296L))
+
+  private def minK(entry: Column, k: Int, distinct: Boolean): Column =
+    GraftColumnBridge.column(
+      graft.plans.BoundedMinKAgg(GraftColumnBridge.expression(entry), k, distinct)
+        .toAggregateExpression())
+
+  /** q74: inverted-index construction — per token: document frequency,
+    * total term frequency, and the head of the postings list (top-3 docs
+    * by tf desc, doc_id asc). The top-k is a [[graft.plans.BoundedMinKAgg]]
+    * over `struct(-tf, doc_id)`: map-side partial aggregation keeps ≤ 3
+    * entries per token per task, so stopword-grade hot tokens cost a
+    * bounded buffer instead of the full-partition sort a window
+    * `row_number` would pay. Top-30 tokens by df keep the gate small. */
+  def q74Postings(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val entry = struct((-col("tf")).as("ntf"), col("doc_id").as("doc_id"))
+    tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        minK(entry, 3, distinct = false).as("top"))
+      .select(col("token"), col("df"), col("total_tf"),
+        concat_ws(",",
+          transform(col("top"), e => e.getField("doc_id").cast("string")))
+          .as("postings"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(30)
+  }
+
+  /** q75: interval join as an equi-join — lineitems shipped inside the
+    * 7-day window after each (filtered) urgent order's date, via
+    * [[RangeJoin.intervalJoin]] day-binning. The exact predicate is
+    * re-applied post-join; the plan contains NO nested-loop join
+    * (PlanAudit asserts this), which is what makes the shape survive a
+    * 100× scale-up. */
+  def q75RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 32 === 0)
+      .select(col("o_orderkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("start_d"))
+      .withColumn("end_d", col("start_d") + 7)
+    val pts = Tables.lineitem(spark, dir)
+      .select(col("l_quantity"),
+        unix_date(to_date(col("l_shipdate"))).cast("long").as("ship_d"))
+    RangeJoin.intervalJoin(pts, "ship_d", iv, "start_d", "end_d", binWidth = 7L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q76: KMV (k-minimum-values) distinct sketch per group — the k
+    * smallest distinct hash values of the key; estimate
+    * `(k-1) · 2^32 / h_k`, exact when the group holds fewer than k
+    * distinct hashes (sparse mode). The sketch is a bounded mergeable
+    * aggregation buffer — the scale path for distinct-count over
+    * arbitrarily hot groups, storable and unionable across loads (merge
+    * two sketches = merge arrays, resort, trim). The exact
+    * `count(distinct)` is emitted alongside for the gate. Both engines
+    * compute the estimate with the same IEEE double division, so it is
+    * hash-exact. */
+  def q76KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val h = knuthHash(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"),
+        minK(h, k, distinct = true).as("kmv"))
+      .select(col("o_orderpriority"), col("exact_distinct"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+            element_at(col("kmv"), k).cast("double"))
+          .as("kmv_est"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q77: deterministic fixed-size sample per stratum — the 10 docs with
+    * the smallest Knuth hash per language. Hash-ordered selection makes
+    * the sample stable under partitioning, insertion order, and reruns
+    * (DeterminismSpec property), and the bounded aggregate keeps ≤ 10
+    * rows per stratum per task — no full-stratum window sort, no
+    * reservoir state. */
+  def q77StratSample(spark: SparkSession, dir: String): DataFrame = {
+    val entry = struct(knuthHash(col("doc_id")).as("h"), col("doc_id").as("doc_id"))
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(minK(entry, 10, distinct = false).as("picks"))
+      .select(col("lang"), posexplode(col("picks")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("e").getField("doc_id").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_postings"    -> q74Postings _,
+    "q75_range_join"  -> q75RangeJoin _,
+    "q76_kmv_distinct" -> q76KmvDistinct _,
+    "q77_strat_sample" -> q77StratSample _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q74_postings" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY token, doc_id),
+        |ranked AS (
+        |  SELECT token, doc_id, tf,
+        |    row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+        |  FROM tf),
+        |agg AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY token),
+        |post AS (
+        |  SELECT token,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY tf DESC, doc_id) AS postings
+        |  FROM ranked WHERE rn <= 3 GROUP BY token)
+        |SELECT a.token, a.df, a.total_tf, p.postings
+        |FROM agg a JOIN post p USING (token)
+        |ORDER BY a.df DESC, a.token
+        |LIMIT 30""".stripMargin,
+    "q75_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 32 = 0)
+        |SELECT iv.o_orderkey,
+        |  CAST(count(*) AS BIGINT) AS n_shipped,
+        |  CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty
+        |FROM iv JOIN lineitem l
+        |  ON CAST(l.l_shipdate AS DATE) >= iv.d0
+        | AND CAST(l.l_shipdate AS DATE) < iv.d0 + INTERVAL 7 DAY
+        |GROUP BY iv.o_orderkey
+        |ORDER BY iv.o_orderkey""".stripMargin,
+    "q76_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |    (o_custkey * 2654435761) % 4294967296 AS h
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, h,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+        |  FROM h),
+        |k AS (
+        |  SELECT o_orderpriority,
+        |    max(CASE WHEN rn = 16 THEN h END) AS h16,
+        |    count(*) AS nh
+        |  FROM r GROUP BY o_orderpriority),
+        |ex AS (
+        |  SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT ex.o_orderpriority, ex.exact_distinct,
+        |  CASE WHEN k.h16 IS NULL THEN CAST(k.nh AS DOUBLE)
+        |       ELSE 64424509440.0 / CAST(k.h16 AS DOUBLE) END AS kmv_est
+        |FROM ex JOIN k USING (o_orderpriority)
+        |ORDER BY ex.o_orderpriority""".stripMargin,
+    "q77_strat_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+        |  FROM h)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed interval/range join: points joined to the intervals that
+  * contain them, planned as an EQUI-join instead of the
+  * BroadcastNestedLoopJoin Spark falls back to for a bare
+  * `p >= start AND p < end` condition (which at 100 TB is a cartesian
+  * scan of every point against every interval).
+  *
+  * Standard binning scheme: pick a bin width, explode each interval to
+  * every bin it overlaps (`sequence(floor(start/w), floor((end-1)/w))`),
+  * map each point to the single bin that owns it, equi-join on the bin,
+  * then re-apply the exact range predicate as a post-join filter. Each
+  * (point, interval) match meets in exactly ONE bin — the point's own —
+  * so no dedup pass is needed. The equi-join shuffles (or broadcasts)
+  * on the bin key, partial work scales out with partitions, and skew in
+  * bin population is ordinary join skew (AQE-splittable), not a plan
+  * change.
+  *
+  * Bin width trades replication (long intervals explode to `len/w` bins)
+  * against candidate density (wide bins pair points with far-away
+  * intervals that the filter then drops). A width near the median
+  * interval length keeps replication ~2× and candidates tight.
+  */
+object RangeJoin {
+
+  /** Join `points` to every row of `intervals` whose
+    * `[startCol, endCol)` half-open range contains `pointCol`.
+    *
+    * All three columns must be long-typed (callers convert dates or
+    * timestamps to epoch units first — exact integer arithmetic, no
+    * float bin edges).
+    *
+    * @param binWidth bin width in the same units as the columns.
+    * @return one row per containment pair, carrying all columns of both
+    *         inputs.
+    */
+  def intervalJoin(points: DataFrame, pointCol: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    // empty intervals (end <= start) own no bins; sequence() would count
+    // backwards (step -1) and fabricate bins, so they are filtered first
+    val ivb = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin",
+        explode(sequence(bin(col(startCol)), bin(col(endCol) - 1))))
+    val ptb = points.withColumn("__bin", bin(col(pointCol)))
+    ptb.join(ivb, Seq("__bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+}

@@ -493,3 +493,51 @@ case class ArrayMinAgg(child: Expression, n: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Bounded "k smallest values" aggregate over any orderable child type
+  * (longs, strings, structs — struct ordering is field-by-field, so a
+  * `struct(-tf, doc_id)` child yields "top-k by tf desc, id asc").
+  *
+  * This is the mergeable-sketch building block behind KMV distinct
+  * estimation, per-group deterministic sampling, and per-key top-k
+  * (postings lists): the aggregation buffer is a sorted array capped at
+  * `k`, so map-side partial aggregation keeps at most `k` elements per
+  * group per task — a hot key (stopword token, skewed stratum) costs the
+  * same bounded buffer as a cold one, unlike a window `row_number` which
+  * sorts the whole partition. Update/merge are Catalyst expressions
+  * (`slice(array_sort(concat(buf, array(x))), 1, k)`), so partial
+  * aggregation and buffer merging come for free like the built-in `min`.
+  *
+  * `distinct = true` dedupes the buffer on every step (KMV semantics: the
+  * k smallest DISTINCT hash values). Per-row cost is O(k log k) on a
+  * k-element array — constant-bounded; intended for small k (≤ 64).
+  */
+case class BoundedMinKAgg(child: Expression, k: Int, distinct: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import org.apache.spark.sql.types.ArrayType
+  require(k > 0, s"k must be positive, got $k")
+
+  private lazy val arrTpe = ArrayType(child.dataType, containsNull = false)
+  override def dataType: DataType = arrTpe
+  override def nullable: Boolean = false
+
+  private lazy val buf = AttributeReference("minkbuf", arrTpe, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(buf)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal.create(Seq.empty[Any], arrTpe))
+
+  private def trim(merged: Expression): Expression = {
+    val deduped = if (distinct) ArrayDistinct(merged) else merged
+    Slice(new SortArray(deduped), Literal(1), Literal(k))
+  }
+  // nulls are skipped like the built-in min (a null element would also
+  // violate the buffer's containsNull = false)
+  override lazy val updateExpressions: Seq[Expression] =
+    Seq(If(IsNull(child), buf, trim(Concat(Seq(buf, CreateArray(Seq(child)))))))
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(trim(Concat(Seq(buf.left, buf.right))))
+  override lazy val evaluateExpression: Expression = buf
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -187,6 +187,21 @@ object PlanAudit {
     check("q73 profile is one aggregation pass (Expand + partial agg)",
       p73.contains("Expand") && p73.contains("partial_"))
 
+    // q75 range join: the binning rewrite must plan an EQUI-join on the
+    // bin key — never the nested-loop fallback a bare range predicate gets
+    val p75 = plan("q75_range_join")
+    check("q75 range join is an equi-join (no nested loop)",
+      !p75.contains("CartesianProduct") && !p75.contains("BroadcastNestedLoopJoin") &&
+        (p75.contains("BroadcastHashJoin") || p75.contains("SortMergeJoin") ||
+          p75.contains("ShuffledHashJoin")))
+    // q74/q76/q77 bounded top-k aggregates: partial (map-side) aggregation
+    // must be present — the bounded buffer only helps skew if it runs
+    // before the shuffle
+    Seq("q74_postings", "q76_kmv_distinct", "q77_strat_sample").foreach { q =>
+      check(s"$q aggregates partially before the shuffle",
+        plan(q).contains("partial_"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     {
       import graft.sinks.ParquetTable
