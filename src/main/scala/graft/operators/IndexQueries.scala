@@ -113,11 +113,23 @@ object IndexQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** q78: single-pass histogram quantile sketch — p50/p95/p99 of
+    * `l_extendedprice` per return flag via [[OrderStats.histQuantiles]]
+    * (256 bins over [0, 110000]). Bounded per-group state, mergeable
+    * across loads; the oracle replays the identical IEEE bin arithmetic
+    * in SQL, so even the ESTIMATE is hash-exact. */
+  def q78HistQuantile(spark: SparkSession, dir: String): DataFrame =
+    OrderStats.histQuantiles(Tables.lineitem(spark, dir),
+        Seq("l_returnflag"), "l_extendedprice", 0.0, 110000.0, 256,
+        Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)))
+      .orderBy(col("l_returnflag"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_postings"    -> q74Postings _,
     "q75_range_join"  -> q75RangeJoin _,
     "q76_kmv_distinct" -> q76KmvDistinct _,
     "q77_strat_sample" -> q77StratSample _,
+    "q78_hist_quantile" -> q78HistQuantile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,5 +199,28 @@ object IndexQueries {
         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
         |FROM r WHERE rank <= 10
         |ORDER BY lang, rank""".stripMargin,
+    "q78_hist_quantile" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(least(greatest(floor(
+        |      (CAST(l_extendedprice AS DOUBLE) - 0.0) * 256.0 / 110000.0),
+        |      0.0), 255.0) AS BIGINT) AS bin
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT l_returnflag, bin,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS DOUBLE) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS tot
+        |  FROM c)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cum >= 0.5 * tot
+        |      THEN 0.0 + CAST(bin + 1 AS DOUBLE) * 110000.0 / 256.0 END) AS p50,
+        |  min(CASE WHEN cum >= 0.95 * tot
+        |      THEN 0.0 + CAST(bin + 1 AS DOUBLE) * 110000.0 / 256.0 END) AS p95,
+        |  min(CASE WHEN cum >= 0.99 * tot
+        |      THEN 0.0 + CAST(bin + 1 AS DOUBLE) * 110000.0 / 256.0 END) AS p99
+        |FROM cc
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -71,4 +71,42 @@ object OrderStats {
     }
     withValues.select(g ++ specs.map(s => col(s._1)): _*)
   }
+
+  /** Single-pass histogram quantile ESTIMATE per group — the bounded-state
+    * complement to [[exactPercentiles]]: one shuffle on (group, bin), a
+    * fixed `nBins`-row state per group regardless of group size, and the
+    * per-(group, bin) counts are a mergeable sketch (union = add counts)
+    * storable across incremental loads. Error is bounded by the bin width
+    * `(hi-lo)/nBins`; the estimate returned is the upper edge of the first
+    * bin whose cumulative count reaches the fraction.
+    *
+    * Values below `lo` / above `hi` clamp into the edge bins. All
+    * arithmetic is plain IEEE double in an exactly mirrorable expression
+    * order (`floor((v - lo) * nBins / (hi - lo))`), so a SQL engine
+    * replays the sketch bit-for-bit — which is how the q78 gate verifies
+    * it.
+    *
+    * @param fractions (outputColumn, fraction) pairs.
+    */
+  def histQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    lo: Double, hi: Double, nBins: Int,
+                    fractions: Seq[(String, Double)]): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need nBins > 0 and hi > lo, got $nBins, [$lo, $hi]")
+    val g = groupCols.map(col)
+    val bin = least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) * lit(nBins.toDouble) / lit(hi - lo)),
+      lit(0.0)), lit((nBins - 1).toDouble)).cast("long")
+    val counts = df.groupBy(g :+ bin.as("__bin"): _*).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__bin"))
+    val wAll = Window.partitionBy(g: _*)
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(wCum).cast("double"))
+      .withColumn("__tot", sum(col("__c")).over(wAll).cast("double"))
+    val aggs = fractions.map { case (name, f) =>
+      min(when(col("__cum") >= lit(f) * col("__tot"),
+        lit(lo) + (col("__bin") + 1).cast("double") * lit(hi - lo) / lit(nBins.toDouble)))
+        .as(name)
+    }
+    cum.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

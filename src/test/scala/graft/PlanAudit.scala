@@ -201,6 +201,11 @@ object PlanAudit {
       check(s"$q aggregates partially before the shuffle",
         plan(q).contains("partial_"))
     }
+    // q78 histogram sketch: the only full-data work is the (group, bin)
+    // count — partial aggregation before one exchange, no join
+    val p78 = plan("q78_hist_quantile")
+    check("q78 hist sketch aggregates partially, no join",
+      p78.contains("partial_") && !p78.contains("Join"))
 
     // partitioned layout: a partition predicate must prune directories
     {
