@@ -142,4 +142,33 @@ object StreamingLoad {
           Iterator.single(updated)
       }
   }
+
+  /** Stream-static enrichment: join a stream against a static dimension,
+    * broadcast so each micro-batch pays a map-side hash probe instead of
+    * a shuffle — the streaming twin of the reference's keyed lookup
+    * reads (readFromDBHash, Wrap/DB.pm:84-130).
+    *
+    * The dimension's FILE LISTING is captured when `dim` is created:
+    * overwriting or appending to its directory mid-query is NOT picked
+    * up (and an overwrite fails the scan — the listed files are gone).
+    * For a dimension that refreshes while the stream runs, re-read it
+    * inside `foreachBatch` instead. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Event-time session windows with a watermark: groups events closer
+    * than `gap` into one session per key — the streaming twin of the
+    * batch sessionize gate (q44), using Spark's native `session_window`
+    * (merging-window state, watermark-bounded) instead of the batch
+    * lag+cumsum formulation. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"),
+        col("sum_value"))
 }

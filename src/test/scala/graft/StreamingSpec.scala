@@ -119,4 +119,58 @@ class StreamingSpec extends SparkSpec {
       assert(last(2L) == UserRunning(2L, 1, 7.0))
     } finally q.stop()
   }
+
+  test("stream-static enrichment broadcasts the dimension per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = Files.createTempDirectory("graft-stream-dim-").toString + "/d"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("k", "name")
+      .write.parquet(dimDir)
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("k", "v")
+    val out = StreamingLoad.enrichStream(stream,
+      spark.read.parquet(dimDir), Seq("k"))
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10.0), (3L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").orderBy("k")
+        .collect().map(r => (r.getLong(0), Option(r.getString(2))))
+      // left join: unmatched stream rows survive with a null dim side
+      assert(rows.toSeq == Seq((1L, Some("alpha")), (3L, None)))
+      // a later batch probes the same dimension again
+      mem.addData((2L, 8.0))
+      q.processAllAvailable()
+      val after = spark.table("enriched").filter($"v" === 8.0)
+        .collect().map(r => Option(r.getString(2)))
+      assert(after.toSeq == Seq(Some("beta")))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap, split beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val out = StreamingLoad.sessionCounts(events, gap = "10 minutes",
+      watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      // user 1: events at 0,5,9 chain into one session (pairwise gaps < 10)
+      // then 30 starts a second; user 2: single event
+      mem.addData((t(0), 1L, 1.0), (t(5), 1L, 2.0), (t(9), 1L, 4.0),
+        (t(30), 1L, 8.0), (t(3), 2L, 16.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").orderBy("user_id", "sess_start")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4)))
+      assert(rows.toSeq == Seq(
+        (1L, "2024-01-01 10:00:00.0", 3L, 7.0),
+        (1L, "2024-01-01 10:30:00.0", 1L, 8.0),
+        (2L, "2024-01-01 10:03:00.0", 1L, 16.0)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
