@@ -124,13 +124,37 @@ object IndexQueries {
         Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)))
       .orderBy(col("l_returnflag"))
 
+  /** q79: Morton z-values over (custkey, order day) — the clustering key
+    * behind [[Layout.storeZOrdered]] multi-column data skipping. The
+    * oracle replays the 32-term bit interleave in SQL, verifying the
+    * expression the layout sorts by is exactly the curve it claims. */
+  def q79Zorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        Layout.zValue(Seq(col("o_custkey"),
+          unix_date(to_date(col("o_orderdate"))).cast("long")), 16).as("zval"))
+      .orderBy(col("o_orderkey"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_postings"    -> q74Postings _,
     "q75_range_join"  -> q75RangeJoin _,
     "q76_kmv_distinct" -> q76KmvDistinct _,
     "q77_strat_sample" -> q77StratSample _,
     "q78_hist_quantile" -> q78HistQuantile _,
+    "q79_zorder"       -> q79Zorder _,
   )
+
+  /** The q79 oracle's 32 interleave terms, generated so the SQL provably
+    * mirrors [[Layout.zValue]]'s bit placement (bit i of column c →
+    * position i*ncols + c). */
+  private def zOrderSqlTerms: String = {
+    val cols = Seq("x", "y")
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      i <- 0 until 16
+    } yield s"((($c >> $i) & 1) << ${i * cols.size + ci})"
+    terms.mkString(" | ")
+  }
 
   val oracles: Map[String, String] = Map(
     "q74_postings" ->
@@ -222,5 +246,15 @@ object IndexQueries {
         |FROM cc
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q79_zorder" ->
+      s"""WITH c AS (
+        |  SELECT o_orderkey,
+        |    least(greatest(o_custkey, 0), 65535) AS x,
+        |    least(greatest(CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT), 0), 65535) AS y
+        |  FROM orders)
+        |SELECT o_orderkey, CAST($zOrderSqlTerms AS BIGINT) AS zval
+        |FROM c
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -206,6 +206,12 @@ object PlanAudit {
     val p78 = plan("q78_hist_quantile")
     check("q78 hist sketch aggregates partially, no join",
       p78.contains("partial_") && !p78.contains("Join"))
+    // q79 z-values: a pure projection — 32-term bit arithmetic must stay
+    // inside whole-stage codegen with no shuffle beyond the gate sort
+    val p79 = plan("q79_zorder")
+    check("q79 z-value projection stays in codegen, no join",
+      p79.contains("*(") && !p79.contains("Join") &&
+        "Exchange".r.findAllIn(p79).size <= 1)
 
     // partitioned layout: a partition predicate must prune directories
     {
