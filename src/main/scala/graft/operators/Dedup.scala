@@ -384,4 +384,29 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("group_id"))))
       .withColumn("is_canonical", col("id") === col("group_id"))
   }
+
+  /** Blocked fuzzy join: near-match pairs by edit distance, without the
+    * all-pairs comparison. Rows are blocked on the first `blockLen`
+    * characters of the whitespace-collapsed lowercase text — an
+    * EQUI-join, so the O(n²) comparison collapses to per-block joins —
+    * and candidates are verified with `levenshtein` over the first
+    * `cmpLen` characters. The fuzzy-entity-matching staple: blocking
+    * recall is explicit (pairs differing inside the block prefix are
+    * missed — pick `blockLen` per domain), cost is Σ|block|², and a hot
+    * block is ordinary join skew (AQE-splittable) rather than a plan
+    * change.
+    */
+  def blockedFuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockLen: Int = 16, cmpLen: Int = 60,
+                        maxDist: Int = 10): DataFrame = {
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    val t = df.select(col(idCol).as("id"),
+      substring(norm, 1, blockLen).as("blk"), substring(norm, 1, cmpLen).as("cmp"))
+    val a = t.select(col("id").as("a_id"), col("cmp").as("a_cmp"), col("blk"))
+    val b = t.select(col("id").as("b_id"), col("cmp").as("b_cmp"), col("blk"))
+    a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_cmp"), col("b_cmp")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
 }

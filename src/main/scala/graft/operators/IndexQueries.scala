@@ -135,6 +135,14 @@ object IndexQueries {
           unix_date(to_date(col("o_orderdate"))).cast("long")), 16).as("zval"))
       .orderBy(col("o_orderkey"))
 
+  /** q80: blocked fuzzy join over document text — prefix blocking +
+    * levenshtein verification ([[Dedup.blockedFuzzyPairs]]), the
+    * edit-distance flavor of near-dup pairing alongside the
+    * Jaccard/MinHash/SimHash family. */
+  def q80FuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockedFuzzyPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_postings"    -> q74Postings _,
     "q75_range_join"  -> q75RangeJoin _,
@@ -142,6 +150,7 @@ object IndexQueries {
     "q77_strat_sample" -> q77StratSample _,
     "q78_hist_quantile" -> q78HistQuantile _,
     "q79_zorder"       -> q79Zorder _,
+    "q80_fuzzy_join"   -> q80FuzzyJoin _,
   )
 
   /** The q79 oracle's 32 interleave terms, generated so the SQL provably
@@ -256,5 +265,16 @@ object IndexQueries {
         |SELECT o_orderkey, CAST($zOrderSqlTerms AS BIGINT) AS zval
         |FROM c
         |ORDER BY o_orderkey""".stripMargin,
+    "q80_fuzzy_join" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |b AS (SELECT id, norm[1:16] AS blk, norm[1:60] AS cmp FROM t)
+        |SELECT a.id AS a_id, b2.id AS b_id,
+        |  CAST(levenshtein(a.cmp, b2.cmp) AS BIGINT) AS dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+        |WHERE levenshtein(a.cmp, b2.cmp) <= 10
+        |ORDER BY a_id, b_id""".stripMargin,
   )
 }

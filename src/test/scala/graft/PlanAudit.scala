@@ -212,6 +212,11 @@ object PlanAudit {
     check("q79 z-value projection stays in codegen, no join",
       p79.contains("*(") && !p79.contains("Join") &&
         "Exchange".r.findAllIn(p79).size <= 1)
+    // q80 fuzzy join: prefix blocking must plan an equi-join — the whole
+    // point is avoiding the all-pairs nested loop
+    val p80 = plan("q80_fuzzy_join")
+    check("q80 fuzzy join blocks via equi-join",
+      !p80.contains("CartesianProduct") && !p80.contains("BroadcastNestedLoopJoin"))
 
     // partitioned layout: a partition predicate must prune directories
     {

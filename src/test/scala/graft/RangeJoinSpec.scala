@@ -64,6 +64,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Seq(5L, 20L), "expected (1,5) then (1,20); null row skipped")
   }
 
+  test("blockedFuzzyPairs finds near matches and respects the distance cap") {
+    val docs = Seq(
+      (1L, "The quick   Brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"),   // dist 3 to 1
+      (3L, "the quick brown fox leaps over seventeen enormous logs"), // same block, far
+      (4L, "completely different text that shares no prefix at all"),
+      (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG tonight")     // dist 0 to 1
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .blockedFuzzyPairs(docs, "doc_id", "text", blockLen = 16, cmpLen = 60, maxDist = 4)
+      .orderBy("a_id", "b_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L), (1L, 5L, 0L), (2L, 5L, 3L)), s"got $got")
+  }
+
   test("BoundedMinKAgg buffer stays bounded under a hot group") {
     // 10k rows, one group — the point of the bounded buffer; also checks
     // the result is the true global minimum set
