@@ -113,7 +113,7 @@ object EtlQueries {
         input.as("instr"), boolInput.as("boolstr"))
       .withColumn("val", graft.plans.GraftExtensions.coerce_numeric(
         graft.plans.GraftExtensions.normalize_numerics(col("instr"), ".", ",")))
-      .withColumn("boolval", coerceBoolUdf(col("boolstr")))
+      .withColumn("boolval", graft.plans.GraftExtensions.coerce_bool(col("boolstr")))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 

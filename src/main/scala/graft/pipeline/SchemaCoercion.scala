@@ -58,7 +58,7 @@ object SchemaCoercion {
             Some(when(src.isNotNull && v.isNull,
               concat(lit(s"non-numeric value for ${tc.name}: "), src.cast("string")))))
         case "bool" =>
-          val v = EtlFunctions.coerceBoolUdf(src.cast("string"))
+          val v = graft.plans.GraftExtensions.coerce_bool(src.cast("string"))
           (v, Some(when(src.isNotNull && v.isNull,
             concat(lit(s"non-boolean value for ${tc.name}: "), src.cast("string")))))
         case "datetime" =>

@@ -284,6 +284,42 @@ case class CoerceDateTime(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Boolean coercion cascade (T8: WAHR/FALSCH/true/false/0/1 forms) as a
+  * native expression — the UDF-free twin of [[CoerceNumeric]], keeping
+  * the boolean leg of the coercion battery inside whole-stage codegen. */
+case class CoerceBool(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else GraftExpressions.coerceBoolBoxed(v.asInstanceOf[UTF8String]) match {
+      case null => null
+      case b => b.booleanValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val boxed = ctx.freshName("boxed")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        boolean ${ev.value} = false;
+        if (!${childGen.isNull}) {
+          java.lang.Boolean $boxed =
+            graft.plans.GraftExpressions.coerceBoolBoxed(${childGen.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.booleanValue(); }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Winnowing sketch ([[graft.operators.TextOps.winnow]]'s hot path) as a
   * single codegen'd expression: k-gram polynomial hashes + window minima +
   * first-occurrence dedup in one tight primitive loop. The declarative

@@ -39,6 +39,9 @@ object GraftExtensions {
     ("coerce_datetime",
       info("coerce_datetime", "coerce_datetime(str) - reference datetime cascade to ODBC canonical"),
       (args: Seq[Expression]) => CoerceDateTime(args.head)),
+    ("coerce_bool",
+      info("coerce_bool", "coerce_bool(str) - reference boolean coercion (WAHR/FALSCH/true/false/0/1)"),
+      (args: Seq[Expression]) => CoerceBool(args.head)),
     ("winnow_sketch",
       info("winnow_sketch",
         "winnow_sketch(text, k, w) - winnowing fingerprint sketch (k-gram rolling hashes, window minima)"),
@@ -75,4 +78,5 @@ object GraftExtensions {
     column(NormalizeNumeric(expression(c), Literal(thousandSep), Literal(decimalSep)))
   def coerce_numeric(c: Column): Column = column(CoerceNumeric(expression(c)))
   def coerce_datetime(c: Column): Column = column(CoerceDateTime(expression(c)))
+  def coerce_bool(c: Column): Column = column(CoerceBool(expression(c)))
 }

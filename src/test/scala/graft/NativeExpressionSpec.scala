@@ -32,6 +32,21 @@ class NativeExpressionSpec extends SparkSpec {
     }
   }
 
+  test("native coerce_bool agrees with the Coerce implementation") {
+    import spark.implicits._
+    val inputs = Seq("WAHR", "FALSCH", "true", "FALSE", "0", "1", "ja", "x",
+      " wahr ", "", null)
+    val rows = inputs.toDF("s")
+      .select(col("s"), GraftExtensions.coerce_bool(col("s")).as("b"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val want = if (s == null) None else graft.functions.Coerce.coerceBool(s)
+      val got = if (r.isNullAt(1)) None else Some(r.getBoolean(1))
+      assert(got == want, s"coerce_bool($s)")
+    }
+  }
+
   test("codegen path actually compiles (no fallback exception)") {
     import spark.implicits._
     // wide enough to force whole-stage codegen through the expression
@@ -160,7 +175,7 @@ class NativeExpressionSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw
     assert(GraftExtensions.registrations.map(_._1).toSet ==
       Set("normalize_numerics", "coerce_numeric", "coerce_datetime",
-        "winnow_sketch", "shingles", "poly_hash"))
+        "coerce_bool", "winnow_sketch", "shingles", "poly_hash"))
   }
 
   test("SQL-registered winnow_sketch/shingles/poly_hash evaluate") {
