@@ -25,6 +25,7 @@ object SparkEntry {
     ExtendedQueries.all,
     CurationQueries.all,
     IndexQueries.all,
+    ScaleQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
@@ -35,6 +36,7 @@ object SparkEntry {
     ExtendedQueries.oracles,
     CurationQueries.oracles,
     IndexQueries.oracles,
+    ScaleQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -409,4 +409,48 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
+
+  /** Incremental-ingest novelty scoring: measure each newly arrived
+    * document of `batch` against the already-ingested `corpus` — the
+    * continuous-refresh twin of the whole-corpus dedup family. The
+    * reference's equivalent is delete-before-insert reprocessing of a
+    * redo file (/root/reference/Wrap.pm:146-177); a training-data
+    * pipeline instead asks "is this document, or how much of it, already
+    * in the corpus?" before admitting it.
+    *
+    * Two signals per batch doc, both equi-join shapes that scale out:
+    *   - `exact_dup`: the document's normalized-text fingerprint exists
+    *     in the corpus (hash semi-join — batch side is the small side of
+    *     a broadcast when batches are bounded);
+    *   - line-level novelty: the fraction of the doc's DISTINCT lines
+    *     not present anywhere in the corpus (line-hash semi-join on
+    *     md5, the [[lineDedup]] relation reused cross-corpus).
+    *
+    * @return (idCol, exact_dup, n_lines, n_seen, novelty) — novelty is
+    *         (n_lines − n_seen) / n_lines, null for empty docs.
+    */
+  def noveltyScore(corpus: DataFrame, batch: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val corpusFps = corpus
+      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+    val corpusLines = corpus
+      .select(explode(split(col(textCol), "\n")).as("line"))
+      .select(md5(col("line")).as("lh")).distinct()
+    val batchLines = batch
+      .select(col(idCol).as("id"), explode(split(col(textCol), "\n")).as("line"))
+      .select(col("id"), md5(col("line")).as("lh")).distinct()
+    val lineStats = batchLines
+      .join(corpusLines.withColumn("seen", lit(1)), Seq("lh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("seen")).as("n_seen"))
+    batch.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+      .join(corpusFps.withColumn("dup", lit(1)), Seq("fp"), "left")
+      .join(lineStats, Seq("id"))
+      .select(col("id").as(idCol),
+        col("dup").isNotNull.as("exact_dup"),
+        col("n_lines"), col("n_seen"),
+        ((col("n_lines") - col("n_seen")).cast("double") / col("n_lines"))
+          .as("novelty"))
+  }
 }

@@ -47,4 +47,41 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Knuth multiplicative hash mod 2^32 — shared with the q76/q77 gates;
+    * exactly expressible in ANSI SQL. */
+  def knuthHash(key: Column): Column =
+    pmod(key * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic training-shard assignment + manifest: each row lands
+    * in shard `knuthHash(id) mod nShards` (a hash-stable global shuffle —
+    * re-running over a grown corpus moves no previously assigned doc),
+    * and the manifest aggregates per shard what a training loader needs
+    * to plan reads: row/char/token totals, language spread, and the
+    * hash-order first/last doc ids (the shard's key range, usable as a
+    * skip index). One map-side-combinable groupBy; argmin/argmax via
+    * `min(struct(hash, id))` keeps the state O(1) per shard per task.
+    *
+    * @return (shard, n_docs, total_chars, total_tokens, n_langs,
+    *         first_doc, last_doc) ordered by shard.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    langCol: String, charsCol: String,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = knuthHash(col(idCol))
+    df.select(pmod(h, lit(nShards.toLong)).as("shard"),
+        col(idCol).as("id"), col(langCol).as("lang"),
+        col(charsCol).cast("long").as("chars"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("toks"),
+        h.as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("toks")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(struct(col("h"), col("id"))).getField("id").as("first_doc"),
+        max(struct(col("h"), col("id"))).getField("id").as("last_doc"))
+      .orderBy(col("shard"))
+  }
 }

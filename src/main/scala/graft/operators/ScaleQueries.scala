@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path gates (q81-q84): the operators a continuously refreshed
+  * 100 TB training corpus needs beyond one-shot curation — bounded-state
+  * frequency sketching, incremental-ingest novelty scoring against the
+  * already-loaded corpus, self-trained statistical fluency filtering,
+  * and deterministic shard assignment with a loader manifest.
+  */
+object ScaleQueries {
+
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** q81: count-min-sketch heavy hitters — the exact top-10 event users
+    * (small, for the gate) carried next to their CMS estimate, proving
+    * the bounded depth×width counter relation ([[Sketches.cmsSketch]])
+    * reproduces hot-key frequencies without an unbounded groupBy. The
+    * estimate is ≥ exact by construction; with 1.5k keys in 4×256
+    * counters the two agree or differ only by collision mass — both
+    * engines replay the identical integer hash arithmetic. */
+  def q81CmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sketch = Sketches.cmsSketch(ev, "user_id", CmsDepth, CmsWidth)
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+    Sketches.cmsEstimate(top, sketch, "user_id", CmsDepth, CmsWidth)
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
+  /** q82: incremental-ingest novelty — every 7th document plays the
+    * freshly arrived batch, the rest the standing corpus
+    * ([[Dedup.noveltyScore]]): exact-dup fingerprint probe + fraction of
+    * distinct lines unseen in the corpus. */
+  def q82IncrNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.noveltyScore(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q83: self-trained character-bigram fluency scores over the whole
+    * corpus ([[TextOps.bigramFluency]]) — the statistical-LM quality
+    * filter next to the heuristic q57 gate. */
+  def q83LmFluency(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bigramFluency(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** q84: deterministic 8-way shard assignment + loader manifest
+    * ([[Layout.shardManifest]]). */
+  def q84ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    Layout.shardManifest(Tables.documents(spark, dir),
+      "doc_id", "text", "lang", "n_chars", nShards = 8)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_cms_heavy"     -> q81CmsHeavy _,
+    "q82_incr_novelty"  -> q82IncrNovelty _,
+    "q83_lm_fluency"    -> q83LmFluency _,
+    "q84_shard_manifest" -> q84ShardManifest _,
+  )
+
+  /** CASE expression replaying [[Sketches.cmsBucket]] for each depth —
+    * generated from the same coefficient table so the SQL provably
+    * mirrors the Spark hash. */
+  private def cmsBucketSql(key: String): String = {
+    val whens = Sketches.cmsCoefs.take(CmsDepth).zipWithIndex.map {
+      case ((a, b), d) =>
+        s"WHEN $d THEN ((($key % ${Sketches.P}) * $a + $b) % ${Sketches.P}) % $CmsWidth"
+    }
+    s"CASE depth ${whens.mkString(" ")} END"
+  }
+
+  private val depthValues: String =
+    (0 until CmsDepth).map(d => s"($d)").mkString(",")
+
+  val oracles: Map[String, String] = Map(
+    "q81_cms_heavy" ->
+      s"""WITH d(depth) AS (VALUES $depthValues),
+        |sk AS (
+        |  SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT d.depth, ${cmsBucketSql("e.user_id")} AS bucket
+        |    FROM events e, d)
+        |  GROUP BY depth, bucket),
+        |top AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM events GROUP BY user_id
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 10),
+        |pb AS (
+        |  SELECT t.user_id, t.exact_cnt, d.depth,
+        |    ${cmsBucketSql("t.user_id")} AS bucket
+        |  FROM top t, d)
+        |SELECT pb.user_id, pb.exact_cnt, CAST(min(sk.cnt) AS BIGINT) AS cms_est
+        |FROM pb JOIN sk USING (depth, bucket)
+        |GROUP BY pb.user_id, pb.exact_cnt
+        |ORDER BY exact_cnt DESC, user_id""".stripMargin,
+    "q82_incr_novelty" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |cfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM corpus),
+        |clines AS (
+        |  SELECT DISTINCT md5(unnest(string_split(text, chr(10)))) AS lh FROM corpus),
+        |blines AS (
+        |  SELECT DISTINCT doc_id, lh FROM (
+        |    SELECT doc_id, md5(unnest(string_split(text, chr(10)))) AS lh FROM batch)),
+        |ls AS (
+        |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(count(c.lh) AS BIGINT) AS n_seen
+        |  FROM blines b LEFT JOIN clines c USING (lh)
+        |  GROUP BY b.doc_id)
+        |SELECT b.doc_id,
+        |  (cfp.fp IS NOT NULL) AS exact_dup,
+        |  ls.n_lines, ls.n_seen,
+        |  CAST(ls.n_lines - ls.n_seen AS DOUBLE) / ls.n_lines AS novelty
+        |FROM batch b
+        |LEFT JOIN cfp
+        |  ON md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')) = cfp.fp
+        |JOIN ls ON ls.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    "q83_lm_fluency" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, norm, unnest(range(1, CAST(length(norm) AS BIGINT))) AS i
+        |  FROM n),
+        |g2 AS (SELECT doc_id, substr(norm, CAST(i AS INTEGER), 2) AS g FROM pos),
+        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM g2 GROUP BY g),
+        |model AS (
+        |  SELECT g,
+        |    (1000000 * c2) // CAST(sum(c2) OVER (PARTITION BY substr(g, 1, 1)) AS BIGINT)
+        |      AS credit
+        |  FROM c2),
+        |scored AS (
+        |  SELECT g2.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(m.credit) AS BIGINT) AS s
+        |  FROM g2 JOIN model m USING (g)
+        |  GROUP BY g2.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(sc.s AS DOUBLE) / sc.n_bigrams AS fluency
+        |FROM documents d LEFT JOIN scored sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q84_shard_manifest" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (doc_id * 2654435761) % 4294967296 AS h,
+        |    ((doc_id * 2654435761) % 4294967296) % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h DESC, doc_id DESC) AS rn_d
+        |  FROM s)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  max(CASE WHEN rn_a = 1 THEN doc_id END) AS first_doc,
+        |  max(CASE WHEN rn_d = 1 THEN doc_id END) AS last_doc
+        |FROM r
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+  )
+}

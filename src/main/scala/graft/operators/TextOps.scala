@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -256,5 +257,62 @@ object TextOps {
         least(col("__n") - col("__s"), lit(chunkSize)).cast("long").as("chunk_tokens"),
         concat_ws(" ", slice(col("__toks"), col("__s") + 1, lit(chunkSize)))
           .as("chunk_text"))
+  }
+
+  /** Character-bigram positions of the normalized text: one row per
+    * adjacent character pair. The bigram relation under [[bigramFluency]].
+    */
+  private def charBigrams(df: org.apache.spark.sql.DataFrame,
+                          idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val norm = normalizeText(col(textCol))
+    // sequence(1, 0) infers step -1 (yields [1, 0]) — guard empty docs
+    val positions = when(length(norm) >= 2, sequence(lit(1), length(norm) - 1))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol).as("id"), norm.as("__norm"), explode(positions).as("__i"))
+      .select(col("id"), col("__norm").substr(col("__i"), lit(2)).as("g"))
+  }
+
+  /** Statistical-LM fluency scoring — the KenLM-filter shape of corpus
+    * curation, self-trained: character-bigram counts are aggregated over
+    * the whole corpus (one bounded groupBy — the model is capped by
+    * alphabet², so it broadcasts), then every document is scored by the
+    * average conditional frequency of its adjacent character pairs.
+    *
+    * Per position with bigram g = c₁c₂ the credit is the integer
+    *   ⌊10⁶ · count(c₁c₂) / count(c₁·)⌋   (count over the corpus),
+    * i.e. parts-per-million of P(c₂|c₁). All-integer arithmetic makes the
+    * per-doc sum order-independent and bit-exact across engines; the
+    * emitted `fluency` is the exact double division sum/n. Gibberish and
+    * wrong-language docs score low; the score is a drop-in quality-gate
+    * column alongside [[qualitySignals]].
+    *
+    * Scale shape: train = one map-side-combinable groupBy bounded by the
+    * alphabet; score = broadcast join of the model + one per-doc
+    * aggregation. No shuffle grows with corpus size except the per-doc
+    * agg, which is the minimum possible.
+    *
+    * @return (idCol, n_bigrams, fluency) for every input doc; fluency is
+    *         null for docs shorter than 2 normalized chars.
+    */
+  def bigramFluency(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val grams = charBigrams(df, idCol, textCol)
+    val c2 = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val model = c2
+      .withColumn("c1",
+        sum(col("c2")).over(Window.partitionBy(substring(col("g"), 1, 1))))
+      .withColumn("credit", expr("(1000000 * c2) div c1"))
+      .select(col("g"), col("credit"))
+    val scored = grams
+      .join(broadcast(model), Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("credit")).as("__sum"))
+      .select(col("id"), col("n_bigrams"),
+        (col("__sum").cast("double") / col("n_bigrams")).as("fluency"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("fluency"))
   }
 }

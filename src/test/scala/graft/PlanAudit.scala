@@ -218,6 +218,29 @@ object PlanAudit {
     check("q80 fuzzy join blocks via equi-join",
       !p80.contains("CartesianProduct") && !p80.contains("BroadcastNestedLoopJoin"))
 
+    // q81 CMS: the depth×width sketch must partially aggregate map-side
+    // (bounded shuffle regardless of key skew) and join the probes by
+    // BROADCAST — shipping the tiny counter table, never shuffling probes
+    val p81 = plan("q81_cms_heavy")
+    check("q81 cms sketch aggregates partially and broadcasts",
+      p81.contains("partial_") && p81.contains("BroadcastHashJoin") &&
+        !p81.contains("CartesianProduct"))
+    // q82 incremental novelty: all three probes (fingerprint, line-hash)
+    // must be equi-joins — no nested loop anywhere
+    val p82 = plan("q82_incr_novelty")
+    check("q82 novelty probes are equi-joins",
+      !p82.contains("CartesianProduct") && !p82.contains("BroadcastNestedLoopJoin"))
+    // q83 LM fluency: the bigram model is bounded by alphabet² — it must
+    // broadcast to the scoring scan, and the count must combine map-side
+    val p83 = plan("q83_lm_fluency")
+    check("q83 lm model broadcasts, counts aggregate partially",
+      p83.contains("partial_") && p83.contains("BroadcastHashJoin") &&
+        !p83.contains("CartesianProduct"))
+    // q84 shard manifest: one partial-aggregated groupBy, no join
+    val p84 = plan("q84_shard_manifest")
+    check("q84 manifest aggregates partially, no join",
+      p84.contains("partial_") && !p84.contains("Join"))
+
     // partitioned layout: a partition predicate must prune directories
     {
       import graft.sinks.ParquetTable

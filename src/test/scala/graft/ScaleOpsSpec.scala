@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Dedup, Layout, Sketches, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The q81-q84 operator family: CMS frequency sketch, incremental
+  * novelty, bigram LM fluency, shard manifest. */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("cms estimate upper-bounds the exact count and is exact when sparse") {
+    import spark.implicits._
+    // 20 keys, key k appears k+1 times
+    val rows = (0 until 20).flatMap(k => Seq.fill(k + 1)(k.toLong))
+    val df = rows.toDF("k")
+    val sketch = Sketches.cmsSketch(df, "k", depth = 4, width = 256)
+    val exact = df.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+    val got = Sketches.cmsEstimate(exact, sketch, "k", depth = 4, width = 256)
+      .select(col("k"), col("cms_est"), col("exact")).collect()
+    got.foreach { r =>
+      val (k, e, x) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(e >= x, s"estimate below exact for key $k")
+    }
+    // 20 keys in 4x256 counters: collisions are vanishingly unlikely with
+    // these fixed coefficients — and the test pins that they don't occur
+    got.foreach { r => assert(r.getLong(1) == r.getLong(2),
+      s"key ${r.getLong(0)}: est ${r.getLong(1)} != exact ${r.getLong(2)}") }
+  }
+
+  test("cms sketches merge: sketch(a ++ b) == merge(sketch(a), sketch(b))") {
+    import spark.implicits._
+    val a = (0 until 50).map(i => (i % 7).toLong).toDF("k")
+    val b = (0 until 30).map(i => (i % 5).toLong).toDF("k")
+    val whole = Sketches.cmsSketch(a.union(b), "k", 4, 64)
+    val merged = Sketches.cmsSketch(a, "k", 4, 64)
+      .union(Sketches.cmsSketch(b, "k", 4, 64))
+      .groupBy(col("depth"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty)
+  }
+
+  test("noveltyScore flags exact dups and scores line overlap") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "delta\nepsilon")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "alpha\nbeta\ngamma"),   // exact dup of doc 1
+      (11L, "alpha\nzeta"),          // 1 of 2 lines seen
+      (12L, "new\nlines\nonly")      // fully novel
+    ).toDF("id", "text")
+    val got = Dedup.noveltyScore(corpus, batch, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(10L) == ((true, 3L, 3L, 0.0)))
+    assert(got(11L) == ((false, 2L, 1L, 0.5)))
+    assert(got(12L) == ((false, 3L, 0L, 1.0)))
+  }
+
+  test("bigramFluency matches a hand computation") {
+    import spark.implicits._
+    // corpus: "abab" and "abba". bigrams: ab,ba,ab | ab,bb,ba
+    // counts: ab->3, ba->2, bb->1; prefixes: a->3, b->3
+    // credits ppm: ab = 1000000*3/3 = 1000000; ba = 666666; bb = 333333
+    val df = Seq((1L, "abab"), (2L, "abba"), (3L, "")).toDF("id", "text")
+    val got = TextOps.bigramFluency(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._2.contains((1000000.0 + 666666.0 + 1000000.0) / 3))
+    assert(got(2L)._1 == 3L)
+    assert(got(2L)._2.contains((1000000.0 + 333333.0 + 666666.0) / 3))
+    assert(got(3L) == ((0L, None)))
+  }
+
+  test("shardManifest covers every doc exactly once and is deterministic") {
+    import spark.implicits._
+    val docs = (0L until 100L)
+      .map(i => (i, s"w$i " * (i % 5 + 1).toInt, if (i % 2 == 0) "en" else "de", i % 10))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val m = Layout.shardManifest(docs, "doc_id", "text", "lang", "n_chars", 4)
+      .collect()
+    assert(m.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(m.map(_.getLong(1)).sum == 100L)                     // n_docs
+    assert(m.map(_.getLong(2)).sum == (0L until 100L).map(_ % 10).sum)
+    // stable under repartition
+    val m2 = Layout.shardManifest(docs.repartition(7), "doc_id", "text",
+      "lang", "n_chars", 4).collect()
+    assert(m.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+  }
+}
