@@ -58,11 +58,42 @@ object ScaleQueries {
     Layout.shardManifest(Tables.documents(spark, dir),
       "doc_id", "text", "lang", "n_chars", nShards = 8)
 
+  /** q85: SemDeDup-shaped semantic dedup ([[Similarity.semDedup]]) —
+    * vectors assigned to the nearest label-mean centroid (the canonical
+    * codebook of [[Similarity.labelCentroids]]; labels are contiguous
+    * 0..9, so centroid index == label), near-dup twins injected at 1.5×
+    * scale (cosine 1), pairs compared within clusters only, lower-id
+    * survivor kept. The oracle re-derives the codebook, the nearest-
+    * centroid assignment (same left-fold squared-distance arithmetic as
+    * [[graft.plans.VecFold]]) and the pair pruning entirely in SQL —
+    * the whole model-train + assign + dedup path is value-checked, not
+    * rows-only. */
+  def q85SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // twins are scaled ABOVE the union: a transform lambda inside a union
+    // child trips Union.rewriteConstraints ("key not found" on the
+    // child-input attribute) when a sort is planned over the union
+    val twins = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(twins)
+      .select(col("vec_id"),
+        when(col("vec_id") >= 100000,
+          transform(col("embedding"), v => v * lit(1.5f)))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    val cents = Similarity.labelCentroids(corpus, "label", "embedding")
+    Similarity.semDedup(corpus, "vec_id", "embedding", cents, minCos = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
     "q83_lm_fluency"    -> q83LmFluency _,
     "q84_shard_manifest" -> q84ShardManifest _,
+    "q85_semdedup"      -> q85SemDedup _,
   )
 
   /** CASE expression replaying [[Sketches.cmsBucket]] for each depth —
@@ -169,5 +200,51 @@ object ScaleQueries {
         |FROM r
         |GROUP BY shard
         |ORDER BY shard""".stripMargin,
+    "q85_semdedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, v -> v * CAST(1.5 AS FLOAT)), label
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |cent AS (
+        |  SELECT label, CAST(x[2] AS BIGINT) AS pos,
+        |    list_reduce(list_prepend(0.0, list_sort(list(CAST(x[1] AS DOUBLE)))),
+        |                (acc, v) -> acc + v) / count(*) AS c
+        |  FROM (
+        |    SELECT label,
+        |      unnest(list_zip(embedding, generate_series(0, len(embedding) - 1))) AS x
+        |    FROM corpus) t
+        |  GROUP BY label, CAST(x[2] AS BIGINT)),
+        |cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+        |d AS (
+        |  SELECT e.vec_id, c.label,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, c.cv),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+        |      (acc, v) -> acc + v) AS d2
+        |  FROM corpus e, cv c),
+        |asg AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS cluster FROM (
+        |    SELECT vec_id, label,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+        |    FROM d)
+        |  WHERE rn = 1),
+        |av AS (
+        |  SELECT c.vec_id, c.embedding, a.cluster,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(c.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, x) -> acc + x))
+        |      AS nrm
+        |  FROM corpus c JOIN asg a USING (vec_id)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id FROM av a JOIN av b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(0.0, list_transform(
+        |          list_zip(a.embedding, b.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+        |          (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.99)
+        |SELECT av.vec_id, av.cluster, (dr.vec_id IS NULL) AS keep
+        |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
+        |ORDER BY av.vec_id""".stripMargin,
   )
 }

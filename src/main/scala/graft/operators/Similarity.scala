@@ -288,4 +288,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Per-label mean vectors with an order-canonicalized fold (each
+    * coordinate's addends sorted before summing — the q43 centroid
+    * discipline), so the codebook is bit-identical regardless of
+    * partitioning and exactly replayable in SQL. Returns centroids
+    * ordered by label; only the k×dim codebook lands on the driver. */
+  def labelCentroids(corpus: DataFrame, labelCol: String,
+                     vecCol: String): Seq[Seq[Double]] = {
+    val rows = corpus
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sort_array(collect_list(col("v").cast("double"))).as("vs"))
+      .select(col("label"), col("pos"),
+        (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x) / size(col("vs")))
+          .as("c"))
+      .collect()
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+  }
+
+  /** SemDeDup-shaped semantic deduplication: assign every vector to its
+    * nearest codebook centroid, then compare pairs ONLY within a cluster
+    * and drop any vector with a lower-id neighbor at cosine ≥ `minCos`.
+    * The cluster bound is what makes semantic dedup feasible at corpus
+    * scale — the pair space shrinks from O(n²) to Σ|cluster|², and each
+    * cluster's self-join is an ordinary equi-join on the cluster id
+    * (AQE-splittable if a cluster runs hot). Assignment is a pure
+    * codegen'd projection against the broadcast-literal codebook
+    * ([[assignCluster]]); norms are computed once per vector, not per
+    * pair.
+    *
+    * @return (idCol, cluster, keep) — keep=false iff a lower-id same-
+    *         cluster vector is cosine-≥-minCos close.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               centroids: Seq[Seq[Double]], minCos: Double): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cluster", assignCluster(col("v"), centroids).cast("long"))
+      .withColumn("nrm", norm(col("v")))
+    val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cluster"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cluster"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= minCos)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped.withColumn("__drop", lit(1)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"), col("__drop").isNull.as("keep"))
+  }
 }

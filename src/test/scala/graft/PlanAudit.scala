@@ -240,6 +240,12 @@ object PlanAudit {
     val p84 = plan("q84_shard_manifest")
     check("q84 manifest aggregates partially, no join",
       p84.contains("partial_") && !p84.contains("Join"))
+    // q85 semantic dedup: the within-cluster pair scan must be an
+    // equi-join on the cluster id — never an all-pairs nested loop; the
+    // codebook is a literal, so assignment adds no join at all
+    val p85 = plan("q85_semdedup")
+    check("q85 semdedup pairs via cluster equi-join",
+      !p85.contains("CartesianProduct") && !p85.contains("BroadcastNestedLoopJoin"))
 
     // partitioned layout: a partition predicate must prune directories
     {

@@ -72,6 +72,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(3L) == ((0L, None)))
   }
 
+  test("semDedup prunes lower-id near-dups within clusters only") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // two well-separated centroids on the first axis
+    val cents = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0))
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),    // cluster 0
+      (2L, Array(2.0f, 0.0f)),    // cluster 0, cos=1 with id 1 -> dropped
+      (3L, Array(0.9f, 0.5f)),    // cluster 0, cos ~0.87 -> kept
+      (4L, Array(-1.0f, 0.0f)),   // cluster 1
+      (5L, Array(-3.0f, 0.0f))    // cluster 1, cos=1 with id 4 -> dropped
+    ).toDF("id", "v")
+    val got = Similarity.semDedup(vecs, "id", "v", cents, minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (0L, true), 2L -> (0L, false), 3L -> (0L, true),
+      4L -> (1L, true), 5L -> (1L, false)))
+  }
+
   test("shardManifest covers every doc exactly once and is deterministic") {
     import spark.implicits._
     val docs = (0L until 100L)
