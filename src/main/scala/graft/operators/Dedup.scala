@@ -61,9 +61,14 @@ object Dedup {
                         maxShingleFreq: Int = 1000): DataFrame = {
     val ds = docShingles(df, idCol, textCol, n).cache()
     val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val capped = ds.withColumn("df_sh",
-        count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("df_sh") <= maxShingleFreq).drop("df_sh")
+    // skew cap as a broadcast anti-join on the hot-shingle list: the
+    // list has at most |shingles|/cap entries by construction, and the
+    // partial-aggregated groupBy ships only distinct shingles per task —
+    // unlike a count-over-window, which shuffles and sorts EVERY
+    // (id, shingle) row into per-shingle partitions before filtering
+    val hot = ds.groupBy(col("sh")).agg(count(lit(1)).as("df_sh"))
+      .filter(col("df_sh") > maxShingleFreq).select(col("sh"))
+    val capped = ds.join(broadcast(hot), Seq("sh"), "left_anti")
     val pairs = capped.as("a")
       .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
