@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the engine's event stream: ordered
+  * conversion funnels and cohort retention. The reference delegates all
+  * aggregation to its DBMS (/root/reference/Wrap/DB.pm:71-99); these are
+  * the event-shaped queries its users would have run there, re-expressed
+  * as shuffle-minimal DataFrame programs.
+  */
+object Events {
+
+  /** Ordered conversion funnel: per user, the earliest completion chain
+    * step₁ → step₂ → … where each step happens strictly after the
+    * previous one and within `maxGapMicros` of it (first-touch
+    * semantics: each step's time is the MIN qualifying event time given
+    * the previous step's time). Emits one row per step with the surviving
+    * user count.
+    *
+    * Scale shape: each step is one equi-join on the user key followed by
+    * a partial-aggregated min — all shuffles share the same key, no
+    * window over full event history, no per-user event-list
+    * materialization (the collect_list formulation would buffer every
+    * event of a hot user). Step relations shrink monotonically, so later
+    * joins broadcast under AQE when conversion is low.
+    */
+  def funnelCounts(df: DataFrame, userCol: String, tsCol: String,
+                   steps: Seq[(String, Column)],
+                   maxGapMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = unix_micros(col(tsCol))
+    var cur: DataFrame = df.filter(steps.head._2)
+      .groupBy(col(userCol).as("u")).agg(min(us).as("t"))
+    val stages = Seq.newBuilder[(String, DataFrame)]
+    stages += steps.head._1 -> cur
+    for ((name, pred) <- steps.tail) {
+      cur = df.filter(pred)
+        .select(col(userCol).as("u"), us.as("ts_us"))
+        .join(cur, Seq("u"))
+        .filter(col("ts_us") > col("t") &&
+          col("ts_us") <= col("t") + lit(maxGapMicros))
+        .groupBy(col("u")).agg(min(col("ts_us")).as("t"))
+      stages += name -> cur
+    }
+    stages.result().zipWithIndex.map { case ((name, d), i) =>
+      d.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("step"),
+          lit(name).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention: users grouped by their first-activity day; for
+    * each (cohort, day-offset ≤ `maxOffsetDays`) the count of cohort
+    * members active that day. Two aggregations and one equi-join, all on
+    * the user key. */
+  def retention(df: DataFrame, userCol: String, tsCol: String,
+                maxOffsetDays: Int): DataFrame = {
+    val day = to_date(col(tsCol))
+    val first = df.groupBy(col(userCol).as("u")).agg(min(day).as("cohort"))
+    val active = df.select(col(userCol).as("u"), day.as("day")).distinct()
+    active.join(first, Seq("u"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(countDistinct(col("u")).as("n_active"))
+  }
+}

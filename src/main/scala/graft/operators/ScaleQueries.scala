@@ -88,12 +88,29 @@ object ScaleQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q86: ordered conversion funnel view → click → purchase, each step
+    * within 24 h of the previous ([[Events.funnelCounts]]). */
+  def q86Funnel(spark: SparkSession, dir: String): DataFrame =
+    Events.funnelCounts(Tables.events(spark, dir), "user_id", "ts",
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")),
+        maxGapMicros = 86400L * 1000000L)
+      .orderBy(col("step"))
+
+  /** q87: daily cohort retention, offsets 0..7 ([[Events.retention]]). */
+  def q87Retention(spark: SparkSession, dir: String): DataFrame =
+    Events.retention(Tables.events(spark, dir), "user_id", "ts", 7)
+      .orderBy(col("cohort"), col("day_offset"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
     "q83_lm_fluency"    -> q83LmFluency _,
     "q84_shard_manifest" -> q84ShardManifest _,
     "q85_semdedup"      -> q85SemDedup _,
+    "q86_funnel"        -> q86Funnel _,
+    "q87_retention"     -> q87Retention _,
   )
 
   /** CASE expression replaying [[Sketches.cmsBucket]] for each depth —
@@ -246,5 +263,43 @@ object ScaleQueries {
         |SELECT av.vec_id, av.cluster, (dr.vec_id IS NULL) AS keep
         |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
         |ORDER BY av.vec_id""".stripMargin,
+    "q86_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(epoch_us(ts)) AS t
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_us(e.ts) > s1.t
+        |    AND epoch_us(e.ts) <= s1.t + 86400000000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) > s2.t
+        |    AND epoch_us(e.ts) <= s2.t + 86400000000
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |ORDER BY step""".stripMargin,
+    "q87_retention" ->
+      """WITH first AS (
+        |  SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events)
+        |SELECT f.cohort,
+        |  CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT a.u) AS BIGINT) AS n_active
+        |FROM active a JOIN first f ON a.u = f.u
+        |WHERE date_diff('day', f.cohort, a.day) <= 7
+        |GROUP BY f.cohort, date_diff('day', f.cohort, a.day)
+        |ORDER BY cohort, day_offset""".stripMargin,
   )
 }

@@ -246,6 +246,15 @@ object PlanAudit {
     val p85 = plan("q85_semdedup")
     check("q85 semdedup pairs via cluster equi-join",
       !p85.contains("CartesianProduct") && !p85.contains("BroadcastNestedLoopJoin"))
+    // q86/q87: every funnel step and the retention cohort probe must be
+    // a user-keyed equi-join with partial aggregation — no window over
+    // full event history, no nested loop
+    Seq("q86_funnel", "q87_retention").foreach { q =>
+      val p = plan(q)
+      check(s"$q is equi-join + partial agg",
+        p.contains("partial_") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin") && !p.contains("Window"))
+    }
 
     // partitioned layout: a partition predicate must prune directories
     {

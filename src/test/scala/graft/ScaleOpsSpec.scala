@@ -91,6 +91,47 @@ class ScaleOpsSpec extends SparkSpec {
       4L -> (1L, true), 5L -> (1L, false)))
   }
 
+  test("funnelCounts enforces order and the max gap") {
+    import spark.implicits._
+    import graft.operators.Events
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(m * 60000L)
+    val ev = Seq(
+      // user 1: full chain inside the gap
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      // user 2: click BEFORE view -> funnel stops after view
+      (2L, ts(10), "view"), (2L, ts(5), "click"),
+      // user 3: click too late (> 30 min gap)
+      (3L, ts(0), "view"), (3L, ts(40), "click"),
+      // user 4: never viewed
+      (4L, ts(0), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.funnelCounts(ev, "user_id", "ts",
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")),
+        maxGapMicros = 30L * 60L * 1000000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "view", 3L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
+  test("retention buckets users by first-activity day") {
+    import spark.implicits._
+    import graft.operators.Events
+    import java.sql.Timestamp
+    def ts(d: Int) = new Timestamp(d * 86400000L)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(9)),   // cohort day0, offsets 0,1 (9 capped)
+      (2L, ts(0)), (2L, ts(1)),                // cohort day0, offsets 0,1
+      (3L, ts(1))                              // cohort day1, offset 0
+    ).toDF("user_id", "ts")
+    val got = Events.retention(ev, "user_id", "ts", 7)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("1970-01-01", 0L, 2L), ("1970-01-01", 1L, 2L), ("1970-01-02", 0L, 1L)))
+  }
+
   test("shardManifest covers every doc exactly once and is deterministic") {
     import spark.implicits._
     val docs = (0L until 100L)
