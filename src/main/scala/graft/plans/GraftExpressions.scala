@@ -86,6 +86,26 @@ object GraftExpressions {
       out.toArray(new Array[UTF8String](out.size)))
   }
 
+  /** Character n-grams of the normalized text (lowercase, trim, collapse
+    * whitespace — the [[graft.operators.TextOps.normalizeText]]
+    * discipline), windows over code points: gram i = chars [i, i+n) for
+    * i in 0..len-n. Semantics identical to the declarative
+    * `transform(sequence(1, length(norm)-1), i => norm.substr(i, n))`
+    * formulation (for n = 2) it replaces, which exploded positions FIRST
+    * and so copied the whole normalized string into every gram row. */
+  def charNgrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val norm = WsPattern.matcher(s.trim().toLowerCase().toString).replaceAll(" ")
+    val cps = norm.codePoints().toArray
+    val cnt = math.max(cps.length - n + 1, 0)
+    val out = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      out(i) = UTF8String.fromString(new String(cps, i, n))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Token n-grams over an already-tokenized array — semantics identical
     * to the declarative `transform(sequence(0, greatest(size(toks) - n,
     * 0)), i => concat_ws(" ", slice(toks, i + 1, n)))`: windows clamp at
@@ -363,6 +383,24 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.plans.GraftExpressions.shingles($s, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Normalized character n-grams ([[GraftExpressions.charNgrams]]) as a
+  * codegen'd expression — the LM-fluency scorer's hot path. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  require(n > 0, "need n > 0")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftExpressions.charNgrams(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.GraftExpressions.charNgrams($s, $n)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -42,6 +42,11 @@ object GraftExtensions {
     ("coerce_bool",
       info("coerce_bool", "coerce_bool(str) - reference boolean coercion (WAHR/FALSCH/true/false/0/1)"),
       (args: Seq[Expression]) => CoerceBool(args.head)),
+    ("char_ngrams",
+      info("char_ngrams",
+        "char_ngrams(text, n) - character n-grams of normalized text (lowercase, collapsed whitespace)"),
+      (args: Seq[Expression]) => CharNgrams(args.head,
+        args(1).eval().asInstanceOf[Int])),
     ("winnow_sketch",
       info("winnow_sketch",
         "winnow_sketch(text, k, w) - winnowing fingerprint sketch (k-gram rolling hashes, window minima)"),

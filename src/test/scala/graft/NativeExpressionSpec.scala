@@ -47,6 +47,23 @@ class NativeExpressionSpec extends SparkSpec {
     }
   }
 
+  test("native char_ngrams agrees with the declarative substr formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val docs = Seq("The  quick Brown fox", "ab", "a", "", "  x  y  z ",
+      "Ümläute ßtraße", "tab\there\nnewline").toDF("t")
+    val native = GraftColumnBridge.column(graft.plans.CharNgrams(
+      GraftColumnBridge.expression(col("t")), 2))
+    val norm = regexp_replace(lower(trim(col("t"))), "\\s+", " ")
+    val decl = when(length(norm) >= 2,
+        transform(sequence(lit(1), length(norm) - 1), i => norm.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val rows = docs.select(native.as("a"), decl.as("b")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("codegen path actually compiles (no fallback exception)") {
     import spark.implicits._
     // wide enough to force whole-stage codegen through the expression
@@ -175,7 +192,7 @@ class NativeExpressionSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw
     assert(GraftExtensions.registrations.map(_._1).toSet ==
       Set("normalize_numerics", "coerce_numeric", "coerce_datetime",
-        "coerce_bool", "winnow_sketch", "shingles", "poly_hash"))
+        "coerce_bool", "char_ngrams", "winnow_sketch", "shingles", "poly_hash"))
   }
 
   test("SQL-registered winnow_sketch/shingles/poly_hash evaluate") {
