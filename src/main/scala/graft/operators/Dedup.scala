@@ -415,6 +415,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
+  /** Universal-hash coefficient pairs (a ∈ [1, p−1], b ∈ [0, p−1]) from a
+    * seeded PRNG — interpolable into oracle SQL like [[simhashCoefs]]. */
+  def minhashCoefs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val p = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((rnd.nextInt((p - 1).toInt).toLong + 1,
+                         rnd.nextInt(p.toInt).toLong))
+  }
+
+  /** Portable minhash signature store: one row per (doc, permutation k)
+    * with the signature value min over shingles of (a_k·h + b_k) mod p,
+    * where h is the SQL-replayable [[polyHash]] — so the signature
+    * VALUES gate against a DuckDB oracle, not just the pair sets they
+    * induce (q21). The relation is the persistent form of near-dup
+    * state for incremental ingestion: signatures of two loads merge by
+    * per-(doc, k) MIN, the same element-wise law [[graft.plans.ArrayMinAgg]]
+    * applies inside one load — so a standing signature table is updated
+    * by union + re-aggregate, never by re-reading old text. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 16,
+                        seed: Long = 7L): DataFrame = {
+    val p = 2147483647L
+    val coefs = minhashCoefs(numHashes, seed)
+    val hashed = docShingles(df, idCol, textCol, n)
+      .select(col("id"), polyHash(col("sh")).as("x"))
+    val coefArr = typedlit(coefs)
+    val sigRow = transform(coefArr,
+      c => pmod(col("x") * c.getField("_1") + c.getField("_2"), lit(p)))
+    val sigAgg = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(
+        graft.plans.ArrayMinAgg(GraftColumnBridge.expression(sigRow), numHashes)
+          .toAggregateExpression())
+    }
+    hashed.groupBy(col("id")).agg(sigAgg.as("sig"))
+      .select(col("id").as(idCol), posexplode(col("sig")).as(Seq("k", "mh")))
+      .select(col(idCol), col("k").cast("long").as("k"), col("mh"))
+  }
+
   /** Incremental-ingest novelty scoring: measure each newly arrived
     * document of `batch` against the already-ingested `corpus` — the
     * continuous-refresh twin of the whole-corpus dedup family. The

@@ -103,6 +103,15 @@ object ScaleQueries {
     Events.retention(Tables.events(spark, dir), "user_id", "ts", 7)
       .orderBy(col("cohort"), col("day_offset"))
 
+  /** q88: portable minhash signature store ([[Dedup.minhashSignatures]])
+    * — the oracle recomputes every signature value (shingles →
+    * polynomial char hash → universal-hash minima) in SQL, value-checking
+    * the permutation arithmetic the q21 pair gate only checks by
+    * consequence. */
+  def q88MinhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("k"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -111,7 +120,14 @@ object ScaleQueries {
     "q85_semdedup"      -> q85SemDedup _,
     "q86_funnel"        -> q86Funnel _,
     "q87_retention"     -> q87Retention _,
+    "q88_minhash_sigs"  -> q88MinhashSigs _,
   )
+
+  /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
+    * the same [[Dedup.minhashCoefs]] table the Spark plan uses. */
+  private def minhashCoefRows: String =
+    Dedup.minhashCoefs(16, 7L).zipWithIndex
+      .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
 
   /** CASE expression replaying [[Sketches.cmsBucket]] for each depth —
     * generated from the same coefficient table so the SQL provably
@@ -301,5 +317,27 @@ object ScaleQueries {
         |WHERE date_diff('day', f.cohort, a.day) <= 7
         |GROUP BY f.cohort, date_diff('day', f.cohort, a.day)
         |ORDER BY cohort, day_offset""".stripMargin,
+    "q88_minhash_sigs" ->
+      s"""WITH norm AS (
+        |  SELECT doc_id AS id,
+        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT id, sh FROM (
+        |    SELECT id, unnest(list_transform(
+        |      generate_series(0, greatest(len(toks) - 3, 0)),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+        |    FROM norm) t WHERE length(sh) > 0),
+        |hx AS (
+        |  SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(sh)),
+        |                     i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) AS x
+        |  FROM sh)
+        |SELECT id AS doc_id, CAST(k AS BIGINT) AS k,
+        |  CAST(min((x * a + b) % 2147483647) AS BIGINT) AS mh
+        |FROM hx, (VALUES $minhashCoefRows) AS coef(k, a, b)
+        |GROUP BY id, k
+        |ORDER BY doc_id, k""".stripMargin,
   )
 }

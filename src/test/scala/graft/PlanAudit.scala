@@ -255,6 +255,11 @@ object PlanAudit {
         p.contains("partial_") && !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin") && !p.contains("Window"))
     }
+    // q88 signature store: the ArrayMinAgg signature must partially
+    // aggregate map-side — hot docs fold shingles before the shuffle
+    val p88 = plan("q88_minhash_sigs")
+    check("q88 signature aggregate is partial, no join",
+      p88.contains("partial_") && !p88.contains("Join"))
 
     // partitioned layout: a partition predicate must prune directories
     {

@@ -91,6 +91,23 @@ class ScaleOpsSpec extends SparkSpec {
       4L -> (1L, true), 5L -> (1L, false)))
   }
 
+  test("minhash signature store merges by per-(doc,k) MIN") {
+    import spark.implicits._
+    // the same doc split across two loads: merged signatures must equal
+    // the whole-doc signatures (shingles are doc-level, so emulate the
+    // merge law on two docs sharing an id after re-keying)
+    val a = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "t")
+    val b = Seq((1L, "pack my box with five dozen liquor jugs")).toDF("id", "t")
+    val whole = Dedup.minhashSignatures(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"),
+          (1L, "pack my box with five dozen liquor jugs")).toDF("id", "t"),
+      "id", "t")
+    val merged = Dedup.minhashSignatures(a, "id", "t")
+      .union(Dedup.minhashSignatures(b, "id", "t"))
+      .groupBy(col("id"), col("k")).agg(min(col("mh")).as("mh"))
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty)
+  }
+
   test("funnelCounts enforces order and the max gap") {
     import spark.implicits._
     import graft.operators.Events
