@@ -54,4 +54,35 @@ object Profile {
     }
     one.select(inline(array(rows: _*)))
   }
+
+  /** Per-group z-score outlier counts with EXACT first/second moments:
+    * values are fixed to 2 decimals (`DECIMAL(18,2)`) and summed as
+    * decimals — order-independent and bit-identical across engines —
+    * before the (deterministic IEEE) double arithmetic derives
+    * mean/sd. A second broadcast-joined pass counts |v − mean| > k·sd.
+    * The float-sum formulation would make mean/sd depend on partition
+    * order; the decimal discipline is what makes an outlier GATE (not
+    * just an estimate) possible.
+    *
+    * @return (groupCol, n_events, mean, sd, n_outliers)
+    */
+  def outlierStats(df: DataFrame, groupCol: String, valueCol: String,
+                   k: Double = 3.0): DataFrame = {
+    val vd = col(valueCol).cast("decimal(18,2)")
+    val vdd = vd.cast("double")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(vd).as("__s"), sum(vd * vd).as("__sq"))
+      .withColumn("mean", col("__s").cast("double") / col("n_events"))
+      .withColumn("sd", sqrt(col("__sq").cast("double") / col("n_events") -
+        col("mean") * col("mean")))
+      .select(col(groupCol), col("n_events"), col("mean"), col("sd"))
+    val out = df.select(col(groupCol), vdd.as("__v"))
+      .join(broadcast(stats), Seq(groupCol))
+      .filter(abs(col("__v") - col("mean")) > lit(k) * col("sd"))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_outliers"))
+    stats.join(out, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_events"), col("mean"), col("sd"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+  }
 }

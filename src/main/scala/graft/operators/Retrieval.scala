@@ -63,6 +63,25 @@ object Retrieval {
         col("n_terms"), col("rank"))
   }
 
+  /** Boolean-AND retrieval: documents containing EVERY query term, with
+    * the summed term frequency as a ranking hint. The term filter lands
+    * before the only shuffle, so the aggregate sees query-term rows only
+    * — never the full postings space; the all-terms condition is a
+    * countDistinct against the (small, literal) term set rather than a
+    * k-way self-join of postings lists. */
+  def booleanAnd(corpus: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    corpus.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("__nt"),
+        count(lit(1)).as("total_tf"))
+      .filter(col("__nt") === terms.distinct.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
   /** One matched term's contribution — the exact expression tree the
     * oracle SQL mirrors parenthesis-for-parenthesis. */
   def termScore(tf: Column, df: Column, dl: Column, nDocs: Column,

@@ -112,6 +112,19 @@ object ScaleQueries {
     Dedup.minhashSignatures(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"), col("k"))
 
+  /** q89: boolean-AND retrieval ([[Retrieval.booleanAnd]]) — docs
+    * containing all of {join, filter, stream}. */
+  def q89BoolRetrieval(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.booleanAnd(Tables.documents(spark, dir), "doc_id", "text",
+        Seq("join", "filter", "stream"))
+      .orderBy(col("doc_id"))
+
+  /** q90: per-event-type z-score outlier counts over exact decimal
+    * moments ([[Profile.outlierStats]]). */
+  def q90Outliers(spark: SparkSession, dir: String): DataFrame =
+    Profile.outlierStats(Tables.events(spark, dir), "event_type", "value")
+      .orderBy(col("event_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -121,6 +134,8 @@ object ScaleQueries {
     "q86_funnel"        -> q86Funnel _,
     "q87_retention"     -> q87Retention _,
     "q88_minhash_sigs"  -> q88MinhashSigs _,
+    "q89_bool_retrieval" -> q89BoolRetrieval _,
+    "q90_outliers"      -> q90Outliers _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -339,5 +354,37 @@ object ScaleQueries {
         |FROM hx, (VALUES $minhashCoefRows) AS coef(k, a, b)
         |GROUP BY id, k
         |ORDER BY doc_id, k""".stripMargin,
+    "q89_bool_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |m AS (SELECT doc_id, term FROM toks
+        |      WHERE term IN ('join', 'filter', 'stream'))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS total_tf
+        |FROM m GROUP BY doc_id
+        |HAVING count(DISTINCT term) = 3
+        |ORDER BY doc_id""".stripMargin,
+    "q90_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sd_sum,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |         AS DOUBLE) AS sd_sq
+        |  FROM events GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type, n_events,
+        |    sd_sum / n_events AS mean,
+        |    sqrt(sd_sq / n_events - (sd_sum / n_events) * (sd_sum / n_events)) AS sd
+        |  FROM s),
+        |o AS (
+        |  SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_outliers
+        |  FROM events e JOIN st ON e.event_type = st.event_type
+        |  WHERE abs(CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - st.mean)
+        |        > 3.0 * st.sd
+        |  GROUP BY e.event_type)
+        |SELECT st.event_type, st.n_events, st.mean, st.sd,
+        |  CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+        |FROM st LEFT JOIN o ON st.event_type = o.event_type
+        |ORDER BY st.event_type""".stripMargin,
   )
 }

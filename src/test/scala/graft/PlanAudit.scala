@@ -260,6 +260,15 @@ object PlanAudit {
     val p88 = plan("q88_minhash_sigs")
     check("q88 signature aggregate is partial, no join",
       p88.contains("partial_") && !p88.contains("Join"))
+    // q89 boolean retrieval: the term filter must run BEFORE the one
+    // shuffle (codegen'd filter over the explode, partial agg after)
+    val p89 = plan("q89_bool_retrieval")
+    check("q89 filters terms pre-shuffle, aggregates partially",
+      p89.contains("partial_") && !p89.contains("Join"))
+    // q90 outliers: the per-group stats must broadcast back to the scan
+    val p90 = plan("q90_outliers")
+    check("q90 stats broadcast to the outlier pass",
+      p90.contains("BroadcastHashJoin") && p90.contains("partial_"))
 
     // partitioned layout: a partition predicate must prune directories
     {

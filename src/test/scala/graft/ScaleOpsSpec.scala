@@ -149,6 +149,25 @@ class ScaleOpsSpec extends SparkSpec {
       ("1970-01-01", 0L, 2L), ("1970-01-01", 1L, 2L), ("1970-01-02", 0L, 1L)))
   }
 
+  test("booleanAnd requires every term; outlierStats counts exact z-outliers") {
+    import spark.implicits._
+    import graft.operators.{Profile, Retrieval}
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta"), (3L, "beta alpha alpha gamma")
+    ).toDF("doc_id", "text")
+    val hits = Retrieval.booleanAnd(docs, "doc_id", "text",
+        Seq("alpha", "gamma"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L, 3L -> 3L))
+
+    // 10 values at 1.0 and one far outlier
+    val ev = (Seq.fill(10)(1.0) :+ 100.0).zipWithIndex
+      .map { case (v, i) => ("a", v) }.toDF("g", "v")
+    val st = Profile.outlierStats(ev, "g", "v", k = 3.0).collect().head
+    assert(st.getLong(1) == 11L)
+    assert(st.getLong(4) == 1L, "the single extreme value is the only outlier")
+  }
+
   test("shardManifest covers every doc exactly once and is deterministic") {
     import spark.implicits._
     val docs = (0L until 100L)
