@@ -54,17 +54,26 @@ object EtlQueries {
         when(col("ymd") < "19920101" || col("ymd") > "20041231",
           raise_error(concat(lit("q11 oracle holiday range exceeded: "), col("ymd"))))
         .otherwise(col("ymd")))
-      // ONE parse + UDF boundary per row for all six derived columns
-      // (EtlFunctions.dateProfileUdf; the per-function UDFs remain for
-      // ad-hoc use and are value-covered by DateUtilSpec)
-      .withColumn("__p", graft.functions.EtlFunctions.dateProfileUdf(col("ymd"), lit("AT")))
-      .withColumn("wd", col("__p.wd"))
-      .withColumn("weekend", col("__p.weekend"))
-      .withColumn("at_holiday", col("__p.holiday"))
-      .withColumn("next_bd", col("__p.next_bd"))
-      .withColumn("last_dom", col("__p.last_dom"))
-      .withColumn("month_roll", col("__p.month_roll"))
-      .drop("o_orderdate", "__p")
+      .transform { base =>
+        // the calendar profile is a function of the DATE alone: compute it
+        // once per distinct day (a bounded dimension — ~4.7k rows for 13
+        // years regardless of fact size) and broadcast-join it back,
+        // instead of crossing the UDF boundary per fact row
+        // (EtlFunctions.dateProfileUdf; the per-function UDFs remain for
+        // ad-hoc use and are value-covered by DateUtilSpec)
+        val dates = base.select(col("ymd")).distinct()
+          .withColumn("__p",
+            graft.functions.EtlFunctions.dateProfileUdf(col("ymd"), lit("AT")))
+          .select(col("ymd"), col("__p.wd").as("wd"),
+            col("__p.weekend").as("weekend"),
+            col("__p.holiday").as("at_holiday"),
+            col("__p.next_bd").as("next_bd"),
+            col("__p.last_dom").as("last_dom"),
+            col("__p.month_roll").as("month_roll"))
+        base.join(broadcast(dates), Seq("ymd"))
+      }
+      .select(col("o_orderkey"), col("ymd"), col("wd"), col("weekend"),
+        col("at_holiday"), col("next_bd"), col("last_dom"), col("month_roll"))
       .orderBy(col("o_orderkey"))
   }
 

@@ -269,6 +269,11 @@ object PlanAudit {
     val p90 = plan("q90_outliers")
     check("q90 stats broadcast to the outlier pass",
       p90.contains("BroadcastHashJoin") && p90.contains("partial_"))
+    // q11: the calendar profile must be computed per DISTINCT date and
+    // broadcast back — the UDF boundary must not sit on the fact scan
+    val p11 = plan("q11_date_functions")
+    check("q11 joins a broadcast distinct-date profile",
+      p11.contains("BroadcastHashJoin"))
 
     // partitioned layout: a partition predicate must prune directories
     {
