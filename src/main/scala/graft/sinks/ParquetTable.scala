@@ -147,4 +147,19 @@ object ParquetTable {
     Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))
   }
+
+  /** Atomic overwrite of `path` with `df` via the write-new → retire-old
+    * → rename-in swap (K8) — safe when `df`'s plan still READS `path`
+    * (read-modify-write tables like the streaming sketch store). */
+  def atomicOverwrite(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val tablePath = Paths.get(path).toAbsolutePath
+    val tmp = tablePath.resolveSibling(tablePath.getFileName.toString + ".tmp-graft")
+    val old = tablePath.resolveSibling(tablePath.getFileName.toString + ".old-graft")
+    deleteRecursively(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    deleteRecursively(old)
+    if (Files.exists(tablePath)) Files.move(tablePath, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, tablePath, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
 }

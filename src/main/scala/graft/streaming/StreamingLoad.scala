@@ -171,4 +171,35 @@ object StreamingLoad {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("n_events"),
         col("sum_value"))
+
+  /** Streaming maintenance of a count-min sketch table: each micro-batch
+    * is sketched ([[graft.operators.Sketches.cmsSketch]] — bounded
+    * depth×width output however hot the batch keys run) and merged into
+    * the standing sketch parquet by counter addition, the same merge law
+    * the batch spec proves. The sketch table stays ≤ depth·width rows
+    * forever, so frequency estimates over an unbounded stream cost O(1)
+    * storage — the streaming twin of the q81 gate. */
+  def sketchStream(stream: DataFrame, keyCol: String, sketchPath: String,
+                   checkpoint: String, depth: Int = 4, width: Int = 256,
+                   trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val delta = graft.operators.Sketches.cmsSketch(batch, keyCol, depth, width)
+          val merged = {
+            val exists = new java.io.File(sketchPath).exists()
+            if (exists)
+              spark.read.parquet(sketchPath).unionByName(delta)
+                .groupBy(col("depth"), col("bucket"))
+                .agg(sum(col("cnt")).as("cnt"))
+            else delta
+          }
+          // the merge plan still READS sketchPath — swap atomically
+          ParquetTable.atomicOverwrite(merged.coalesce(1), sketchPath)
+        }
+      }
+      .start()
 }

@@ -100,6 +100,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketchStream maintains a CMS table equal to the batch sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-").toString
+    val mem = MemoryStream[Long]
+    val q = StreamingLoad.sketchStream(mem.toDF().toDF("k"), "k",
+      s"$dir/sketch", s"$dir/cp", depth = 4, width = 64)
+    try {
+      mem.addData(1L, 2L, 2L, 3L)
+      q.processAllAvailable()
+      mem.addData(2L, 3L, 3L, 9L)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$dir/sketch")
+      val batch = graft.operators.Sketches.cmsSketch(
+        Seq(1L, 2L, 2L, 3L, 2L, 3L, 3L, 9L).toDF("k"), "k", 4, 64)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "streamed sketch != batch sketch over the union of batches")
+      // bounded state: never more than depth*width rows
+      assert(streamed.count() <= 4L * 64L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
