@@ -164,6 +164,65 @@ object RelationalQueries {
       .orderBy(col("p_brand"))
   }
 
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier, then
+    * the supplier(s) hitting the maximum — the scalar max is an
+    * aggregate broadcast back (no window over all suppliers, no second
+    * scan of lineitem). Revenue is decimal-exact before the double cast,
+    * so the equality join on the max is deterministic. */
+  def q91TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("__mr"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("__mr"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems of one brand's
+    * parts below 20% of that part's average quantity; per-part averages
+    * computed once on the brand-filtered fact and broadcast back (the
+    * correlated-subquery decorrelation Catalyst would pick, made
+    * explicit). */
+  def q92SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val liBrand = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val avgQty = liBrand.groupBy(col("l_partkey").as("__pk"))
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("__avg_qty"))
+    liBrand.join(broadcast(avgQty), col("l_partkey") === col("__pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("__avg_qty"))
+      .agg((dsum2(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q11-style share-of-total: nation revenue vs a broadcast scalar
+    * total, keeping nations above a 4% share. Both the per-nation value
+    * and the total stay DECIMAL until the final comparison, so the share
+    * threshold is exact. */
+  def q93NationShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("__v"))
+    val total = rev.agg(sum(col("__v")).as("__t"))
+    rev.crossJoin(broadcast(total))
+      .filter(col("__v").cast("double") > lit(0.04) * col("__t").cast("double"))
+      .select(col("n_name"), col("__v").cast("double").as("value"))
+      .orderBy(col("value").desc, col("n_name"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_revenue_filter"  -> q2RevenueFilter _,
@@ -175,9 +234,52 @@ object RelationalQueries {
     "q8_lag_events"      -> q8LagEvents _,
     "q9_set_ops"         -> q9SetOps _,
     "q10_above_brand_avg" -> q10AboveBrandAvg _,
+    "q91_top_supplier"   -> q91TopSupplier _,
+    "q92_small_qty"      -> q92SmallQty _,
+    "q93_nation_share"   -> q93NationShare _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |         AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q92_small_qty" ->
+      """WITH lb AS (
+        |  SELECT l.* FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#23'),
+        |aq AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |      AS avg_qty
+        |  FROM lb GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(lb.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       / 7.0 AS avg_yearly
+        |FROM lb JOIN aq ON lb.l_partkey = aq.l_partkey
+        |WHERE lb.l_quantity < 0.2 * aq.avg_qty""".stripMargin,
+    "q93_nation_share" ->
+      """WITH rev AS (
+        |  SELECT n.n_name,
+        |    sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS v
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name)
+        |SELECT n_name, CAST(v AS DOUBLE) AS value
+        |FROM rev
+        |WHERE CAST(v AS DOUBLE) > 0.04 * CAST((SELECT sum(v) FROM rev) AS DOUBLE)
+        |ORDER BY value DESC, n_name""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -274,6 +274,14 @@ object PlanAudit {
     val p11 = plan("q11_date_functions")
     check("q11 joins a broadcast distinct-date profile",
       p11.contains("BroadcastHashJoin"))
+    // q91-q93: scalar aggregates broadcast back, dims broadcast, no
+    // window over the fact and no nested loop beyond the 1-row scalar
+    Seq("q91_top_supplier", "q92_small_qty", "q93_nation_share").foreach { q =>
+      val p = plan(q)
+      check(s"$q broadcasts and partially aggregates",
+        p.contains("Broadcast") && p.contains("partial_") &&
+          !p.contains("Window") && !p.contains("CartesianProduct"))
+    }
 
     // partitioned layout: a partition predicate must prune directories
     {
