@@ -55,6 +55,42 @@ object Profile {
     one.select(inline(array(rows: _*)))
   }
 
+  /** Per-group Pearson correlation from EXACT decimal moments: the five
+    * sums (x, y, xy, x², y²) accumulate as DECIMAL — order-independent,
+    * bit-identical across engines — and only the final closed form runs
+    * in (deterministic IEEE) double arithmetic. The built-in `corr`
+    * aggregates floating-point running moments whose value depends on
+    * partition order; this formulation is what makes correlation
+    * GATE-able, and it is one partial-aggregated groupBy (map-side
+    * combine, no second pass).
+    *
+    * @return (groupCol, n, corr)
+    */
+  def groupedCorr(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = col(xCol).cast(DecimalType(18, 2))
+    val y = col(yCol).cast(DecimalType(18, 2))
+    def d4(c: Column) = c.cast(DecimalType(18, 4))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(d4(col(xCol) * col(yCol))).as("__sxy"),
+        sum(d4(col(xCol) * col(xCol))).as("__sxx"),
+        sum(d4(col(yCol) * col(yCol))).as("__syy"))
+      .select(col(groupCol), col("n"),
+        // rounded to 12 dp: the moments are exact, but a wide DECIMAL →
+        // DOUBLE cast is double-rounded in some engines (int128 → double
+        // → scale divide), so the raw closed form can differ by 1 ulp
+        round((col("n") * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) /
+         (sqrt(col("n") * col("__sxx").cast("double") -
+            col("__sx").cast("double") * col("__sx").cast("double")) *
+          sqrt(col("n") * col("__syy").cast("double") -
+            col("__sy").cast("double") * col("__sy").cast("double"))), 12)
+          .as("corr"))
+  }
+
   /** Per-group z-score outlier counts with EXACT first/second moments:
     * values are fixed to 2 decimals (`DECIMAL(18,2)`) and summed as
     * decimals — order-independent and bit-identical across engines —

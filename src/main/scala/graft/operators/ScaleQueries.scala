@@ -125,6 +125,13 @@ object ScaleQueries {
     Profile.outlierStats(Tables.events(spark, dir), "event_type", "value")
       .orderBy(col("event_type"))
 
+  /** q94: per-returnflag Pearson correlation of quantity vs extended
+    * price from exact decimal moments ([[Profile.groupedCorr]]). */
+  def q94GroupedCorr(spark: SparkSession, dir: String): DataFrame =
+    Profile.groupedCorr(Tables.lineitem(spark, dir),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy(col("l_returnflag"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -136,6 +143,7 @@ object ScaleQueries {
     "q88_minhash_sigs"  -> q88MinhashSigs _,
     "q89_bool_retrieval" -> q89BoolRetrieval _,
     "q90_outliers"      -> q90Outliers _,
+    "q94_grouped_corr"  -> q94GroupedCorr _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -386,5 +394,22 @@ object ScaleQueries {
         |  CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
         |FROM st LEFT JOIN o ON st.event_type = o.event_type
         |ORDER BY st.event_type""".stripMargin,
+    "q94_grouped_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
+        |         AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4)))
+        |         AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4)))
+        |         AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr
+        |FROM m
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }
