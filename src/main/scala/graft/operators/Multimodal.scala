@@ -199,6 +199,83 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL PCM decode for 16-bit integer WAV (format tag 1): returns
+    * (sample rate, channels, interleaved samples). Pure JDK — PCM needs
+    * no codec, so this modality's decode step is NOT a stub. Compressed
+    * formats still fall through to the documented stub path. */
+  private[graft] def wavPcm16(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
+    val bb = le(b)
+    var off = 12
+    var fmtTag = 0; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = -1
+    var ok = true
+    while (ok && off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      if (size < 0) ok = false
+      else {
+        if (id == "fmt " && off + 8 + 16 <= b.length) {
+          fmtTag = bb.getShort(off + 8) & 0xFFFF
+          channels = bb.getShort(off + 10) & 0xFFFF
+          rate = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22) & 0xFFFF
+        } else if (id == "data") { dataOff = off + 8; dataLen = size }
+        off += 8 + size + (size & 1)
+      }
+    }
+    if (fmtTag != 1 || bits != 16 || channels <= 0 || rate <= 0 ||
+        dataOff < 0 || dataOff + dataLen > b.length) return None
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getShort(dataOff + 2 * i); i += 1 }
+    Some((rate, channels, out))
+  }
+
+  /** Windowed RMS energy over REAL-decoded PCM16 audio: frames of
+    * `frameLen` audio frames (channel-averaged, normalized to [-1, 1]),
+    * one output row per window — the audio feature-extraction shape
+    * (VAD / silence trimming / loudness filtering for audio corpora).
+    * Rows whose payload is not decodable PCM16 WAV are dropped (they
+    * carry no frames). Output: input columns + (frame_idx, n_samples,
+    * rms). Same partition-batched iteration as [[decodeBatched]] — no
+    * driver involvement, payload bytes never leave the executor. */
+  def wavFrameEnergy(df: DataFrame, payloadCol: String, frameLen: Int,
+                     batchSize: Int = 64): DataFrame = {
+    require(frameLen > 0, "frameLen must be positive")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("frame_idx", IntegerType), StructField("n_samples", IntegerType),
+      StructField("rms", DoubleType)))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](payloadIdx)
+          wavPcm16(payload).iterator.flatMap { case (_, channels, samples) =>
+            val nFrames = samples.length / channels
+            (0 until nFrames by frameLen).iterator.map { start =>
+              val end = math.min(start + frameLen, nFrames)
+              var acc = 0.0
+              var f = start
+              while (f < end) {
+                var c = 0; var mix = 0.0
+                while (c < channels) { mix += samples(f * channels + c); c += 1 }
+                mix /= channels * 32768.0
+                acc += mix * mix
+                f += 1
+              }
+              val n = end - start
+              Row.fromSeq(r.toSeq ++ Seq[Any](start / frameLen, n,
+                math.sqrt(acc / n)))
+            }
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling: every `stride`-th frame index up to the decoded frame
     * count, exploded to one row per sampled frame — the video shape. */
   def sampleFrames(df: DataFrame, stride: Int): DataFrame = {

@@ -106,4 +106,34 @@ class MediaHeaderSpec extends SparkSpec {
       .select("frame_idx").collect().map(_.getInt(0)).toSeq
     assert(sampled == Seq(0, 4, 8))
   }
+
+  /** WAV with real PCM16 sample data (interleaved, little-endian). */
+  private def wavWithSamples(rate: Int, channels: Int,
+                             samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val blockAlign = channels * 2
+    val b = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(1).putShort(channels.toShort).putInt(rate)
+    b.putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+    b.put("data".getBytes).putInt(dataSize)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  test("wavFrameEnergy decodes REAL PCM and windows RMS") {
+    // mono: 4 frames at 16384 (=0.5), 4 at 0 -> windows of 4: rms 0.5, 0.0
+    val mono = wavWithSamples(8000, 1,
+      Array.fill(4)(16384.toShort) ++ Array.fill(4)(0.toShort))
+    // stereo: L=16384, R=-16384 -> channel mix 0 -> rms 0
+    val stereo = wavWithSamples(8000, 2,
+      Array.tabulate(8)(i => if (i % 2 == 0) 16384.toShort else (-16384).toShort))
+    val df = Seq((1L, mono), (2L, stereo),
+      (3L, "not a wav".getBytes("UTF-8"))).toDF("id", "payload")
+    val got = Multimodal.wavFrameEnergy(df, "payload", frameLen = 4)
+      .select("id", "frame_idx", "n_samples", "rms").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 0, 4, 0.5), (1L, 1, 4, 0.0), (2L, 0, 4, 0.0)))
+  }
 }
