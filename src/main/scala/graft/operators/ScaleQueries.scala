@@ -132,6 +132,15 @@ object ScaleQueries {
         "l_returnflag", "l_quantity", "l_extendedprice")
       .orderBy(col("l_returnflag"))
 
+  /** q95: token co-occurrence lift ([[TextOps.cooccurLift]]) — the 20
+    * strongest associations among pairs sharing ≥ 50 docs; all-integer
+    * lift keeps the gate exact. */
+  def q95CooccurLift(spark: SparkSession, dir: String): DataFrame =
+    TextOps.cooccurLift(Tables.documents(spark, dir), "doc_id", "text",
+        minPairDocs = 50)
+      .orderBy(col("lift_ppm").desc, col("tok_a"), col("tok_b"))
+      .limit(20)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -144,6 +153,7 @@ object ScaleQueries {
     "q89_bool_retrieval" -> q89BoolRetrieval _,
     "q90_outliers"      -> q90Outliers _,
     "q94_grouped_corr"  -> q94GroupedCorr _,
+    "q95_cooccur_lift"  -> q95CooccurLift _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -411,5 +421,25 @@ object ScaleQueries {
         |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr
         |FROM m
         |ORDER BY l_returnflag""".stripMargin,
+    "q95_cooccur_lift" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id AS id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents)),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |nx AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY t),
+        |p AS (
+        |  SELECT a.t AS tok_a, b.t AS tok_b, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM toks a JOIN toks b ON a.id = b.id AND a.t < b.t
+        |  GROUP BY a.t, b.t
+        |  HAVING count(*) >= 50)
+        |SELECT p.tok_a, p.tok_b, p.n_xy,
+        |  CAST((1000000 * p.n_xy * nd.n_docs) // (x.n * y.n) AS BIGINT) AS lift_ppm
+        |FROM p
+        |JOIN nx x ON x.t = p.tok_a
+        |JOIN nx y ON y.t = p.tok_b
+        |CROSS JOIN nd
+        |ORDER BY lift_ppm DESC, tok_a, tok_b
+        |LIMIT 20""".stripMargin,
   )
 }

@@ -259,6 +259,37 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Token co-occurrence lift: for token pairs appearing together in at
+    * least `minPairDocs` documents, the association strength
+    * `lift_ppm = ⌊10⁶ · n_xy · N / (n_x · n_y)⌋` (parts-per-million of
+    * P(x,y)/(P(x)P(y)) — the PMI argument in ALL-INTEGER arithmetic, so
+    * the gate is exact where a float log would differ by ulps across
+    * engines). The pair space is Σ_doc (distinct tokens)² — bounded by
+    * document length, so it scales linearly with corpus size; the
+    * doc-count relation and the scalar N broadcast.
+    *
+    * @return (tok_a, tok_b, n_xy, lift_ppm), tok_a < tok_b.
+    */
+  def cooccurLift(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, minPairDocs: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("t"))
+    val nDocs = df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val nX = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val pairs = toks.select(col("id"), col("t").as("tok_a"))
+      .join(toks.select(col("id"), col("t").as("tok_b")), Seq("id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minPairDocs)
+    pairs
+      .join(broadcast(nX.select(col("t").as("tok_a"), col("n").as("n_x"))), "tok_a")
+      .join(broadcast(nX.select(col("t").as("tok_b"), col("n").as("n_y"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_ppm", expr("(1000000 * n_xy * n_docs) div (n_x * n_y)"))
+      .select(col("tok_a"), col("tok_b"), col("n_xy"), col("lift_ppm"))
+  }
+
   /** Character-bigram positions of the normalized text: one row per
     * adjacent character pair. The bigram relation under [[bigramFluency]].
     */

@@ -282,6 +282,11 @@ object PlanAudit {
         p.contains("Broadcast") && p.contains("partial_") &&
           !p.contains("Window") && !p.contains("CartesianProduct"))
     }
+    // q95 co-occurrence: the pair join is doc-keyed (equi), the df/N
+    // relations broadcast — no cartesian anywhere
+    val p95 = plan("q95_cooccur_lift")
+    check("q95 pairs via doc equi-join, stats broadcast",
+      p95.contains("BroadcastHashJoin") && !p95.contains("CartesianProduct"))
 
     // partitioned layout: a partition predicate must prune directories
     {
