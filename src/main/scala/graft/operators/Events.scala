@@ -50,6 +50,41 @@ object Events {
     }.reduce(_ unionByName _)
   }
 
+  /** Session path analysis: events are sessionized per user by the
+    * `gapMicros` inactivity rule (the q44 lag+cumsum shape — ONE shuffle
+    * on the user key), each session's ordered event-type sequence is
+    * folded to a path string, and the most common paths are counted.
+    * The per-session collect is bounded by session length (the gap rule
+    * bounds it in wall-clock terms), and ordering is canonicalized via
+    * `array_sort` over (time, id, type) structs — deterministic under
+    * any partitioning.
+    *
+    * @return (path, n_sessions), the `topK` most frequent.
+    */
+  def sessionPaths(df: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, typeCol: String,
+                   gapMicros: Long, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    val sess = df
+      .withColumn("__prev", lag(us, 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || us - col("__prev") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col(userCol), col("__sess"))
+      .agg(concat_ws("->",
+        transform(
+          array_sort(collect_list(struct(us.as("t"), col(idCol).as("i"),
+            col(typeCol).as("e")))),
+          s => s.getField("e"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Cohort retention: users grouped by their first-activity day; for
     * each (cohort, day-offset ≤ `maxOffsetDays`) the count of cohort
     * members active that day. Two aggregations and one equi-join, all on

@@ -141,6 +141,12 @@ object ScaleQueries {
       .orderBy(col("lift_ppm").desc, col("tok_a"), col("tok_b"))
       .limit(20)
 
+  /** q96: top session paths ([[Events.sessionPaths]]) — 30-minute-gap
+    * sessions, 15 most frequent event-type sequences. */
+  def q96SessionPaths(spark: SparkSession, dir: String): DataFrame =
+    Events.sessionPaths(Tables.events(spark, dir), "user_id", "ts",
+      "event_id", "event_type", gapMicros = 1800L * 1000000L, topK = 15)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -154,6 +160,7 @@ object ScaleQueries {
     "q90_outliers"      -> q90Outliers _,
     "q94_grouped_corr"  -> q94GroupedCorr _,
     "q95_cooccur_lift"  -> q95CooccurLift _,
+    "q96_session_paths" -> q96SessionPaths _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -441,5 +448,26 @@ object ScaleQueries {
         |CROSS JOIN nd
         |ORDER BY lift_ppm DESC, tok_a, tok_b
         |LIMIT 20""".stripMargin,
+    "q96_session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, sess,
+        |    string_agg(event_type, '->' ORDER BY us, event_id) AS path
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 15""".stripMargin,
   )
 }

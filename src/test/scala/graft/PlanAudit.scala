@@ -287,6 +287,12 @@ object PlanAudit {
     val p95 = plan("q95_cooccur_lift")
     check("q95 pairs via doc equi-join, stats broadcast",
       p95.contains("BroadcastHashJoin") && !p95.contains("CartesianProduct"))
+    // q96 session paths: exactly ONE user-keyed exchange feeds both the
+    // sessionizing window and the per-session fold
+    val p96 = plan("q96_session_paths")
+    check("q96 sessionize + fold share one user exchange",
+      "hashpartitioning\\(user_id".r.findAllIn(p96).size <= 1 &&
+        !p96.contains("CartesianProduct"))
 
     // partitioned layout: a partition predicate must prune directories
     {
