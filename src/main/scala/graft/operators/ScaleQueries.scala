@@ -147,6 +147,20 @@ object ScaleQueries {
     Events.sessionPaths(Tables.events(spark, dir), "user_id", "ts",
       "event_id", "event_type", gapMicros = 1800L * 1000000L, topK = 15)
 
+  /** q97: semi-structured property extraction — the JSON `props` column
+    * parsed per event (`get_json_object`, codegen'd path evaluation, no
+    * UDF) and profiled per event type. The extraction happens in the
+    * scan projection, so at scale the JSON never survives past the
+    * map side. */
+  def q97JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -161,6 +175,7 @@ object ScaleQueries {
     "q94_grouped_corr"  -> q94GroupedCorr _,
     "q95_cooccur_lift"  -> q95CooccurLift _,
     "q96_session_paths" -> q96SessionPaths _,
+    "q97_json_extract"  -> q97JsonExtract _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -469,5 +484,17 @@ object ScaleQueries {
         |FROM p GROUP BY path
         |ORDER BY n_sessions DESC, path
         |LIMIT 15""".stripMargin,
+    "q97_json_extract" ->
+      """WITH j AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(k) AS BIGINT) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM j GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }
