@@ -85,6 +85,22 @@ object Events {
       .limit(topK)
   }
 
+  /** At-least-once delivery cleanup: an event is a redelivery if the
+    * SAME (key columns) combination occurred within `windowMicros`
+    * before it — the lag-per-key rule, one shuffle on the key. Returns
+    * the input rows with an `is_redelivery` flag (callers filter). */
+  def windowDedupFlags(df: DataFrame, tsCol: String, orderCol: String,
+                       keyCols: Seq[String], windowMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(orderCol))
+    val us = unix_micros(col(tsCol))
+    df.withColumn("__prev", lag(us, 1).over(w))
+      .withColumn("is_redelivery",
+        col("__prev").isNotNull && (us - col("__prev") <= windowMicros))
+      .drop("__prev")
+  }
+
   /** Cohort retention: users grouped by their first-activity day; for
     * each (cohort, day-offset ≤ `maxOffsetDays`) the count of cohort
     * members active that day. Two aggregations and one equi-join, all on

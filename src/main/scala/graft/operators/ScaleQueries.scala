@@ -161,6 +161,37 @@ object ScaleQueries {
         countDistinct(col("k")).as("n_distinct_k"))
       .orderBy(col("event_type"))
 
+  /** q98: redelivery suppression ([[Events.windowDedupFlags]]) — events
+    * repeating the same (user, type) within 60 s are flagged; per-type
+    * kept/dropped counts. */
+  def q98WindowDedup(spark: SparkSession, dir: String): DataFrame =
+    Events.windowDedupFlags(Tables.events(spark, dir), "ts", "event_id",
+        Seq("user_id", "event_type"), windowMicros = 60L * 1000000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_redelivery"), 1L).otherwise(0L)).as("n_redelivered"))
+      .orderBy(col("event_type"))
+
+  /** q99: date-spine gap filling — daily order counts for one clerk-free
+    * slice over a fixed month, with explicit zero rows for days without
+    * orders (the reporting-table densify: a generated date spine LEFT
+    * JOINs the fact aggregate; the spine is a literal-range projection,
+    * no data shuffle beyond the one groupBy). */
+  def q99GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp") &&
+        col("o_orderkey") % 16 === 0)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val spine = spark.range(1).select(explode(sequence(
+      lit("1995-03-01").cast("date"), lit("1995-03-31").cast("date"),
+      expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("day"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -176,6 +207,8 @@ object ScaleQueries {
     "q95_cooccur_lift"  -> q95CooccurLift _,
     "q96_session_paths" -> q96SessionPaths _,
     "q97_json_extract"  -> q97JsonExtract _,
+    "q98_window_dedup"  -> q98WindowDedup _,
+    "q99_gap_fill"      -> q99GapFill _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -496,5 +529,30 @@ object ScaleQueries {
         |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
         |FROM j GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q98_window_dedup" ->
+      """WITH g AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN prev_us IS NOT NULL AND us - prev_us <= 60000000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_redelivered
+        |FROM g GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q99_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(DATE '1995-03-01', DATE '1995-03-31',
+        |                                INTERVAL 1 DAY))::DATE AS day),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01'
+        |    AND o_orderkey % 16 = 0
+        |  GROUP BY CAST(o_orderdate AS DATE))
+        |SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_orders
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY s.day""".stripMargin,
   )
 }
