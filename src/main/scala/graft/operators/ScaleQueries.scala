@@ -192,6 +192,35 @@ object ScaleQueries {
       .orderBy(col("day"))
   }
 
+  /** q100: referential-integrity audit — the post-load validation the
+    * reference's process scripts ran as ad-hoc SQL
+    * (/root/reference/Wrap.pm:373-398 postDumpExecs): orphan counts for
+    * each FK edge of the star schema, as LEFT ANTI joins (dims broadcast;
+    * the fact-fact edge shuffles once on the key). One row per edge so
+    * the gate pins every count. */
+  def q100Integrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(pkey)).distinct()
+      child.select(col(key))
+        .join(if (bcast) broadcast(p) else p, col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("edge"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    edge("lineitem->orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey", bcast = false)
+      .unionByName(edge("orders->customer", Tables.orders(spark, dir),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey", bcast = true))
+      .unionByName(edge("customer->nation", Tables.customer(spark, dir),
+        "c_nationkey", Tables.nation(spark, dir), "n_nationkey", bcast = true))
+      .unionByName(edge("lineitem->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey", bcast = true))
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey", bcast = true))
+      .orderBy(col("edge"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -209,6 +238,7 @@ object ScaleQueries {
     "q97_json_extract"  -> q97JsonExtract _,
     "q98_window_dedup"  -> q98WindowDedup _,
     "q99_gap_fill"      -> q99GapFill _,
+    "q100_integrity"    -> q100Integrity _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -554,5 +584,26 @@ object ScaleQueries {
         |SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_orders
         |FROM spine s LEFT JOIN daily d ON s.day = d.day
         |ORDER BY s.day""".stripMargin,
+    "q100_integrity" ->
+      """SELECT 'lineitem->orders' AS edge, CAST(count(*) AS BIGINT) AS n_orphans
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'customer->nation', CAST(count(*) AS BIGINT)
+        |FROM customer c WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |UNION ALL
+        |SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |ORDER BY edge""".stripMargin,
   )
 }
