@@ -43,4 +43,30 @@ class DeterminismSpec extends SparkSpec {
       .orderBy("doc_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(run(1) == run(9))
   }
+
+  test("minhash signatures and co-occurrence lift are layout-independent") {
+    import graft.operators.Dedup
+    val base = docs(60)
+    def sigs(parts: Int) = Dedup.minhashSignatures(
+        base.repartition(parts), "doc_id", "text")
+      .orderBy("doc_id", "k").collect().map(_.toSeq).toSeq
+    assert(sigs(1) == sigs(7))
+    def lift(parts: Int) = TextOps.cooccurLift(
+        base.repartition(parts), "doc_id", "text", minPairDocs = 10)
+      .orderBy("tok_a", "tok_b").collect().map(_.toSeq).toSeq
+    assert(lift(1) == lift(7))
+  }
+
+  test("fluency scores and shard manifests are layout-independent") {
+    import graft.operators.Layout
+    val base = docs(60).withColumn("n_chars", length(col("text")))
+    def flu(parts: Int) = TextOps.bigramFluency(
+        base.repartition(parts), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(flu(1) == flu(7))
+    def man(parts: Int) = Layout.shardManifest(base.repartition(parts),
+        "doc_id", "text", "lang", "n_chars", 4)
+      .collect().map(_.toSeq).toSeq
+    assert(man(1) == man(7))
+  }
 }
