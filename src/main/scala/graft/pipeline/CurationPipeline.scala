@@ -61,10 +61,20 @@ object CurationPipeline {
     * the output rows are chunks, not documents. */
   final case class Chunk(size: Int, stride: Int) extends Step
 
+  /** Statistical-LM fluency gate ([[TextOps.bigramFluency]]): the model
+    * self-trains on the incoming corpus, docs below `minPpm` (or too
+    * short to score) are dropped. */
+  final case class FluencyGate(minPpm: Double = 30000.0) extends Step
+
+  /** Cross-document boilerplate removal ([[Dedup.lineDedup]]): lines
+    * appearing in ≥ `minDocs` docs are stripped; the text column is
+    * REPLACED by the cleaned text (a transform, not a filter). */
+  final case class LineDedup(minDocs: Int = 5) extends Step
+
   /** Data-driven construction — the curation twin of `ConfigFiles.
     * bootLoads`, so a pipeline ships as configuration: `steps` is a comma
     * list (quality, repetition, exact_dedup, near_dedup, decontaminate,
-    * sample, split, chunk), parameterized by dotted keys like
+    * sample, split, chunk, fluency, line_dedup), parameterized by dotted keys like
     * `quality.minTokens=10` or `split.weights=train:0.8,val:0.1,test:0.1`.
     * `holdout` supplies the eval corpus a `decontaminate` step screens
     * against. */
@@ -100,6 +110,8 @@ object CurationPipeline {
       case "split" => Split(weights("split.weights",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)), l("split.seed", 42L))
       case "chunk" => Chunk(i("chunk.size", 64), i("chunk.stride", 48))
+      case "fluency" => FluencyGate(d0("fluency.minPpm", 30000.0))
+      case "line_dedup" => LineDedup(i("line_dedup.minDocs", 5))
       case other => throw new IllegalArgumentException(s"unknown curation step: $other")
     }
   }
@@ -156,6 +168,19 @@ object CurationPipeline {
 
         case Chunk(size, stride) =>
           TextOps.chunkTokens(docs, idCol, textCol, size, stride)
+
+        case FluencyGate(minPpm) =>
+          val keep = TextOps.bigramFluency(
+              docs.select(col(idCol), col(textCol)), idCol, textCol)
+            .filter(col("fluency").isNotNull && col("fluency") >= minPpm)
+            .select(col(idCol))
+          docs.join(keep, Seq(idCol), "left_semi")
+
+        case LineDedup(minDocs) =>
+          val cleaned = Dedup.lineDedup(
+              docs.select(col(idCol), col(textCol)), idCol, textCol, minDocs)
+            .select(col(idCol), col(textCol))
+          docs.drop(textCol).join(cleaned, Seq(idCol))
       }
     }
   }

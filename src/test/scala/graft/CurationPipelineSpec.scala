@@ -92,6 +92,36 @@ class CurationPipelineSpec extends SparkSpec {
     assert(s == Split(Seq("train" -> 0.9, "test" -> 0.1), 7L))
   }
 
+  test("fluency gate drops gibberish; line_dedup strips boilerplate lines") {
+    import org.apache.spark.sql.functions._
+    // five normal-English docs train the bigram model; the gibberish doc
+    // scores far below them
+    val docs = Seq(
+      (1L, "the cat sat on the mat near the door"),
+      (2L, "the dog sat on the rug near the wall"),
+      (3L, "the man ran to the car in the rain"),
+      (4L, "the kid sat by the fire at the inn"),
+      // gibberish built from the corpus's COMMON letters in rare orders:
+      // prefix counts are high (shared with the English docs) but each
+      // pair is near-unique, so per-position credits collapse
+      (5L, "tn rs eo dm ac nt sr oe md ca")
+    ).toDF("doc_id", "text")
+    val kept = CurationPipeline.run(docs, "doc_id", "text",
+        Seq(FluencyGate(minPpm = 300000.0)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(5L), s"kept: $kept")
+
+    val withBoiler = Seq(
+      (1L, "COPYRIGHT BANNER\nreal content one"),
+      (2L, "COPYRIGHT BANNER\nreal content two"),
+      (3L, "COPYRIGHT BANNER\nreal content three")
+    ).toDF("doc_id", "text")
+    val cleaned = CurationPipeline.run(withBoiler, "doc_id", "text",
+        Seq(LineDedup(minDocs = 3)))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(cleaned == Seq("real content one", "real content two", "real content three"))
+  }
+
   test("Chunk must be terminal") {
     val err = intercept[IllegalArgumentException] {
       CurationPipeline.run(corpus(), "doc_id", "text",
