@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Scale-path gates (q81-q84): the operators a continuously refreshed
   * 100 TB training corpus needs beyond one-shot curation — bounded-state
@@ -221,6 +222,25 @@ object ScaleQueries {
       .orderBy(col("edge"))
   }
 
+  /** q101: running totals — cumulative order count and spend per
+    * customer (rows-unbounded-preceding frame over ONE customer-keyed
+    * exchange; the running sum stays DECIMAL inside the frame so every
+    * prefix is exact). Sliced to every-64th customer to keep the gate
+    * small. */
+  def q101RunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 64 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("cum_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("cum_spend"))
+      .orderBy(col("o_custkey"), col("cum_orders"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -239,6 +259,7 @@ object ScaleQueries {
     "q98_window_dedup"  -> q98WindowDedup _,
     "q99_gap_fill"      -> q99GapFill _,
     "q100_integrity"    -> q100Integrity _,
+    "q101_running_totals" -> q101RunningTotals _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -605,5 +626,15 @@ object ScaleQueries {
         |FROM lineitem l WHERE NOT EXISTS
         |  (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
         |ORDER BY edge""".stripMargin,
+    "q101_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(count(*) OVER w AS BIGINT) AS cum_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS cum_spend
+        |FROM orders
+        |WHERE o_custkey % 64 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING)
+        |ORDER BY o_custkey, cum_orders""".stripMargin,
   )
 }
