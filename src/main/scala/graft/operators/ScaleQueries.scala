@@ -241,6 +241,41 @@ object ScaleQueries {
       .orderBy(col("o_custkey"), col("cum_orders"))
   }
 
+  /** q102: per-language rank normalization of document length —
+    * `percent_rank` ((rank−1)/(n−1): an exact integer ratio, so the gate
+    * is hash-exact) plus a top-decile flag. Score calibration across
+    * heterogeneous strata is how mixed-source quality scores become
+    * comparable before a global threshold. One stratum exchange. */
+  def q102RankNorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        percent_rank().over(w).as("len_pctl"))
+      .withColumn("top_decile", col("len_pctl") >= 0.9)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q103: embedding-coverage audit — documents without an embedding row
+    * and embeddings without a backing document, as two anti-join counts
+    * plus the matched count; the cross-modal referential check an
+    * embedding pipeline runs after every refresh. */
+  def q103EmbedCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val embs = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val missing = docs.join(embs, col("doc_id") === col("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("docs_without_embedding").as("check"), col("n"))
+    val orphaned = embs.join(docs, col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("embeddings_without_doc").as("check"), col("n"))
+    val matched = docs.join(embs, col("doc_id") === col("vec_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("matched").as("check"), col("n"))
+    missing.unionByName(orphaned).unionByName(matched).orderBy(col("check"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -260,6 +295,8 @@ object ScaleQueries {
     "q99_gap_fill"      -> q99GapFill _,
     "q100_integrity"    -> q100Integrity _,
     "q101_running_totals" -> q101RunningTotals _,
+    "q102_rank_norm"    -> q102RankNorm _,
+    "q103_embed_coverage" -> q103EmbedCoverage _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -636,5 +673,25 @@ object ScaleQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS UNBOUNDED PRECEDING)
         |ORDER BY o_custkey, cum_orders""".stripMargin,
+    "q102_rank_norm" ->
+      """SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |    AS len_pctl,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |    >= 0.9 AS top_decile
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q103_embed_coverage" ->
+      """SELECT 'docs_without_embedding' AS check, CAST(count(*) AS BIGINT) AS n
+        |FROM documents d WHERE NOT EXISTS
+        |  (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+        |UNION ALL
+        |SELECT 'embeddings_without_doc', CAST(count(*) AS BIGINT)
+        |FROM embeddings e WHERE NOT EXISTS
+        |  (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+        |UNION ALL
+        |SELECT 'matched', CAST(count(*) AS BIGINT)
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |ORDER BY "check"""".stripMargin,
   )
 }
