@@ -276,6 +276,40 @@ object ScaleQueries {
     missing.unionByName(orphaned).unionByName(matched).orderBy(col("check"))
   }
 
+  /** q104: CUBE over (event_type, weekday) — all four grouping levels in
+    * one pass (completes the rollup q7 / grouping-sets q33 family);
+    * decimal-exact value sums. */
+  def q104Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("wd"),
+        col("value"))
+      .cube(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("wd").asc_nulls_first)
+
+  /** q105: last-touch attribution — each purchase attributed to the most
+    * recent prior view by the same user ([[AsOfJoin.asof]]'s union +
+    * running-last shape: ONE user shuffle, no range nested loop), plus
+    * the attribution age and a 7-day-window flag. Purchases with no
+    * prior view stay unattributed (null). */
+  def q105Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    AsOfJoin.asof(purchases, views, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "ts"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_event_id").as("view_event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("age_us"),
+        (col("asof_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("asof_ts")) <=
+            7L * 86400L * 1000000L).as("within_7d"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -297,6 +331,8 @@ object ScaleQueries {
     "q101_running_totals" -> q101RunningTotals _,
     "q102_rank_norm"    -> q102RankNorm _,
     "q103_embed_coverage" -> q103EmbedCoverage _,
+    "q104_cube"         -> q104Cube _,
+    "q105_attribution"  -> q105Attribution _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -693,5 +729,31 @@ object ScaleQueries {
         |SELECT 'matched', CAST(count(*) AS BIGINT)
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |ORDER BY "check"""".stripMargin,
+    "q104_cube" ->
+      """SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS wd,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS BIGINT))
+        |ORDER BY event_type NULLS FIRST, wd NULLS FIRST""".stripMargin,
+    "q105_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.event_id, p.user_id, p.us,
+        |    (SELECT max(v.us) FROM v
+        |     WHERE v.user_id = p.user_id AND v.us <= p.us) AS vus
+        |  FROM p)
+        |SELECT m.event_id, m.user_id,
+        |  (SELECT max(v.event_id) FROM v
+        |   WHERE v.user_id = m.user_id AND v.us = m.vus) AS view_event_id,
+        |  m.us - m.vus AS age_us,
+        |  (m.vus IS NOT NULL AND m.us - m.vus <= 604800000000) AS within_7d
+        |FROM m
+        |ORDER BY m.event_id""".stripMargin,
   )
 }
