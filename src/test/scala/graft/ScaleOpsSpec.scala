@@ -132,6 +132,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "view", 3L), (2L, "click", 1L), (3L, "purchase", 1L)))
   }
 
+  test("windowDedupFlags marks only repeats inside the window") {
+    import spark.implicits._
+    import graft.operators.Events
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, 10L, ts(0), "click"),   // first -> kept
+      (1L, 11L, ts(30), "click"),  // within 60s -> redelivery
+      (1L, 12L, ts(100), "click"), // 70s after previous -> kept
+      (1L, 13L, ts(110), "view"),  // different key -> kept
+      (2L, 14L, ts(120), "click")  // different user -> kept
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Events.windowDedupFlags(ev, "ts", "event_id",
+        Seq("user_id", "event_type"), windowMicros = 60L * 1000000L)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(got == Map(10L -> false, 11L -> true, 12L -> false,
+      13L -> false, 14L -> false))
+  }
+
+  test("sessionPaths folds ordered per-session event types") {
+    import spark.implicits._
+    import graft.operators.Events
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(m * 60000L)
+    val ev = Seq(
+      // user 1 session 1: view -> click;  session 2 (gap > 30m): view
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(5), "click"), (1L, 3L, ts(60), "view"),
+      // user 2: one session view -> click (same path as user 1 s1)
+      (2L, 4L, ts(0), "view"), (2L, 5L, ts(10), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Events.sessionPaths(ev, "user_id", "ts", "event_id",
+        "event_type", gapMicros = 30L * 60L * 1000000L, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("view->click", 2L), ("view", 1L)))
+  }
+
   test("retention buckets users by first-activity day") {
     import spark.implicits._
     import graft.operators.Events
