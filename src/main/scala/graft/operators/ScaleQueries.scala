@@ -310,6 +310,40 @@ object ScaleQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q106: reproducible global training order — the first 50 documents
+    * in hash order ([[Layout.knuthHash]], the same order shards are read
+    * in). The plan is a TakeOrdered (per-partition top-k, merge on one
+    * reducer), NEVER a full global sort: reproducible data order at
+    * 100 TB costs k·partitions, not n·log n. */
+  def q106TrainOrder(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Layout.knuthHash(col("doc_id")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("h"))
+
+  /** q107: language-distribution drift between two corpus snapshots
+    * (even/odd doc ids as stand-ins): per language, both counts and the
+    * ppm share delta in ALL-INTEGER arithmetic — the distribution-shift
+    * alarm a continuously refreshed corpus monitors. */
+  def q107LangDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val a = d.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_a"))
+    val b = d.filter(col("doc_id") % 2 === 1)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_b"))
+    val ta = a.agg(sum(col("n_a")).as("t_a"))
+    val tb = b.agg(sum(col("n_b")).as("t_b"))
+    a.join(b, Seq("lang"), "full")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("lang"), col("n_a"), col("n_b"),
+        expr("(1000000 * n_a) div t_a").as("share_a_ppm"),
+        expr("(1000000 * n_b) div t_b").as("share_b_ppm"))
+      .withColumn("drift_ppm", col("share_b_ppm") - col("share_a_ppm"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -333,6 +367,8 @@ object ScaleQueries {
     "q103_embed_coverage" -> q103EmbedCoverage _,
     "q104_cube"         -> q104Cube _,
     "q105_attribution"  -> q105Attribution _,
+    "q106_train_order"  -> q106TrainOrder _,
+    "q107_lang_drift"   -> q107LangDrift _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -755,5 +791,27 @@ object ScaleQueries {
         |  (m.vus IS NOT NULL AND m.us - m.vus <= 604800000000) AS within_7d
         |FROM m
         |ORDER BY m.event_id""".stripMargin,
+    "q106_train_order" ->
+      """SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+        |FROM documents
+        |ORDER BY h, doc_id
+        |LIMIT 50""".stripMargin,
+    "q107_lang_drift" ->
+      """WITH a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+        |b AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+        |t AS (SELECT (SELECT CAST(sum(n_a) AS BIGINT) FROM a) AS t_a,
+        |             (SELECT CAST(sum(n_b) AS BIGINT) FROM b) AS t_b)
+        |SELECT coalesce(a.lang, b.lang) AS lang,
+        |  coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b,
+        |  (1000000 * coalesce(a.n_a, 0)) // t.t_a AS share_a_ppm,
+        |  (1000000 * coalesce(b.n_b, 0)) // t.t_b AS share_b_ppm,
+        |  (1000000 * coalesce(b.n_b, 0)) // t.t_b
+        |    - (1000000 * coalesce(a.n_a, 0)) // t.t_a AS drift_ppm
+        |FROM a FULL JOIN b ON a.lang = b.lang CROSS JOIN t
+        |ORDER BY lang""".stripMargin,
   )
 }

@@ -293,6 +293,11 @@ object PlanAudit {
     check("q96 sessionize + fold share one user exchange",
       "hashpartitioning\\(user_id".r.findAllIn(p96).size <= 1 &&
         !p96.contains("CartesianProduct"))
+    // q106: reproducible global order must plan as TakeOrdered
+    // (per-partition top-k), never a full global sort
+    val p106 = plan("q106_train_order")
+    check("q106 train order is a TakeOrdered, not a global sort",
+      p106.contains("TakeOrdered"))
 
     // partitioned layout: a partition predicate must prune directories
     {
