@@ -344,6 +344,20 @@ object ScaleQueries {
       .orderBy(col("lang"))
   }
 
+  /** q108: per-source duplication report — docs, distinct normalized
+    * fingerprints, and the duplicate share in integer ppm: the
+    * datasheet metric a corpus release publishes per provenance. One
+    * map-side-combinable aggregation over the fingerprint projection. */
+  def q108DupRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"))
+      .withColumn("dup_ppm",
+        expr("(1000000 * (n_docs - n_unique)) div n_docs"))
+      .orderBy(col("source"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -369,6 +383,7 @@ object ScaleQueries {
     "q105_attribution"  -> q105Attribution _,
     "q106_train_order"  -> q106TrainOrder _,
     "q107_lang_drift"   -> q107LangDrift _,
+    "q108_dup_rate"     -> q108DupRate _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -813,5 +828,16 @@ object ScaleQueries {
         |    - (1000000 * coalesce(a.n_a, 0)) // t.t_a AS drift_ppm
         |FROM a FULL JOIN b ON a.lang = b.lang CROSS JOIN t
         |ORDER BY lang""".stripMargin,
+    "q108_dup_rate" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        |  CAST((1000000 * (count(*) - count(DISTINCT fp))) // count(*)
+        |       AS BIGINT) AS dup_ppm
+        |FROM f GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }
