@@ -358,6 +358,39 @@ object ScaleQueries {
         expr("(1000000 * (n_docs - n_unique)) div n_docs"))
       .orderBy(col("source"))
 
+  /** q109: incremental signature-store update — two DISJOINT batch
+    * signature stores ([[Dedup.minhashSignatures]] over doc_id % 3
+    * splits) merged by per-(doc, k) MIN must equal the signatures
+    * computed from scratch over the whole corpus, so the oracle is
+    * exactly q88's: the merge law that lets a standing 100 TB signature
+    * table absorb a new load without re-reading history, value-checked
+    * in the driver gate (not just the spec). */
+  def q109SigMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    val delta = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    standing.unionByName(delta)
+      .groupBy(col("doc_id"), col("k")).agg(min(col("mh")).as("mh"))
+      .orderBy(col("doc_id"), col("k"))
+  }
+
+  /** q110: native `session_window` semantics — Spark's merging-window
+    * session aggregation (the STREAMING operator, run in batch) gated
+    * against an independent SQL lag+cumsum sessionization: the two
+    * formulations must agree on every session's start and size. This is
+    * what certifies [[graft.streaming.StreamingLoad.sessionCounts]]'s
+    * semantics, which a continuous plan itself cannot (no SQL oracle for
+    * unbounded streams). */
+  def q110SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -384,6 +417,8 @@ object ScaleQueries {
     "q106_train_order"  -> q106TrainOrder _,
     "q107_lang_drift"   -> q107LangDrift _,
     "q108_dup_rate"     -> q108DupRate _,
+    "q109_sig_merge"    -> q109SigMerge _,
+    "q110_session_window" -> q110SessionWindow _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -406,7 +441,7 @@ object ScaleQueries {
   private val depthValues: String =
     (0 until CmsDepth).map(d => s"($d)").mkString(",")
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesA: Map[String, String] = Map(
     "q81_cms_heavy" ->
       s"""WITH d(depth) AS (VALUES $depthValues),
         |sk AS (
@@ -580,7 +615,31 @@ object ScaleQueries {
         |WHERE date_diff('day', f.cohort, a.day) <= 7
         |GROUP BY f.cohort, date_diff('day', f.cohort, a.day)
         |ORDER BY cohort, day_offset""".stripMargin,
-    "q88_minhash_sigs" ->
+    "q88_minhash_sigs" -> minhashSigsSql,
+    // two disjoint batch stores merged by MIN ≡ from-scratch signatures —
+    // the identical oracle IS the merge-law statement
+    "q109_sig_merge" -> minhashSigsSql,
+    "q110_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g)
+        |SELECT user_id, min(ts) AS sess_start, CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, sess_start""".stripMargin,
+  )
+
+  /** Shared by q88 and q109: the full SQL recomputation of the portable
+    * minhash signatures over the whole documents table. */
+  private def minhashSigsSql: String =
       s"""WITH norm AS (
         |  SELECT doc_id AS id,
         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
@@ -601,7 +660,9 @@ object ScaleQueries {
         |  CAST(min((x * a + b) % 2147483647) AS BIGINT) AS mh
         |FROM hx, (VALUES $minhashCoefRows) AS coef(k, a, b)
         |GROUP BY id, k
-        |ORDER BY doc_id, k""".stripMargin,
+        |ORDER BY doc_id, k""".stripMargin
+
+  private val oraclesB: Map[String, String] = Map(
     "q89_bool_retrieval" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
@@ -840,4 +901,6 @@ object ScaleQueries {
         |FROM f GROUP BY source
         |ORDER BY source""".stripMargin,
   )
+
+  val oracles: Map[String, String] = oraclesA ++ oraclesB
 }
