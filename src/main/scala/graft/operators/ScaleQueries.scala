@@ -391,6 +391,25 @@ object ScaleQueries {
         col("n_events"))
       .orderBy(col("user_id"), col("sess_start"))
 
+  /** q111: chunking conservation — non-overlapping chunks
+    * ([[TextOps.chunkTokens]], stride == size) must partition every
+    * document's tokens exactly: per doc, chunk count = ⌈n/size⌉ and the
+    * chunk token sum = n. The oracle derives both invariants from token
+    * counts alone, so the gate proves the window arithmetic rather than
+    * restating it. */
+  def q111ChunkConserve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val chunks = TextOps.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 32, stride = 32)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("sum_chunk_tokens"))
+    docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(chunks, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cms_heavy"     -> q81CmsHeavy _,
     "q82_incr_novelty"  -> q82IncrNovelty _,
@@ -419,6 +438,7 @@ object ScaleQueries {
     "q108_dup_rate"     -> q108DupRate _,
     "q109_sig_merge"    -> q109SigMerge _,
     "q110_session_window" -> q110SessionWindow _,
+    "q111_chunk_conserve" -> q111ChunkConserve _,
   )
 
   /** (k, a, b) coefficient VALUES rows for the q88 oracle, generated from
@@ -900,6 +920,16 @@ object ScaleQueries {
         |       AS BIGINT) AS dup_ppm
         |FROM f GROUP BY source
         |ORDER BY source""".stripMargin,
+    "q111_chunk_conserve" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST((n_tokens + 31) // 32 AS BIGINT) AS n_chunks,
+        |  n_tokens AS sum_chunk_tokens
+        |FROM n
+        |ORDER BY doc_id""".stripMargin,
   )
 
   val oracles: Map[String, String] = oraclesA ++ oraclesB
