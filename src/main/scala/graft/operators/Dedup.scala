@@ -470,8 +470,14 @@ object Dedup {
     *     not present anywhere in the corpus (line-hash semi-join on
     *     md5, the [[lineDedup]] relation reused cross-corpus).
     *
+    * Every batch row is scored: a NULL-text doc (explode of a null split
+    * yields no line rows) still survives the LEFT join to its line stats
+    * with n_lines = n_seen = 0. Note an empty-string doc is NOT the same
+    * case — `split("", "\n")` yields `[""]`, so it scores n_lines = 1.
+    *
     * @return (idCol, exact_dup, n_lines, n_seen, novelty) — novelty is
-    *         (n_lines − n_seen) / n_lines, null for empty docs.
+    *         (n_lines − n_seen) / n_lines; null when n_lines = 0
+    *         (NULL-text docs, where no line evidence exists).
     */
   def noveltyScore(corpus: DataFrame, batch: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
@@ -490,11 +496,13 @@ object Dedup {
         count(col("seen")).as("n_seen"))
     batch.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
       .join(corpusFps.withColumn("dup", lit(1)), Seq("fp"), "left")
-      .join(lineStats, Seq("id"))
+      .join(lineStats, Seq("id"), "left")
       .select(col("id").as(idCol),
         col("dup").isNotNull.as("exact_dup"),
-        col("n_lines"), col("n_seen"),
-        ((col("n_lines") - col("n_seen")).cast("double") / col("n_lines"))
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_lines"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise((col("n_lines") - col("n_seen")).cast("double") / col("n_lines"))
           .as("novelty"))
   }
 }

@@ -16,10 +16,15 @@ object IndexQueries {
 
   /** Knuth multiplicative hash of a non-negative long key, mod 2^32 —
     * chosen because it is exactly expressible in ANSI SQL
-    * (`(key * 2654435761) % 4294967296`), so DuckDB oracles can replay
-    * sketch and sample contents bit-for-bit. */
+    * (`((key % 2147483647) * 2654435761) % 4294967296`), so DuckDB
+    * oracles can replay sketch and sample contents bit-for-bit. The key
+    * is reduced mod 2^31−1 BEFORE the multiply: 2147483646 · 2654435761
+    * < 2^63, so the product never wraps a Long in Spark nor overflows a
+    * BIGINT in the oracle — without the reduction, keys ≥ ~3.47e9
+    * silently wrap here while the oracle raises, diverging on the large
+    * key domains a 100 TB run feeds. */
   private def knuthHash(key: Column): Column =
-    pmod(key * lit(2654435761L), lit(4294967296L))
+    pmod(pmod(key, lit(2147483647L)) * lit(2654435761L), lit(4294967296L))
 
   private def minK(entry: Column, k: Int, distinct: Boolean): Column =
     GraftColumnBridge.column(
@@ -202,7 +207,7 @@ object IndexQueries {
     "q76_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT o_orderpriority,
-        |    (o_custkey * 2654435761) % 4294967296 AS h
+        |    ((o_custkey % 2147483647) * 2654435761) % 4294967296 AS h
         |  FROM orders),
         |r AS (
         |  SELECT o_orderpriority, h,
@@ -223,7 +228,7 @@ object IndexQueries {
         |ORDER BY ex.o_orderpriority""".stripMargin,
     "q77_strat_sample" ->
       """WITH h AS (
-        |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS h
+        |  SELECT lang, doc_id, ((doc_id % 2147483647) * 2654435761) % 4294967296 AS h
         |  FROM documents),
         |r AS (
         |  SELECT lang, doc_id,

@@ -49,9 +49,12 @@ object Layout {
       .write.mode("overwrite").parquet(path)
 
   /** Knuth multiplicative hash mod 2^32 — shared with the q76/q77 gates;
-    * exactly expressible in ANSI SQL. */
+    * exactly expressible in ANSI SQL. The key is reduced mod 2^31−1
+    * before the multiply so the product stays < 2^63 in both engines
+    * (keys ≥ ~3.47e9 would otherwise wrap Spark's Long while the
+    * oracle's BIGINT raises). */
   def knuthHash(key: Column): Column =
-    pmod(key * lit(2654435761L), lit(4294967296L))
+    pmod(pmod(key, lit(2147483647L)) * lit(2654435761L), lit(4294967296L))
 
   /** Deterministic training-shard assignment + manifest: each row lands
     * in shard `knuthHash(id) mod nShards` (a hash-stable global shuffle —

@@ -477,8 +477,9 @@ object ScaleQueries {
         |  SELECT t.user_id, t.exact_cnt, d.depth,
         |    ${cmsBucketSql("t.user_id")} AS bucket
         |  FROM top t, d)
-        |SELECT pb.user_id, pb.exact_cnt, CAST(min(sk.cnt) AS BIGINT) AS cms_est
-        |FROM pb JOIN sk USING (depth, bucket)
+        |SELECT pb.user_id, pb.exact_cnt,
+        |  CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_est
+        |FROM pb LEFT JOIN sk USING (depth, bucket)
         |GROUP BY pb.user_id, pb.exact_cnt
         |ORDER BY exact_cnt DESC, user_id""".stripMargin,
     "q82_incr_novelty" ->
@@ -499,12 +500,15 @@ object ScaleQueries {
         |  GROUP BY b.doc_id)
         |SELECT b.doc_id,
         |  (cfp.fp IS NOT NULL) AS exact_dup,
-        |  ls.n_lines, ls.n_seen,
-        |  CAST(ls.n_lines - ls.n_seen AS DOUBLE) / ls.n_lines AS novelty
+        |  coalesce(ls.n_lines, 0) AS n_lines,
+        |  coalesce(ls.n_seen, 0) AS n_seen,
+        |  CASE WHEN coalesce(ls.n_lines, 0) = 0 THEN NULL
+        |       ELSE CAST(ls.n_lines - ls.n_seen AS DOUBLE) / ls.n_lines
+        |  END AS novelty
         |FROM batch b
         |LEFT JOIN cfp
         |  ON md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')) = cfp.fp
-        |JOIN ls ON ls.doc_id = b.doc_id
+        |LEFT JOIN ls ON ls.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
     "q83_lm_fluency" ->
       """WITH n AS (
@@ -533,8 +537,8 @@ object ScaleQueries {
     "q84_shard_manifest" ->
       """WITH s AS (
         |  SELECT doc_id, lang, n_chars,
-        |    (doc_id * 2654435761) % 4294967296 AS h,
-        |    ((doc_id * 2654435761) % 4294967296) % 8 AS shard,
+        |    ((doc_id % 2147483647) * 2654435761) % 4294967296 AS h,
+        |    (((doc_id % 2147483647) * 2654435761) % 4294967296) % 8 AS shard,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
         |  FROM documents),
         |r AS (
@@ -888,7 +892,7 @@ object ScaleQueries {
         |FROM m
         |ORDER BY m.event_id""".stripMargin,
     "q106_train_order" ->
-      """SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+      """SELECT doc_id, ((doc_id % 2147483647) * 2654435761) % 4294967296 AS h
         |FROM documents
         |ORDER BY h, doc_id
         |LIMIT 50""".stripMargin,

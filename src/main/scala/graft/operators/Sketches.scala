@@ -67,7 +67,12 @@ object Sketches {
   /** Point-estimate frequencies for `probes` (must carry `keyCol`):
     * est(key) = min over depths of the key's counter. The sketch side is
     * depth·width rows — always broadcast. Estimates are upper bounds of
-    * the true count (never under). */
+    * the true count (never under). A probe key with an empty
+    * (depth, bucket) counter — possible when the sketch was built from a
+    * stream that never touched that bucket — correctly estimates 0: the
+    * join is a LEFT join with absent counters coalesced to 0, so every
+    * probe row survives and an unseen key reports `cms_est = 0` instead
+    * of vanishing or inheriting a colliding depth's count. */
   def cmsEstimate(probes: DataFrame, sketch: DataFrame, keyCol: String,
                   depth: Int, width: Int): DataFrame = {
     val probeBuckets = probes
@@ -78,7 +83,8 @@ object Sketches {
         })
     val others = probes.columns.filterNot(_ == keyCol).map(c => first(col(c)).as(c))
     probeBuckets
-      .join(broadcast(sketch), Seq("depth", "bucket"))
+      .join(broadcast(sketch), Seq("depth", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy(col(keyCol))
       .agg(min(col("cnt")).as("cms_est"), others: _*)
   }

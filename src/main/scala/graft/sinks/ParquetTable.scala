@@ -22,12 +22,31 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 object ParquetTable {
 
-  def load(spark: SparkSession, table: String): DataFrame =
+  def load(spark: SparkSession, table: String): DataFrame = {
+    recoverCrash(Paths.get(table).toAbsolutePath)
     spark.read.parquet(table)
+  }
 
   def exists(table: String): Boolean = {
     val p = Paths.get(table)
+    recoverCrash(p.toAbsolutePath)
     Files.exists(p) && Files.list(p).findFirst().isPresent
+  }
+
+  /** Heal the one crash window the two-rename swap leaves open: a crash
+    * after the live table moved to `.old-graft` but before `.tmp-graft`
+    * moved in leaves NO table at `path`. Every entry point (load / exists
+    * / store / atomicOverwrite / compact) probes for that state and
+    * restores the retired version — so the externally visible contract
+    * stays "old version or new version, never nothing", with the heal
+    * deferred to the next touch instead of a manual operation. A leftover
+    * `.old-graft` NEXT TO a live table is the post-commit crash tail
+    * (harmless — the next swap deletes it); only the orphaned case
+    * restores. */
+  private def recoverCrash(tablePath: Path): Unit = {
+    val old = tablePath.resolveSibling(tablePath.getFileName.toString + ".old-graft")
+    if (!Files.exists(tablePath) && Files.exists(old))
+      Files.move(old, tablePath, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Store `incoming` into `table` under the configured strategy; the whole
@@ -73,16 +92,7 @@ object ParquetTable {
     if (db.noTransaction) {
       merged.write.mode(SaveMode.Overwrite).parquet(table)
     } else {
-      // atomic swap: write-new → retire-old → rename-in (K8)
-      val tablePath = Paths.get(table).toAbsolutePath
-      val tmp = tablePath.resolveSibling(tablePath.getFileName.toString + ".tmp-graft")
-      val old = tablePath.resolveSibling(tablePath.getFileName.toString + ".old-graft")
-      deleteRecursively(tmp)
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      deleteRecursively(old)
-      if (Files.exists(tablePath)) Files.move(tablePath, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, tablePath, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(old)
+      atomicOverwrite(merged, table)
     }
   }
 
@@ -96,19 +106,13 @@ object ParquetTable {
   def compact(spark: SparkSession, table: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val tablePath = Paths.get(table).toAbsolutePath
+    recoverCrash(tablePath)
     require(Files.exists(tablePath), s"no table at $table")
     val totalBytes = Files.walk(tablePath).filter(Files.isRegularFile(_))
       .mapToLong(Files.size(_)).sum()
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val data = load(spark, table).repartition(nFiles)
-    val tmp = tablePath.resolveSibling(tablePath.getFileName.toString + ".tmp-graft")
-    val old = tablePath.resolveSibling(tablePath.getFileName.toString + ".old-graft")
-    deleteRecursively(tmp)
-    data.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    deleteRecursively(old)
-    Files.move(tablePath, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, tablePath, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
+    atomicOverwrite(data, table)
   }
 
   /** [[compact]] for the hive-partitioned layout: each partition
@@ -150,9 +154,17 @@ object ParquetTable {
 
   /** Atomic overwrite of `path` with `df` via the write-new → retire-old
     * → rename-in swap (K8) — safe when `df`'s plan still READS `path`
-    * (read-modify-write tables like the streaming sketch store). */
+    * (read-modify-write tables like the streaming sketch store).
+    *
+    * Crash windows: the new version is fully materialized under
+    * `.tmp-graft` before any rename touches the live table, so a crash
+    * during the (long) write loses nothing. The only exposed window is
+    * between the two renames — live table retired to `.old-graft`, tmp
+    * not yet moved in — which [[recoverCrash]] heals on the next touch of
+    * any entry point by restoring the retired version. */
   def atomicOverwrite(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
     val tablePath = Paths.get(path).toAbsolutePath
+    recoverCrash(tablePath)
     val tmp = tablePath.resolveSibling(tablePath.getFileName.toString + ".tmp-graft")
     val old = tablePath.resolveSibling(tablePath.getFileName.toString + ".old-graft")
     deleteRecursively(tmp)

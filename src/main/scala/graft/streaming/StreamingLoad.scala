@@ -178,28 +178,57 @@ object StreamingLoad {
     * the standing sketch parquet by counter addition, the same merge law
     * the batch spec proves. The sketch table stays ≤ depth·width rows
     * forever, so frequency estimates over an unbounded stream cost O(1)
-    * storage — the streaming twin of the q81 gate. */
+    * storage — the streaming twin of the q81 gate.
+    *
+    * foreachBatch is AT-LEAST-ONCE: after a failure between the sketch
+    * swap and the checkpoint commit, the restarted query re-delivers the
+    * same batchId. The merge is made idempotent by persisting the
+    * last-applied batchId IN the sketch table (a `batch_id` column on
+    * every counter row, committed in the same atomic swap as the
+    * counters): a re-delivered batch with batchId ≤ the stored watermark
+    * is skipped, so the streamed ≡ batch merge law survives crash
+    * replay instead of double-counting the re-run delta. */
   def sketchStream(stream: DataFrame, keyCol: String, sketchPath: String,
                    checkpoint: String, depth: Int = 4, width: Int = 256,
                    trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val delta = graft.operators.Sketches.cmsSketch(batch, keyCol, depth, width)
-          val merged = {
-            val exists = new java.io.File(sketchPath).exists()
-            if (exists)
-              spark.read.parquet(sketchPath).unionByName(delta)
-                .groupBy(col("depth"), col("bucket"))
-                .agg(sum(col("cnt")).as("cnt"))
-            else delta
-          }
-          // the merge plan still READS sketchPath — swap atomically
-          ParquetTable.atomicOverwrite(merged.coalesce(1), sketchPath)
+          mergeSketchBatch(batch, batchId, keyCol, sketchPath, depth, width)
+          ()
         }
       }
       .start()
+
+  /** One idempotent merge step of [[sketchStream]] — exposed so the
+    * replay contract is directly testable. Returns true when the batch
+    * was applied, false when it was skipped as already-merged. */
+  def mergeSketchBatch(batch: DataFrame, batchId: Long, keyCol: String,
+                       sketchPath: String, depth: Int, width: Int): Boolean = {
+    val spark = batch.sparkSession
+    val exists = new java.io.File(sketchPath).exists()
+    // bounded read: the sketch is ≤ depth·width rows by construction
+    val applied: Long =
+      if (exists)
+        spark.read.parquet(sketchPath).agg(max(col("batch_id"))).head.getLong(0)
+      else Long.MinValue
+    if (batchId <= applied) false
+    else {
+      val delta = graft.operators.Sketches.cmsSketch(batch, keyCol, depth, width)
+      val merged = {
+        if (exists)
+          spark.read.parquet(sketchPath).drop("batch_id")
+            .unionByName(delta)
+            .groupBy(col("depth"), col("bucket"))
+            .agg(sum(col("cnt")).as("cnt"))
+        else delta
+      }.withColumn("batch_id", lit(batchId))
+      // the merge plan still READS sketchPath — swap atomically, so
+      // counters and the batch_id watermark commit together
+      ParquetTable.atomicOverwrite(merged.coalesce(1), sketchPath)
+      true
+    }
+  }
 }

@@ -45,6 +45,19 @@ class CompactSpec extends SparkSpec {
     assert(back.filter("p = 'a'").count() == 100)
   }
 
+  test("crash between the two swap renames heals on next touch") {
+    val dir = Files.createTempDirectory("graft-recover-").toString + "/t"
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v").write.parquet(dir)
+    // simulate the crash window: live table retired to .old-graft, new
+    // version never moved in (the state atomicOverwrite can die in)
+    Files.move(Paths.get(dir), Paths.get(dir + ".old-graft"))
+    assert(!Files.exists(Paths.get(dir)))
+    // any entry point must restore the retired version
+    assert(ParquetTable.exists(dir), "recovery probe did not restore the table")
+    assert(ParquetTable.load(spark, dir).count() == 10)
+    assert(!Files.exists(Paths.get(dir + ".old-graft")))
+  }
+
   test("compact file count scales with target size") {
     val dir = Files.createTempDirectory("graft-compact2-").toString + "/t"
     (1 to 1000).map(i => (i.toLong, "x" * 50)).toDF("k", "v")

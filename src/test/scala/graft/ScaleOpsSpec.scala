@@ -27,6 +27,21 @@ class ScaleOpsSpec extends SparkSpec {
       s"key ${r.getLong(0)}: est ${r.getLong(1)} != exact ${r.getLong(2)}") }
   }
 
+  test("cms estimate reports 0 for keys the sketch never saw") {
+    import spark.implicits._
+    // a narrow sketch (width 4) built from ONE key leaves most buckets
+    // empty; a probe key hashing to any empty bucket must report 0 and
+    // must not vanish from the output
+    val sketch = Sketches.cmsSketch(Seq.fill(5)(1L).toDF("k"), "k", 4, 4)
+    val probes = (0L until 50L).toDF("k").withColumn("tag", lit("p"))
+    val got = Sketches.cmsEstimate(probes, sketch, "k", 4, 4).collect()
+    assert(got.length == 50, "every probe row must survive the estimate join")
+    val unseen = got.filter(_.getLong(0) != 1L).map(_.getLong(1))
+    assert(unseen.contains(0L),
+      "with width 4, some unseen key must hit an empty bucket and report 0")
+    assert(got.find(_.getLong(0) == 1L).get.getLong(1) >= 5L)
+  }
+
   test("cms sketches merge: sketch(a ++ b) == merge(sketch(a), sketch(b))") {
     import spark.implicits._
     val a = (0 until 50).map(i => (i % 7).toLong).toDF("k")
@@ -54,6 +69,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(10L) == ((true, 3L, 3L, 0.0)))
     assert(got(11L) == ((false, 2L, 1L, 0.5)))
     assert(got(12L) == ((false, 3L, 0L, 1.0)))
+  }
+
+  test("noveltyScore scores NULL-text and empty-string batch rows") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha\nbeta")).toDF("id", "text")
+    val batch = Seq(
+      (20L, null.asInstanceOf[String]), // no line rows at all
+      (21L, ""),                        // split("") = [""] -> 1 unseen line
+      (22L, "alpha")                    // 1 of 1 lines seen
+    ).toDF("id", "text")
+    val got = Dedup.noveltyScore(corpus, batch, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got.keySet == Set(20L, 21L, 22L), "every batch row must be scored")
+    assert(got(20L) == ((false, 0L, 0L, None)))
+    assert(got(21L) == ((false, 1L, 0L, Some(1.0))))
+    assert(got(22L) == ((false, 1L, 1L, Some(0.0))))
   }
 
   test("bigramFluency matches a hand computation") {
@@ -202,6 +235,22 @@ class ScaleOpsSpec extends SparkSpec {
     val st = Profile.outlierStats(ev, "g", "v", k = 3.0).collect().head
     assert(st.getLong(1) == 11L)
     assert(st.getLong(4) == 1L, "the single extreme value is the only outlier")
+  }
+
+  test("knuthHash stays in [0, 2^32) for keys beyond 2^31 (no Long wrap)") {
+    import spark.implicits._
+    // pre-fix, key * 2654435761 wrapped Long for keys >= ~3.47e9 and
+    // pmod of the wrapped product diverged from the oracle's BIGINT math
+    val big = Seq(0L, 1L, 3470000000L, Long.MaxValue / 2, Long.MaxValue)
+      .toDF("doc_id")
+    val got = big.select(col("doc_id"),
+        Layout.knuthHash(col("doc_id")).as("h")).collect()
+    got.foreach { r =>
+      val (k, h) = (r.getLong(0), r.getLong(1))
+      assert(h >= 0L && h < 4294967296L, s"key $k hashed out of range: $h")
+      val expect = ((k % 2147483647L) * 2654435761L) % 4294967296L
+      assert(h == expect, s"key $k: $h != replayable-SQL value $expect")
+    }
   }
 
   test("shardManifest covers every doc exactly once and is deterministic") {

@@ -113,7 +113,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(2L, 3L, 3L, 9L)
       q.processAllAvailable()
-      val streamed = spark.read.parquet(s"$dir/sketch")
+      val streamed = spark.read.parquet(s"$dir/sketch").drop("batch_id")
       val batch = graft.operators.Sketches.cmsSketch(
         Seq(1L, 2L, 2L, 3L, 2L, 3L, 3L, 9L).toDF("k"), "k", 4, 64)
       assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
@@ -121,6 +121,26 @@ class StreamingSpec extends SparkSpec {
       // bounded state: never more than depth*width rows
       assert(streamed.count() <= 4L * 64L)
     } finally q.stop()
+  }
+
+  test("sketchStream merge is idempotent under batch redelivery") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-replay-").toString
+    val path = s"$dir/sketch"
+    val b0 = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val b1 = Seq(2L, 3L, 3L, 9L).toDF("k")
+    assert(StreamingLoad.mergeSketchBatch(b0, 0L, "k", path, 4, 64))
+    assert(StreamingLoad.mergeSketchBatch(b1, 1L, "k", path, 4, 64))
+    val once = spark.read.parquet(path).drop("batch_id").collect().toSet
+    // crash between swap and checkpoint commit → foreachBatch re-runs
+    // batch 1; the batch_id watermark must reject the duplicate delta
+    assert(!StreamingLoad.mergeSketchBatch(b1, 1L, "k", path, 4, 64),
+      "redelivered batch was merged again")
+    val after = spark.read.parquet(path).drop("batch_id").collect().toSet
+    assert(after == once, "replay double-counted the standing CMS counters")
+    // and a genuinely new batch still applies
+    assert(StreamingLoad.mergeSketchBatch(Seq(9L).toDF("k"), 2L, "k", path, 4, 64))
   }
 
   test("flatMapGroupsWithState running totals across batches") {
