@@ -26,6 +26,7 @@ object SparkEntry {
     CurationQueries.all,
     IndexQueries.all,
     ScaleQueries.all,
+    JdbcQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
@@ -37,6 +38,7 @@ object SparkEntry {
     CurationQueries.oracles,
     IndexQueries.oracles,
     ScaleQueries.oracles,
+    JdbcQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -28,10 +28,11 @@ import org.apache.spark.sql.types._
   *     partial load — the reference's transaction bracket, but with the
   *     data movement parallelized.
   *
-  * No DBMS exists in this container, so the production
-  * [[JdbcTable.ConnectionSession]] is exercised only in deployments; the
-  * statement generator and the store orchestration are hermetically
-  * verified (JdbcTableSpec) against a recording session.
+  * Verified two ways: hermetically (JdbcTableSpec — statement generator +
+  * orchestration against a recording session) and end-to-end against a
+  * real embedded JDBC database (DerbyRoundtripSpec + the q112 driver gate
+  * — Apache Derby, real transactions / MERGE / rollback / multi-result
+  * sets), via [[SqlDialect.Derby]].
   */
 object JdbcTable {
 
@@ -89,7 +90,15 @@ object JdbcTable {
     }
     def commit(): Unit = conn.commit()
     def rollback(): Unit = conn.rollback()
-    def close(): Unit = conn.close()
+    /** Uncommitted work dies with the session: autoCommit is off, so even
+      * a bare SELECT leaves a transaction open, and some engines (Derby)
+      * refuse to close a connection mid-transaction. Anything worth
+      * keeping was already `commit()`ed; rolling back here is the only
+      * safe default — closing must never silently commit. */
+    def close(): Unit = {
+      try conn.rollback() catch { case _: java.sql.SQLException => }
+      conn.close()
+    }
   }
 
   /** `DriverManager`-backed factory for deployments:
@@ -145,11 +154,22 @@ object JdbcTable {
     }
   }
 
+  /** Dialect-aware `DROP TABLE IF EXISTS`: catalog-probe + plain DROP for
+    * dialects without the IF EXISTS form. */
+  private def dropIfExists(s: JdbcSession, table: String,
+                           dialect: SqlDialect): Unit =
+    dialect.tableExistsSql match {
+      case Some(probe) =>
+        if (s.query(probe, Seq(table)).nonEmpty) s.execute(JdbcSql.drop(table))
+      case None => s.execute(JdbcSql.dropIfExists(table))
+    }
+
   private def createStaging(s: JdbcSession, stg: String,
-                            schema: StructType): Unit = {
-    s.execute(JdbcSql.dropIfExists(stg))
+                            schema: StructType, dialect: SqlDialect): Unit = {
+    dropIfExists(s, stg, dialect)
     s.execute(JdbcSql.createTable(stg,
-      StructType(schema.fields :+ StructField(PartCol, IntegerType, nullable = false))))
+      StructType(schema.fields :+ StructField(PartCol, IntegerType, nullable = false)),
+      dialect))
   }
 
   /** Phase 1: parallel batched staging inserts, one connection+txn per
@@ -204,13 +224,14 @@ object JdbcTable {
   def store(incoming: DataFrame, table: String, db: DbConfig,
             sessionFactory: SessionFactory, batchSize: Int = 1000,
             ordCol: String = "_lineno",
-            stagingSuffix: String = "_graft_stg"): Unit = {
+            stagingSuffix: String = "_graft_stg",
+            dialect: SqlDialect = SqlDialect.Ansi): Unit = {
     val resolved = resolveForStrategy(incoming, db, ordCol)
     val stg = table + stagingSuffix
     val cols = resolved.schema.fields.map(_.name).toSeq
     val driver = sessionFactory()
     try {
-      createStaging(driver, stg, resolved.schema)
+      createStaging(driver, stg, resolved.schema, dialect)
       driver.commit()
     } finally driver.close()
     stagePartitions(resolved, stg, cols, sessionFactory, batchSize)
@@ -236,11 +257,17 @@ object JdbcTable {
   def storeResumable(incoming: DataFrame, table: String, db: DbConfig,
                      sessionFactory: SessionFactory, loadId: String,
                      batchSize: Int = 1000, ordCol: String = "_lineno",
-                     registryTable: String = "graft_loads"): Unit = {
+                     registryTable: String = "graft_loads",
+                     dialect: SqlDialect = SqlDialect.Ansi): Unit = {
     val stg = s"${table}_graft_stg_$loadId"
     val boot = sessionFactory()
     val status = try {
-      boot.execute(JdbcSql.createRegistry(registryTable))
+      dialect.tableExistsSql match {
+        case Some(probe) =>
+          if (boot.query(probe, Seq(registryTable)).isEmpty)
+            boot.execute(JdbcSql.createRegistry(registryTable, ifNotExists = false))
+        case None => boot.execute(JdbcSql.createRegistry(registryTable))
+      }
       boot.commit()
       boot.query(JdbcSql.selectStatus(registryTable), Seq(loadId))
         .headOption.map(_.head.toString)
@@ -256,7 +283,7 @@ object JdbcTable {
           Iterator(Seq[Any](loadId)), 1)
         d.executeBatch(JdbcSql.insert(registryTable, Seq("load_id", "target", "status")),
           Iterator(Seq[Any](loadId, table, "STAGING")), 1)
-        createStaging(d, stg, resolved.schema)
+        createStaging(d, stg, resolved.schema, dialect)
         d.commit()
       } catch { case t: Throwable => d.rollback(); throw t }
       finally d.close()
@@ -321,6 +348,33 @@ object JdbcTable {
   }
 }
 
+/** The per-DBMS variation points [[JdbcTable]] needs — the same role as
+  * Spark's own `JdbcDialect`, kept to exactly what the sink uses. The
+  * default is plain ANSI; [[SqlDialect.Derby]] is the embedded-Derby
+  * instance the integration spec runs against. */
+final case class SqlDialect(
+    /** DDL type for Spark `StringType`. */
+    stringType: String = "VARCHAR",
+    /** DDL type for Spark `BinaryType`. */
+    binaryType: String = "VARBINARY",
+    /** Catalog probe (`SELECT 1 ... WHERE name = ?`) for dialects without
+      * `DROP TABLE IF EXISTS` / `CREATE TABLE IF NOT EXISTS`; when set,
+      * the sink probes then issues the plain DROP/CREATE. */
+    tableExistsSql: Option[String] = None)
+
+object SqlDialect {
+  val Ansi: SqlDialect = SqlDialect()
+
+  /** Apache Derby: VARCHAR requires a length (32672 is Derby's max),
+    * binary is the `FOR BIT DATA` form, and there is no `IF [NOT]
+    * EXISTS` — existence goes through SYS.SYSTABLES (quoted identifiers
+    * are stored case-exact, so the probe binds the exact name). */
+  val Derby: SqlDialect = SqlDialect(
+    stringType = "VARCHAR(32672)",
+    binaryType = "VARCHAR (32672) FOR BIT DATA",
+    tableExistsSql = Some("SELECT 1 FROM SYS.SYSTABLES WHERE TABLENAME = ?"))
+}
+
 /** Pure SQL generation for [[JdbcTable]] — deterministic strings, unit-
   * testable without a connection. Identifiers are double-quote-escaped
   * (ANSI); values never appear in SQL text (prepared-statement `?`s). */
@@ -329,7 +383,7 @@ object JdbcSql {
   def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
   /** Spark → ANSI DDL type (staging tables). */
-  def sqlType(dt: DataType): String = dt match {
+  def sqlType(dt: DataType, dialect: SqlDialect = SqlDialect.Ansi): String = dt match {
     case ByteType | ShortType => "SMALLINT"
     case IntegerType          => "INTEGER"
     case LongType             => "BIGINT"
@@ -339,14 +393,15 @@ object JdbcSql {
     case DateType             => "DATE"
     case _: TimestampType     => "TIMESTAMP"
     case d: DecimalType       => s"DECIMAL(${d.precision},${d.scale})"
-    case BinaryType           => "VARBINARY"
-    case _                    => "VARCHAR"
+    case BinaryType           => dialect.binaryType
+    case _                    => dialect.stringType
   }
 
-  def createTable(table: String, schema: StructType): String = {
+  def createTable(table: String, schema: StructType,
+                  dialect: SqlDialect = SqlDialect.Ansi): String = {
     val cols = schema.fields.map { f =>
       val nullable = if (f.nullable) "" else " NOT NULL"
-      s"${q(f.name)} ${sqlType(f.dataType)}$nullable"
+      s"${q(f.name)} ${sqlType(f.dataType, dialect)}$nullable"
     }
     s"CREATE TABLE ${q(table)} (${cols.mkString(", ")})"
   }
@@ -367,11 +422,16 @@ object JdbcSql {
 
   /** Load-registry DDL for [[JdbcTable.storeResumable]]. `IF NOT EXISTS`
     * is the one non-ANSI form used (supported by every mainstream DBMS;
-    * swap for a catalog probe where it isn't). */
-  def createRegistry(table: String): String =
-    s"CREATE TABLE IF NOT EXISTS ${q(table)} (" +
-      s"${q("load_id")} VARCHAR NOT NULL, ${q("target")} VARCHAR NOT NULL, " +
-      s"${q("status")} VARCHAR NOT NULL, PRIMARY KEY (${q("load_id")}))"
+    * dialects with a `tableExistsSql` probe get the plain CREATE
+    * instead). Registry keys are short load identifiers — VARCHAR(200)
+    * keeps the primary key inside every DBMS's index-key limit (Derby
+    * caps index keys near half a page; an unbounded VARCHAR PK fails). */
+  def createRegistry(table: String, ifNotExists: Boolean = true): String = {
+    val head = if (ifNotExists) "CREATE TABLE IF NOT EXISTS" else "CREATE TABLE"
+    s"$head ${q(table)} (" +
+      s"${q("load_id")} VARCHAR(200) NOT NULL, ${q("target")} VARCHAR(200) NOT NULL, " +
+      s"${q("status")} VARCHAR(200) NOT NULL, PRIMARY KEY (${q("load_id")}))"
+  }
 
   def selectStatus(registry: String): String =
     s"SELECT ${q("status")} FROM ${q(registry)} WHERE ${q("load_id")} = ?"
