@@ -11,14 +11,16 @@ import org.apache.spark.sql.types._
   * a `mapInPandas` pipeline: rows are processed in size-bounded batches so
   * a real decoder could amortize model/codec setup per batch).
   *
-  * Formats whose metadata lives in a fixed binary header — PNG, GIF, BMP,
-  * WAV — are decoded for REAL with pure-JDK header parsing
-  * ([[Multimodal.decodeReal]], exercised by `MediaHeaderSpec`). Payloads
-  * in any other format fall back to a STUBBED deterministic fake (no full
-  * codec libraries exist in this container); everything around the
-  * decoders is real and tested: the schema contract, the batching shape,
-  * the partition parallelism, and the column plumbing. Swap the fallback
-  * for a JNI/ffmpeg codec and the pipeline is production-shaped.
+  * Decode is REAL for every format the JDK can handle: header metadata
+  * for PNG/GIF/BMP/WAV/JPEG (pure header parsing, [[Multimodal.decodeReal]]),
+  * PIXELS for JPEG/PNG/GIF/BMP via javax.imageio
+  * ([[Multimodal.imagePixels]] → [[Multimodal.imageFeatures]] /
+  * [[Multimodal.resizeBatched]]), and PCM16 WAV samples
+  * ([[Multimodal.wavPcm16]]). Only video containers and compressed audio
+  * fall back to the STUBBED deterministic fake (those codecs don't exist
+  * in this container); the batching shape, schema contract, partition
+  * parallelism, and column plumbing are identical on both paths, so
+  * swapping the fallback for an ffmpeg JNI codec changes one function.
   */
 object Multimodal {
 
@@ -137,18 +139,73 @@ object Multimodal {
       .orElse(jpegMeta(b))
 
   // =====================================================================
-  // STUB fallback for formats needing a full codec: deterministic fake.
-  // A real deployment replaces ONLY this function (e.g. javax.imageio /
-  // ffmpeg JNI); signature and batch shape stay.
+  // REAL pixel decode via javax.imageio (in-JDK, offline): JPEG, PNG,
+  // GIF, BMP pixels decode for real. The stub surface is now VIDEO and
+  // non-PCM16 audio only.
+  // =====================================================================
+
+  /** Decode an image payload to pixels with the JDK's ImageIO readers
+    * (JPEG/PNG/GIF/BMP ship with the JDK). The magic bytes are sniffed
+    * first so non-image payloads skip reader probing entirely; disk
+    * caching is off (executor-friendly — no temp files). */
+  private[graft] def imagePixels(b: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val isImage = pngMeta(b).orElse(gifMeta(b)).orElse(bmpMeta(b))
+      .orElse(jpegMeta(b)).isDefined
+    if (!isImage) None
+    else try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL image features from decoded pixels: `f(0)` = mean luminance
+    * (channel-sum scaled to [0,1]) and `f(1..dim-1)` = a (dim−1)-bin
+    * intensity histogram, normalized. All arithmetic is integer until the
+    * final divisions (bin = s·(dim−1) div 766 on the 0..765 channel sum),
+    * so for lossless formats the features are exactly re-expressible in
+    * oracle SQL — the decode step itself is value-gated (q113). */
+  private[graft] def imageFeatures(img: java.awt.image.BufferedImage,
+                                   dim: Int): Array[Float] = {
+    require(dim >= 2, "need at least mean + one histogram bin")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val n = w.toLong * h
+    val bins = new Array[Long](dim - 1)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val s = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        sum += s
+        bins((s * (dim - 1) / 766).toInt) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](dim)
+    out(0) = (sum.toDouble / (765.0 * n)).toFloat
+    var i = 0
+    while (i < dim - 1) { out(i + 1) = (bins(i).toDouble / n).toFloat; i += 1 }
+    out
+  }
+
+  // =====================================================================
+  // STUB fallback — now only for payloads no in-JDK codec can decode
+  // (video containers, compressed non-PCM audio). A real deployment
+  // replaces ONLY this function (ffmpeg JNI); signature and batch shape
+  // stay.
   // =====================================================================
   private[operators] def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
     (n % 640 + 1, n % 480 + 1, n % 30 + 1) // fake width/height/frames
   }
 
-  /** STUB feature extractor: `dim` pseudo-features derived arithmetically
-    * from payload length and position — deterministic and re-expressible in
-    * the oracle SQL, standing in for an embedding model's output. */
+  /** STUB feature extractor for non-decodable payloads: `dim`
+    * pseudo-features derived arithmetically from payload length —
+    * deterministic and re-expressible in the oracle SQL, standing in for
+    * an embedding model's output. Image payloads never reach this:
+    * [[extractFeatures]] routes them to [[imageFeatures]]. */
   private[operators] def stubFeatures(payload: Array[Byte], dim: Int): Array[Float] =
     Array.tabulate(dim)(i => ((payload.length.toLong * (i + 7)) % 1000).toFloat / 1000f)
 
@@ -182,7 +239,10 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Batched feature extraction → `features: array<float>` column. */
+  /** Batched feature extraction → `features: array<float>` column.
+    * Image payloads (JPEG/PNG/GIF/BMP) get REAL pixel-derived features
+    * via the JDK's ImageIO ([[imageFeatures]]); everything else falls to
+    * the documented stub. */
   def extractFeatures(df: DataFrame, payloadCol: String, dim: Int = 8,
                       batchSize: Int = 64): DataFrame = {
     val inSchema = df.schema
@@ -193,10 +253,87 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val payload = r.getAs[Array[Byte]](payloadIdx)
-          Row.fromSeq(r.toSeq :+ stubFeatures(payload, dim).toSeq)
+          val feats = imagePixels(payload).map(imageFeatures(_, dim))
+            .getOrElse(stubFeatures(payload, dim))
+          Row.fromSeq(r.toSeq :+ feats.toSeq)
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** REAL deterministic resize: nearest-neighbor sampling
+    * (`src(x·sw div tw, y·sh div th)` — explicit integer index math, no
+    * implementation-defined interpolation) re-encoded LOSSLESSLY as PNG.
+    * Output: input columns + (payload_resized, rw, rh). Non-image
+    * payloads are passed through with a null resized payload. */
+  def resizeBatched(df: DataFrame, payloadCol: String, targetW: Int,
+                    targetH: Int, batchSize: Int = 64): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("payload_resized", BinaryType),
+      StructField("rw", IntegerType), StructField("rh", IntegerType)))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val payload = r.getAs[Array[Byte]](payloadIdx)
+          val resized = imagePixels(payload).map { src =>
+            val out = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < targetH) {
+              var x = 0
+              while (x < targetW) {
+                out.setRGB(x, y, src.getRGB(
+                  x * src.getWidth / targetW, y * src.getHeight / targetH))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            bos.toByteArray
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](resized.orNull,
+            resized.map(_ => targetW).orNull, resized.map(_ => targetH).orNull))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic 24-bit BMP fixture (bottom-up, BITMAPINFOHEADER, rows
+    * padded to 4 bytes): pixel (x, y) channels are closed-form functions
+    * of (seed, x, y) — `r = (seed·31 + x·7 + y·13) mod 256`,
+    * `g = (seed·17 + x·3 + y·5) mod 256`, `b = (seed·23 + x·11 + y·2)
+    * mod 256` — so an oracle recomputes the decoded features without
+    * touching any image bytes. BMP is uncompressed: what ImageIO decodes
+    * IS this formula, which is what makes the real-decode gate (q113)
+    * value-checkable end to end. */
+  def syntheticBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, "dims must be positive")
+    val rowSize = (3 * w + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val fileSize = 54 + dataSize
+    val b = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        b.put(((seed * 23 + x * 11 + y * 2) % 256).toByte)  // B
+          .put(((seed * 17 + x * 3 + y * 5) % 256).toByte)  // G
+          .put(((seed * 31 + x * 7 + y * 13) % 256).toByte) // R
+        x += 1
+      }
+      var pad = 3 * w
+      while (pad < rowSize) { b.put(0.toByte); pad += 1 }
+      y -= 1
+    }
+    b.array()
   }
 
   /** REAL PCM decode for 16-bit integer WAV (format tag 1): returns

@@ -370,6 +370,35 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL image decode gate: deterministic 24-bit BMPs (pixel channels
+    * are closed-form functions of (doc_id, x, y) —
+    * [[Multimodal.syntheticBmp]]) are decoded by the JDK's ImageIO and
+    * featurized ([[Multimodal.imageFeatures]]: mean luminance +
+    * 8-bin intensity histogram). BMP is uncompressed, so the oracle
+    * recomputes every feature from the pixel formula alone — the decode
+    * step itself is value-checked, not just the plumbing (the q30
+    * contrast: there the payloads are text and the STUB arithmetic is
+    * what the oracle replays). */
+  def q113ImageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") < 200)
+    val imgs = ids.as[Long].mapPartitions { it =>
+      it.map { d =>
+        (d, Multimodal.syntheticBmp(d, (4 + d % 5).toInt, (3 + d % 4).toInt))
+      }
+    }.toDF("doc_id", "payload")
+    val decoded = Multimodal.decodeBatched(imgs, "payload")
+    val feats = Multimodal.extractFeatures(decoded, "payload", dim = 9)
+    feats.select(col("doc_id"), col("width"), col("height"), col("mime"),
+        col("n_bytes"),
+        element_at(col("features"), 1).cast("double").as("mean_lum"),
+        element_at(col("features"), 2).cast("double").as("hist0"),
+        element_at(col("features"), 9).cast("double").as("hist7"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary: top-5 tokens per language by frequency (the
     * explode-heavy shape of vocabulary building at scale: one shuffle on
     * (lang, token) with partial counts, then a per-lang top-k window). */
@@ -464,6 +493,7 @@ object PipelineQueries {
     "q65_line_dedup"   -> q65LineDedup _,
     "q66_bloom_decontam" -> q66BloomDecontam _,
     "q67_bm25_topk"    -> q67Bm25 _,
+    "q113_image_features" -> q113ImageFeatures _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -961,6 +991,32 @@ object PipelineQueries {
         |  CAST(CAST((nb * 14) % 1000 AS REAL) / CAST(1000 AS REAL) AS DOUBLE) AS f7,
         |  CAST((nb % 30) // 7 + 1 AS BIGINT) AS n_sampled
         |FROM b
+        |ORDER BY doc_id""".stripMargin,
+    "q113_image_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    ((d.doc_id*31 + x.x*7 + y.y*13) % 256)
+        |    + ((d.doc_id*17 + x.x*3 + y.y*5) % 256)
+        |    + ((d.doc_id*23 + x.x*11 + y.y*2) % 256) AS s
+        |  FROM d
+        |  JOIN (SELECT unnest(range(0, 8)) AS x) x ON x.x < d.w
+        |  JOIN (SELECT unnest(range(0, 6)) AS y) y ON y.y < d.h),
+        |a AS (
+        |  SELECT doc_id, w, h, count(*) AS n, sum(s) AS sums,
+        |    sum(CASE WHEN s*8 // 766 = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN s*8 // 766 = 7 THEN 1 ELSE 0 END) AS c7
+        |  FROM px GROUP BY doc_id, w, h)
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  'image/bmp' AS mime,
+        |  CAST(54 + h * ((3*w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+        |  CAST(CAST(CAST(sums AS DOUBLE) / (765.0 * n) AS FLOAT) AS DOUBLE) AS mean_lum,
+        |  CAST(CAST(CAST(c0 AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS hist0,
+        |  CAST(CAST(CAST(c7 AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS hist7
+        |FROM a
         |ORDER BY doc_id""".stripMargin,
     "q17_text_stats" ->
       s"""WITH base AS (

@@ -564,8 +564,8 @@ object ScaleQueries {
         |  FROM embeddings WHERE vec_id % 5 = 0),
         |cent AS (
         |  SELECT label, CAST(x[2] AS BIGINT) AS pos,
-        |    list_reduce(list_prepend(0.0, list_sort(list(CAST(x[1] AS DOUBLE)))),
-        |                (acc, v) -> acc + v) / count(*) AS c
+        |    CAST(sum(CAST(round(CAST(x[1] AS DOUBLE) * 1048576.0) AS BIGINT))
+        |         AS DOUBLE) / count(*) / 1048576.0 AS c
         |  FROM (
         |    SELECT label,
         |      unnest(list_zip(embedding, generate_series(0, len(embedding) - 1))) AS x

@@ -289,21 +289,29 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
-  /** Per-label mean vectors with an order-canonicalized fold (each
-    * coordinate's addends sorted before summing — the q43 centroid
-    * discipline), so the codebook is bit-identical regardless of
-    * partitioning and exactly replayable in SQL. Returns centroids
-    * ordered by label; only the k×dim codebook lands on the driver. */
+  /** Per-label mean vectors, deterministic AND partial-aggregated: each
+    * component is summed in fixed-point (`round(v · 2^scaleBits)` as a
+    * long) — integer addition is associative, so the map-side-combined
+    * distributed sum is bit-identical regardless of partitioning and
+    * exactly replayable in SQL, with a CONSTANT aggregation buffer (one
+    * long + one count per (label, pos)). This replaces the earlier
+    * `sort_array(collect_list)` formulation, whose per-group buffer
+    * materialized every member value — a reducer OOM when a cluster runs
+    * to billions of rows. Quantization error is ≤ 2^-(scaleBits+1) per
+    * component — immaterial for a codebook that only steers cluster
+    * assignment. Returns centroids ordered by label; only the k×dim
+    * codebook lands on the driver. */
   def labelCentroids(corpus: DataFrame, labelCol: String,
-                     vecCol: String): Seq[Seq[Double]] = {
+                     vecCol: String, scaleBits: Int = 20): Seq[Seq[Double]] = {
+    val q = (1L << scaleBits).toDouble
     val rows = corpus
       .select(col(labelCol).cast("long").as("label"),
         posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(sort_array(collect_list(col("v").cast("double"))).as("vs"))
+      .agg(sum(round(col("v").cast("double") * lit(q)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
       .select(col("label"), col("pos"),
-        (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x) / size(col("vs")))
-          .as("c"))
+        (col("s").cast("double") / col("n").cast("double") / lit(q)).as("c"))
       .collect()
     rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
       .map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }

@@ -57,6 +57,93 @@ class MediaHeaderSpec extends SparkSpec {
     b.array()
   }
 
+  // ---- REAL pixel decode (javax.imageio) ------------------------------
+
+  /** A 2×2 image with known channel values, encodable to any ImageIO
+    * format. */
+  private def testImage(): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000) // s = 0    -> bin 0
+    img.setRGB(1, 0, 0xFFFFFF) // s = 765  -> bin 7
+    img.setRGB(0, 1, 0x808080) // s = 384  -> bin 4
+    img.setRGB(1, 1, 0x102030) // s = 96   -> bin 1
+    img
+  }
+
+  private def encoded(fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(testImage(), fmt, bos)
+    bos.toByteArray
+  }
+
+  test("imageFeatures computes exact luminance + histogram for lossless formats") {
+    // mean = (0 + 765 + 384 + 96) / (765 * 4); bins hit 0, 7, 4, 1
+    val expectMean = (1245.0 / (765.0 * 4)).toFloat
+    Seq("png", "bmp").foreach { fmt =>
+      val f = Multimodal.imagePixels(encoded(fmt))
+        .map(Multimodal.imageFeatures(_, dim = 9))
+        .getOrElse(fail(s"$fmt did not decode"))
+      assert(f(0) == expectMean, s"$fmt mean luminance")
+      assert(f(1) == 0.25f && f(8) == 0.25f && f(5) == 0.25f && f(2) == 0.25f,
+        s"$fmt histogram: ${f.toSeq}")
+      assert(math.abs(f.sum.toDouble - (1.0 + expectMean.toDouble)) < 1e-6)
+    }
+  }
+
+  test("JPEG pixels decode for real (lossy: dims exact, features plausible)") {
+    val f = Multimodal.imagePixels(encoded("jpg"))
+      .map(Multimodal.imageFeatures(_, dim = 9))
+      .getOrElse(fail("jpeg did not decode"))
+    assert(f(0) > 0f && f(0) < 1f, "mean luminance in (0,1)")
+    assert(math.abs(f.drop(1).sum - 1f) < 1e-6, "histogram sums to 1")
+  }
+
+  test("syntheticBmp round-trips: ImageIO pixels equal the closed form") {
+    val (seed, w, h) = (42L, 5, 4)
+    val img = Multimodal.imagePixels(Multimodal.syntheticBmp(seed, w, h))
+      .getOrElse(fail("synthetic BMP did not decode"))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) == ((seed * 31 + x * 7 + y * 13) % 256).toInt, s"R($x,$y)")
+      assert(((rgb >> 8) & 0xFF) == ((seed * 17 + x * 3 + y * 5) % 256).toInt, s"G($x,$y)")
+      assert((rgb & 0xFF) == ((seed * 23 + x * 11 + y * 2) % 256).toInt, s"B($x,$y)")
+    }
+  }
+
+  test("extractFeatures routes images to real pixels, text to the stub") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, Multimodal.syntheticBmp(1L, 4, 3)),
+      (2L, "just some text".getBytes("UTF-8")))
+    val df = rows.toDF("id", "payload")
+    val out = Multimodal.extractFeatures(df, "payload", dim = 9)
+      .select(col("id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // image row: histogram must sum to 1 (a real-decode property the
+    // length-arithmetic stub can't produce for this payload)
+    assert(math.abs(out(1L).drop(1).sum - 1f) < 1e-6)
+    // the stub formula: ((len * (i+7)) % 1000) / 1000 for len = 14
+    val stub = (0 until 9).map(i => ((14L * (i + 7)) % 1000).toFloat / 1000f)
+    assert(out(2L) == stub, "non-image payloads keep the documented stub")
+  }
+
+  test("resizeBatched nearest-neighbor matches the explicit index math") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Multimodal.syntheticBmp(7L, 6, 4))).toDF("id", "payload")
+    val out = Multimodal.resizeBatched(df, "payload", targetW = 3, targetH = 2)
+      .select(col("payload_resized"), col("rw"), col("rh")).collect().head
+    assert(out.getInt(1) == 3 && out.getInt(2) == 2)
+    val img = Multimodal.imagePixels(out.getAs[Array[Byte]](0))
+      .getOrElse(fail("resized PNG did not decode"))
+    assert(img.getWidth == 3 && img.getHeight == 2)
+    val src = Multimodal.imagePixels(Multimodal.syntheticBmp(7L, 6, 4)).get
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((img.getRGB(x, y) & 0xFFFFFF) ==
+        (src.getRGB(x * 6 / 3, y * 4 / 2) & 0xFFFFFF), s"pixel ($x,$y)")
+  }
+
   test("JPEG SOF walk yields true dimensions") {
     assert(Multimodal.jpegMeta(jpeg(1024, 768)).contains(("image/jpeg", 1024, 768, 1)))
     assert(Multimodal.decodeReal(jpeg(64, 32)).contains(("image/jpeg", 64, 32, 1)))
