@@ -61,7 +61,10 @@ object Bench {
     final case class M(secs: Double, load: Double, retimes: Int)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, M]
 
+    // SPARK_GRAFT_ONLY=q20_...,q21_... benches a subset (scale smokes)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
       try {
         execute(name) // warm-up (not timed)

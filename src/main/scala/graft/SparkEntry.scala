@@ -27,6 +27,7 @@ object SparkEntry {
     IndexQueries.all,
     ScaleQueries.all,
     JdbcQueries.all,
+    StreamingQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
@@ -39,6 +40,7 @@ object SparkEntry {
     IndexQueries.oracles,
     ScaleQueries.oracles,
     JdbcQueries.oracles,
+    StreamingQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -301,10 +301,13 @@ object Similarity {
     * component — immaterial for a codebook that only steers cluster
     * assignment. Returns centroids ordered by label; only the k×dim
     * codebook lands on the driver. */
-  def labelCentroids(corpus: DataFrame, labelCol: String,
-                     vecCol: String, scaleBits: Int = 20): Seq[Seq[Double]] = {
+  /** The distributed relation behind [[labelCentroids]] — exposed so the
+    * plan audit can assert the bounded-buffer shape (partial integer
+    * sums, no `collect_list`). */
+  def labelCentroidRows(corpus: DataFrame, labelCol: String,
+                        vecCol: String, scaleBits: Int): DataFrame = {
     val q = (1L << scaleBits).toDouble
-    val rows = corpus
+    corpus
       .select(col(labelCol).cast("long").as("label"),
         posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -312,7 +315,11 @@ object Similarity {
         count(lit(1)).as("n"))
       .select(col("label"), col("pos"),
         (col("s").cast("double") / col("n").cast("double") / lit(q)).as("c"))
-      .collect()
+  }
+
+  def labelCentroids(corpus: DataFrame, labelCol: String,
+                     vecCol: String, scaleBits: Int = 20): Seq[Seq[Double]] = {
+    val rows = labelCentroidRows(corpus, labelCol, vecCol, scaleBits).collect()
     rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
       .map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
   }

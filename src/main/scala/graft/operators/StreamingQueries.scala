@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables
+import graft.pipeline.Config._
+import graft.sinks.ParquetTable
+import graft.streaming.StreamingLoad
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+/** Driver gate for the streaming load path (SURVEY.md §2.7): the SAME
+  * keyed-upsert table contract the batch pipeline proves (q14) must hold
+  * when the load arrives as a FILE STREAM — each arriving file one
+  * micro-batch through `foreachBatch` → [[ParquetTable.store]]. The gate
+  * stages chunk files with forced arrival order, runs the stream to
+  * completion, and returns the final table; the DuckDB oracle recomputes
+  * the expected end state relationally. StreamingSpec proves the
+  * equivalences in-test; this puts one under the driver's value gate. */
+object StreamingQueries {
+
+  /** lineitem subset → 3 base chunks (disjoint keys) + 1 overlay chunk
+    * (every 80th order re-delivered with bumped quantity) staged as
+    * delimited files with strictly increasing mtimes (Spark's file
+    * source processes oldest-first) → streaming upsert → read back.
+    *
+    * The chunk files are written driver-side: they are the gate's test
+    * FIXTURE (the reference's incoming file drops), not a data path —
+    * the actual data movement is the stream's distributed micro-batches.
+    */
+  def q114StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 40 === 0)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(col("l_quantity")).cast("double").as("l_quantity"),
+        max(col("l_returnflag")).as("l_returnflag"))
+
+    val tmp = Files.createTempDirectory("graft-q114-")
+    val in = tmp.resolve("in")
+    Files.createDirectories(in)
+    val table = tmp.resolve("table").toString
+    val checkpoint = tmp.resolve("cp").toString
+
+    def writeChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val rows = df.collect().map { r =>
+        s"${r.getLong(0)}|${r.getInt(1)}|${r.getDouble(2)}|${r.getString(3)}"
+      }
+      val p = in.resolve(name)
+      Files.write(p, rows.mkString("", "\n", "\n").getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
+    }
+
+    // three disjoint base chunks, then the overlay re-delivery — mtimes
+    // force the arrival order the upsert semantics depend on
+    val t0 = 1600000000000L
+    (0 until 3).foreach { i =>
+      writeChunk(base.filter(col("l_orderkey") % 3 === i), s"chunk$i.csv",
+        t0 + i * 2000L)
+    }
+    writeChunk(base.filter(col("l_orderkey") % 80 === 0)
+        .withColumn("l_quantity", col("l_quantity") + lit(50.0))
+        .withColumn("l_returnflag", lit("S")),
+      "overlay.csv", t0 + 3 * 2000L)
+
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
+    val q = StreamingLoad.fileLoadStream(spark, in.toString, schema, "|",
+      table, DbConfig(strategy = Upsert(Seq("l_orderkey", "l_linenumber")),
+        keepContent = true), checkpoint)
+    try q.processAllAvailable() finally q.stop()
+
+    ParquetTable.load(spark, table)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_stream_upsert" -> q114StreamUpsert _)
+
+  val oracles: Map[String, String] = Map(
+    "q114_stream_upsert" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(sum(l_quantity) AS DOUBLE) AS l_quantity,
+        |    max(l_returnflag) AS l_returnflag
+        |  FROM lineitem
+        |  WHERE l_orderkey % 40 = 0
+        |  GROUP BY l_orderkey, l_linenumber)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey % 80 = 0 THEN l_quantity + 50
+        |       ELSE l_quantity END AS l_quantity,
+        |  CASE WHEN l_orderkey % 80 = 0 THEN 'S'
+        |       ELSE l_returnflag END AS l_returnflag
+        |FROM b
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}

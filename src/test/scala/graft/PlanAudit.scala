@@ -246,6 +246,19 @@ object PlanAudit {
     val p85 = plan("q85_semdedup")
     check("q85 semdedup pairs via cluster equi-join",
       !p85.contains("CartesianProduct") && !p85.contains("BroadcastNestedLoopJoin"))
+    // the q85 codebook trainer must be a bounded-buffer partial aggregate:
+    // fixed-point sums, never a per-group collect_list (a hot cluster
+    // would materialize every member value in one reducer buffer)
+    val pCent = {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Similarity.labelCentroidRows(
+        Tables.embeddings(spark, sfDir).select(col("label"), col("embedding")),
+        "label", "embedding", scaleBits = 20)
+        .queryExecution.executedPlan.toString
+    }
+    check("labelCentroids is a partial integer sum, no collect_list",
+      pCent.contains("partial_sum") && !pCent.contains("collect_list"),
+      "centroid aggregation buffers member values")
     // q86/q87: every funnel step and the retention cohort probe must be
     // a user-keyed equi-join with partial aggregation — no window over
     // full event history, no nested loop
