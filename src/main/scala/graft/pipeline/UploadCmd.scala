@@ -79,9 +79,11 @@ object UploadCmd {
     }
 
     // remove produced files (Wrap.pm:502-505) — unconditional, so a
-    // retry re-produces them instead of re-uploading stale copies
+    // retry re-produces them instead of re-uploading stale copies. A
+    // file the uploader already consumed (moved away) counts as removed:
+    // the contract is "gone afterwards", not "we did the unlink".
     val (removed, failed) = filesToWrite.partition { f =>
-      try Files.deleteIfExists(uploadDir.resolve(f))
+      try { Files.deleteIfExists(uploadDir.resolve(f)); true }
       catch { case _: java.io.IOException => false }
     }
 

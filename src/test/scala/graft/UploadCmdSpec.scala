@@ -85,13 +85,18 @@ class UploadCmdSpec extends AnyFunSuite {
     assert(r.startFailure.isDefined && !r.ok && r.exitCode == -1)
   }
 
-  test("unremovable produced files are reported, not thrown") {
+  test("already-consumed file counts as removed; unremovable is reported, not thrown") {
     val dir = tempDir()
     val up = script(dir, "up.sh", "true")
-    // file never produced -> deleteIfExists returns false -> failedRemovals
+    // "gone.csv" was moved away by the uploader itself: end state (gone)
+    // is what the cleanup contract wants, so it counts as removed.
+    // "stuck.csv" is a non-empty directory: deleteIfExists throws
+    // DirectoryNotEmptyException -> failedRemovals, no exception escapes.
+    Files.createDirectories(dir.resolve("stuck.csv"))
+    Files.writeString(dir.resolve("stuck.csv").resolve("inner"), "x")
     val r = UploadCmd.executeUploadCmd(Seq(up.toString),
-      Seq("never-produced.csv"), dir)
-    assert(r.failedRemovals == Seq("never-produced.csv"))
-    assert(r.removedFiles.isEmpty)
+      Seq("gone.csv", "stuck.csv"), dir)
+    assert(r.removedFiles == Seq("gone.csv"))
+    assert(r.failedRemovals == Seq("stuck.csv"))
   }
 }
