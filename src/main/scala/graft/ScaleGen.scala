@@ -100,11 +100,21 @@ object ScaleGen {
     write(replicate(documents, Map("doc_id" -> docStride), (d, i) =>
         if (i == 0) d
         else {
-          val toks = split(col("text"), "\\s+")
-          val tagged = zip_with(toks,
-            sequence(lit(0), greatest(size(toks) - 1, lit(0))),
-            (t, j) => when(j % 3 === 0, concat(t, lit(s"x$i"))).otherwise(t))
-          d.withColumn("text", concat_ws(" ", tagged))
+          // tag PER LINE so the copy keeps the original's newline
+          // structure (line-level operators — line dedup, novelty —
+          // must see the same workload shape at sf1 as at sf0.1), and
+          // keep NULL text NULL (concat_ws would fold it to "")
+          def tagLine(line: org.apache.spark.sql.Column) = {
+            val toks = split(line, " ")
+            concat_ws(" ", zip_with(toks,
+              sequence(lit(0), greatest(size(toks) - 1, lit(0))),
+              (t, j) => when(j % 3 === 0 && length(t) > 0,
+                concat(t, lit(s"x$i"))).otherwise(t)))
+          }
+          d.withColumn("text",
+            when(col("text").isNull, lit(null).cast("string"))
+              .otherwise(concat_ws("\n",
+                transform(split(col("text"), "\n"), tagLine _))))
         }),
       "documents")
 

@@ -14,17 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object IndexQueries {
 
-  /** Knuth multiplicative hash of a non-negative long key, mod 2^32 —
-    * chosen because it is exactly expressible in ANSI SQL
-    * (`((key % 2147483647) * 2654435761) % 4294967296`), so DuckDB
-    * oracles can replay sketch and sample contents bit-for-bit. The key
-    * is reduced mod 2^31−1 BEFORE the multiply: 2147483646 · 2654435761
-    * < 2^63, so the product never wraps a Long in Spark nor overflows a
-    * BIGINT in the oracle — without the reduction, keys ≥ ~3.47e9
-    * silently wrap here while the oracle raises, diverging on the large
-    * key domains a 100 TB run feeds. */
-  private def knuthHash(key: Column): Column =
-    pmod(pmod(key, lit(2147483647L)) * lit(2654435761L), lit(4294967296L))
+  /** Knuth multiplicative hash, mod 2^32 — ONE definition for every
+    * bit-replayed gate (q76/q77 here, q84/q106 in [[Layout]]); a private
+    * copy would let the two silently diverge and break the cross-gate
+    * replay contract. See [[Layout.knuthHash]] for the overflow-safe
+    * closed form. */
+  private def knuthHash(key: Column): Column = Layout.knuthHash(key)
 
   private def minK(entry: Column, k: Int, distinct: Boolean): Column =
     GraftColumnBridge.column(

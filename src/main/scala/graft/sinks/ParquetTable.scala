@@ -30,7 +30,10 @@ object ParquetTable {
   def exists(table: String): Boolean = {
     val p = Paths.get(table)
     recoverCrash(p.toAbsolutePath)
-    Files.exists(p) && Files.list(p).findFirst().isPresent
+    Files.exists(p) && {
+      val s = Files.list(p)
+      try s.findFirst().isPresent finally s.close()
+    }
   }
 
   /** Heal the one crash window the two-rename swap leaves open: a crash
@@ -46,7 +49,13 @@ object ParquetTable {
   private def recoverCrash(tablePath: Path): Unit = {
     val old = tablePath.resolveSibling(tablePath.getFileName.toString + ".old-graft")
     if (!Files.exists(tablePath) && Files.exists(old))
-      Files.move(old, tablePath, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(old, tablePath, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // two concurrent touches both saw the orphaned state; the loser's
+        // move fails AFTER the winner healed — benign iff a live table
+        // now exists. Re-throw only when the table is still missing.
+        case _: java.io.IOException if Files.exists(tablePath) => ()
+      }
   }
 
   /** Store `incoming` into `table` under the configured strategy; the whole

@@ -208,22 +208,35 @@ object StreamingLoad {
   def mergeSketchBatch(batch: DataFrame, batchId: Long, keyCol: String,
                        sketchPath: String, depth: Int, width: Int): Boolean = {
     val spark = batch.sparkSession
-    val exists = new java.io.File(sketchPath).exists()
-    // bounded read: the sketch is ≤ depth·width rows by construction
-    val applied: Long =
-      if (exists)
-        spark.read.parquet(sketchPath).agg(max(col("batch_id"))).head.getLong(0)
-      else Long.MinValue
+    // ParquetTable.exists heals the atomicOverwrite crash window first —
+    // a raw directory probe would miss a sketch parked at .old-graft and
+    // silently reset the accumulated counters to this batch's delta
+    val exists = ParquetTable.exists(sketchPath)
+    val standing = if (exists) Some(spark.read.parquet(sketchPath)) else None
+    // bounded read: the sketch is ≤ depth·width rows by construction.
+    // A sketch written before the replay watermark existed has no
+    // batch_id column (and an empty table has no max) — both mean
+    // "nothing known applied", not a crash.
+    val applied: Long = standing match {
+      case Some(df) if df.columns.contains("batch_id") =>
+        df.agg(max(col("batch_id"))).head match {
+          case r if r.isNullAt(0) => Long.MinValue
+          case r                  => r.getLong(0)
+        }
+      case _ => Long.MinValue
+    }
     if (batchId <= applied) false
     else {
       val delta = graft.operators.Sketches.cmsSketch(batch, keyCol, depth, width)
       val merged = {
-        if (exists)
-          spark.read.parquet(sketchPath).drop("batch_id")
-            .unionByName(delta)
-            .groupBy(col("depth"), col("bucket"))
-            .agg(sum(col("cnt")).as("cnt"))
-        else delta
+        standing match {
+          case Some(df) =>
+            df.drop("batch_id")
+              .unionByName(delta)
+              .groupBy(col("depth"), col("bucket"))
+              .agg(sum(col("cnt")).as("cnt"))
+          case None => delta
+        }
       }.withColumn("batch_id", lit(batchId))
       // the merge plan still READS sketchPath — swap atomically, so
       // counters and the batch_id watermark commit together

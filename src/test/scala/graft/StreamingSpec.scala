@@ -143,6 +143,34 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingLoad.mergeSketchBatch(Seq(9L).toDF("k"), 2L, "k", path, 4, 64))
   }
 
+  test("sketchStream migrates a pre-watermark sketch and heals the crash window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-migrate-").toString
+    // a sketch written BEFORE the batch_id watermark existed: counters
+    // only. The first merge on new code must treat it as "nothing known
+    // applied" and fold the delta in, not throw UNRESOLVED_COLUMN.
+    val legacy = s"$dir/legacy"
+    graft.operators.Sketches.cmsSketch(Seq(1L, 2L).toDF("k"), "k", 4, 64)
+      .coalesce(1).write.parquet(legacy)
+    assert(StreamingLoad.mergeSketchBatch(Seq(2L, 3L).toDF("k"), 7L, "k", legacy, 4, 64))
+    val both = graft.operators.Sketches.cmsSketch(
+      Seq(1L, 2L, 2L, 3L).toDF("k"), "k", 4, 64).collect().toSet
+    assert(spark.read.parquet(legacy).drop("batch_id").collect().toSet == both,
+      "legacy sketch was not folded into the merged result")
+    // crash window: live table parked at .old-graft (the state a crash
+    // between atomicOverwrite's two renames leaves). The merge must heal
+    // it and accumulate, not reset the counters to this batch's delta.
+    val parked = s"$dir/parked"
+    graft.operators.Sketches.cmsSketch(Seq(1L, 2L).toDF("k"), "k", 4, 64)
+      .withColumn("batch_id", lit(0L)).coalesce(1).write.parquet(parked)
+    java.nio.file.Files.move(java.nio.file.Paths.get(parked),
+      java.nio.file.Paths.get(parked + ".old-graft"))
+    assert(StreamingLoad.mergeSketchBatch(Seq(2L, 3L).toDF("k"), 1L, "k", parked, 4, 64))
+    assert(spark.read.parquet(parked).drop("batch_id").collect().toSet == both,
+      "crash-window sketch was reset to the single batch's delta")
+  }
+
   test("flatMapGroupsWithState running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
