@@ -289,21 +289,18 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
-  /** Per-label mean vectors, deterministic AND partial-aggregated: each
-    * component is summed in fixed-point (`round(v · 2^scaleBits)` as a
-    * long) — integer addition is associative, so the map-side-combined
-    * distributed sum is bit-identical regardless of partitioning and
-    * exactly replayable in SQL, with a CONSTANT aggregation buffer (one
-    * long + one count per (label, pos)). This replaces the earlier
-    * `sort_array(collect_list)` formulation, whose per-group buffer
-    * materialized every member value — a reducer OOM when a cluster runs
-    * to billions of rows. Quantization error is ≤ 2^-(scaleBits+1) per
-    * component — immaterial for a codebook that only steers cluster
-    * assignment. Returns centroids ordered by label; only the k×dim
-    * codebook lands on the driver. */
   /** The distributed relation behind [[labelCentroids]] — exposed so the
     * plan audit can assert the bounded-buffer shape (partial integer
-    * sums, no `collect_list`). */
+    * sums, no `collect_list`). Each component is summed in fixed-point
+    * (`round(v · 2^scaleBits)` as a long) — integer addition is
+    * associative, so the map-side-combined distributed sum is
+    * bit-identical regardless of partitioning and exactly replayable in
+    * SQL, with a CONSTANT aggregation buffer (one long + one count per
+    * (label, pos)). This replaces the earlier `sort_array(collect_list)`
+    * formulation, whose per-group buffer materialized every member
+    * value — a reducer OOM when a cluster runs to billions of rows.
+    * Quantization error is ≤ 2^-(scaleBits+1) per component —
+    * immaterial for a codebook that only steers cluster assignment. */
   def labelCentroidRows(corpus: DataFrame, labelCol: String,
                         vecCol: String, scaleBits: Int): DataFrame = {
     val q = (1L << scaleBits).toDouble
@@ -317,6 +314,8 @@ object Similarity {
         (col("s").cast("double") / col("n").cast("double") / lit(q)).as("c"))
   }
 
+  /** Per-label mean vectors via [[labelCentroidRows]], returned ordered
+    * by label; only the k×dim codebook lands on the driver. */
   def labelCentroids(corpus: DataFrame, labelCol: String,
                      vecCol: String, scaleBits: Int = 20): Seq[Seq[Double]] = {
     val rows = labelCentroidRows(corpus, labelCol, vecCol, scaleBits).collect()

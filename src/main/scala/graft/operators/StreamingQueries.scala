@@ -30,13 +30,30 @@ object StreamingQueries {
     * the actual data movement is the stream's distributed micro-batches.
     */
   def q114StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the fixture staging below collects four disjoint slices
+    // of this aggregate — uncached, each collect would re-run the full
+    // lineitem scan + shuffle
     val base = Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") % 40 === 0)
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(sum(col("l_quantity")).cast("double").as("l_quantity"),
         max(col("l_returnflag")).as("l_returnflag"))
+      .persist()
 
     val tmp = Files.createTempDirectory("graft-q114-")
+    // the returned DataFrame lazily reads the staged table, so the
+    // fixture dir must outlive the caller's consumption — reclaim it at
+    // JVM exit instead of leaking it past the process
+    sys.addShutdownHook {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        Files.deleteIfExists(p); ()
+      }
+      rm(tmp)
+    }
     val in = tmp.resolve("in")
     Files.createDirectories(in)
     val table = tmp.resolve("table").toString
@@ -69,7 +86,7 @@ object StreamingQueries {
     val q = StreamingLoad.fileLoadStream(spark, in.toString, schema, "|",
       table, DbConfig(strategy = Upsert(Seq("l_orderkey", "l_linenumber")),
         keepContent = true), checkpoint)
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); base.unpersist() }
 
     ParquetTable.load(spark, table)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
