@@ -22,7 +22,7 @@ object SourceQueries {
       .select(col("n_nationkey").cast("string"), col("n_name"),
         col("n_regionkey").cast("string"))
       .orderBy(col("n_nationkey").cast("int"))
-    val file = Files.createTempDirectory("graft-q26-").resolve("nation.csv").toString
+    val file = Fixtures.tempDir("graft-q26-").resolve("nation.csv").toString
     TextSink.write(nation,
       TextWriteFormat(columns = Seq("n_nationkey", "n_name", "n_regionkey"),
         sep = ",", quoted = true), file)
@@ -43,7 +43,7 @@ object SourceQueries {
       .select(col("n_nationkey").cast("string"), col("n_name"),
         col("n_regionkey").cast("string"))
       .orderBy(col("n_nationkey").cast("int"))
-    val file = Files.createTempDirectory("graft-q58-").resolve("nation.fix").toString
+    val file = Fixtures.tempDir("graft-q58-").resolve("nation.fix").toString
     TextSink.write(nation,
       TextWriteFormat(columns = Seq("n_nationkey", "n_name", "n_regionkey"),
         padLen = Seq(4, 28, 4)), file)
@@ -61,7 +61,7 @@ object SourceQueries {
       .select(col("s_suppkey").cast("string"), col("s_name"),
         col("s_nationkey").cast("string"), col("s_acctbal").cast("string"))
       .orderBy(col("s_suppkey").cast("long"))
-    val file = Files.createTempDirectory("graft-q27-").resolve("supplier.xlsx").toString
+    val file = Fixtures.tempDir("graft-q27-").resolve("supplier.xlsx").toString
     XlsxSink.write(sup, Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), file)
     val fmt = XlsxFormat(
       header = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
@@ -82,7 +82,7 @@ object SourceQueries {
       .select(col("c_custkey").cast("string"), col("c_name"),
         col("c_nationkey").cast("string"), col("c_acctbal").cast("string"))
       .orderBy(col("c_custkey").cast("long"))
-    val file = Files.createTempDirectory("graft-q49-").resolve("customer.xls").toString
+    val file = Fixtures.tempDir("graft-q49-").resolve("customer.xls").toString
     XlsSink.write(cust, Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
       file, sheetName = "customers")
     val fmt = XlsxFormat(
@@ -102,7 +102,7 @@ object SourceQueries {
   def q61JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
-    val out = Files.createTempDirectory("graft-q61-").resolve("supplier_json").toString
+    val out = Fixtures.tempDir("graft-q61-").resolve("supplier_json").toString
     sup.write.mode("overwrite").json(out)
     spark.read.schema(sup.schema).json(out).orderBy(col("s_suppkey"))
   }
@@ -112,7 +112,7 @@ object SourceQueries {
   def q62OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
-    val out = Files.createTempDirectory("graft-q62-").resolve("part_orc").toString
+    val out = Fixtures.tempDir("graft-q62-").resolve("part_orc").toString
     part.write.mode("overwrite").orc(out)
     spark.read.orc(out).orderBy(col("p_partkey"))
   }
@@ -127,7 +127,7 @@ object SourceQueries {
       xml.append(s"<region><key>${r.getInt(0)}</key><name>${r.getString(1)}</name></region>")
     }
     xml.append("</list></regions>")
-    val file = Files.createTempDirectory("graft-q28-").resolve("region.xml")
+    val file = Fixtures.tempDir("graft-q28-").resolve("region.xml")
     Files.write(file, xml.toString.getBytes("UTF-8"))
     val fmt = XmlFormat(
       header = Seq("src", "r_regionkey", "r_name"),
@@ -159,7 +159,7 @@ object SourceQueries {
       .withColumn("o_orderstatus", lit("U")).withColumn("_ord", lit(1))
     val staged = base.unionByName(updates)
       .orderBy(col("_ord"), col("o_orderkey").cast("long")).drop("_ord")
-    val dirPath = Files.createTempDirectory("graft-q29-")
+    val dirPath = Fixtures.tempDir("graft-q29-")
     val csv = dirPath.resolve("orders.csv").toString
     TextSink.write(staged, TextWriteFormat(
       columns = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),

@@ -40,20 +40,10 @@ object StreamingQueries {
         max(col("l_returnflag")).as("l_returnflag"))
       .persist()
 
-    val tmp = Files.createTempDirectory("graft-q114-")
     // the returned DataFrame lazily reads the staged table, so the
-    // fixture dir must outlive the caller's consumption — reclaim it at
-    // JVM exit instead of leaking it past the process
-    sys.addShutdownHook {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.forEach(rm(_)) finally s.close()
-        }
-        Files.deleteIfExists(p); ()
-      }
-      rm(tmp)
-    }
+    // fixture dir must outlive the caller's consumption — Fixtures
+    // reclaims it at JVM exit instead of leaking it past the process
+    val tmp = Fixtures.tempDir("graft-q114-")
     val in = tmp.resolve("in")
     Files.createDirectories(in)
     val table = tmp.resolve("table").toString
