@@ -100,7 +100,10 @@ object Bench {
             // the kept minimum proves the minimum wasn't noise — record
             // the quiet load so downstream consumers trust the entry.
             if (s < cur.secs) cur = M(s, l, tries)
-            else cur = M(cur.secs, math.min(cur.load, l), tries)
+            // l = -1.0 means the load read itself failed — that is not
+            // a quiet run and must not unflag a suspect entry
+            else if (l >= 0) cur = M(cur.secs, math.min(cur.load, l), tries)
+            else cur = cur.copy(retimes = tries)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] retime $name failed: ${e.getMessage}")
             tries = 2

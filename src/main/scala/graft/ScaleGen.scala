@@ -43,7 +43,7 @@ object ScaleGen {
       }.reduce(_ unionByName _)
 
     def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+      df.agg(max(col(key))).head().getLong(0) + 1L
 
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -104,8 +104,15 @@ object ScaleGen {
           // structure (line-level operators — line dedup, novelty —
           // must see the same workload shape at sf1 as at sf0.1), and
           // keep NULL text NULL (concat_ws would fold it to "")
+          // \s+ so tab-separated tokens still split: a literal-space
+          // split would leave such lines as ONE token, interior shingles
+          // byte-identical across copies, and the pair counts inflated
+          // copies² — the exact failure this tagging exists to prevent.
+          // Rejoining with single spaces collapses whitespace runs;
+          // tokenizing operators split on \s+ anyway, so the shape the
+          // smokes measure is unchanged.
           def tagLine(line: org.apache.spark.sql.Column) = {
-            val toks = split(line, " ")
+            val toks = split(line, "\\s+")
             concat_ws(" ", zip_with(toks,
               sequence(lit(0), greatest(size(toks) - 1, lit(0))),
               (t, j) => when(j % 3 === 0 && length(t) > 0,

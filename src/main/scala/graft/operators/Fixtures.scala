@@ -15,18 +15,11 @@ private[graft] object Fixtures {
 
   private lazy val hookInstalled: Unit = {
     sys.addShutdownHook {
-      dirs.forEach(rm(_))
+      // deleteQuietly swallows everything per directory, so one
+      // unreadable/vanished fixture can't abort cleanup of the rest
+      dirs.forEach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
     }
-    ()
-  }
-
-  private def rm(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.forEach(rm(_)) finally s.close()
-    }
-    try Files.deleteIfExists(p)
-    catch { case _: java.io.IOException => () } // best-effort at exit
     ()
   }
 

@@ -40,48 +40,52 @@ object StreamingQueries {
         max(col("l_returnflag")).as("l_returnflag"))
       .persist()
 
-    // the returned DataFrame lazily reads the staged table, so the
-    // fixture dir must outlive the caller's consumption — Fixtures
-    // reclaims it at JVM exit instead of leaking it past the process
-    val tmp = Fixtures.tempDir("graft-q114-")
-    val in = tmp.resolve("in")
-    Files.createDirectories(in)
-    val table = tmp.resolve("table").toString
-    val checkpoint = tmp.resolve("cp").toString
+    // unpersist must run however staging or the stream fails — an
+    // orphaned cache entry would occupy storage memory for the session
+    try {
+      // the returned DataFrame lazily reads the staged table, so the
+      // fixture dir must outlive the caller's consumption — Fixtures
+      // reclaims it at JVM exit instead of leaking it past the process
+      val tmp = Fixtures.tempDir("graft-q114-")
+      val in = tmp.resolve("in")
+      Files.createDirectories(in)
+      val table = tmp.resolve("table").toString
+      val checkpoint = tmp.resolve("cp").toString
 
-    def writeChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val rows = df.collect().map { r =>
-        s"${r.getLong(0)}|${r.getInt(1)}|${r.getDouble(2)}|${r.getString(3)}"
+      def writeChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val rows = df.collect().map { r =>
+          s"${r.getLong(0)}|${r.getInt(1)}|${r.getDouble(2)}|${r.getString(3)}"
+        }
+        val p = in.resolve(name)
+        Files.write(p, rows.mkString("", "\n", "\n").getBytes("UTF-8"))
+        Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
       }
-      val p = in.resolve(name)
-      Files.write(p, rows.mkString("", "\n", "\n").getBytes("UTF-8"))
-      Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
-    }
 
-    // three disjoint base chunks, then the overlay re-delivery — mtimes
-    // force the arrival order the upsert semantics depend on
-    val t0 = 1600000000000L
-    (0 until 3).foreach { i =>
-      writeChunk(base.filter(col("l_orderkey") % 3 === i), s"chunk$i.csv",
-        t0 + i * 2000L)
-    }
-    writeChunk(base.filter(col("l_orderkey") % 80 === 0)
-        .withColumn("l_quantity", col("l_quantity") + lit(50.0))
-        .withColumn("l_returnflag", lit("S")),
-      "overlay.csv", t0 + 3 * 2000L)
+      // three disjoint base chunks, then the overlay re-delivery — mtimes
+      // force the arrival order the upsert semantics depend on
+      val t0 = 1600000000000L
+      (0 until 3).foreach { i =>
+        writeChunk(base.filter(col("l_orderkey") % 3 === i), s"chunk$i.csv",
+          t0 + i * 2000L)
+      }
+      writeChunk(base.filter(col("l_orderkey") % 80 === 0)
+          .withColumn("l_quantity", col("l_quantity") + lit(50.0))
+          .withColumn("l_returnflag", lit("S")),
+        "overlay.csv", t0 + 3 * 2000L)
 
-    val schema = StructType(Seq(
-      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
-      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
-    val q = StreamingLoad.fileLoadStream(spark, in.toString, schema, "|",
-      table, DbConfig(strategy = Upsert(Seq("l_orderkey", "l_linenumber")),
-        keepContent = true), checkpoint)
-    try q.processAllAvailable() finally { q.stop(); base.unpersist() }
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
+      val q = StreamingLoad.fileLoadStream(spark, in.toString, schema, "|",
+        table, DbConfig(strategy = Upsert(Seq("l_orderkey", "l_linenumber")),
+          keepContent = true), checkpoint)
+      try q.processAllAvailable() finally q.stop()
 
-    ParquetTable.load(spark, table)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      ParquetTable.load(spark, table)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    } finally base.unpersist()
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

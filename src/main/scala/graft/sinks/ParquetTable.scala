@@ -135,7 +135,11 @@ object ParquetTable {
                          targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val root = Paths.get(table).toAbsolutePath
     require(Files.exists(root), s"no table at $table")
-    Files.list(root).toArray.map(_.asInstanceOf[Path])
+    val listed = {
+      val s = Files.list(root)
+      try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
+    }
+    listed
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
       .foreach(p => compact(spark, p.toString, targetBytes))
   }

@@ -76,8 +76,10 @@ object TextSink {
     // union preserves child partition order; final coalesce(1) concatenates
     headerDf.union(body).coalesce(1).write.mode("overwrite").text(tmpDir)
 
-    val part = Files.list(Paths.get(tmpDir)).toArray.map(_.asInstanceOf[Path])
-      .find(_.getFileName.toString.startsWith("part-"))
+    val part = {
+      val s = Files.list(Paths.get(tmpDir))
+      try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
+    }.find(_.getFileName.toString.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
     val targetPath = Paths.get(target)
     Option(targetPath.getParent).foreach(Files.createDirectories(_))

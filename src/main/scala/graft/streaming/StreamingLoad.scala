@@ -219,7 +219,7 @@ object StreamingLoad {
     // "nothing known applied", not a crash.
     val applied: Long = standing match {
       case Some(df) if df.columns.contains("batch_id") =>
-        df.agg(max(col("batch_id"))).head match {
+        df.agg(max(col("batch_id"))).head() match {
           case r if r.isNullAt(0) => Long.MinValue
           case r                  => r.getLong(0)
         }
