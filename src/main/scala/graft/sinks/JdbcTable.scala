@@ -175,9 +175,41 @@ object JdbcTable {
   /** Phase 1: parallel batched staging inserts, one connection+txn per
     * partition. Each task first deletes its own partition's rows
     * (`PartCol`), then inserts — idempotent under task retry. */
+  /** Error context for a failed insert batch, in the reference's
+    * `debugKeyIndicator` spirit (`Wrap/DB.pm:232-234,330`): the indicator
+    * names the columns whose values identify the offending record (any
+    * separator/`=?` template form — identifiers are extracted). The
+    * offending rows come from `BatchUpdateException.getUpdateCounts`
+    * (drivers either mark EXECUTE_FAILED entries or stop at the first
+    * failure); when the driver reports nothing usable, the batch bounds
+    * are described instead of guessing. */
+  private def describeFailedKeys(e: Throwable, chunk: IndexedSeq[Seq[Any]],
+                                 cols: Seq[String], indicator: String): String = {
+    val names = indicator.split("[^A-Za-z0-9_]+").filter(_.nonEmpty).toSeq
+    val idx = names.flatMap(n => cols.indexOf(n) match {
+      case -1 => None; case i => Some((n, i))
+    })
+    if (idx.isEmpty) return s"(debugKeyIndicator '$indicator' matches no staged column)"
+    def keysOf(r: Seq[Any]): String =
+      idx.map { case (n, i) => s"$n=${r(i)}" }.mkString(",")
+    e match {
+      case b: java.sql.BatchUpdateException =>
+        val c = Option(b.getUpdateCounts).getOrElse(Array.emptyIntArray)
+        val failed = c.zipWithIndex.collect {
+          case (java.sql.Statement.EXECUTE_FAILED, i) if i < chunk.length => i
+        }
+        if (failed.nonEmpty)
+          failed.take(3).map(i => keysOf(chunk(i))).mkString("; ")
+        else if (c.length < chunk.length) // driver stopped at first failure
+          keysOf(chunk(c.length))
+        else s"within batch ${keysOf(chunk.head)} .. ${keysOf(chunk.last)}"
+      case _ => s"within batch ${keysOf(chunk.head)} .. ${keysOf(chunk.last)}"
+    }
+  }
+
   private def stagePartitions(resolved: DataFrame, stg: String,
                               cols: Seq[String], sessionFactory: SessionFactory,
-                              batchSize: Int): Unit = {
+                              batchSize: Int, debugKeyIndicator: String = ""): Unit = {
     val insertSql = JdbcSql.insert(stg, cols :+ PartCol)
     val deleteSql = JdbcSql.deleteByKey(stg, Seq(PartCol))
     resolved.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -186,7 +218,21 @@ object JdbcTable {
         val s = sessionFactory()
         try {
           s.executeBatch(deleteSql, Iterator(Seq[Any](pid)), 1)
-          s.executeBatch(insertSql, rows.map(_.toSeq :+ pid), batchSize)
+          if (debugKeyIndicator.isEmpty)
+            s.executeBatch(insertSql, rows.map(_.toSeq :+ pid), batchSize)
+          else
+            // chunk driver-side so a failed executeBatch can name the
+            // offending record (Wrap/DB.pm's debugKeyIndicator contract)
+            rows.map(_.toSeq :+ pid).grouped(batchSize).foreach { chunk =>
+              val c = chunk.toIndexedSeq
+              try s.executeBatch(insertSql, c.iterator, batchSize)
+              catch { case e: java.sql.SQLException =>
+                throw new java.sql.SQLException(
+                  s"${e.getMessage} [offending keys: " +
+                    s"${describeFailedKeys(e, c, cols, debugKeyIndicator)}]",
+                  e.getSQLState, e.getErrorCode, e)
+              }
+            }
           s.commit()
         } catch { case t: Throwable => s.rollback(); throw t }
         finally s.close()
@@ -234,7 +280,7 @@ object JdbcTable {
       createStaging(driver, stg, resolved.schema, dialect)
       driver.commit()
     } finally driver.close()
-    stagePartitions(resolved, stg, cols, sessionFactory, batchSize)
+    stagePartitions(resolved, stg, cols, sessionFactory, batchSize, db.debugKeyIndicator)
     applyPhase(db, table, stg, cols, sessionFactory, registry = None)
   }
 
@@ -287,7 +333,7 @@ object JdbcTable {
         d.commit()
       } catch { case t: Throwable => d.rollback(); throw t }
       finally d.close()
-      stagePartitions(resolved, stg, cols, sessionFactory, batchSize)
+      stagePartitions(resolved, stg, cols, sessionFactory, batchSize, db.debugKeyIndicator)
       val m = sessionFactory()
       try {
         m.executeBatch(JdbcSql.setStatus(registryTable),

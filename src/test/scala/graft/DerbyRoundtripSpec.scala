@@ -195,6 +195,28 @@ class DerbyRoundtripSpec extends SparkSpec {
     assert(back.count() == 100)
     assert(back.agg(sum("id")).head.getLong(0) == 4950L)
   }
+
+  test("data error surfaces the offending row's debugKeyIndicator keys") {
+    // the reference's Datenfehler leg (t/DB.t: ID0 varchar(4) fed
+    // 'ABCD_WayTooLongField' with debugKeyIndicator 'selDate=? ID1=?'):
+    // a too-narrow column rejects one row and the error must NAME the
+    // offending record's keys, not just Derby's truncation code
+    val (_, sf) = freshDb()
+    val df = Seq((1L, "ok"), (2L, "also"), (3L, "waytoolongvalue"))
+      .toDF("k", "v").coalesce(1)
+    val narrow = SqlDialect.Derby.copy(stringType = "VARCHAR(8)")
+    createTarget(sf, "t", df)
+    val err = intercept[Exception] {
+      JdbcTable.store(df, "t",
+        DbConfig(strategy = Append, keepContent = true,
+          debugKeyIndicator = "k=?"),
+        sf, dialect = narrow)
+    }
+    val messages = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(messages.contains("k=3"),
+      s"error must carry the offending row's key context, got: $messages")
+  }
 }
 
 /** Java-procedure body for the Derby multi-result-set test: Derby invokes
