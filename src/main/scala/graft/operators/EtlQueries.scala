@@ -162,6 +162,46 @@ object EtlQueries {
       .orderBy(col("ymd"))
   }
 
+  /** K3 `incrementalStore` + upsert (`Wrap/DB.pm:318`): two update waves
+    * carry NULL fields that must NOT erase earlier values — each column
+    * resolves independently to its last non-null occurrence (base, then
+    * wave 1, then wave 2). */
+  def q115IncrUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = ord.withColumn("_seq", lit(0L))
+    val wave1 = ord.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"), lit(1L).as("_seq"))
+    val wave2 = ord.filter(col("o_orderkey") % 14 === 0)
+      .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+        lit(-1.0).as("o_totalprice"), lit(2L).as("_seq"))
+    MergeOps.upsertIncremental(base, wave1.unionByName(wave2),
+        Seq("o_orderkey"), "_seq")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** K3 `ignoreDuplicateErrs` (`Wrap/DB.pm:403`): existing keys keep
+    * their rows (the duplicate insert is swallowed), absent keys insert
+    * with first-wins resolution inside the batch. */
+  def q116InsertIgnoreDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val dupHits = base.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit("LOSES").as("o_orderstatus"),
+        lit(3L).as("_seq"))
+    val fresh1 = base.filter(col("o_orderkey") % 9 === 0)
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        lit("N1").as("o_orderstatus"), lit(1L).as("_seq"))
+    val fresh2 = base.filter(col("o_orderkey") % 9 === 0)
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        lit("N2").as("o_orderstatus"), lit(2L).as("_seq"))
+    MergeOps.insertIgnoreDups(base,
+        fresh1.unionByName(fresh2).unionByName(dupHits),
+        Seq("o_orderkey"), "_seq")
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_date_functions"  -> q11DateFunctions _,
     "q12_coerce_dates"    -> q12CoerceDates _,
@@ -169,6 +209,8 @@ object EtlQueries {
     "q14_upsert_lastwins" -> q14UpsertLastWins _,
     "q15_delete_insert"   -> q15DeleteInsert _,
     "q16_dateseries"      -> q16DateSeries _,
+    "q115_incr_upsert"    -> q115IncrUpsert _,
+    "q116_insert_ignore"  -> q116InsertIgnoreDups _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -235,6 +277,43 @@ object EtlQueries {
         |    WHEN 3 THEN false ELSE NULL END AS boolval
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q115_incr_upsert" ->
+      """WITH staged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', CAST(NULL AS DOUBLE), 1
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(-1.0 AS DOUBLE), 2
+        |  FROM orders WHERE o_orderkey % 14 = 0)
+        |SELECT o_orderkey,
+        |  arg_max(o_orderstatus, seq) FILTER (WHERE o_orderstatus IS NOT NULL)
+        |    AS o_orderstatus,
+        |  arg_max(o_totalprice, seq) FILTER (WHERE o_totalprice IS NOT NULL)
+        |    AS o_totalprice
+        |FROM staged GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q116_insert_ignore" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders),
+        |newrows AS (
+        |  SELECT -o_orderkey AS o_orderkey, 'N1' AS o_orderstatus, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'N2', 2 FROM orders WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'LOSES', 3 FROM orders WHERE o_orderkey % 5 = 0),
+        |firstwins AS (
+        |  SELECT o_orderkey, o_orderstatus FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq) AS rn
+        |    FROM newrows) t
+        |  WHERE rn = 1)
+        |SELECT o_orderkey, o_orderstatus FROM base
+        |UNION ALL
+        |SELECT f.o_orderkey, f.o_orderstatus FROM firstwins f
+        |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = f.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q14_upsert_lastwins" ->
       """WITH staged AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq FROM orders

@@ -40,6 +40,46 @@ object MergeOps {
       .drop("__rn", ord)
   }
 
+  /** Incremental upsert (`incrementalStore` + `upsert`,
+    * `Wrap/DB.pm:318,386-412`): like [[upsertLastWins]], but a NULL field
+    * on an incoming row leaves the previous value for that column intact —
+    * the reference simply omits undef fields from the per-row statement.
+    * Resolved per COLUMN, not per row: each column's final value is its
+    * last NON-NULL occurrence across target (oldest) then batch in `ord`
+    * order. One shuffle on the key; both window functions share the same
+    * frame, so Catalyst plans a single exchange + sort. */
+  def upsertIncremental(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                        ord: String): DataFrame = {
+    val staged = base.unionByName(updates)
+    val valueCols = staged.columns.filterNot(c => keys.contains(c) || c == ord)
+    val frame = Window.partitionBy(keys.map(col): _*).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLatest = Window.partitionBy(keys.map(col): _*).orderBy(col(ord).desc)
+    val filled = valueCols.foldLeft(staged) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(frame))
+    }
+    filled.withColumn("__rn", row_number().over(wLatest))
+      .filter(col("__rn") === 1)
+      .drop("__rn", ord)
+  }
+
+  /** Insert-ignoring-duplicates (`ignoreDuplicateErrs`,
+    * `Wrap/DB.pm:403`): append only rows whose key is absent from the
+    * target; within the batch the FIRST occurrence per key wins (the
+    * reference inserts it, then swallows the later rows' duplicate-key
+    * errors). `ord` resolves batch order; rows never update existing
+    * target rows. */
+  def insertIgnoreDups(target: DataFrame, incoming: DataFrame,
+                       keys: Seq[String], ord: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord))
+    val firstWins = incoming.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", ord)
+    target.unionByName(
+      firstWins.join(target.select(keys.map(col): _*).distinct(),
+        keys, "left_anti"))
+  }
+
   /** Delete-before-insert (`deleteBeforeInsertSelector`,
     * `Wrap/DB.pm:337-347`): drop target rows whose key appears in the
     * incoming batch, then append the batch. Anti join + union — both sides

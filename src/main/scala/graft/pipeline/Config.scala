@@ -22,6 +22,11 @@ object Config {
   case class DeleteInsert(selector: Seq[String]) extends StoreStrategy
   /** Update-only by key; unmatched update rows dropped (`Wrap/DB.pm:453-508`). */
   case class UpdateOnly(primkey: Seq[String], valueCols: Seq[String]) extends StoreStrategy
+  /** Plain insert that silently skips keys already present
+    * (`ignoreDuplicateErrs`, `Wrap/DB.pm:403`): the reference swallows
+    * duplicate-key errors row by row, so the FIRST occurrence of a key —
+    * in the target, else in batch order — survives. */
+  case class InsertIgnoreDups(primkey: Seq[String]) extends StoreStrategy
 
   /** Sink-side target column: coercion class from the type name like the
     * reference reads `column_info` TYPE_NAME (`Wrap/DB.pm:192-217`).
@@ -38,7 +43,12 @@ object Config {
       addID: Map[String, String] = Map.empty, // constant ID columns (T10)
       cutoffYr2000: Int = 60,
       noTransaction: Boolean = false,    // opt-out of atomic swap (K8)
-      debugKeyIndicator: String = "")
+      debugKeyIndicator: String = "",
+      /** `incrementalStore` (`Wrap/DB.pm:318`): on Upsert, a NULL
+        * incoming field leaves the target's existing value untouched
+        * instead of overwriting it — the reference skips undef fields
+        * when building the per-row statement. */
+      incrementalStore: Boolean = false)
 
   case class ProcessConfig(
       skipHolidays: String = "",          // calendar, or "1" → default AT

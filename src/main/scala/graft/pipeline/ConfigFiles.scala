@@ -145,7 +145,7 @@ object ConfigFiles {
 
   private val dbKeys = Set("table", "strategy", "primkey", "selector",
     "valueCols", "keepContent", "noTransaction", "cutoffYr2000",
-    "debugKeyIndicator") // addID.* validated by prefix
+    "debugKeyIndicator", "incrementalStore") // addID.* validated by prefix
   private val fileKeys = Set("header", "targetHeader", "sep", "sepIsRegex",
     "quoted", "skip", "skipUntil", "poslen", "eol", "encoding",
     "allowLinefeedInData", "thousandSep", "decimalSep", "normalizeNumerics",
@@ -163,10 +163,13 @@ object ConfigFiles {
         case "deleteinsert" => Right(DeleteInsert(csv(s.getOrElse("selector", ""))))
         case "updateonly"   => Right(UpdateOnly(csv(s.getOrElse("primkey", "")),
                                                 csv(s.getOrElse("valueCols", ""))))
+        case "insertignoredups" => Right(InsertIgnoreDups(csv(s.getOrElse("primkey", ""))))
         case other          => Left(s"unknown DB strategy '$other'")
       }
       strategy.flatMap {
         case Upsert(keys) if keys.isEmpty => Left("upsert needs primkey")
+        case InsertIgnoreDups(keys) if keys.isEmpty =>
+          Left("insertIgnoreDups needs primkey")
         case DeleteInsert(sel) if sel.isEmpty => Left("deleteInsert needs selector")
         case st => Right(DbConfig(
           table = s.getOrElse("table", ""),
@@ -176,7 +179,8 @@ object ConfigFiles {
             k.stripPrefix("addID.") -> v },
           cutoffYr2000 = int(s, "cutoffYr2000", 60),
           noTransaction = bool(s, "noTransaction", dflt = false),
-          debugKeyIndicator = s.getOrElse("debugKeyIndicator", "")))
+          debugKeyIndicator = s.getOrElse("debugKeyIndicator", ""),
+          incrementalStore = bool(s, "incrementalStore", dflt = false)))
       }
     }
   }

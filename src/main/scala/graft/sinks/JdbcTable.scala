@@ -143,13 +143,23 @@ object JdbcTable {
     val withId = db.addID.foldLeft(incoming) { case (df, (k, v)) =>
       df.withColumn(k, lit(v))
     }
+    def ordered: DataFrame = {
+      MergeOps.requireExactOrder(withId, ordCol)
+      if (withId.columns.contains(ordCol)) withId
+      else withId.withColumn(ordCol, monotonically_increasing_id())
+    }
     db.strategy match {
+      case Upsert(keys) if db.incrementalStore =>
+        // within-batch resolution is per-column coalesce cascade; the
+        // apply MERGE then coalesces against the target's values
+        MergeOps.upsertIncremental(ordered.limit(0), ordered, keys, ordCol)
       case Upsert(keys) =>
-        MergeOps.requireExactOrder(withId, ordCol)
-        val ordered =
-          if (withId.columns.contains(ordCol)) withId
-          else withId.withColumn(ordCol, monotonically_increasing_id())
         MergeOps.upsertLastWins(ordered.limit(0), ordered, keys, ordCol)
+      case InsertIgnoreDups(keys) =>
+        // first occurrence per key survives; the apply INSERT then
+        // anti-joins the target (NOT EXISTS)
+        val o = ordered
+        MergeOps.insertIgnoreDups(o.limit(0).drop(ordCol), o, keys, ordCol)
       case _ => if (withId.columns.contains(ordCol)) withId.drop(ordCol) else withId
     }
   }
@@ -250,7 +260,8 @@ object JdbcTable {
     val apply = sessionFactory()
     try {
       if (!db.keepContent) apply.execute(JdbcSql.truncate(table))
-      JdbcSql.applyStatements(db.strategy, table, stg, cols)
+      JdbcSql.applyStatements(db.strategy, table, stg, cols,
+        incremental = db.incrementalStore)
         .foreach(apply.execute)
       registry.foreach { case (reg, loadId) =>
         apply.executeBatch(JdbcSql.setStatus(reg),
@@ -492,7 +503,7 @@ object JdbcSql {
     * replacing the reference's per-row INSERT-else-UPDATE loop
     * (`Wrap/DB.pm:386-412`). */
   def applyStatements(strategy: StoreStrategy, table: String, stg: String,
-                      cols: Seq[String]): Seq[String] = {
+                      cols: Seq[String], incremental: Boolean = false): Seq[String] = {
     val insertSelect =
       s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
         s"SELECT ${cols.map(q).mkString(", ")} FROM ${q(stg)}"
@@ -501,7 +512,14 @@ object JdbcSql {
 
       case Upsert(keys) =>
         val setCols = cols.filterNot(keys.contains)
-        val sets = setCols.map(c => s"${q(c)} = ${q(stg)}.${q(c)}").mkString(", ")
+        // incrementalStore (Wrap/DB.pm:318): a NULL staged field keeps
+        // the target's existing value — COALESCE in the UPDATE branch
+        val sets = setCols.map { c =>
+          val src =
+            if (incremental) s"COALESCE(${q(stg)}.${q(c)}, ${q(table)}.${q(c)})"
+            else s"${q(stg)}.${q(c)}"
+          s"${q(c)} = $src"
+        }.mkString(", ")
         val insCols = cols.map(q).mkString(", ")
         val insVals = cols.map(c => s"${q(stg)}.${q(c)}").mkString(", ")
         Seq(
@@ -509,6 +527,13 @@ object JdbcSql {
             s"ON ${onClause(table, stg, keys)} " +
             s"WHEN MATCHED THEN UPDATE SET $sets " +
             s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)")
+
+      case InsertIgnoreDups(keys) =>
+        // ignoreDuplicateErrs (Wrap/DB.pm:403): insert only absent keys;
+        // batch-internal duplicates were first-wins-resolved at staging
+        Seq(insertSelect +
+          s" WHERE NOT EXISTS (SELECT 1 FROM ${q(table)} " +
+          s"WHERE ${onClause(table, stg, keys)})")
 
       case DeleteInsert(selector) =>
         val exists =

@@ -64,15 +64,17 @@ object ParquetTable {
   def store(spark: SparkSession, incoming: DataFrame, table: String,
             db: DbConfig, ordCol: String = "_lineno"): Unit = {
     db.strategy match {
-      case Upsert(_) => MergeOps.requireExactOrder(incoming, ordCol)
-      case _         =>
+      case Upsert(_) | InsertIgnoreDups(_) =>
+        MergeOps.requireExactOrder(incoming, ordCol)
+      case _ =>
     }
     val withId0 = db.addID.foldLeft(incoming) { case (df, (k, v)) => df.withColumn(k, lit(v)) }
-    // upsert resolution needs the ordering column; batches that lack one
-    // get partition-stable arrival order (matches the reference's
+    // order-sensitive resolution (upsert last-wins, ignore-dups
+    // first-wins) needs the ordering column; batches that lack one get
+    // partition-stable arrival order (matches the reference's
     // statement-order contract for a single batch)
     val withId = db.strategy match {
-      case Upsert(_) if !withId0.columns.contains(ordCol) =>
+      case (Upsert(_) | InsertIgnoreDups(_)) if !withId0.columns.contains(ordCol) =>
         withId0.withColumn(ordCol, monotonically_increasing_id())
       case _ => withId0
     }
@@ -83,15 +85,25 @@ object ParquetTable {
         // empty/truncated target: still resolve duplicates within the batch
         db.strategy match {
           case Upsert(keys) if withId.columns.contains(ordCol) =>
-            MergeOps.upsertLastWins(
-              withId.limit(0), withId, keys, ordCol)
+            if (db.incrementalStore)
+              MergeOps.upsertIncremental(withId.limit(0), withId, keys, ordCol)
+            else
+              MergeOps.upsertLastWins(withId.limit(0), withId, keys, ordCol)
+          case InsertIgnoreDups(keys) if withId.columns.contains(ordCol) =>
+            MergeOps.insertIgnoreDups(withId.limit(0).drop(ordCol), withId,
+              keys, ordCol)
           case _ => withId.drop(ordCol)
         }
       case (Some(t), Append) => t.unionByName(withId.drop(ordCol), allowMissingColumns = true)
       case (Some(t), Upsert(keys)) =>
         // target rows are "older" than every incoming row
         val tOrd = t.withColumn(ordCol, lit(Long.MinValue))
-        MergeOps.upsertLastWins(tOrd, withId, keys, ordCol)
+        if (db.incrementalStore)
+          MergeOps.upsertIncremental(tOrd, withId, keys, ordCol)
+        else
+          MergeOps.upsertLastWins(tOrd, withId, keys, ordCol)
+      case (Some(t), InsertIgnoreDups(keys)) =>
+        MergeOps.insertIgnoreDups(t, withId, keys, ordCol)
       case (Some(t), DeleteInsert(selector)) =>
         MergeOps.deleteInsert(t, withId.drop(ordCol), selector)
       case (Some(t), UpdateOnly(keys, valueCols)) =>

@@ -196,6 +196,46 @@ class DerbyRoundtripSpec extends SparkSpec {
     assert(back.agg(sum("id")).head.getLong(0) == 4950L)
   }
 
+  test("incremental upsert MERGE coalesces NULL staged fields against the target") {
+    val (url, sf) = freshDb()
+    val base = Seq((1L, Option("a"), Option(10L)), (2L, Option("b"), Option(20L)))
+      .toDF("k", "v", "n")
+    createTarget(sf, "t", base)
+    JdbcTable.store(base, "t", DbConfig(strategy = Append, keepContent = true),
+      sf, dialect = SqlDialect.Derby)
+    val incoming = Seq(
+      (1L, Option("A2"), None: Option[Long]),
+      (2L, None: Option[String], Option(22L)),
+      (3L, Option("c"), None: Option[Long])).toDF("k", "v", "n")
+    JdbcTable.store(incoming, "t",
+      DbConfig(strategy = Upsert(Seq("k")), keepContent = true,
+        incrementalStore = true),
+      sf, dialect = SqlDialect.Derby)
+    val back = readBack(url, "t", Seq("k", "v", "n")).orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(back.toSeq == Seq(
+      (1L, Some("A2"), Some(10L)),
+      (2L, Some("b"), Some(22L)),
+      (3L, Some("c"), None)))
+  }
+
+  test("insertIgnoreDups INSERT...WHERE NOT EXISTS skips present keys") {
+    val (url, sf) = freshDb()
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    createTarget(sf, "t", base)
+    JdbcTable.store(base, "t", DbConfig(strategy = Append, keepContent = true),
+      sf, dialect = SqlDialect.Derby)
+    val incoming = Seq((2L, "LOSES"), (3L, "first"), (3L, "second"))
+      .toDF("k", "v").coalesce(1)
+    JdbcTable.store(incoming, "t",
+      DbConfig(strategy = InsertIgnoreDups(Seq("k")), keepContent = true),
+      sf, dialect = SqlDialect.Derby)
+    val back = readBack(url, "t", Seq("k", "v")).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "first")))
+  }
+
   test("data error surfaces the offending row's debugKeyIndicator keys") {
     // the reference's Datenfehler leg (t/DB.t: ID0 varchar(4) fed
     // 'ABCD_WayTooLongField' with debugKeyIndicator 'selDate=? ID1=?'):

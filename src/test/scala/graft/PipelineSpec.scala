@@ -101,6 +101,47 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
   }
 
+  test("incremental upsert keeps target values where incoming is NULL (Wrap/DB.pm:318)") {
+    import spark.implicits._
+    val table = tmpDir("graft-incr-") + "/t"
+    val base = Seq((1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L)))
+      .toDF("k", "v", "n").withColumn("_lineno", monotonically_increasing_id())
+    ParquetTable.store(spark, base, table, DbConfig(strategy = Append))
+    // row 1: v updated, n NULL -> n stays 10; row 2 arrives twice — the
+    // later row's NULL v must not erase the earlier row's update either
+    val incoming = Seq(
+      (1L, Some("A2"), None: Option[Long]),
+      (2L, Some("B2"), Some(21L)),
+      (2L, None: Option[String], Some(22L)),
+      (3L, Some("c"), None: Option[Long])).toDF("k", "v", "n")
+      .withColumn("_lineno", monotonically_increasing_id())
+    ParquetTable.store(spark, incoming, table,
+      DbConfig(strategy = Upsert(Seq("k")), keepContent = true,
+        incrementalStore = true))
+    val rows = ParquetTable.load(spark, table).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.toSeq == Seq(
+      (1L, "A2", Some(10L)),   // NULL n preserved target's 10
+      (2L, "B2", Some(22L)),   // NULL v on the later row kept B2; n cascaded
+      (3L, "c", None)))        // fresh insert keeps its NULL
+  }
+
+  test("insertIgnoreDups appends absent keys only, first-wins in batch (Wrap/DB.pm:403)") {
+    import spark.implicits._
+    val table = tmpDir("graft-ignoredup-") + "/t"
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .withColumn("_lineno", monotonically_increasing_id())
+    ParquetTable.store(spark, base, table, DbConfig(strategy = Append))
+    val incoming = Seq((2L, "SHOULD_NOT_WIN"), (3L, "first"), (3L, "second"))
+      .toDF("k", "v").withColumn("_lineno", monotonically_increasing_id())
+    ParquetTable.store(spark, incoming, table,
+      DbConfig(strategy = InsertIgnoreDups(Seq("k")), keepContent = true))
+    val rows = ParquetTable.load(spark, table).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "first")))
+  }
+
   test("run gates: holidays, weekends, first business day (Common.pm:296-340)") {
     import RunGates._
     val p0 = ProcessConfig()
