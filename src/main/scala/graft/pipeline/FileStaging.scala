@@ -99,6 +99,11 @@ class FileStaging(workDir: String, historyDir: String,
     * for archive/remove at process end. */
   def markProcessed(names: Seq[String]): Unit = processed ++= names
 
+  /** Register a PRODUCED file (export path, `filesToArchive`,
+    * `Wrap.pm:476`) for the archive move at [[finish]]. Acquired files
+    * register themselves via [[checkFiles]]. */
+  def registerForArchive(name: String): Unit = toArchive += name
+
   def path(name: String): String = work.resolve(name).toString
 
   /** Process-end bookkeeping (`processingEnd` + `moveFilesToHistory`,
@@ -125,8 +130,12 @@ class FileStaging(workDir: String, historyDir: String,
     * by modification time. */
   def cleanupHistory(olderThanDays: Int): Seq[String] = {
     val cutoff = System.currentTimeMillis() - olderThanDays * 86400000L
-    val old = Files.list(history).iterator().asScala
-      .filter(f => Files.getLastModifiedTime(f).toMillis < cutoff).toSeq
+    val old = {
+      val s = Files.list(history)
+      try s.iterator().asScala
+        .filter(f => Files.getLastModifiedTime(f).toMillis < cutoff).toSeq
+      finally s.close()
+    }
     old.map { f => Files.delete(f); f.getFileName.toString }
   }
 }
