@@ -170,6 +170,12 @@ object ConfigFiles {
         case Upsert(keys) if keys.isEmpty => Left("upsert needs primkey")
         case InsertIgnoreDups(keys) if keys.isEmpty =>
           Left("insertIgnoreDups needs primkey")
+        case st if bool(s, "incrementalStore", dflt = false) &&
+            !st.isInstanceOf[Upsert] =>
+          // the flag's contract (NULL fields preserve target values) is
+          // only honored by the upsert path — accepting it elsewhere
+          // would silently overwrite target columns with NULL
+          Left("incrementalStore requires strategy = upsert")
         case DeleteInsert(sel) if sel.isEmpty => Left("deleteInsert needs selector")
         case st => Right(DbConfig(
           table = s.getOrElse("table", ""),

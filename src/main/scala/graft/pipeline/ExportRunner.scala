@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.pipeline.Config.LoadHooks
 import graft.sinks.{TextSink, TextWriteFormat}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 import scala.util.matching.Regex
 
 /** The export pipeline end-to-end (SURVEY.md §3.2 — `writeFileFromDB`,
@@ -61,15 +61,11 @@ object ExportRunner {
 
     val local = staging.path(export.fileName)
     TextSink.write(df, fmt, local)
-    // row count from the produced file (no second plan execution):
-    // total lines minus preamble/header per the format
-    val headerLines =
-      (if (fmt.beforeHeader.isDefined) 1 else 0) +
-        (if (fmt.suppressHeader) 0 else 1)
-    val rows = {
-      val s = Files.lines(Paths.get(local))
-      try math.max(0L, s.count() - headerLines) finally s.close()
-    }
+    // row count from the plan, not the file: physical-line counting is
+    // wrong for quoted fields with embedded newlines and would have to
+    // re-decode the file in its configured encoding. Exports are
+    // single-file reports by contract, so the extra count job is small.
+    val rows = df.count()
     val errors = Seq.newBuilder[String]
     if (rows == 0) errors += s"warn: no data retrieved for ${export.fileName}"
 

@@ -152,9 +152,11 @@ object JdbcTable {
       case Upsert(keys) if db.incrementalStore =>
         // within-batch resolution is per-column coalesce cascade; the
         // apply MERGE then coalesces against the target's values
-        MergeOps.upsertIncremental(ordered.limit(0), ordered, keys, ordCol)
+        val o = ordered
+        MergeOps.upsertIncremental(o.limit(0), o, keys, ordCol)
       case Upsert(keys) =>
-        MergeOps.upsertLastWins(ordered.limit(0), ordered, keys, ordCol)
+        val o = ordered
+        MergeOps.upsertLastWins(o.limit(0), o, keys, ordCol)
       case InsertIgnoreDups(keys) =>
         // first occurrence per key survives; the apply INSERT then
         // anti-joins the target (NOT EXISTS)

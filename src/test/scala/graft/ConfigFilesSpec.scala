@@ -86,6 +86,14 @@ class ConfigFilesSpec extends SparkSpec {
       .left.exists(_.contains("sepp")))
     assert(ConfigFiles.toDbConfig(Map("strategy" -> "upsert")).left.exists(
       _.contains("primkey")))
+    // incrementalStore's contract is only honored by the upsert path
+    assert(ConfigFiles.toDbConfig(
+      Map("strategy" -> "append", "incrementalStore" -> "true"))
+      .left.exists(_.contains("incrementalStore")))
+    assert(ConfigFiles.toDbConfig(
+      Map("strategy" -> "upsert", "primkey" -> "k",
+        "incrementalStore" -> "true"))
+      .exists(_.incrementalStore))
     intercept[IllegalArgumentException] {
       ConfigFiles.parse("not a section or kv")
     }

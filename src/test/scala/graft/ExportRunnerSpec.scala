@@ -35,7 +35,11 @@ class ExportRunnerSpec extends SparkSpec {
     // archive rides the staging lifecycle: finish() stamps into history
     val archived = st.finish()
     assert(archived.exists(_.startsWith("out_")), s"archived: $archived")
-    assert(Files.list(Paths.get(hist)).count() == 1)
+    val histFiles = {
+      val s = Files.list(Paths.get(hist))
+      try s.count() finally s.close()
+    }
+    assert(histFiles == 1)
   }
 
   test("columns default to the query's order; empty result is a warning") {
