@@ -312,6 +312,20 @@ object PlanAudit {
     check("q106 train order is a TakeOrdered, not a global sort",
       p106.contains("TakeOrdered"))
 
+    // q115: the per-column fill window and the final row_number window
+    // must share ONE hash exchange on the key (the scaladoc's claim) —
+    // a second exchange would double the shuffle for every incremental
+    // upsert at scale
+    val p115 = plan("q115_incr_upsert")
+    check("q115 incremental upsert shuffles once",
+      "Exchange hashpartitioning".r.findAllIn(p115).size == 1,
+      s"got ${"Exchange hashpartitioning".r.findAllIn(p115).size} hash exchanges")
+    // q116: absent-key insertion must be an anti join, never a nested loop
+    val p116 = plan("q116_insert_ignore")
+    check("q116 insert-ignore-dups anti-joins the target",
+      p116.contains("LeftAnti") && !p116.contains("CartesianProduct") &&
+        !p116.contains("BroadcastNestedLoopJoin"))
+
     // partitioned layout: a partition predicate must prune directories
     {
       import graft.sinks.ParquetTable
