@@ -13,15 +13,20 @@ import org.apache.spark.sql.SparkSession
   * sampled before every timed run and recorded per query, and any query
   * whose best run was measured under load above [[Bench.LoadThresh]] is
   * re-timed at the end of the suite (up to two extra runs, min kept) —
-  * by then the burst has usually passed, and if it hasn't, the recorded
-  * per-query load says so. A decision (like the driver's 2× gate) should
-  * trust entries with low recorded load and re-time the rest.
+  * by then the burst has usually passed, and if it hasn't, the entry
+  * lands in the record's `unstable` list. A decision (like the driver's
+  * 2× gate) should trust entries whose runs converged (`query_spread`
+  * near 1) and re-time the `unstable` rest.
   */
 object Bench {
 
-  /** 1-minute loadavg above which a measurement is considered
-    * noise-suspect on this container (quiet runs sit well under 1). */
-  val LoadThresh = 2.0
+  /** Max/min ratio of a query's two timed runs above which the entry is
+    * considered noise-suspect and re-timed at suite end. Steady state
+    * (warm JIT, min-of-2) stays well under this; an external CPU burst
+    * inflates one run but rarely both equally. Absolute loadavg is NOT
+    * used as the trigger — the bench's own local[32] execution
+    * legitimately drives it past any fixed threshold. */
+  val SpreadThresh = 1.5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,8 +62,15 @@ object Bench {
       (execute(name), l)
     }
 
-    // measurement state per query: best secs + load of the best run
-    final case class M(secs: Double, load: Double, retimes: Int)
+    // measurement state per query: best secs, load of the best run, and
+    // the SPREAD between the two timed runs (max/min) — the instability
+    // signal. Absolute loadavg cannot distinguish co-tenant noise from
+    // the bench's own 32-thread execution (which legitimately drives
+    // loadavg past any fixed threshold and IS the measurement); an
+    // external burst, in contrast, hits one of the two runs harder than
+    // the other, so a wide spread marks exactly the entries worth
+    // re-timing. Round-3's 9.9s-vs-1.1s q33 entry had spread ~9.
+    final case class M(secs: Double, load: Double, spread: Double, retimes: Int)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, M]
 
     // SPARK_GRAFT_ONLY=q20_...,q21_... benches a subset (scale smokes)
@@ -71,10 +83,11 @@ object Bench {
         val a = timed(name)
         val b = timed(name)
         val best = if (a._1 <= b._1) a else b
-        results(name) = M(best._1, best._2, 0)
+        val spread = math.max(a._1, b._1) / math.max(1e-9, math.min(a._1, b._1))
+        results(name) = M(best._1, best._2, spread, 0)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        results(name) = M(-1.0, -1.0, 0)
+        results(name) = M(-1.0, -1.0, -1.0, 0)
       } finally {
         // operators that cache intermediate relations register a fresh
         // cache entry per execution — drop them so later queries don't
@@ -83,27 +96,23 @@ object Bench {
       }
     }
 
-    // defense pass: re-time every query whose best run started under
-    // load — the burst has usually passed by the end of the suite
+    // defense pass: re-time every query whose two runs disagreed — the
+    // burst has usually passed by the end of the suite; a re-run that
+    // agrees with the kept minimum (within SpreadThresh) vindicates it
     names.foreach { name =>
       val m = results(name)
-      if (m.secs >= 0 && m.load > LoadThresh) {
+      if (m.secs >= 0 && m.spread > SpreadThresh) {
         var cur = m
         var tries = 0
-        while (tries < 2 && cur.load > LoadThresh) {
+        while (tries < 2 && cur.spread > SpreadThresh) {
           tries += 1
           try {
             val (s, l) = timed(name)
-            // keep the faster measurement; its load tags its credibility.
-            // A QUIET re-run that is slower still vindicates the record:
-            // load only ever inflates a run, so a quiet run bracketing
-            // the kept minimum proves the minimum wasn't noise — record
-            // the quiet load so downstream consumers trust the entry.
-            if (s < cur.secs) cur = M(s, l, tries)
-            // l = -1.0 means the load read itself failed — that is not
-            // a quiet run and must not unflag a suspect entry
-            else if (l >= 0) cur = M(cur.secs, math.min(cur.load, l), tries)
-            else cur = cur.copy(retimes = tries)
+            val agree = math.max(s, cur.secs) / math.max(1e-9, math.min(s, cur.secs))
+            // keep the faster measurement; the new spread is the re-run's
+            // agreement with it — two runs that agree close the case
+            if (s < cur.secs) cur = M(s, l, agree, tries)
+            else cur = M(cur.secs, cur.load, agree, tries)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] retime $name failed: ${e.getMessage}")
             tries = 2
@@ -122,8 +131,14 @@ object Bench {
       .mkString("{", ",", "}")
     val loads = results.map { case (k, m) => "\"" + k + "\":" + fmt(m.load) }
       .mkString("{", ",", "}")
+    val spreads = results.map { case (k, m) => "\"" + k + "\":" + fmt(m.spread) }
+      .mkString("{", ",", "}")
     val retimed = results.collect { case (k, m) if m.retimes > 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // entries whose runs never converged — treat their times as suspect
+    val unstable = results.collect {
+      case (k, m) if m.secs >= 0 && m.spread > SpreadThresh => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val total = results.values.map(_.secs).filter(_ >= 0).sum
     // machine load at bench end: co-tenant CPU bursts can inflate wall
     // times several-fold, so the record carries its own noise diagnostic
@@ -132,7 +147,8 @@ object Bench {
     } catch { case _: Throwable => "" }
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""query_load":$loads,"retimed":$retimed,"sf":"$sfDir","loadavg":"$load"}"""
+        s""""query_load":$loads,"query_spread":$spreads,"retimed":$retimed,""" +
+        s""""unstable":$unstable,"sf":"$sfDir","loadavg":"$load"}"""
     // sbt interleaves [info]/WARN prefixes on stdout, which broke the
     // driver's parse in round 1 — persist the result line to a file too
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
