@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   * lands in the record's `unstable` list. A decision (like the driver's
   * 2× gate) should trust entries whose runs converged (`query_spread`
   * near 1) and re-time the `unstable` rest.
+  *
+  * Record hygiene: `SPARK_GRAFT_ONLY` subset runs write `BENCH_subset
+  * .json` (never the canonical `BENCH.json`), and a full run compares its
+  * total against the previous quiet record at the same sf — >1.3× apart
+  * marks the new record `"quiet": false` with the trigger, so loaded
+  * records self-identify instead of reading as regressions.
   */
 object Bench {
 
@@ -122,6 +128,31 @@ object Bench {
       }
     }
 
+    // Self-qualification reference: the last full-suite record at the same
+    // sf, read BEFORE this run overwrites it. Subset runs never provide a
+    // reference (their total reflects only the subset) and never clobber
+    // the canonical file — round 2 lost a full-suite record exactly that
+    // way. Only records that were themselves quiet (or predate the flag)
+    // qualify as a reference, so one loaded record can't poison the chain.
+    val isSubset = only.isDefined
+    val outFile = if (isSubset) "BENCH_subset.json" else "BENCH.json"
+    def jsonField(src: String, key: String): Option[String] = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + java.util.regex.Pattern.quote(key) + "\":(\"[^\"]*\"|[^,}]*)")
+        .matcher(src)
+      if (m.find()) Some(m.group(1).stripPrefix("\"").stripSuffix("\"")) else None
+    }
+    val priorQuietTotal: Option[Double] = if (isSubset) None else try {
+      val p = java.nio.file.Paths.get("BENCH.json")
+      if (!java.nio.file.Files.exists(p)) None else {
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val sameSf = jsonField(src, "sf").contains(sfDir)
+        val wasQuiet = jsonField(src, "quiet").forall(_ != "false")
+        if (sameSf && wasQuiet) jsonField(src, "value").flatMap(_.toDoubleOption)
+        else None
+      }
+    } catch { case _: Throwable => None }
+
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma decimal separator would corrupt the JSON record
     def fmt(d: Double): String =
@@ -145,13 +176,27 @@ object Bench {
     val load = try {
       scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ").take(3).mkString(",")
     } catch { case _: Throwable => "" }
+    // quiet self-qualification: a full run >1.3× the last quiet record at
+    // the same sf is almost certainly co-tenant noise (round 4: driver
+    // recorded 81.2 s at loadavg 5.2 vs the 59.0 s quiet record; every
+    // "regression" evaporated on quiet re-time). Mark the record so
+    // downstream readers stop treating loaded records as regressions.
+    val quietInfo = priorQuietTotal match {
+      case Some(ref) if ref > 0 && total > ref * 1.3 =>
+        s""","quiet":false,"quiet_trigger":"total ${fmt(total)}s > 1.3x prior quiet ${fmt(ref)}s""""
+      case Some(ref) => s""","quiet":true,"quiet_ref":${fmt(ref)}"""
+      case None => s""","quiet":true"""
+    }
+    val subsetInfo = if (isSubset) s""","subset":true""" else ""
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""query_load":$loads,"query_spread":$spreads,"retimed":$retimed,""" +
-        s""""unstable":$unstable,"sf":"$sfDir","loadavg":"$load"}"""
+        s""""unstable":$unstable,"sf":"$sfDir","loadavg":"$load"$quietInfo$subsetInfo}"""
     // sbt interleaves [info]/WARN prefixes on stdout, which broke the
-    // driver's parse in round 1 — persist the result line to a file too
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+    // driver's parse in round 1 — persist the result line to a file too.
+    // Subset runs (SPARK_GRAFT_ONLY) write BENCH_subset.json so a scale
+    // smoke can never clobber the canonical full-suite record.
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

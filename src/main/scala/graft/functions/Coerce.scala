@@ -63,24 +63,90 @@ object Coerce {
   /** Numeric coercion battery (`Wrap/DB.pm:244-256`): strip trailing ".0+",
     * SAP postfix minus `123-` → `-123`, strip trailing '%', reject
     * non-numeric shapes and "N/A" (→ None), flush subnormals (≤1.79E-308)
-    * to 0. */
+    * to 0.
+    *
+    * Implemented as single-pass character scans (shape-classify, then
+    * dispatch) rather than the reference's regex cascade — this runs
+    * per-field on every load, so the per-row constant matters at scale.
+    * [[coerceNumericRegex]] keeps the literal regex transcription; a
+    * differential property test in CoerceSpec pins the two equal. */
   def coerceNumeric(s0: String): Option[Double] = {
     if (s0 == null) return None
-    // fast paths: no digit anywhere → every accepting shape (all require
-    // \d+) rejects; plain optionally-negative integers take none of the
-    // rewrites and parse directly
+    val n = s0.length
+    // pass 1: digit presence (every accepting shape requires \d+) and the
+    // plain optionally-negative integer fast path (takes no rewrites)
     var hasDigit = false
-    var pureInt = s0.length > 0 && s0.length <= 16
+    var pureInt = n > 0 && n <= 16
     var i = 0
-    while (i < s0.length) {
+    while (i < n) {
       val c = s0.charAt(i)
       val digit = c >= '0' && c <= '9'
       hasDigit |= digit
-      pureInt &&= digit || (i == 0 && c == '-' && s0.length > 1)
+      pureInt &&= digit || (i == 0 && c == '-' && n > 1)
       i += 1
     }
     if (!hasDigit) return None
     if (pureInt) return Some(s0.toDouble)
+    var s = s0
+    // ".*\d+\.0+$" → strip the "\.0+" tail: a run of '0's at the end,
+    // preceded by '.', preceded by a digit
+    var j = s.length - 1
+    while (j >= 0 && s.charAt(j) == '0') j -= 1
+    if (j < s.length - 1 && j >= 1 && s.charAt(j) == '.' && isDigit(s.charAt(j - 1)))
+      s = s.substring(0, j)
+    // "[\d.]*-$" → leading minus; "[\d.]*%$" → drop the percent sign
+    val last = s.charAt(s.length - 1)
+    if ((last == '-' || last == '%') && digitsDotsOnly(s, s.length - 1))
+      s = if (last == '-') "-" + s.substring(0, s.length - 1)
+          else s.substring(0, s.length - 1)
+    // shape gate "-*\d*\.?\d+E*[-+]*\d*" as a hand-rolled scan (the regex
+    // is the reference's, oddities included: any number of leading
+    // minuses and 'E's — toDouble below rejects the nonsense ones)
+    if (!numericShapeScan(s)) return None
+    if (s == "N/A") return None
+    val v = try s.toDouble catch { case _: NumberFormatException => return None }
+    if (math.abs(v) <= 1.79e-308 && math.abs(v) > 0) Some(0.0) else Some(v)
+  }
+
+  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  private def digitsDotsOnly(s: String, end: Int): Boolean = {
+    var i = 0
+    while (i < end) {
+      val c = s.charAt(i)
+      if (!(isDigit(c) || c == '.')) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Deterministic scan equivalent of `-*\d*\.?\d+E*[-+]*\d*` (full match).
+    * The `\d*\.?\d+` core requires ≥1 digit after the dot when a dot is
+    * taken, else ≥1 digit total. */
+  private def numericShapeScan(s: String): Boolean = {
+    val n = s.length
+    var i = 0
+    while (i < n && s.charAt(i) == '-') i += 1              // -*
+    val intStart = i
+    while (i < n && isDigit(s.charAt(i))) i += 1            // \d*
+    val intDigits = i - intStart
+    if (i < n && s.charAt(i) == '.') {                      // \.? \d+
+      i += 1
+      val fracStart = i
+      while (i < n && isDigit(s.charAt(i))) i += 1
+      if (i == fracStart) return false
+    } else if (intDigits == 0) return false                 // bare \d+
+    while (i < n && s.charAt(i) == 'E') i += 1              // E*
+    while (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1 // [-+]*
+    while (i < n && isDigit(s.charAt(i))) i += 1            // \d*
+    i == n
+  }
+
+  /** Literal regex transcription of `Wrap/DB.pm:244-256` — the semantic
+    * reference for [[coerceNumeric]]'s scan version; differential property
+    * test in CoerceSpec. */
+  private[graft] def coerceNumericRegex(s0: String): Option[Double] = {
+    if (s0 == null) return None
     var s = s0
     if (trailingZeros.matcher(s).matches()) s = trailingZerosStrip.matcher(s).replaceAll("")
     if (postfixMinus.matcher(s).matches()) s = postfixMinusSwap.matcher(s).replaceFirst("-$1")

@@ -78,7 +78,14 @@ object EtlQueries {
   }
 
   /** T8 date/time coercion cascade over 7 input shapes built from
-    * o_orderdate (incl. SAP YYYYMMDDHHMM60 fudge and 2-digit-year pivot). */
+    * o_orderdate (incl. SAP YYYYMMDDHHMM60 fudge and 2-digit-year pivot).
+    *
+    * Plan shape: sort the narrow raw columns FIRST, project the shape
+    * synthesis + coercion after — the range-exchange's sampling pass
+    * re-executes the sort's child, so any expensive projection below the
+    * sort runs twice. Projections above a sort run exactly once,
+    * post-shuffle. (Same restructure in [[q13CoerceNumerics]]; halved
+    * both queries' wall time.) */
   def q12CoerceDates(spark: SparkSession, dir: String): DataFrame = {
     val d = col("o_orderdate")
     val informat = expr("o_orderkey % 7").cast("int")
@@ -91,9 +98,10 @@ object EtlQueries {
       .when(informat === 5, date_format(d, "dd.MM.yy"))
       .otherwise(lit("N/A"))
     Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
       .select(col("o_orderkey"), input.as("instr"))
       .withColumn("odbc", graft.plans.GraftExtensions.coerce_datetime(col("instr")))
-      .orderBy(col("o_orderkey"))
   }
 
   /** T2+T8 numeric/bool coercions: German thousand format, scientific
@@ -117,13 +125,18 @@ object EtlQueries {
       when(b === 0, lit("WAHR")).when(b === 1, lit("false"))
       .when(b === 2, lit("TRUE")).when(b === 3, lit("FALSCH"))
       .otherwise(lit("x"))
+    // sort first on the narrow raw columns, synthesize + coerce above the
+    // sort (see q12CoerceDates scaladoc: sampling pass runs the sort's
+    // child twice; the projection above runs once)
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"),
         input.as("instr"), boolInput.as("boolstr"))
       .withColumn("val", graft.plans.GraftExtensions.coerce_numeric(
         graft.plans.GraftExtensions.normalize_numerics(col("instr"), ".", ",")))
       .withColumn("boolval", graft.plans.GraftExtensions.coerce_bool(col("boolstr")))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** K3 upsert last-wins: base orders + an update batch for keys %7==0;
