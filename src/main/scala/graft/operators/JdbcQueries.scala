@@ -52,8 +52,15 @@ object JdbcQueries {
     JdbcTable.store(overlay.repartition(2), "q112_tgt",
       DbConfig(strategy = Upsert(Seq("l_orderkey", "l_linenumber")),
         keepContent = true), sf, dialect = SqlDialect.Derby)
-    // read back partitioned (each task range-scans its own key slice)
-    val maxKey = 6000000L
+    // read back partitioned (each task range-scans its own key slice).
+    // upperBound comes from the data: Spark's JDBC bounds don't filter
+    // rows, but a constant bound below/above the real key range collapses
+    // the out-of-range keys into one partition and skews the parallel
+    // read at scale factors beyond the smoke.
+    val maxKey = base.agg(max(col("l_orderkey"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r                  => math.max(r.getAs[Number](0).longValue, 1L)
+    }
     JdbcTable.load(spark, url,
       """SELECT "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag" """ +
         """FROM "q112_tgt"""",

@@ -60,12 +60,10 @@ object ExportRunner {
       else export.format.copy(columns = df.columns.toSeq)
 
     val local = staging.path(export.fileName)
-    TextSink.write(df, fmt, local)
-    // row count from the plan, not the file: physical-line counting is
-    // wrong for quoted fields with embedded newlines and would have to
-    // re-decode the file in its configured encoding. Exports are
-    // single-file reports by contract, so the extra count job is small.
-    val rows = df.count()
+    // the sink counts rows inside the line-encoding pass, so the reported
+    // count IS the file's content even for a non-deterministic query —
+    // and the plan executes once, not twice
+    val rows = TextSink.write(df, fmt, local)
     val errors = Seq.newBuilder[String]
     if (rows == 0) errors += s"warn: no data retrieved for ${export.fileName}"
 

@@ -427,11 +427,17 @@ object SqlDialect {
   /** Apache Derby: VARCHAR requires a length (32672 is Derby's max),
     * binary is the `FOR BIT DATA` form, and there is no `IF [NOT]
     * EXISTS` — existence goes through SYS.SYSTABLES (quoted identifiers
-    * are stored case-exact, so the probe binds the exact name). */
+    * are stored case-exact, so the probe binds the exact name). The probe
+    * is scoped to the connection's CURRENT SCHEMA: a same-named table in
+    * another schema must not read as "exists", or dropIfExists/create
+    * would skip creation and fail later on access. */
   val Derby: SqlDialect = SqlDialect(
     stringType = "VARCHAR(32672)",
     binaryType = "VARCHAR (32672) FOR BIT DATA",
-    tableExistsSql = Some("SELECT 1 FROM SYS.SYSTABLES WHERE TABLENAME = ?"))
+    tableExistsSql = Some(
+      "SELECT 1 FROM SYS.SYSTABLES T JOIN SYS.SYSSCHEMAS S " +
+        "ON T.SCHEMAID = S.SCHEMAID " +
+        "WHERE T.TABLENAME = ? AND S.SCHEMANAME = CURRENT SCHEMA"))
 }
 
 /** Pure SQL generation for [[JdbcTable]] — deterministic strings, unit-

@@ -66,13 +66,23 @@ object TextSink {
     pre ++ head
   }
 
-  /** Write `df` (already ordered by the caller) to exactly `target`. */
-  def write(df: DataFrame, fmt: TextWriteFormat, target: String): Unit = {
+  /** Write `df` (already ordered by the caller) to exactly `target`.
+    * Returns the number of data rows written (header/preamble excluded),
+    * counted inside the line-encoding pass itself — the rows in the file,
+    * not a second execution of the plan (which could disagree for a
+    * non-deterministic query and doubles the export cost). The count
+    * rides a [[org.apache.spark.util.LongAccumulator]] through the
+    * single final write task, so it reflects exactly what the committed
+    * part file contains. */
+  def write(df: DataFrame, fmt: TextWriteFormat, target: String): Long = {
     val spark = df.sparkSession
     import spark.implicits._
     val tmpDir = Files.createTempDirectory("graft-textsink-").toString
+    val rowCount = spark.sparkContext.longAccumulator("graft.textsink.rows")
     val headerDf = spark.createDataset(headerLines(fmt)).toDF("value").coalesce(1)
-    val body = df.select(lineExpr(fmt).as("value")).coalesce(1)
+    val body = df.select(lineExpr(fmt).as("value")).as[String]
+      .mapPartitions { it => it.map { s => rowCount.add(1L); s } }
+      .toDF("value").coalesce(1)
     // union preserves child partition order; final coalesce(1) concatenates
     headerDf.union(body).coalesce(1).write.mode("overwrite").text(tmpDir)
 
@@ -92,5 +102,6 @@ object TextSink {
       Files.move(tmpFile, targetPath, StandardCopyOption.REPLACE_EXISTING)
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpDir))
+    rowCount.value
   }
 }

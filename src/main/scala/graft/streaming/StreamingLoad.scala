@@ -196,17 +196,45 @@ object StreamingLoad {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          mergeSketchBatch(batch, batchId, keyCol, sketchPath, depth, width)
+          mergeSketchBatch(batch, batchId, keyCol, sketchPath, depth, width,
+            runId = checkpointQueryId(batch.sparkSession, checkpoint))
           ()
         }
       }
       .start()
 
+  /** The streaming query id persisted in `<checkpoint>/metadata` — stable
+    * across restarts from the same checkpoint, fresh when the checkpoint
+    * is new. This is the identity that scopes Spark's batchId sequence:
+    * batchIds restart at 0 for a new checkpoint, so a watermark compared
+    * across query ids would silently skip real batches (a reused
+    * sketchPath with a cleared checkpoint). */
+  def checkpointQueryId(spark: SparkSession, checkpoint: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      // StreamMetadata is a one-key JSON object: {"id":"<uuid>"}
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
+    }
+  }
+
   /** One idempotent merge step of [[sketchStream]] — exposed so the
     * replay contract is directly testable. Returns true when the batch
-    * was applied, false when it was skipped as already-merged. */
+    * was applied, false when it was skipped as already-merged.
+    *
+    * `runId` scopes the batchId watermark to one checkpoint lifetime
+    * (see [[checkpointQueryId]]): when the sketch's stored run id and the
+    * current one are both known and differ, the watermark is reset so a
+    * fresh checkpoint's batch 0 is applied rather than skipped. A missing
+    * run id on either side falls back to the bare batchId compare (legacy
+    * sketches and direct API callers). */
   def mergeSketchBatch(batch: DataFrame, batchId: Long, keyCol: String,
-                       sketchPath: String, depth: Int, width: Int): Boolean = {
+                       sketchPath: String, depth: Int, width: Int,
+                       runId: Option[String] = None): Boolean = {
     val spark = batch.sparkSession
     // ParquetTable.exists heals the atomicOverwrite crash window first —
     // a raw directory probe would miss a sketch parked at .old-graft and
@@ -217,29 +245,36 @@ object StreamingLoad {
     // A sketch written before the replay watermark existed has no
     // batch_id column (and an empty table has no max) — both mean
     // "nothing known applied", not a crash.
-    val applied: Long = standing match {
+    val (applied: Long, storedRun: Option[String]) = standing match {
       case Some(df) if df.columns.contains("batch_id") =>
-        df.agg(max(col("batch_id"))).head() match {
-          case r if r.isNullAt(0) => Long.MinValue
-          case r                  => r.getLong(0)
+        val runCol = if (df.columns.contains("run_id")) max(col("run_id"))
+                     else lit(null).cast("string")
+        df.agg(max(col("batch_id")), runCol).head() match {
+          case r if r.isNullAt(0) => (Long.MinValue, None)
+          case r => (r.getLong(0), Option(r.getString(1)))
         }
-      case _ => Long.MinValue
+      case _ => (Long.MinValue, None)
     }
-    if (batchId <= applied) false
+    val sameRun = (runId, storedRun) match {
+      case (Some(a), Some(b)) => a == b
+      case _                  => true
+    }
+    if (sameRun && batchId <= applied) false
     else {
       val delta = graft.operators.Sketches.cmsSketch(batch, keyCol, depth, width)
       val merged = {
         standing match {
           case Some(df) =>
-            df.drop("batch_id")
+            df.drop("batch_id").drop("run_id")
               .unionByName(delta)
               .groupBy(col("depth"), col("bucket"))
               .agg(sum(col("cnt")).as("cnt"))
           case None => delta
         }
       }.withColumn("batch_id", lit(batchId))
+        .withColumn("run_id", lit(runId.orNull).cast("string"))
       // the merge plan still READS sketchPath — swap atomically, so
-      // counters and the batch_id watermark commit together
+      // counters and the batch_id+run_id watermark commit together
       ParquetTable.atomicOverwrite(merged.coalesce(1), sketchPath)
       true
     }

@@ -113,13 +113,20 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(2L, 3L, 3L, 9L)
       q.processAllAvailable()
-      val streamed = spark.read.parquet(s"$dir/sketch").drop("batch_id")
+      val streamed = spark.read.parquet(s"$dir/sketch").drop("batch_id", "run_id")
       val batch = graft.operators.Sketches.cmsSketch(
         Seq(1L, 2L, 2L, 3L, 2L, 3L, 3L, 9L).toDF("k"), "k", 4, 64)
       assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
         "streamed sketch != batch sketch over the union of batches")
       // bounded state: never more than depth*width rows
       assert(streamed.count() <= 4L * 64L)
+      // the sketch is stamped with the checkpoint's query id, so a future
+      // checkpoint replacement is detected as a new batchId lifetime
+      val rid = StreamingLoad.checkpointQueryId(spark, s"$dir/cp")
+      assert(rid.isDefined, "checkpoint metadata id not readable")
+      assert(spark.read.parquet(s"$dir/sketch")
+        .select("run_id").head().getString(0) == rid.get,
+        "sketch run_id != checkpoint query id")
     } finally q.stop()
   }
 
@@ -132,15 +139,38 @@ class StreamingSpec extends SparkSpec {
     val b1 = Seq(2L, 3L, 3L, 9L).toDF("k")
     assert(StreamingLoad.mergeSketchBatch(b0, 0L, "k", path, 4, 64))
     assert(StreamingLoad.mergeSketchBatch(b1, 1L, "k", path, 4, 64))
-    val once = spark.read.parquet(path).drop("batch_id").collect().toSet
+    val once = spark.read.parquet(path).drop("batch_id", "run_id").collect().toSet
     // crash between swap and checkpoint commit → foreachBatch re-runs
     // batch 1; the batch_id watermark must reject the duplicate delta
     assert(!StreamingLoad.mergeSketchBatch(b1, 1L, "k", path, 4, 64),
       "redelivered batch was merged again")
-    val after = spark.read.parquet(path).drop("batch_id").collect().toSet
+    val after = spark.read.parquet(path).drop("batch_id", "run_id").collect().toSet
     assert(after == once, "replay double-counted the standing CMS counters")
     // and a genuinely new batch still applies
     assert(StreamingLoad.mergeSketchBatch(Seq(9L).toDF("k"), 2L, "k", path, 4, 64))
+  }
+
+  test("sketch watermark resets when the checkpoint identity changes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-runid-").toString
+    val path = s"$dir/sketch"
+    val b = Seq(1L, 2L).toDF("k")
+    assert(StreamingLoad.mergeSketchBatch(b, 5L, "k", path, 4, 64,
+      runId = Some("runA")))
+    // same checkpoint lifetime: a replayed batch is still rejected
+    assert(!StreamingLoad.mergeSketchBatch(b, 5L, "k", path, 4, 64,
+      runId = Some("runA")))
+    // a NEW checkpoint restarts batchIds at 0; with the old watermark (5)
+    // still stored, batch 0 of the new lifetime must apply, not be
+    // silently skipped
+    assert(StreamingLoad.mergeSketchBatch(b, 0L, "k", path, 4, 64,
+      runId = Some("runB")),
+      "fresh-checkpoint batch was skipped by a stale watermark")
+    // the watermark now belongs to the new lifetime
+    assert(!StreamingLoad.mergeSketchBatch(b, 0L, "k", path, 4, 64,
+      runId = Some("runB")))
+    // unknown run id on either side: legacy bare-batchId semantics
+    assert(!StreamingLoad.mergeSketchBatch(b, 0L, "k", path, 4, 64))
   }
 
   test("sketchStream migrates a pre-watermark sketch and heals the crash window") {
@@ -156,7 +186,7 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingLoad.mergeSketchBatch(Seq(2L, 3L).toDF("k"), 7L, "k", legacy, 4, 64))
     val both = graft.operators.Sketches.cmsSketch(
       Seq(1L, 2L, 2L, 3L).toDF("k"), "k", 4, 64).collect().toSet
-    assert(spark.read.parquet(legacy).drop("batch_id").collect().toSet == both,
+    assert(spark.read.parquet(legacy).drop("batch_id", "run_id").collect().toSet == both,
       "legacy sketch was not folded into the merged result")
     // crash window: live table parked at .old-graft (the state a crash
     // between atomicOverwrite's two renames leaves). The merge must heal
@@ -167,7 +197,7 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.move(java.nio.file.Paths.get(parked),
       java.nio.file.Paths.get(parked + ".old-graft"))
     assert(StreamingLoad.mergeSketchBatch(Seq(2L, 3L).toDF("k"), 1L, "k", parked, 4, 64))
-    assert(spark.read.parquet(parked).drop("batch_id").collect().toSet == both,
+    assert(spark.read.parquet(parked).drop("batch_id", "run_id").collect().toSet == both,
       "crash-window sketch was reset to the single batch's delta")
   }
 
