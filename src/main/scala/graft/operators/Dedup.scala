@@ -23,11 +23,28 @@ import org.apache.spark.sql.expressions.Window
   * Cache lifecycle: the pair generators cache the shared shingle/signature
   * relation (consumed by both the candidate join and the verification
   * stage — recomputing it would double the dominant shuffle). The cache is
-  * bounded by that relation's size, not the corpus (hashes, not text); the
-  * caller owns the session-level lifecycle (`spark.catalog.clearCache()`
-  * between pipeline stages, as Bench does between queries).
+  * bounded by that relation's size, not the corpus (hashes, not text).
+  * Each generator has two forms: a `...Scoped` variant returning a
+  * [[CachedResult]] handle that owns the cache (release with `close()`,
+  * or borrow with `use` — the right form for long-lived sessions, as
+  * [[graft.pipeline.CurationPipeline]] does), and a plain-DataFrame
+  * variant for one-shot consumers that clear the session cache between
+  * stages (`spark.catalog.clearCache()`, as Bench does between queries).
   */
 object Dedup {
+
+  /** A result DataFrame whose plan reads cached relations owned by the
+    * callee. `close()` unpersists them (idempotent, lazy-safe: Spark
+    * recomputes if the plan is re-executed afterwards); `use` is the
+    * borrow form — run the consumer, then release in `finally`. */
+  final class CachedResult private[graft] (val df: DataFrame,
+      caches: Seq[DataFrame]) extends AutoCloseable {
+    override def close(): Unit = caches.foreach(_.unpersist(blocking = true))
+    def use[T](f: DataFrame => T): T = try f(df) finally close()
+    /** True while any backing relation is still registered as cached. */
+    def isCached: Boolean =
+      caches.exists(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+  }
 
   /** Word n-gram shingles of the normalized text — one native codegen'd
     * pass ([[graft.plans.ShingleArray]]; the declarative
@@ -58,7 +75,14 @@ object Dedup {
     * `maxShingleFreq` implements the cap. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        maxShingleFreq: Int = 1000): DataFrame = {
+                        maxShingleFreq: Int = 1000): DataFrame =
+    ngramJaccardPairsScoped(df, idCol, textCol, n, threshold, maxShingleFreq).df
+
+  /** [[ngramJaccardPairs]] with an owned cache handle (see the class doc's
+    * cache-lifecycle paragraph). */
+  def ngramJaccardPairsScoped(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, threshold: Double,
+                              maxShingleFreq: Int = 1000): CachedResult = {
     val ds = docShingles(df, idCol, textCol, n).cache()
     val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // skew cap as a broadcast anti-join on the hot-shingle list: the
@@ -73,13 +97,14 @@ object Dedup {
       .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
+    val verified = pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    new CachedResult(verified, Seq(ds))
   }
 
   /** Emit-once banding filter: given each side's full per-band signature
@@ -104,7 +129,14 @@ object Dedup {
     * Returns verified pairs (id_a, id_b, jaccard ≥ threshold). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5): DataFrame =
+    minhashLshPairsScoped(df, idCol, textCol, n, numHashes, bands, threshold).df
+
+  /** [[minhashLshPairs]] with an owned cache handle (see the class doc's
+    * cache-lifecycle paragraph). */
+  def minhashLshPairsScoped(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.5): CachedResult = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // 31-bit lanes: products stay < 2^62, so the universal-hash arithmetic
@@ -156,13 +188,14 @@ object Dedup {
       .join(ds.withColumnRenamed("id", "id_a"), "id_a")
       .join(ds.withColumnRenamed("id", "id_b"), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-    common
+    val verified = common
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    new CachedResult(verified, Seq(hashed))
   }
 
   /** 64-bit SimHash over token hashes: sign of per-bit weighted sums.
@@ -190,6 +223,12 @@ object Dedup {
     * agrees on ≥1 chunk). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame =
+    simhashPairsScoped(df, idCol, textCol, maxDist).df
+
+  /** [[simhashPairs]] with an owned cache handle (see the class doc's
+    * cache-lifecycle paragraph). */
+  def simhashPairsScoped(df: DataFrame, idCol: String, textCol: String,
+                         maxDist: Int = 3): CachedResult =
     hammingPairs(simhash(df, idCol, textCol), chunkBits = 16, nChunks = 4,
       maxDist = maxDist)
 
@@ -199,7 +238,7 @@ object Dedup {
     * maxDist ≤ nChunks - 1 the banding is EXACT (100% recall) — the chunk
     * equi-join replaces the all-pairs product at scale. */
   private def hammingPairs(sig0: DataFrame, chunkBits: Int, nChunks: Int,
-                           maxDist: Int): DataFrame = {
+                           maxDist: Int): CachedResult = {
     require(maxDist < nChunks, "pigeonhole banding needs maxDist < nChunks")
     val sig = sig0.cache()
     val mask = (1L << chunkBits) - 1
@@ -208,7 +247,7 @@ object Dedup {
     val chunks = sig.select(col("id"), col("simhash"), chunkArr.as("cks"))
       .select(col("id"), col("simhash"), col("cks"),
         posexplode(col("cks")).as(Seq("chunk", "ck")))
-    chunks.as("a")
+    val pairs = chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
         col("a.id") < col("b.id") &&
@@ -218,6 +257,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    new CachedResult(pairs, Seq(sig))
   }
 
   /** Portable 31-bit polynomial token hash: left fold over code points,
@@ -275,6 +315,12 @@ object Dedup {
     * signature), banded 4 × 15 bits — exact recall by pigeonhole. */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            maxDist: Int = 3): DataFrame =
+    simhashPairsPortableScoped(df, idCol, textCol, maxDist).df
+
+  /** [[simhashPairsPortable]] with an owned cache handle (see the class
+    * doc's cache-lifecycle paragraph). */
+  def simhashPairsPortableScoped(df: DataFrame, idCol: String, textCol: String,
+                                 maxDist: Int = 3): CachedResult =
     hammingPairs(simhashPortable(df, idCol, textCol), chunkBits = 15,
       nChunks = 4, maxDist = maxDist)
 

@@ -143,8 +143,12 @@ object CurationPipeline {
           docs.join(keep, Seq(idCol), "left_semi")
 
         case NearDedup(n, th) =>
-          val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, n, th)
-          val canonical = Dedup.dupGroups(docs, idCol, pairs)
+          // borrow the pair generator's shingle cache only for the eager
+          // dupGroups propagation (its result labels are checkpointed, so
+          // the returned plan no longer reads the pairs) — a long-lived
+          // session doesn't accumulate the cache across pipeline runs
+          val canonical = Dedup.ngramJaccardPairsScoped(docs, idCol, textCol, n, th)
+            .use(pairs => Dedup.dupGroups(docs, idCol, pairs))
             .filter(col("is_canonical")).select(col("id").as(idCol))
           docs.join(canonical, Seq(idCol), "left_semi")
 

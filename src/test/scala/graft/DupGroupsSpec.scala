@@ -66,4 +66,19 @@ class DupGroupsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("scoped pair generators release their caches on close/use") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g z"), (3L, "q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val h = Dedup.ngramJaccardPairsScoped(docs, "doc_id", "text", 3, 0.1)
+    h.df.count() // materializes the shingle cache
+    assert(h.isCached, "pair generation did not register its cache")
+    h.close()
+    assert(!h.isCached, "close() left the shingle cache behind")
+    // borrow form: released even though the consumer returns a new plan
+    val h2 = Dedup.minhashLshPairsScoped(docs, "doc_id", "text", 3, 16, 4, 0.1)
+    h2.use(_.count())
+    assert(!h2.isCached, "use() left the signature cache behind")
+  }
 }
