@@ -149,7 +149,9 @@ object ConfigFiles {
   private val fileKeys = Set("header", "targetHeader", "sep", "sepIsRegex",
     "quoted", "skip", "skipUntil", "poslen", "eol", "encoding",
     "allowLinefeedInData", "thousandSep", "decimalSep", "normalizeNumerics",
-    "dropEmptyFirstField")
+    "dropEmptyFirstField",
+    // hook expressions (lineProcessing.* validated by prefix)
+    "addtlProcessingTrigger", "addtlProcessing", "lineFilter")
   private val processKeys = Set("skipHolidays", "skipWeekends",
     "skipForFirstBusinessDate", "holidaysDefault", "plannedUntil",
     "retrySecondsErr", "retrySecondsPlanned", "redoFile", "ignoreNoTest")
@@ -191,7 +193,8 @@ object ConfigFiles {
     }
   }
 
-  def toTextFormat(s: Section): Either[String, TextFormat] =
+  def toTextFormat(s0: Section): Either[String, TextFormat] = {
+    val s = s0.view.filterKeys(!_.startsWith("lineProcessing.")).toMap
     Config.validateKeys(s, fileKeys, "File").flatMap { _ =>
       if (!s.contains("header")) Left("File section needs header")
       else Right(TextFormat(
@@ -212,6 +215,86 @@ object ConfigFiles {
         decimalSep = s.getOrElse("decimalSep", "."),
         normalizeNumerics = bool(s, "normalizeNumerics", dflt = true),
         dropEmptyFirstField = bool(s, "dropEmptyFirstField", dflt = true)))
+    }
+  }
+
+  // ---- config-expressible hooks (SURVEY §7.4-1) ------------------------
+
+  /** `_field` placeholder → backtick-quoted reference to `column`. */
+  private def substField(e: String, column: String): String =
+    e.replaceAll("\\b_field\\b",
+      java.util.regex.Matcher.quoteReplacement("`" + column + "`"))
+
+  /** Attribute name of a `col("name")` column (the only Column shape
+    * [[LoadRunner.applyHooks]] feeds a field hook). */
+  private def columnName(c: org.apache.spark.sql.Column): String =
+    org.apache.spark.sql.GraftColumnBridge.expression(c) match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      case e => e.sql
+    }
+
+  private def parseCheck(what: String, e: String): Option[String] =
+    try { org.apache.spark.sql.functions.expr(e); None }
+    catch { case ex: Exception =>
+      Some(s"$what: cannot parse SQL expression '$e': ${ex.getMessage}") }
+
+  /** The reference's eval-string hook surface (`Wrap/File.pm:470-489`)
+    * re-expressed as Spark-SQL expression strings in the File section —
+    * parsed by `expr()`, no new interpreter, validated at boot:
+    *
+    *  - `addtlProcessingTrigger` (column name or `*`) with
+    *    `addtlProcessing` (scalar SQL): rewrite of the triggered field;
+    *    `_field` is the field's current value, other columns are
+    *    referenceable by name;
+    *  - `lineProcessing.<col>` (row-level SQL): assigns `<col>` after the
+    *    field hooks (the reference's lineProcessing also runs after the
+    *    per-field loop); multiple assignments apply in column-name order;
+    *    `_prev.<col>` reads the previous row in file order (W1);
+    *  - `lineFilter` (boolean SQL): rows are kept where true — the
+    *    declarative form of the reference's drop-a-row-by-emptying-%line.
+    */
+  def toHooks(s: Section): Either[String, LoadHooks] = {
+    val trigger = s.get("addtlProcessingTrigger")
+    val fieldExpr = s.get("addtlProcessing")
+    val assigns = s.toSeq.collect {
+      case (k, v) if k.startsWith("lineProcessing.") =>
+        k.stripPrefix("lineProcessing.") -> v
+    }.sortBy(_._1)
+    val filter = s.get("lineFilter")
+    if (fieldExpr.nonEmpty && trigger.isEmpty)
+      Left("addtlProcessing needs addtlProcessingTrigger")
+    else if (trigger.nonEmpty && fieldExpr.isEmpty)
+      Left("addtlProcessingTrigger needs addtlProcessing")
+    else {
+      val parseErrors =
+        fieldExpr.flatMap(e => parseCheck("addtlProcessing",
+          substField(e, "__field__"))).toSeq ++
+        assigns.flatMap { case (c, e) => parseCheck(s"lineProcessing.$c", e) } ++
+        filter.flatMap(e => parseCheck("lineFilter", e))
+      if (parseErrors.nonEmpty) Left(parseErrors.mkString("; "))
+      else {
+        val fieldHooks: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+          (trigger, fieldExpr) match {
+            case (Some(t), Some(e)) =>
+              Map(t -> ((c: org.apache.spark.sql.Column) =>
+                org.apache.spark.sql.functions.expr(substField(e, columnName(c)))))
+            case _ => Map.empty
+          }
+        val rowHook: Option[DataFrame => DataFrame] =
+          if (assigns.isEmpty && filter.isEmpty) None
+          else Some { df =>
+            val assigned = assigns.foldLeft(df) { case (d, (c, e)) =>
+              d.withColumn(c, org.apache.spark.sql.functions.expr(e)) }
+            filter.fold(assigned)(f =>
+              assigned.filter(org.apache.spark.sql.functions.expr(f)))
+          }
+        // `_prev` is only in scope for the row-level hooks (the struct is
+        // added after field hooks run — same as the reference, where
+        // @previousline is a lineProcessing affordance)
+        val needPrev = (assigns.map(_._2) ++ filter.toSeq).exists(_.contains("_prev"))
+        Right(LoadHooks(fieldHooks = fieldHooks, rowHook = rowHook,
+          needPrevRow = needPrev))
+      }
     }
 
   def toProcessConfig(s: Section): Either[String, ProcessConfig] =
