@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.pipeline.Config._
 import graft.sources.TextFormat
+import org.apache.spark.sql.DataFrame
 import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 
@@ -296,6 +297,7 @@ object ConfigFiles {
           needPrevRow = needPrev))
       }
     }
+  }
 
   def toProcessConfig(s: Section): Either[String, ProcessConfig] =
     Config.validateKeys(s, processKeys, "process").map { _ =>
