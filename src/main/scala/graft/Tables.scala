@@ -21,16 +21,23 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "part")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`, and this
-    * loader restores a proper microsecond timestamp via exact integer
-    * division (a double-based divide would lose precision on epoch-nanos).
+  /** events.parquet has shipped with three physical encodings of `ts`:
+    * TIMESTAMP(NANOS) (read as long under
+    * `spark.sql.legacy.parquet.nanosAsLong`), `timestamp[us]` with
+    * `isAdjustedToUTC=0` (Spark 4 reads it as TIMESTAMP_NTZ), and plain
+    * session-TZ timestamps. This loader normalizes all three to session-TZ
+    * `TimestampType` so every downstream `unix_micros`/window works
+    * unchanged. Sessions pin UTC, so the NTZ cast is value-preserving; the
+    * nanos case uses exact integer division (a double divide would lose
+    * precision on epoch-nanos).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = apply(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * the parquet scan, dimension joins broadcast, no unexpected cartesian
   * products, whole-stage codegen spans present. Prints PASS/FAIL per
   * check; exits nonzero on failure.
+  *
+  * Each query's checks run inside a failure-isolating `audit` block: a
+  * query that fails to plan (analysis error, missing column) records ONE
+  * FAIL line and the remaining checks still run — a single broken query
+  * must never silence the rest of the audit.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -30,304 +35,414 @@ object PlanAudit {
     }
     def plan(q: String): String =
       SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+    // Failure isolation: an exception inside `body` (plan analysis error,
+    // missing test table) is ONE recorded failure, not an audit abort.
+    def audit(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        println(s"FAIL $label (exception: ${msg.linesIterator.next().take(300)})")
+        failures += 1
+      }
 
     // q2: all three predicates must reach the parquet scan
-    val p2 = plan("q2_revenue_filter")
-    check("q2 pushes filters to scan",
-      p2.contains("PushedFilters: [IsNotNull(l_shipdate)"),
-      "no PushedFilters on l_shipdate")
-    check("q2 prunes columns",
-      p2.contains("ReadSchema") && !p2.contains("l_orderkey"),
-      "scan reads columns the query never uses")
+    audit("q2") {
+      val p2 = plan("q2_revenue_filter")
+      check("q2 pushes filters to scan",
+        p2.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+        "no PushedFilters on l_shipdate")
+      check("q2 prunes columns",
+        p2.contains("ReadSchema") && !p2.contains("l_orderkey"),
+        "scan reads columns the query never uses")
+    }
 
     // q3/q5: dimension joins must be broadcast, no shuffled hash join of
     // the fact table against a dim
-    val p3 = plan("q3_top_orders")
-    check("q3 broadcasts customer dim", p3.contains("BroadcastHashJoin"))
-    val p5 = plan("q5_nation_revenue")
-    check("q5 broadcasts all dims",
-      "BroadcastHashJoin".r.findAllIn(p5).size >= 4,
-      s"expected >=4 broadcast joins, got ${"BroadcastHashJoin".r.findAllIn(p5).size}")
-    check("q5 no cartesian product", !p5.contains("CartesianProduct"))
+    audit("q3") {
+      val p3 = plan("q3_top_orders")
+      check("q3 broadcasts customer dim", p3.contains("BroadcastHashJoin"))
+    }
+    audit("q5") {
+      val p5 = plan("q5_nation_revenue")
+      check("q5 broadcasts all dims",
+        "BroadcastHashJoin".r.findAllIn(p5).size >= 4,
+        s"expected >=4 broadcast joins, got ${"BroadcastHashJoin".r.findAllIn(p5).size}")
+      check("q5 no cartesian product", !p5.contains("CartesianProduct"))
+    }
 
     // q1: partial aggregation (map-side combine) before the exchange
-    val p1 = plan("q1_pricing_summary")
-    check("q1 has partial aggregation",
-      p1.contains("partial_sum") || p1.contains("partial_count"))
-    check("q1 whole-stage codegen", p1.contains("*(")) // `*(N)` = codegen span
+    audit("q1") {
+      val p1 = plan("q1_pricing_summary")
+      check("q1 has partial aggregation",
+        p1.contains("partial_sum") || p1.contains("partial_count"))
+      check("q1 whole-stage codegen", p1.contains("*(")) // `*(N)` = codegen span
+    }
 
     // q4: semi join stays a join (no row explosion)
-    check("q4 uses semi join", plan("q4_semi_join").contains("LeftSemi"))
+    audit("q4") {
+      check("q4 uses semi join", plan("q4_semi_join").contains("LeftSemi"))
+    }
 
     // q23: the only intentional cross join (brute-force scoring)
-    check("q23 broadcasts the query side",
-      plan("q23_sim_topk").contains("BroadcastNestedLoopJoin"))
+    audit("q23") {
+      check("q23 broadcasts the query side",
+        plan("q23_sim_topk").contains("BroadcastNestedLoopJoin"))
+    }
     // q24 must NOT be cartesian: cluster pruning via equi-join
-    val p24 = plan("q24_sim_ivf")
-    check("q24 IVF probe is an equi-join (pruned scan)",
-      p24.contains("BroadcastHashJoin") && !p24.contains("CartesianProduct"))
+    audit("q24") {
+      val p24 = plan("q24_sim_ivf")
+      check("q24 IVF probe is an equi-join (pruned scan)",
+        p24.contains("BroadcastHashJoin") && !p24.contains("CartesianProduct"))
+    }
 
     // q19 dedup: aggregation on fingerprint, partial first
-    check("q19 partial agg on fingerprint", plan("q19_dedup_exact").contains("partial_"))
+    audit("q19") {
+      check("q19 partial agg on fingerprint", plan("q19_dedup_exact").contains("partial_"))
+    }
 
     // q38: salted join must still be a shuffled hash/sort-merge equi-join
-    val p38 = plan("q38_salted_join")
-    check("q38 salted join is an equi-join", !p38.contains("CartesianProduct") &&
-      (p38.contains("SortMergeJoin") || p38.contains("ShuffledHashJoin") ||
-       p38.contains("BroadcastHashJoin")))
+    audit("q38") {
+      val p38 = plan("q38_salted_join")
+      check("q38 salted join is an equi-join", !p38.contains("CartesianProduct") &&
+        (p38.contains("SortMergeJoin") || p38.contains("ShuffledHashJoin") ||
+         p38.contains("BroadcastHashJoin")))
+    }
 
     // q34: exact percentiles must be the rank-based two-pass plan — no
     // `percentile` aggregate (its per-group all-values buffer OOMs at
     // scale), counts broadcast back, window + hash aggregation instead
-    val p34 = plan("q34_percentiles")
-    check("q34 avoids the percentile buffer aggregate",
-      !p34.toLowerCase.contains("percentile"))
-    check("q34 rank window + broadcast counts",
-      p34.contains("row_number") && p34.contains("BroadcastHashJoin"))
+    audit("q34") {
+      val p34 = plan("q34_percentiles")
+      check("q34 avoids the percentile buffer aggregate",
+        !p34.toLowerCase.contains("percentile"))
+      check("q34 rank window + broadcast counts",
+        p34.contains("row_number") && p34.contains("BroadcastHashJoin"))
+    }
 
     // q21/q50: the LSH and label-propagation join pipelines must stay
     // equi-joins — any cartesian product means a banding/labels bug
-    check("q21 minhash has no cartesian product",
-      !plan("q21_minhash_lsh").contains("CartesianProduct"))
-    check("q50 dup-groups has no cartesian product",
-      !plan("q50_dup_groups").contains("CartesianProduct"))
+    audit("q21") {
+      check("q21 minhash has no cartesian product",
+        !plan("q21_minhash_lsh").contains("CartesianProduct"))
+    }
+    audit("q50") {
+      check("q50 dup-groups has no cartesian product",
+        !plan("q50_dup_groups").contains("CartesianProduct"))
+    }
     // q55 embedding near-dup: candidates must come from the banded bucket
     // equi-join — an all-pairs (cartesian/nested-loop) plan would be the
     // 100 TB scale bug this operator exists to avoid
-    val p55 = plan("q55_embed_dup")
-    check("q55 embed near-dup is a bucket equi-join",
-      !p55.contains("CartesianProduct") && !p55.contains("BroadcastNestedLoopJoin") &&
-        (p55.contains("SortMergeJoin") || p55.contains("ShuffledHashJoin") ||
-         p55.contains("BroadcastHashJoin")))
+    audit("q55") {
+      val p55 = plan("q55_embed_dup")
+      check("q55 embed near-dup is a bucket equi-join",
+        !p55.contains("CartesianProduct") && !p55.contains("BroadcastNestedLoopJoin") &&
+          (p55.contains("SortMergeJoin") || p55.contains("ShuffledHashJoin") ||
+           p55.contains("BroadcastHashJoin")))
+    }
 
     // q52 chunking: pure projection + explode — NO exchange at all
-    val p52 = plan("q52_chunks")
-    check("q52 chunking has no shuffle",
-      !p52.contains("Exchange") ||
-        // the orderBy for the gate adds a range exchange; everything
-        // below it must be exchange-free
-        "Exchange".r.findAllIn(p52).size <= 1)
-    check("q52 chunking stays in codegen", p52.contains("*("))
+    audit("q52") {
+      val p52 = plan("q52_chunks")
+      check("q52 chunking has no shuffle",
+        !p52.contains("Exchange") ||
+          // the orderBy for the gate adds a range exchange; everything
+          // below it must be exchange-free
+          "Exchange".r.findAllIn(p52).size <= 1)
+      check("q52 chunking stays in codegen", p52.contains("*("))
+    }
 
     // q51 sampling: bernoulli is a filter (no agg); quota's only
     // exchange is the stratum window + gate sort
-    check("q51 sample has no join", !plan("q51_sample").contains("Join"))
+    audit("q51") {
+      check("q51 sample has no join", !plan("q51_sample").contains("Join"))
+    }
 
     // q57/q60: pure per-row programs — only the gate orderBy may exchange
-    val p57 = plan("q57_quality_gate")
-    check("q57 quality gate has no shuffle beyond the gate sort",
-      "Exchange".r.findAllIn(p57).size <= 1)
-    check("q57 quality gate stays in codegen", p57.contains("*("))
-    check("q60 winnowing has no shuffle beyond the gate sort",
-      "Exchange".r.findAllIn(plan("q60_winnow")).size <= 1)
+    audit("q57") {
+      val p57 = plan("q57_quality_gate")
+      check("q57 quality gate has no shuffle beyond the gate sort",
+        "Exchange".r.findAllIn(p57).size <= 1)
+      check("q57 quality gate stays in codegen", p57.contains("*("))
+    }
+    audit("q60") {
+      check("q60 winnowing has no shuffle beyond the gate sort",
+        "Exchange".r.findAllIn(plan("q60_winnow")).size <= 1)
+    }
     // q56 repetition: both gram branches aggregate partially before exchange
-    check("q56 repetition has partial aggregation",
-      plan("q56_repetition").contains("partial_"))
+    audit("q56") {
+      check("q56 repetition has partial aggregation",
+        plan("q56_repetition").contains("partial_"))
+    }
     // q63 curation composition: the filter gates must fuse as semi joins /
     // aggregations — no cartesian anywhere in the composed plan
-    val p63 = plan("q63_curation")
-    check("q63 curation pipeline has no cartesian product",
-      !p63.contains("CartesianProduct") && !p63.contains("BroadcastNestedLoopJoin"))
-    check("q63 curation pipeline keeps semi-join gates",
-      p63.contains("LeftSemi"))
+    audit("q63") {
+      val p63 = plan("q63_curation")
+      check("q63 curation pipeline has no cartesian product",
+        !p63.contains("CartesianProduct") && !p63.contains("BroadcastNestedLoopJoin"))
+      check("q63 curation pipeline keeps semi-join gates",
+        p63.contains("LeftSemi"))
+    }
     // q64 trigram language ID: per-row scan, only the gate sort exchanges
-    check("q64 lang-ngram has no shuffle beyond the gate sort",
-      "Exchange".r.findAllIn(plan("q64_lang_ngram")).size <= 1)
+    audit("q64") {
+      check("q64 lang-ngram has no shuffle beyond the gate sort",
+        "Exchange".r.findAllIn(plan("q64_lang_ngram")).size <= 1)
+    }
 
     // q65 line dedup: frequent-line filter must stay an anti-join (no
     // cartesian), with partial aggregation on the line-frequency count
-    val p65 = plan("q65_line_dedup")
-    check("q65 line dedup keeps the anti-join",
-      p65.contains("LeftAnti") && !p65.contains("CartesianProduct"))
-    check("q65 line dedup has partial aggregation", p65.contains("partial_"))
+    audit("q65") {
+      val p65 = plan("q65_line_dedup")
+      check("q65 line dedup keeps the anti-join",
+        p65.contains("LeftAnti") && !p65.contains("CartesianProduct"))
+      check("q65 line dedup has partial aggregation", p65.contains("partial_"))
+    }
 
     // q66 bloom decontam: the bitmap is materialized once and embedded as
     // a literal (scalar-subquery shape) — the corpus probe must be a pure
     // scan with NO join against the benchmark relation at all
-    val p66 = plan("q66_bloom_decontam")
-    check("q66 corpus probe has no join", !p66.contains("Join"))
-    check("q66 per-doc counts aggregate partially", p66.contains("partial_"))
+    audit("q66") {
+      val p66 = plan("q66_bloom_decontam")
+      check("q66 corpus probe has no join", !p66.contains("Join"))
+      check("q66 per-doc counts aggregate partially", p66.contains("partial_"))
+    }
 
     // q67 BM25: query terms broadcast onto the tf index; the only
     // nested-loop join is the single-row corpus-stats broadcast
-    val p67 = plan("q67_bm25_topk")
-    check("q67 broadcasts query terms onto the tf index",
-      p67.contains("BroadcastHashJoin") && !p67.contains("CartesianProduct"))
-    check("q67 tf/df/dl aggregate partially", p67.contains("partial_count"))
+    audit("q67") {
+      val p67 = plan("q67_bm25_topk")
+      check("q67 broadcasts query terms onto the tf index",
+        p67.contains("BroadcastHashJoin") && !p67.contains("CartesianProduct"))
+      check("q67 tf/df/dl aggregate partially", p67.contains("partial_count"))
+    }
 
     // q68 packing: shard window = one hash exchange + per-shard sort, no
     // global sort below the gate orderBy, no join
-    val p68 = plan("q68_seq_pack")
-    check("q68 packing shards the window (no join, no cartesian)",
-      !p68.contains("Join") && p68.contains("Window"))
+    audit("q68") {
+      val p68 = plan("q68_seq_pack")
+      check("q68 packing shards the window (no join, no cartesian)",
+        !p68.contains("Join") && p68.contains("Window"))
+    }
     // q69 epoch mix: narrow plan — explode + filter, no exchange except
     // the gate sort
-    check("q69 epoch mix has no shuffle beyond the gate sort",
-      "Exchange".r.findAllIn(plan("q69_epoch_mix")).size <= 1)
+    audit("q69") {
+      check("q69 epoch mix has no shuffle beyond the gate sort",
+        "Exchange".r.findAllIn(plan("q69_epoch_mix")).size <= 1)
+    }
     // q70 token budget: one stratum exchange + the gate sort, no join
-    val p70 = plan("q70_token_budget")
-    check("q70 token budget is a windowed filter (no join)",
-      !p70.contains("Join") && p70.contains("Window"))
+    audit("q70") {
+      val p70 = plan("q70_token_budget")
+      check("q70 token budget is a windowed filter (no join)",
+        !p70.contains("Join") && p70.contains("Window"))
+    }
     // q71 snapshot diff: ONE equi-join on the key, full outer, never
     // cartesian/nested-loop
-    val p71 = plan("q71_snapshot_diff")
-    check("q71 snapshot diff is a single full-outer equi-join",
-      (p71.contains("SortMergeJoin") || p71.contains("ShuffledHashJoin")) &&
-        p71.contains("FullOuter") &&
-        !p71.contains("CartesianProduct") && !p71.contains("BroadcastNestedLoopJoin"))
+    audit("q71") {
+      val p71 = plan("q71_snapshot_diff")
+      check("q71 snapshot diff is a single full-outer equi-join",
+        (p71.contains("SortMergeJoin") || p71.contains("ShuffledHashJoin")) &&
+          p71.contains("FullOuter") &&
+          !p71.contains("CartesianProduct") && !p71.contains("BroadcastNestedLoopJoin"))
+    }
     // q72 scd2: both window passes share one key exchange — exactly one
     // hash exchange below the gate sort
-    val p72 = plan("q72_scd2")
-    check("q72 scd2 reuses one key exchange for both windows",
-      "Exchange hashpartitioning".r.findAllIn(p72).size == 1,
-      s"expected 1 hash exchange, plan:\n${p72.take(400)}")
+    audit("q72") {
+      val p72 = plan("q72_scd2")
+      check("q72 scd2 reuses one key exchange for both windows",
+        "Exchange hashpartitioning".r.findAllIn(p72).size == 1,
+        s"expected 1 hash exchange, plan:\n${p72.take(400)}")
+    }
     // q73 profile: one aggregation job; the multi-distinct plans via
     // Expand with partial aggregation
-    val p73 = plan("q73_profile")
-    check("q73 profile is one aggregation pass (Expand + partial agg)",
-      p73.contains("Expand") && p73.contains("partial_"))
+    audit("q73") {
+      val p73 = plan("q73_profile")
+      check("q73 profile is one aggregation pass (Expand + partial agg)",
+        p73.contains("Expand") && p73.contains("partial_"))
+    }
 
     // q75 range join: the binning rewrite must plan an EQUI-join on the
     // bin key — never the nested-loop fallback a bare range predicate gets
-    val p75 = plan("q75_range_join")
-    check("q75 range join is an equi-join (no nested loop)",
-      !p75.contains("CartesianProduct") && !p75.contains("BroadcastNestedLoopJoin") &&
-        (p75.contains("BroadcastHashJoin") || p75.contains("SortMergeJoin") ||
-          p75.contains("ShuffledHashJoin")))
+    audit("q75") {
+      val p75 = plan("q75_range_join")
+      check("q75 range join is an equi-join (no nested loop)",
+        !p75.contains("CartesianProduct") && !p75.contains("BroadcastNestedLoopJoin") &&
+          (p75.contains("BroadcastHashJoin") || p75.contains("SortMergeJoin") ||
+            p75.contains("ShuffledHashJoin")))
+    }
     // q74/q76/q77 bounded top-k aggregates: partial (map-side) aggregation
     // must be present — the bounded buffer only helps skew if it runs
     // before the shuffle
     Seq("q74_postings", "q76_kmv_distinct", "q77_strat_sample").foreach { q =>
-      check(s"$q aggregates partially before the shuffle",
-        plan(q).contains("partial_"))
+      audit(q) {
+        check(s"$q aggregates partially before the shuffle",
+          plan(q).contains("partial_"))
+      }
     }
     // q78 histogram sketch: the only full-data work is the (group, bin)
     // count — partial aggregation before one exchange, no join
-    val p78 = plan("q78_hist_quantile")
-    check("q78 hist sketch aggregates partially, no join",
-      p78.contains("partial_") && !p78.contains("Join"))
+    audit("q78") {
+      val p78 = plan("q78_hist_quantile")
+      check("q78 hist sketch aggregates partially, no join",
+        p78.contains("partial_") && !p78.contains("Join"))
+    }
     // q79 z-values: a pure projection — 32-term bit arithmetic must stay
     // inside whole-stage codegen with no shuffle beyond the gate sort
-    val p79 = plan("q79_zorder")
-    check("q79 z-value projection stays in codegen, no join",
-      p79.contains("*(") && !p79.contains("Join") &&
-        "Exchange".r.findAllIn(p79).size <= 1)
+    audit("q79") {
+      val p79 = plan("q79_zorder")
+      check("q79 z-value projection stays in codegen, no join",
+        p79.contains("*(") && !p79.contains("Join") &&
+          "Exchange".r.findAllIn(p79).size <= 1)
+    }
     // q80 fuzzy join: prefix blocking must plan an equi-join — the whole
     // point is avoiding the all-pairs nested loop
-    val p80 = plan("q80_fuzzy_join")
-    check("q80 fuzzy join blocks via equi-join",
-      !p80.contains("CartesianProduct") && !p80.contains("BroadcastNestedLoopJoin"))
+    audit("q80") {
+      val p80 = plan("q80_fuzzy_join")
+      check("q80 fuzzy join blocks via equi-join",
+        !p80.contains("CartesianProduct") && !p80.contains("BroadcastNestedLoopJoin"))
+    }
 
     // q81 CMS: the depth×width sketch must partially aggregate map-side
     // (bounded shuffle regardless of key skew) and join the probes by
     // BROADCAST — shipping the tiny counter table, never shuffling probes
-    val p81 = plan("q81_cms_heavy")
-    check("q81 cms sketch aggregates partially and broadcasts",
-      p81.contains("partial_") && p81.contains("BroadcastHashJoin") &&
-        !p81.contains("CartesianProduct"))
+    audit("q81") {
+      val p81 = plan("q81_cms_heavy")
+      check("q81 cms sketch aggregates partially and broadcasts",
+        p81.contains("partial_") && p81.contains("BroadcastHashJoin") &&
+          !p81.contains("CartesianProduct"))
+    }
     // q82 incremental novelty: all three probes (fingerprint, line-hash)
     // must be equi-joins — no nested loop anywhere
-    val p82 = plan("q82_incr_novelty")
-    check("q82 novelty probes are equi-joins",
-      !p82.contains("CartesianProduct") && !p82.contains("BroadcastNestedLoopJoin"))
+    audit("q82") {
+      val p82 = plan("q82_incr_novelty")
+      check("q82 novelty probes are equi-joins",
+        !p82.contains("CartesianProduct") && !p82.contains("BroadcastNestedLoopJoin"))
+    }
     // q83 LM fluency: the bigram model is bounded by alphabet² — it must
     // broadcast to the scoring scan, and the count must combine map-side
-    val p83 = plan("q83_lm_fluency")
-    check("q83 lm model broadcasts, counts aggregate partially",
-      p83.contains("partial_") && p83.contains("BroadcastHashJoin") &&
-        !p83.contains("CartesianProduct"))
+    audit("q83") {
+      val p83 = plan("q83_lm_fluency")
+      check("q83 lm model broadcasts, counts aggregate partially",
+        p83.contains("partial_") && p83.contains("BroadcastHashJoin") &&
+          !p83.contains("CartesianProduct"))
+    }
     // q84 shard manifest: one partial-aggregated groupBy, no join
-    val p84 = plan("q84_shard_manifest")
-    check("q84 manifest aggregates partially, no join",
-      p84.contains("partial_") && !p84.contains("Join"))
+    audit("q84") {
+      val p84 = plan("q84_shard_manifest")
+      check("q84 manifest aggregates partially, no join",
+        p84.contains("partial_") && !p84.contains("Join"))
+    }
     // q85 semantic dedup: the within-cluster pair scan must be an
     // equi-join on the cluster id — never an all-pairs nested loop; the
     // codebook is a literal, so assignment adds no join at all
-    val p85 = plan("q85_semdedup")
-    check("q85 semdedup pairs via cluster equi-join",
-      !p85.contains("CartesianProduct") && !p85.contains("BroadcastNestedLoopJoin"))
+    audit("q85") {
+      val p85 = plan("q85_semdedup")
+      check("q85 semdedup pairs via cluster equi-join",
+        !p85.contains("CartesianProduct") && !p85.contains("BroadcastNestedLoopJoin"))
+    }
     // the q85 codebook trainer must be a bounded-buffer partial aggregate:
     // fixed-point sums, never a per-group collect_list (a hot cluster
     // would materialize every member value in one reducer buffer)
-    val pCent = {
-      import org.apache.spark.sql.functions.col
-      graft.operators.Similarity.labelCentroidRows(
-        Tables.embeddings(spark, sfDir).select(col("label"), col("embedding")),
-        "label", "embedding", scaleBits = 20)
-        .queryExecution.executedPlan.toString
+    audit("labelCentroids") {
+      val pCent = {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Similarity.labelCentroidRows(
+          Tables.embeddings(spark, sfDir).select(col("label"), col("embedding")),
+          "label", "embedding", scaleBits = 20)
+          .queryExecution.executedPlan.toString
+      }
+      check("labelCentroids is a partial integer sum, no collect_list",
+        pCent.contains("partial_sum") && !pCent.contains("collect_list"),
+        "centroid aggregation buffers member values")
     }
-    check("labelCentroids is a partial integer sum, no collect_list",
-      pCent.contains("partial_sum") && !pCent.contains("collect_list"),
-      "centroid aggregation buffers member values")
     // q86/q87: every funnel step and the retention cohort probe must be
     // a user-keyed equi-join with partial aggregation — no window over
     // full event history, no nested loop
     Seq("q86_funnel", "q87_retention").foreach { q =>
-      val p = plan(q)
-      check(s"$q is equi-join + partial agg",
-        p.contains("partial_") && !p.contains("CartesianProduct") &&
-          !p.contains("BroadcastNestedLoopJoin") && !p.contains("Window"))
+      audit(q) {
+        val p = plan(q)
+        check(s"$q is equi-join + partial agg",
+          p.contains("partial_") && !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin") && !p.contains("Window"))
+      }
     }
     // q88 signature store: the ArrayMinAgg signature must partially
     // aggregate map-side — hot docs fold shingles before the shuffle
-    val p88 = plan("q88_minhash_sigs")
-    check("q88 signature aggregate is partial, no join",
-      p88.contains("partial_") && !p88.contains("Join"))
+    audit("q88") {
+      val p88 = plan("q88_minhash_sigs")
+      check("q88 signature aggregate is partial, no join",
+        p88.contains("partial_") && !p88.contains("Join"))
+    }
     // q89 boolean retrieval: the term filter must run BEFORE the one
     // shuffle (codegen'd filter over the explode, partial agg after)
-    val p89 = plan("q89_bool_retrieval")
-    check("q89 filters terms pre-shuffle, aggregates partially",
-      p89.contains("partial_") && !p89.contains("Join"))
+    audit("q89") {
+      val p89 = plan("q89_bool_retrieval")
+      check("q89 filters terms pre-shuffle, aggregates partially",
+        p89.contains("partial_") && !p89.contains("Join"))
+    }
     // q90 outliers: the per-group stats must broadcast back to the scan
-    val p90 = plan("q90_outliers")
-    check("q90 stats broadcast to the outlier pass",
-      p90.contains("BroadcastHashJoin") && p90.contains("partial_"))
+    audit("q90") {
+      val p90 = plan("q90_outliers")
+      check("q90 stats broadcast to the outlier pass",
+        p90.contains("BroadcastHashJoin") && p90.contains("partial_"))
+    }
     // q11: the calendar profile must be computed per DISTINCT date and
     // broadcast back — the UDF boundary must not sit on the fact scan
-    val p11 = plan("q11_date_functions")
-    check("q11 joins a broadcast distinct-date profile",
-      p11.contains("BroadcastHashJoin"))
+    audit("q11") {
+      val p11 = plan("q11_date_functions")
+      check("q11 joins a broadcast distinct-date profile",
+        p11.contains("BroadcastHashJoin"))
+    }
     // q91-q93: scalar aggregates broadcast back, dims broadcast, no
     // window over the fact and no nested loop beyond the 1-row scalar
     Seq("q91_top_supplier", "q92_small_qty", "q93_nation_share").foreach { q =>
-      val p = plan(q)
-      check(s"$q broadcasts and partially aggregates",
-        p.contains("Broadcast") && p.contains("partial_") &&
-          !p.contains("Window") && !p.contains("CartesianProduct"))
+      audit(q) {
+        val p = plan(q)
+        check(s"$q broadcasts and partially aggregates",
+          p.contains("Broadcast") && p.contains("partial_") &&
+            !p.contains("Window") && !p.contains("CartesianProduct"))
+      }
     }
     // q95 co-occurrence: the pair join is doc-keyed (equi), the df/N
     // relations broadcast — no cartesian anywhere
-    val p95 = plan("q95_cooccur_lift")
-    check("q95 pairs via doc equi-join, stats broadcast",
-      p95.contains("BroadcastHashJoin") && !p95.contains("CartesianProduct"))
+    audit("q95") {
+      val p95 = plan("q95_cooccur_lift")
+      check("q95 pairs via doc equi-join, stats broadcast",
+        p95.contains("BroadcastHashJoin") && !p95.contains("CartesianProduct"))
+    }
     // q96 session paths: exactly ONE user-keyed exchange feeds both the
     // sessionizing window and the per-session fold
-    val p96 = plan("q96_session_paths")
-    check("q96 sessionize + fold share one user exchange",
-      "hashpartitioning\\(user_id".r.findAllIn(p96).size <= 1 &&
-        !p96.contains("CartesianProduct"))
+    audit("q96") {
+      val p96 = plan("q96_session_paths")
+      check("q96 sessionize + fold share one user exchange",
+        "hashpartitioning\\(user_id".r.findAllIn(p96).size <= 1 &&
+          !p96.contains("CartesianProduct"))
+    }
     // q106: reproducible global order must plan as TakeOrdered
     // (per-partition top-k), never a full global sort
-    val p106 = plan("q106_train_order")
-    check("q106 train order is a TakeOrdered, not a global sort",
-      p106.contains("TakeOrdered"))
+    audit("q106") {
+      val p106 = plan("q106_train_order")
+      check("q106 train order is a TakeOrdered, not a global sort",
+        p106.contains("TakeOrdered"))
+    }
 
     // q115: the per-column fill window and the final row_number window
     // must share ONE hash exchange on the key (the scaladoc's claim) —
     // a second exchange would double the shuffle for every incremental
     // upsert at scale
-    val p115 = plan("q115_incr_upsert")
-    check("q115 incremental upsert shuffles once",
-      "Exchange hashpartitioning".r.findAllIn(p115).size == 1,
-      s"got ${"Exchange hashpartitioning".r.findAllIn(p115).size} hash exchanges")
+    audit("q115") {
+      val p115 = plan("q115_incr_upsert")
+      check("q115 incremental upsert shuffles once",
+        "Exchange hashpartitioning".r.findAllIn(p115).size == 1,
+        s"got ${"Exchange hashpartitioning".r.findAllIn(p115).size} hash exchanges")
+    }
     // q116: absent-key insertion must be an anti join, never a nested loop
-    val p116 = plan("q116_insert_ignore")
-    check("q116 insert-ignore-dups anti-joins the target",
-      p116.contains("LeftAnti") && !p116.contains("CartesianProduct") &&
-        !p116.contains("BroadcastNestedLoopJoin"))
+    audit("q116") {
+      val p116 = plan("q116_insert_ignore")
+      check("q116 insert-ignore-dups anti-joins the target",
+        p116.contains("LeftAnti") && !p116.contains("CartesianProduct") &&
+          !p116.contains("BroadcastNestedLoopJoin"))
+    }
 
     // partitioned layout: a partition predicate must prune directories
-    {
+    audit("partitioned-scan") {
       import graft.sinks.ParquetTable
       val tmp = java.nio.file.Files.createTempDirectory("graft-part-").toString + "/events_p"
       val ev = graft.Tables.events(spark, sfDir)
