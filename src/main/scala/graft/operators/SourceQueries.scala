@@ -181,7 +181,53 @@ object SourceQueries {
     graft.sinks.ParquetTable.load(spark, table).orderBy(col("o_orderkey"))
   }
 
+  /** q117: a load declared ENTIRELY in config files — including the
+    * reference's eval-hook surface expressed as config SQL strings
+    * (`addtlProcessing` field rewrite, `lineProcessing.<col>` row
+    * assignment reading `_prev`, `lineFilter` row drop; reference
+    * `Wrap/File.pm:470-489`, driven like `Test/test.pl:3-64`) — runs
+    * through [[graft.pipeline.ConfigFiles.bootLoads]] with no code-side
+    * hooks. The oracle recomputes the rewrite/lag/filter in SQL. */
+  def q117ConfigHooks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{ConfigFiles, LoadRunner}
+    val nat = Tables.nation(spark, dir).select(
+      col("n_nationkey").cast("string").as("n_nationkey"),
+      col("n_name"),
+      col("n_regionkey").cast("string").as("n_regionkey"))
+      .orderBy(col("n_nationkey").cast("int"))
+    val dirPath = Fixtures.tempDir("graft-q117-")
+    val csv = dirPath.resolve("nation.csv").toString
+    TextSink.write(nat, TextWriteFormat(
+      columns = Seq("n_nationkey", "n_name", "n_regionkey"), sep = ";"), csv)
+    Files.writeString(dirPath.resolve("site.config"),
+      """[config]
+        |folderEnvironmentMapping. = Prod
+        |[load.1.File]
+        |header = n_nationkey, n_name, n_regionkey
+        |sep = ;
+        |skip = 1
+        |addtlProcessingTrigger = n_name
+        |addtlProcessing = upper(_field)
+        |lineProcessing.prev_key = coalesce(_prev.n_nationkey, '-')
+        |lineFilter = n_regionkey <> '2'
+        |[load.1.DB]
+        |table = nation_hooked
+        |strategy = append
+        |""".stripMargin)
+    val loads = ConfigFiles.bootLoads(dirPath, "prod")
+      .fold(e => throw new IllegalStateException(e), _._1)
+    val table = dirPath.resolve("nation_hooked").toString
+    LoadRunner.run(spark, Seq(csv), loads.head, table)
+    graft.sinks.ParquetTable.load(spark, table)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("int").as("n_regionkey"),
+        col("prev_key"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_config_hooks"  -> q117ConfigHooks _,
     "q26_text_roundtrip" -> q26TextRoundtrip _,
     "q27_xlsx_roundtrip" -> q27XlsxRoundtrip _,
     "q28_xml_roundtrip"  -> q28XmlRoundtrip _,
@@ -193,6 +239,14 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q117_config_hooks" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey,
+        |    coalesce(lag(CAST(n_nationkey AS VARCHAR))
+        |      OVER (ORDER BY n_nationkey), '-') AS prev_key
+        |  FROM nation)
+        |WHERE n_regionkey <> 2
+        |ORDER BY n_nationkey""".stripMargin,
     "q26_text_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q58_fixed_width" ->

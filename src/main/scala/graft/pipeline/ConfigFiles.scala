@@ -229,14 +229,15 @@ object ConfigFiles {
   /** Attribute name of a `col("name")` column (the only Column shape
     * [[LoadRunner.applyHooks]] feeds a field hook). */
   private def columnName(c: org.apache.spark.sql.Column): String =
-    org.apache.spark.sql.GraftColumnBridge.expression(c) match {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
-      case e => e.sql
-    }
+    org.apache.spark.sql.GraftColumnBridge.attributeName(c).getOrElse(c.toString)
 
+  /** `functions.expr` defers parsing to analysis time (the Column wraps an
+    * unparsed SQL node), so boot validation must force the parse itself. */
   private def parseCheck(what: String, e: String): Option[String] =
-    try { org.apache.spark.sql.functions.expr(e); None }
-    catch { case ex: Exception =>
+    try {
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(e)
+      None
+    } catch { case ex: Exception =>
       Some(s"$what: cannot parse SQL expression '$e': ${ex.getMessage}") }
 
   /** The reference's eval-string hook surface (`Wrap/File.pm:470-489`)
@@ -313,14 +314,20 @@ object ConfigFiles {
         ignoreNoTest = bool(s, "ignoreNoTest", dflt = false))
     }
 
-  /** One resolved load tree → a runnable [[LoadRunner.Load]] (text source;
-    * hooks stay code — the typed-hook surface can't be data). */
+  /** One resolved load tree → a runnable [[LoadRunner.Load]]. The
+    * config-expressible hook surface ([[toHooks]]: `addtlProcessing`,
+    * `lineProcessing.<col>`, `lineFilter` — the reference's eval-string
+    * hooks, `Wrap/File.pm:470-489`) is parsed from the File section and
+    * wired in; richer hooks stay code via [[LoadRunner.Load]] directly. */
   def toLoad(tree: Tree): Either[String, LoadRunner.Load] =
     for {
-      fmt <- toTextFormat(tree.getOrElse("File", Map.empty))
+      file <- Right(tree.getOrElse("File", Map.empty))
+      fmt <- toTextFormat(file)
+      hooks <- toHooks(file)
       db  <- toDbConfig(tree.getOrElse("DB", Map.empty))
       proc <- toProcessConfig(tree.getOrElse("process", Map.empty))
-    } yield LoadRunner.Load(LoadRunner.TextSpec(fmt), db, process = proc)
+    } yield LoadRunner.Load(LoadRunner.TextSpec(fmt), db, hooks = hooks,
+      process = proc)
 
   /** The whole boot sequence as one call: cascade the files under `dir`,
     * resolve per-load trees, materialize typed loads — fail-fast with the

@@ -140,4 +140,63 @@ class ConfigFilesSpec extends SparkSpec {
     assert(out.columns.sorted.toSeq == Seq("key", "src", "val"))
     assert(out.filter(out("src") === "cfgfile").count() == 2)
   }
+
+  test("toLoad wires the config-expressible hooks (File.pm:470-489)") {
+    val tree = Map(
+      "File" -> Map(
+        "header" -> "a, b",
+        "sep" -> ";",
+        "addtlProcessingTrigger" -> "a",
+        "addtlProcessing" -> "upper(_field)",
+        "lineProcessing.c" -> "concat(a, b)",
+        "lineFilter" -> "b <> 'x'"),
+      "DB" -> Map("strategy" -> "append"))
+    val load = ConfigFiles.toLoad(tree).toOption.get
+    assert(load.hooks.fieldHooks.keySet == Set("a"))
+    assert(load.hooks.rowHook.nonEmpty)
+    assert(!load.hooks.needPrevRow) // no _prev referenced
+    val prev = ConfigFiles.toLoad(Map(
+      "File" -> Map("header" -> "a", "sep" -> ";",
+        "lineProcessing.p" -> "coalesce(_prev.a, '-')"),
+      "DB" -> Map("strategy" -> "append"))).toOption.get
+    assert(prev.hooks.needPrevRow)
+    // a malformed hook expression fails load materialization loudly
+    assert(ConfigFiles.toLoad(Map(
+      "File" -> Map("header" -> "a", "sep" -> ";",
+        "lineFilter" -> "b <> ("),
+      "DB" -> Map("strategy" -> "append"))).isLeft)
+  }
+
+  test("end-to-end: config-declared hooks rewrite, assign with _prev, filter") {
+    val dir = Files.createTempDirectory("graft-cfg-hooks-")
+    write(dir, "site.config",
+      """[config]
+        |folderEnvironmentMapping. = Prod
+        |[load.1.File]
+        |header = k, name, grp
+        |sep = ;
+        |skip = 1
+        |addtlProcessingTrigger = name
+        |addtlProcessing = upper(_field)
+        |lineProcessing.prev_k = coalesce(_prev.k, '-')
+        |lineFilter = grp <> '2'
+        |[load.1.DB]
+        |table = hooked
+        |strategy = append
+        |""".stripMargin)
+    val Right((loads, _)) = ConfigFiles.bootLoads(dir, "prod"): @unchecked
+    val data = dir.resolve("in.csv")
+    Files.write(data,
+      "k;name;grp\n1;alpha;1\n2;beta;2\n3;gamma;1\n".getBytes("UTF-8"))
+    val table = dir.resolve("hooked").toString
+    val res = LoadRunner.run(spark, Seq(data.toString), loads.head, table)
+    assert(res.errors.isEmpty)
+    val out = ParquetTable.load(spark, table).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("name"),
+        r.getAs[String]("prev_k"))).sortBy(_._1)
+    // row k=2 dropped by lineFilter; _prev computed BEFORE the filter, so
+    // k=3 still sees k=2 as its previous row; names uppercased by the
+    // field hook
+    assert(out.toSeq == Seq(("1", "ALPHA", "-"), ("3", "GAMMA", "2")))
+  }
 }
