@@ -47,9 +47,13 @@ object SourceQueries {
     TextSink.write(nation,
       TextWriteFormat(columns = Seq("n_nationkey", "n_name", "n_regionkey"),
         padLen = Seq(4, 28, 4)), file)
-    val fmt = TextFormat(header = Seq("n_nationkey", "n_name", "n_regionkey"),
-      poslen = Seq((0, 4), (4, 32), (32, 36)), skip = 1)
-    TextSource.read(spark, Seq(file), fmt)
+    // DSv2 path: column pruning reaches the parser — only the selected
+    // spans are substring'd ([[graft.sources.v2.GraftFixedProvider]])
+    spark.read.format("graft-fixed")
+      .option("header", "n_nationkey,n_name,n_regionkey")
+      .option("poslen", "0-4,4-32,32-36")
+      .option("skip", "1")
+      .load(file)
       .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
         col("n_regionkey").cast("int").as("n_regionkey"))
       .orderBy(col("n_nationkey"))
@@ -63,10 +67,11 @@ object SourceQueries {
       .orderBy(col("s_suppkey").cast("long"))
     val file = Fixtures.tempDir("graft-q27-").resolve("supplier.xlsx").toString
     XlsxSink.write(sup, Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), file)
-    val fmt = XlsxFormat(
-      header = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
-      worksheetId = Some(1))
-    XlsxSource.read(spark, Seq(file), fmt)
+    // DSv2 path: per-cell conversion only runs for selected columns
+    spark.read.format("graft-xlsx")
+      .option("header", "s_suppkey,s_name,s_nationkey,s_acctbal")
+      .option("worksheetId", "1")
+      .load(file)
       .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
         col("s_nationkey").cast("int").as("s_nationkey"),
         col("s_acctbal").cast("double").as("s_acctbal"))
@@ -85,10 +90,11 @@ object SourceQueries {
     val file = Fixtures.tempDir("graft-q49-").resolve("customer.xls").toString
     XlsSink.write(cust, Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
       file, sheetName = "customers")
-    val fmt = XlsxFormat(
-      header = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
-      worksheet = Some("customers"))
-    XlsSource.read(spark, Seq(file), fmt)
+    // DSv2 path (BIFF8 provider), worksheet by name
+    spark.read.format("graft-xls")
+      .option("header", "c_custkey,c_name,c_nationkey,c_acctbal")
+      .option("worksheet", "customers")
+      .load(file)
       .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
         col("c_nationkey").cast("int").as("c_nationkey"),
         col("c_acctbal").cast("double").as("c_acctbal"))
@@ -129,12 +135,14 @@ object SourceQueries {
     xml.append("</list></regions>")
     val file = Fixtures.tempDir("graft-q28-").resolve("region.xml")
     Files.write(file, xml.toString.getBytes("UTF-8"))
-    val fmt = XmlFormat(
-      header = Seq("src", "r_regionkey", "r_name"),
-      xpathRecordLevel = "//regions/list/region",
-      fieldXpath = Map("src" -> "/regions/meta/source",
-        "r_regionkey" -> "key", "r_name" -> "name"))
-    XmlSource.read(spark, Seq(file.toString), fmt)
+    // DSv2 path: only selected fields' XPaths are compiled and evaluated
+    spark.read.format("graft-xml")
+      .option("header", "src,r_regionkey,r_name")
+      .option("xpathRecordLevel", "//regions/list/region")
+      .option("xpath.src", "/regions/meta/source")
+      .option("xpath.r_regionkey", "key")
+      .option("xpath.r_name", "name")
+      .load(file.toString)
       .select(col("src"), col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
       .orderBy(col("r_regionkey"))
   }

@@ -148,6 +148,14 @@ object XlsSource {
 
   private def parseWorkbook(path: String, content: Array[Byte],
                             fmt: XlsxFormat): Iterator[Row] = {
+    val (cells, maxRow) = sheetCells(path, content, fmt)
+    ExcelRows.emit(path, cells, maxRow, fmt)
+  }
+
+  /** BIFF8 sheet extraction alone (cells + max row) — shared by the
+    * classic read path and the DSv2 scan ([[graft.sources.v2]]). */
+  private[sources] def sheetCells(path: String, content: Array[Byte],
+      fmt: XlsxFormat): (collection.Map[(Int, Int), String], Int) = {
     val cfb = CfbFile.parse(content)
     val stream = cfb.stream("Workbook").orElse(cfb.stream("Book")).getOrElse(
       throw new IllegalArgumentException(s"$path: no Workbook stream — not an xls file"))
@@ -257,7 +265,6 @@ object XlsSource {
         case _ =>
       }
     }
-
-    ExcelRows.emit(path, cells, maxRow, fmt)
+    (cells, maxRow)
   }
 }

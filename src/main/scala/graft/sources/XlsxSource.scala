@@ -99,6 +99,15 @@ object XlsxSource {
 
   private def parseWorkbook(path: String, content: Array[Byte],
                             fmt: XlsxFormat): Iterator[Row] = {
+    val (cells, maxRow) = sheetCells(content, fmt)
+    ExcelRows.emit(path, cells, maxRow, fmt)
+  }
+
+  /** Sheet extraction alone (cells + max row) — shared by the classic read
+    * path above and the DSv2 scan ([[graft.sources.v2]]), whose column
+    * pruning then drives [[ExcelRows.emitProjected]]. */
+  private[sources] def sheetCells(content: Array[Byte],
+                                  fmt: XlsxFormat): (collection.Map[(Int, Int), String], Int) = {
     val entries = zipEntries(content)
 
     // sheet list in workbook order: (name, r:id)
@@ -161,8 +170,7 @@ object XlsxSource {
       cells((row, col)) = value
       if (row > maxRow) maxRow = row
     }
-
-    ExcelRows.emit(path, cells, maxRow, fmt)
+    (cells, maxRow)
   }
 }
 
@@ -175,6 +183,19 @@ private[sources] object ExcelRows {
 
   def emit(path: String, cells: collection.Map[(Int, Int), String],
            maxRow: Int, fmt: XlsxFormat): Iterator[Row] = {
+    val wanted = "_file" +: "_lineno" +: fmt.targets
+    emitProjected(path, cells, maxRow, fmt, wanted).map(Row.fromSeq)
+  }
+
+  /** Projected emit: only the `wanted` fields (`_file` / `_lineno` /
+    * target names, in output order) are materialized — the per-cell work
+    * (date-serial conversion, trim, numeric normalization) runs ONLY for
+    * requested columns, which is what DSv2 column pruning buys. Header
+    * verification and `stopOnEmptyValueColumn` still honor the FULL
+    * declared format (they are row-level contract, not projection). */
+  def emitProjected(path: String, cells: collection.Map[(Int, Int), String],
+                    maxRow: Int, fmt: XlsxFormat,
+                    wanted: Seq[String]): Iterator[Seq[Any]] = {
     val positions: Seq[Int] =
       if (fmt.headerColumns.nonEmpty) fmt.headerColumns else (1 to fmt.header.length)
     val headerRow = 1 + fmt.skip
@@ -187,31 +208,33 @@ private[sources] object ExcelRows {
         s"expected header '$expected' not in column $pos, instead got: $actual")
     }
 
+    val posByTarget: Map[String, Int] = fmt.targets.zip(positions).toMap
     val stopCol = fmt.stopOnEmptyValueColumn
     val dateCols = fmt.dateColumns.toSet
+    def cellValue(rowNo: Int, pos: Int): String = {
+      val raw = cells.getOrElse((rowNo, pos), null)
+      if (raw == null) null
+      else {
+        val v = if (dateCols.contains(pos) && raw.nonEmpty)
+          XlsxSource.serialToYYYYMMDD(raw.toDouble)
+        else raw
+        val trimmed = v.trim
+        if (fmt.normalizeNumerics)
+          Coerce.normalizeNumerics(trimmed, fmt.thousandSep, fmt.decimalSep)
+        else trimmed
+      }
+    }
     var stopped = false
     (headerRow + 1 to maxRow).iterator.flatMap { rowNo =>
       if (stopped) None
-      else {
-        if (stopCol.exists(c => cells.getOrElse((rowNo, c), "").isEmpty)) {
-          stopped = true; None
-        } else {
-          val values = positions.map { pos =>
-            val raw = cells.getOrElse((rowNo, pos), null)
-            if (raw == null) null
-            else {
-              val v = if (dateCols.contains(pos) && raw.nonEmpty)
-                XlsxSource.serialToYYYYMMDD(raw.toDouble)
-              else raw
-              val trimmed = v.trim
-              if (fmt.normalizeNumerics)
-                Coerce.normalizeNumerics(trimmed, fmt.thousandSep, fmt.decimalSep)
-              else trimmed
-            }
-          }
-          Some(Row.fromSeq(path +: (rowNo - headerRow).toLong +: values))
-        }
-      }
+      else if (stopCol.exists(c => cells.getOrElse((rowNo, c), "").isEmpty)) {
+        stopped = true; None
+      } else Some(wanted.map {
+        case "_file"   => path
+        case "_lineno" => (rowNo - headerRow).toLong
+        case t => cellValue(rowNo, posByTarget.getOrElse(t,
+          throw new IllegalArgumentException(s"unknown column $t")))
+      })
     }
   }
 }

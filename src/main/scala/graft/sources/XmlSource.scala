@@ -48,6 +48,16 @@ object XmlSource {
   }
 
   private def parseFile(path: String, content: Array[Byte], fmt: XmlFormat): Iterator[Row] = {
+    val wanted = "_file" +: "_lineno" +: fmt.header
+    parseProjected(path, content, fmt, wanted).map(Row.fromSeq)
+  }
+
+  /** Projected parse for the DSv2 scan ([[graft.sources.v2]]): only the
+    * `wanted` fields' XPaths are COMPILED and EVALUATED — pruning a column
+    * skips its per-record XPath evaluation entirely, the dominant per-row
+    * cost of this source. */
+  private[sources] def parseProjected(path: String, content: Array[Byte],
+      fmt: XmlFormat, wanted: Seq[String]): Iterator[Seq[Any]] = {
     val dbf = DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(fmt.namespaces.nonEmpty)
     val doc = dbf.newDocumentBuilder().parse(new ByteArrayInputStream(content))
@@ -68,22 +78,27 @@ object XmlSource {
 
     val records = newXPath().compile(fmt.xpathRecordLevel)
       .evaluate(doc, XPathConstants.NODESET).asInstanceOf[NodeList]
-    val fieldExprs = fmt.header.map { h =>
-      val xpath = fmt.fieldXpath.getOrElse(h,
-        throw new IllegalArgumentException(s"no fieldXpath for column $h"))
-      (xpath.startsWith("/"), newXPath().compile(xpath))
-    }
+    // compile only the XPaths of requested data columns
+    val fieldExprs: Map[String, (Boolean, javax.xml.xpath.XPathExpression)] =
+      wanted.filterNot(w => w == "_file" || w == "_lineno").map { h =>
+        val xpath = fmt.fieldXpath.getOrElse(h,
+          throw new IllegalArgumentException(s"no fieldXpath for column $h"))
+        h -> (xpath.startsWith("/"), newXPath().compile(xpath))
+      }.toMap
 
     (0 until records.getLength).iterator.map { i =>
       val node = records.item(i)
-      val values = fieldExprs.map { case (absolute, expr) =>
-        val raw = if (absolute) expr.evaluate(doc) else expr.evaluate(node)
-        val trimmed = if (raw == null) "" else raw.trim
-        if (fmt.normalizeNumerics)
-          Coerce.normalizeNumerics(trimmed, fmt.thousandSep, fmt.decimalSep)
-        else trimmed
+      wanted.map {
+        case "_file"   => path
+        case "_lineno" => (i + 1).toLong
+        case h =>
+          val (absolute, expr) = fieldExprs(h)
+          val raw = if (absolute) expr.evaluate(doc) else expr.evaluate(node)
+          val trimmed = if (raw == null) "" else raw.trim
+          if (fmt.normalizeNumerics)
+            Coerce.normalizeNumerics(trimmed, fmt.thousandSep, fmt.decimalSep)
+          else trimmed
       }
-      Row.fromSeq(path +: (i + 1).toLong +: values)
     }
   }
 }

@@ -1,0 +1,340 @@
+package graft.sources.v2
+
+import graft.functions.Coerce
+import graft.sources.{ExcelRows, TextFormat, XlsSource, XlsxFormat, XlsxSource, XmlFormat, XmlSource}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 registration for the engine's custom file formats
+  * (SURVEY.md §2.1 S1-S5 as *table providers*):
+  *
+  * {{{
+  * spark.read.format("graft-xlsx").option("header", "a,b")
+  *   .option("worksheetId", "1").load(path)
+  * spark.read.format("graft-xls")  ... // BIFF8
+  * spark.read.format("graft-xml").option("xpathRecordLevel", "//r")
+  *   .option("xpath.a", "key").load(path)
+  * spark.read.format("graft-fixed").option("poslen", "0-3,3-7").load(path)
+  * }}}
+  *
+  * Why DSv2 rather than the object API alone: Catalyst's column pruning
+  * reaches the scan ([[GraftScanBuilder]] implements
+  * `SupportsPushDownRequiredColumns`), so a 2-column projection over a
+  * 40-column workbook only pays per-cell conversion for 2 columns, an XML
+  * query only evaluates the XPaths it selects, and a fixed-width scan only
+  * substrings requested spans. The classic `binaryFile`+`mapPartitions`
+  * path parses every declared column regardless of the query.
+  *
+  * Scale shape: one [[InputPartition]] per file (these container formats
+  * are not splittable — parallelism is across files, the reference's
+  * many-medium-files model, `Wrap/File.pm:154-187`). Readers stream bytes
+  * through Hadoop `FileSystem`, so any cluster filesystem works; executors
+  * resolve the filesystem from their own Hadoop site config.
+  *
+  * All four schemas are `(_file string, _lineno long, <declared>string…)`
+  * — identical to the classic paths; coercion stays a downstream concern
+  * ([[graft.pipeline.SchemaCoercion]]).
+  */
+object GraftDataSourceV2 {
+
+  /** Option map with case-insensitive simple keys but case-PRESERVING
+    * prefixed keys (`xpath.<col>`, `ns.<prefix>` name columns/prefixes). */
+  final case class Opts(lower: Map[String, String], exact: Map[String, String]) {
+    def get(k: String): Option[String] = lower.get(k.toLowerCase)
+    def apply(k: String): String = get(k).getOrElse(
+      throw new IllegalArgumentException(s"missing required option '$k'"))
+    def getOrElse(k: String, d: String): String = get(k).getOrElse(d)
+    def prefixed(prefix: String): Map[String, String] = exact.collect {
+      case (k, v) if k.length > prefix.length &&
+        k.substring(0, prefix.length).equalsIgnoreCase(prefix) =>
+        k.substring(prefix.length) -> v
+    }
+  }
+
+  def opts(m: util.Map[String, String]): Opts = {
+    val exact = m.asScala.toMap
+    Opts(exact.map { case (k, v) => k.toLowerCase -> v }, exact)
+  }
+
+  def csvList(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  def intList(s: String): Seq[Int] = csvList(s).map(_.toInt)
+  def poslenList(s: String): Seq[(Int, Int)] = csvList(s).map { p =>
+    p.split("-").map(_.trim) match {
+      case Array(a, b) => (a.toInt, b.toInt)
+      case _ => throw new IllegalArgumentException(s"bad poslen entry '$p'")
+    }
+  }
+
+  def excelFormat(o: Opts): XlsxFormat = XlsxFormat(
+    header = csvList(o("header")),
+    targetHeader = o.get("targetHeader").map(csvList).getOrElse(Nil),
+    worksheet = o.get("worksheet"),
+    worksheetId = o.get("worksheetId").map(_.toInt),
+    skip = o.getOrElse("skip", "0").toInt,
+    headerColumns = o.get("headerColumns").map(intList).getOrElse(Nil),
+    dateColumns = o.get("dateColumns").map(intList).getOrElse(Nil),
+    stopOnEmptyValueColumn = o.get("stopOnEmptyValueColumn").map(_.toInt),
+    thousandSep = o.getOrElse("thousandSep", ","),
+    decimalSep = o.getOrElse("decimalSep", "."),
+    normalizeNumerics = o.getOrElse("normalizeNumerics", "true").toBoolean)
+
+  def xmlFormat(o: Opts): XmlFormat = XmlFormat(
+    header = o.get("header").map(csvList)
+      .getOrElse(o.prefixed("xpath.").keys.toSeq.sorted),
+    xpathRecordLevel = o("xpathRecordLevel"),
+    fieldXpath = o.prefixed("xpath."),
+    namespaces = o.prefixed("ns."),
+    thousandSep = o.getOrElse("thousandSep", ","),
+    decimalSep = o.getOrElse("decimalSep", "."),
+    normalizeNumerics = o.getOrElse("normalizeNumerics", "true").toBoolean)
+
+  def fixedFormat(o: Opts): TextFormat = TextFormat(
+    header = csvList(o("header")),
+    targetHeader = o.get("targetHeader").map(csvList).getOrElse(Nil),
+    poslen = poslenList(o("poslen")),
+    skip = o.getOrElse("skip", "0").toInt,
+    skipUntil = o.get("skipUntil"),
+    eol = o.getOrElse("eol", "\r?\n"),
+    encoding = o.getOrElse("encoding", "UTF-8"),
+    allowLinefeedInData = o.getOrElse("allowLinefeedInData", "false").toBoolean,
+    thousandSep = o.getOrElse("thousandSep", ","),
+    decimalSep = o.getOrElse("decimalSep", "."),
+    normalizeNumerics = o.getOrElse("normalizeNumerics", "true").toBoolean,
+    dropEmptyFirstField = o.getOrElse("dropEmptyFirstField", "true").toBoolean)
+
+  def dataColumns(kind: String, o: Opts): Seq[String] = kind match {
+    case "graft-xml" => xmlFormat(o).header
+    case "graft-fixed" => fixedFormat(o).targets
+    case _ => excelFormat(o).targets
+  }
+
+  def fullSchema(kind: String, o: Opts): StructType = StructType(
+    StructField("_file", StringType) +: StructField("_lineno", LongType) +:
+      dataColumns(kind, o).map(StructField(_, StringType)))
+
+  /** `load(paths…)` → `paths` JSON array; `load(path)` → `path`. */
+  def inputPaths(o: Opts): Seq[String] = {
+    val multi = o.get("paths").map { json =>
+      // minimal JSON string-array parse (values are paths, no escapes in
+      // practice; tolerate \" and \\ anyway)
+      val s = json.trim.stripPrefix("[").stripSuffix("]")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var inStr = false; var esc = false
+      s.foreach { c =>
+        if (esc) { sb.append(c); esc = false }
+        else if (c == '\\') esc = true
+        else if (c == '"') { if (inStr) { out += sb.toString; sb.clear() }; inStr = !inStr }
+        else if (inStr) sb.append(c)
+      }
+      out.toSeq
+    }.getOrElse(Seq.empty)
+    val single = o.get("path").toSeq
+    val all = multi ++ single
+    if (all.isEmpty) throw new IllegalArgumentException("no path given to load()")
+    all
+  }
+
+  /** Spark-`trim` parity: strip ' ' only (Java `trim` also strips
+    * control chars — a semantic the classic fixed-width path never had). */
+  def trimSpaces(s: String): String = {
+    var i = 0; var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
+  /** Fixed-width per-file parse with projection — mirrors
+    * [[graft.sources.TextSource.read]]'s semantics (skip/skipUntil, empty
+    * lines dropped before numbering, trim + normalizeNumerics,
+    * dropEmptyFirstField after numbering) but extracts ONLY wanted spans. */
+  def fixedProjected(path: String, content: Array[Byte], fmt: TextFormat,
+                     wanted: Seq[String]): Iterator[Seq[Any]] = {
+    val text = new String(content, java.nio.charset.Charset.forName(fmt.encoding))
+    val recSep = if (fmt.allowLinefeedInData) "\r\n" else fmt.eol
+    val lines = text.split(recSep, -1).iterator.zipWithIndex
+    val afterSkip: Iterator[String] = fmt.skipUntil match {
+      case Some(pattern) =>
+        val rx = pattern.r
+        var found = false
+        lines.collect { case (l, _) if found || {
+          if (rx.findFirstIn(l).isDefined) found = true; false } => l }
+      case None => lines.collect { case (l, idx) if idx >= fmt.skip => l }
+    }
+    val spanByTarget: Map[String, (Int, Int)] = fmt.targets.zip(fmt.poslen).toMap
+    def fieldValue(raw: String, span: (Int, Int)): String = {
+      val (start, end) = span
+      val s = math.min(start, raw.length)
+      val e = math.min(end, raw.length)
+      val cut = if (e > s) raw.substring(s, e) else ""
+      val t = trimSpaces(cut)
+      if (fmt.normalizeNumerics)
+        Coerce.normalizeNumerics(t, fmt.thousandSep, fmt.decimalSep)
+      else t
+    }
+    var lineno = 0L
+    afterSkip.filter(_.nonEmpty).flatMap { raw =>
+      lineno += 1
+      if (fmt.dropEmptyFirstField &&
+          fieldValue(raw, fmt.poslen.head).isEmpty) None
+      else {
+        val n = lineno
+        Some(wanted.map {
+          case "_file"   => path
+          case "_lineno" => n
+          case t => fieldValue(raw, spanByTarget.getOrElse(t,
+            throw new IllegalArgumentException(s"unknown column $t")))
+        })
+      }
+    }
+  }
+}
+
+/** One file = one non-splittable partition. */
+final case class GraftInputPartition(path: String) extends InputPartition
+
+final class GraftPartitionReaderFactory(
+    kind: String, options: Map[String, String], wanted: Seq[String])
+  extends PartitionReaderFactory {
+  import GraftDataSourceV2._
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val filePath = p.asInstanceOf[GraftInputPartition].path
+    new PartitionReader[InternalRow] {
+      private val rows: Iterator[Seq[Any]] = {
+        val o = opts(options.asJava)
+        val hPath = new org.apache.hadoop.fs.Path(filePath)
+        // executors resolve the FS from their own site config — no driver
+        // state needs shipping, and every Hadoop-compatible FS works
+        val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(hPath)
+        val content = try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+        kind match {
+          case "graft-xlsx" =>
+            val fmt = excelFormat(o)
+            val (cells, maxRow) = XlsxSource.sheetCells(content, fmt)
+            ExcelRows.emitProjected(filePath, cells, maxRow, fmt, wanted)
+          case "graft-xls" =>
+            val fmt = excelFormat(o)
+            val (cells, maxRow) = XlsSource.sheetCells(filePath, content, fmt)
+            ExcelRows.emitProjected(filePath, cells, maxRow, fmt, wanted)
+          case "graft-xml" =>
+            XmlSource.parseProjected(filePath, content, xmlFormat(o), wanted)
+          case "graft-fixed" =>
+            fixedProjected(filePath, content, fixedFormat(o), wanted)
+          case other =>
+            throw new IllegalStateException(s"unknown graft format $other")
+        }
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) {
+          val vs = rows.next()
+          val arr = new Array[Any](vs.length)
+          var i = 0
+          vs.foreach { v =>
+            arr(i) = v match {
+              case s: String => UTF8String.fromString(s)
+              case other => other // Long _lineno or null
+            }
+            i += 1
+          }
+          current = new GenericInternalRow(arr)
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+final class GraftScan(kind: String, options: Map[String, String],
+                      required: StructType) extends Scan with Batch {
+  import GraftDataSourceV2._
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    inputPaths(opts(options.asJava)).flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      if (matched.isEmpty)
+        throw new java.io.FileNotFoundException(s"no files match $p")
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(f => !f.isDirectory &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        else Seq(st)
+      }.map(st => GraftInputPartition(st.getPath.toString): InputPartition)
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftPartitionReaderFactory(kind, options, required.fieldNames.toSeq)
+  override def description(): String =
+    s"$kind ReadSchema: ${required.fieldNames.mkString(", ")}"
+}
+
+final class GraftScanBuilder(kind: String, schema: StructType,
+                             options: Map[String, String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = schema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep the table's field order; Spark may hand fields in any order
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(schema.fields.filter(f => keep.contains(f.name)))
+  }
+  override def build(): Scan = new GraftScan(kind, options, required)
+}
+
+final class GraftFormatTable(kind: String, tableSchema: StructType,
+                             properties: util.Map[String, String])
+  extends Table with SupportsRead {
+  override def name(): String = kind
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // merge table properties (from getTable) with per-scan options; the
+    // scan's map carries the read paths
+    val merged = new util.HashMap[String, String](properties)
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new GraftScanBuilder(kind, tableSchema,
+      merged.asScala.toMap)
+  }
+}
+
+abstract class GraftProviderBase(kind: String)
+  extends TableProvider with DataSourceRegister {
+  import GraftDataSourceV2._
+  override def shortName(): String = kind
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    fullSchema(kind, opts(options.asCaseSensitiveMap()))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftFormatTable(kind, schema, properties)
+}
+
+final class GraftXlsxProvider extends GraftProviderBase("graft-xlsx")
+final class GraftXlsProvider extends GraftProviderBase("graft-xls")
+final class GraftXmlProvider extends GraftProviderBase("graft-xml")
+final class GraftFixedProvider extends GraftProviderBase("graft-fixed")

@@ -441,6 +441,23 @@ object PlanAudit {
           !p116.contains("BroadcastNestedLoopJoin"))
     }
 
+    // DSv2 custom sources: column pruning must reach the parser — a
+    // 1-column projection over a graft-fixed table scans ONLY that column
+    // (the scan description carries its pruned readSchema)
+    audit("dsv2-pruning") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-audit-")
+      val f = dir.resolve("d.fix")
+      java.nio.file.Files.write(f, "k  name    \n1  row1   \n".getBytes("UTF-8"))
+      val scan = spark.read.format("graft-fixed")
+        .option("header", "k,name").option("poslen", "0-3,3-11")
+        .option("skip", "1").load(f.toString)
+        .select(org.apache.spark.sql.functions.col("name"))
+      val ps = scan.queryExecution.executedPlan.toString
+      check("dsv2 fixed-width scan prunes to the selected column",
+        ps.contains("ReadSchema: name") && !ps.contains("_lineno"),
+        s"pruning did not reach the graft-fixed scan:\n${ps.take(400)}")
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable
