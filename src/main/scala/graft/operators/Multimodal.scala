@@ -132,11 +132,138 @@ object Multimodal {
     None
   }
 
+  /** MP4 (ISO BMFF): the file is a box tree `[size:4 BE][type:4][payload]`.
+    * Walk the known container boxes (`moov/trak/mdia/minf/stbl`), read the
+    * first video `tkhd`'s 16.16-fixed width/height (v0 payload offsets
+    * 76/80; v1 +12 for the widened times) and the first `stsz` sample
+    * count. Pure byte walking — container METADATA needs no codec (frame
+    * pixel decode still does, and stays on the stub path). 64-bit
+    * `largesize` boxes (size==1) stop the walk — closed-form metadata
+    * readers don't chase >4 GiB boxes. */
+  private[graft] def mp4Meta(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    if (b.length < 12 || !ascii(b, 4, "ftyp")) return None
+    val bb = be(b)
+    var width = 0; var height = 0; var frames = 0
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val size = bb.getInt(off)
+        val typ = new String(b, off + 4, 4, "US-ASCII")
+        if (size < 8 || off + size > end) ok = false // malformed/largesize: stop
+        else {
+          if (containers(typ)) walk(off + 8, off + size)
+          else if (typ == "tkhd" && width == 0) {
+            val ver = b(off + 8) & 0xFF
+            val wOff = off + 8 + (if (ver == 1) 88 else 76)
+            if (wOff + 8 <= off + size) {
+              val tw = bb.getInt(wOff) >>> 16
+              val th = bb.getInt(wOff + 4) >>> 16
+              if (tw > 0 && th > 0) { width = tw; height = th }
+            }
+          } else if (typ == "stsz" && frames == 0 && size >= 20)
+            frames = bb.getInt(off + 8 + 8) // sample_count after ver/flags + sample_size
+          off += size
+        }
+      }
+    }
+    walk(0, b.length)
+    if (width > 0 && height > 0)
+      Some(("video/mp4", width, height, math.max(frames, 1)))
+    else None
+  }
+
+  /** AVI (RIFF): same chunk walking as [[wavMeta]] but descending into
+    * `LIST` chunks; the `avih` main header carries dwTotalFrames /
+    * dwWidth / dwHeight at payload offsets 16/32/36 (all LE). */
+  private[graft] def aviMeta(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "AVI ")) return None
+    val bb = le(b)
+    var res: Option[(String, Int, Int, Int)] = None
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (res.isEmpty && off + 8 <= end) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val size = bb.getInt(off + 4)
+        if (size < 0 || off + 8 + size > end) return // malformed: stop
+        if (id == "LIST" && size >= 4) walk(off + 12, off + 8 + size)
+        else if (id == "avih" && size >= 40)
+          res = Some(("video/x-msvideo",
+            bb.getInt(off + 8 + 32), bb.getInt(off + 8 + 36), bb.getInt(off + 8 + 16)))
+        off += 8 + size + (size & 1) // word-aligned
+      }
+    }
+    walk(12, b.length)
+    res.filter(t => t._2 > 0 && t._3 > 0)
+  }
+
   /** Real header decode where the format allows it; None → caller falls
-    * back to the stub. */
+    * back to the stub. Video CONTAINERS (MP4/AVI) report real metadata
+    * here; only their frame pixels remain stub territory. */
   private[graft] def decodeReal(b: Array[Byte]): Option[(String, Int, Int, Int)] =
     pngMeta(b).orElse(gifMeta(b)).orElse(bmpMeta(b)).orElse(wavMeta(b))
-      .orElse(jpegMeta(b))
+      .orElse(jpegMeta(b)).orElse(mp4Meta(b)).orElse(aviMeta(b))
+
+  // ---- closed-form synthetic containers (test/gate fixtures) -----------
+
+  private def be4(i: Int): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(i).array
+  private def le4(i: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(i).array
+  private def isoBox(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val payload = parts.toArray.flatten
+    be4(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+  }
+
+  /** Minimal-but-conformant MP4: ftyp + moov(mvhd, trak(tkhd,
+    * mdia(minf(stbl(stsz))))) with the declared width/height in tkhd's
+    * 16.16 fields and `frames` as the stsz sample count. Every byte is a
+    * closed-form function of (w, h, frames) — the q118 oracle replays the
+    * metadata from the synthesis parameters alone. */
+  private[graft] def syntheticMp4(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val matrix = be4(0x00010000) ++ be4(0) ++ be4(0) ++
+      be4(0) ++ be4(0x00010000) ++ be4(0) ++
+      be4(0) ++ be4(0) ++ be4(0x40000000)
+    val ftyp = isoBox("ftyp", "isom".getBytes("US-ASCII"), be4(0x200),
+      "isom".getBytes("US-ASCII"))
+    val mvhd = isoBox("mvhd",
+      be4(0),            // version/flags
+      be4(0), be4(0),    // creation/modification
+      be4(1000),         // timescale
+      be4(frames * 40),  // duration (25 fps at timescale 1000)
+      be4(0x00010000),   // rate 1.0
+      Array[Byte](0x01, 0x00), // volume 1.0
+      new Array[Byte](10), matrix, new Array[Byte](24),
+      be4(2))            // next track id
+    val tkhd = isoBox("tkhd",
+      be4(7),            // version 0, flags: enabled|in-movie|in-preview
+      be4(0), be4(0),    // creation/modification
+      be4(1), be4(0),    // track id, reserved
+      be4(frames * 40),  // duration
+      new Array[Byte](8),
+      new Array[Byte](8), // layer, alternate group, volume, reserved
+      matrix,
+      be4(w << 16), be4(h << 16))
+    val stsz = isoBox("stsz", be4(0), be4(1), be4(frames))
+    val trak = isoBox("trak", tkhd,
+      isoBox("mdia", isoBox("minf", isoBox("stbl", stsz))))
+    ftyp ++ isoBox("moov", mvhd, trak)
+  }
+
+  /** Minimal AVI: RIFF('AVI ', LIST('hdrl', avih)) with the declared
+    * dimensions and frame count in the 56-byte main header. */
+  private[graft] def syntheticAvi(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val avihPayload =
+      le4(33333) ++ le4(0) ++ le4(0) ++ le4(0x10) ++ // usec/frame..flags
+      le4(frames) ++ le4(0) ++ le4(1) ++ le4(0) ++   // totalFrames..bufSize
+      le4(w) ++ le4(h) ++ new Array[Byte](16)        // width, height, reserved
+    val avih = "avih".getBytes("US-ASCII") ++ le4(avihPayload.length) ++ avihPayload
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le4(4 + avih.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih
+    val riffPayload = "AVI ".getBytes("US-ASCII") ++ hdrl
+    "RIFF".getBytes("US-ASCII") ++ le4(riffPayload.length) ++ riffPayload
+  }
 
   // =====================================================================
   // REAL pixel decode via javax.imageio (in-JDK, offline): JPEG, PNG,
@@ -192,9 +319,10 @@ object Multimodal {
 
   // =====================================================================
   // STUB fallback — now only for payloads no in-JDK codec can decode
-  // (video containers, compressed non-PCM audio). A real deployment
-  // replaces ONLY this function (ffmpeg JNI); signature and batch shape
-  // stay.
+  // (unrecognized containers, compressed non-PCM audio; MP4/AVI container
+  // METADATA is real via mp4Meta/aviMeta — only frame PIXEL decode needs
+  // a codec). A real deployment replaces ONLY this function (ffmpeg JNI);
+  // signature and batch shape stay.
   // =====================================================================
   private[operators] def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length

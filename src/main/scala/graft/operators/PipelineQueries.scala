@@ -405,6 +405,33 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Video-container metadata gate: deterministic MP4 (ISO BMFF box tree)
+    * and AVI (RIFF) containers synthesized closed-form from doc_id
+    * ([[Multimodal.syntheticMp4]]/[[Multimodal.syntheticAvi]]) run through
+    * the batched decode — [[Multimodal.mp4Meta]]/[[Multimodal.aviMeta]]
+    * walk the real box/chunk structure, so the oracle replays every value
+    * from the synthesis parameters alone (the decode is value-checked,
+    * like q113 for images; only frame PIXEL decode remains stubbed). */
+  def q118VideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") < 200)
+    val vids = ids.as[Long].mapPartitions { it =>
+      it.map { d =>
+        val w = (100 + d % 50).toInt
+        val h = (60 + d % 40).toInt
+        val f = (1 + d % 25).toInt
+        (d, if (d % 2 == 0) Multimodal.syntheticMp4(w, h, f)
+            else Multimodal.syntheticAvi(w, h, f))
+      }
+    }.toDF("doc_id", "payload")
+    Multimodal.decodeBatched(vids, "payload")
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary: top-5 tokens per language by frequency (the
     * explode-heavy shape of vocabulary building at scale: one shuffle on
     * (lang, token) with partial counts, then a per-lang top-k window). */
@@ -500,6 +527,7 @@ object PipelineQueries {
     "q66_bloom_decontam" -> q66BloomDecontam _,
     "q67_bm25_topk"    -> q67Bm25 _,
     "q113_image_features" -> q113ImageFeatures _,
+    "q118_video_meta"  -> q118VideoMeta _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -1023,6 +1051,15 @@ object PipelineQueries {
         |  CAST(CAST(CAST(c0 AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS hist0,
         |  CAST(CAST(CAST(c7 AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS hist7
         |FROM a
+        |ORDER BY doc_id""".stripMargin,
+    "q118_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'video/mp4'
+        |       ELSE 'video/x-msvideo' END AS mime,
+        |  CAST(100 + doc_id % 50 AS INTEGER) AS width,
+        |  CAST(60 + doc_id % 40 AS INTEGER) AS height,
+        |  CAST(1 + doc_id % 25 AS INTEGER) AS n_frames
+        |FROM documents WHERE doc_id < 200
         |ORDER BY doc_id""".stripMargin,
     "q17_text_stats" ->
       s"""WITH base AS (

@@ -223,4 +223,24 @@ class MediaHeaderSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
     assert(got == Seq((1L, 0, 4, 0.5), (1L, 1, 4, 0.0), (2L, 0, 4, 0.0)))
   }
+
+  test("mp4Meta walks the box tree to tkhd dimensions and stsz frames") {
+    val b = Multimodal.syntheticMp4(640, 360, 24)
+    assert(Multimodal.mp4Meta(b) === Some(("video/mp4", 640, 360, 24)))
+    assert(Multimodal.decodeReal(b) === Some(("video/mp4", 640, 360, 24)))
+    // truncated/garbage payloads don't loop or throw
+    assert(Multimodal.mp4Meta(b.take(20)) === None)
+    assert(Multimodal.mp4Meta("not an mp4 at all".getBytes) === None)
+  }
+
+  test("aviMeta finds avih inside the hdrl LIST") {
+    val b = Multimodal.syntheticAvi(320, 240, 100)
+    assert(Multimodal.aviMeta(b) === Some(("video/x-msvideo", 320, 240, 100)))
+    assert(Multimodal.decodeReal(b) === Some(("video/x-msvideo", 320, 240, 100)))
+    // a WAV is RIFF too but not AVI — and still decodes as WAV
+    val wav = wavWithSamples(8000, 1, Array.fill(4)(0.toShort))
+    assert(Multimodal.aviMeta(wav) === None)
+    assert(Multimodal.decodeReal(wav).exists(_._1 == "audio/wav"))
+    assert(Multimodal.aviMeta(b.take(10)) === None)
+  }
 }
