@@ -13,13 +13,19 @@ import org.apache.spark.sql.functions._
   * reason. TESTDATA.md tops out at sf0.1; `ScaleGen` makes the sf1 smoke
   * (BENCH sf1 section) possible without touching /root/testdata.
   *
-  * Usage: `runMain graft.ScaleGen [srcDir] [outDir] [copies]`.
+  * Usage: `runMain graft.ScaleGen [srcDir] [outDir] [copies] [tables]` —
+  * `tables` (comma list, optional) restricts generation to the tables a
+  * targeted smoke needs (e.g. `lineitem,orders,documents,embeddings` for
+  * the sf10 tier), so a 100× run doesn't pay for tables it won't scan.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,39 +61,51 @@ object ScaleGen {
     val customer = Tables.customer(spark, src)
     val supplier = Tables.supplier(spark, src)
     val part = Tables.part(spark, src)
-    val events = spark.read.parquet(s"$src/events.parquet")
     val documents = Tables.documents(spark, src)
     val embeddings = Tables.embeddings(spark, src)
 
-    val okStride = stride(orders, "o_orderkey")
-    val ckStride = stride(customer, "c_custkey")
-    val skStride = stride(supplier, "s_suppkey")
-    val pkStride = stride(part, "p_partkey")
+    // strides are lazy so a table-filtered run (e.g. the sf10 tier) only
+    // pays the max() jobs of tables it actually replicates
+    lazy val okStride = stride(orders, "o_orderkey")
+    lazy val ckStride = stride(customer, "c_custkey")
+    lazy val skStride = stride(supplier, "s_suppkey")
+    lazy val pkStride = stride(part, "p_partkey")
 
     // dims stay as-is (they are the broadcast side; a 10× fact scale-up
     // does not grow them in TPC-H either for nation/region)
-    spark.read.parquet(s"$src/region.parquet").write.mode("overwrite")
-      .parquet(s"$out/region.parquet")
-    spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite")
-      .parquet(s"$out/nation.parquet")
+    if (wanted("region"))
+      spark.read.parquet(s"$src/region.parquet").write.mode("overwrite")
+        .parquet(s"$out/region.parquet")
+    if (wanted("nation"))
+      spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite")
+        .parquet(s"$out/nation.parquet")
 
-    write(replicate(customer, Map("c_custkey" -> ckStride)), "customer")
-    write(replicate(supplier, Map("s_suppkey" -> skStride)), "supplier")
-    write(replicate(part, Map("p_partkey" -> pkStride)), "part")
-    write(replicate(orders,
-      Map("o_orderkey" -> okStride, "o_custkey" -> ckStride)), "orders")
-    write(replicate(lineitem,
-      Map("l_orderkey" -> okStride, "l_partkey" -> pkStride,
-        "l_suppkey" -> skStride)), "lineitem")
+    if (wanted("customer"))
+      write(replicate(customer, Map("c_custkey" -> ckStride)), "customer")
+    if (wanted("supplier"))
+      write(replicate(supplier, Map("s_suppkey" -> skStride)), "supplier")
+    if (wanted("part"))
+      write(replicate(part, Map("p_partkey" -> pkStride)), "part")
+    if (wanted("orders"))
+      write(replicate(orders,
+        Map("o_orderkey" -> okStride, "o_custkey" -> ckStride)), "orders")
+    if (wanted("lineitem"))
+      write(replicate(lineitem,
+        Map("l_orderkey" -> okStride, "l_partkey" -> pkStride,
+          "l_suppkey" -> skStride)), "lineitem")
 
-    // events: new ids/users per copy, time shifted a day per copy (ts is
-    // epoch-nanos long in the source parquet)
-    val evStride = stride(events, "event_id")
-    val userStride = stride(events, "user_id")
-    write(replicate(events,
-        Map("event_id" -> evStride, "user_id" -> userStride),
-        (d, i) => d.withColumn("ts", col("ts") + lit(i * 86400L * 1000000000L))),
-      "events")
+    // events: new ids/users per copy, time shifted a day per copy —
+    // through Tables.events so all physical ts encodings (legacy nanos
+    // long, TIMESTAMP_NTZ, session-TZ timestamp) normalize first
+    if (wanted("events")) {
+      val events = Tables.events(spark, src)
+      val evStride = stride(events, "event_id")
+      val userStride = stride(events, "user_id")
+      write(replicate(events,
+          Map("event_id" -> evStride, "user_id" -> userStride),
+          (d, i) => d.withColumn("ts", expr(s"timestampadd(DAY, $i, ts)"))),
+        "events")
+    }
 
     // documents: every third token gets a per-copy suffix. A pure
     // rotation keeps the word multiset, so every interior shingle still
@@ -96,7 +114,8 @@ object ScaleGen {
     // duplicate rate, not the engine. Tagging every third word breaks
     // all 3-word shingles between copies while keeping per-doc length
     // and vocabulary shape realistic.
-    val docStride = stride(documents, "doc_id")
+    lazy val docStride = stride(documents, "doc_id")
+    if (wanted("documents"))
     write(replicate(documents, Map("doc_id" -> docStride), (d, i) =>
         if (i == 0) d
         else {
@@ -126,7 +145,8 @@ object ScaleGen {
       "documents")
 
     // embeddings: rotate components by i so directions differ per copy
-    val vecStride = stride(embeddings, "vec_id")
+    lazy val vecStride = stride(embeddings, "vec_id")
+    if (wanted("embeddings"))
     write(replicate(embeddings, Map("vec_id" -> vecStride), (d, i) =>
         if (i == 0) d
         else {
