@@ -108,7 +108,11 @@ object TextSource {
         }
       } else if (fmt.quoted) {
         val schema = StructType(fmt.header.map(StructField(_, StringType)))
-        val parsed = from_csv(col("_raw"), schema, Map("sep" -> fmt.sep))
+        // escape = quote char: Text::CSV semantics (doubled "" inside a
+        // quoted field is a literal quote) — Spark's default escape is
+        // backslash, which would pass `"a ""b"" c"` through unparsed
+        val parsed = from_csv(col("_raw"), schema,
+          Map("sep" -> fmt.sep, "escape" -> "\""))
         fmt.header.map(h => parsed.getField(h))
       } else {
         val sepRegex = if (fmt.sepIsRegex) fmt.sep else java.util.regex.Pattern.quote(fmt.sep)

@@ -114,9 +114,26 @@ object GraftDataSourceV2 {
     normalizeNumerics = o.getOrElse("normalizeNumerics", "true").toBoolean,
     dropEmptyFirstField = o.getOrElse("dropEmptyFirstField", "true").toBoolean)
 
+  def textFormat(o: Opts): TextFormat = TextFormat(
+    header = csvList(o("header")),
+    targetHeader = o.get("targetHeader").map(csvList).getOrElse(Nil),
+    sep = o.getOrElse("sep", "\t"),
+    sepIsRegex = o.getOrElse("sepIsRegex", "false").toBoolean,
+    quoted = o.getOrElse("quoted", "false").toBoolean,
+    skip = o.getOrElse("skip", "0").toInt,
+    skipUntil = o.get("skipUntil"),
+    eol = o.getOrElse("eol", "\r?\n"),
+    encoding = o.getOrElse("encoding", "UTF-8"),
+    allowLinefeedInData = o.getOrElse("allowLinefeedInData", "false").toBoolean,
+    thousandSep = o.getOrElse("thousandSep", ","),
+    decimalSep = o.getOrElse("decimalSep", "."),
+    normalizeNumerics = o.getOrElse("normalizeNumerics", "true").toBoolean,
+    dropEmptyFirstField = o.getOrElse("dropEmptyFirstField", "true").toBoolean)
+
   def dataColumns(kind: String, o: Opts): Seq[String] = kind match {
     case "graft-xml" => xmlFormat(o).header
     case "graft-fixed" => fixedFormat(o).targets
+    case "graft-text" => textFormat(o).targets
     case _ => excelFormat(o).targets
   }
 
@@ -156,12 +173,47 @@ object GraftDataSourceV2 {
     s.substring(i, j)
   }
 
-  /** Fixed-width per-file parse with projection — mirrors
+  /** Minimal quoted-CSV line split (Text::CSV semantics like the classic
+    * path's `from_csv`: quotes only where needed, doubled quote inside a
+    * quoted field = literal quote). `sep` is a literal string here. */
+  def splitQuoted(line: String, sep: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = line.length
+    while (i <= n) { // one field per iteration
+      if (i == n) { out += ""; i += 1 } // sep at EOL → trailing empty field
+      else if (line.charAt(i) == '"') {
+        // quoted field: scan to the closing quote ("" = literal ")
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (!closed && j < n) {
+          val c = line.charAt(j)
+          if (c == '"') {
+            if (j + 1 < n && line.charAt(j + 1) == '"') { sb.append('"'); j += 2 }
+            else { closed = true; j += 1 }
+          } else { sb.append(c); j += 1 }
+        }
+        out += sb.toString
+        i = if (j < n && line.startsWith(sep, j)) j + sep.length else n + 1
+      } else {
+        val next = line.indexOf(sep, i)
+        if (next < 0) { out += line.substring(i); i = n + 1 }
+        else { out += line.substring(i, next); i = next + sep.length }
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Per-file text parse with projection — mirrors
     * [[graft.sources.TextSource.read]]'s semantics (skip/skipUntil, empty
     * lines dropped before numbering, trim + normalizeNumerics,
-    * dropEmptyFirstField after numbering) but extracts ONLY wanted spans. */
-  def fixedProjected(path: String, content: Array[Byte], fmt: TextFormat,
-                     wanted: Seq[String]): Iterator[Seq[Any]] = {
+    * dropEmptyFirstField after numbering) for all three line modes:
+    * fixed-width spans, quoted CSV, and plain/regex separator split. Only
+    * `wanted` columns pay per-field cleanup (and fixed-width only
+    * substrings wanted spans). */
+  def textProjected(path: String, content: Array[Byte], fmt: TextFormat,
+                    wanted: Seq[String]): Iterator[Seq[Any]] = {
     val text = new String(content, java.nio.charset.Charset.forName(fmt.encoding))
     val recSep = if (fmt.allowLinefeedInData) "\r\n" else fmt.eol
     val lines = text.split(recSep, -1).iterator.zipWithIndex
@@ -173,28 +225,45 @@ object GraftDataSourceV2 {
           if (rx.findFirstIn(l).isDefined) found = true; false } => l }
       case None => lines.collect { case (l, idx) if idx >= fmt.skip => l }
     }
-    val spanByTarget: Map[String, (Int, Int)] = fmt.targets.zip(fmt.poslen).toMap
-    def fieldValue(raw: String, span: (Int, Int)): String = {
-      val (start, end) = span
-      val s = math.min(start, raw.length)
-      val e = math.min(end, raw.length)
-      val cut = if (e > s) raw.substring(s, e) else ""
-      val t = trimSpaces(cut)
+    def clean(s: String): String = {
+      val t = trimSpaces(s)
       if (fmt.normalizeNumerics)
         Coerce.normalizeNumerics(t, fmt.thousandSep, fmt.decimalSep)
       else t
     }
+    // raw line → positional field lookup (fixed: lazy per-span substring;
+    // split modes: one split, then per-index access — nulls past the end
+    // like the classic path's element_at)
+    val sepRegex =
+      if (fmt.isFixedWidth || fmt.quoted) null
+      else if (fmt.sepIsRegex) fmt.sep.r.pattern
+      else java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(fmt.sep))
+    def fields(raw: String): Int => String =
+      if (fmt.isFixedWidth) { i =>
+        val (start, end) = fmt.poslen(i)
+        val s = math.min(start, raw.length)
+        val e = math.min(end, raw.length)
+        clean(if (e > s) raw.substring(s, e) else "")
+      } else if (fmt.quoted) {
+        val parts = splitQuoted(raw, fmt.sep)
+        i => if (i < parts.length) clean(parts(i)) else null
+      } else {
+        val parts = sepRegex.split(raw, -1)
+        i => if (i < parts.length) clean(parts(i)) else null
+      }
+    val idxByTarget: Map[String, Int] = fmt.targets.zipWithIndex.toMap
     var lineno = 0L
     afterSkip.filter(_.nonEmpty).flatMap { raw =>
       lineno += 1
-      if (fmt.dropEmptyFirstField &&
-          fieldValue(raw, fmt.poslen.head).isEmpty) None
+      val f = fields(raw)
+      if (fmt.dropEmptyFirstField && {
+        val v = f(0); v == null || v.isEmpty }) None
       else {
         val n = lineno
         Some(wanted.map {
           case "_file"   => path
           case "_lineno" => n
-          case t => fieldValue(raw, spanByTarget.getOrElse(t,
+          case t => f(idxByTarget.getOrElse(t,
             throw new IllegalArgumentException(s"unknown column $t")))
         })
       }
@@ -239,7 +308,9 @@ final class GraftPartitionReaderFactory(
           case "graft-xml" =>
             XmlSource.parseProjected(filePath, content, xmlFormat(o), wanted)
           case "graft-fixed" =>
-            fixedProjected(filePath, content, fixedFormat(o), wanted)
+            textProjected(filePath, content, fixedFormat(o), wanted)
+          case "graft-text" =>
+            textProjected(filePath, content, textFormat(o), wanted)
           case other =>
             throw new IllegalStateException(s"unknown graft format $other")
         }
@@ -338,3 +409,4 @@ final class GraftXlsxProvider extends GraftProviderBase("graft-xlsx")
 final class GraftXlsProvider extends GraftProviderBase("graft-xls")
 final class GraftXmlProvider extends GraftProviderBase("graft-xml")
 final class GraftFixedProvider extends GraftProviderBase("graft-fixed")
+final class GraftTextProvider extends GraftProviderBase("graft-text")

@@ -110,6 +110,50 @@ class DataSourceV2Spec extends SparkSpec {
     assert(pruned.toSeq == Seq("1", "2"))
   }
 
+  test("graft-text matches TextSource.read: plain sep, quoted CSV, regex sep") {
+    val dir = tmp("graft-v2-text-")
+    // plain sep with an embedded-quote-free payload
+    val plain = dir.resolve("plain.csv")
+    Files.write(plain, "k;name;grp\n1;alpha;10\n2;beta;20\n;empty;3\n".getBytes("UTF-8"))
+    val plainFmt = TextFormat(header = header, sep = ";", skip = 1)
+    val classicPlain = TextSource.read(spark, Seq(plain.toString), plainFmt)
+      .select("k", "name", "grp").collect().map(_.toSeq).sortBy(_.head.toString)
+    val v2Plain = spark.read.format("graft-text")
+      .option("header", header.mkString(",")).option("sep", ";")
+      .option("skip", "1").load(plain.toString)
+      .select("k", "name", "grp").collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(v2Plain.toSeq == classicPlain.toSeq) // incl. dropEmptyFirstField
+
+    // quoted CSV: embedded separator, doubled quote, unquoted numerics
+    val quoted = dir.resolve("quoted.csv")
+    Files.write(quoted,
+      "k,name,grp\n1,\"al,pha\",10\n2,\"say \"\"hi\"\"\",20\n3,plain,30\n"
+        .getBytes("UTF-8"))
+    val quotedFmt = TextFormat(header = header, sep = ",", quoted = true, skip = 1)
+    val classicQuoted = TextSource.read(spark, Seq(quoted.toString), quotedFmt)
+      .select("k", "name", "grp").collect().map(_.toSeq).sortBy(_.head.toString)
+    val v2Quoted = spark.read.format("graft-text")
+      .option("header", header.mkString(",")).option("sep", ",")
+      .option("quoted", "true").option("skip", "1").load(quoted.toString)
+      .select("k", "name", "grp").collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(v2Quoted.toSeq == classicQuoted.toSeq)
+
+    // regex separator + skipUntil
+    val rx = dir.resolve("rx.txt")
+    Files.write(rx,
+      "junk preamble\n--data--\n1  |alpha| 10\n2 |beta |20\n".getBytes("UTF-8"))
+    val rxFmt = TextFormat(header = header, sep = "\\s*\\|\\s*",
+      sepIsRegex = true, skipUntil = Some("^--data--$"))
+    val classicRx = TextSource.read(spark, Seq(rx.toString), rxFmt)
+      .select("k", "name", "grp").collect().map(_.toSeq).sortBy(_.head.toString)
+    val v2Rx = spark.read.format("graft-text")
+      .option("header", header.mkString(",")).option("sep", "\\s*\\|\\s*")
+      .option("sepIsRegex", "true").option("skipUntil", "^--data--$")
+      .load(rx.toString)
+      .select("k", "name", "grp").collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(v2Rx.toSeq == classicRx.toSeq)
+  }
+
   test("multi-file load lists files and keeps per-file line numbers") {
     val dir = tmp("graft-v2-multi-")
     for (i <- 1 to 3) {
