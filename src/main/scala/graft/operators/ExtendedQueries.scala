@@ -197,9 +197,28 @@ object ExtendedQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** int8 embedding quantization ([[Similarity.quantizeInt8]]) — the 4×
+    * memory reduction billion-scale ANN needs. Every step is closed-form
+    * IEEE-double arithmetic (floor-based half-up rounding), so the oracle
+    * replays the whole quantize→summarize→reconstruct path bit-exactly:
+    * per-vector scale, first quantized component, integer sum / squared
+    * norm of the int8 vector, and the max reconstruction error. */
+  def q119EmbedQuant(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(Tables.embeddings(spark, dir), "embedding")
+    q.select(col("vec_id"), col("q_scale"),
+        element_at(col("q_vec"), 1).cast("long").as("q0"),
+        aggregate(col("q_vec"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        aggregate(col("q_vec"), lit(0L), (acc, x) => acc + x * x).as("q_norm2"),
+        array_max(zip_with(col("embedding"), col("q_vec"), (v, qq) =>
+          abs(v.cast("double") - qq.cast("double") * col("q_scale") / lit(127d))))
+          .as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_key_histogram"   -> q47KeyHistogram _,
     "q48_norm_embeddings" -> q48NormEmbeddings _,
+    "q119_embed_quant"    -> q119EmbedQuant _,
     "q45_hourly_events"   -> q45HourlyEvents _,
     "q46_pivot"           -> q46Pivot _,
     "q40_update_only"     -> q40UpdateOnly _,
@@ -227,6 +246,30 @@ object ExtendedQueries {
         |    / sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
         |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, x) -> acc + x)) AS e0_normed
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q119_embed_quant" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS q_scale
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, embedding, q_scale,
+        |    CASE WHEN q_scale = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x ->
+        |        CAST(floor(CAST(x AS DOUBLE) * 127 / q_scale + 0.5) AS BIGINT))
+        |    END AS q_vec
+        |  FROM q)
+        |SELECT vec_id, q_scale,
+        |  q_vec[1] AS q0,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), q_vec),
+        |    (acc, x) -> acc + x) AS q_sum,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), q_vec),
+        |    (acc, x) -> acc + x * x) AS q_norm2,
+        |  list_max(list_transform(list_zip(embedding, q_vec),
+        |    p -> abs(CAST(p[1] AS DOUBLE)
+        |      - CAST(p[2] AS DOUBLE) * q_scale / 127))) AS recon_err
+        |FROM qq ORDER BY vec_id""".stripMargin,
     "q45_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

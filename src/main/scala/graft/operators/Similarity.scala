@@ -337,6 +337,45 @@ object Similarity {
     * @return (idCol, cluster, keep) — keep=false iff a lower-id same-
     *         cluster vector is cosine-≥-minCos close.
     */
+  /** [[semDedup]] with the codebook sized to the corpus — the production
+    * configuration the sf10 tier measures (BENCH_sf10.json): a FIXED
+    * codebook makes the within-cluster pair space Σ|cluster|² grow
+    * quadratically as the corpus scales past it, so k must track n.
+    * k = ceil(n / targetClusterSize) bounds the expected cluster size,
+    * keeping the pair space ~n·targetClusterSize (linear in n); the
+    * codebook is trained with the deterministic [[trainCentroids]]
+    * (k lowest-id seeds, fixed iterations — reproducible across runs,
+    * only k×dim doubles ever touch the driver). */
+  def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                   minCos: Double, targetClusterSize: Long = 1000,
+                   iters: Int = 2): DataFrame = {
+    val n = corpus.count()
+    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val cents = trainCentroids(corpus, idCol, vecCol, k, iters)
+    semDedup(corpus, idCol, vecCol, cents, minCos)
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the memory move
+    * that makes billion-scale ANN fit executor RAM (4× smaller than
+    * float32, 8× than float64; recall loss is bounded by the ≤1/254
+    * per-component relative error). Adds `q_scale` (per-vector max |v|,
+    * double) and `q_vec` (array<int> in [-127, 127]); `q_scale = 0`
+    * (all-zero vector) quantizes to zeros. Every step is closed-form
+    * IEEE-double arithmetic (`floor(v·127/m + 0.5)` — floor-based
+    * half-up rounding, not a mode-dependent `round()`), so a SQL oracle
+    * replays the quantization bit-exactly (q119). Dequantized value =
+    * `q · m / 127`. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val m = array_max(transform(v, x => abs(x.cast("double"))))
+    df.withColumn("q_scale", m)
+      .withColumn("q_vec",
+        when(col("q_scale") === 0d, transform(v, _ => lit(0)))
+          .otherwise(transform(v, x =>
+            floor(x.cast("double") * lit(127d) / col("q_scale") + lit(0.5d))
+              .cast("int"))))
+  }
+
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                centroids: Seq[Seq[Double]], minCos: Double): DataFrame = {
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -95,4 +95,55 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == 6) // 2 queries × 3 neighbors
     assert(got.forall(expected.contains))
   }
+
+  test("semDedupAuto sizes the codebook to the corpus and drops exact twins") {
+    // angularly separated vectors: dominant one-hot axis + a small
+    // id-dependent perturbation, so distinct vectors stay below cos
+    // 0.9999 while exact twins hit cos 1
+    val base = (0 until 20).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(i % 8) = 1.0f
+      v((i + 3) % 8) += 0.05f + 0.01f * i
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    // exact twins of the even ids, shifted ids — cosine 1, same assignment
+    val twins = base.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(twins) // 30 vectors
+    // targetClusterSize 10 → k = 3
+    val out = Similarity.semDedupAuto(corpus, "vec_id", "embedding",
+      minCos = 0.999999, targetClusterSize = 10)
+    assert(out.select(countDistinct(col("cluster"))).head().getLong(0) <= 3)
+    val dropped = out.filter(!col("keep")).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    // every twin (higher id of its cosine-1 pair) is dropped; nothing else
+    // reaches cosine ≥ .999999
+    assert(dropped == (0 until 20 by 2).map(_ + 1000L).toSet)
+    // deterministic: same result on a re-run
+    val again = Similarity.semDedupAuto(corpus, "vec_id", "embedding",
+      minCos = 0.999999, targetClusterSize = 10)
+      .filter(!col("keep")).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == dropped)
+  }
+
+  test("quantizeInt8 is exact on the closed form and bounds reconstruction") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),   // zero vector → zero scale
+      (3L, Seq(-2.0f, 1.0f, 0.5f, -0.25f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "embedding")
+      .select("vec_id", "q_scale", "q_vec").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).sortBy(_._1)
+    assert(q(0) == ((1L, 1.0, Seq(127, -63, 32, 0))))  // floor(±x·127+0.5)
+    assert(q(1) == ((2L, 0.0, Seq(0, 0, 0, 0))))
+    assert(q(2) == ((3L, 2.0, Seq(-127, 64, 32, -16)))) // floor(-15.875+0.5)
+    // reconstruction error ≤ scale/254 + float-cast noise
+    val errs = Similarity.quantizeInt8(df, "embedding")
+      .select(col("q_scale"),
+        array_max(zip_with(col("embedding"), col("q_vec"), (v, qq) =>
+          abs(v.cast("double") - qq.cast("double") * col("q_scale") / lit(127d)))))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    errs.foreach { case (m, e) => assert(e <= m / 254 + 1e-9, s"err $e scale $m") }
+  }
 }
