@@ -441,6 +441,14 @@ object PlanAudit {
           !p116.contains("BroadcastNestedLoopJoin"))
     }
 
+    // q119 quantization: a pure per-row array program — no join, no
+    // aggregation exchange beyond the gate sort
+    audit("q119") {
+      val p119 = plan("q119_embed_quant")
+      check("q119 quantization is a projection (no join, <=1 exchange)",
+        !p119.contains("Join") && "Exchange".r.findAllIn(p119).size <= 1)
+    }
+
     // DSv2 custom sources: column pruning must reach the parser — a
     // 1-column projection over a graft-fixed table scans ONLY that column
     // (the scan description carries its pruned readSchema)
