@@ -432,6 +432,31 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Encoding-health gate ([[TextOps.encodingStats]]): replacement chars,
+    * stray C0 controls, cp1252-mojibake artifact sequences, and the
+    * printable-ASCII ppm. The corpus is deterministically contaminated
+    * from doc_id (every 3rd doc gets mojibake, every 5th a U+FFFD, every
+    * 7th a control char) so the counters are exercised; contamination
+    * strings and the artifact alternation are INTERPOLATED into the
+    * oracle from the same Scala constants — one source of truth, no
+    * hand-retyped mojibake. */
+  def q120EncodingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val moji = TextOps.MojibakeArtifacts
+    val contaminated = concat(coalesce(col("text"), lit("")),
+      when(col("doc_id") % 3 === 0, lit(" " + moji.head + moji(8))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" �")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" x")).otherwise(lit("")))
+    val stats = TextOps.encodingStats(contaminated)
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +:
+        (stats.map { case (n, c) => c.as(n) } :+
+          length(contaminated).as("n_chars_c")): _*)
+      .withColumn("ascii_ppm",
+        expr("1000000 * n_ascii div greatest(n_chars_c, 1)"))
+      .drop("n_chars_c")
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary: top-5 tokens per language by frequency (the
     * explode-heavy shape of vocabulary building at scale: one shuffle on
     * (lang, token) with partial counts, then a per-lang top-k window). */
@@ -528,6 +553,7 @@ object PipelineQueries {
     "q67_bm25_topk"    -> q67Bm25 _,
     "q113_image_features" -> q113ImageFeatures _,
     "q118_video_meta"  -> q118VideoMeta _,
+    "q120_encoding_quality" -> q120EncodingQuality _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -1061,6 +1087,31 @@ object PipelineQueries {
         |  CAST(1 + doc_id % 25 AS INTEGER) AS n_frames
         |FROM documents WHERE doc_id < 200
         |ORDER BY doc_id""".stripMargin,
+    "q120_encoding_quality" -> {
+      // contamination strings and the artifact alternation interpolate
+      // from the SAME Scala constants the Spark query uses
+      val moji = TextOps.MojibakeArtifacts
+      val contam3 = " " + moji.head + moji(8)
+      val mojiAlt = moji.mkString("|")
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '')
+        |      || CASE WHEN doc_id % 3 = 0 THEN '$contam3' ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN ' �' ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN ' x' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(t, '�')) - 1 AS BIGINT) AS n_repl,
+        |  CAST(len(regexp_split_to_array(t,
+        |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) - 1 AS BIGINT) AS n_ctrl,
+        |  CAST(len(regexp_split_to_array(t, '$mojiAlt')) - 1 AS BIGINT) AS n_moji,
+        |  CAST(length(t) - length(regexp_replace(t, '[\\x20-\\x7E]', '', 'g'))
+        |    AS BIGINT) AS n_ascii,
+        |  CAST(1000000 * (length(t)
+        |      - length(regexp_replace(t, '[\\x20-\\x7E]', '', 'g')))
+        |    // greatest(length(t), 1) AS BIGINT) AS ascii_ppm
+        |FROM c ORDER BY doc_id""".stripMargin
+    },
     "q17_text_stats" ->
       s"""WITH base AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)

@@ -81,6 +81,38 @@ object TextOps {
     when(hasCjk, lit("zh")).otherwise(best)
   }
 
+  /** Encoding-health stats for web-scale corpora — the screen that
+    * catches mojibake (UTF-8 bytes decoded as Latin-1), lossy
+    * transcoding (U+FFFD replacement chars) and binary-contaminated text
+    * (stray control chars) before they poison dedup fingerprints and
+    * tokenizers. All counts are exact integers from codegen'd regex
+    * splits, so a SQL oracle replays them bit-exactly (q120).
+    *
+    * Returned columns: `n_repl` (U+FFFD count), `n_ctrl` (C0 controls
+    * minus tab/newline/CR), `n_moji` (common UTF-8-as-Latin-1 artifact
+    * sequences), `n_ascii` (printable-ASCII char count — callers derive
+    * ratios with exact integer `div`, q120). */
+  // Constructed, not typed: each artifact is the cp1252 MIS-decode of a
+  // real character's UTF-8 bytes (the mojibake mechanism itself), so the
+  // source stays encoding-safe and the set is prefix-free by byte length
+  // (regex alternation then matches identical spans under Java's
+  // leftmost-first and the oracle's RE2).
+  val MojibakeArtifacts: Seq[String] =
+    "\u00e9\u00e8\u00fc\u00e4\u00f6\u00df\u00f1\u00e7\u2019\u201c\u2013\u2014\u2026\u00b0\u00a0"
+      .map(ch => new String(ch.toString.getBytes("UTF-8"), "windows-1252"))
+  def encodingStats(text: Column): Seq[(String, Column)] = {
+    def matches(pattern: String): Column =
+      (size(split(text, pattern, -1)) - 1).cast("long")
+    val mojiPattern = MojibakeArtifacts
+      .map(java.util.regex.Pattern.quote).mkString("|")
+    Seq(
+      "n_repl" -> matches("\\uFFFD"),
+      "n_ctrl" -> matches("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"),
+      "n_moji" -> matches(mojiPattern),
+      "n_ascii" -> (length(text) -
+        length(regexp_replace(text, "[\\x20-\\x7E]", ""))).cast("long"))
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase + collapse
     * whitespace. */
   def normalizeText(text: Column): Column =
