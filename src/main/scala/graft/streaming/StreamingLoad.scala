@@ -157,6 +157,27 @@ object StreamingLoad {
                    keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Watermarked stream-stream interval join — the impressions-to-
+    * conversions shape of an event pipeline: each left event joins right
+    * events with the same key whose time falls in
+    * `[left.ts, left.ts + window]`. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can EXPIRE
+    * buffered state — without the bound a stream-stream join buffers
+    * both streams forever, the 100 TB streaming anti-pattern this
+    * helper exists to prevent. Column contract: each side has
+    * (`keyCol`, `ts`, payload…); right-side columns are suffixed `_r`. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, keyCol: String,
+                          window: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_r"))
+    left.withWatermark("ts", watermark)
+      .join(r.withWatermark("ts_r", watermark),
+        col(keyCol) === col(keyCol + "_r") &&
+          col("ts_r") >= col("ts") &&
+          col("ts_r") <= col("ts") + expr(s"INTERVAL $window"))
+      .drop(keyCol + "_r")
+  }
+
   /** Event-time session windows with a watermark: groups events closer
     * than `gap` into one session per key — the streaming twin of the
     * batch sessionize gate (q44), using Spark's native `session_window`

@@ -154,6 +154,16 @@ class DataSourceV2Spec extends SparkSpec {
     assert(v2Rx.toSeq == classicRx.toSeq)
   }
 
+  test("count(*) over a DSv2 table prunes to the empty schema and still counts") {
+    val dir = tmp("graft-v2-count-")
+    val f = dir.resolve("d.fix")
+    Files.write(f, "k  name    \n1  row1   \n2  row2   \n".getBytes("UTF-8"))
+    val n = spark.read.format("graft-fixed")
+      .option("header", "k,name").option("poslen", "0-3,3-11")
+      .option("skip", "1").load(f.toString).count()
+    assert(n == 2)
+  }
+
   test("multi-file load lists files and keeps per-file line numbers") {
     val dir = tmp("graft-v2-multi-")
     for (i <- 1 to 3) {

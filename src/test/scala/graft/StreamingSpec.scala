@@ -75,6 +75,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingLoad.intervalJoinStreams(
+      views.toDF().toDF("user_id", "ts"),
+      buys.toDF().toDF("user_id", "ts"),
+      "user_id", window = "1 hour", watermark = "2 hours")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      def t(h: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+      views.addData((1L, t(10, 0)), (2L, t(10, 0)), (3L, t(10, 0)))
+      // user 1 buys inside the hour; user 2 buys too late; user 3 never
+      buys.addData((1L, t(10, 30)), (2L, t(12, 30)))
+      q.processAllAvailable()
+      val rows = spark.table("ij")
+        .select("user_id", "ts", "ts_r").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString))
+      assert(rows.toSeq == Seq((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0")))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps first-seen per fingerprint across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
