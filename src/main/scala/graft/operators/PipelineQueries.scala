@@ -457,6 +457,32 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Script-mix gate ([[TextOps.scriptCounts]]): documents are
+    * deterministically spiked with non-Latin snippets (built from code
+    * points — no literal non-ASCII in source) and every per-script count
+    * is value-checked; snippets interpolate into the oracle from the same
+    * constants. */
+  def q121ScriptMix(spark: SparkSession, dir: String): DataFrame = {
+    val contaminated = concat(coalesce(col("text"), lit("")),
+      when(col("doc_id") % 4 === 0, lit(" " + Snippets.cyrillic)).otherwise(lit("")),
+      when(col("doc_id") % 4 === 1, lit(" " + Snippets.cjk)).otherwise(lit("")),
+      when(col("doc_id") % 4 === 2, lit(" " + Snippets.arabic)).otherwise(lit("")))
+    val stats = TextOps.scriptCounts(contaminated)
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic non-Latin snippets for q121, constructed from code
+    * points so the source file stays ASCII-safe. */
+  private[operators] object Snippets {
+    private def fromCps(cps: Range): String =
+      cps.map(cp => new String(Character.toChars(cp))).mkString
+    val cyrillic: String = fromCps(0x0410 to 0x0419) // А..Й
+    val cjk: String = fromCps(0x4E00 to 0x4E07)      // 一..万
+    val arabic: String = fromCps(0x0627 to 0x062E)   // ا..خ
+  }
+
   /** Corpus vocabulary: top-5 tokens per language by frequency (the
     * explode-heavy shape of vocabulary building at scale: one shuffle on
     * (lang, token) with partial counts, then a per-lang top-k window). */
@@ -554,6 +580,7 @@ object PipelineQueries {
     "q113_image_features" -> q113ImageFeatures _,
     "q118_video_meta"  -> q118VideoMeta _,
     "q120_encoding_quality" -> q120EncodingQuality _,
+    "q121_script_mix"  -> q121ScriptMix _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -1110,6 +1137,22 @@ object PipelineQueries {
         |  CAST(1000000 * (length(t)
         |      - length(regexp_replace(t, '[\\x20-\\x7E]', '', 'g')))
         |    // greatest(length(t), 1) AS BIGINT) AS ascii_ppm
+        |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q121_script_mix" -> {
+      import Snippets._
+      val selects = TextOps.ScriptRanges.map { case (name, pat) =>
+        s"  CAST(length(t) - length(regexp_replace(t, '$pat', '', 'g')) AS BIGINT) AS n_$name"
+      }.mkString(",\n")
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '')
+        |      || CASE WHEN doc_id % 4 = 0 THEN ' $cyrillic' ELSE '' END
+        |      || CASE WHEN doc_id % 4 = 1 THEN ' $cjk' ELSE '' END
+        |      || CASE WHEN doc_id % 4 = 2 THEN ' $arabic' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |$selects
         |FROM c ORDER BY doc_id""".stripMargin
     },
     "q17_text_stats" ->

@@ -113,6 +113,25 @@ object TextOps {
         length(regexp_replace(text, "[\\x20-\\x7E]", ""))).cast("long"))
   }
 
+  /** Unicode script composition — the multilingual-corpus datasheet
+    * metric (how much Latin/Cyrillic/Greek/CJK/Arabic/Hangul a document
+    * carries) and the guard that catches script-mixing spam. Counts are
+    * exact character-class tallies (length-difference of a codegen'd
+    * `regexp_replace`); the `\x{...}` range syntax is shared by Java
+    * regex and the oracle's RE2, so q121 value-checks every count. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}]")
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    ScriptRanges.map { case (name, pattern) =>
+      s"n_$name" ->
+        (length(text) - length(regexp_replace(text, pattern, ""))).cast("long")
+    }
+
   /** Canonical text normalization for fingerprinting: lowercase + collapse
     * whitespace. */
   def normalizeText(text: Column): Column =

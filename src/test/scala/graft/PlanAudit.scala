@@ -448,6 +448,16 @@ object PlanAudit {
       check("q119 quantization is a projection (no join, <=1 exchange)",
         !p119.contains("Join") && "Exchange".r.findAllIn(p119).size <= 1)
     }
+    // q120/q121 encoding + script stats: per-row regex programs in
+    // whole-stage codegen, only the gate sort may exchange
+    Seq("q120_encoding_quality", "q121_script_mix").foreach { q =>
+      audit(q) {
+        val p = plan(q)
+        check(s"$q is a codegen per-row program (no join, <=1 exchange)",
+          p.contains("*(") && !p.contains("Join") &&
+            "Exchange".r.findAllIn(p).size <= 1)
+      }
+    }
 
     // DSv2 custom sources: column pruning must reach the parser — a
     // 1-column projection over a graft-fixed table scans ONLY that column
