@@ -338,11 +338,14 @@ final class GraftPartitionReaderFactory(
 }
 
 final class GraftScan(kind: String, options: Map[String, String],
-                      required: StructType) extends Scan with Batch {
+                      required: StructType)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import GraftDataSourceV2._
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
+  // one driver-side listing serves partition planning AND statistics
+  private lazy val files: Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     inputPaths(opts(options.asJava)).flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
@@ -355,11 +358,24 @@ final class GraftScan(kind: String, options: Map[String, String],
           fs.listStatus(st.getPath).toSeq.filter(f => !f.isDirectory &&
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
         else Seq(st)
-      }.map(st => GraftInputPartition(st.getPath.toString): InputPartition)
-    }.toArray
+      }
+    }
   }
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(st => GraftInputPartition(st.getPath.toString): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftPartitionReaderFactory(kind, options, required.fieldNames.toSeq)
+  /** Without statistics a DSv2 relation reports `defaultSizeInBytes`
+    * (effectively infinite), so a small workbook/XML dim joined to a fact
+    * table would never broadcast. Total file size is an upper bound on
+    * the materialized size for these row-oriented formats — good enough
+    * for the broadcast-threshold decision that matters at scale. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, files.map(_.getLen).sum))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   override def description(): String =
     s"$kind ReadSchema: ${required.fieldNames.mkString(", ")}"
 }

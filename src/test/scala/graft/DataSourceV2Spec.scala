@@ -154,6 +154,21 @@ class DataSourceV2Spec extends SparkSpec {
     assert(v2Rx.toSeq == classicRx.toSeq)
   }
 
+  test("DSv2 statistics make a small source broadcastable in joins") {
+    val dir = tmp("graft-v2-stats-")
+    val f = dir.resolve("dim.fix")
+    Files.write(f, "k  name    \n1  alpha   \n2  beta    \n".getBytes("UTF-8"))
+    val dim = spark.read.format("graft-fixed")
+      .option("header", "k,name").option("poslen", "0-3,3-11")
+      .option("skip", "1").load(f.toString)
+    val fact = spark.range(1000).selectExpr("CAST(id % 3 AS STRING) AS k", "id")
+    val plan = fact.join(dim, Seq("k")).queryExecution.executedPlan.toString
+    // file-size statistics put the dim under the broadcast threshold;
+    // without SupportsReportStatistics this plans a sort-merge join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small DSv2 dim not broadcast:\n${plan.take(500)}")
+  }
+
   test("count(*) over a DSv2 table prunes to the empty schema and still counts") {
     val dir = tmp("graft-v2-count-")
     val f = dir.resolve("d.fix")
