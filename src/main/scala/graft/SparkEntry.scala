@@ -28,6 +28,7 @@ object SparkEntry {
     ScaleQueries.all,
     JdbcQueries.all,
     StreamingQueries.all,
+    CorpusQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
@@ -41,6 +42,7 @@ object SparkEntry {
     ScaleQueries.oracles,
     JdbcQueries.oracles,
     StreamingQueries.oracles,
+    CorpusQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-gate queries for the round-8 corpus-statistics operators:
+  * exact duplicated-span detection (the substring complement of the
+  * MinHash near-dup family), PMI collocation extraction, BPE first-merge
+  * pair statistics, dyadic-exact EWMA over recent events, and robust
+  * median/MAD outlier gating. Every float the gates emit is either
+  * integer parts-per-million or an exact dyadic rational, so the DuckDB
+  * oracles are value-exact — same discipline as the q83/q51 oracles.
+  */
+object CorpusQueries {
+
+  /** q122: exact duplicated 40-char spans anchored at word starts
+    * ([[TextOps.spanDedup]]) — boilerplate / copied-span rate per doc. */
+  def q122SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    TextOps.spanDedup(Tables.documents(spark, dir), "doc_id", "text", k = 40)
+      .orderBy(col("doc_id"))
+
+  /** q123: adjacent-word collocations ranked by exact ppm lift,
+    * pairs seen ≥5 times, top 20 ([[TextOps.collocations]]). */
+  def q123Collocations(spark: SparkSession, dir: String): DataFrame =
+    TextOps.collocations(Tables.documents(spark, dir), "text",
+      minCount = 5, topN = 20)
+
+  /** q124: α=½ EWMA of each user's last 16 event values in exact dyadic
+    * milli-units ([[Events.ewmaRecent]]). */
+  def q124Ewma(spark: SparkSession, dir: String): DataFrame =
+    Events.ewmaRecent(Tables.events(spark, dir), "user_id", "ts",
+        "event_id", "value", k = 16)
+      .orderBy(col("user_id"))
+
+  /** q125: BPE first-merge statistics — top 20 adjacent character pairs
+    * over the frequency-weighted vocabulary ([[TextOps.bpePairStats]]). */
+  def q125BpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpePairStats(Tables.documents(spark, dir), "text", topN = 20)
+
+  /** q126: robust median/MAD outlier stats per event type
+    * ([[Profile.madOutliers]]). */
+  def q126MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    Profile.madOutliers(Tables.events(spark, dir), "event_type", "value",
+        k = 3)
+      .orderBy(col("event_type"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_span_dedup"   -> q122SpanDedup _,
+    "q123_collocations" -> q123Collocations _,
+    "q124_ewma"         -> q124Ewma _,
+    "q125_bpe_pairs"    -> q125BpePairs _,
+    "q126_mad_outliers" -> q126MadOutliers _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q122_span_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INTEGER), 40) AS w
+        |  FROM n, unnest(range(1, CAST(length(t) AS BIGINT) - 38, 1)) AS u(i)
+        |  WHERE length(t) >= 40
+        |    AND (i = 1 OR substr(t, CAST(i AS INTEGER) - 1, 1) = ' ')),
+        |s AS (SELECT w, (min(doc_id) <> max(doc_id)) AS is_dup
+        |      FROM w GROUP BY w)
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN s.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  (1000000 * CAST(sum(CASE WHEN s.is_dup THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS dup_ppm
+        |FROM w JOIN s USING (w)
+        |GROUP BY w.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+    "q123_collocations" ->
+      """WITH n AS (
+        |  SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |arr AS (SELECT string_split(t, ' ') AS ws FROM n),
+        |toks AS (
+        |  SELECT w FROM (SELECT unnest(ws) AS w FROM arr) WHERE w <> ''),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w),
+        |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+        |pairs AS (
+        |  SELECT ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM arr, unnest(range(1, CAST(len(ws) AS BIGINT), 1)) AS u(i)
+        |  WHERE len(ws) >= 2),
+        |p2 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM pairs WHERE w1 <> '' AND w2 <> ''
+        |  GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT w1, w2, n_xy,
+        |  (1000000 * n_xy * nt.n_tokens) // (u1.n * u2.n) AS lift_ppm
+        |FROM p2
+        |JOIN uni u1 ON p2.w1 = u1.w
+        |JOIN uni u2 ON p2.w2 = u2.w
+        |CROSS JOIN ntot nt
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q124_ewma" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+        |  CAST(sum(v_milli * (CAST(1 AS BIGINT) << (16 - rn))) AS BIGINT)
+        |    // CAST(sum(CAST(1 AS BIGINT) << (16 - rn)) AS BIGINT) AS ewma_milli
+        |FROM r WHERE rn <= 16
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q125_bpe_pairs" ->
+      """WITH n AS (
+        |  SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |toks AS (SELECT unnest(string_split(t, ' ')) AS w FROM n),
+        |vocab AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM toks WHERE length(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+        |  FROM vocab, unnest(range(1, CAST(length(w) AS BIGINT), 1)) AS u(i))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q126_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS DOUBLE) AS vm
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    quantile_cont(vm, 0.5) AS median_milli
+        |  FROM v GROUP BY event_type),
+        |dev AS (
+        |  SELECT v.event_type, abs(v.vm - med.median_milli) AS d
+        |  FROM v JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(d, 0.5) AS mad_milli
+        |  FROM dev GROUP BY event_type),
+        |outl AS (
+        |  SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n_outliers
+        |  FROM dev JOIN mad USING (event_type)
+        |  WHERE d > 3 * mad_milli
+        |  GROUP BY dev.event_type)
+        |SELECT med.event_type, med.n, med.median_milli, mad.mad_milli,
+        |  coalesce(outl.n_outliers, 0) AS n_outliers
+        |FROM med
+        |JOIN mad USING (event_type)
+        |LEFT JOIN outl USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+  )
+}

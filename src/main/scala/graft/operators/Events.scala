@@ -116,4 +116,42 @@ object Events {
       .groupBy(col("cohort"), col("day_offset"))
       .agg(countDistinct(col("u")).as("n_active"))
   }
+
+  /** Exponentially-weighted moving average of each key's most recent
+    * activity, α = ½ over the last `k` events — the "recent engagement"
+    * feature of an event-driven training pipeline, computed in EXACT
+    * dyadic integer arithmetic so it is bit-identical in any engine:
+    * values quantized to milli-units (⌊v·1000⌋), the j-th newest event
+    * weighted 2^(k−j), the weighted sum divided by Σweights = 2^k − 1
+    * with integer division.
+    *
+    * Scale shape: one window ranking (rank ≤ k prunes per-key state to a
+    * constant) and one partial-aggregated sum on the same key — the
+    * minimal shuffle pair; no per-key event list is ever materialized.
+    * The α = ½ truncation at k events bounds both the state and the
+    * int64 magnitude (weights ≤ 2^(k−1); k ≤ 40 keeps milli-values ×
+    * weights safely inside int64 for values < 10⁶).
+    *
+    * @return (userCol, n_recent, ewma_milli) per key, newest-first
+    *         ordering by (tsCol desc, orderCol desc).
+    */
+  def ewmaRecent(df: DataFrame, userCol: String, tsCol: String,
+                 orderCol: String, valCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 40, s"k=$k outside int64-safe dyadic range")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(orderCol).desc)
+    df.select(col(userCol), col(tsCol), col(orderCol),
+        floor(col(valCol) * 1000).cast("long").as("v_milli"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_recent"),
+        sum(expr(s"v_milli * shiftleft(1L, $k - rn)")).as("__s"),
+        sum(expr(s"shiftleft(1L, $k - rn)")).as("__w"))
+      // dividing by the weights actually present (2^k − 2^(k−m)) keeps
+      // the average unbiased for keys with fewer than k events
+      .withColumn("ewma_milli", expr("__s div __w"))
+      .select(col(userCol), col("n_recent"), col("ewma_milli"))
+  }
 }

@@ -121,4 +121,41 @@ object Profile {
       .select(col(groupCol), col("n_events"), col("mean"), col("sd"),
         coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
   }
+
+  /** Robust (median / MAD) outlier detection per group — the z-score
+    * gate's heavy-tail-safe sibling: a value is an outlier when
+    * |v − median| > k·MAD with MAD = median(|v − median|). Values are
+    * quantized to milli-units (⌊v·1000⌋, still exactly representable
+    * doubles), which makes every median an exact dyadic rational and the
+    * whole chain — subtraction, abs, comparison — bit-identical across
+    * engines.
+    *
+    * Scale shape: two exact-percentile passes over the group (each one
+    * shuffle on the group key) plus a broadcast join of the per-group
+    * stats back onto the rows. Exact medians sort per key; on a 100 TB
+    * stream swap `percentile` for `approx_percentile` (same plan shape,
+    * bounded sketch state) once the gate tolerance allows it.
+    *
+    * @return (groupCol, n, median_milli, mad_milli, n_outliers)
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 3): DataFrame = {
+    val vm = floor(col(valueCol) * 1000).cast("double")
+    val med = df.select(col(groupCol), vm.as("__v"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("__v"), lit(0.5)).as("median_milli"))
+    val dev = df.select(col(groupCol), vm.as("__v"))
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__d", abs(col("__v") - col("median_milli")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(col("__d"), lit(0.5)).as("mad_milli"))
+    val stats = med.join(broadcast(mad), Seq(groupCol))
+    val out = dev.join(broadcast(mad), Seq(groupCol))
+      .filter(col("__d") > lit(k) * col("mad_milli"))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_outliers"))
+    stats.join(out, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"), col("median_milli"), col("mad_milli"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+  }
 }

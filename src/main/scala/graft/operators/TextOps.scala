@@ -399,4 +399,128 @@ object TextOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("fluency"))
   }
+
+  /** Normalized word form shared by the word-level corpus operators:
+    * lowercase, every non-alphanumeric run collapsed to one space, then
+    * trimmed — so a single-space split yields the token array with no
+    * empty tokens (identical in any engine, no split-semantics edge
+    * cases). */
+  private def normWords(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Exact duplicated-span detection (the exact-substring complement of
+    * the MinHash/SimHash near-dup family, after Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): fixed-length character
+    * windows anchored at WORD STARTS of the normalized text; a window that
+    * occurs in ≥2 DISTINCT documents marks boilerplate / copied spans.
+    * Word-start anchors are content-defined, so a span copied to any
+    * offset of another document samples the same windows there — a fixed
+    * stride would only catch copies that happen to land stride-aligned.
+    *
+    * Scale shape: window extraction is a generator projection (sequence +
+    * substr — per-row cost only); the duplicate test is one groupBy on the
+    * window value with `min(id) <> max(id)` instead of a count-distinct
+    * (2 longs of state per key, no distinct expansion); the per-doc
+    * rollup is the minimal second shuffle. Windows/doc ≈ word count, so
+    * shuffle volume is ~|corpus tokens|·k bytes — at 100 TB pre-hash the
+    * windows to 8-byte keys ([[Dedup.polyHash]]) to shrink the exchange
+    * 5×, or thin anchors content-defined (keep windows whose own hash ≡ 0
+    * mod m — identical thinning on both copies). The gate keeps raw
+    * windows so the oracle can replay them in SQL.
+    *
+    * @return (idCol, n_windows, n_dup_windows, dup_ppm) for every doc with
+    *         at least one full window; dup_ppm = ⌊10⁶·dup/windows⌋.
+    */
+  def spanDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), normWords(col(textCol)).as("t"))
+      .withColumn("len", length(col("t")))
+      .filter(col("len") >= k)
+    val wins = base
+      .select(col("id"),
+        explode(sequence(lit(1), col("len") - k + 1)).as("i"),
+        col("t"))
+      .filter(col("i") === 1 ||
+        col("t").substr(col("i") - 1, lit(1)) === " ")
+      .select(col("id"), col("t").substr(col("i"), lit(k)).as("w"))
+    val shared = wins.groupBy(col("w"))
+      .agg((min(col("id")) =!= max(col("id"))).as("is_dup"))
+    wins.join(shared, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ppm", expr("(1000000 * n_dup_windows) div n_windows"))
+      .select(col("id").as(idCol), col("n_windows"), col("n_dup_windows"),
+        col("dup_ppm"))
+  }
+
+  /** Collocation extraction — adjacent word pairs ranked by a PMI-shaped
+    * lift in exact parts-per-million: lift_ppm = ⌊10⁶·c(xy)·N / (c(x)·c(y))⌋
+    * with c over corpus token positions and N the corpus token count.
+    * Pairs occurring under `minCount` times are noise and dropped before
+    * the ratio (also what keeps the numerator product within int64 —
+    * at larger corpora compute the credit per-million in two staged
+    * divisions or on DECIMAL(38,0)).
+    *
+    * Scale shape: pair counting is one map-side-combinable groupBy on the
+    * (w1,w2) key; unigram counts are a second bounded-by-vocabulary
+    * groupBy that broadcasts back onto the surviving pairs. Nothing holds
+    * per-document state.
+    */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   minCount: Int, topN: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(posexplode(split(normWords(col(textCol)), " ")).as(Seq("i", "w")))
+      .filter(col("w") =!= "")
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val nTot = toks.agg(count(lit(1)).as("n_tokens"))
+    val pairs = df
+      .select(split(normWords(col(textCol)), " ").as("ws"))
+      // sequence(1, 0) DESCENDS in Spark — a 1-token doc must be dropped
+      // before the adjacency generator, not patched after
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "filter(transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS w1, ws[i] AS w2)), " +
+          "p -> p.w1 <> '' AND p.w2 <> '')")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_x"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_y"))), "w2")
+      .crossJoin(broadcast(nTot))
+      .withColumn("lift_ppm",
+        expr("(1000000 * n_xy * n_tokens) div (n_x * n_y)"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("n_xy"), col("lift_ppm"))
+  }
+
+  /** BPE training statistics — the first-merge pair table: adjacent
+    * character pairs inside words, weighted by corpus word frequency
+    * (exactly the count a byte-pair-encoding trainer maximizes on its
+    * first iteration). Operating on the VOCABULARY (distinct word ×
+    * frequency) rather than raw text is what makes iterated BPE feasible
+    * at 100 TB: the explode is bounded by Σ|vocab word lengths|, not
+    * corpus size, and each further merge round is the same bounded
+    * reshape of the vocab relation.
+    *
+    * @return top `topN` (pair, n) by weighted count, ties broken by pair.
+    */
+  def bpePairStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   topN: Int): org.apache.spark.sql.DataFrame = {
+    val vocab = df
+      .select(explode(split(normWords(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+  }
 }
