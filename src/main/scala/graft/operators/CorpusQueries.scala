@@ -60,18 +60,22 @@ object CorpusQueries {
         |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
         |  FROM documents),
         |w AS (
-        |  SELECT doc_id, substr(t, CAST(i AS INTEGER), 40) AS w
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(CAST(i AS INTEGER),
+        |                                     CAST(i AS INTEGER) + 39),
+        |                     j -> CAST(ascii(substr(t, j, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 8796093022151) AS h
         |  FROM n, unnest(range(1, CAST(length(t) AS BIGINT) - 38, 1)) AS u(i)
         |  WHERE length(t) >= 40
         |    AND (i = 1 OR substr(t, CAST(i AS INTEGER) - 1, 1) = ' ')),
-        |s AS (SELECT w, (min(doc_id) <> max(doc_id)) AS is_dup
-        |      FROM w GROUP BY w)
+        |s AS (SELECT h, (min(doc_id) <> max(doc_id)) AS is_dup
+        |      FROM w GROUP BY h)
         |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
         |  CAST(sum(CASE WHEN s.is_dup THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dup_windows,
         |  (1000000 * CAST(sum(CASE WHEN s.is_dup THEN 1 ELSE 0 END) AS BIGINT))
         |    // CAST(count(*) AS BIGINT) AS dup_ppm
-        |FROM w JOIN s USING (w)
+        |FROM w JOIN s USING (h)
         |GROUP BY w.doc_id
         |ORDER BY w.doc_id""".stripMargin,
     "q123_collocations" ->

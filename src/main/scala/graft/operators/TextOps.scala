@@ -417,36 +417,32 @@ object TextOps {
     * offset of another document samples the same windows there — a fixed
     * stride would only catch copies that happen to land stride-aligned.
     *
-    * Scale shape: window extraction is a generator projection (sequence +
-    * substr — per-row cost only); the duplicate test is one groupBy on the
-    * window value with `min(id) <> max(id)` instead of a count-distinct
-    * (2 longs of state per key, no distinct expansion); the per-doc
-    * rollup is the minimal second shuffle. Windows/doc ≈ word count, so
-    * shuffle volume is ~|corpus tokens|·k bytes — at 100 TB pre-hash the
-    * windows to 8-byte keys ([[Dedup.polyHash]]) to shrink the exchange
-    * 5×, or thin anchors content-defined (keep windows whose own hash ≡ 0
-    * mod m — identical thinning on both copies). The gate keeps raw
-    * windows so the oracle can replay them in SQL.
+    * Scale shape: windows are extracted AND fingerprinted to 8-byte keys
+    * in one native codegen pass ([[graft.plans.AnchorWindowHashes]] —
+    * polynomial fold mod 2⁴³−57, SQL-replayable; the declarative
+    * sequence-explode + substr tree carried the full text into every
+    * position row, 4.6 s vs ~1 s at sf0.1). The duplicate test is a
+    * whole-partition window over the fingerprint with
+    * `min(id) <> max(id)` instead of a count-distinct — 2 longs of state
+    * per key, and the per-row verdict rides the same exchange, so no
+    * join-back of the window relation is needed. The per-doc rollup is
+    * the minimal second shuffle. Windows/doc ≈ word count → the exchange
+    * is ~16 bytes per corpus token; fingerprint collisions are ~1 per
+    * 10¹³ window pairs (use two independent folds at 100 TB).
     *
     * @return (idCol, n_windows, n_dup_windows, dup_ppm) for every doc with
     *         at least one full window; dup_ppm = ⌊10⁶·dup/windows⌋.
     */
   def spanDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
-    val base = df
-      .select(col(idCol).as("id"), normWords(col(textCol)).as("t"))
-      .withColumn("len", length(col("t")))
-      .filter(col("len") >= k)
-    val wins = base
-      .select(col("id"),
-        explode(sequence(lit(1), col("len") - k + 1)).as("i"),
-        col("t"))
-      .filter(col("i") === 1 ||
-        col("t").substr(col("i") - 1, lit(1)) === " ")
-      .select(col("id"), col("t").substr(col("i"), lit(k)).as("w"))
-    val shared = wins.groupBy(col("w"))
-      .agg((min(col("id")) =!= max(col("id"))).as("is_dup"))
-    wins.join(shared, Seq("w"))
+    import org.apache.spark.sql.GraftColumnBridge
+    val hashes = GraftColumnBridge.column(graft.plans.AnchorWindowHashes(
+      GraftColumnBridge.expression(normWords(col(textCol))), k))
+    val wins = df.select(col(idCol).as("id"), explode(hashes).as("h"))
+    val byHash = Window.partitionBy(col("h"))
+    wins
+      .withColumn("is_dup",
+        min(col("id")).over(byHash) =!= max(col("id")).over(byHash))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"))

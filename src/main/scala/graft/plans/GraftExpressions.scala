@@ -216,6 +216,42 @@ object GraftExpressions {
     while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
+
+  /** Fingerprints of the `k`-code-point windows that start at WORD
+    * BOUNDARIES of an (already normalized, single-spaced) text — the
+    * [[graft.operators.TextOps.spanDedup]] hot path in one primitive
+    * pass. Fingerprint = polynomial fold (acc·31 + cp) mod 2⁴³−57
+    * (prime; acc·31 + cp < 2⁴⁸, int64-exact in any engine, so a SQL
+    * oracle replays it with a list fold). The declarative
+    * sequence-explode + boundary-filter + substr + hash tree carries the
+    * full text into every position row before the projection collapses
+    * it — same trap the [[charNgrams]] rewrite removed. */
+  def anchorWindowHashes(s: UTF8String, k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val p = 8796093022151L // 2^43 - 57
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    var n = 0
+    var i = 0
+    while (i <= len - k) {
+      if (i == 0 || cps(i - 1) == ' ') n += 1
+      i += 1
+    }
+    val out = new Array[Long](n)
+    var o = 0
+    i = 0
+    while (i <= len - k) {
+      if (i == 0 || cps(i - 1) == ' ') {
+        var acc = 0L
+        var j = i
+        while (j < i + k) { acc = (acc * 31 + cps(j)) % p; j += 1 }
+        out(o) = acc
+        o += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
 }
 
 /** `normalizeNumerics` (T2) as a ternary codegen'd expression:
@@ -383,6 +419,25 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.plans.GraftExpressions.shingles($s, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Word-anchored window fingerprints
+  * ([[GraftExpressions.anchorWindowHashes]]) as a codegen'd expression —
+  * the duplicated-span detector's hot path. */
+case class AnchorWindowHashes(child: Expression, k: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  require(k > 0, "need k > 0")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftExpressions.anchorWindowHashes(s.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.GraftExpressions.anchorWindowHashes($s, $k)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -459,6 +459,26 @@ object PlanAudit {
       }
     }
 
+    // q122 span dedup: the native fingerprint generator replaces any
+    // join-back — the dup verdict rides the fingerprint exchange as a
+    // window, then one per-doc rollup (+ the gate sort)
+    audit("q122") {
+      val p = plan("q122_span_dedup")
+      check("q122 has no join and bounded exchanges (window + rollup + sort)",
+        !p.contains("Join") && "Exchange".r.findAllIn(p).size <= 3,
+        "span dedup should not join the window relation back")
+      check("q122 extracts fingerprints natively",
+        p.contains("anchorwindowhashes") || p.contains("AnchorWindowHashes"))
+    }
+
+    // q124 EWMA: rank-prune then aggregate, both on the user key — the
+    // window's exchange must be REUSED by the aggregation, not repeated
+    audit("q124") {
+      val p = plan("q124_ewma")
+      check("q124 ranks and aggregates on one user-key exchange (+sort)",
+        !p.contains("Join") && "Exchange".r.findAllIn(p).size <= 2)
+    }
+
     // DSv2 custom sources: column pruning must reach the parser — a
     // 1-column projection over a graft-fixed table scans ONLY that column
     // (the scan description carries its pruned readSchema)
