@@ -88,8 +88,65 @@ object StreamingQueries {
     } finally base.unpersist()
   }
 
+  /** q127: streaming first-seen dedup — the corpus-ingest memory of
+    * q19/q82 as a STATEFUL STREAM ([[StreamingLoad.dedupStream]],
+    * `flatMapGroupsWithState` keyed by content fingerprint). Documents
+    * arrive as four mtime-ordered parquet micro-batches (ids ≡0,1,2 mod 3,
+    * then a REDELIVERY of every 7th doc); each doc gets exactly one
+    * decision row — first-seen keeps, later copies flag as dupes, and
+    * redelivery of a kept doc emits nothing (idempotent under
+    * at-least-once delivery). The oracle replays the arrival order
+    * relationally: winner per fingerprint = min (chunk, doc_id). */
+  def q127StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .persist()
+    try {
+      val tmp = Fixtures.tempDir("graft-q127-")
+      val in = tmp.resolve("in")
+      Files.createDirectories(in)
+
+      def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        val dest = in.resolve(s"$name.parquet")
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+
+      val t0 = 1600000000000L
+      (0 until 3).foreach { i =>
+        stageChunk(docs.filter(col("doc_id") % 3 === i), s"chunk$i",
+          t0 + i * 2000L)
+      }
+      stageChunk(docs.filter(col("doc_id") % 7 === 0), "redelivery",
+        t0 + 3 * 2000L)
+
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1) // one chunk = one micro-batch
+        .parquet(in.toString)
+      val qn = "q127_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingLoad.dedupStream(stream, "doc_id", "text")
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // redelivered non-kept docs re-emit their (identical) dupe verdict;
+      // distinct folds replays to the one decision per doc
+      spark.table(qn)
+        .select(col("doc_id"), col("fp"), col("is_first"))
+        .distinct()
+        .orderBy(col("doc_id"))
+    } finally docs.unpersist()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q114_stream_upsert" -> q114StreamUpsert _)
+    "q114_stream_upsert" -> q114StreamUpsert _,
+    "q127_stream_dedup"  -> q127StreamDedup _)
 
   val oracles: Map[String, String] = Map(
     "q114_stream_upsert" ->
@@ -106,5 +163,23 @@ object StreamingQueries {
         |  CASE WHEN l_orderkey % 80 = 0 THEN 'S'
         |       ELSE l_returnflag END AS l_returnflag
         |FROM b
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // arrival order: chunk (doc_id mod 3) then within-batch lowest id —
+    // the first row per fingerprint under that order is the kept doc;
+    // the redelivery chunk can never win (its fingerprints all arrived
+    // in chunks 0-2) and adds no rows after the stream's idempotent
+    // replay handling + the gate's distinct
+    "q127_stream_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp
+        |                       ORDER BY doc_id % 3, doc_id) AS rn
+        |  FROM fp)
+        |SELECT doc_id, fp, (rn = 1) AS is_first
+        |FROM w
+        |ORDER BY doc_id""".stripMargin)
 }
