@@ -127,7 +127,7 @@ object ScaleQueries {
       .orderBy(col("event_type"))
 
   /** q94: per-returnflag Pearson correlation of quantity vs extended
-    * price from exact decimal moments ([[Profile.groupedCorr]]). */
+    * price from exact split-long cent moments ([[Profile.groupedCorr]]). */
   def q94GroupedCorr(spark: SparkSession, dir: String): DataFrame =
     Profile.groupedCorr(Tables.lineitem(spark, dir),
         "l_returnflag", "l_quantity", "l_extendedprice")
@@ -720,21 +720,33 @@ object ScaleQueries {
         |FROM st LEFT JOIN o ON st.event_type = o.event_type
         |ORDER BY st.event_type""".stripMargin,
     "q94_grouped_corr" ->
-      """WITH m AS (
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+        |  FROM lineitem),
+        |m AS (
         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
-        |         AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4)))
-        |         AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4)))
-        |         AS DOUBLE) AS syy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |    CAST(sum(xc) AS BIGINT) AS sxc, CAST(sum(yc) AS BIGINT) AS syc,
+        |    CAST(sum((xc * yc) // 1048576) AS BIGINT) AS xyh,
+        |    CAST(sum((xc * yc) % 1048576) AS BIGINT) AS xyl,
+        |    CAST(sum((xc * xc) // 1048576) AS BIGINT) AS xxh,
+        |    CAST(sum((xc * xc) % 1048576) AS BIGINT) AS xxl,
+        |    CAST(sum((yc * yc) // 1048576) AS BIGINT) AS yyh,
+        |    CAST(sum((yc * yc) % 1048576) AS BIGINT) AS yyl
+        |  FROM c GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(sxc AS DOUBLE) / 100.0 AS sx,
+        |    CAST(syc AS DOUBLE) / 100.0 AS sy,
+        |    (CAST(xyh AS DOUBLE) * 1048576.0 + CAST(xyl AS DOUBLE)) / 10000.0 AS sxy,
+        |    (CAST(xxh AS DOUBLE) * 1048576.0 + CAST(xxl AS DOUBLE)) / 10000.0 AS sxx,
+        |    (CAST(yyh AS DOUBLE) * 1048576.0 + CAST(yyl AS DOUBLE)) / 10000.0 AS syy
+        |  FROM m)
         |SELECT l_returnflag, n,
         |  round((n * sxy - sx * sy) /
         |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr
-        |FROM m
+        |FROM d
         |ORDER BY l_returnflag""".stripMargin,
     "q95_cooccur_lift" ->
       """WITH toks AS (
