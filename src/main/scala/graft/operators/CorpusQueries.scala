@@ -45,12 +45,27 @@ object CorpusQueries {
         k = 3)
       .orderBy(col("event_type"))
 
+  /** q128: three REAL BPE merge rounds over the corpus vocabulary
+    * ([[TextOps.bpeTrain]]) — each round's learned merge applied before
+    * the next count. */
+  def q128BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrain(Tables.documents(spark, dir), "text", rounds = 3)
+
+  /** q129: longest run of consecutive duplicated 40-char spans per doc
+    * ([[TextOps.spanDupRuns]]) — copied-passage length. */
+  def q129SpanRuns(spark: SparkSession, dir: String): DataFrame =
+    TextOps.spanDupRuns(Tables.documents(spark, dir), "doc_id", "text",
+        k = 40)
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_span_dedup"   -> q122SpanDedup _,
     "q123_collocations" -> q123Collocations _,
     "q124_ewma"         -> q124Ewma _,
     "q125_bpe_pairs"    -> q125BpePairs _,
     "q126_mad_outliers" -> q126MadOutliers _,
+    "q128_bpe_train"    -> q128BpeTrain _,
+    "q129_span_runs"    -> q129SpanRuns _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -153,5 +168,82 @@ object CorpusQueries {
         |JOIN mad USING (event_type)
         |LEFT JOIN outl USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // three chained merge stages; each vN applies the argmax merge of pN
+    // with the same literal left-to-right replace the engine uses
+    "q128_bpe_train" ->
+      """WITH v0 AS (
+        |  SELECT regexp_replace(w, '(.)', '\1 ', 'g') AS syms,
+        |    CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(
+        |          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+        |          ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p1 AS (
+        |  SELECT s[CAST(i AS INTEGER)] AS s1, s[CAST(i AS INTEGER) + 1] AS s2,
+        |    CAST(sum(freq) AS BIGINT) AS n
+        |  FROM (SELECT string_split(rtrim(syms), ' ') AS s, freq FROM v0),
+        |       unnest(range(1, CAST(len(s) AS BIGINT), 1)) AS u(i)
+        |  WHERE len(s) >= 2 GROUP BY s1, s2),
+        |m1 AS (SELECT s1, s2, n FROM p1 ORDER BY n DESC, s1, s2 LIMIT 1),
+        |v1 AS (SELECT replace(syms,
+        |         (SELECT s1 || ' ' || s2 || ' ' FROM m1),
+        |         (SELECT s1 || s2 || ' ' FROM m1)) AS syms, freq FROM v0),
+        |p2 AS (
+        |  SELECT s[CAST(i AS INTEGER)] AS s1, s[CAST(i AS INTEGER) + 1] AS s2,
+        |    CAST(sum(freq) AS BIGINT) AS n
+        |  FROM (SELECT string_split(rtrim(syms), ' ') AS s, freq FROM v1),
+        |       unnest(range(1, CAST(len(s) AS BIGINT), 1)) AS u(i)
+        |  WHERE len(s) >= 2 GROUP BY s1, s2),
+        |m2 AS (SELECT s1, s2, n FROM p2 ORDER BY n DESC, s1, s2 LIMIT 1),
+        |v2 AS (SELECT replace(syms,
+        |         (SELECT s1 || ' ' || s2 || ' ' FROM m2),
+        |         (SELECT s1 || s2 || ' ' FROM m2)) AS syms, freq FROM v1),
+        |p3 AS (
+        |  SELECT s[CAST(i AS INTEGER)] AS s1, s[CAST(i AS INTEGER) + 1] AS s2,
+        |    CAST(sum(freq) AS BIGINT) AS n
+        |  FROM (SELECT string_split(rtrim(syms), ' ') AS s, freq FROM v2),
+        |       unnest(range(1, CAST(len(s) AS BIGINT), 1)) AS u(i)
+        |  WHERE len(s) >= 2 GROUP BY s1, s2),
+        |m3 AS (SELECT s1, s2, n FROM p3 ORDER BY n DESC, s1, s2 LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, s1 AS sym1, s2 AS sym2, n FROM m1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), s1, s2, n FROM m2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), s1, s2, n FROM m3
+        |ORDER BY round""".stripMargin,
+    "q129_span_runs" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(CAST(i AS INTEGER),
+        |                                     CAST(i AS INTEGER) + 39),
+        |                     j -> CAST(ascii(substr(t, j, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 8796093022151) AS h,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+        |  FROM n, unnest(range(1, CAST(length(t) AS BIGINT) - 38, 1)) AS u(i)
+        |  WHERE length(t) >= 40
+        |    AND (i = 1 OR substr(t, CAST(i AS INTEGER) - 1, 1) = ' ')),
+        |d AS (
+        |  SELECT doc_id, pos,
+        |    (min(doc_id) OVER (PARTITION BY h)
+        |     <> max(doc_id) OVER (PARTITION BY h)) AS is_dup
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM d WHERE is_dup),
+        |runs AS (
+        |  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run
+        |  FROM r GROUP BY doc_id, grp),
+        |mx AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
+        |SELECT ids.doc_id, coalesce(mx.max_run, 0) AS max_run
+        |FROM (SELECT DISTINCT doc_id FROM w) ids
+        |LEFT JOIN mx USING (doc_id)
+        |ORDER BY ids.doc_id""".stripMargin,
   )
 }

@@ -494,6 +494,97 @@ object TextOps {
       .select(col("w1"), col("w2"), col("n_xy"), col("lift_ppm"))
   }
 
+  /** Iterated BPE training — `rounds` actual merge rounds, not just the
+    * first-pair table: the vocabulary's words are held as space-terminated
+    * symbol sequences ("abc" → "a b c "), each round counts adjacent
+    * symbol pairs weighted by word frequency, picks the max (ties by
+    * pair), and applies the merge with a literal left-to-right
+    * `replace(syms, "s1 s2 ", "s1s2 ")` — which IS the BPE leftmost
+    * non-overlapping merge semantics, identically in any engine.
+    *
+    * Scale shape: everything after tokenization operates on the VOCABULARY
+    * relation (distinct word × freq — bounded, cached for the loop); each
+    * round is one map-side-combinable pair count and a 1-row argmax
+    * collect (the learned merge — bounded driver state, the k-means
+    * codebook precedent). A 50k-merge production run is this same loop;
+    * batch pair-count maintenance (only words containing the merged pair
+    * change) is the standard incremental refinement.
+    *
+    * @return one row per round: (round, sym1, sym2, n).
+    */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+               rounds: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val vocab = df
+      .select(explode(split(normWords(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", regexp_replace(col("w"), "(.)", "$1 "))
+      .select(col("syms"), col("freq"))
+      .persist()
+    try {
+      var cur = vocab.select(col("syms"), col("freq"))
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val top = cur
+          .select(split(rtrim(col("syms")), " ").as("s"), col("freq"))
+          .filter(size(col("s")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(s) - 1), " +
+              "i -> struct(s[i - 1] AS s1, s[i] AS s2))")).as("p"), col("freq"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("s1"), col("s2"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (s1, s2, n) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          merges += ((r, s1, s2, n))
+          cur = cur.withColumn("syms",
+            call_function("replace", col("syms"),
+              lit(s"$s1 $s2 "), lit(s"$s1$s2 ")))
+        }
+      }
+      import spark.implicits._
+      merges.result().toDF("round", "sym1", "sym2", "n")
+        .select(col("round").cast("long").as("round"), col("sym1"),
+          col("sym2"), col("n"))
+        .orderBy(col("round"))
+    } finally vocab.unpersist()
+  }
+
+  /** Longest duplicated-span RUN per document: consecutive word-anchored
+    * windows (the [[spanDedup]] relation, positions kept) that are all
+    * shared with another document — the per-doc "how long is the copied
+    * passage" companion to q122's "how much is copied". Runs group by the
+    * classic ordinal-minus-rank trick; the whole chain is the q122 plan
+    * plus one per-doc grouping.
+    *
+    * @return (idCol, max_run) for every doc with ≥1 window (0 = no
+    *         duplicated window).
+    */
+  def spanDupRuns(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val hashes = GraftColumnBridge.column(graft.plans.AnchorWindowHashes(
+      GraftColumnBridge.expression(normWords(col(textCol))), k))
+    val wins = df.select(col(idCol).as("id"),
+      posexplode(hashes).as(Seq("pos", "h")))
+    val byHash = Window.partitionBy(col("h"))
+    val flagged = wins.withColumn("is_dup",
+      min(col("id")).over(byHash) =!= max(col("id")).over(byHash))
+    val runs = flagged.filter(col("is_dup"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .groupBy(col("id"), (col("pos") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id")).agg(max(col("run")).as("max_run"))
+    flagged.select(col("id")).distinct()
+      .join(runs, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
   /** BPE training statistics — the first-merge pair table: adjacent
     * character pairs inside words, weighted by corpus word frequency
     * (exactly the count a byte-pair-encoding trainer maximizes on its

@@ -87,6 +87,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(0).getLong(2) == 1000L)   // constant series → its value
   }
 
+  test("bpeTrain learns and APPLIES merges round by round") {
+    val docs = Seq((1L, "aaab"), (2L, "aaab"), (3L, "aaab")).toDF("doc_id", "text")
+    val out = TextOps.bpeTrain(docs, "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) 6 beats (a,b) 3; merged "a a a b " -> "aa a b "
+    // round 2: (aa,a) 3 ties (a,b) 3 -> pair order picks (a,b) -> "aa ab "
+    // round 3: only (aa,ab) 3 remains
+    assert(out.toSeq == Seq((1L, "a", "a", 6L), (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 3L)))
+  }
+
+  test("spanDupRuns measures consecutive shared windows, 0 for unique") {
+    val boiler = "license text which is identical across both documents " +
+      "and long enough to span several anchored windows in a row yes truly"
+    val docs = Seq(
+      (1L, s"first document unique opening here $boiler"),
+      (2L, s"second one starts differently $boiler"),
+      (3L, "entirely unique content with no shared spans anywhere in this " +
+        "body which still has to be long enough to emit some windows"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDupRuns(docs, "doc_id", "text", k = 40)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L) == 0L)
+    assert(out(1L) == out(2L) && out(1L) >= 2L,
+      s"shared tail should give an equal multi-window run, got $out")
+  }
+
   test("madOutliers finds the robust center and the planted outlier") {
     val rows = Seq.fill(9)(("a", 10.0)) ++ Seq(("a", 500.0)) ++
       (1 to 5).map(i => ("b", i.toDouble))
