@@ -58,6 +58,17 @@ object CorpusQueries {
         k = 40)
       .orderBy(col("doc_id"))
 
+  /** q130: tokenize the corpus with the q128-learned merges
+    * ([[TextOps.bpeApply]]) — the apply half of the BPE loop. */
+  def q130BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = TextOps.bpeTrain(docs, "text", rounds = 3)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextOps.bpeApply(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_span_dedup"   -> q122SpanDedup _,
     "q123_collocations" -> q123Collocations _,
@@ -66,7 +77,71 @@ object CorpusQueries {
     "q126_mad_outliers" -> q126MadOutliers _,
     "q128_bpe_train"    -> q128BpeTrain _,
     "q129_span_runs"    -> q129SpanRuns _,
+    "q130_bpe_apply"    -> q130BpeApply _,
   )
+
+  /** One oracle-side BPE round over the positional symbol relation
+    * `sIN` (w, freq, pos, sym): weighted adjacent-pair counts → argmax →
+    * EXACT leftmost-non-overlapping merge, relationally. All candidates
+    * merge when s1 ≠ s2 (overlapping candidates would force s1 = s2);
+    * when s1 = s2, run-offset parity ((pos − run_start) even) picks the
+    * leftmost-greedy pairs. `sOUT` is the merged relation with positions
+    * renumbered. */
+  private def bpeRoundSql(sIn: String, p: String, m: String,
+                          cand: String, run: String, st: String,
+                          sOut: String): String =
+    s"""$p AS MATERIALIZED (
+       |  SELECT a.sym AS s1, b.sym AS s2, CAST(sum(a.freq) AS BIGINT) AS n
+       |  FROM $sIn a JOIN $sIn b ON a.w = b.w AND b.pos = a.pos + 1
+       |  GROUP BY a.sym, b.sym),
+       |$m AS MATERIALIZED (SELECT s1, s2, n FROM $p ORDER BY n DESC, s1, s2 LIMIT 1),
+       |$cand AS MATERIALIZED (
+       |  SELECT a.w, a.pos
+       |  FROM $sIn a JOIN $sIn b ON a.w = b.w AND b.pos = a.pos + 1
+       |  WHERE a.sym = (SELECT s1 FROM $m) AND b.sym = (SELECT s2 FROM $m)),
+       |$run AS MATERIALIZED (
+       |  SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+       |  FROM $sIn WHERE sym = (SELECT s1 FROM $m)),
+       |$st AS MATERIALIZED (
+       |  SELECT c.w, c.pos
+       |  FROM $cand c
+       |  JOIN $run r ON c.w = r.w AND c.pos = r.pos
+       |  JOIN (SELECT w, grp, min(pos) AS run_start
+       |        FROM $run GROUP BY w, grp) g
+       |    ON g.w = r.w AND g.grp = r.grp
+       |  WHERE (SELECT s1 FROM $m) <> (SELECT s2 FROM $m)
+       |     OR (c.pos - g.run_start) % 2 = 0),
+       |$sOut AS MATERIALIZED (
+       |  SELECT x.w, x.freq,
+       |    row_number() OVER (PARTITION BY x.w ORDER BY x.pos) AS pos,
+       |    CASE WHEN stx.pos IS NOT NULL
+       |         THEN (SELECT s1 || s2 FROM $m) ELSE x.sym END AS sym
+       |  FROM $sIn x
+       |  LEFT JOIN $st stx ON stx.w = x.w AND stx.pos = x.pos
+       |  LEFT JOIN $st prv ON prv.w = x.w AND prv.pos = x.pos - 1
+       |  WHERE prv.pos IS NULL)""".stripMargin
+
+  /** Shared by the q128/q130 oracles: corpus words → per-word frequency →
+    * positional symbol relation s0 → three relational merge rounds.
+    * 1-char words carry no pairs, so including them (q130 needs their
+    * token counts) leaves the training counts unchanged. */
+  private val BpeTrainCtes: String =
+    s"""WITH allw AS MATERIALIZED (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(
+       |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+       |      ' ')) AS w
+       |    FROM documents)
+       |  WHERE w <> ''),
+       |vw AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |       FROM allw GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, freq, CAST(i AS BIGINT) AS pos,
+       |    substr(w, CAST(i AS INTEGER), 1) AS sym
+       |  FROM vw, unnest(range(1, CAST(length(w) AS BIGINT) + 1, 1)) AS u(i)),
+       |${bpeRoundSql("s0", "p1", "m1", "c1", "r1", "st1", "s1t")},
+       |${bpeRoundSql("s1t", "p2", "m2", "c2", "r2", "st2", "s2t")},
+       |${bpeRoundSql("s2t", "p3", "m3", "c3", "r3", "st3", "s3t")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q122_span_dedup" ->
@@ -171,47 +246,24 @@ object CorpusQueries {
     // three chained merge stages; each vN applies the argmax merge of pN
     // with the same literal left-to-right replace the engine uses
     "q128_bpe_train" ->
-      """WITH v0 AS (
-        |  SELECT regexp_replace(w, '(.)', '\1 ', 'g') AS syms,
-        |    CAST(count(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(string_split(
-        |          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
-        |          ' ')) AS w
-        |        FROM documents)
-        |  WHERE length(w) >= 2 GROUP BY w),
-        |p1 AS (
-        |  SELECT s[CAST(i AS INTEGER)] AS s1, s[CAST(i AS INTEGER) + 1] AS s2,
-        |    CAST(sum(freq) AS BIGINT) AS n
-        |  FROM (SELECT string_split(rtrim(syms), ' ') AS s, freq FROM v0),
-        |       unnest(range(1, CAST(len(s) AS BIGINT), 1)) AS u(i)
-        |  WHERE len(s) >= 2 GROUP BY s1, s2),
-        |m1 AS (SELECT s1, s2, n FROM p1 ORDER BY n DESC, s1, s2 LIMIT 1),
-        |v1 AS (SELECT replace(syms,
-        |         (SELECT s1 || ' ' || s2 || ' ' FROM m1),
-        |         (SELECT s1 || s2 || ' ' FROM m1)) AS syms, freq FROM v0),
-        |p2 AS (
-        |  SELECT s[CAST(i AS INTEGER)] AS s1, s[CAST(i AS INTEGER) + 1] AS s2,
-        |    CAST(sum(freq) AS BIGINT) AS n
-        |  FROM (SELECT string_split(rtrim(syms), ' ') AS s, freq FROM v1),
-        |       unnest(range(1, CAST(len(s) AS BIGINT), 1)) AS u(i)
-        |  WHERE len(s) >= 2 GROUP BY s1, s2),
-        |m2 AS (SELECT s1, s2, n FROM p2 ORDER BY n DESC, s1, s2 LIMIT 1),
-        |v2 AS (SELECT replace(syms,
-        |         (SELECT s1 || ' ' || s2 || ' ' FROM m2),
-        |         (SELECT s1 || s2 || ' ' FROM m2)) AS syms, freq FROM v1),
-        |p3 AS (
-        |  SELECT s[CAST(i AS INTEGER)] AS s1, s[CAST(i AS INTEGER) + 1] AS s2,
-        |    CAST(sum(freq) AS BIGINT) AS n
-        |  FROM (SELECT string_split(rtrim(syms), ' ') AS s, freq FROM v2),
-        |       unnest(range(1, CAST(len(s) AS BIGINT), 1)) AS u(i)
-        |  WHERE len(s) >= 2 GROUP BY s1, s2),
-        |m3 AS (SELECT s1, s2, n FROM p3 ORDER BY n DESC, s1, s2 LIMIT 1)
+      s"""$BpeTrainCtes
         |SELECT CAST(1 AS BIGINT) AS round, s1 AS sym1, s2 AS sym2, n FROM m1
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), s1, s2, n FROM m2
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), s1, s2, n FROM m3
         |ORDER BY round""".stripMargin,
+    // the same trained merges applied to every distinct word (the engine's
+    // broadcast relation), then summed per doc
+    "q130_bpe_apply" ->
+      s"""$BpeTrainCtes,
+        |tk AS (SELECT w, CAST(count(*) AS BIGINT) AS toks
+        |       FROM s3t GROUP BY w)
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(tk.toks) AS BIGINT) AS n_bpe_tokens
+        |FROM allw a JOIN tk USING (w)
+        |GROUP BY a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "q129_span_runs" ->
       """WITH n AS (
         |  SELECT doc_id,

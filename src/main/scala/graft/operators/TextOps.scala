@@ -494,13 +494,38 @@ object TextOps {
       .select(col("w1"), col("w2"), col("n_xy"), col("lift_ppm"))
   }
 
+  /** Character symbol array of a normalized word ("abc" → [a, b, c]) —
+    * the unit the BPE operators merge over. */
+  private def charSyms(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** One true BPE merge round over a symbol-array column
+    * ([[graft.plans.BpeMergePairs]] — leftmost non-overlapping, the
+    * array walk; string-replace formulations get symbol boundaries or
+    * overlap chains wrong, see the expression's doc). */
+  private def mergeSyms(syms: Column, s1: String, s2: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.BpeMergePairs(
+      GraftColumnBridge.expression(syms), s1, s2))
+  }
+
+  /** Adjacent symbol pairs of a symbol-array column, weighted by `freq`,
+    * as (s1, s2, n) — shared by the train rounds. */
+  private def pairCounts(vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(syms[i - 1] AS s1, syms[i] AS s2))")).as("p"),
+        col("freq"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum(col("freq")).as("n"))
+
   /** Iterated BPE training — `rounds` actual merge rounds, not just the
-    * first-pair table: the vocabulary's words are held as space-terminated
-    * symbol sequences ("abc" → "a b c "), each round counts adjacent
-    * symbol pairs weighted by word frequency, picks the max (ties by
-    * pair), and applies the merge with a literal left-to-right
-    * `replace(syms, "s1 s2 ", "s1s2 ")` — which IS the BPE leftmost
-    * non-overlapping merge semantics, identically in any engine.
+    * first-pair table: the vocabulary's words are held as symbol arrays,
+    * each round counts adjacent symbol pairs weighted by word frequency,
+    * picks the max (ties by pair), and applies the merge with the exact
+    * leftmost-non-overlapping walk ([[graft.plans.BpeMergePairs]]).
     *
     * Scale shape: everything after tokenization operates on the VOCABULARY
     * relation (distinct word × freq — bounded, cached for the loop); each
@@ -519,30 +544,20 @@ object TextOps {
       .select(explode(split(normWords(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .withColumn("syms", regexp_replace(col("w"), "(.)", "$1 "))
-      .select(col("syms"), col("freq"))
+      .select(charSyms(col("w")).as("syms"), col("freq"))
       .persist()
     try {
       var cur = vocab.select(col("syms"), col("freq"))
       val merges = Seq.newBuilder[(Int, String, String, Long)]
       for (r <- 1 to rounds) {
-        val top = cur
-          .select(split(rtrim(col("syms")), " ").as("s"), col("freq"))
-          .filter(size(col("s")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, size(s) - 1), " +
-              "i -> struct(s[i - 1] AS s1, s[i] AS s2))")).as("p"), col("freq"))
-          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-          .agg(sum(col("freq")).as("n"))
+        val top = pairCounts(cur)
           .orderBy(col("n").desc, col("s1"), col("s2"))
           .limit(1).collect()
         if (top.nonEmpty) {
           val (s1, s2, n) = (top(0).getString(0), top(0).getString(1),
             top(0).getLong(2))
           merges += ((r, s1, s2, n))
-          cur = cur.withColumn("syms",
-            call_function("replace", col("syms"),
-              lit(s"$s1 $s2 "), lit(s"$s1$s2 ")))
+          cur = cur.withColumn("syms", mergeSyms(col("syms"), s1, s2))
         }
       }
       import spark.implicits._
@@ -551,6 +566,34 @@ object TextOps {
           col("sym2"), col("n"))
         .orderBy(col("round"))
     } finally vocab.unpersist()
+  }
+
+  /** Apply learned BPE merges and count the resulting tokens per doc —
+    * the other half of the [[bpeTrain]] loop. The merges are applied on
+    * the DISTINCT-WORD relation (char-space each word, then the merge
+    * replaces in training order) and the per-word token counts broadcast
+    * back onto the corpus — per-document work is one join + sum, and the
+    * merge application cost is bounded by vocabulary size no matter how
+    * large the corpus.
+    *
+    * @return (idCol → id, n_words, n_bpe_tokens) per doc with ≥1 token.
+    */
+  def bpeApply(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String,
+               merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val words = df
+      .select(col(idCol).as("id"),
+        explode(split(normWords(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val spaced = words.select(col("w")).distinct()
+      .withColumn("syms", charSyms(col("w")))
+    val applied = merges.foldLeft(spaced) { case (d, (s1, s2)) =>
+      d.withColumn("syms", mergeSyms(col("syms"), s1, s2))
+    }.select(col("w"), size(col("syms")).cast("long").as("toks"))
+    words.join(broadcast(applied), Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("toks")).as("n_bpe_tokens"))
+      .select(col("id").as(idCol), col("n_words"), col("n_bpe_tokens"))
   }
 
   /** Longest duplicated-span RUN per document: consecutive word-anchored

@@ -217,6 +217,38 @@ object GraftExpressions {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** One true BPE merge round over a symbol sequence: leftmost
+    * non-overlapping occurrences of the adjacent pair (s1, s2) combine
+    * into one symbol — the exact greedy semantics of byte-pair-encoding
+    * tokenizers. A string `replace("s1 s2 ", "s1s2 ")` formulation is
+    * subtly WRONG twice over: without a leading anchor it can split a
+    * multi-char symbol (`(ab, c)` matches "b c "), and with one it skips
+    * every other occurrence of an overlapping chain ("a b a b" →
+    * "ab a b") — so the merge walks the array. The SQL oracle replays
+    * the same semantics relationally (all candidates merge when
+    * s1 ≠ s2 — overlap would force s1 = s2 — and run-offset parity picks
+    * the leftmost-greedy pairs when s1 = s2). */
+  def bpeMerge(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+               s1: UTF8String, s2: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (i + 1 < n && cur.equals(s1) && arr.getUTF8String(i + 1).equals(s2)) {
+        out(o) = UTF8String.concat(s1, s2)
+        i += 2
+      } else {
+        out(o) = cur
+        i += 1
+      }
+      o += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.take(o))
+  }
+
   /** Fingerprints of the `k`-code-point windows that start at WORD
     * BOUNDARIES of an (already normalized, single-spaced) text — the
     * [[graft.operators.TextOps.spanDedup]] hot path in one primitive
@@ -419,6 +451,32 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.plans.GraftExpressions.shingles($s, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** One true BPE merge round ([[GraftExpressions.bpeMerge]]) as a
+  * codegen'd expression over a symbol array. */
+case class BpeMergePairs(child: Expression, s1: String, s2: String)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private val u1 = UTF8String.fromString(s1)
+  private val u2 = UTF8String.fromString(s2)
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftExpressions.bpeMerge(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], u1, u2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r1 = ctx.addReferenceObj("bpeS1", u1, classOf[UTF8String].getName)
+    val r2 = ctx.addReferenceObj("bpeS2", u2, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.GraftExpressions.bpeMerge($a, $r1, $r2)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -114,6 +114,36 @@ class CorpusOpsSpec extends SparkSpec {
       s"shared tail should give an equal multi-window run, got $out")
   }
 
+  test("bpe merge respects symbol boundaries (no string-replace shortcut)") {
+    // round 1 learns (a,b); round 2 learns (b,c). The word "abc" is then
+    // (ab, c) — its "b" lives INSIDE the merged symbol, so merge 2 must
+    // NOT touch it. A replace("b c ", "bc ") formulation would corrupt
+    // it to one token.
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "ab")) ++
+      (6 to 9).map(i => (i.toLong, "bc")) ++
+      Seq((10L, "abc"))
+    ).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 2's (b,c) counts only the 4 "bc" words: "abc"'s b was
+    // consumed by the round-1 (a,b) merge
+    assert(merges.toSeq == Seq((1L, "a", "b", 6L), (2L, "b", "c", 4L)))
+    val toks = TextOps.bpeApply(docs, "doc_id", "text",
+        merges.map(m => (m._2, m._3)).toSeq)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(toks(1L) == 1L && toks(6L) == 1L)
+    assert(toks(10L) == 2L, "abc must tokenize as (ab, c), not collapse")
+  }
+
+  test("bpe merge handles overlapping same-symbol chains leftmost-greedy") {
+    // merging (a,a) on "aaaa" must give (aa, aa) and on "aaa" (aa, a)
+    val docs = Seq((1L, "aaaa"), (2L, "aaa")).toDF("doc_id", "text")
+    val toks = TextOps.bpeApply(docs, "doc_id", "text", Seq(("a", "a")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(toks == Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("madOutliers finds the robust center and the planted outlier") {
     val rows = Seq.fill(9)(("a", 10.0)) ++ Seq(("a", 500.0)) ++
       (1 to 5).map(i => ("b", i.toDouble))
