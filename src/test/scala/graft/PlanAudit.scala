@@ -479,6 +479,42 @@ object PlanAudit {
         !p.contains("Join") && "Exchange".r.findAllIn(p).size <= 2)
     }
 
+    // q123 collocations: the unigram model and token total must BROADCAST
+    // onto the surviving pairs — a shuffled join would re-exchange the
+    // pair relation once per model side
+    audit("q123") {
+      val p = plan("q123_collocations")
+      check("q123 broadcasts the unigram model onto the pairs",
+        "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
+          !p.contains("SortMergeJoin"))
+    }
+
+    // q126 MAD: per-group stats broadcast back onto the rows (three
+    // broadcast joins: med→dev, mad→stats, mad→outlier pass)
+    audit("q126") {
+      val p = plan("q126_mad_outliers")
+      check("q126 broadcasts group stats back (no shuffled row join)",
+        !p.contains("SortMergeJoin") && p.contains("BroadcastHashJoin"))
+    }
+
+    // q130 BPE apply: the per-word token-count relation must broadcast
+    // onto the corpus words
+    audit("q130") {
+      val p = plan("q130_bpe_apply")
+      check("q130 broadcasts the per-word token counts",
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    }
+
+    // q129 span runs: same no-join-back discipline as q122 (window over
+    // the fingerprint + two per-doc groupings + distinct-docs left join)
+    audit("q129") {
+      val p = plan("q129_span_runs")
+      check("q129 extracts fingerprints natively",
+        p.contains("anchorwindowhashes") || p.contains("AnchorWindowHashes"))
+      check("q129 has no shuffled join of the window relation",
+        !p.contains("SortMergeJoin"))
+    }
+
     // DSv2 custom sources: column pruning must reach the parser — a
     // 1-column projection over a graft-fixed table scans ONLY that column
     // (the scan description carries its pruned readSchema)
