@@ -108,8 +108,10 @@ object StreamingQueries {
       def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
         val stage = tmp.resolve(s"stage-$name")
         df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = Files.list(stage).filter(p =>
+        val listing = Files.list(stage)
+        val part = try listing.filter(p =>
           p.getFileName.toString.startsWith("part-")).findFirst().get()
+        finally listing.close()
         val dest = in.resolve(s"$name.parquet")
         Files.move(part, dest)
         Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))

@@ -428,7 +428,13 @@ object TextOps {
     * join-back of the window relation is needed. The per-doc rollup is
     * the minimal second shuffle. Windows/doc ≈ word count → the exchange
     * is ~16 bytes per corpus token; fingerprint collisions are ~1 per
-    * 10¹³ window pairs (use two independent folds at 100 TB).
+    * 10¹³ window pairs (use two independent folds at 100 TB). One skew
+    * caveat: a whole-partition window puts every row of one fingerprint
+    * in one task, so a boilerplate span shared by millions of documents
+    * makes a hot task — at that skew, flip to the partial-aggregated
+    * `groupBy(h).agg(min,max)` + equi-join-back (one more exchange, but
+    * the hot key streams through the join's probe side instead of
+    * pinning a window task).
     *
     * @return (idCol, n_windows, n_dup_windows, dup_ppm) for every doc with
     *         at least one full window; dup_ppm = ⌊10⁶·dup/windows⌋.
@@ -462,7 +468,10 @@ object TextOps {
     * Scale shape: pair counting is one map-side-combinable groupBy on the
     * (w1,w2) key; unigram counts are a second bounded-by-vocabulary
     * groupBy that broadcasts back onto the surviving pairs. Nothing holds
-    * per-document state.
+    * per-document state. The unigram broadcast assumes the vocabulary
+    * fits an executor (fine into the tens of millions of words); past
+    * that, reverse the join — the minCount-surviving PAIR relation is
+    * the small side of a shuffled join on the word key.
     */
   def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
                    minCount: Int, topN: Int): org.apache.spark.sql.DataFrame = {
