@@ -29,6 +29,7 @@ object SparkEntry {
     JdbcQueries.all,
     StreamingQueries.all,
     CorpusQueries.all,
+    SelectionQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
@@ -43,6 +44,7 @@ object SparkEntry {
     JdbcQueries.oracles,
     StreamingQueries.oracles,
     CorpusQueries.oracles,
+    SelectionQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -125,7 +125,7 @@ object CorpusQueries {
     * positional symbol relation s0 → three relational merge rounds.
     * 1-char words carry no pairs, so including them (q130 needs their
     * token counts) leaves the training counts unchanged. */
-  private val BpeTrainCtes: String =
+  private[operators] val bpeTrainCtes: String =
     s"""WITH allw AS MATERIALIZED (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, unnest(string_split(
@@ -246,7 +246,7 @@ object CorpusQueries {
     // three chained merge stages; each vN applies the argmax merge of pN
     // with the same literal left-to-right replace the engine uses
     "q128_bpe_train" ->
-      s"""$BpeTrainCtes
+      s"""$bpeTrainCtes
         |SELECT CAST(1 AS BIGINT) AS round, s1 AS sym1, s2 AS sym2, n FROM m1
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), s1, s2, n FROM m2
@@ -256,7 +256,7 @@ object CorpusQueries {
     // the same trained merges applied to every distinct word (the engine's
     // broadcast relation), then summed per doc
     "q130_bpe_apply" ->
-      s"""$BpeTrainCtes,
+      s"""$bpeTrainCtes,
         |tk AS (SELECT w, CAST(count(*) AS BIGINT) AS toks
         |       FROM s3t GROUP BY w)
         |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_words,

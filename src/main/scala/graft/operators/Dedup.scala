@@ -436,6 +436,35 @@ object Dedup {
       .withColumn("is_canonical", col("id") === col("group_id"))
   }
 
+  /** Decision step of a dedup pipeline: per connected near-dup component
+    * ([[dupGroups]] over `pairs`), KEEP the best-scoring member — highest
+    * `scoreCol` (an exact integer score, e.g. the quality heuristic), ties
+    * broken by lowest id — and report what the decision drops. One row per
+    * group: (group_id, group_size, kept_id, kept_score, n_dropped).
+    *
+    * Scale shape: the score is a projection on the corpus scan, the group
+    * labels come from O(log diameter) label propagation, and the pick is a
+    * single map-side-combinable groupBy whose state is one struct per
+    * group (`max(struct(score, -id))` — lexicographic struct max IS the
+    * argmax with the tie-break, no window over the corpus). */
+  def canonicalPick(corpus: DataFrame, idCol: String, pairs: DataFrame,
+                    scoreCol: String): DataFrame = {
+    val groups = dupGroups(corpus, idCol, pairs)
+      .select(col("id"), col("group_id"))
+    val scored = corpus.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("long").as("score"))
+    groups.join(scored, "id")
+      .groupBy(col("group_id"))
+      .agg(
+        count(lit(1)).cast("long").as("group_size"),
+        max(struct(col("score"), (-col("id")).as("nid"))).as("best"))
+      .select(col("group_id"),
+        col("group_size"),
+        (-col("best.nid")).as("kept_id"),
+        col("best.score").as("kept_score"),
+        (col("group_size") - 1).cast("long").as("n_dropped"))
+  }
+
   /** Blocked fuzzy join: near-match pairs by edit distance, without the
     * all-pairs comparison. Rows are blocked on the first `blockLen`
     * characters of the whitespace-collapsed lowercase text — an

@@ -15,11 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
 
   /** documents ∪ a perturbed copy (first token dropped, id+100000) — the
     * corpus used by the dedup queries so near-duplicates actually exist. */
-  private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
       regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
@@ -583,8 +583,8 @@ object PipelineQueries {
     "q121_script_mix"  -> q121ScriptMix _,
   )
 
-  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
-  private val cosineSql =
+  private[operators] val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+  private[operators] val cosineSql =
     """list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cv),
       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, x) -> acc + x)
       |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
@@ -758,8 +758,9 @@ object PipelineQueries {
 
   /** Transitive closure of the q20 pair graph via recursive CTE: min
     * reachable id per node = the group label [[Dedup.dupGroups]] computes
-    * by distributed label propagation. */
-  private val dupGroupsSql =
+    * by distributed label propagation. CTE prefix shared with the q131
+    * canonical-pick oracle ([[SelectionQueries]]). */
+  private[operators] val dupGroupsCtes =
     """WITH RECURSIVE corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -792,7 +793,10 @@ object PipelineQueries {
       |  SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id AS BIGINT) AS r FROM corpus
       |  UNION
       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-      |grp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+      |grp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)""".stripMargin
+
+  private val dupGroupsSql =
+    s"""$dupGroupsCtes
       |SELECT id, group_id,
       |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
       |  id = group_id AS is_canonical

@@ -158,4 +158,64 @@ object Sampling {
     df.withColumn("tokens_before", sum(n).over(w) - n)
       .filter(col("tokens_before") < budget)
   }
+
+  /** Largest-remainder (Hamilton) allocation of ONE global token budget
+    * across strata, then the [[tokenBudget]] greedy hash-order fill per
+    * stratum with each stratum's own allocation. The budget is the exact
+    * rational `num/den` of the corpus total (e.g. 1/2 = "train on half
+    * the corpus, keeping today's domain mix"): `base_s = ⌊B·w_s/W⌋` and
+    * the `B − Σ base_s` leftover units go to the strata with the largest
+    * remainders (ties → stratum name). All arithmetic is exact integer —
+    * allocations sum to B by construction.
+    *
+    * One row per stratum: (strataCol, w_tokens, n_docs, alloc_tokens,
+    * n_selected, tokens_selected). A document that STARTS under its
+    * stratum's allocation is kept whole, so `tokens_selected` may
+    * overshoot `alloc_tokens` by less than one document.
+    *
+    * Scale shape: stratum weights are one map-side-combined groupBy; the
+    * allocation arithmetic runs as windows over the TINY stratum relation
+    * (domains number in the tens); the per-stratum fill is the same
+    * single sort-within-stratum as [[tokenBudget]]; and the allocation
+    * joins back by broadcast. `B·w_s` must stay under 2^63 — beyond
+    * ~3·10^9 total tokens, pre-scale the weights (e.g. to ppm of W)
+    * before allocating; the fill is unaffected. */
+  def budgetAllocate(df: DataFrame, strataCol: String, idCol: String,
+                     nTokensCol: String, num: Long, den: Long,
+                     seed: Long = 42L): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      "budget fraction num/den must be in (0, 1]")
+    val n = col(nTokensCol).cast("long")
+    val strata = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val byRem = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col(strataCol))
+    val alloc = df.groupBy(col(strataCol))
+      .agg(sum(n).as("w_tokens"), count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("w_total", sum(col("w_tokens")).over(strata))
+      .withColumn("budget", expr(s"(w_total * ${num}L) div ${den}L"))
+      .withColumn("base", expr("(budget * w_tokens) div w_total"))
+      .withColumn("rem", expr("(budget * w_tokens) % w_total"))
+      .withColumn("leftover", col("budget") - sum(col("base")).over(strata))
+      .withColumn("alloc_tokens",
+        col("base") + when(row_number().over(byRem) <= col("leftover"), 1L)
+          .otherwise(0L))
+      .select(col(strataCol), col("w_tokens"), col("n_docs"),
+        col("alloc_tokens"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(keyHashFor(df, idCol, seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val selected = df
+      .withColumn("tokens_before", sum(n).over(w) - n)
+      .join(broadcast(alloc.select(col(strataCol), col("alloc_tokens"))),
+        Seq(strataCol))
+      .filter(col("tokens_before") < col("alloc_tokens"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("long").as("n_selected"),
+        sum(n).as("tokens_selected"))
+    alloc.join(selected, Seq(strataCol), "left")
+      .select(col(strataCol), col("w_tokens"), col("n_docs"),
+        col("alloc_tokens"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("tokens_selected"), lit(0L)).as("tokens_selected"))
+  }
 }

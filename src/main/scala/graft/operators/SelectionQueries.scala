@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver gates for the corpus-SELECTION operators — the decision layer a
+  * training-data pipeline runs after measurement: which duplicate to keep
+  * (q131), how well the learned tokenizer covers each source (q132), the
+  * neighborhood structure of the embedding space (q133), how a global
+  * token budget splits across domains (q134), and how much ANN recall the
+  * int8 compression costs (q135). Every emitted number is an exact
+  * integer, an exact dyadic/ppm rational, or a deterministic IEEE-double
+  * fold, so each DuckDB oracle is a full independent replay.
+  */
+object SelectionQueries {
+  import PipelineQueries.{dupCorpus, stopwords, stopList, cosineSql,
+    dupGroupsCtes}
+
+  /** q131: canonical pick per near-dup group — [[Dedup.canonicalPick]]
+    * keeps the highest-quality member (ties → lowest id) of each q50
+    * component over the perturbed corpus. */
+  def q131KeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+      .withColumn("q", TextOps.qualityScore(col("text"), stopwords))
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 5, threshold = 0.5)
+    Dedup.canonicalPick(corpus, "doc_id", pairs, "q")
+      .orderBy(col("group_id"))
+  }
+
+  /** q132: per-source coverage of the q128-trained BPE vocabulary —
+    * tokens-per-word (ppm) after 3 merge rounds, the compression a
+    * tokenizer trained on the whole corpus achieves on each domain. */
+  def q132VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = TextOps.bpeTrain(docs, "text", rounds = 3)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextOps.bpeApply(docs, "doc_id", "text", merges)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"))
+      .withColumn("tokens_per_word_ppm",
+        expr("(1000000 * n_bpe_tokens) div n_words"))
+      .orderBy(col("source"))
+  }
+
+  /** q133: cluster-blocked mutual k-NN graph over the embeddings
+    * ([[Similarity.knnGraph]], k=3 within each label cluster). */
+  def q133KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", "label", k = 3)
+      .withColumn("cluster", col("cluster").cast("long"))
+      .orderBy(col("vec_id"))
+
+  /** q134: largest-remainder allocation of a half-corpus token budget
+    * across sources + greedy hash-order fill ([[Sampling.budgetAllocate]],
+    * seed 42). */
+  def q134BudgetAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.budgetAllocate(docs, "source", "doc_id", "n_tokens",
+        num = 1, den = 2)
+      .orderBy(col("source"))
+  }
+
+  /** q135: recall@5 of int8-quantized brute-force ANN vs the exact float
+    * ranking ([[Similarity.quantTopK]] vs [[Similarity.bruteForceTopK]])
+    * for queries vec_id < 10 — what the 4× memory-bandwidth saving costs
+    * in ranking fidelity. */
+  def q135QuantRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", k = 5).select(col("query_id"), col("neighbor_id"))
+    val quant = Similarity.quantTopK(queries, emb,
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+    exact.join(quant,
+        exact("query_id") === quant("qid") &&
+          exact("neighbor_id") === quant("nid"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("nid")).cast("long").as("n_common"))
+      .withColumn("recall_pct", col("n_common") * 20)
+      .orderBy(col("query_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_keep_best"      -> q131KeepBest _,
+    "q132_vocab_coverage" -> q132VocabCoverage _,
+    "q133_knn_graph"      -> q133KnnGraph _,
+    "q134_budget_alloc"   -> q134BudgetAlloc _,
+    "q135_quant_recall"   -> q135QuantRecall _,
+  )
+
+  /** q134's seeded universal-hash coefficients (same closed form the
+    * engine uses — [[Sampling.coef]]). */
+  private val (hA, hB) = Sampling.coef(42L)
+  private val P = Sampling.P
+
+  val oracles: Map[String, String] = Map(
+    // recursive-CTE closure of the near-dup graph (shared with q50) +
+    // the integer quality score + windowed argmax with the same tie-break
+    "q131_keep_best" ->
+      s"""$dupGroupsCtes,
+        |qual AS (
+        |  SELECT doc_id AS id,
+        |    least(len(string_split_regex(trim(text), '\\s+')), 40)
+        |    + least(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |        t -> t IN ($stopList))) * 5, 30)
+        |    + 30 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')), 30)
+        |      AS q
+        |  FROM corpus),
+        |best AS (
+        |  SELECT grp.group_id, grp.id, qual.q,
+        |    row_number() OVER (PARTITION BY grp.group_id
+        |                       ORDER BY qual.q DESC, grp.id) AS rn,
+        |    count(*) OVER (PARTITION BY grp.group_id) AS gs
+        |  FROM grp JOIN qual ON qual.id = grp.id)
+        |SELECT CAST(group_id AS BIGINT) AS group_id,
+        |  CAST(gs AS BIGINT) AS group_size,
+        |  CAST(id AS BIGINT) AS kept_id,
+        |  CAST(q AS BIGINT) AS kept_score,
+        |  CAST(gs - 1 AS BIGINT) AS n_dropped
+        |FROM best WHERE rn = 1
+        |ORDER BY group_id""".stripMargin,
+    // q130's relational three-round BPE replay, regrouped by source
+    "q132_vocab_coverage" ->
+      s"""${CorpusQueries.bpeTrainCtes},
+        |tk AS (SELECT w, CAST(count(*) AS BIGINT) AS toks
+        |       FROM s3t GROUP BY w),
+        |per AS (
+        |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(tk.toks) AS BIGINT) AS n_bpe
+        |  FROM allw a JOIN tk USING (w)
+        |  GROUP BY a.doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(per.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(per.n_bpe) AS BIGINT) AS n_bpe_tokens,
+        |  (1000000 * CAST(sum(per.n_bpe) AS BIGINT))
+        |    // CAST(sum(per.n_words) AS BIGINT) AS tokens_per_word_ppm
+        |FROM per JOIN documents d USING (doc_id)
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin,
+    // label-blocked all-pairs + exact left-fold cosine + windowed top-3,
+    // mutuality by self-joining the top-k relation on reversed endpoints
+    "q133_knn_graph" ->
+      s"""WITH scored AS (
+        |  SELECT a.vec_id AS src, a.label AS cl, b.vec_id AS dst,
+        |    a.embedding AS qv, b.embedding AS cv,
+        |    $cosineSql AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |topk AS (
+        |  SELECT src, cl, dst, cos, rank FROM (
+        |    SELECT src, cl, dst, cos,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY cos DESC, dst) AS rank
+        |    FROM scored) t
+        |  WHERE rank <= 3),
+        |mut AS (
+        |  SELECT t.src, CAST(count(*) AS BIGINT) AS md
+        |  FROM topk t JOIN topk r ON r.src = t.dst AND r.dst = t.src
+        |  GROUP BY t.src)
+        |SELECT s.src AS vec_id, CAST(s.cl AS BIGINT) AS cluster,
+        |  CAST(s.n_scored AS BIGINT) AS n_scored,
+        |  coalesce(m.md, 0) AS mutual_degree,
+        |  CAST(t1.dst AS BIGINT) AS top_neighbor,
+        |  t1.cos AS top_cos
+        |FROM (SELECT src, cl, count(*) AS n_scored
+        |      FROM topk GROUP BY src, cl) s
+        |LEFT JOIN mut m ON m.src = s.src
+        |JOIN topk t1 ON t1.src = s.src AND t1.rank = 1
+        |ORDER BY vec_id""".stripMargin,
+    // exact integer Hamilton allocation + the seeded-hash greedy fill
+    "q134_budget_alloc" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+        |    ((doc_id % $P) * $hA + $hB) % $P AS h
+        |  FROM documents),
+        |wgt AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS w_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT CAST(sum(w_tokens) AS BIGINT) AS w_total FROM wgt),
+        |a0 AS (
+        |  SELECT w.source, w.w_tokens, w.n_docs,
+        |    (t.w_total * 1) // 2 AS budget,
+        |    (((t.w_total * 1) // 2) * w.w_tokens) // t.w_total AS base,
+        |    (((t.w_total * 1) // 2) * w.w_tokens) % t.w_total AS rem
+        |  FROM wgt w CROSS JOIN tot t),
+        |a1 AS (
+        |  SELECT *, budget - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM a0),
+        |alloc AS (
+        |  SELECT source, w_tokens, n_docs,
+        |    CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc_tokens
+        |  FROM a1),
+        |cum AS (
+        |  SELECT doc_id, source, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                 ROWS UNBOUNDED PRECEDING) - n AS tokens_before
+        |  FROM d),
+        |sel AS (
+        |  SELECT c.source, CAST(count(*) AS BIGINT) AS n_selected,
+        |    CAST(sum(c.n) AS BIGINT) AS tokens_selected
+        |  FROM cum c JOIN alloc al ON al.source = c.source
+        |  WHERE c.tokens_before < al.alloc_tokens
+        |  GROUP BY c.source)
+        |SELECT al.source, al.w_tokens, al.n_docs, al.alloc_tokens,
+        |  coalesce(s.n_selected, 0) AS n_selected,
+        |  coalesce(s.tokens_selected, 0) AS tokens_selected
+        |FROM alloc al LEFT JOIN sel s ON s.source = al.source
+        |ORDER BY al.source""".stripMargin,
+    // q119's bit-exact quantization replay + both rankings + overlap
+    "q135_quant_recall" ->
+      s"""WITH qz AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS m
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x ->
+        |        CAST(floor(CAST(x AS DOUBLE) * 127 / m + 0.5) AS BIGINT))
+        |    END AS z
+        |  FROM qz),
+        |exs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS cv,
+        |    q.qv, $cosineSql AS cos
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+        |              FROM embeddings WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.query_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM exs) t WHERE rank <= 5),
+        |zs AS (
+        |  SELECT zq.query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(list_zip(zq.za, c.z), x -> x[1] * x[2])),
+        |      (acc, v) -> acc + v) AS DOUBLE)
+        |    / sqrt(CAST(
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(zq.za, v -> v * v)), (acc, v) -> acc + v)
+        |        * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(c.z, v -> v * v)), (acc, v) -> acc + v)
+        |      AS DOUBLE)) AS qcos
+        |  FROM qq c
+        |  CROSS JOIN (SELECT vec_id AS query_id, z AS za FROM qq
+        |              WHERE vec_id < 10) zq
+        |  WHERE c.vec_id <> zq.query_id),
+        |qt AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY qcos DESC, neighbor_id) AS rank
+        |    FROM zs) t WHERE rank <= 5)
+        |SELECT ex.query_id,
+        |  CAST(count(qt.neighbor_id) AS BIGINT) AS n_common,
+        |  CAST(count(qt.neighbor_id) * 20 AS BIGINT) AS recall_pct
+        |FROM ex LEFT JOIN qt
+        |  ON qt.query_id = ex.query_id AND qt.neighbor_id = ex.neighbor_id
+        |GROUP BY ex.query_id
+        |ORDER BY ex.query_id""".stripMargin,
+  )
+}

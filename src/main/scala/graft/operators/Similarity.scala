@@ -76,6 +76,82 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Cluster-blocked k-NN graph: within each coarse cluster, every
+    * vector's top-k cosine neighbors, plus how many of those edges are
+    * MUTUAL (both endpoints list each other — the symmetrized graph that
+    * mutual-kNN clustering and SNN-dedup build on). Output one row per
+    * vector: (vec_id, cluster, n_scored, mutual_degree, top_neighbor,
+    * top_cos).
+    *
+    * Scale shape: the all-pairs comparison is blocked by the cluster
+    * equi-join — cost is Σ cluster² not N², the same quadratic-collapse
+    * trick as the IVF probe and SemDeDup — and the mutuality check is a
+    * LEFT SEMI self-join of the (N·k)-row top-k relation on reversed
+    * endpoints, never a join back to the vectors. At 100 TB the corpus
+    * would be physically partitioned by cluster, making each per-cluster
+    * block a partition-local computation. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+               clusterCol: String, k: Int): DataFrame = {
+    val a = emb.select(col(idCol).as("src"), col(vecCol).as("av"),
+      col(clusterCol).as("cluster"))
+    val b = emb.select(col(idCol).as("dst"), col(vecCol).as("bv"),
+      col(clusterCol).as("cluster"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val topk = a.join(b, "cluster")
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos", cosine(col("av"), col("bv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("cluster"), col("dst"), col("cos"), col("rank"))
+    val reversed = topk.select(col("dst").as("src"), col("src").as("dst"))
+    val mutual = topk.join(reversed, Seq("src", "dst"), "left_semi")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("mutual_degree"))
+    topk.groupBy(col("src"), col("cluster"))
+      .agg(
+        count(lit(1)).cast("long").as("n_scored"),
+        max(struct(col("cos"), (-col("dst")).as("nid"))).as("best"))
+      .join(mutual, Seq("src"), "left")
+      .select(col("src").as("vec_id"), col("cluster"),
+        col("n_scored"),
+        coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"),
+        (-col("best.nid")).as("top_neighbor"),
+        col("best.cos").as("top_cos"))
+  }
+
+  /** Brute-force top-k over int8-QUANTIZED vectors ([[quantizeInt8]]) —
+    * the memory-bandwidth-saving variant a billion-scale scan would run.
+    * The per-vector scales cancel out of the cosine, so the quantized
+    * score is `dot_int(qa, qb) / sqrt(n2a · n2b)` — INTEGER dot products
+    * and squared norms (≤ dim·127² each, exact in a Long and in the
+    * double the final division sees), making the ranking engine-exact
+    * and the oracle a bit-for-bit replay. Same output contract as
+    * [[bruteForceTopK]] with `cos` replaced by `qcos`. */
+  def quantTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int): DataFrame = {
+    def intDot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => (p * q).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    def intNorm2(x: Column): Column =
+      aggregate(x, lit(0L), (acc, v) => acc + (v * v).cast("long"))
+    val q = quantizeInt8(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("q_vec").as("qa"))
+    val c = quantizeInt8(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("q_vec").as("qb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos",
+        intDot(col("qa"), col("qb")).cast("double") /
+          sqrt((intNorm2(col("qa")) * intNorm2(col("qb"))).cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qcos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Squared L2 distance as a deterministic left fold (codegen'd
     * [[graft.plans.VecFold]], bit-identical to the declarative fold). */
   def squaredDist(a: Column, b: Column): Column = {
