@@ -532,6 +532,39 @@ object PlanAudit {
         s"pruning did not reach the graft-fixed scan:\n${ps.take(400)}")
     }
 
+    // q131 canonical pick: the per-group argmax must be a partial-first
+    // hash aggregate (struct-max state), never a window over the corpus
+    audit("q131") {
+      val p = plan("q131_keep_best")
+      check("q131 pick is a partial hash aggregate, not a corpus window",
+        p.contains("partial_") && !p.contains("CartesianProduct"))
+    }
+
+    // q133 kNN graph: the all-pairs comparison must be BLOCKED by the
+    // cluster equi-join (Σ cluster², not N²) and the mutuality check a
+    // self-join of the top-k relation — no cartesian anywhere
+    audit("q133") {
+      val p = plan("q133_knn_graph")
+      check("q133 pair scoring is cluster-blocked (no cartesian)",
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    }
+
+    // q134 budget allocation: the tiny per-stratum allocation relation
+    // must BROADCAST back onto the document scan
+    audit("q134") {
+      val p = plan("q134_budget_alloc")
+      check("q134 allocation broadcasts onto the doc scan",
+        p.contains("BroadcastHashJoin"))
+    }
+
+    // q135 quantized recall: both rankings broadcast the 10-query side
+    // (the same intentional cross join as q23), never the corpus
+    audit("q135") {
+      val p = plan("q135_quant_recall")
+      check("q135 broadcasts the query side of both rankings",
+        p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable
