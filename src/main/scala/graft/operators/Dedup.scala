@@ -465,6 +465,30 @@ object Dedup {
         (col("group_size") - 1).cast("long").as("n_dropped"))
   }
 
+  /** Leakage-safe train/val/test split: assign the split by NEAR-DUP
+    * GROUP, not by document — a per-doc hash split routinely places two
+    * near-duplicates on opposite sides of the train/test fence, leaking
+    * evaluation content into training. Group labels come from
+    * [[dupGroups]]; the seeded hash split ([[Sampling.withSplit]]) is
+    * applied to the group-id relation and every member inherits its
+    * group's label, so no component can straddle splits by construction.
+    * Returns (id, group_id, split).
+    *
+    * Scale shape: the split decision is a pure projection on the
+    * distinct-group relation; the inherit step is one equi-join on
+    * group_id (both sides already hash-partitioned by it from the
+    * propagation). */
+  def groupSafeSplit(corpus: DataFrame, idCol: String, pairs: DataFrame,
+                     splits: Seq[(String, Double)],
+                     seed: Long = 42L): DataFrame = {
+    val groups = dupGroups(corpus, idCol, pairs)
+      .select(col("id"), col("group_id"))
+    val gsplit = Sampling.withSplit(
+      groups.select(col("group_id")).distinct(), "group_id", splits, seed)
+    groups.join(gsplit, "group_id")
+      .select(col("id"), col("group_id"), col("split"))
+  }
+
   /** Blocked fuzzy join: near-match pairs by edit distance, without the
     * all-pairs comparison. Rows are blocked on the first `blockLen`
     * characters of the whitespace-collapsed lowercase text — an

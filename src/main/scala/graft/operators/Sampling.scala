@@ -182,7 +182,32 @@ object Sampling {
     * before allocating; the fill is unaffected. */
   def budgetAllocate(df: DataFrame, strataCol: String, idCol: String,
                      nTokensCol: String, num: Long, den: Long,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L): DataFrame =
+    allocateCore(df, strataCol, idCol, nTokensCol, num, den, seed,
+      identity)
+
+  /** [[budgetAllocate]] with TEMPERATURE τ=1/2 domain reweighting: the
+    * budget (still `num/den` of the corpus TOKEN total) is split across
+    * strata proportionally to `⌊√w_s⌋` instead of `w_s` — the standard
+    * mixture-flattening move that up-weights small domains relative to
+    * their raw share. Integer square roots keep every allocation exact
+    * (√ of a ≤2^53 integer is correctly rounded, so the floor is the true
+    * isqrt); the greedy fill is unchanged. */
+  def temperedAllocate(df: DataFrame, strataCol: String, idCol: String,
+                       nTokensCol: String, num: Long, den: Long,
+                       seed: Long = 42L): DataFrame =
+    allocateCore(df, strataCol, idCol, nTokensCol, num, den, seed,
+      w => floor(sqrt(w.cast("double"))).cast("long"))
+
+  /** Shared Hamilton-allocation + greedy-fill core: `wTransform` maps the
+    * raw per-stratum token weight to the allocation weight (identity =
+    * proportional, isqrt = temperature 1/2). The budget is always
+    * `num/den` of the RAW token total — the transform changes how it is
+    * shared, not how much there is. */
+  private def allocateCore(df: DataFrame, strataCol: String, idCol: String,
+                           nTokensCol: String, num: Long, den: Long,
+                           seed: Long,
+                           wTransform: Column => Column): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       "budget fraction num/den must be in (0, 1]")
     val n = col(nTokensCol).cast("long")
@@ -191,10 +216,12 @@ object Sampling {
       .orderBy(col("rem").desc, col(strataCol))
     val alloc = df.groupBy(col(strataCol))
       .agg(sum(n).as("w_tokens"), count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("tw", wTransform(col("w_tokens")))
       .withColumn("w_total", sum(col("w_tokens")).over(strata))
+      .withColumn("tw_total", sum(col("tw")).over(strata))
       .withColumn("budget", expr(s"(w_total * ${num}L) div ${den}L"))
-      .withColumn("base", expr("(budget * w_tokens) div w_total"))
-      .withColumn("rem", expr("(budget * w_tokens) % w_total"))
+      .withColumn("base", expr("(budget * tw) div tw_total"))
+      .withColumn("rem", expr("(budget * tw) % tw_total"))
       .withColumn("leftover", col("budget") - sum(col("base")).over(strata))
       .withColumn("alloc_tokens",
         col("base") + when(row_number().over(byRem) <= col("leftover"), 1L)
@@ -217,5 +244,40 @@ object Sampling {
         col("alloc_tokens"),
         coalesce(col("n_selected"), lit(0L)).as("n_selected"),
         coalesce(col("tokens_selected"), lit(0L)).as("tokens_selected"))
+  }
+
+  /** Distribution matching: resample `cand` so its `bucketCol` histogram
+    * matches `ref`'s — per bucket, take min(ref count, available) rows in
+    * seeded-hash order (the length/quality-matched control-set builder;
+    * e.g. bucket = token-count band). No redistribution on shortfall: a
+    * bucket `cand` can't fill reports the gap instead of silently
+    * borrowing from neighboring buckets and skewing the shape.
+    *
+    * One row per bucket present in EITHER side: (bucketCol, n_ref,
+    * n_avail, n_selected).
+    *
+    * Scale shape: both histograms are map-side-combined groupBys; the
+    * per-bucket rank is one sort within bucket (same as
+    * [[stratifiedQuota]]); quotas broadcast back onto the ranked scan. */
+  def matchDistribution(ref: DataFrame, cand: DataFrame, bucketCol: String,
+                        idCol: String, seed: Long = 42L): DataFrame = {
+    val quotas = ref.groupBy(col(bucketCol))
+      .agg(count(lit(1)).cast("long").as("n_ref"))
+    val avail = cand.groupBy(col(bucketCol))
+      .agg(count(lit(1)).cast("long").as("n_avail"))
+    val w = Window.partitionBy(col(bucketCol))
+      .orderBy(keyHashFor(cand, idCol, seed), col(idCol))
+    val selected = cand
+      .withColumn("rnk", row_number().over(w))
+      .join(broadcast(quotas), Seq(bucketCol))
+      .filter(col("rnk") <= col("n_ref"))
+      .groupBy(col(bucketCol))
+      .agg(count(lit(1)).cast("long").as("n_selected"))
+    quotas.join(avail, Seq(bucketCol), "full_outer")
+      .join(selected, Seq(bucketCol), "left")
+      .select(col(bucketCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_avail"), lit(0L)).as("n_avail"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"))
   }
 }

@@ -89,18 +89,79 @@ object SelectionQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q136: the q134 allocation under temperature-½ domain reweighting
+    * ([[Sampling.temperedAllocate]]) — same budget, isqrt-flattened
+    * shares. */
+  def q136TemperedAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.temperedAllocate(docs, "source", "doc_id", "n_tokens",
+        num = 1, den = 2)
+      .orderBy(col("source"))
+  }
+
+  /** q137: resample the non-English corpus to match the English
+    * token-length histogram (32-token buckets;
+    * [[Sampling.matchDistribution]], seed 42). */
+  def q137LengthMatch(spark: SparkSession, dir: String): DataFrame = {
+    val withLen = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+      .withColumn("len_bucket", expr("n_toks div 32"))
+      .select(col("doc_id"), col("lang"), col("len_bucket"))
+    val ref = withLen.filter(col("lang") === "en")
+    val cand = withLen.filter(col("lang") =!= "en")
+    Sampling.matchDistribution(ref, cand, "len_bucket", "doc_id")
+      .orderBy(col("len_bucket"))
+  }
+
+  /** q138: span-level contamination coverage of the test split
+    * ([[TextOps.contamSpanCoverage]], 8-grams, the q53 split seed) —
+    * tokens a redact-don't-drop decontam policy would mask. */
+  def q138ContamSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sampling.withSplit(dupCorpus(spark, dir), "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1), seed = 13L)
+    TextOps.contamSpanCoverage(docs, "doc_id", "text", "split",
+        trainLabel = "train", testLabel = "test", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q139: leakage-safe split — near-dup groups (q50 components) decide
+    * the train/val/test assignment, members inherit
+    * ([[Dedup.groupSafeSplit]], seed 17). */
+  def q139GroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 5, threshold = 0.5)
+    Dedup.groupSafeSplit(corpus, "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 17L)
+      .orderBy(col("id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_keep_best"      -> q131KeepBest _,
     "q132_vocab_coverage" -> q132VocabCoverage _,
     "q133_knn_graph"      -> q133KnnGraph _,
     "q134_budget_alloc"   -> q134BudgetAlloc _,
     "q135_quant_recall"   -> q135QuantRecall _,
+    "q136_tempered_alloc" -> q136TemperedAlloc _,
+    "q137_length_match"   -> q137LengthMatch _,
+    "q138_contam_spans"   -> q138ContamSpans _,
+    "q139_group_split"    -> q139GroupSplit _,
   )
 
   /** q134's seeded universal-hash coefficients (same closed form the
     * engine uses — [[Sampling.coef]]). */
   private val (hA, hB) = Sampling.coef(42L)
   private val P = Sampling.P
+  /** q138: the q53 split seed; q139: the group-split seed + thresholds. */
+  private val (cA, cB) = Sampling.coef(13L)
+  private val trainUpper13 = Sampling.splitThresholds(
+    Seq("train" -> 0.9, "test" -> 0.1)).head._2
+  private val (gA, gB) = Sampling.coef(17L)
+  private val th17 = Sampling.splitThresholds(
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
   val oracles: Map[String, String] = Map(
     // recursive-CTE closure of the near-dup graph (shared with q50) +
@@ -275,5 +336,138 @@ object SelectionQueries {
         |  ON qt.query_id = ex.query_id AND qt.neighbor_id = ex.neighbor_id
         |GROUP BY ex.query_id
         |ORDER BY ex.query_id""".stripMargin,
+    // q134's arithmetic with isqrt-transformed shares (budget unchanged)
+    "q136_tempered_alloc" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+        |    ((doc_id % $P) * $hA + $hB) % $P AS h
+        |  FROM documents),
+        |wgt AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS w_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY source),
+        |tw AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(w_tokens AS DOUBLE))) AS BIGINT) AS t
+        |  FROM wgt),
+        |tot AS (SELECT CAST(sum(w_tokens) AS BIGINT) AS w_total,
+        |               CAST(sum(t) AS BIGINT) AS t_total FROM tw),
+        |a0 AS (
+        |  SELECT w.source, w.w_tokens, w.n_docs,
+        |    (t.w_total * 1) // 2 AS budget,
+        |    (((t.w_total * 1) // 2) * w.t) // t.t_total AS base,
+        |    (((t.w_total * 1) // 2) * w.t) % t.t_total AS rem
+        |  FROM tw w CROSS JOIN tot t),
+        |a1 AS (
+        |  SELECT *, budget - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM a0),
+        |alloc AS (
+        |  SELECT source, w_tokens, n_docs,
+        |    CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc_tokens
+        |  FROM a1),
+        |cum AS (
+        |  SELECT doc_id, source, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                 ROWS UNBOUNDED PRECEDING) - n AS tokens_before
+        |  FROM d),
+        |sel AS (
+        |  SELECT c.source, CAST(count(*) AS BIGINT) AS n_selected,
+        |    CAST(sum(c.n) AS BIGINT) AS tokens_selected
+        |  FROM cum c JOIN alloc al ON al.source = c.source
+        |  WHERE c.tokens_before < al.alloc_tokens
+        |  GROUP BY c.source)
+        |SELECT al.source, al.w_tokens, al.n_docs, al.alloc_tokens,
+        |  coalesce(s.n_selected, 0) AS n_selected,
+        |  coalesce(s.tokens_selected, 0) AS tokens_selected
+        |FROM alloc al LEFT JOIN sel s ON s.source = al.source
+        |ORDER BY al.source""".stripMargin,
+    // histogram quotas from the reference side, hash-order fill on the
+    // candidate side, full-outer bucket union
+    "q137_length_match" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) // 32
+        |      AS len_bucket,
+        |    ((doc_id % $P) * $hA + $hB) % $P AS h
+        |  FROM documents),
+        |q AS (SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_ref
+        |      FROM d WHERE lang = 'en' GROUP BY len_bucket),
+        |c AS (SELECT len_bucket, doc_id, h FROM d WHERE lang <> 'en'),
+        |av AS (SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_avail
+        |       FROM c GROUP BY len_bucket),
+        |r AS (SELECT len_bucket,
+        |        row_number() OVER (PARTITION BY len_bucket
+        |                           ORDER BY h, doc_id) AS rnk
+        |      FROM c),
+        |s AS (SELECT r.len_bucket, CAST(count(*) AS BIGINT) AS n_selected
+        |      FROM r JOIN q ON q.len_bucket = r.len_bucket
+        |      WHERE r.rnk <= q.n_ref GROUP BY r.len_bucket)
+        |SELECT coalesce(q.len_bucket, av.len_bucket) AS len_bucket,
+        |  coalesce(q.n_ref, 0) AS n_ref,
+        |  coalesce(av.n_avail, 0) AS n_avail,
+        |  coalesce(s.n_selected, 0) AS n_selected
+        |FROM q FULL OUTER JOIN av ON av.len_bucket = q.len_bucket
+        |LEFT JOIN s ON s.len_bucket = coalesce(q.len_bucket, av.len_bucket)
+        |ORDER BY len_bucket""".stripMargin,
+    // positional shingles + train-set membership + interval-union window
+    "q138_contam_spans" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '') FROM documents),
+        |spl AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN ((doc_id % $P) * $cA + $cB) % $P < $trainUpper13
+        |         THEN 'train' ELSE 'test' END AS split
+        |  FROM corpus),
+        |norm AS (
+        |  SELECT doc_id, split,
+        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        |  FROM spl),
+        |sh AS (
+        |  SELECT doc_id, split, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(toks[CAST(i AS INTEGER)+1:CAST(i AS INTEGER)+8], ' ') AS s
+        |  FROM norm,
+        |    unnest(generate_series(0, greatest(len(toks) - 8, 0))) AS u(i)),
+        |shf AS (SELECT * FROM sh WHERE length(s) > 0),
+        |tr AS (SELECT DISTINCT s FROM shf WHERE split = 'train'),
+        |hits AS (
+        |  SELECT f.doc_id, f.pos FROM shf f JOIN tr USING (s)
+        |  WHERE f.split = 'test'),
+        |iv AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hits),
+        |cov AS (
+        |  SELECT doc_id,
+        |    CAST(sum(greatest(0, (pos + 8)
+        |      - greatest(pos, coalesce(prev_end, 0)))) AS BIGINT) AS raw
+        |  FROM iv GROUP BY doc_id),
+        |td AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+        |       FROM norm WHERE split = 'test')
+        |SELECT td.doc_id, td.n_tokens,
+        |  least(coalesce(cov.raw, 0), td.n_tokens) AS n_contam,
+        |  (1000000 * least(coalesce(cov.raw, 0), td.n_tokens)) // td.n_tokens
+        |    AS contam_ppm
+        |FROM td LEFT JOIN cov USING (doc_id)
+        |ORDER BY td.doc_id""".stripMargin,
+    // the q50 closure + a seeded hash split ON THE GROUP ID, inherited
+    "q139_group_split" ->
+      s"""$dupGroupsCtes,
+        |spl AS (
+        |  SELECT group_id,
+        |    CASE WHEN ((group_id % $P) * $gA + $gB) % $P < ${th17(0)._2}
+        |           THEN 'train'
+        |         WHEN ((group_id % $P) * $gA + $gB) % $P < ${th17(1)._2}
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT DISTINCT group_id FROM grp) g)
+        |SELECT CAST(grp.id AS BIGINT) AS id,
+        |  CAST(grp.group_id AS BIGINT) AS group_id, spl.split
+        |FROM grp JOIN spl USING (group_id)
+        |ORDER BY id""".stripMargin,
   )
 }

@@ -662,4 +662,52 @@ object TextOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(topN)
   }
+
+  /** SPAN-level contamination coverage — the surgical companion to the
+    * doc-level decontam gate (q53): for every `testLabel` document, how
+    * many of its normalized tokens sit inside at least one `n`-gram that
+    * also occurs in any `trainLabel` document. Doc-level decontam drops
+    * whole documents over one shared benchmark sentence; the span measure
+    * is what a redact-don't-drop policy needs.
+    *
+    * Positions ride the [[Dedup.shingles]] array (`posexplode` — index =
+    * token offset of the window); interval union per doc is the classic
+    * running-max-of-end window over hit positions, clamped to the doc's
+    * token count (only the final short-doc window can overrun). Returns
+    * (idCol, n_tokens, n_contam, contam_ppm) for every test doc.
+    *
+    * Scale shape: the candidate step is the same shingle EQUI-join as
+    * q53 (never all-pairs; the train shingle set is a standing relation
+    * at 100 TB), the union window partitions by doc over only the HIT
+    * positions (a tiny fraction of the corpus), and the final ppm is a
+    * projection. */
+  def contamSpanCoverage(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, splitCol: String,
+                         trainLabel: String, testLabel: String,
+                         n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("id"), col(splitCol).as("split"),
+        posexplode(Dedup.shingles(col(textCol), n)))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "sh")
+    val trainSh = sh.filter(col("split") === trainLabel)
+      .select(col("sh")).distinct()
+    val hits = sh.filter(col("split") === testLabel)
+      .join(trainSh, "sh")
+      .select(col("id"), col("pos").cast("long").as("pos"))
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = hits
+      .withColumn("prev_end", max(col("pos") + n).over(wPrev))
+      .withColumn("add", greatest(lit(0L),
+        (col("pos") + n) - greatest(col("pos"), coalesce(col("prev_end"), lit(0L)))))
+      .groupBy(col("id")).agg(sum(col("add")).as("raw"))
+    val testDocs = docs.filter(col(splitCol) === testLabel)
+      .select(col(idCol).as("id"),
+        size(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
+          .cast("long").as("n_tokens"))
+    testDocs.join(covered, Seq("id"), "left")
+      .withColumn("n_contam", least(coalesce(col("raw"), lit(0L)), col("n_tokens")))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_contam"),
+        expr("(1000000 * n_contam) div n_tokens").as("contam_ppm"))
+  }
 }

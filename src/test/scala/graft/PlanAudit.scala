@@ -565,6 +565,37 @@ object PlanAudit {
         p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     }
 
+    // q136 tempered allocation: same broadcast-allocation discipline as
+    // q134 (the isqrt reweighting is stratum-relation arithmetic only)
+    audit("q136") {
+      check("q136 allocation broadcasts onto the doc scan",
+        plan("q136_tempered_alloc").contains("BroadcastHashJoin"))
+    }
+
+    // q137 distribution matching: the reference histogram (quota
+    // relation) must broadcast onto the ranked candidate scan
+    audit("q137") {
+      val p = plan("q137_length_match")
+      check("q137 quotas broadcast onto the ranked candidates",
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    }
+
+    // q138 span contamination: candidates come from the shingle
+    // EQUI-join (q53's discipline) and the union window partitions by
+    // doc — an all-pairs or corpus-wide-window plan would be the scale bug
+    audit("q138") {
+      val p = plan("q138_contam_spans")
+      check("q138 contamination check is a shingle equi-join (no cartesian)",
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    }
+
+    // q139 leakage-safe split: label propagation + one equi-join back;
+    // nothing quadratic anywhere
+    audit("q139") {
+      check("q139 group split has no cartesian product",
+        !plan("q139_group_split").contains("CartesianProduct"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable
