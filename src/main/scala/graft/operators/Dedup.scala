@@ -232,6 +232,14 @@ object Dedup {
     hammingPairs(simhash(df, idCol, textCol), chunkBits = 16, nChunks = 4,
       maxDist = maxDist)
 
+  /** Banded Hamming near-dup pairs over ANY precomputed 64-bit signature
+    * relation (id, simhash) — e.g. perceptual image hashes
+    * ([[Multimodal.extractAHash]]) or externally computed SimHashes. The
+    * 4×16-bit pigeonhole banding is exact for maxDist ≤ 3; output
+    * (id_a, id_b, hamming). */
+  def hammingNearDup(sig: DataFrame, maxDist: Int = 3): DataFrame =
+    hammingPairs(sig, chunkBits = 16, nChunks = 4, maxDist = maxDist).df
+
   /** Banded Hamming-distance pairs over a (id, simhash) relation: signatures
     * are split into `nChunks` chunks of `chunkBits` bits; by pigeonhole any
     * pair with Hamming distance < nChunks agrees on ≥1 chunk, so for

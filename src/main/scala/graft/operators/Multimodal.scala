@@ -389,6 +389,65 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** 64-bit average-hash (aHash) of a decoded image: 8×8 grid of integer
+    * block sums (block boundaries `(k·dim) div 8` — exact for any
+    * dimensions), bit i = by·8+bx set iff the block mean exceeds the
+    * global mean, compared by integer CROSS-MULTIPLY (`s_b·n_total >
+    * s_total·n_b`) so the hash is bit-exactly re-derivable from the pixel
+    * formula alone — no float thresholds. The perceptual-dedup staple:
+    * near-identical images differ in a few bits, so Hamming banding
+    * ([[Dedup.hammingNearDup]]) finds them with an equi-join. */
+  private[graft] def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val s = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        val i = by * 8 + bx
+        sums(i) += s
+        counts(i) += 1
+        total += s
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0 && sums(i) * n > total * counts(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Batched perceptual hashing → `ahash: bigint` column (null for
+    * payloads no JDK codec decodes). Same mapPartitions batching as
+    * [[extractFeatures]]. */
+  def extractAHash(df: DataFrame, payloadCol: String,
+                   batchSize: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("ahash", LongType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val payload = r.getAs[Array[Byte]](payloadIdx)
+          val hash: Any = imagePixels(payload).map(aHash64).orNull
+          Row.fromSeq(r.toSeq :+ hash)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL deterministic resize: nearest-neighbor sampling
     * (`src(x·sw div tw, y·sh div th)` — explicit integer index math, no
     * implementation-defined interpolation) re-encoded LOSSLESSLY as PNG.

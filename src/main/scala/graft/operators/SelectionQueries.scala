@@ -139,7 +139,32 @@ object SelectionQueries {
       .orderBy(col("id"))
   }
 
+  /** q140: perceptual image dedup — deterministic 16×16 BMPs (twin pairs
+    * share a seed: ids < 200 use seed id/2, the rest are singletons) run
+    * through the REAL ImageIO decode, 64-bit average-hash
+    * ([[Multimodal.extractAHash]]), and Hamming banding
+    * ([[Dedup.hammingNearDup]]). The oracle recomputes every hash from
+    * the pixel formula and brute-forces all pairs — proving the banded
+    * equi-join returns exactly the quadratic scan's answer. */
+  def q140ImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") < 300)
+    val imgs = ids.as[Long].mapPartitions { it =>
+      it.map { d =>
+        val seed = if (d < 200) d / 2 else d + 1000L
+        (d, Multimodal.syntheticBmp(seed, 16, 16))
+      }
+    }.toDF("doc_id", "payload")
+    val sig = Multimodal.extractAHash(imgs, "payload")
+      .select(col("doc_id").as("id"), col("ahash").as("simhash"))
+    Dedup.hammingNearDup(sig, maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_image_phash"    -> q140ImagePhash _,
     "q131_keep_best"      -> q131KeepBest _,
     "q132_vocab_coverage" -> q132VocabCoverage _,
     "q133_knn_graph"      -> q133KnnGraph _,
@@ -454,6 +479,46 @@ object SelectionQueries {
         |    AS contam_ppm
         |FROM td LEFT JOIN cov USING (doc_id)
         |ORDER BY td.doc_id""".stripMargin,
+    // the full pixel-formula replay: block sums -> cross-multiplied mean
+    // bits -> 64-bit hash (bit 63 lands via two's-complement add, since a
+    // 1<<63 literal overflows) -> BRUTE-FORCE all-pairs Hamming, proving
+    // the engine's banded equi-join is exact
+    "q140_image_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 200 THEN doc_id // 2
+        |         ELSE doc_id + 1000 END AS seed
+        |  FROM documents WHERE doc_id < 300),
+        |px AS (
+        |  SELECT d.doc_id,
+        |    ((d.seed*23 + x.x*11 + y.y*2) % 256)
+        |    + ((d.seed*17 + x.x*3 + y.y*5) % 256)
+        |    + ((d.seed*31 + x.x*7 + y.y*13) % 256) AS s,
+        |    (x.x * 8) // 16 AS bx, (y.y * 8) // 16 AS by
+        |  FROM d,
+        |    unnest(generate_series(0, 15)) AS x(x),
+        |    unnest(generate_series(0, 15)) AS y(y)),
+        |blk AS (
+        |  SELECT doc_id, by*8 + bx AS i, CAST(sum(s) AS BIGINT) AS sb,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM px GROUP BY doc_id, by*8 + bx),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS st,
+        |    CAST(count(*) AS BIGINT) AS nt
+        |  FROM px GROUP BY doc_id),
+        |hash AS (
+        |  SELECT b.doc_id,
+        |    CAST(sum(CASE
+        |      WHEN b.sb * t.nt <= t.st * b.nb THEN 0
+        |      WHEN b.i < 63 THEN (CAST(1 AS BIGINT) << CAST(b.i AS INTEGER))
+        |      ELSE -9223372036854775807 - 1 END) AS BIGINT) AS h
+        |  FROM blk b JOIN tot t USING (doc_id)
+        |  GROUP BY b.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // the q50 closure + a seeded hash split ON THE GROUP ID, inherited
     "q139_group_split" ->
       s"""$dupGroupsCtes,

@@ -596,6 +596,13 @@ object PlanAudit {
         !plan("q139_group_split").contains("CartesianProduct"))
     }
 
+    // q140 perceptual image dedup: candidates from the Hamming chunk
+    // equi-join (pigeonhole banding), never an all-pairs product
+    audit("q140") {
+      check("q140 image near-dup is a banded equi-join (no cartesian)",
+        !plan("q140_image_phash").contains("CartesianProduct"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable

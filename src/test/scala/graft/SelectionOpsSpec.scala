@@ -75,6 +75,35 @@ class SelectionOpsSpec extends SparkSpec {
     assert(g.values.forall(_._2 == 1L))            // k=1 -> one scored edge each
   }
 
+  test("aHash + hammingNearDup: identical images pair at distance 0") {
+    import graft.operators.Multimodal
+    val df = Seq(
+      (1L, Multimodal.syntheticBmp(5L, 16, 16)),
+      (2L, Multimodal.syntheticBmp(5L, 16, 16)),   // byte-identical twin
+      (3L, Multimodal.syntheticBmp(999L, 16, 16))
+    ).toDF("id", "payload")
+    val sig = Multimodal.extractAHash(df, "payload")
+      .select(col("id"), col("ahash").as("simhash"))
+    val hashes = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    val pairs = Dedup.hammingNearDup(sig, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
+    // uniform image: no block mean exceeds the global mean -> hash 0
+    val flat = Seq((9L, {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(100, 100, 100))
+      g.fillRect(0, 0, 16, 16); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos); bos.toByteArray
+    })).toDF("id", "payload")
+    val h9 = Multimodal.extractAHash(flat, "payload")
+      .collect()(0).getAs[Long]("ahash")
+    assert(h9 == 0L)
+  }
+
   test("quantTopK ranks like the exact cosine on well-separated vectors") {
     val corpus = Seq(
       (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),

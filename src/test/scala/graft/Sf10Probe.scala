@@ -56,6 +56,23 @@ object Sf10Probe {
 
     println(f"""{"probe":"semdedup_scaled_k","sf_dir":"$sfDir","n":$n,"k":$k,""" +
       f""""train_sec":$tTrain%.2f,"dedup_sec":$tDedup%.2f}""")
+
+    // q133's scale path shares the codebook: the GATE blocks the kNN
+    // graph on the 10 fixed labels (oracle-checkable, quadratic past the
+    // codebook like q85's fixed-k gate); production re-clusters at
+    // k ∝ n so Σ|cluster|² stays linear. Reuse the trained codebook —
+    // at 100 TB it would be the same standing quantizer.
+    val knnInput = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cluster",
+        graft.operators.Similarity.assignCluster(col("embedding"), cents))
+    val t2 = System.nanoTime()
+    graft.operators.Similarity
+      .knnGraph(knnInput, "vec_id", "embedding", "cluster", k = 3)
+      .write.format("noop").mode("overwrite").save()
+    val tKnn = (System.nanoTime() - t2) / 1e9
+    println(f"""{"probe":"knn_graph_scaled_k","sf_dir":"$sfDir","k":$k,""" +
+      f""""knn_sec":$tKnn%.2f}""")
     spark.stop()
   }
 }
