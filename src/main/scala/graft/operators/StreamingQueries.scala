@@ -146,9 +146,73 @@ object StreamingQueries {
     } finally docs.unpersist()
   }
 
+  /** q141: streaming BUDGET ADMISSION — the q134 plan (half-corpus token
+    * budget, Hamilton-split per source) enforced against an ARRIVING
+    * corpus ([[StreamingLoad.budgetStream]], keyed state per source).
+    * Same staging as q127: three mtime-ordered micro-batches by
+    * doc_id mod 3, then a redelivery of every 7th doc that must change
+    * nothing (the decided-id state absorbs at-least-once delivery). The
+    * oracle replays arrival order relationally — admission is a PREFIX
+    * of (chunk, doc_id) order per source, so `running total < alloc`
+    * reproduces every decision. */
+  def q141StreamBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .persist()
+    try {
+      val alloc = Sampling.budgetAllocate(docs, "source", "doc_id",
+          "n_tokens", num = 1, den = 2)
+        .select(col("source"), col("alloc_tokens")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tmp = Fixtures.tempDir("graft-q141-")
+      val in = tmp.resolve("in")
+      Files.createDirectories(in)
+
+      def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val listing = Files.list(stage)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        finally listing.close()
+        val dest = in.resolve(s"$name.parquet")
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+
+      val t0 = 1600000000000L
+      (0 until 3).foreach { i =>
+        stageChunk(docs.filter(col("doc_id") % 3 === i), s"chunk$i",
+          t0 + i * 2000L)
+      }
+      stageChunk(docs.filter(col("doc_id") % 7 === 0), "redelivery",
+        t0 + 3 * 2000L)
+
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("n_tokens", LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      val qn = "q141_budget_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingLoad.budgetStream(stream, alloc)
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(qn)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("admitted"), col("tokens_before"))
+        .orderBy(col("doc_id"))
+    } finally docs.unpersist()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_stream_upsert" -> q114StreamUpsert _,
-    "q127_stream_dedup"  -> q127StreamDedup _)
+    "q127_stream_dedup"  -> q127StreamDedup _,
+    "q141_stream_budget" -> q141StreamBudget _)
 
   val oracles: Map[String, String] = Map(
     "q114_stream_upsert" ->
@@ -183,5 +247,49 @@ object StreamingQueries {
         |  FROM fp)
         |SELECT doc_id, fp, (rn = 1) AS is_first
         |FROM w
+        |ORDER BY doc_id""".stripMargin,
+    // the q134 allocation arithmetic + arrival-order (chunk, id) running
+    // totals; admitted is a prefix per source, so tokens_before for a
+    // rejected doc equals the source's final admitted total
+    "q141_stream_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+        |    doc_id % 3 AS chunk
+        |  FROM documents),
+        |wgt AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS w_tokens
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT CAST(sum(w_tokens) AS BIGINT) AS w_total FROM wgt),
+        |a0 AS (
+        |  SELECT w.source, w.w_tokens,
+        |    (t.w_total * 1) // 2 AS budget,
+        |    (((t.w_total * 1) // 2) * w.w_tokens) // t.w_total AS base,
+        |    (((t.w_total * 1) // 2) * w.w_tokens) % t.w_total AS rem
+        |  FROM wgt w CROSS JOIN tot t),
+        |a1 AS (
+        |  SELECT *, budget - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM a0),
+        |alloc AS (
+        |  SELECT source,
+        |    CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc_tokens
+        |  FROM a1),
+        |cum AS (
+        |  SELECT doc_id, source, n, chunk,
+        |    sum(n) OVER (PARTITION BY source ORDER BY chunk, doc_id
+        |                 ROWS UNBOUNDED PRECEDING) - n AS cum_prev
+        |  FROM d),
+        |dec AS (
+        |  SELECT c.doc_id, c.source, c.n, c.chunk,
+        |    (c.cum_prev < al.alloc_tokens) AS admitted
+        |  FROM cum c JOIN alloc al USING (source))
+        |SELECT doc_id, source, n AS n_tokens, admitted,
+        |  CAST(coalesce(sum(CASE WHEN admitted THEN n END)
+        |    OVER (PARTITION BY source ORDER BY chunk, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS tokens_before
+        |FROM dec
         |ORDER BY doc_id""".stripMargin)
 }

@@ -119,6 +119,52 @@ object StreamingLoad {
       }
   }
 
+  case class BudgetDoc(doc_id: Long, source: String, n_tokens: Long)
+  case class BudgetState(admitted_tokens: Long, decided: Seq[Long])
+  case class BudgetDecision(doc_id: Long, source: String, n_tokens: Long,
+                            admitted: Boolean, tokens_before: Long)
+
+  /** Streaming BUDGET ADMISSION: the q134 allocation applied to an
+    * arriving corpus — per source, admit documents in arrival order
+    * (micro-batch, then id within the batch) while the admitted-token
+    * counter is under the source's planned allocation; a document that
+    * STARTS under budget is admitted whole (the batch fill's rule).
+    * Because the counter only grows, the admitted set is a PREFIX of the
+    * arrival order — which is what makes the relational oracle possible
+    * (admitted ⟺ running total of all preceding < allocation).
+    *
+    * State per source = counter + decided ids; the id set makes
+    * redelivery idempotent (an at-least-once source re-sends files) and
+    * would be dropped in production behind an exactly-once dedup stage
+    * ([[dedupStream]]), leaving O(1) state per source. */
+  def budgetStream(docs: DataFrame, alloc: Map[String, Long])
+      : org.apache.spark.sql.Dataset[BudgetDecision] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .as[BudgetDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[BudgetState, BudgetDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[BudgetDoc], state: GroupState[BudgetState]) =>
+          val limit = alloc.getOrElse(src, 0L)
+          val st = state.getOption.getOrElse(BudgetState(0L, Seq.empty))
+          val decided = st.decided.toSet
+          val fresh = rows.toSeq.filterNot(d => decided(d.doc_id))
+            .sortBy(_.doc_id)
+          var adm = st.admitted_tokens
+          val out = fresh.map { d =>
+            val admit = adm < limit
+            val dec = BudgetDecision(d.doc_id, src, d.n_tokens, admit, adm)
+            if (admit) adm += d.n_tokens
+            dec
+          }
+          state.update(BudgetState(adm, st.decided ++ fresh.map(_.doc_id)))
+          out.iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 
