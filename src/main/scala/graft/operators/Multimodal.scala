@@ -523,6 +523,87 @@ object Multimodal {
     b.array()
   }
 
+  /** Deterministic 16-bit PCM mono WAV: sample i =
+    * `((seed·37 + i·13) mod 4096) − 2048` — closed-form, so an oracle
+    * recomputes anything derived from the REAL decode ([[wavPcm16]])
+    * without touching the bytes. 8 kHz, format tag 1. */
+  def syntheticWav(seed: Long, nSamples: Int): Array[Byte] = {
+    require(nSamples > 0, "need samples")
+    val dataSize = nSamples * 2
+    val b = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      b.putShort(((seed * 37 + i * 13) % 4096 - 2048).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** 64-bit energy-envelope fingerprint of REAL-decoded PCM16 audio — the
+    * audio twin of [[aHash64]]: 64 frames (frame of sample i =
+    * `(i·64) div n`), per-frame integer energy `Σ sample²` over all
+    * channels, bit f set iff the frame's MEAN energy exceeds the global
+    * mean (integer cross-multiply, no float thresholds). Loudness-profile
+    * near-duplicates (re-encodes, padding-trimmed copies) land within a
+    * few bits — [[Dedup.hammingNearDup]] finds them with the banded
+    * equi-join. Null for payloads that are not decodable PCM16 WAV. */
+  private[graft] def audioEnergyHash64(samples: Array[Short],
+                                       channels: Int): Long = {
+    val nFrames = samples.length / channels
+    if (nFrames == 0) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < nFrames) {
+      val f = (i.toLong * 64 / nFrames).toInt
+      var c = 0
+      var e = 0L
+      while (c < channels) {
+        val s = samples(i * channels + c).toLong
+        e += s * s
+        c += 1
+      }
+      sums(f) += e
+      counts(f) += 1
+      total += e
+      i += 1
+    }
+    var hash = 0L
+    var f = 0
+    while (f < 64) {
+      if (counts(f) > 0 && sums(f) * nFrames > total * counts(f))
+        hash |= 1L << f
+      f += 1
+    }
+    hash
+  }
+
+  /** Batched audio fingerprinting → `ahash: bigint` column (null for
+    * non-PCM16 payloads). Same partition-batched shape as
+    * [[extractAHash]]. */
+  def extractAudioHash(df: DataFrame, payloadCol: String,
+                       batchSize: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("ahash", LongType))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val payload = r.getAs[Array[Byte]](payloadIdx)
+          val hash: Any = wavPcm16(payload)
+            .map { case (_, ch, s) => audioEnergyHash64(s, ch) }.orNull
+          Row.fromSeq(r.toSeq :+ hash)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL PCM decode for 16-bit integer WAV (format tag 1): returns
     * (sample rate, channels, interleaved samples). Pure JDK — PCM needs
     * no codec, so this modality's decode step is NOT a stub. Compressed

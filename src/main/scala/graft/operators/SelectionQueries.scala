@@ -163,8 +163,32 @@ object SelectionQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q142: audio near-dup — deterministic PCM16 WAVs (twin pairs share a
+    * seed, like q140) through the REAL [[Multimodal.wavPcm16]] decode,
+    * 64-frame energy-envelope fingerprint
+    * ([[Multimodal.extractAudioHash]]), Hamming banding. Oracle replays
+    * the sample formula and brute-forces all pairs. */
+  def q142AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") < 300)
+    val wavs = ids.as[Long].mapPartitions { it =>
+      it.map { d =>
+        val seed = if (d < 200) d / 2 else d + 1000L
+        val n = 640 + (seed % 7).toInt * 64
+        (d, Multimodal.syntheticWav(seed, n))
+      }
+    }.toDF("doc_id", "payload")
+    val sig = Multimodal.extractAudioHash(wavs, "payload")
+      .select(col("doc_id").as("id"), col("ahash").as("simhash"))
+    Dedup.hammingNearDup(sig, maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_image_phash"    -> q140ImagePhash _,
+    "q142_audio_fingerprint" -> q142AudioFingerprint _,
     "q131_keep_best"      -> q131KeepBest _,
     "q132_vocab_coverage" -> q132VocabCoverage _,
     "q133_knn_graph"      -> q133KnnGraph _,
@@ -514,6 +538,43 @@ object SelectionQueries {
         |      ELSE -9223372036854775807 - 1 END) AS BIGINT) AS h
         |  FROM blk b JOIN tot t USING (doc_id)
         |  GROUP BY b.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the audio twin of the q140 replay: sample formula -> per-frame
+    // integer energies -> cross-multiplied mean bits -> brute-force
+    // Hamming over all pairs
+    "q142_audio_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 200 THEN doc_id // 2
+        |         ELSE doc_id + 1000 END AS seed
+        |  FROM documents WHERE doc_id < 300),
+        |dn AS (SELECT doc_id, seed, 640 + (seed % 7) * 64 AS n FROM d),
+        |sm AS (
+        |  SELECT doc_id, n, i.i,
+        |    ((seed*37 + i.i*13) % 4096 - 2048)
+        |      * ((seed*37 + i.i*13) % 4096 - 2048) AS e,
+        |    (i.i * 64) // n AS f
+        |  FROM dn, LATERAL unnest(generate_series(0, CAST(n - 1 AS BIGINT)))
+        |    AS i(i)),
+        |frm AS (
+        |  SELECT doc_id, n, f, CAST(sum(e) AS BIGINT) AS se,
+        |    CAST(count(*) AS BIGINT) AS cf
+        |  FROM sm GROUP BY doc_id, n, f),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(e) AS BIGINT) AS te FROM sm
+        |  GROUP BY doc_id),
+        |hash AS (
+        |  SELECT fr.doc_id,
+        |    CAST(sum(CASE
+        |      WHEN fr.se * fr.n <= t.te * fr.cf THEN 0
+        |      WHEN fr.f < 63 THEN (CAST(1 AS BIGINT) << CAST(fr.f AS INTEGER))
+        |      ELSE -9223372036854775807 - 1 END) AS BIGINT) AS h
+        |  FROM frm fr JOIN tot t USING (doc_id)
+        |  GROUP BY fr.doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM hash a JOIN hash b ON a.doc_id < b.doc_id

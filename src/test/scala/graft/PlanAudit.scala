@@ -603,6 +603,12 @@ object PlanAudit {
         !plan("q140_image_phash").contains("CartesianProduct"))
     }
 
+    // q142 audio near-dup: same banded-equi-join discipline as q140
+    audit("q142") {
+      check("q142 audio near-dup is a banded equi-join (no cartesian)",
+        !plan("q142_audio_fingerprint").contains("CartesianProduct"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable

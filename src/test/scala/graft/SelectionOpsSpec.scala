@@ -104,6 +104,28 @@ class SelectionOpsSpec extends SparkSpec {
     assert(h9 == 0L)
   }
 
+  test("audio energy hash: twins collide, flat audio hashes to 0") {
+    import graft.operators.Multimodal
+    val df = Seq(
+      (1L, Multimodal.syntheticWav(5L, 640)),
+      (2L, Multimodal.syntheticWav(5L, 640)),     // identical twin
+      (3L, Multimodal.syntheticWav(999L, 704))
+    ).toDF("id", "payload")
+    val sig = Multimodal.extractAudioHash(df, "payload")
+      .select(col("id"), col("ahash").as("simhash"))
+    val hashes = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    val pairs = Dedup.hammingNearDup(sig, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
+    // constant signal: every frame mean equals the global mean -> 0
+    assert(Multimodal.audioEnergyHash64(Array.fill(128)(100.toShort), 1) == 0L)
+    // non-WAV payload -> null hash, dropped from pairing
+    val junk = Seq((7L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    assert(Multimodal.extractAudioHash(junk, "payload")
+      .collect()(0).isNullAt(2))
+  }
+
   test("quantTopK ranks like the exact cosine on well-separated vectors") {
     val corpus = Seq(
       (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),
