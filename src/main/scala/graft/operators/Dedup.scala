@@ -236,9 +236,15 @@ object Dedup {
     * relation (id, simhash) — e.g. perceptual image hashes
     * ([[Multimodal.extractAHash]]) or externally computed SimHashes. The
     * 4×16-bit pigeonhole banding is exact for maxDist ≤ 3; output
-    * (id_a, id_b, hamming). */
+    * (id_a, id_b, hamming). One-shot form; repeated callers use
+    * [[hammingNearDupScoped]] and release the signature cache. */
   def hammingNearDup(sig: DataFrame, maxDist: Int = 3): DataFrame =
-    hammingPairs(sig, chunkBits = 16, nChunks = 4, maxDist = maxDist).df
+    hammingNearDupScoped(sig, maxDist).df
+
+  /** [[hammingNearDup]] with an owned cache handle (see the class doc's
+    * cache-lifecycle paragraph). */
+  def hammingNearDupScoped(sig: DataFrame, maxDist: Int = 3): CachedResult =
+    hammingPairs(sig, chunkBits = 16, nChunks = 4, maxDist = maxDist)
 
   /** Banded Hamming-distance pairs over a (id, simhash) relation: signatures
     * are split into `nChunks` chunks of `chunkBits` bits; by pigeonhole any

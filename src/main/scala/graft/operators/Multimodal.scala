@@ -422,31 +422,37 @@ object Multimodal {
     var hash = 0L
     var i = 0
     while (i < 64) {
-      if (counts(i) > 0 && sums(i) * n > total * counts(i)) hash |= 1L << i
+      // BigInt cross-multiply: sums·n overflows a Long past ~8.8e8 pixels
+      // (12·(w·h)² > 2^63); the oracle's DuckDB sums are HUGEINT already,
+      // so 128-bit comparison keeps the two sides identical at any size
+      if (counts(i) > 0 && BigInt(sums(i)) * n > BigInt(total) * counts(i))
+        hash |= 1L << i
       i += 1
     }
     hash
   }
 
-  /** Batched perceptual hashing → `ahash: bigint` column (null for
-    * payloads no JDK codec decodes). Same mapPartitions batching as
-    * [[extractFeatures]]. */
-  def extractAHash(df: DataFrame, payloadCol: String,
-                   batchSize: Int = 64): DataFrame = {
-    val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields :+
-      StructField("ahash", LongType))
-    val payloadIdx = inSchema.fieldIndex(payloadCol)
+  /** Partition-local payload map: append one derived column computed
+    * per-row from the binary payload (the shared scaffold of the hash
+    * extractors — no batching knob because nothing is amortized across
+    * rows; codec-initializing extractors like [[decodeBatched]] keep
+    * their grouped form). */
+  private def mapPayload(df: DataFrame, payloadCol: String,
+                         outField: StructField)
+                        (f: Array[Byte] => Any): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ outField)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val payload = r.getAs[Array[Byte]](payloadIdx)
-          val hash: Any = imagePixels(payload).map(aHash64).orNull
-          Row.fromSeq(r.toSeq :+ hash)
-        }
-      }
+      rows.map(r => Row.fromSeq(r.toSeq :+ f(r.getAs[Array[Byte]](payloadIdx))))
     }(Encoders.row(outSchema))
   }
+
+  /** Perceptual hashing → `ahash: bigint` column (null for payloads no
+    * JDK codec decodes). */
+  def extractAHash(df: DataFrame, payloadCol: String): DataFrame =
+    mapPayload(df, payloadCol, StructField("ahash", LongType)) { payload =>
+      imagePixels(payload).map(aHash64).orNull
+    }
 
   /** REAL deterministic resize: nearest-neighbor sampling
     * (`src(x·sw div tw, y·sh div th)` — explicit integer index math, no
@@ -576,33 +582,23 @@ object Multimodal {
     var hash = 0L
     var f = 0
     while (f < 64) {
-      if (counts(f) > 0 && sums(f) * nFrames > total * counts(f))
+      // BigInt cross-multiply: full-scale stereo PCM16 overflows the Long
+      // product after ~12 s of audio (sums·nFrames ~ 2.4e20 at 60 s /
+      // 44.1 kHz); the oracle side is HUGEINT, so match it at 128 bits
+      if (counts(f) > 0 && BigInt(sums(f)) * nFrames > BigInt(total) * counts(f))
         hash |= 1L << f
       f += 1
     }
     hash
   }
 
-  /** Batched audio fingerprinting → `ahash: bigint` column (null for
-    * non-PCM16 payloads). Same partition-batched shape as
-    * [[extractAHash]]. */
-  def extractAudioHash(df: DataFrame, payloadCol: String,
-                       batchSize: Int = 64): DataFrame = {
-    val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields :+
-      StructField("ahash", LongType))
-    val payloadIdx = inSchema.fieldIndex(payloadCol)
-    df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val payload = r.getAs[Array[Byte]](payloadIdx)
-          val hash: Any = wavPcm16(payload)
-            .map { case (_, ch, s) => audioEnergyHash64(s, ch) }.orNull
-          Row.fromSeq(r.toSeq :+ hash)
-        }
-      }
-    }(Encoders.row(outSchema))
-  }
+  /** Audio fingerprinting → `ahash: bigint` column (null for non-PCM16
+    * payloads). */
+  def extractAudioHash(df: DataFrame, payloadCol: String): DataFrame =
+    mapPayload(df, payloadCol, StructField("ahash", LongType)) { payload =>
+      wavPcm16(payload)
+        .map { case (_, ch, s) => audioEnergyHash64(s, ch) }.orNull
+    }
 
   /** REAL PCM decode for 16-bit integer WAV (format tag 1): returns
     * (sample rate, channels, interleaved samples). Pure JDK — PCM needs

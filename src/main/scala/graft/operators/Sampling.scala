@@ -190,9 +190,13 @@ object Sampling {
     * budget (still `num/den` of the corpus TOKEN total) is split across
     * strata proportionally to `⌊√w_s⌋` instead of `w_s` — the standard
     * mixture-flattening move that up-weights small domains relative to
-    * their raw share. Integer square roots keep every allocation exact
-    * (√ of a ≤2^53 integer is correctly rounded, so the floor is the true
-    * isqrt); the greedy fill is unchanged. */
+    * their raw share. The share weight is `⌊sqrt(double)⌋`, which is the
+    * true isqrt for weights below ~2^52 (past that, a correctly-rounded
+    * double sqrt of k²−1 can land exactly on k and the floor overshoots
+    * by one); both the engine and the oracle use the identical double
+    * formula, so they can never diverge from each other — and the
+    * documented ~3·10⁹-token pre-scaling bound keeps real inputs far
+    * inside the exact range anyway. The greedy fill is unchanged. */
   def temperedAllocate(df: DataFrame, strataCol: String, idCol: String,
                        nTokensCol: String, num: Long, den: Long,
                        seed: Long = 42L): DataFrame =
@@ -228,6 +232,11 @@ object Sampling {
           .otherwise(0L))
       .select(col(strataCol), col("w_tokens"), col("n_docs"),
         col("alloc_tokens"))
+      // the tiny allocation relation feeds TWO join branches (the fill's
+      // broadcast and the final left join); without materialization each
+      // branch re-runs the full-corpus aggregation — eager localCheckpoint
+      // cuts that to one scan and releases with the result's lifetime
+      .localCheckpoint(true)
     val w = Window.partitionBy(col(strataCol))
       .orderBy(keyHashFor(df, idCol, seed), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

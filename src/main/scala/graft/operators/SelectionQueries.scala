@@ -276,15 +276,16 @@ object SelectionQueries {
         |  SELECT t.src, CAST(count(*) AS BIGINT) AS md
         |  FROM topk t JOIN topk r ON r.src = t.dst AND r.dst = t.src
         |  GROUP BY t.src)
-        |SELECT s.src AS vec_id, CAST(s.cl AS BIGINT) AS cluster,
-        |  CAST(s.n_scored AS BIGINT) AS n_scored,
+        |SELECT e.vec_id, CAST(e.label AS BIGINT) AS cluster,
+        |  CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
         |  coalesce(m.md, 0) AS mutual_degree,
         |  CAST(t1.dst AS BIGINT) AS top_neighbor,
         |  t1.cos AS top_cos
-        |FROM (SELECT src, cl, count(*) AS n_scored
-        |      FROM topk GROUP BY src, cl) s
-        |LEFT JOIN mut m ON m.src = s.src
-        |JOIN topk t1 ON t1.src = s.src AND t1.rank = 1
+        |FROM embeddings e
+        |LEFT JOIN (SELECT src, count(*) AS n_scored
+        |           FROM topk GROUP BY src) s ON s.src = e.vec_id
+        |LEFT JOIN mut m ON m.src = e.vec_id
+        |LEFT JOIN (SELECT * FROM topk WHERE rank = 1) t1 ON t1.src = e.vec_id
         |ORDER BY vec_id""".stripMargin,
     // exact integer Hamilton allocation + the seeded-hash greedy fill
     "q134_budget_alloc" ->

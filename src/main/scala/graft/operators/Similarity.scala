@@ -108,13 +108,19 @@ object Similarity {
     val mutual = topk.join(reversed, Seq("src", "dst"), "left_semi")
       .groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("mutual_degree"))
-    topk.groupBy(col("src"), col("cluster"))
+    val perVec = topk.groupBy(col("src"), col("cluster"))
       .agg(
         count(lit(1)).cast("long").as("n_scored"),
         max(struct(col("cos"), (-col("dst")).as("nid"))).as("best"))
       .join(mutual, Seq("src"), "left")
+    // one row per INPUT vector: a vector alone in its cluster has no
+    // scored pairs, but silently dropping it would lose exactly the rows
+    // a low-connectivity filter wants to see — left join back from the
+    // full id relation, zero degrees, null neighbor
+    a.select(col("src"), col("cluster"))
+      .join(perVec.drop("cluster"), Seq("src"), "left")
       .select(col("src").as("vec_id"), col("cluster"),
-        col("n_scored"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
         coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"),
         (-col("best.nid")).as("top_neighbor"),
         col("best.cos").as("top_cos"))

@@ -60,19 +60,24 @@ class SelectionOpsSpec extends SparkSpec {
 
   test("knnGraph: cluster-blocked neighbors, mutual degree, no cross edges") {
     // cluster 0: three vectors where 1<->2 are mutually nearest;
-    // cluster 1: an isolated pair (trivially mutual); no cross-cluster edge
+    // cluster 1: an isolated pair (trivially mutual); cluster 2: a
+    // SINGLETON that must still appear (zero degrees, null neighbor)
     val emb = Seq(
       (1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(0f, 1f), 0),
-      (10L, Seq(1f, 1f), 1), (11L, Seq(1f, 0.9f), 1)
+      (10L, Seq(1f, 1f), 1), (11L, Seq(1f, 0.9f), 1),
+      (20L, Seq(0.5f, 0.5f), 2)
     ).toDF("vec_id", "embedding", "label")
-    val g = Similarity.knnGraph(emb, "vec_id", "embedding", "label", k = 1)
-      .collect().map(r => r.getLong(0) ->
-        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = Similarity.knnGraph(emb, "vec_id", "embedding", "label", k = 1)
+      .collect()
+    val g = rows.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
     assert(g(1L)._4 == 2L && g(2L)._4 == 1L)       // top neighbors
     assert(g(1L)._3 == 1L && g(2L)._3 == 1L)       // mutual edge
     assert(g(3L)._4 == 2L && g(3L)._3 == 0L)       // 3 lists 2, 2 doesn't list 3
     assert(g(10L)._3 == 1L && g(11L)._3 == 1L)     // pair cluster is mutual
-    assert(g.values.forall(_._2 == 1L))            // k=1 -> one scored edge each
+    assert(g(20L) == ((2, 0L, 0L, -1L)))           // singleton kept, zeroed
+    assert(g.filterNot(_._1 == 20L).values.forall(_._2 == 1L))
   }
 
   test("aHash + hammingNearDup: identical images pair at distance 0") {
