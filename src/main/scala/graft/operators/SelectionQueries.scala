@@ -186,9 +186,57 @@ object SelectionQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q143: the selection layer END TO END — one declarative chain over a
+    * dup-seeded corpus: quality scoring → exact-dedup canonical pick
+    * (best quality per fingerprint) → per-source half-budget Hamilton
+    * fill over the KEPT docs (seed 42 hash order) → train/val/test split
+    * of the kept docs (seed 19). One row per corpus doc with its full
+    * fate (is_kept, is_selected, split); the oracle replays the entire
+    * composition. Composition is the point: each stage is an
+    * already-gated operator, and this certifies they agree on hand-offs
+    * (kept relation feeds the fill, fill never sees dropped dups). */
+  def q143SelectPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val corpus = d.unionByName(d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          col("source")))
+      .withColumn("q", TextOps.qualityScore(col("text"), stopwords))
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+    val best = corpus.groupBy(col("fp"))
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("fp"), (-col("b.nid")).as("keep_id"))
+    val flagged = corpus.join(best, "fp")
+      .withColumn("is_kept", col("doc_id") === col("keep_id"))
+    val kept = flagged.filter(col("is_kept"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val alloc = Sampling.budgetAllocate(kept, "source", "doc_id",
+        "n_tokens", num = 1, den = 2)
+      .select(col("source"), col("alloc_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Sampling.keyHash(col("doc_id"), 42L), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val selected = kept
+      .withColumn("tb", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .join(broadcast(alloc), Seq("source"))
+      .select(col("doc_id"), (col("tb") < col("alloc_tokens")).as("sel"))
+    val split = Sampling.withSplit(kept.select(col("doc_id")), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 19L)
+    flagged.select(col("doc_id"), col("source"), col("is_kept"))
+      .join(selected, Seq("doc_id"), "left")
+      .join(split.select(col("doc_id"), col("split")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("is_kept"),
+        coalesce(col("sel"), lit(false)).as("is_selected"),
+        col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_image_phash"    -> q140ImagePhash _,
     "q142_audio_fingerprint" -> q142AudioFingerprint _,
+    "q143_select_pipeline" -> q143SelectPipeline _,
     "q131_keep_best"      -> q131KeepBest _,
     "q132_vocab_coverage" -> q132VocabCoverage _,
     "q133_knn_graph"      -> q133KnnGraph _,
@@ -210,6 +258,10 @@ object SelectionQueries {
     Seq("train" -> 0.9, "test" -> 0.1)).head._2
   private val (gA, gB) = Sampling.coef(17L)
   private val th17 = Sampling.splitThresholds(
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+  /** q143: kept-doc split seed. */
+  private val (pA, pB) = Sampling.coef(19L)
+  private val th19 = Sampling.splitThresholds(
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
   val oracles: Map[String, String] = Map(
@@ -581,6 +633,73 @@ object SelectionQueries {
         |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // the whole selection chain replayed: fingerprint argmax -> kept
+    // relation -> Hamilton allocation over kept only -> seeded-hash fill
+    // and split; non-kept docs carry FALSE/NULL fates
+    "q143_select_pipeline" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, source FROM documents
+        |  WHERE doc_id % 4 = 0),
+        |base AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        |    least(len(string_split_regex(trim(text), '\\s+')), 40)
+        |    + least(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |        t -> t IN ($stopList))) * 5, 30)
+        |    + 30 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')), 30)
+        |      AS q,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+        |  FROM corpus),
+        |keepers AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp
+        |                               ORDER BY q DESC, doc_id) AS rn
+        |  FROM base),
+        |kept AS (SELECT doc_id, source, n FROM keepers WHERE rn = 1),
+        |wgt AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS w_tokens
+        |  FROM kept GROUP BY source),
+        |tot AS (SELECT CAST(sum(w_tokens) AS BIGINT) AS w_total FROM wgt),
+        |a0 AS (
+        |  SELECT w.source, w.w_tokens,
+        |    (t.w_total * 1) // 2 AS budget,
+        |    (((t.w_total * 1) // 2) * w.w_tokens) // t.w_total AS base,
+        |    (((t.w_total * 1) // 2) * w.w_tokens) % t.w_total AS rem
+        |  FROM wgt w CROSS JOIN tot t),
+        |a1 AS (
+        |  SELECT *, budget - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM a0),
+        |alloc AS (
+        |  SELECT source,
+        |    CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc_tokens
+        |  FROM a1),
+        |cum AS (
+        |  SELECT doc_id, source, n,
+        |    sum(n) OVER (PARTITION BY source
+        |                 ORDER BY ((doc_id % $P) * $hA + $hB) % $P, doc_id
+        |                 ROWS UNBOUNDED PRECEDING) - n AS tb
+        |  FROM kept),
+        |sel AS (
+        |  SELECT c.doc_id, (c.tb < al.alloc_tokens) AS is_selected
+        |  FROM cum c JOIN alloc al USING (source)),
+        |spl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((doc_id % $P) * $pA + $pB) % $P < ${th19(0)._2}
+        |           THEN 'train'
+        |         WHEN ((doc_id % $P) * $pA + $pB) % $P < ${th19(1)._2}
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM kept)
+        |SELECT k.doc_id, k.source, (k.rn = 1) AS is_kept,
+        |  coalesce(s.is_selected, FALSE) AS is_selected,
+        |  spl.split
+        |FROM keepers k
+        |LEFT JOIN sel s ON s.doc_id = k.doc_id
+        |LEFT JOIN spl ON spl.doc_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     // the q50 closure + a seeded hash split ON THE GROUP ID, inherited
     "q139_group_split" ->
       s"""$dupGroupsCtes,

@@ -609,6 +609,15 @@ object PlanAudit {
         !plan("q142_audio_fingerprint").contains("CartesianProduct"))
     }
 
+    // q143 composite pipeline: the canonical-pick argmax is a partial
+    // agg, the allocation broadcasts onto the kept fill, no cartesian
+    audit("q143") {
+      val p = plan("q143_select_pipeline")
+      check("q143 pipeline: partial-agg pick + broadcast alloc, no cartesian",
+        p.contains("partial_") && p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable
