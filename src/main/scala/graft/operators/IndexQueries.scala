@@ -143,7 +143,20 @@ object IndexQueries {
     Dedup.blockedFuzzyPairs(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
 
+  /** q144: positional phrase search — the corpus's most frequent token
+    * trigram ([[Retrieval.topTrigram]], self-contained phrase pick) run
+    * through the windowed [[Retrieval.phraseSearch]]; no positional
+    * self-join anywhere. */
+  def q144PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val phrase = Retrieval.topTrigram(docs, "doc_id", "text")
+    Retrieval.phraseSearch(docs, "doc_id", "text", phrase)
+      .withColumn("phrase", lit(phrase.mkString(" ")))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_phrase_search" -> q144PhraseSearch _,
     "q74_postings"    -> q74Postings _,
     "q75_range_join"  -> q75RangeJoin _,
     "q76_kmv_distinct" -> q76KmvDistinct _,
@@ -166,6 +179,31 @@ object IndexQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // slice-based trigrams == the engine's lead() windows (0-based pos);
+    // top pick and match count replayed with the same tie order
+    "q144_phrase_search" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    toks[CAST(i AS INTEGER)+1] AS w0,
+        |    toks[CAST(i AS INTEGER)+2] AS w1,
+        |    toks[CAST(i AS INTEGER)+3] AS w2
+        |  FROM base, unnest(generate_series(0, len(toks) - 3)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |top AS (
+        |  SELECT w0, w1, w2 FROM (
+        |    SELECT w0, w1, w2, count(*) AS n FROM tri
+        |    GROUP BY w0, w1, w2
+        |    ORDER BY n DESC, w0, w1, w2 LIMIT 1) t)
+        |SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(tri.pos) AS BIGINT) AS first_pos,
+        |  (SELECT w0 || ' ' || w1 || ' ' || w2 FROM top) AS phrase
+        |FROM tri JOIN top
+        |  ON tri.w0 = top.w0 AND tri.w1 = top.w1 AND tri.w2 = top.w2
+        |GROUP BY tri.doc_id
+        |ORDER BY tri.doc_id""".stripMargin,
     "q74_postings" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -82,6 +82,56 @@ object Retrieval {
       .select(col("doc_id"), col("total_tf"))
   }
 
+  /** Positional PHRASE search without a positional-postings join: one
+    * `posexplode` gives (doc, pos, token), and the m−1 following tokens
+    * arrive by `lead` over the per-doc position order — so an m-token
+    * phrase match is a FILTER on one windowed relation, not an (m−1)-way
+    * self-join of postings lists. Returns (doc_id, n_matches, first_pos)
+    * for docs containing the phrase.
+    *
+    * Scale shape: the window partitions by doc (positions are already
+    * generated in order, the sort is within-doc), the phrase filter is a
+    * projection, and the per-doc aggregate map-side-combines. A standing
+    * deployment would persist the (doc, pos, token) relation once and
+    * run every phrase query as filter+window over it. */
+  def phraseSearch(corpus: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "need a phrase")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val positions = corpus.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val withNext = phrase.indices.tail.foldLeft(positions) { (d, i) =>
+      d.withColumn(s"tok$i", lead(col("tok"), i).over(w))
+    }
+    val cond = phrase.indices.tail.foldLeft(col("tok") === phrase.head) {
+      (c, i) => c && col(s"tok$i") === phrase(i)
+    }
+    withNext.filter(cond)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
+
+  /** The corpus's most frequent token trigram (ties → lexicographic) —
+    * the self-contained phrase pick for the q144 gate: one windowed
+    * trigram projection + one agg; only the single winning row reaches
+    * the driver (bounded model state, like the k-means codebooks). */
+  def topTrigram(corpus: DataFrame, idCol: String, textCol: String): Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val top = corpus.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .groupBy(col("tok"), col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"), col("t1"), col("t2"))
+      .limit(1).collect()(0)
+    Seq(top.getString(0), top.getString(1), top.getString(2))
+  }
+
   /** One matched term's contribution — the exact expression tree the
     * oracle SQL mirrors parenthesis-for-parenthesis. */
   def termScore(tf: Column, df: Column, dl: Column, nDocs: Column,

@@ -618,6 +618,15 @@ object PlanAudit {
           !p.contains("CartesianProduct"))
     }
 
+    // q144 phrase search: windowed lead, never a positional self-join
+    // of postings (the join in the plan is only the 1-row top-trigram
+    // filter side)
+    audit("q144") {
+      val p = plan("q144_phrase_search")
+      check("q144 phrase match is windowed, no cartesian",
+        !p.contains("CartesianProduct"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable
