@@ -30,6 +30,7 @@ object SparkEntry {
     StreamingQueries.all,
     CorpusQueries.all,
     SelectionQueries.all,
+    SignalQueries.all,
   )
 
   private val oracleRegistries: Seq[Map[String, String]] = Seq(
@@ -45,6 +46,7 @@ object SparkEntry {
     StreamingQueries.oracles,
     CorpusQueries.oracles,
     SelectionQueries.oracles,
+    SignalQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,357 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver gates for the curation-SIGNAL operators ([[Signals]]): the
+  * model-shaped and graph-shaped scores a pipeline ranks corpora by —
+  * a hashed linear quality classifier (q145), link-graph PageRank
+  * (q146), DSIR-style importance weights (q147), hybrid sparse+dense
+  * retrieval fused by reciprocal rank (q148), TF-IDF keyword extraction
+  * (q149), and the small-file compaction planner (q150). Every gate's
+  * DuckDB oracle independently replays the full computation — seeded
+  * weights, unrolled PageRank iterations, both retrieval rankings —
+  * from the same closed forms.
+  */
+object SignalQueries {
+  import PipelineQueries.cosineSql
+
+  /** The portable polynomial token hash ([[Dedup.polyHash]]) as DuckDB
+    * SQL over column `c` — the same fold the q22 simhash oracle replays. */
+  private def polyHashSql(c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length($c)),
+       |                     i -> CAST(ascii(substr($c, i, 1)) AS BIGINT))),
+       |      (acc, ch) -> (acc * 31 + ch) % 2147483647)""".stripMargin
+
+  /** q145: hashed-feature linear classifier over the corpus
+    * ([[Signals.hashedLogit]], 4096 buckets, seed 29) — the fastText-
+    * shaped model-based quality filter. */
+  def q145QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Signals.hashedLogit(Tables.documents(spark, dir), "doc_id", "text",
+        buckets = 4096, seed = 29L)
+      .orderBy(col("doc_id"))
+
+  /** q146: 3-iteration integer PageRank over a deterministic synthetic
+    * link graph — every doc links to (id·7+1, id·11+3, id·13+7) mod N,
+    * self-loops dropped, parallel edges deduped. The oracle unrolls all
+    * three iterations in SQL. */
+  def q146PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).cast("long").as("nn"))
+    val edges = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 7 + 1, col("nn")),
+          pmod(col("doc_id") * 11 + 3, col("nn")),
+          pmod(col("doc_id") * 13 + 7, col("nn")))).as("dst"))
+    Signals.pageRank(docs, "doc_id", edges, "src", "dst", iters = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q147: DSIR-style importance ranking — bucket weights from the
+    * English-vs-all token ratio ([[Signals.importanceWeights]], 1024
+    * buckets), top-5 docs per source by truncated mean weight. */
+  def q147ImportanceRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val iw = Signals.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 1024)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("imp_ppm").desc, col("doc_id"))
+    iw.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_toks"),
+        col("imp_ppm"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** q148: hybrid retrieval — BM25 top-20 (first-4-token queries from
+    * docs 0-4, the q67 recipe) and dense cosine top-20 over the aligned
+    * embeddings, fused by reciprocal rank ([[Signals.rrfFuse]], top-10).
+    * The oracle replays BOTH rankers and the fusion arithmetic. */
+  def q148HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("term"))
+    val qterms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 4).drop("r")
+    val sparse = Retrieval.bm25TopK(docs, "doc_id", "text", qterms,
+        "query_id", "term", k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+        emb, "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Signals.rrfFuse(Seq(sparse, dense), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q149: top-3 TF-IDF keywords per document
+    * ([[Signals.tfidfKeywords]], rational idf — exact integer ppm). */
+  def q149TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    Signals.tfidfKeywords(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** q150: compaction plan for the corpus modeled as one file per
+    * (source, doc_id div 16) group sized by characters —
+    * [[Signals.compactionPlan]] bins neighboring files toward 32 KiB
+    * outputs. */
+  def q150CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.documents(spark, dir)
+      .groupBy(col("source"), expr("doc_id div 16").as("file_id"))
+      .agg(sum(col("n_chars")).cast("long").as("bytes"))
+    Signals.compactionPlan(files, "source", "file_id", "bytes",
+        target = 32768L)
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_quality_classifier" -> q145QualityClassifier _,
+    "q146_pagerank"           -> q146PageRank _,
+    "q147_importance_rank"    -> q147ImportanceRank _,
+    "q148_hybrid_rrf"         -> q148HybridRrf _,
+    "q149_tfidf_keywords"     -> q149TfidfKeywords _,
+    "q150_compaction_plan"    -> q150CompactionPlan _,
+  )
+
+  /** q145's seeded weight coefficients — same closed form as the engine. */
+  private val (wA, wB) = Sampling.coef(29L)
+
+  /** One PageRank iteration as a pair of CTEs (contribution sums +
+    * new ranks), parameterized by the previous rank relation. */
+  private def prIter(i: Int, prev: String): String =
+    s"""s$i AS (
+       |  SELECT e.dst AS id,
+       |    CAST(sum(($prev.r * 85) // (100 * deg.deg)) AS BIGINT) AS s
+       |  FROM e JOIN $prev ON $prev.id = e.src
+       |  JOIN deg ON deg.src = e.src
+       |  GROUP BY e.dst),
+       |r$i AS (
+       |  SELECT d.doc_id AS id,
+       |    CAST(150000000000 + coalesce(s$i.s, 0) AS BIGINT) AS r
+       |  FROM documents d LEFT JOIN s$i ON s$i.id = d.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // unigram+bigram features -> polyhash -> seeded bucket weight ->
+    // exact integer logit; DuckDB's generate_series(1,0) is empty, so
+    // single-token docs get no bigrams (the engine guards the same case)
+    "q145_quality_classifier" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents),
+        |wf AS (
+        |  SELECT doc_id, list_concat(toks,
+        |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |                   i -> toks[i] || ' ' || toks[i+1])) AS feats
+        |  FROM base),
+        |f AS (SELECT doc_id, unnest(feats) AS f FROM wf),
+        |h AS (
+        |  SELECT doc_id, ${polyHashSql("f")} AS h
+        |  FROM f),
+        |wgt AS (
+        |  SELECT doc_id,
+        |    (((h % 4096) * $wA + $wB) % 2147483647) % 2001 - 1000 AS w
+        |  FROM h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  CAST(sum(w) AS BIGINT) AS logit,
+        |  (sum(w) > 0) AS accept
+        |FROM wgt GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // the synthetic link graph + three unrolled integer iterations
+    "q146_pagerank" ->
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id*7+1) % n AS dst FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+3) % n FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*13+7) % n FROM documents, nn),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY src),
+        |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS ind
+        |        FROM e GROUP BY dst),
+        |r0 AS (SELECT doc_id AS id, CAST(1000000000000 AS BIGINT) AS r
+        |       FROM documents),
+        |${prIter(1, "r0")},
+        |${prIter(2, "r1")},
+        |${prIter(3, "r2")}
+        |SELECT r3.id AS doc_id,
+        |  coalesce(deg.deg, 0) AS out_deg,
+        |  coalesce(ind.ind, 0) AS in_deg,
+        |  r3.r AS rank
+        |FROM r3
+        |LEFT JOIN deg ON deg.src = r3.id
+        |LEFT JOIN ind ON ind.dst = r3.id
+        |ORDER BY doc_id""".stripMargin,
+    // Laplace-smoothed target/raw bucket ratios -> truncated per-doc
+    // mean -> top-5 per source
+    "q147_importance_rank" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |    unnest(string_split_regex(trim(text), '\\s+')) AS t
+        |  FROM documents),
+        |hb AS (
+        |  SELECT doc_id, is_t, ${polyHashSql("t")} % 1024 AS b
+        |  FROM toks),
+        |wgt AS (
+        |  SELECT b,
+        |    ((sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1) * 1000000)
+        |      // (count(*) + 1) AS w
+        |  FROM hb GROUP BY b),
+        |per AS (
+        |  SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    CAST(sum(wgt.w) AS BIGINT) AS iw_sum
+        |  FROM hb JOIN wgt USING (b) GROUP BY hb.doc_id),
+        |r AS (
+        |  SELECT d.source, per.doc_id, per.n_toks,
+        |    per.iw_sum // per.n_toks AS imp_ppm
+        |  FROM per JOIN documents d USING (doc_id)),
+        |rk AS (
+        |  SELECT source, doc_id, n_toks, imp_ppm,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY imp_ppm DESC, doc_id) AS rank
+        |  FROM r)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_toks,
+        |  CAST(imp_ppm AS BIGINT) AS imp_ppm
+        |FROM rk WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
+    // both rankers replayed in full (BM25 with the q67 expression tree,
+    // dense with the exact left-fold cosine), then the integer RRF fold
+    "q148_hybrid_rrf" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM docs) u
+        |  GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      AS avgdl
+        |  FROM dl),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY term),
+        |qt AS (
+        |  SELECT query_id, term FROM (
+        |    SELECT query_id, term,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY term) AS r
+        |    FROM (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term
+        |          FROM docs WHERE doc_id < 5) t1) t2
+        |  WHERE r <= 4),
+        |m AS (
+        |  SELECT q.query_id, f.doc_id, f.tf, d.df, l.dl, s.n_docs, s.avgdl
+        |  FROM qt q
+        |  JOIN tf f ON f.term = q.term
+        |  JOIN dfr d ON d.term = q.term
+        |  JOIN dl l ON l.doc_id = f.doc_id, stats s),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |    * ((CAST(tf AS DOUBLE) * 2.2)
+        |       / (CAST(tf AS DOUBLE)
+        |          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS s
+        |  FROM m),
+        |sagg AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(0.0, list_sort(list(s))),
+        |      (acc, x) -> acc + x) AS score
+        |  FROM sc GROUP BY query_id, doc_id),
+        |sparse AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY score DESC, doc_id) AS BIGINT)
+        |        AS rank
+        |    FROM sagg) t WHERE rank <= 20),
+        |dsc AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id, e.embedding AS cv, q.qv,
+        |    $cosineSql AS cos
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+        |              FROM embeddings WHERE vec_id < 5) q
+        |  WHERE e.vec_id <> q.query_id),
+        |dense AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY cos DESC, doc_id) AS BIGINT)
+        |        AS rank
+        |    FROM dsc) t WHERE rank <= 20),
+        |u AS (
+        |  SELECT query_id, doc_id, rank FROM sparse
+        |  UNION ALL
+        |  SELECT query_id, doc_id, rank FROM dense),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf,
+        |    CAST(count(*) AS BIGINT) AS n_rankers
+        |  FROM u GROUP BY query_id, doc_id)
+        |SELECT query_id, rank, doc_id, rrf, n_rankers FROM (
+        |  SELECT query_id, doc_id, rrf, n_rankers,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY rrf DESC, doc_id) AS BIGINT)
+        |      AS rank
+        |  FROM fused) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // tf, df, dl, N replayed; score is one exact integer expression
+    "q149_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY term),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+        |    (tf.tf * nd.n_docs * 1000000) // (dfr.df * dl.dl) AS tfidf_ppm
+        |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), nd)
+        |SELECT doc_id, rank, term, tf, df, CAST(tfidf_ppm AS BIGINT) AS tfidf_ppm
+        |FROM (
+        |  SELECT doc_id, term, tf, df, tfidf_ppm,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf_ppm DESC, term) AS BIGINT)
+        |      AS rank
+        |  FROM sc) t
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    // file synthesis + the exclusive running total + bin arithmetic
+    "q150_compaction_plan" ->
+      """WITH files AS (
+        |  SELECT source, doc_id // 16 AS file_id,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY source, doc_id // 16),
+        |c AS (
+        |  SELECT source, file_id, bytes,
+        |    coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM files)
+        |SELECT source, CAST(cum_before // 32768 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  CAST(min(file_id) AS BIGINT) AS first_file,
+        |  CAST(max(file_id) AS BIGINT) AS last_file
+        |FROM c GROUP BY source, cum_before // 32768
+        |ORDER BY source, bin""".stripMargin,
+  )
+}

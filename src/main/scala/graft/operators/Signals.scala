@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-level SIGNALS a curation pipeline ranks and filters by: a
+  * hashed linear quality classifier (the fastText-shaped model-based
+  * filter), link-graph PageRank centrality, DSIR-style importance
+  * weights (target-vs-raw hashed n-gram ratios), reciprocal-rank fusion
+  * of heterogeneous retrievers, TF-IDF keyword extraction, and a
+  * small-file compaction planner for standing table maintenance.
+  *
+  * Every emitted number is an exact integer (seeded universal-hash
+  * weights, cross-multiplied ratios, rank arithmetic), so each gate's
+  * DuckDB oracle is a full independent replay — the same discipline as
+  * the selection family ([[Sampling]], [[Dedup]]).
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - [[hashedLogit]] and [[importanceWeights]] are single-pass token
+  *    streams; model state (the bucket-weight relation) is bounded by
+  *    the bucket count, never the corpus, and rides a broadcast join.
+  *  - [[pageRank]] is the Pregel shape: per iteration one equi-join on
+  *    node id + one partial-aggregated shuffle of contributions. No
+  *    driver-side graph state; a production run would pre-partition
+  *    ranks and edges by id once and reuse the exchange across
+  *    iterations.
+  *  - [[rrfFuse]] touches only the top-k relations the upstream rankers
+  *    already bounded — fusion cost is O(queries · k · rankers).
+  *  - [[compactionPlan]] is one windowed cumulative sum per table
+  *    partition + one aggregate: the planner a 100 TB table needs to
+  *    coalesce small files without collecting a manifest to the driver.
+  */
+object Signals {
+
+  private val P = 2147483647L // 2^31 - 1, the shared portable-hash modulus
+
+  /** Hashed-feature linear classifier (fastText-style quality filter):
+    * features are unigrams + adjacent-token bigrams, hashed into
+    * `buckets` via the portable [[Dedup.polyHash]]; the weight of bucket
+    * b is the seeded universal hash `((b·a + c) mod p) mod 2001 − 1000`
+    * — an integer in [−1000, 1000] both engines derive from the same
+    * closed form, standing in for trained parameters while exercising
+    * the exact production plan (hash → bucket → weight lookup → per-doc
+    * sum). The logit is an exact integer sum; `accept` is the zero
+    * threshold (sigmoid is monotone, so thresholding the logit IS
+    * thresholding the probability).
+    *
+    * Returns (doc_id, n_feats, logit, accept). One explode + one
+    * map-side-combined aggregate; the weight is computed inline
+    * (projection), so there is no weight-table join at all. */
+  def hashedLogit(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 4096, seed: Long = 29L): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val (wa, wb) = Sampling.coef(seed)
+    val base = df.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      // element_at is 1-based in both Spark and DuckDB's toks[i]; the
+      // when() guard matters: Spark's sequence(1, 0) yields [1, 0]
+      // (descending), not the empty list DuckDB's generate_series gives.
+      .withColumn("bis", when(size(col("toks")) > 1,
+          expr("transform(sequence(1, size(toks)-1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"))
+        .otherwise(array().cast("array<string>")))
+    val feats = base.select(col("doc_id"),
+      explode(concat(col("toks"), col("bis"))).as("f"))
+    val bucket = pmod(Dedup.polyHash(col("f")), lit(buckets.toLong))
+    val weight = pmod(bucket * lit(wa) + lit(wb), lit(P)) % lit(2001L) - lit(1000L)
+    feats.select(col("doc_id"), weight.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        sum(col("w")).cast("long").as("logit"))
+      .withColumn("accept", col("logit") > 0)
+  }
+
+  /** Fixed-iteration integer PageRank — the web-graph centrality signal
+    * URL-level curation ranks by. Ranks are scaled by `scale` (default
+    * 10¹²) and every step is integer arithmetic: per-edge contribution
+    * `(rank·dampNum) div (dampDen·out_deg)`, new rank `base + Σ in`,
+    * `base = scale·(dampDen−dampNum) div dampDen`. Truncation keeps the
+    * total mass within N·scale, so with N ≤ ~10⁵ per-node sums stay far
+    * below 2⁶³; dangling nodes simply don't redistribute (deterministic
+    * leak, replayed identically by the oracle).
+    *
+    * Each iteration = one equi-join of edges with ranks on src + one
+    * partial-aggregated shuffle of contributions on dst — the Pregel
+    * shape. `iters` is a plan-size knob (the loop unrolls into the
+    * logical plan), not driver state. */
+  def pageRank(nodes: DataFrame, idCol: String,
+               edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, scale: Long = 1000000000000L,
+               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val ids = nodes.select(col(idCol).cast("long").as("id"))
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val outDeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val base = scale / dampDen * (dampDen - dampNum)
+    var ranks = ids.withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("id"),
+          expr(s"(rank * $dampNum) div ($dampDen * deg)").as("c"))
+      val inSum = contribs.groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = ids.join(inSum, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+    }
+    val inDeg = e.groupBy(col("dst"))
+      .agg(count(lit(1)).cast("long").as("ind"))
+    ranks
+      .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .join(inDeg.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("out_deg"),
+        coalesce(col("ind"), lit(0L)).as("in_deg"), col("rank"))
+  }
+
+  /** DSIR-style importance weights: hash every token into `buckets`,
+    * weight bucket b by the Laplace-smoothed target/raw count ratio
+    * `((n_target+1)·10⁶) div (n_raw+1)` (ppm), and score each document
+    * by the truncated mean weight of its tokens — documents that look
+    * like the target distribution score high. `isTarget` marks the
+    * target subset (rows still count toward raw).
+    *
+    * Returns (doc_id, n_toks, imp_ppm). Two passes over the token
+    * stream: one bounded aggregate (≤ `buckets` rows → broadcast back),
+    * one per-doc sum. The weight relation is model state bounded by the
+    * bucket count — the 100 TB path never materializes a vocabulary. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = df.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("b", pmod(Dedup.polyHash(col("t")), lit(buckets.toLong)))
+    val weights = toks.groupBy(col("b"))
+      .agg(count(lit(1)).cast("long").as("c_raw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).cast("long").as("c_t"))
+      .select(col("b"), expr("((c_t + 1) * 1000000) div (c_raw + 1)").as("w"))
+    toks.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        sum(col("w")).cast("long").as("iw_sum"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("iw_sum div n_toks").as("imp_ppm"))
+  }
+
+  /** Reciprocal-rank fusion over heterogeneous rankers (sparse BM25 +
+    * dense cosine being the canonical pair): each input holds
+    * (query_id, doc_id, rank); a doc earns `10⁶ div (60 + rank)` points
+    * per ranker that returned it (the standard RRF constant, integer
+    * arithmetic), summed across rankers; final order is (points desc,
+    * doc_id). Fusion never re-touches the corpus — cost is
+    * O(queries · k · rankers) on relations the upstream rankers already
+    * bounded. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val unioned = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = unioned
+      .withColumn("pts", expr("1000000 div (60 + rank)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("pts")).cast("long").as("rrf"),
+        count(lit(1)).cast("long").as("n_rankers"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf"), col("n_rankers"))
+  }
+
+  /** Per-document TF-IDF keywords with a RATIONAL idf: score_ppm =
+    * (tf·N·10⁶) div (df·dl) — tf/dl (length-normalized term frequency)
+    * times N/df (inverse document frequency), cross-multiplied into one
+    * exact integer so the ranking is engine-portable (`ln` would be
+    * libm-dependent — the [[Retrieval]] reasoning). Top-`k` terms per
+    * doc, ties (score, then term) deterministic.
+    *
+    * tf/df/dl are the same three partial-aggregated shuffles the BM25
+    * index builds — a deployment computes them once and serves both. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("dl"))
+    val dfr = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val nd = df.agg(count(lit(1)).cast("long").as("n_docs"))
+    val scored = tf.join(dfr, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf_ppm", expr("(tf * n_docs * 1000000) div (df * dl)"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_ppm").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("tfidf_ppm"))
+  }
+
+  /** Small-file compaction planner: within each table partition
+    * (`groupCol`), walk files in `fileCol` order, accumulate sizes, and
+    * open a new output bin every time the RUNNING total crosses a
+    * multiple of `target` — `bin = cum_before div target`. Bins are
+    * contiguous in file order (compaction rewrites neighboring files
+    * together, preserving any clustering), each bin lands within
+    * [target, target + max_file) bytes except the partition's tail, and
+    * the whole plan is one window + one aggregate — no driver-side
+    * manifest walk, which is what makes it usable on a 100 TB table
+    * with millions of files. */
+  def compactionPlan(files: DataFrame, groupCol: String, fileCol: String,
+                     sizeCol: String, target: Long): DataFrame = {
+    require(target > 0, "target must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(fileCol))
+    files
+      .withColumn("cum_before",
+        coalesce(sum(col(sizeCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${target}L"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum(col(sizeCol)).cast("long").as("bytes"),
+        min(col(fileCol)).as("first_file"),
+        max(col(fileCol)).as("last_file"))
+  }
+}

@@ -627,6 +627,57 @@ object PlanAudit {
         !p.contains("CartesianProduct"))
     }
 
+    // q145 hashed classifier: one token stream, weight computed inline —
+    // no weight-table join, no exchange before the partial agg
+    audit("q145") {
+      val p = plan("q145_quality_classifier")
+      check("q145 classifier is a single-pass partial agg, no join",
+        p.contains("partial_") && !p.contains("Join"),
+        "expected a joinless partial-aggregated token stream")
+    }
+
+    // q146 PageRank: Pregel shape — per-iteration equi-joins, partial-
+    // aggregated contribution shuffles; the only nested-loop is the
+    // single-row count broadcast the edge synthesis needs
+    audit("q146") {
+      val p = plan("q146_pagerank")
+      check("q146 pagerank contributions partial-aggregate",
+        p.contains("partial_sum"))
+      check("q146 pagerank has no cartesian product",
+        !p.contains("CartesianProduct"))
+    }
+
+    // q147 importance weights: the ≤1024-row bucket-weight relation must
+    // broadcast back onto the token stream
+    audit("q147") {
+      val p = plan("q147_importance_rank")
+      check("q147 broadcasts the bucket-weight model",
+        p.contains("BroadcastHashJoin"))
+      check("q147 has no cartesian product", !p.contains("CartesianProduct"))
+    }
+
+    // q148 hybrid RRF: fusion joins only the bounded top-k relations;
+    // the dense side's query block is a broadcast (5 vectors)
+    audit("q148") {
+      val p = plan("q148_hybrid_rrf")
+      check("q148 fuses via partial agg over unioned top-k",
+        p.contains("partial_sum") && p.contains("Union"))
+    }
+
+    // q149 TF-IDF: the single-row n_docs must broadcast, tf/df/dl agg
+    // partial
+    audit("q149") {
+      val p = plan("q149_tfidf_keywords")
+      check("q149 partial-aggregates tf/df/dl", p.contains("partial_count"))
+    }
+
+    // q150 compaction plan: one window + one partial agg, no join at all
+    audit("q150") {
+      val p = plan("q150_compaction_plan")
+      check("q150 planner is window + agg, joinless",
+        p.contains("Window") && !p.contains("Join"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.Signals
+import org.apache.spark.sql.functions._
+
+/** Laws for the curation-signal cores ([[graft.operators.Signals]]):
+  * PageRank's closed form on a symmetric graph and its mass bounds on an
+  * arbitrary one, the hashed-classifier feature count (including the
+  * sequence(1,0) bigram guard), the all-target fixed point of the
+  * importance weights, RRF dominance, TF-IDF ranking, and the
+  * compaction planner's partition/contiguity/fill guarantees. */
+class SignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scale = 1000000000000L
+  private val base  = 150000000000L
+
+  test("pageRank: ring graph hits the uniform closed form") {
+    val n = 40
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val out = Signals.pageRank(nodes, "id", edges, "src", "dst", iters = 3)
+      .collect()
+    // Symmetry: every node has one in/out edge, so ranks stay uniform and
+    // each iteration is the scalar map r -> base + (r*85) div 100.
+    var r = scale
+    for (_ <- 1 to 3) r = base + r * 85 / 100
+    assert(out.length == n)
+    out.foreach { row =>
+      assert(row.getLong(1) == 1 && row.getLong(2) == 1)
+      assert(row.getLong(3) == r, s"node ${row.getLong(0)}: ${row.getLong(3)} != $r")
+    }
+  }
+
+  test("pageRank: mass bounds and dangling leak on an arbitrary graph") {
+    val nodes = (0L to 9L).toDF("id")
+    // node 9 dangles (no out-edges); hub 0 receives from everyone
+    val edges = (1L to 8L).flatMap(i => Seq((i, 0L), (i, i % 3 + 1)))
+      .toDF("src", "dst")
+    val out = Signals.pageRank(nodes, "id", edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val total = out.values.sum
+    assert(total <= 10 * scale, "mass grew")
+    assert(out.values.forall(_ >= base), "every node keeps its base rank")
+    assert(out(0L) > out(9L), "hub outranks the dangling node")
+  }
+
+  test("hashedLogit: n_feats = 2*len - 1; single-token doc has one feature") {
+    val docs = Seq((1L, "alpha"), (2L, "alpha beta"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = Signals.hashedLogit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L) // no phantom bigram from sequence(1, 0)
+    assert(out(2L) == 3L)
+    assert(out(3L) == 7L)
+  }
+
+  test("hashedLogit: invariant under repartitioning") {
+    val docs = (0L until 50L).map(i => (i, s"tok$i common word ${i % 7}"))
+      .toDF("doc_id", "text")
+    val a = Signals.hashedLogit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Signals.hashedLogit(docs.repartition(13), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
+  test("importanceWeights: all-target corpus is the 10^6 fixed point") {
+    val docs = Seq((1L, "x y z"), (2L, "p q")).toDF("doc_id", "text")
+    val out = Signals.importanceWeights(docs, "doc_id", "text", lit(true))
+      .collect()
+    // w(b) = ((c+1)*10^6) div (c+1) = 10^6 for every bucket, so the
+    // truncated mean is exactly 10^6 for every doc.
+    out.foreach(r => assert(r.getLong(2) == 1000000L))
+  }
+
+  test("rrfFuse: a doc ranked first by both rankers dominates") {
+    val r1 = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val r2 = Seq((1L, 10L, 1L), (1L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = Signals.rrfFuse(Seq(r1, r2), k = 10)
+      .orderBy(col("rank")).collect()
+    assert(out.head.getLong(2) == 10L && out.head.getLong(4) == 2L)
+    // 2 * (10^6 div 61) vs 10^6 div 62 for the singletons
+    assert(out.head.getLong(3) == 2 * (1000000L / 61))
+    out.tail.foreach(r => assert(r.getLong(3) == 1000000L / 62))
+  }
+
+  test("tfidfKeywords: a doc-unique term outranks a corpus-wide one") {
+    val docs = Seq((1L, "shared zebra zebra"), (2L, "shared a"),
+      (3L, "shared b")).toDF("doc_id", "text")
+    val out = Signals.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy(col("rank")).collect()
+    assert(out(0).getString(2) == "zebra") // tf=2, df=1 beats tf=1, df=3
+    assert(out(1).getString(2) == "shared")
+    assert(out.length == 2)
+  }
+
+  test("compactionPlan: bins partition the files, contiguously, near target") {
+    val target = 100L
+    val files = (0 until 30).map(i => ("g", i.toLong, 17L + (i % 5) * 13L))
+      .toDF("grp", "file_id", "bytes")
+    val plan = Signals.compactionPlan(files, "grp", "file_id", "bytes", target)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val inputBytes = files.agg(sum(col("bytes"))).collect()(0).getLong(0)
+    assert(plan.map(_._2).sum == 30 && plan.map(_._3).sum == inputBytes)
+    // contiguity: each bin's file range ends before the next begins
+    plan.sliding(2).foreach {
+      case Array((_, _, _, _, lastA), (_, _, _, firstB, _)) =>
+        assert(lastA < firstB)
+      case _ =>
+    }
+    // fill: every non-tail bin crossed the target once its first file's
+    // prefix is accounted for (bins can undershoot by at most one file)
+    val maxFile = 17L + 4 * 13L
+    plan.init.foreach { case (_, _, bytes, _, _) =>
+      assert(bytes > target - maxFile, s"bin too small: $bytes")
+    }
+  }
+}
