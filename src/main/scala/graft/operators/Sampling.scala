@@ -268,6 +268,38 @@ object Sampling {
     * Scale shape: both histograms are map-side-combined groupBys; the
     * per-bucket rank is one sort within bucket (same as
     * [[stratifiedQuota]]); quotas broadcast back onto the ranked scan. */
+  /** Weighted priority sampling (probability-proportional-to-size,
+    * deterministic): each row draws priority
+    * `(keyHash(id, seed) · 10⁶) div weight` — a seeded hash scaled down
+    * by the row's weight, so heavier rows tend to earn smaller
+    * priorities — and each stratum keeps its `k` smallest (priority,
+    * id). The whole selection is ONE bounded-buffer aggregation
+    * ([[graft.plans.BoundedMinKAgg]], ≤ k entries per stratum per task,
+    * map-side combined): no per-stratum window sort, no reservoir
+    * state, stable under partitioning and reruns — the weighted
+    * counterpart of [[IndexQueries.q77StratSample]]'s uniform pick.
+    * `weightCol` must be a positive integral column. */
+  def prioritySample(df: DataFrame, strataCol: String, idCol: String,
+                     weightCol: String, k: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    require(k > 0, "k must be positive")
+    def minK(entry: Column): Column = GraftColumnBridge.column(
+      graft.plans.BoundedMinKAgg(GraftColumnBridge.expression(entry), k,
+        distinct = false).toAggregateExpression())
+    val withPri = df
+      .withColumn("__hw", keyHashFor(df, idCol, seed) * lit(1000000L))
+      .withColumn("__p", expr(s"__hw div cast($weightCol as long)"))
+    val entry = struct(col("__p").as("p"), col(idCol).as("id"),
+      col(weightCol).cast("long").as("w"))
+    withPri.groupBy(col(strataCol))
+      .agg(minK(entry).as("picks"))
+      .select(col(strataCol), posexplode(col("picks")).as(Seq("pos", "e")))
+      .select(col(strataCol), (col("pos") + 1).cast("long").as("rank"),
+        col("e").getField("id").as(idCol),
+        col("e").getField("w").as("weight"),
+        col("e").getField("p").as("priority"))
+  }
+
   def matchDistribution(ref: DataFrame, cand: DataFrame, bucketCol: String,
                         idCol: String, seed: Long = 42L): DataFrame = {
     val quotas = ref.groupBy(col(bucketCol))

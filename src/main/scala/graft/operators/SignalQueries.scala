@@ -33,20 +33,28 @@ object SignalQueries {
         buckets = 4096, seed = 29L)
       .orderBy(col("doc_id"))
 
-  /** q146: 3-iteration integer PageRank over a deterministic synthetic
-    * link graph — every doc links to (id·7+1, id·11+3, id·13+7) mod N,
-    * self-loops dropped, parallel edges deduped. The oracle unrolls all
-    * three iterations in SQL. */
-  def q146PageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic synthetic link graph the graph gates share —
+    * every doc links to (id·7+1, id·11+3, id·13+7) mod N (raw: self-loop
+    * and duplicate filtering is each consumer's contract, mirroring the
+    * oracle's `e` CTE). */
+  private def linkEdges(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).cast("long").as("nn"))
-    val edges = docs.crossJoin(broadcast(n))
+    docs.crossJoin(broadcast(n))
       .select(col("doc_id").as("src"),
         explode(array(
           pmod(col("doc_id") * 7 + 1, col("nn")),
           pmod(col("doc_id") * 11 + 3, col("nn")),
           pmod(col("doc_id") * 13 + 7, col("nn")))).as("dst"))
-    Signals.pageRank(docs, "doc_id", edges, "src", "dst", iters = 3)
+  }
+
+  /** q146: 3-iteration integer PageRank over the [[linkEdges]] graph,
+    * self-loops dropped, parallel edges deduped. The oracle unrolls all
+    * three iterations in SQL. */
+  def q146PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    Signals.pageRank(docs, "doc_id", linkEdges(spark, dir), "src", "dst",
+        iters = 3)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -115,6 +123,50 @@ object SignalQueries {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** q151: weighted priority sampling — per source, the 10 docs with the
+    * smallest `(hash·10⁶) div token_count` priority
+    * ([[Sampling.prioritySample]], seed 23): longer docs are favored,
+    * the pick is one bounded-buffer aggregation. */
+  def q151WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_toks")),
+        "source", "doc_id", "n_toks", k = 10, seed = 23L)
+      .orderBy(col("source"), col("rank"))
+
+  /** q152: anchor-profile aggregation over the [[linkEdges]] graph —
+    * per link target: in-degree, distinct linking sources, and the most
+    * common rank-1 TF-IDF keyword among its linkers
+    * ([[Signals.anchorProfile]]). */
+  def q152AnchorProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kw1 = Signals.tfidfKeywords(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", k = 1)
+      .select(col("doc_id"), col("term").as("kw"))
+    val attrs = docs.select(col("doc_id"), col("source")).join(kw1, "doc_id")
+    val e = linkEdges(spark, dir)
+      .filter(col("src") =!= col("dst")).distinct()
+    Signals.anchorProfile(e, "src", "dst", attrs, "doc_id", "source", "kw")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q153: 1-or-2-hop neighborhood size per node on the [[linkEdges]]
+    * graph ([[Signals.twoHopReach]]). */
+  def q153TwoHopReach(spark: SparkSession, dir: String): DataFrame =
+    Signals.twoHopReach(Tables.documents(spark, dir).select(col("doc_id")),
+        "doc_id", linkEdges(spark, dir), "src", "dst")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** q154: corpus-adaptive stopword discovery (terms in ≥ 50% of docs)
+    * + per-doc information density ([[Signals.stopwordDensity]]). */
+  def q154StopwordDensity(spark: SparkSession, dir: String): DataFrame =
+    Signals.stopwordDensity(Tables.documents(spark, dir), "doc_id", "text",
+        thresholdPct = 50L)
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_quality_classifier" -> q145QualityClassifier _,
     "q146_pagerank"           -> q146PageRank _,
@@ -122,10 +174,48 @@ object SignalQueries {
     "q148_hybrid_rrf"         -> q148HybridRrf _,
     "q149_tfidf_keywords"     -> q149TfidfKeywords _,
     "q150_compaction_plan"    -> q150CompactionPlan _,
+    "q151_weighted_sample"    -> q151WeightedSample _,
+    "q152_anchor_profile"     -> q152AnchorProfile _,
+    "q153_two_hop_reach"      -> q153TwoHopReach _,
+    "q154_stopword_density"   -> q154StopwordDensity _,
   )
 
   /** q145's seeded weight coefficients — same closed form as the engine. */
   private val (wA, wB) = Sampling.coef(29L)
+
+  /** q151's seeded priority-hash coefficients. */
+  private val (sA, sB) = Sampling.coef(23L)
+  private val P = Sampling.P
+
+  /** The [[linkEdges]] graph as shared oracle CTEs (`nn`/`e0`/`e`). */
+  private val edgeCtes =
+    """nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |e0 AS (
+      |  SELECT doc_id AS src, (doc_id*7+1) % n AS dst FROM documents, nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*11+3) % n FROM documents, nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*13+7) % n FROM documents, nn),
+      |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)""".stripMargin
+
+  /** The q149 tf/df/dl/N relations as shared oracle CTEs (`tf`/`dl`/
+    * `dfr`/`nd`/`sc`). */
+  private val tfidfCtes =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY doc_id),
+      |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM tf GROUP BY term),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+      |    (tf.tf * nd.n_docs * 1000000) // (dfr.df * dl.dl) AS tfidf_ppm
+      |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), nd)""".stripMargin
 
   /** One PageRank iteration as a pair of CTEs (contribution sums +
     * new ranks), parameterized by the previous rank relation. */
@@ -169,14 +259,7 @@ object SignalQueries {
         |ORDER BY doc_id""".stripMargin,
     // the synthetic link graph + three unrolled integer iterations
     "q146_pagerank" ->
-      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        |e0 AS (
-        |  SELECT doc_id AS src, (doc_id*7+1) % n AS dst FROM documents, nn
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*11+3) % n FROM documents, nn
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id*13+7) % n FROM documents, nn),
-        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      s"""WITH $edgeCtes,
         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
         |        FROM e GROUP BY src),
         |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS ind
@@ -310,21 +393,7 @@ object SignalQueries {
         |ORDER BY query_id, rank""".stripMargin,
     // tf, df, dl, N replayed; score is one exact integer expression
     "q149_tfidf_keywords" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM toks GROUP BY doc_id, term),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-        |       FROM tf GROUP BY doc_id),
-        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-        |        FROM tf GROUP BY term),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-        |sc AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
-        |    (tf.tf * nd.n_docs * 1000000) // (dfr.df * dl.dl) AS tfidf_ppm
-        |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), nd)
+      s"""WITH $tfidfCtes
         |SELECT doc_id, rank, term, tf, df, CAST(tfidf_ppm AS BIGINT) AS tfidf_ppm
         |FROM (
         |  SELECT doc_id, term, tf, df, tfidf_ppm,
@@ -353,5 +422,93 @@ object SignalQueries {
         |  CAST(max(file_id) AS BIGINT) AS last_file
         |FROM c GROUP BY source, cum_before // 32768
         |ORDER BY source, bin""".stripMargin,
+    // seeded hash scaled by weight, k smallest per stratum
+    "q151_weighted_sample" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+        |    ((doc_id % $P) * $sA + $sB) % $P AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n, (h * 1000000) // n AS pri
+        |  FROM d),
+        |r AS (
+        |  SELECT source, doc_id, n, pri,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY pri, doc_id) AS rank
+        |  FROM p)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  n AS weight, CAST(pri AS BIGINT) AS priority
+        |FROM r WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
+    // link graph + rank-1 tfidf keyword per linker + per-target counts
+    // and the (count desc, keyword) argmax
+    "q152_anchor_profile" ->
+      s"""WITH $edgeCtes,
+        |$tfidfCtes,
+        |kw1 AS (
+        |  SELECT doc_id, term AS kw FROM (
+        |    SELECT doc_id, term,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY tfidf_ppm DESC, term) AS rank
+        |    FROM sc) t WHERE rank = 1),
+        |j AS (
+        |  SELECT e.dst, d.source AS lsrc, kw1.kw
+        |  FROM e JOIN documents d ON d.doc_id = e.src
+        |  JOIN kw1 ON kw1.doc_id = e.src),
+        |base AS (
+        |  SELECT dst, CAST(count(*) AS BIGINT) AS in_deg,
+        |    CAST(count(DISTINCT lsrc) AS BIGINT) AS n_sources
+        |  FROM j GROUP BY dst),
+        |kc AS (SELECT dst, kw, CAST(count(*) AS BIGINT) AS n
+        |       FROM j GROUP BY dst, kw),
+        |top AS (
+        |  SELECT dst, kw AS top_anchor, n AS anchor_n FROM (
+        |    SELECT dst, kw, n,
+        |      row_number() OVER (PARTITION BY dst
+        |                         ORDER BY n DESC, kw) AS r
+        |    FROM kc) t WHERE r = 1)
+        |SELECT base.dst AS doc_id, base.in_deg, base.n_sources,
+        |  top.top_anchor, top.anchor_n
+        |FROM base JOIN top USING (dst)
+        |ORDER BY doc_id""".stripMargin,
+    // 2-hop expansion via one self-join on the middle node
+    "q153_two_hop_reach" ->
+      s"""WITH $edgeCtes,
+        |h2 AS (
+        |  SELECT a.src, b.dst FROM e a JOIN e b ON b.src = a.dst),
+        |u AS (SELECT src, dst FROM e UNION SELECT src, dst FROM h2),
+        |r AS (
+        |  SELECT src, CAST(count(DISTINCT dst) AS BIGINT) AS reach
+        |  FROM u WHERE dst <> src GROUP BY src),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY src)
+        |SELECT d.doc_id, coalesce(deg.deg, 0) AS out_deg,
+        |  coalesce(r.reach, 0) AS reach
+        |FROM documents d
+        |LEFT JOIN deg ON deg.src = d.doc_id
+        |LEFT JOIN r ON r.src = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // doc-frequency threshold on DISTINCT (doc, term) pairs, then one
+    // pass over the token stream with the stop flag
+    "q154_stopword_density" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |sdf AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS tdf
+        |  FROM toks GROUP BY term),
+        |stop AS (SELECT term FROM sdf, nd WHERE tdf * 100 >= n_docs * 50),
+        |per AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    CAST(sum(CASE WHEN s.term IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_stop
+        |  FROM toks t LEFT JOIN stop s USING (term)
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_toks, n_stop,
+        |  ((n_toks - n_stop) * 1000000) // n_toks AS density_ppm
+        |FROM per
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -205,6 +205,94 @@ object Signals {
         col("df"), col("tfidf_ppm"))
   }
 
+  /** Anchor-style profile of every link TARGET: how many documents link
+    * to it, from how many distinct sources, and the most common top
+    * keyword among its linkers (count desc, then keyword — the
+    * aggregated "anchor text" signal web curation scores landing pages
+    * by). `edges` holds (src, dst); `srcAttrs` holds one row per linker
+    * (`idCol`, `sourceCol`, `kwCol` — e.g. [[tfidfKeywords]] rank 1).
+    *
+    * One equi-join of edges onto linker attributes + two partial
+    * aggregates + a per-target argmax (`max(struct(n, kw))`) — no
+    * window over the full edge set, so a hot target costs one combine
+    * buffer, not a sort. */
+  def anchorProfile(edges: DataFrame, srcCol: String, dstCol: String,
+                    srcAttrs: DataFrame, idCol: String, sourceCol: String,
+                    kwCol: String): DataFrame = {
+    val joined = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(srcAttrs.select(col(idCol).as("src"),
+        col(sourceCol).as("lsrc"), col(kwCol).as("kw")), "src")
+    val base = joined.groupBy(col("dst"))
+      .agg(count(lit(1)).cast("long").as("in_deg"),
+        countDistinct(col("lsrc")).cast("long").as("n_sources"))
+    // argmax by (count, reversed keyword order): max(struct(n, neg-kw))
+    // has no string negation, so rank keywords with a second agg level —
+    // per (dst, kw) counts are already tiny after the first combine.
+    val kwCounts = joined.groupBy(col("dst"), col("kw"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("n").desc, col("kw"))
+    val top = kwCounts.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("dst"), col("kw").as("top_anchor"), col("n").as("anchor_n"))
+    base.join(top, "dst").withColumnRenamed("dst", "id")
+  }
+
+  /** Distinct nodes reachable in one or two hops (self excluded) — the
+    * neighborhood-size feature spam/quality graph models use. The
+    * 2-hop expansion is one self-equi-join of the edge relation on the
+    * middle node + a distinct count; at scale the join shuffles on the
+    * middle node, so a skewed hub fans out — cap or salt hubs upstream
+    * if the real graph is power-law (the [[Dedup]] hot-shingle
+    * discipline). Nodes without out-edges report 0. */
+  def twoHopReach(nodes: DataFrame, idCol: String,
+                  edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val hop2 = e.join(e.withColumnsRenamed(Map("src" -> "mid", "dst" -> "d2")),
+        col("dst") === col("mid"))
+      .select(col("src"), col("d2").as("dst"))
+    val reach = e.unionByName(hop2)
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"))
+      .agg(countDistinct(col("dst")).cast("long").as("reach"))
+    val outDeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("out_deg"))
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .join(reach.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("reach"), lit(0L)).as("reach"))
+  }
+
+  /** Corpus-adaptive stopword discovery + per-document information
+    * density: a term is a stopword when it appears in ≥ `thresholdPct`%
+    * of documents (integer cross-multiply, no floats), and each doc
+    * reports how much of it survives stopword removal
+    * (`density_ppm = (n_toks − n_stop)·10⁶ div n_toks`). The stop
+    * relation is small BY CONSTRUCTION (only terms in a constant
+    * fraction of all docs qualify — vocabulary size doesn't matter), so
+    * it broadcasts; the token stream is touched once. */
+  def stopwordDensity(df: DataFrame, idCol: String, textCol: String,
+                      thresholdPct: Long): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val nd = df.agg(count(lit(1)).cast("long").as("n_docs"))
+    val stop = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("tdf"))
+      .crossJoin(broadcast(nd))
+      .filter(col("tdf") * 100 >= col("n_docs") * thresholdPct)
+      .select(col("term"), lit(1L).as("is_stop"))
+    toks.join(broadcast(stop), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        sum(coalesce(col("is_stop"), lit(0L))).cast("long").as("n_stop"))
+      .withColumn("density_ppm",
+        expr("((n_toks - n_stop) * 1000000) div n_toks"))
+  }
+
   /** Small-file compaction planner: within each table partition
     * (`groupCol`), walk files in `fileCol` order, accumulate sizes, and
     * open a new output bin every time the RUNNING total crosses a

@@ -678,6 +678,38 @@ object PlanAudit {
         p.contains("Window") && !p.contains("Join"))
     }
 
+    // q151 weighted sample: the bounded min-k buffer must partial-
+    // aggregate (map-side) and the plan must carry no window sort
+    audit("q151") {
+      val p = plan("q151_weighted_sample")
+      check("q151 weighted sample is a bounded partial agg, windowless",
+        p.contains("partial_") && !p.contains("Window"))
+    }
+
+    // q152 anchor profile: linker attributes join the edge relation as
+    // equi-joins; no cartesian anywhere
+    audit("q152") {
+      check("q152 anchor profile has no cartesian product",
+        !plan("q152_anchor_profile").contains("CartesianProduct"))
+    }
+
+    // q153 two-hop: the expansion is a self-equi-join on the middle
+    // node (SortMerge/ShuffledHash), never a nested loop
+    audit("q153") {
+      val p = plan("q153_two_hop_reach")
+      check("q153 two-hop expansion is an equi-join",
+        (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin")) && !p.contains("CartesianProduct"))
+    }
+
+    // q154 stopword density: the discovered stop relation (small by
+    // construction) must broadcast back onto the token stream
+    audit("q154") {
+      val p = plan("q154_stopword_density")
+      check("q154 broadcasts the stopword relation",
+        p.contains("BroadcastHashJoin"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable

@@ -96,6 +96,70 @@ class SignalsSpec extends SparkSpec {
     assert(out.length == 2)
   }
 
+  test("prioritySample: equal weights reduce to the uniform hash-order pick") {
+    val docs = (0L until 60L).map(i => (s"s${i % 2}", i, 10L))
+      .toDF("src", "doc_id", "w")
+    val picks = operators.Sampling.prioritySample(docs, "src", "doc_id",
+        "w", k = 5, seed = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // with constant weight, priority order IS hash order
+    val h = operators.Sampling.keyHashFor(docs, "doc_id", 7L)
+    val expected = docs.withColumn("h", h)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("r") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(3).toLong, r.getLong(1)))
+      .toSet
+    assert(picks.map(p => (p._1, p._3)) == expected.map(e => (e._1, e._3)))
+  }
+
+  test("prioritySample: invariant under repartitioning, rank bounded by k") {
+    val docs = (0L until 80L).map(i => ("g", i, 1L + i % 9)).toDF("src", "doc_id", "w")
+    val a = operators.Sampling.prioritySample(docs, "src", "doc_id", "w", 7, 5L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val b = operators.Sampling.prioritySample(docs.repartition(11), "src",
+        "doc_id", "w", 7, 5L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.size == 7 && a.forall(_._1 <= 7))
+  }
+
+  test("anchorProfile: counts linkers and breaks keyword ties by name") {
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val attrs = Seq((1L, "web", "zeta"), (2L, "web", "alpha"),
+      (3L, "book", "zeta")).toDF("doc_id", "source", "kw")
+    val out = operators.Signals.anchorProfile(edges, "src", "dst", attrs,
+      "doc_id", "source", "kw").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2) // in_deg, n_sources
+    assert(r.getString(3) == "zeta" && r.getLong(4) == 2)
+    // tie at n=2 vs n=1: zeta wins on count, not name
+  }
+
+  test("twoHopReach: ring graph reaches exactly 2") {
+    val n = 20
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val out = operators.Signals.twoHopReach(nodes, "id", edges, "src", "dst")
+      .collect()
+    assert(out.length == n)
+    out.foreach(r => assert(r.getLong(1) == 1 && r.getLong(2) == 2))
+  }
+
+  test("stopwordDensity: a universal term is discovered; density exact") {
+    val docs = Seq((1L, "the cat"), (2L, "the dog runs"), (3L, "the"))
+      .toDF("doc_id", "text")
+    val out = operators.Signals.stopwordDensity(docs, "doc_id", "text", 50L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // "the" is in 3/3 docs (>= 50%); every other term is in 1/3 (< 50%)
+    assert(out(1L) == ((2L, 1L, 500000L)))
+    assert(out(2L) == ((3L, 1L, 666666L)))
+    assert(out(3L) == ((1L, 1L, 0L)))
+  }
+
   test("compactionPlan: bins partition the files, contiguously, near target") {
     val target = 100L
     val files = (0 until 30).map(i => ("g", i.toLong, 17L + (i % 5) * 13L))
