@@ -51,6 +51,29 @@ object Bloom {
         wi => coalesce(col("m")(wi), lit(0L))).as("bloom"))
   }
 
+  /** Per-KEY bitmaps — one Bloom filter per shard/partition, the data-
+    * skipping index a 100 TB table consults to decide which shards can
+    * contain a key before reading any of them. Same bounded shape as
+    * [[buildBitmap]] (per-(key, word) `bit_or`, partially aggregated
+    * map-side), returning (keyCol, bloom: array<long>) — n_keys rows of
+    * numBits/64 longs each, broadcastable model state. */
+  def buildBitmaps(grams: DataFrame, keyCol: String, gramCol: String,
+                   numBits: Int, numHashes: Int, seed: Long): DataFrame = {
+    require(numBits % 64 == 0 && numBits > 0, "numBits must be a positive multiple of 64")
+    val nWords = numBits / 64
+    val pos = positions(Dedup.polyHash(col(gramCol)), numBits, numHashes, seed)
+    grams
+      .select(col(keyCol).as("__k"), explode(array(pos: _*)).as("pos"))
+      .select(col("__k"), (col("pos") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("b"))
+      .groupBy(col("__k"), col("w")).agg(bit_or(col("b")).as("word"))
+      .groupBy(col("__k"))
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("word"))).as("m"))
+      .select(col("__k").as(keyCol),
+        transform(sequence(lit(0), lit(nWords - 1)),
+          wi => coalesce(col("m")(wi), lit(0L))).as("bloom"))
+  }
+
   /** Membership probe against a bitmap column: all `numHashes` bits set.
     * Pure built-in integer ops (array get / shift / mask), whole-stage
     * codegen'd — no per-row driver state. */

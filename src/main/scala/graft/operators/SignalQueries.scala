@@ -167,7 +167,57 @@ object SignalQueries {
         thresholdPct = 50L)
       .orderBy(col("doc_id"))
 
+  /** q155: product-quantization ANN — per-subspace codebooks trained
+    * fully relationally (integer-fixed-point Lloyd step, codebook never
+    * on the driver), corpus stored as 4 centroid codes per vector, and
+    * asymmetric-distance top-5 for queries vec_id < 10
+    * ([[Similarity.pqTopK]], m=4, dsub=16, ksub=8). The oracle replays
+    * training, encoding, and the fixed-order ADC sum. */
+  def q155PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, "vec_id",
+        "embedding", m = 4, dsub = 16, ksub = 8, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q156: shard-level Bloom skipping index — one filter per
+    * knuthHash-mod-8 shard over document fingerprints
+    * ([[Bloom.buildBitmaps]]), probed with 20 present + 20 absent keys:
+    * which shards would a reader scan, and is the true shard always
+    * among them (no false negatives; absent keys count false
+    * positives). */
+  def q156ShardBloomIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keyed = docs.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("shard", pmod(Layout.knuthHash(col("doc_id")), lit(8L)))
+    val bitmaps = Bloom.buildBitmaps(keyed, "shard", "fp",
+      numBits = 4096, numHashes = 3, seed = 77L)
+    val present = keyed.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("probe_id"), col("fp"),
+        col("shard").as("true_shard"))
+    val absent = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000L).as("probe_id"),
+        md5(concat(lit("absent-"), (col("doc_id") + 1000L).cast("string")))
+          .as("fp"),
+        lit(-1L).as("true_shard"))
+    present.unionByName(absent)
+      .crossJoin(broadcast(bitmaps))
+      .withColumn("hit", Bloom.mightContain(col("bloom"),
+        Dedup.polyHash(col("fp")), 4096, 3, 77L))
+      .groupBy(col("probe_id"), col("true_shard"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).cast("long")
+          .as("n_shards_hit"),
+        max(when(col("shard") === col("true_shard") && col("hit"), 1L)
+          .otherwise(0L)).as("ht"))
+      .select(col("probe_id"), col("n_shards_hit"), col("true_shard"),
+        (col("ht") === 1L).as("hit_true_shard"))
+      .orderBy(col("probe_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_pq_ann"             -> q155PqAnn _,
+    "q156_shard_bloom"        -> q156ShardBloomIndex _,
     "q145_quality_classifier" -> q145QualityClassifier _,
     "q146_pagerank"           -> q146PageRank _,
     "q147_importance_rank"    -> q147ImportanceRank _,
@@ -186,6 +236,18 @@ object SignalQueries {
   /** q151's seeded priority-hash coefficients. */
   private val (sA, sB) = Sampling.coef(23L)
   private val P = Sampling.P
+
+  /** q155: ordered squared-L2 between two SQL list expressions — the
+    * oracle twin of [[Similarity.sqDistCols]]. */
+  private def sqdSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+       |      (acc, v) -> acc + v)""".stripMargin
+
+  /** q156: the three seeded Bloom hash coefficient pairs (seed 77). */
+  private val bloomCoefs: Seq[(Long, Long)] =
+    (0 until 3).map(i => Sampling.coef(77L + i))
 
   /** The [[linkEdges]] graph as shared oracle CTEs (`nn`/`e0`/`e`). */
   private val edgeCtes =
@@ -422,6 +484,123 @@ object SignalQueries {
         |  CAST(max(file_id) AS BIGINT) AS last_file
         |FROM c GROUP BY source, cum_before // 32768
         |ORDER BY source, bin""".stripMargin,
+    // the full PQ replay: subvector split, seeded init, one integer-
+    // fixed-point Lloyd step (exact bigint sums -> identical IEEE
+    // divides), re-assignment, and the fixed-sub-order ADC sum
+    "q155_pq_ann" ->
+      s"""WITH sv AS (
+        |  SELECT vec_id AS id, s.s AS sub,
+        |    embedding[s.s*16+1 : s.s*16+16] AS sv
+        |  FROM embeddings, (VALUES (0),(1),(2),(3)) AS s(s)),
+        |init AS (
+        |  SELECT sub, CAST(id AS BIGINT) AS cid,
+        |    list_transform(sv, v -> CAST(v AS DOUBLE)) AS cent
+        |  FROM sv WHERE id < 8),
+        |d0 AS (
+        |  SELECT sv.id, sv.sub, i.cid,
+        |    ${sqdSql("sv.sv", "i.cent")} AS d2
+        |  FROM sv JOIN init i USING (sub)),
+        |a0 AS (
+        |  SELECT id, sub, cid FROM (
+        |    SELECT id, sub, cid,
+        |      row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
+        |    FROM d0) t WHERE rn = 1),
+        |m0 AS (
+        |  SELECT t.sub, t.cid, CAST(x[2] AS BIGINT) AS pos,
+        |    CAST(sum(CAST(round(CAST(x[1] AS DOUBLE) * 1048576.0) AS BIGINT))
+        |         AS DOUBLE) / count(*) / 1048576.0 AS c
+        |  FROM (SELECT a0.sub, a0.cid,
+        |          unnest(list_zip(sv.sv, generate_series(0, len(sv.sv) - 1)))
+        |            AS x
+        |        FROM sv JOIN a0 USING (id, sub)) t
+        |  GROUP BY t.sub, t.cid, CAST(x[2] AS BIGINT)),
+        |trained AS (
+        |  SELECT sub, cid, list(c ORDER BY pos) AS cent
+        |  FROM m0 GROUP BY sub, cid),
+        |cb AS (
+        |  SELECT i.sub, i.cid, coalesce(t.cent, i.cent) AS cent
+        |  FROM init i LEFT JOIN trained t USING (sub, cid)),
+        |d1 AS (
+        |  SELECT sv.id, sv.sub, c.cid,
+        |    ${sqdSql("sv.sv", "c.cent")} AS d2
+        |  FROM sv JOIN cb c USING (sub)),
+        |codes AS (
+        |  SELECT id AS nid, sub, cid FROM (
+        |    SELECT id, sub, cid,
+        |      row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
+        |    FROM d1) t WHERE rn = 1),
+        |qdt AS (
+        |  SELECT id AS query_id, sub, cid, d2 FROM d1 WHERE id < 10),
+        |j AS (
+        |  SELECT q.query_id, codes.nid, q.sub, q.d2
+        |  FROM codes JOIN qdt q ON q.sub = codes.sub AND q.cid = codes.cid
+        |  WHERE q.query_id <> codes.nid),
+        |adc AS (
+        |  SELECT query_id, nid,
+        |    ((sum(CASE WHEN sub = 0 THEN d2 ELSE 0.0 END)
+        |      + sum(CASE WHEN sub = 1 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 2 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 3 THEN d2 ELSE 0.0 END) AS adc
+        |  FROM j GROUP BY query_id, nid)
+        |SELECT query_id, rank, nid AS neighbor_id, adc FROM (
+        |  SELECT query_id, nid, adc,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY adc, nid) AS BIGINT) AS rank
+        |  FROM adc) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // fingerprints -> knuth shards -> per-shard bit sets -> the 3-hash
+    // probe over every (probe, shard) cell; absent probes synthesize
+    // their keys from the same closed form
+    "q156_shard_bloom" -> {
+      val Seq((a0, b0), (a1, b1), (a2, b2)) = bloomCoefs
+      s"""WITH keyed AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        |    ((doc_id % 2147483647) * 2654435761) % 4294967296 % 8 AS shard
+        |  FROM documents),
+        |kh AS (
+        |  SELECT shard, ${polyHashSql("fp")} AS h
+        |  FROM keyed),
+        |kpos AS (
+        |  SELECT shard, ((h * c.a + c.b) % $P) % 4096 AS pos
+        |  FROM kh, (VALUES ($a0, $b0), ($a1, $b1), ($a2, $b2)) AS c(a, b)),
+        |words AS (
+        |  SELECT shard, pos // 64 AS w,
+        |    bit_or(CASE WHEN pos % 64 < 63
+        |      THEN (CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER))
+        |      ELSE -9223372036854775807 - 1 END) AS word
+        |  FROM kpos GROUP BY shard, pos // 64),
+        |probes AS (
+        |  SELECT doc_id AS probe_id, fp, CAST(shard AS BIGINT) AS true_shard
+        |  FROM keyed WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 1000, md5('absent-' || CAST(doc_id + 1000 AS VARCHAR)),
+        |    CAST(-1 AS BIGINT)
+        |  FROM documents WHERE doc_id < 20),
+        |ph AS (
+        |  SELECT probe_id, true_shard, ${polyHashSql("fp")} AS h
+        |  FROM probes),
+        |ppos AS (
+        |  SELECT probe_id, true_shard,
+        |    ((h * c.a + c.b) % $P) % 4096 AS pos
+        |  FROM ph, (VALUES ($a0, $b0), ($a1, $b1), ($a2, $b2)) AS c(a, b)),
+        |cand AS (
+        |  SELECT p.probe_id, p.true_shard, sh.shard,
+        |    min(CASE WHEN ((coalesce(sw.word, 0)
+        |          >> CAST(p.pos % 64 AS INTEGER)) & 1) = 1
+        |        THEN 1 ELSE 0 END) AS allset
+        |  FROM ppos p
+        |  CROSS JOIN (SELECT DISTINCT shard FROM keyed) sh
+        |  LEFT JOIN words sw ON sw.shard = sh.shard AND sw.w = p.pos // 64
+        |  GROUP BY p.probe_id, p.true_shard, sh.shard)
+        |SELECT probe_id, CAST(sum(allset) AS BIGINT) AS n_shards_hit,
+        |  true_shard,
+        |  (max(CASE WHEN shard = true_shard THEN allset ELSE 0 END) = 1)
+        |    AS hit_true_shard
+        |FROM cand GROUP BY probe_id, true_shard
+        |ORDER BY probe_id""".stripMargin
+    },
     // seeded hash scaled by weight, k smallest per stratum
     "q151_weighted_sample" ->
       s"""WITH d AS (

@@ -458,6 +458,104 @@ object Similarity {
               .cast("int"))))
   }
 
+  /** Ordered squared-L2 between two array COLUMNS (vs [[squaredDist]]'s
+    * literal second operand): zip preserves element order and the fold
+    * is left-associative, so the double result is bit-identical across
+    * engines and partitionings. */
+  def sqDistCols(x: Column, y: Column): Column =
+    aggregate(zip_with(x.cast("array<double>"), y,
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** (id, sub, sv): each vector split into `m` contiguous `dsub`-wide
+    * subvectors — product quantization's decomposition. */
+  def pqSubvectors(df: DataFrame, idCol: String, vecCol: String,
+                   m: Int, dsub: Int): DataFrame = {
+    val subs = array((0 until m).map { s =>
+      struct(lit(s).as("sub"), slice(col(vecCol), s * dsub + 1, dsub).as("sv"))
+    }: _*)
+    df.select(col(idCol).as("id"), explode(subs).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+  }
+
+  /** Product-quantization codebooks, trained FULLY RELATIONALLY — the
+    * codebook never touches the driver. Per subspace: seed with the
+    * `ksub` lowest-id subvectors, run one Lloyd step where assignment is
+    * an argmin over the broadcast (m·ksub)-row centroid relation and the
+    * re-estimated means use the [[labelCentroidRows]] fixed-point trick
+    * (`round(v·2^scaleBits)` summed as longs — associative, so the
+    * distributed sum is bit-identical under any partitioning and exactly
+    * replayable in SQL). A cluster that loses all members keeps its
+    * seed centroid. Per-(sub,cid) array assembly buffers ≤ dsub entries.
+    *
+    * @return (sub, cid, cent: array<double>) — m·ksub rows. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, dsub: Int, ksub: Int,
+                  scaleBits: Int = 20): DataFrame = {
+    val q = (1L << scaleBits).toDouble
+    val sv = pqSubvectors(corpus, idCol, vecCol, m, dsub)
+    val init = sv.filter(col("id") < ksub)
+      .select(col("sub"), col("id").cast("long").as("cid"),
+        col("sv").cast("array<double>").as("cent"))
+    val a0 = sv.join(broadcast(init), "sub")
+      .withColumn("d2", sqDistCols(col("sv"), col("cent")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
+      .select(col("id"), col("sub"), col("mn.cid").as("cid"))
+    val means = sv.join(a0, Seq("id", "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(sum(round(col("v").cast("double") * lit(q)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("sub"), col("cid"), col("pos"),
+        (col("s").cast("double") / col("n").cast("double") / lit(q)).as("c"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("tcent"))
+    init.join(means, Seq("sub", "cid"), "left")
+      .select(col("sub"), col("cid"),
+        coalesce(col("tcent"), col("cent")).as("cent"))
+  }
+
+  /** PQ asymmetric-distance top-k: the corpus is stored as m small
+    * centroid codes (here 4×8 = 32·log₂8 bits/vector vs 64 floats), and
+    * each query scans codes via an m·ksub distance TABLE instead of full
+    * float vectors — the memory-bandwidth compression a billion-vector
+    * scan runs (pair with IVF probing to also prune candidates; this
+    * operator isolates the ADC arithmetic). The per-pair distance sums
+    * the m table entries in fixed sub order, so even the double `adc` is
+    * engine-exact. Codebook relation is eagerly checkpointed (m·ksub
+    * rows — bounded model state) so the three consumers don't re-run
+    * training. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, m: Int, dsub: Int, ksub: Int,
+             k: Int): DataFrame = {
+    val cents = pqCodebooks(corpus, idCol, vecCol, m, dsub, ksub)
+      .localCheckpoint(true)
+    val codes = pqSubvectors(corpus, idCol, vecCol, m, dsub)
+      .join(broadcast(cents), "sub")
+      .withColumn("d2", sqDistCols(col("sv"), col("cent")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
+      .select(col("id").as("nid"), col("sub"), col("mn.cid").as("cid"))
+    val qdt = pqSubvectors(queries, idCol, vecCol, m, dsub)
+      .join(broadcast(cents), "sub")
+      .withColumn("d2", sqDistCols(col("sv"), col("cent")))
+      .select(col("id").as("query_id"), col("sub"), col("cid"), col("d2"))
+    val sums = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("d2")).otherwise(lit(0.0))).as(s"s$s"))
+    val adc = codes.join(broadcast(qdt), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("nid"))
+      .groupBy(col("query_id"), col("nid"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("adc", (0 until m).map(s => col(s"s$s")).reduce(_ + _))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("nid"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nid").as("neighbor_id"),
+        col("adc"))
+  }
+
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                centroids: Seq[Seq[Double]], minCos: Double): DataFrame = {
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -710,6 +710,22 @@ object PlanAudit {
         p.contains("BroadcastHashJoin"))
     }
 
+    // q155 PQ: the m·ksub codebook joins broadcast everywhere; training
+    // means partial-aggregate (exact integer sums)
+    audit("q155") {
+      val p = plan("q155_pq_ann")
+      check("q155 PQ broadcasts the codebook and partial-aggregates",
+        p.contains("BroadcastHashJoin") && p.contains("partial_sum") &&
+          !p.contains("CartesianProduct"))
+    }
+
+    // q156 shard bloom: the per-(shard, word) bit_or must partial-
+    // aggregate so the shuffle is bounded by the filter size
+    audit("q156") {
+      check("q156 bloom build partial-aggregates the bit words",
+        plan("q156_shard_bloom").contains("partial_"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable

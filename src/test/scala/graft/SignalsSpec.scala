@@ -160,6 +160,55 @@ class SignalsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 0L)))
   }
 
+  test("pqTopK: with ksub = n the codes are exact and PQ = brute-force L2") {
+    // when every vector seeds its own cluster, the Lloyd step leaves each
+    // centroid on its vector, codes are the identity, and ADC degenerates
+    // to the exact squared distance — so the PQ ranking must equal the
+    // exact ranking
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pq = operators.Similarity.pqTopK(df.filter(col("vec_id") < 3), df,
+        "vec_id", "embedding", m = 2, dsub = 4, ksub = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = vecs.flatMap { case (q, qv) =>
+      if (q >= 3) Nil else vecs.filter(_._1 != q).map { case (n, nv) =>
+        val d = qv.zip(nv).map { case (a, b) =>
+          (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum
+        (q, n, d)
+      }.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((_, n, _), i) => (q, i + 1L, n) }
+    }.toSet
+    assert(pq.toSet == exact)
+  }
+
+  test("pqCodebooks: m·ksub rows, dsub-wide centroids, repartition-stable") {
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 40L).map(i => (i, Array.fill(12)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    def cb(d: org.apache.spark.sql.DataFrame) =
+      operators.Similarity.pqCodebooks(d, "vec_id", "embedding",
+          m = 3, dsub = 4, ksub = 4)
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2)))
+        .toMap
+    val a = cb(df)
+    val b = cb(df.repartition(7))
+    assert(a.size == 12 && a.values.forall(_.length == 4))
+    assert(a == b)
+  }
+
+  test("bloom bitmaps: no false negatives across shards") {
+    val keys = (0L until 100L).map(i => (i % 4, s"key-$i")).toDF("shard", "k")
+    val bitmaps = operators.Bloom.buildBitmaps(keys, "shard", "k",
+      numBits = 1024, numHashes = 3, seed = 5L)
+    val hits = keys.join(bitmaps, "shard")
+      .withColumn("hit", operators.Bloom.mightContain(col("bloom"),
+        operators.Dedup.polyHash(col("k")), 1024, 3, 5L))
+      .filter(!col("hit")).count()
+    assert(hits == 0L, "a present key missed its own shard's filter")
+  }
+
   test("compactionPlan: bins partition the files, contiguously, near target") {
     val target = 100L
     val files = (0 until 30).map(i => ("g", i.toLong, 17L + (i % 5) * 13L))
