@@ -215,9 +215,57 @@ object SignalQueries {
       .orderBy(col("probe_id"))
   }
 
+  /** q157: the signal layer END TO END — every doc scored by all four
+    * signals (classifier logit, PageRank centrality, importance ppm,
+    * information density), gated by the classifier, and the kept docs
+    * budget-filled per source in (importance desc, centrality desc)
+    * order under a half-corpus Hamilton allocation. One row per doc
+    * with its full signal vector and fate; the oracle replays the
+    * entire composition — certifying the hand-offs (fill sees only kept
+    * docs, allocation is computed over kept totals), the q143
+    * discipline applied to the signal family. */
+  def q157SignalFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"), col("source"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+    val cl = Signals.hashedLogit(docs, "doc_id", "text")
+      .select(col("doc_id"), col("logit"), col("accept"))
+    val pr = Signals.pageRank(docs.select(col("doc_id")), "doc_id",
+        linkEdges(spark, dir), "src", "dst", iters = 3)
+      .select(col("id").as("doc_id"), col("rank").as("prank"))
+    val iw = Signals.importanceWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 1024)
+      .select(col("doc_id"), col("imp_ppm"))
+    val dens = Signals.stopwordDensity(docs, "doc_id", "text", 50L)
+      .select(col("doc_id"), col("density_ppm"))
+    val sig = base.join(cl, "doc_id").join(pr, "doc_id")
+      .join(iw, "doc_id").join(dens, "doc_id")
+      .withColumn("is_kept", col("accept"))
+    val kept = sig.filter(col("is_kept"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("imp_ppm"), col("prank"))
+    val alloc = Sampling.budgetAllocate(kept, "source", "doc_id", "n_toks",
+        num = 1, den = 2)
+      .select(col("source"), col("alloc_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("imp_ppm").desc, col("prank").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sel = kept
+      .withColumn("tb", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .join(broadcast(alloc), Seq("source"))
+      .select(col("doc_id"), (col("tb") < col("alloc_tokens")).as("sel"))
+    sig.join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("logit"), col("prank"),
+        col("imp_ppm"), col("density_ppm"), col("is_kept"),
+        coalesce(col("sel"), lit(false)).as("is_selected"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_pq_ann"             -> q155PqAnn _,
     "q156_shard_bloom"        -> q156ShardBloomIndex _,
+    "q157_signal_fusion"      -> q157SignalFusion _,
     "q145_quality_classifier" -> q145QualityClassifier _,
     "q146_pagerank"           -> q146PageRank _,
     "q147_importance_rank"    -> q147ImportanceRank _,
@@ -601,6 +649,112 @@ object SignalQueries {
         |FROM cand GROUP BY probe_id, true_shard
         |ORDER BY probe_id""".stripMargin
     },
+    // the whole signal layer replayed: classifier, 3-iteration PageRank,
+    // importance buckets, density, then the Hamilton allocation over
+    // KEPT docs and the signal-ordered fill
+    "q157_signal_fusion" ->
+      s"""WITH c_base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents),
+        |c_wf AS (
+        |  SELECT doc_id, list_concat(toks,
+        |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |                   i -> toks[i] || ' ' || toks[i+1])) AS feats
+        |  FROM c_base),
+        |c_f AS (SELECT doc_id, unnest(feats) AS f FROM c_wf),
+        |c_h AS (SELECT doc_id, ${polyHashSql("f")} AS h FROM c_f),
+        |c_w AS (
+        |  SELECT doc_id,
+        |    (((h % 4096) * $wA + $wB) % 2147483647) % 2001 - 1000 AS w
+        |  FROM c_h),
+        |cl AS (
+        |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit,
+        |    (sum(w) > 0) AS accept
+        |  FROM c_w GROUP BY doc_id),
+        |$edgeCtes,
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY src),
+        |r0 AS (SELECT doc_id AS id, CAST(1000000000000 AS BIGINT) AS r
+        |       FROM documents),
+        |${prIter(1, "r0")},
+        |${prIter(2, "r1")},
+        |${prIter(3, "r2")},
+        |i_toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |    unnest(string_split_regex(trim(text), '\\s+')) AS t
+        |  FROM documents),
+        |i_hb AS (
+        |  SELECT doc_id, is_t, ${polyHashSql("t")} % 1024 AS b
+        |  FROM i_toks),
+        |i_wgt AS (
+        |  SELECT b,
+        |    ((sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1) * 1000000)
+        |      // (count(*) + 1) AS w
+        |  FROM i_hb GROUP BY b),
+        |imp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(w) AS BIGINT) // CAST(count(*) AS BIGINT) AS imp_ppm
+        |  FROM i_hb JOIN i_wgt USING (b) GROUP BY doc_id),
+        |d_toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        |  FROM documents),
+        |d_nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |d_sdf AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS tdf
+        |  FROM d_toks GROUP BY term),
+        |d_stop AS (SELECT term FROM d_sdf, d_nd
+        |           WHERE tdf * 100 >= n_docs * 50),
+        |dens AS (
+        |  SELECT t.doc_id,
+        |    ((count(*) - sum(CASE WHEN s.term IS NOT NULL THEN 1 ELSE 0 END))
+        |     * 1000000) // count(*) AS density_ppm
+        |  FROM d_toks t LEFT JOIN d_stop s USING (term)
+        |  GROUP BY t.doc_id),
+        |b0 AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |sig AS (
+        |  SELECT b0.doc_id, b0.source, b0.n, cl.logit, cl.accept AS is_kept,
+        |    r3.r AS prank, imp.imp_ppm, CAST(dens.density_ppm AS BIGINT)
+        |      AS density_ppm
+        |  FROM b0 JOIN cl USING (doc_id)
+        |  JOIN r3 ON r3.id = b0.doc_id
+        |  JOIN imp USING (doc_id) JOIN dens USING (doc_id)),
+        |kept AS (
+        |  SELECT doc_id, source, n, imp_ppm, prank FROM sig WHERE is_kept),
+        |wgt AS (SELECT source, CAST(sum(n) AS BIGINT) AS w_tokens
+        |        FROM kept GROUP BY source),
+        |tot AS (SELECT CAST(sum(w_tokens) AS BIGINT) AS w_total FROM wgt),
+        |a0 AS (
+        |  SELECT w.source, w.w_tokens,
+        |    (t.w_total * 1) // 2 AS budget,
+        |    (((t.w_total * 1) // 2) * w.w_tokens) // t.w_total AS base,
+        |    (((t.w_total * 1) // 2) * w.w_tokens) % t.w_total AS rem
+        |  FROM wgt w CROSS JOIN tot t),
+        |a1 AS (
+        |  SELECT *, budget - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM a0),
+        |alloc AS (
+        |  SELECT source,
+        |    CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc_tokens
+        |  FROM a1),
+        |cum AS (
+        |  SELECT doc_id, source, n,
+        |    coalesce(sum(n) OVER (PARTITION BY source
+        |      ORDER BY imp_ppm DESC, prank DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+        |  FROM kept),
+        |sel AS (
+        |  SELECT c.doc_id, (c.tb < al.alloc_tokens) AS sel
+        |  FROM cum c JOIN alloc al USING (source))
+        |SELECT sig.doc_id, sig.source, sig.logit, sig.prank, sig.imp_ppm,
+        |  sig.density_ppm, sig.is_kept,
+        |  coalesce(sel.sel, FALSE) AS is_selected
+        |FROM sig LEFT JOIN sel USING (doc_id)
+        |ORDER BY sig.doc_id""".stripMargin,
     // seeded hash scaled by weight, k smallest per stratum
     "q151_weighted_sample" ->
       s"""WITH d AS (

@@ -726,6 +726,15 @@ object PlanAudit {
         plan("q156_shard_bloom").contains("partial_"))
     }
 
+    // q157 signal fusion: four signal pipelines joined on doc_id, the
+    // tiny allocation broadcast onto the kept fill, no cartesian
+    audit("q157") {
+      val p = plan("q157_signal_fusion")
+      check("q157 fusion: partial aggs + broadcast alloc, no cartesian",
+        p.contains("partial_") && p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable
