@@ -226,9 +226,10 @@ object Signals {
     val base = joined.groupBy(col("dst"))
       .agg(count(lit(1)).cast("long").as("in_deg"),
         countDistinct(col("lsrc")).cast("long").as("n_sources"))
-    // argmax by (count, reversed keyword order): max(struct(n, neg-kw))
-    // has no string negation, so rank keywords with a second agg level —
-    // per (dst, kw) counts are already tiny after the first combine.
+    // argmax by (count desc, keyword asc): max(struct(n, kw)) can't
+    // reverse a string order, so the pick is a row_number window — but
+    // over the per-(dst, kw) COUNTS (already combined, ≤ distinct
+    // keywords per target), never the raw edge set.
     val kwCounts = joined.groupBy(col("dst"), col("kw"))
       .agg(count(lit(1)).cast("long").as("n"))
     val w = Window.partitionBy(col("dst"))
@@ -277,6 +278,11 @@ object Signals {
     * it broadcasts; the token stream is touched once. */
   def stopwordDensity(df: DataFrame, idCol: String, textCol: String,
                       thresholdPct: Long): DataFrame = {
+    // below ~10% the "stop" relation stops being small-by-construction
+    // (up to 10 terms per doc could qualify) and the broadcast bound
+    // with it — keep the threshold in the regime the design assumes
+    require(thresholdPct >= 10 && thresholdPct <= 100,
+      s"thresholdPct must be in [10, 100], got $thresholdPct")
     val toks = df.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("term"))
     val nd = df.agg(count(lit(1)).cast("long").as("n_docs"))

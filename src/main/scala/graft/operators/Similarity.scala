@@ -480,7 +480,10 @@ object Similarity {
 
   /** Product-quantization codebooks, trained FULLY RELATIONALLY — the
     * codebook never touches the driver. Per subspace: seed with the
-    * `ksub` lowest-id subvectors, run one Lloyd step where assignment is
+    * subvectors of ids `< ksub` (a FILTER, not a top-k — the
+    * driver-generated corpora have 0-based contiguous ids; a corpus with
+    * sparse ids must remap first or it seeds short), run one Lloyd step
+    * where assignment is
     * an argmin over the broadcast (m·ksub)-row centroid relation and the
     * re-estimated means use the [[labelCentroidRows]] fixed-point trick
     * (`round(v·2^scaleBits)` summed as longs — associative, so the
