@@ -79,6 +79,25 @@ object Bench {
     final case class M(secs: Double, load: Double, spread: Double, retimes: Int)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, M]
 
+    // Fixed calibration workload (hash 4·10⁸ longs across the session's
+    // cores, data-independent): measured at suite start AND end, the
+    // minimum goes into the record as `calib_sec`. Cross-day totals on
+    // driver boxes have swung ~1.4× on identical builds; dividing two
+    // records' totals by their calib_sec cancels the box's CPU speed
+    // and co-tenant pressure, which wall-clock alone can't.
+    def calibRun(n: Long): Unit =
+      spark.range(0L, n, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS h") // xor: no ANSI overflow
+        .write.format("noop").mode("overwrite").save()
+    def calibrate(): Double = {
+      calibRun(10000000L) // warm-up: JIT + codegen, not timed
+      val t0 = System.nanoTime()
+      calibRun(8000000000L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = try calibrate() catch { case e: Throwable =>
+      System.err.println(s"[bench] calibration failed: ${e.getMessage}"); -1.0 }
+
     // SPARK_GRAFT_ONLY=q20_...,q21_... benches a subset (scale smokes)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -188,10 +207,18 @@ object Bench {
       case None => s""","quiet":true"""
     }
     val subsetInfo = if (isSubset) s""","subset":true""" else ""
+    val calibEnd = try calibrate() catch { case e: Throwable =>
+      System.err.println(s"[bench] calibration failed: ${e.getMessage}"); -1.0 }
+    val calib = (calibStart, calibEnd) match {
+      case (a, b) if a > 0 && b > 0 => math.min(a, b)
+      case (a, b) => math.max(a, b)
+    }
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""query_load":$loads,"query_spread":$spreads,"retimed":$retimed,""" +
-        s""""unstable":$unstable,"sf":"$sfDir","loadavg":"$load"$quietInfo$subsetInfo}"""
+        s""""unstable":$unstable,"sf":"$sfDir","loadavg":"$load"""" +
+        s""","calib_sec":${fmt(calib)},"calib_start":${fmt(calibStart)}""" +
+        s""","calib_end":${fmt(calibEnd)}$quietInfo$subsetInfo}"""
     // sbt interleaves [info]/WARN prefixes on stdout, which broke the
     // driver's parse in round 1 — persist the result line to a file too.
     // Subset runs (SPARK_GRAFT_ONLY) write BENCH_subset.json so a scale
