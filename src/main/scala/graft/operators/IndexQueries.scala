@@ -155,8 +155,21 @@ object IndexQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q158: HLL-style register sketch per order priority
+    * ([[Sketches.hllSketch]], 64 registers, integer rank ladder +
+    * rational harmonic sum) alongside the exact distinct — the
+    * fixed-memory mergeable companion of q76's KMV. */
+  def q158HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val sk = Sketches.hllSketch(ord, Seq("o_orderpriority"), "o_custkey")
+    val ex = ord.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).cast("long").as("exact_distinct"))
+    ex.join(sk, "o_orderpriority").orderBy(col("o_orderpriority"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_phrase_search" -> q144PhraseSearch _,
+    "q158_hll_distinct"  -> q158HllDistinct _,
     "q74_postings"    -> q74Postings _,
     "q75_range_join"  -> q75RangeJoin _,
     "q76_kmv_distinct" -> q76KmvDistinct _,
@@ -179,6 +192,42 @@ object IndexQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // knuth hash -> register/rank split -> 26-branch integer ladder ->
+    // per-register max -> exact integer harmonic numerator; the only
+    // float op is the final alpha*m^2*2^27 divide (power-of-two scales,
+    // association-free)
+    "q158_hll_distinct" ->
+      s"""WITH h AS (
+        |  SELECT o_orderpriority,
+        |    ((o_custkey % 2147483647) * 2654435761) % 4294967296 AS h
+        |  FROM orders),
+        |jr AS (
+        |  SELECT o_orderpriority, h // 67108864 AS j, h % 67108864 AS r
+        |  FROM h),
+        |rho AS (
+        |  SELECT o_orderpriority, j, ${Sketches.hllRhoSql("r")} AS rho
+        |  FROM jr),
+        |regs AS (
+        |  SELECT o_orderpriority, j, max(rho) AS mj
+        |  FROM rho GROUP BY o_orderpriority, j),
+        |agg AS (
+        |  SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_registers_set,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(27 - mj AS INTEGER))
+        |         AS BIGINT) AS s
+        |  FROM regs GROUP BY o_orderpriority),
+        |ex AS (
+        |  SELECT o_orderpriority,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT ex.o_orderpriority, ex.exact_distinct, agg.n_registers_set,
+        |  CAST(agg.s + (64 - agg.n_registers_set) * 134217728 AS BIGINT)
+        |    AS hll_num,
+        |  CAST(0.709 AS DOUBLE) * 4096.0 * 134217728.0
+        |    / CAST(agg.s + (64 - agg.n_registers_set) * 134217728 AS DOUBLE)
+        |    AS hll_est
+        |FROM ex JOIN agg USING (o_orderpriority)
+        |ORDER BY ex.o_orderpriority""".stripMargin,
     // slice-based trigrams == the engine's lead() windows (0-based pos);
     // top pick and match count replayed with the same tie order
     "q144_phrase_search" ->

@@ -276,6 +276,12 @@ object PlanAudit {
           plan(q).contains("partial_"))
       }
     }
+    // q158 HLL: both aggregation levels (register max, harmonic fold)
+    // must partial-aggregate; the rank ladder is a projection
+    audit("q158") {
+      check("q158 HLL registers partial-aggregate",
+        plan("q158_hll_distinct").contains("partial_max"))
+    }
     // q78 histogram sketch: the only full-data work is the (group, bin)
     // count — partial aggregation before one exchange, no join
     audit("q78") {

@@ -209,6 +209,31 @@ class SignalsSpec extends SparkSpec {
     assert(hits == 0L, "a present key missed its own shard's filter")
   }
 
+  test("hll: split-merge equals whole-corpus sketch; estimate sane") {
+    import operators.Sketches
+    // seeded RANDOM keys: dense consecutive ranges carry the Knuth
+    // hash's low-bit lattice into the rank field and bias the estimate
+    // high (~1.7x measured) — documented in hllSketch's Scaladoc
+    val rnd = new scala.util.Random(7)
+    val distinctKeys = Seq.fill(4000)(rnd.nextInt(Int.MaxValue).toLong)
+      .distinct.take(1900)
+    val keys = (distinctKeys ++ distinctKeys.take(600))
+      .map(k => ("g", k)).toDF("g", "k")
+    val whole = Sketches.hllRegisters(keys, Seq("g"), "k")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val a = Sketches.hllRegisters(keys.filter(col("k") % 2 === 0), Seq("g"), "k")
+    val b = Sketches.hllRegisters(keys.filter(col("k") % 2 =!= 0), Seq("g"), "k")
+    val merged = a.unionByName(b).groupBy(col("g"), col("j"))
+      .agg(max(col("mj")).as("mj"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == whole, "register merge by max != whole-corpus registers")
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(keys, Seq("g"), "k"), Seq("g"))
+      .collect()(0).getAs[Double]("hll_est")
+    // 64 registers -> ~13% standard error; 1900 distinct random keys
+    assert(est > 1900 * 0.6 && est < 1900 * 1.4, s"estimate $est way off 1900")
+  }
+
   test("compactionPlan: bins partition the files, contiguously, near target") {
     val target = 100L
     val files = (0 until 30).map(i => ("g", i.toLong, 17L + (i % 5) * 13L))
