@@ -167,9 +167,34 @@ object IndexQueries {
     ex.join(sk, "o_orderpriority").orderBy(col("o_orderpriority"))
   }
 
+  /** q159: interval-OVERLAP join ([[RangeJoin.overlapJoin]]) — urgent
+    * orders' 7-day windows × high-priority orders' 5-day windows, with
+    * the exact overlap length; binned equi-join with the emit-once
+    * first-shared-bin guard, never a nested loop. */
+  def q159OverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 16 === 0)
+      .select(col("o_orderkey").as("a_key"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("a_start"))
+      .withColumn("a_end", col("a_start") + 7)
+    val b = o.filter(col("o_orderpriority") === "2-HIGH" &&
+        col("o_orderkey") % 16 === 0)
+      .select(col("o_orderkey").as("b_key"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("b_start"))
+      .withColumn("b_end", col("b_start") + 5)
+    RangeJoin.overlapJoin(a, "a_start", "a_end", b, "b_start", "b_end",
+        binWidth = 7L)
+      .select(col("a_key"), col("b_key"),
+        (least(col("a_end"), col("b_end"))
+          - greatest(col("a_start"), col("b_start"))).as("overlap_days"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_phrase_search" -> q144PhraseSearch _,
     "q158_hll_distinct"  -> q158HllDistinct _,
+    "q159_overlap_join"  -> q159OverlapJoin _,
     "q74_postings"    -> q74Postings _,
     "q75_range_join"  -> q75RangeJoin _,
     "q76_kmv_distinct" -> q76KmvDistinct _,
@@ -192,6 +217,25 @@ object IndexQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // a direct theta join replays the binned equi-join + emit-once plan
+    "q159_overlap_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_key,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |         AS BIGINT) AS s
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 16 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_key,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |         AS BIGINT) AS s
+        |  FROM orders
+        |  WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 16 = 0)
+        |SELECT a.a_key, b.b_key,
+        |  CAST(least(a.s + 7, b.s + 5) - greatest(a.s, b.s) AS BIGINT)
+        |    AS overlap_days
+        |FROM a JOIN b ON a.s < b.s + 5 AND b.s < a.s + 7
+        |ORDER BY a_key, b_key""".stripMargin,
     // knuth hash -> register/rank split -> 26-branch integer ladder ->
     // per-register max -> exact integer harmonic numerator; the only
     // float op is the final alpha*m^2*2^27 divide (power-of-two scales,

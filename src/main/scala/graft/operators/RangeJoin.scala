@@ -53,4 +53,32 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** INTERVAL-interval overlap join: every pair (a, b) whose half-open
+    * ranges `[aStart, aEnd) × [bStart, bEnd)` intersect, planned as the
+    * same binned equi-join — both sides explode to their covered bins,
+    * pairs meet in every shared bin, and the EMIT-ONCE guard keeps only
+    * the first shared bin (the max of the two start bins: both sides
+    * provably cover it, no earlier bin is shared, so each overlapping
+    * pair survives exactly once — no distinct pass, the
+    * [[Dedup.firstCollisionOnly]] idea in bin space). The exact overlap
+    * predicate re-applies post-join; empty intervals match nothing.
+    *
+    * Left columns must be distinct from right columns (alias before
+    * calling). Output carries all columns of both inputs. */
+  def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                  right: DataFrame, rStart: String, rEnd: String,
+                  binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    val lb = left.filter(col(lEnd) > col(lStart))
+      .withColumn("__bin", explode(sequence(bin(col(lStart)), bin(col(lEnd) - 1))))
+    val rb = right.filter(col(rEnd) > col(rStart))
+      .withColumn("__bin", explode(sequence(bin(col(rStart)), bin(col(rEnd) - 1))))
+    lb.join(rb, Seq("__bin"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bin") ===
+        greatest(bin(col(lStart)), bin(col(rStart)))) // emit-once
+      .drop("__bin")
+  }
 }

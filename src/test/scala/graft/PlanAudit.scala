@@ -276,6 +276,14 @@ object PlanAudit {
           plan(q).contains("partial_"))
       }
     }
+    // q159 overlap join: the binned plan must be an equi-join — the
+    // whole point is avoiding the nested-loop fallback a bare theta
+    // condition plans
+    audit("q159") {
+      val p = plan("q159_overlap_join")
+      check("q159 overlap join is a binned equi-join, no nested loop",
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    }
     // q158 HLL: both aggregation levels (register max, harmonic fold)
     // must partial-aggregate; the rank ladder is a projection
     audit("q158") {

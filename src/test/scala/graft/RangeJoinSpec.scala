@@ -16,6 +16,24 @@ class RangeJoinSpec extends SparkSpec {
       BoundedMinKAgg(GraftColumnBridge.expression(c), k, distinct)
         .toAggregateExpression())
 
+  test("overlapJoin matches the naive theta join, each pair exactly once") {
+    val rnd = new scala.util.Random(19)
+    val left = (0 until 60).map { i =>
+      val s = rnd.nextInt(300).toLong; (i.toLong, s, s + 1 + rnd.nextInt(40))
+    }.toDF("a_id", "a_s", "a_e")
+    val right = (0 until 60).map { i =>
+      val s = rnd.nextInt(300).toLong; (i.toLong, s, s + 1 + rnd.nextInt(40))
+    }.toDF("b_id", "b_s", "b_e")
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeJoin.overlapJoin(left, "a_s", "a_e", right, "b_s", "b_e", w)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      val want = left.join(right, $"a_s" < $"b_e" && $"b_s" < $"a_e")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      assert(got.sorted == want.sorted, s"w=$w: pair sets differ")
+      assert(got.size == got.distinct.size, s"w=$w: duplicate pair emitted")
+    }
+  }
+
   test("intervalJoin matches the naive range predicate join") {
     val points = (0L until 200L).map(p => (p, s"p$p")).toDF("x", "ptag")
     // intervals of assorted lengths incl. zero-length, longer-than-bin,
