@@ -262,10 +262,46 @@ object SignalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q160: incremental aggregate maintenance — the materialized-view
+    * pattern a standing 100 TB summary lives by: the base corpus's
+    * aggregate STATE (count, decimal sum, min/max — all mergeable) is
+    * persisted to parquet, read back, and merged with the delta batch's
+    * state; the oracle recomputes from scratch over the full table,
+    * proving merge ≡ recompute. Decimal sums are associative-exact, so
+    * the two-stage path is bit-identical; the derived average divides
+    * only at the edge. (The streaming twin is q114's upsert; this is
+    * the BATCH maintenance loop with state round-tripped through
+    * storage.) */
+  def q160IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def state(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    val out = Fixtures.tempDir("graft-q160-").resolve("mv_state").toString
+    state(li.filter(col("l_orderkey") % 4 =!= 3))
+      .write.mode("overwrite").parquet(out)
+    val stored = spark.read.parquet(out)
+    stored.unionByName(state(li.filter(col("l_orderkey") % 4 === 3)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sum_qty")).as("sq"),
+        min(col("min_price")).as("min_price"),
+        max(col("max_price")).as("max_price"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("sq").cast("double").as("sum_qty"),
+        (col("sq").cast("double") / col("n").cast("double")).as("avg_qty"),
+        col("min_price"), col("max_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_pq_ann"             -> q155PqAnn _,
     "q156_shard_bloom"        -> q156ShardBloomIndex _,
     "q157_signal_fusion"      -> q157SignalFusion _,
+    "q160_incremental_agg"    -> q160IncrementalAgg _,
     "q145_quality_classifier" -> q145QualityClassifier _,
     "q146_pagerank"           -> q146PageRank _,
     "q147_importance_rank"    -> q147ImportanceRank _,
@@ -532,6 +568,20 @@ object SignalQueries {
         |  CAST(max(file_id) AS BIGINT) AS last_file
         |FROM c GROUP BY source, cum_before // 32768
         |ORDER BY source, bin""".stripMargin,
+    // full recompute over the whole table — the gate's engine side went
+    // base-state -> parquet -> merge-with-delta, so equality proves
+    // merge == recompute
+    "q160_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // the full PQ replay: subvector split, seeded init, one integer-
     // fixed-point Lloyd step (exact bigint sums -> identical IEEE
     // divides), re-assignment, and the fixed-sub-order ADC sum

@@ -749,6 +749,14 @@ object PlanAudit {
           !p.contains("CartesianProduct"))
     }
 
+    // q160 incremental maintenance: both the state build and the merge
+    // are partial-aggregated; no join anywhere (pure agg/union shape)
+    audit("q160") {
+      val p = plan("q160_incremental_agg")
+      check("q160 MV maintenance is partial-aggregated and joinless",
+        p.contains("partial_") && !p.contains("Join"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable
