@@ -297,11 +297,25 @@ object SignalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q161: item-item co-occurrence from the click log
+    * ([[Signals.bipartiteProject]]): items = the JSON `k` prop, hot-user
+    * cap 20, min support 2 — the collaborative-filtering projection. */
+  def q161ItemCooccur(spark: SparkSession, dir: String): DataFrame =
+    Signals.bipartiteProject(
+        Tables.events(spark, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull),
+        "user_id", "item", maxItemsPerUser = 20L, minSupport = 2L)
+      .orderBy(col("item_a"), col("item_b"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_pq_ann"             -> q155PqAnn _,
     "q156_shard_bloom"        -> q156ShardBloomIndex _,
     "q157_signal_fusion"      -> q157SignalFusion _,
     "q160_incremental_agg"    -> q160IncrementalAgg _,
+    "q161_item_cooccur"       -> q161ItemCooccur _,
     "q145_quality_classifier" -> q145QualityClassifier _,
     "q146_pagerank"           -> q146PageRank _,
     "q147_importance_rank"    -> q147ImportanceRank _,
@@ -582,6 +596,24 @@ object SignalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // distinct (user, item) -> hot-user cap -> per-user pairing ->
+    // support filter
+    "q161_item_cooccur" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL),
+        |keep AS (
+        |  SELECT u FROM ui GROUP BY u HAVING count(*) <= 20),
+        |kept AS (SELECT ui.u, ui.i FROM ui JOIN keep USING (u))
+        |SELECT a.i AS item_a, b.i AS item_b,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+        |GROUP BY a.i, b.i
+        |HAVING count(*) >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
     // the full PQ replay: subvector split, seeded init, one integer-
     // fixed-point Lloyd step (exact bigint sums -> identical IEEE
     // divides), re-assignment, and the fixed-sub-order ADC sum

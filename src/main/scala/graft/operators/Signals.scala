@@ -299,6 +299,34 @@ object Signals {
         expr("((n_toks - n_stop) * 1000000) div n_toks"))
   }
 
+  /** Bipartite co-occurrence projection (user × item → item-item): the
+    * collaborative-filtering prep that turns an interaction log into an
+    * item similarity graph. Per user the distinct item set is paired
+    * (a < b) and pairs are counted across users; users with more than
+    * `maxItemsPerUser` distinct items are EXCLUDED first — the hot-user
+    * cap that bounds the per-user pair space to maxItems², turning the
+    * worst case from |log|² into |users|·cap² (the [[Dedup]] hot-shingle
+    * discipline; a power-user row that pairs everything with everything
+    * adds noise, not signal). `minSupport` drops singleton pairs before
+    * they leave the aggregation. */
+  def bipartiteProject(df: DataFrame, userCol: String, itemCol: String,
+                       maxItemsPerUser: Long, minSupport: Long): DataFrame = {
+    require(maxItemsPerUser > 0 && minSupport >= 1, "bad caps")
+    val ui = df.select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
+    val keepUsers = ui.groupBy(col("u"))
+      .agg(count(lit(1)).as("ni"))
+      .filter(col("ni") <= maxItemsPerUser)
+      .select(col("u"))
+    val kept = ui.join(keepUsers, "u")
+    val a = kept.select(col("u"), col("i").as("item_a"))
+    val b = kept.select(col("u"), col("i").as("item_b"))
+    a.join(b, Seq("u"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .filter(col("n_users") >= minSupport)
+  }
+
   /** Small-file compaction planner: within each table partition
     * (`groupCol`), walk files in `fileCol` order, accumulate sizes, and
     * open a new output bin every time the RUNNING total crosses a

@@ -757,6 +757,14 @@ object PlanAudit {
         p.contains("partial_") && !p.contains("Join"))
     }
 
+    // q161 bipartite projection: the pairing is a self-equi-join on the
+    // user (capped upstream), never a cartesian
+    audit("q161") {
+      val p = plan("q161_item_cooccur")
+      check("q161 projection pairs via user equi-join, no cartesian",
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable

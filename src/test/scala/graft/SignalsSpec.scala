@@ -234,6 +234,20 @@ class SignalsSpec extends SparkSpec {
     assert(est > 1900 * 0.6 && est < 1900 * 1.4, s"estimate $est way off 1900")
   }
 
+  test("bipartiteProject: hot users excluded, support respected, symmetric-free") {
+    val log = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 11L), // dup row
+      (3L, 10L), (3L, 12L),
+      (9L, 10L), (9L, 11L), (9L, 12L), (9L, 13L) // hot user, cap 3
+    ).toDF("u", "i")
+    val out = operators.Signals.bipartiteProject(log, "u", "i",
+        maxItemsPerUser = 3L, minSupport = 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // user 9 (4 items) excluded; (10,11) seen by users 1 and 2 -> 2;
+    // (10,12) only user 3 -> below support
+    assert(out == Map((10L, 11L) -> 2L))
+  }
+
   test("compactionPlan: bins partition the files, contiguously, near target") {
     val target = 100L
     val files = (0 until 30).map(i => ("g", i.toLong, 17L + (i % 5) * 13L))
