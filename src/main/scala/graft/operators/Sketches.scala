@@ -75,15 +75,24 @@ object Sketches {
     * (see the SignalsSpec merge law); 64 rows per group forever. */
   def hllRegisters(df: DataFrame, groupCols: Seq[String],
                    keyCol: String): DataFrame = {
-    val h = Layout.knuthHash(col(keyCol)) // 32-bit, shared replay form
+    val (j, rho) = hllColumns(col(keyCol))
+    df.select(groupCols.map(col) :+ j.as("j") :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "j").map(col): _*)
+      .agg(max(col("rho")).as("mj"))
+  }
+
+  /** The (register index, rank) projection for one key — shared by the
+    * batch registers and the STREAMING maintenance path (q162), whose
+    * keyed `max` state grows monotonically and absorbs redelivery for
+    * free. */
+  def hllColumns(key: Column): (Column, Column) = {
+    val h = Layout.knuthHash(key) // 32-bit, shared replay form
     val j = (h / lit(1L << 26)).cast("long")      // top 6 bits: register
     val r = pmod(h, lit(1L << 26))                // low 26 bits: rank field
     var rho: Column = lit(27L)                    // r == 0 -> all zeros
     for (k <- 0 to 25)
       rho = when(r >= lit(1L << k), lit((26 - k).toLong)).otherwise(rho)
-    df.select(groupCols.map(col) :+ j.as("j") :+ rho.as("rho"): _*)
-      .groupBy((groupCols :+ "j").map(col): _*)
-      .agg(max(col("rho")).as("mj"))
+    (j, rho)
   }
 
   /** Fold a register relation into the estimate row per group. */

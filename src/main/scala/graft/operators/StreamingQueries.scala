@@ -209,12 +209,102 @@ object StreamingQueries {
     } finally docs.unpersist()
   }
 
+  /** q162: STREAMING distinct-sketch maintenance — the q158 HLL
+    * registers kept live by a streaming `groupBy(type, register).max`
+    * over arriving events. Register state grows monotonically (max is
+    * idempotent and order-independent), so the redelivery chunk changes
+    * NOTHING and the final registers equal the batch sketch over the
+    * same rows — which is exactly what the DuckDB oracle computes. Same
+    * chunked-file staging as q127; the memory sink's update rows are
+    * re-maxed at read time (each is a register's value at some batch —
+    * the max of a monotone sequence is its final value). */
+  def q162StreamHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("event_type"))
+      .persist()
+    try {
+      val tmp = Fixtures.tempDir("graft-q162-")
+      val in = tmp.resolve("in")
+      Files.createDirectories(in)
+      def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val listing = Files.list(stage)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        finally listing.close()
+        val dest = in.resolve(s"$name.parquet")
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = 1600000000000L
+      (0 until 3).foreach { i =>
+        stageChunk(ev.filter(col("event_id") % 3 === i), s"chunk$i",
+          t0 + i * 2000L)
+      }
+      stageChunk(ev.filter(col("event_id") % 7 === 0), "redelivery",
+        t0 + 3 * 2000L)
+
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      val (j, rho) = Sketches.hllColumns(col("user_id"))
+      val qn = "q162_hll_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = stream
+        .select(col("event_type"), j.as("j"), rho.as("rho"))
+        .groupBy(col("event_type"), col("j"))
+        .agg(max(col("rho")).as("mj"))
+        .writeStream.format("memory").queryName(qn).outputMode("update")
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val regs = spark.table(qn)
+        .groupBy(col("event_type"), col("j"))
+        .agg(max(col("mj")).as("mj"))
+      Sketches.hllEstimate(regs, Seq("event_type"))
+        .orderBy(col("event_type"))
+    } finally ev.unpersist()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_stream_upsert" -> q114StreamUpsert _,
     "q127_stream_dedup"  -> q127StreamDedup _,
-    "q141_stream_budget" -> q141StreamBudget _)
+    "q141_stream_budget" -> q141StreamBudget _,
+    "q162_stream_hll"    -> q162StreamHll _)
 
   val oracles: Map[String, String] = Map(
+    // the BATCH sketch over the same rows: registers are order-
+    // independent and max-idempotent, so stream arrival order and the
+    // redelivery chunk cannot change them (q158's replay, keyed on
+    // user_id per event_type)
+    "q162_stream_hll" ->
+      s"""WITH h AS (
+        |  SELECT event_type,
+        |    ((user_id % 2147483647) * 2654435761) % 4294967296 AS h
+        |  FROM events),
+        |jr AS (
+        |  SELECT event_type, h // 67108864 AS j, h % 67108864 AS r
+        |  FROM h),
+        |rho AS (
+        |  SELECT event_type, j, ${Sketches.hllRhoSql("r")} AS rho
+        |  FROM jr),
+        |regs AS (
+        |  SELECT event_type, j, max(rho) AS mj
+        |  FROM rho GROUP BY event_type, j)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_registers_set,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(27 - mj AS INTEGER))
+        |       + (64 - count(*)) * 134217728 AS BIGINT) AS hll_num,
+        |  CAST(0.709 AS DOUBLE) * 4096.0 * 134217728.0
+        |    / CAST(sum(CAST(1 AS BIGINT) << CAST(27 - mj AS INTEGER))
+        |           + (64 - count(*)) * 134217728 AS DOUBLE) AS hll_est
+        |FROM regs GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q114_stream_upsert" ->
       """WITH b AS (
         |  SELECT l_orderkey, l_linenumber,

@@ -765,6 +765,13 @@ object PlanAudit {
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
     }
 
+    // q162 runs a streaming query inside plan() — only assert it plans
+    // and the final register fold partial-aggregates
+    audit("q162") {
+      check("q162 streaming HLL final fold partial-aggregates",
+        plan("q162_stream_hll").contains("partial_max"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable
