@@ -15,7 +15,7 @@ import graft.Tables
   * from the same closed forms.
   */
 object SignalQueries {
-  import PipelineQueries.cosineSql
+  import PipelineQueries.{cosineSql, dupCorpus}
 
   /** The portable polynomial token hash ([[Dedup.polyHash]]) as DuckDB
     * SQL over column `c` — the same fold the q22 simhash oracle replays. */
@@ -310,7 +310,43 @@ object SignalQueries {
         "user_id", "item", maxItemsPerUser = 20L, minSupport = 2L)
       .orderBy(col("item_a"), col("item_b"))
 
+  /** q163: the dedup CASCADE with stage attribution — exact fingerprint,
+    * then n-gram Jaccard (q20's operator), then portable SimHash (q22's),
+    * with first-catch-wins precedence: every doc reports which stage
+    * would drop it, or `none`. The composition certifies the three
+    * already-gated dedups agree on one corpus and that precedence is
+    * well-defined (a doc caught by `exact` is never re-attributed). A
+    * production cascade runs cheapest-first exactly like this, dropping
+    * exact dups before the shingle join ever sees them. */
+  def q163DedupCascade(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val withFp = corpus.withColumn("fp", TextOps.fingerprint(col("text")))
+    val keeper = withFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val near = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 5, threshold = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("nr", lit(true))
+    val sim = Dedup.simhashPairsPortable(corpus, "doc_id", "text",
+        maxDist = 3)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("sm", lit(true))
+    withFp.join(keeper, "fp")
+      .withColumn("is_exact", col("doc_id") > col("keeper"))
+      .join(near, Seq("doc_id"), "left")
+      .join(sim, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact"),
+        coalesce(col("nr"), lit(false)).as("is_near"),
+        coalesce(col("sm"), lit(false)).as("is_sim"),
+        when(col("is_exact"), "exact")
+          .when(coalesce(col("nr"), lit(false)), "near")
+          .when(coalesce(col("sm"), lit(false)), "simhash")
+          .otherwise("none").as("caught_by"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_dedup_cascade"      -> q163DedupCascade _,
     "q155_pq_ann"             -> q155PqAnn _,
     "q156_shard_bloom"        -> q156ShardBloomIndex _,
     "q157_signal_fusion"      -> q157SignalFusion _,
@@ -596,6 +632,85 @@ object SignalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // all three stages replayed over one corpus: fingerprint argmin,
+    // the q20 shingle-jaccard pair set, the q22 signature assembly with
+    // the same interpolated coefficients, then the precedence CASE
+    "q163_dedup_cascade" -> {
+      val coefRows = Dedup.simhashCoefs(60, 42L).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '')
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id AS id,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM corpus),
+        |ex AS (
+        |  SELECT id FROM fp
+        |  JOIN (SELECT fp, min(id) AS keeper FROM fp GROUP BY fp) k USING (fp)
+        |  WHERE id > keeper),
+        |norm AS (
+        |  SELECT doc_id AS id,
+        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+        |      AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT id, sh FROM (
+        |    SELECT id, unnest(list_transform(
+        |      generate_series(0, greatest(len(toks) - 5, 0)),
+        |      i -> array_to_string(toks[i+1:i+5], ' '))) AS sh
+        |    FROM norm) t WHERE length(sh) > 0),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |nr AS (
+        |  SELECT DISTINCT id_b AS id FROM cand
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
+        |stoks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+        |  FROM corpus),
+        |hashed AS (
+        |  SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(t)),
+        |                     i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+        |  FROM stoks),
+        |bits AS (
+        |  SELECT id, bit,
+        |    CASE WHEN (h * a + b) % 2147483647 < 1073741823 THEN 1 ELSE -1 END
+        |      AS contrib
+        |  FROM hashed, (VALUES $coefRows) AS coef(bit, a, b)),
+        |sums AS (SELECT id, bit, sum(contrib) AS s FROM bits GROUP BY id, bit),
+        |sig AS (
+        |  SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+        |                           ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+        |    AS simhash
+        |  FROM sums GROUP BY id),
+        |sm AS (
+        |  SELECT DISTINCT b.id FROM sig a JOIN sig b
+        |    ON a.id < b.id
+        |   AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+        |SELECT c.doc_id,
+        |  (ex.id IS NOT NULL) AS is_exact,
+        |  (nr.id IS NOT NULL) AS is_near,
+        |  (sm.id IS NOT NULL) AS is_sim,
+        |  CASE WHEN ex.id IS NOT NULL THEN 'exact'
+        |       WHEN nr.id IS NOT NULL THEN 'near'
+        |       WHEN sm.id IS NOT NULL THEN 'simhash'
+        |       ELSE 'none' END AS caught_by
+        |FROM corpus c
+        |LEFT JOIN ex ON ex.id = c.doc_id
+        |LEFT JOIN nr ON nr.id = c.doc_id
+        |LEFT JOIN sm ON sm.id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin
+    },
     // distinct (user, item) -> hot-user cap -> per-user pairing ->
     // support filter
     "q161_item_cooccur" ->

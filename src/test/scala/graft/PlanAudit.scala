@@ -772,6 +772,13 @@ object PlanAudit {
         plan("q162_stream_hll").contains("partial_max"))
     }
 
+    // q163 cascade: three dedup stages over one corpus — the pair joins
+    // are all banded/blocked equi-joins, no cartesian anywhere
+    audit("q163") {
+      check("q163 cascade stays equi-join across all three stages",
+        !plan("q163_dedup_cascade").contains("CartesianProduct"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable
