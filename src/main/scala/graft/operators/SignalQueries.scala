@@ -345,8 +345,18 @@ object SignalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q164: 2-iteration integer HITS over the [[linkEdges]] graph
+    * ([[Signals.hits]]) — hub/authority scores max-normalized in exact
+    * integers; the oracle unrolls both rounds. */
+  def q164Hits(spark: SparkSession, dir: String): DataFrame =
+    Signals.hits(Tables.documents(spark, dir).select(col("doc_id")),
+        "doc_id", linkEdges(spark, dir), "src", "dst", iters = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_dedup_cascade"      -> q163DedupCascade _,
+    "q164_hits"               -> q164Hits _,
     "q155_pq_ann"             -> q155PqAnn _,
     "q156_shard_bloom"        -> q156ShardBloomIndex _,
     "q157_signal_fusion"      -> q157SignalFusion _,
@@ -412,6 +422,22 @@ object SignalQueries {
       |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
       |    (tf.tf * nd.n_docs * 1000000) // (dfr.df * dl.dl) AS tfidf_ppm
       |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), nd)""".stripMargin
+
+  /** One HITS round as four CTEs: raw authority sums + max-normalize,
+    * then raw hub sums + max-normalize. `prevH` is the previous hub
+    * relation (columns id, v). */
+  private def hitsIter(k: Int, prevH: String): String =
+    s"""a${k}raw AS (
+       |  SELECT e.dst AS id, CAST(sum($prevH.v) AS BIGINT) AS v
+       |  FROM e JOIN $prevH ON $prevH.id = e.src GROUP BY e.dst),
+       |a${k}mx AS (SELECT max(v) AS m FROM a${k}raw),
+       |a$k AS (SELECT id, (v * 1000000) // m AS v FROM a${k}raw, a${k}mx),
+       |h${k}raw AS (
+       |  SELECT e.src AS id, CAST(sum(a$k.v) AS BIGINT) AS v
+       |  FROM e JOIN a$k ON a$k.id = e.dst GROUP BY e.src),
+       |h${k}mx AS (SELECT max(v) AS m FROM h${k}raw),
+       |h$k AS (SELECT id, (v * 1000000) // m AS v FROM h${k}raw, h${k}mx)"""
+      .stripMargin
 
   /** One PageRank iteration as a pair of CTEs (contribution sums +
     * new ranks), parameterized by the previous rank relation. */
@@ -711,6 +737,29 @@ object SignalQueries {
         |LEFT JOIN sm ON sm.id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin
     },
+    // the same edge synthesis + two unrolled HITS rounds with the
+    // exact-integer max normalization
+    "q164_hits" ->
+      s"""WITH $edgeCtes,
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY src),
+        |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS ind
+        |        FROM e GROUP BY dst),
+        |h0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS v
+        |       FROM documents),
+        |${hitsIter(1, "h0")},
+        |${hitsIter(2, "h1")}
+        |SELECT d.doc_id,
+        |  coalesce(a2.v, 0) AS auth,
+        |  coalesce(h2.v, 0) AS hub,
+        |  coalesce(ind.ind, 0) AS in_deg,
+        |  coalesce(deg.deg, 0) AS out_deg
+        |FROM documents d
+        |LEFT JOIN a2 ON a2.id = d.doc_id
+        |LEFT JOIN h2 ON h2.id = d.doc_id
+        |LEFT JOIN ind ON ind.dst = d.doc_id
+        |LEFT JOIN deg ON deg.src = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // distinct (user, item) -> hot-user cap -> per-user pairing ->
     // support filter
     "q161_item_cooccur" ->

@@ -119,6 +119,54 @@ object Signals {
         coalesce(col("ind"), lit(0L)).as("in_deg"), col("rank"))
   }
 
+  /** Fixed-iteration integer HITS (hubs & authorities) — the second
+    * classical link-centrality pair, distinguishing pages that POINT at
+    * good content from pages pointed AT. Each round:
+    * `a_k = norm(Σ_in h_{k−1})`, `h_k = norm(Σ_out a_k)`, where `norm`
+    * rescales by the global maximum in exact integers
+    * (`v·scale div max(v)` — the single-row max broadcasts; classical
+    * L2 normalization needs sqrt and would be engine-dependent).
+    * Bounds: normalized values ≤ scale, raw sums ≤ N·scale, and the
+    * rescale multiply needs N·scale² < 2⁶³ — with the default 10⁶ scale
+    * that holds to ~9·10⁶ nodes; drop `scale` for bigger graphs.
+    * Same Pregel shape as [[pageRank]]: two equi-joins + two
+    * partial-aggregated shuffles per round. */
+  def hits(nodes: DataFrame, idCol: String,
+           edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val ids = nodes.select(col(idCol).cast("long").as("id"))
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    def normalize(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(max(col("v")).as("m"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"), expr(s"(v * ${scale}L) div m").as("v"))
+    }
+    var hubs = ids.withColumn("v", lit(scale))
+    var auth = ids.withColumn("v", lit(scale))
+    for (_ <- 1 to iters) {
+      auth = normalize(e.join(hubs.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("v")).as("v"))
+        .withColumnRenamed("dst", "id"))
+      hubs = normalize(e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src")).agg(sum(col("v")).as("v"))
+        .withColumnRenamed("src", "id"))
+    }
+    val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).cast("long").as("ind"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).cast("long").as("outd"))
+    ids
+      .join(auth.withColumnRenamed("v", "auth"), Seq("id"), "left")
+      .join(hubs.withColumnRenamed("v", "hub"), Seq("id"), "left")
+      .join(inDeg.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"),
+        coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("ind"), lit(0L)).as("in_deg"),
+        coalesce(col("outd"), lit(0L)).as("out_deg"))
+  }
+
   /** DSIR-style importance weights: hash every token into `buckets`,
     * weight bucket b by the Laplace-smoothed target/raw count ratio
     * `((n_target+1)·10⁶) div (n_raw+1)` (ppm), and score each document

@@ -779,6 +779,14 @@ object PlanAudit {
         !plan("q163_dedup_cascade").contains("CartesianProduct"))
     }
 
+    // q164 HITS: same Pregel discipline as q146 — partial-aggregated
+    // sums, no cartesian (the max broadcast is a 1-row BNLJ, fine)
+    audit("q164") {
+      val p = plan("q164_hits")
+      check("q164 HITS partial-aggregates, no cartesian",
+        p.contains("partial_sum") && !p.contains("CartesianProduct"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable

@@ -46,6 +46,27 @@ class SignalsSpec extends SparkSpec {
     assert(out(0L) > out(9L), "hub outranks the dangling node")
   }
 
+  test("hits: ring graph is the uniform fixed point; star separates roles") {
+    val n = 16
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    // uniform in/out degree: sums stay uniform, max-normalization maps
+    // every value back to exactly `scale`
+    operators.Signals.hits(nodes, "id", ring, "src", "dst", iters = 2)
+      .collect().foreach { r =>
+        assert(r.getLong(1) == 1000000L && r.getLong(2) == 1000000L)
+      }
+    // star with edges leaf -> center: the center is pure authority,
+    // the leaves pure hubs
+    val star = (1L to 5L).map(i => (i, 0L)).toDF("src", "dst")
+    val out = operators.Signals.hits((0L to 5L).toDF("id"), "id",
+        star, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L)._1 == 1000000L && out(0L)._2 == 0L) // center: authority
+    (1L to 5L).foreach(i => assert(out(i)._1 == 0L && out(i)._2 == 1000000L))
+  }
+
   test("hashedLogit: n_feats = 2*len - 1; single-token doc has one feature") {
     val docs = Seq((1L, "alpha"), (2L, "alpha beta"), (3L, "a b c d"))
       .toDF("doc_id", "text")
