@@ -354,9 +354,24 @@ object SignalQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** q165: global score calibration ([[Signals.calibrateScores]]) —
+    * every doc's quality score mapped to its midpoint-rank ppm on the
+    * corpus-wide distribution via the broadcast histogram (no global
+    * data window). */
+  def q165ScoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text"), PipelineQueries.stopwords)
+          .cast("long").as("q"))
+    Signals.calibrateScores(scored, "q")
+      .select(col("doc_id"), col("source"), col("q"), col("calib_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_dedup_cascade"      -> q163DedupCascade _,
     "q164_hits"               -> q164Hits _,
+    "q165_score_calibration"  -> q165ScoreCalibration _,
     "q155_pq_ann"             -> q155PqAnn _,
     "q156_shard_bloom"        -> q156ShardBloomIndex _,
     "q157_signal_fusion"      -> q157SignalFusion _,
@@ -737,6 +752,29 @@ object SignalQueries {
         |LEFT JOIN sm ON sm.id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin
     },
+    // the integer quality score + the histogram midpoint-rank arithmetic
+    "q165_score_calibration" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, source,
+        |    least(len(string_split_regex(trim(text), '\\s+')), 40)
+        |    + least(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |        t -> t IN (${PipelineQueries.stopList}))) * 5, 30)
+        |    + 30 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')), 30)
+        |      AS q
+        |  FROM documents),
+        |hist AS (SELECT q AS s, CAST(count(*) AS BIGINT) AS c
+        |         FROM q GROUP BY q),
+        |cum AS (
+        |  SELECT s, c,
+        |    coalesce(sum(c) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+        |  FROM hist),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+        |SELECT q.doc_id, q.source, CAST(q.q AS BIGINT) AS q,
+        |  CAST(((cum.lt * 2 + cum.c) * 1000000) // (2 * tot.n) AS BIGINT)
+        |    AS calib_ppm
+        |FROM q JOIN cum ON cum.s = q.q, tot
+        |ORDER BY q.doc_id""".stripMargin,
     // the same edge synthesis + two unrolled HITS rounds with the
     // exact-integer max normalization
     "q164_hits" ->

@@ -375,6 +375,31 @@ object Signals {
       .filter(col("n_users") >= minSupport)
   }
 
+  /** Histogram-based score calibration: map every row's integer score
+    * onto the GLOBAL score distribution as a midpoint-rank ppm
+    * (`((2·count_below + count_equal)·10⁶) div (2·N)` — the average
+    * rank of ties, exact integers). The distribution lives as a
+    * HISTOGRAM relation (one row per distinct score value), so the only
+    * window runs over that bounded model state and the data-side cost
+    * is one broadcast join — the scale-shaped alternative to a global
+    * `percent_rank` window, which would single-partition the corpus
+    * (q102 does per-GROUP ranks where the partition bounds the sort;
+    * a global rank has no such bound). Scores must be integral with a
+    * bounded domain (quality scores, logit buckets). */
+  def calibrateScores(df: DataFrame, scoreCol: String): DataFrame = {
+    val hist = df.groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__lt", coalesce(sum(col("__c")).over(w), lit(0L)))
+    val tot = df.agg(count(lit(1)).cast("long").as("__n"))
+    df.join(broadcast(cum), col(scoreCol).cast("long") === col("__s"))
+      .crossJoin(broadcast(tot))
+      .withColumn("calib_ppm",
+        expr("((__lt * 2 + __c) * 1000000) div (2 * __n)"))
+      .drop("__s", "__c", "__lt", "__n")
+  }
+
   /** Small-file compaction planner: within each table partition
     * (`groupCol`), walk files in `fileCol` order, accumulate sizes, and
     * open a new output bin every time the RUNNING total crosses a

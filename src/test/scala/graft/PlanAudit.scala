@@ -787,6 +787,14 @@ object PlanAudit {
         p.contains("partial_sum") && !p.contains("CartesianProduct"))
     }
 
+    // q165 calibration: the histogram broadcasts back onto the data; the
+    // only window runs over the bounded histogram, not the corpus
+    audit("q165") {
+      val p = plan("q165_score_calibration")
+      check("q165 calibration broadcasts the histogram model",
+        p.contains("BroadcastHashJoin") && p.contains("partial_count"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable

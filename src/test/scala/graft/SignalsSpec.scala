@@ -269,6 +269,24 @@ class SignalsSpec extends SparkSpec {
     assert(out == Map((10L, 11L) -> 2L))
   }
 
+  test("calibrateScores: midpoint-rank ppm, tie-consistent, mean-centered") {
+    val scores = Seq(1L, 1L, 2L, 3L, 3L, 3L, 7L, 9L)
+    val df = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val out = operators.Signals.calibrateScores(df, "s")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // score 1: below=0, eq=2 -> (0*2+2)*1e6/(2*8) = 125000
+    assert(out(1L) == 125000L)
+    // score 3: below=3, eq=3 -> (6+3)*1e6/16 = 562500
+    assert(out(3L) == 562500L)
+    // score 9: below=7, eq=1 -> 15*1e6/16 = 937500
+    assert(out(9L) == 937500L)
+    // midpoint convention: the ppm-weighted doc count averages to ~1/2
+    val mean = operators.Signals.calibrateScores(df, "s")
+      .agg(avg(col("calib_ppm"))).collect()(0).getDouble(0)
+    assert(math.abs(mean - 500000.0) < 1.0)
+  }
+
   test("compactionPlan: bins partition the files, contiguously, near target") {
     val target = 100L
     val files = (0 until 30).map(i => ("g", i.toLong, 17L + (i % 5) * 13L))
