@@ -191,10 +191,36 @@ object IndexQueries {
       .orderBy(col("a_key"), col("b_key"))
   }
 
+  /** q166: KEYED interval-overlap join ([[RangeJoin.overlapJoinKeyed]])
+    * — the q159 shape bounded by a tenant key (custkey mod 64), the
+    * documented mitigation for density-driven pair growth. */
+  def q166KeyedOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey").as("a_key"),
+        pmod(col("o_custkey"), lit(64L)).as("a_ten"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("a_start"))
+      .withColumn("a_end", col("a_start") + 7)
+    val b = o.filter(col("o_orderpriority") === "2-HIGH" &&
+        col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey").as("b_key"),
+        pmod(col("o_custkey"), lit(64L)).as("b_ten"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("b_start"))
+      .withColumn("b_end", col("b_start") + 5)
+    RangeJoin.overlapJoinKeyed(a, "a_ten", "a_start", "a_end",
+        b, "b_ten", "b_start", "b_end", binWidth = 7L)
+      .select(col("a_ten").as("tenant"), col("a_key"), col("b_key"),
+        (least(col("a_end"), col("b_end"))
+          - greatest(col("a_start"), col("b_start"))).as("overlap_days"))
+      .orderBy(col("tenant"), col("a_key"), col("b_key"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_phrase_search" -> q144PhraseSearch _,
     "q158_hll_distinct"  -> q158HllDistinct _,
     "q159_overlap_join"  -> q159OverlapJoin _,
+    "q166_keyed_overlap" -> q166KeyedOverlap _,
     "q74_postings"    -> q74Postings _,
     "q75_range_join"  -> q75RangeJoin _,
     "q76_kmv_distinct" -> q76KmvDistinct _,
@@ -217,6 +243,25 @@ object IndexQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the q159 replay with the tenant-equality bound
+    "q166_keyed_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_key, o_custkey % 64 AS ten,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |         AS BIGINT) AS s
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 4 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_key, o_custkey % 64 AS ten,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |         AS BIGINT) AS s
+        |  FROM orders
+        |  WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 4 = 0)
+        |SELECT CAST(a.ten AS BIGINT) AS tenant, a.a_key, b.b_key,
+        |  CAST(least(a.s + 7, b.s + 5) - greatest(a.s, b.s) AS BIGINT)
+        |    AS overlap_days
+        |FROM a JOIN b ON a.ten = b.ten AND a.s < b.s + 5 AND b.s < a.s + 7
+        |ORDER BY tenant, a_key, b_key""".stripMargin,
     // a direct theta join replays the binned equi-join + emit-once plan
     "q159_overlap_join" ->
       """WITH a AS (

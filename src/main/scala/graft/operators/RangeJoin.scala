@@ -81,4 +81,28 @@ object RangeJoin {
         greatest(bin(col(lStart)), bin(col(rStart)))) // emit-once
       .drop("__bin")
   }
+
+  /** KEYED overlap join: overlaps only within matching `(lKey, rKey)`
+    * partitions (tenant, customer, shard). This is the scale mitigation
+    * the bare [[overlapJoin]] documents: without a key, the TRUE pair
+    * count grows with interval density squared (output-bound, 84×
+    * measured at 100× data); the key bounds each join group, restoring
+    * ~linear scaling, and rides the same equi-join (bin AND key) with
+    * the same emit-once guard. */
+  def overlapJoinKeyed(left: DataFrame, lKey: String, lStart: String,
+                       lEnd: String, right: DataFrame, rKey: String,
+                       rStart: String, rEnd: String,
+                       binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    val lb = left.filter(col(lEnd) > col(lStart))
+      .withColumn("__bin", explode(sequence(bin(col(lStart)), bin(col(lEnd) - 1))))
+    val rb = right.filter(col(rEnd) > col(rStart))
+      .withColumn("__bin", explode(sequence(bin(col(rStart)), bin(col(rEnd) - 1))))
+    lb.join(rb, col(lKey) === col(rKey) && lb("__bin") === rb("__bin"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(lb("__bin") ===
+        greatest(bin(col(lStart)), bin(col(rStart)))) // emit-once
+      .drop("__bin")
+  }
 }

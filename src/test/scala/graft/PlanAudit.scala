@@ -284,6 +284,12 @@ object PlanAudit {
       check("q159 overlap join is a binned equi-join, no nested loop",
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
     }
+    // q166 keyed overlap: same equi-join requirement as q159
+    audit("q166") {
+      val p = plan("q166_keyed_overlap")
+      check("q166 keyed overlap is a binned equi-join, no nested loop",
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    }
     // q158 HLL: both aggregation levels (register max, harmonic fold)
     // must partial-aggregate; the rank ladder is a projection
     audit("q158") {

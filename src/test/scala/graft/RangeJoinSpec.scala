@@ -34,6 +34,28 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("overlapJoinKeyed matches the keyed theta join, no duplicates") {
+    val rnd = new scala.util.Random(23)
+    val left = (0 until 80).map { i =>
+      val s = rnd.nextInt(200).toLong
+      (i.toLong, (i % 4).toLong, s, s + 1 + rnd.nextInt(30))
+    }.toDF("a_id", "a_k", "a_s", "a_e")
+    val right = (0 until 80).map { i =>
+      val s = rnd.nextInt(200).toLong
+      (i.toLong, (i % 4).toLong, s, s + 1 + rnd.nextInt(30))
+    }.toDF("b_id", "b_k", "b_s", "b_e")
+    for (w <- Seq(1L, 16L, 500L)) {
+      val got = RangeJoin.overlapJoinKeyed(left, "a_k", "a_s", "a_e",
+          right, "b_k", "b_s", "b_e", w)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      val want = left.join(right,
+          $"a_k" === $"b_k" && $"a_s" < $"b_e" && $"b_s" < $"a_e")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      assert(got.sorted == want.sorted, s"w=$w: pair sets differ")
+      assert(got.size == got.distinct.size, s"w=$w: duplicate pair emitted")
+    }
+  }
+
   test("intervalJoin matches the naive range predicate join") {
     val points = (0L until 200L).map(p => (p, s"p$p")).toDF("x", "ptag")
     // intervals of assorted lengths incl. zero-length, longer-than-bin,
