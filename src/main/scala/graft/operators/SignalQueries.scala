@@ -368,10 +368,29 @@ object SignalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q167: Unicode NFC normalization ([[TextOps.nfcNormalize]], native
+    * codegen expression) — every third doc gets a combining-mark suffix,
+    * every third-plus-one the precomposed equivalent; the gate reports
+    * per-doc change flags and codepoint lengths, and proves the
+    * combining-mark variant composes to one codepoint fewer. */
+  def q167UnicodeNfc(spark: SparkSession, dir: String): DataFrame = {
+    val t2 = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(" cafe\u0301"))
+        .when(col("doc_id") % 3 === 1, lit(" caf\u00e9"))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir).select(col("doc_id"), t2.as("t"))
+      .withColumn("n", TextOps.nfcNormalize(col("t")))
+      .select(col("doc_id"), (col("n") =!= col("t")).as("changed"),
+        length(col("t")).cast("long").as("len_before"),
+        length(col("n")).cast("long").as("len_after"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_dedup_cascade"      -> q163DedupCascade _,
     "q164_hits"               -> q164Hits _,
     "q165_score_calibration"  -> q165ScoreCalibration _,
+    "q167_unicode_nfc"        -> q167UnicodeNfc _,
     "q155_pq_ann"             -> q155PqAnn _,
     "q156_shard_bloom"        -> q156ShardBloomIndex _,
     "q157_signal_fusion"      -> q157SignalFusion _,
@@ -752,6 +771,22 @@ object SignalQueries {
         |LEFT JOIN sm ON sm.id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin
     },
+    // DuckDB's nfc_normalize implements the same Unicode canonical
+    // composition as java.text.Normalizer; chr(769) = U+0301 combining
+    // acute, chr(233) = precomposed U+00E9
+    "q167_unicode_nfc" ->
+      """WITH c AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+        |         WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+        |         ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (nfc_normalize(t) <> t) AS changed,
+        |  CAST(length(t) AS BIGINT) AS len_before,
+        |  CAST(length(nfc_normalize(t)) AS BIGINT) AS len_after
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
     // the integer quality score + the histogram midpoint-rank arithmetic
     "q165_score_calibration" ->
       s"""WITH q AS (

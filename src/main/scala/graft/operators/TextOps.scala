@@ -141,6 +141,18 @@ object TextOps {
     * partition-parallel, and joinable for exact dedup. */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
+  /** Unicode NFC canonical composition (codegen'd
+    * [[graft.plans.NfcNormalize]]) — run BEFORE [[fingerprint]] when the
+    * corpus mixes precomposed and combining-mark encodings of the same
+    * text, or `é` and `e`+U+0301 dedupe as different documents. DuckDB's
+    * `nfc_normalize` implements the same Unicode algorithm, so oracles
+    * replay it directly. */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.NfcNormalize(GraftColumnBridge.expression(text)))
+  }
+
   /** Order-sensitive rolling token hash (polynomial over 64-bit lanes) —
     * cheap near-id for shingles; Scala-side twin of [[Dedup.shingleHash]].
     */

@@ -176,6 +176,19 @@ object GraftExpressions {
     acc
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer, canonical
+    * composition) — the pre-dedup canonicalization that makes `é` and
+    * `e`+combining-acute the same fingerprint. Pure JDK; DuckDB's
+    * `nfc_normalize` implements the same Unicode algorithm, so oracles
+    * replay it directly. Fast path: `Normalizer.isNormalized` skips the
+    * copy for the (dominant) already-NFC case. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Winnowing sketch over code points: polynomial k-gram hashes
     * (acc·257 + cp mod 2³¹−1, the [[graft.operators.Dedup.polyHash]]
     * arithmetic), minima over windows of `w` grams, distinct in
@@ -609,6 +622,23 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.plans.GraftExpressions.polyHash($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Unicode NFC normalization as a codegen'd expression
+  * ([[GraftExpressions.nfcNormalize]]): canonical composition before
+  * fingerprinting/dedup, with an isNormalized fast path. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftExpressions.nfcNormalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.GraftExpressions.nfcNormalize($s)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -801,6 +801,12 @@ object PlanAudit {
         p.contains("BroadcastHashJoin") && p.contains("partial_count"))
     }
 
+    // q167 NFC: one projection pass, no join/exchange beyond the sort
+    audit("q167") {
+      check("q167 NFC normalization is a joinless projection",
+        !plan("q167_unicode_nfc").contains("Join"))
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable

@@ -287,6 +287,25 @@ class SignalsSpec extends SparkSpec {
     assert(math.abs(mean - 500000.0) < 1.0)
   }
 
+  test("nfcNormalize: composes combining marks, idempotent, null-safe") {
+    import operators.TextOps
+    val df = Seq(
+      (1L, "cafe\u0301"),   // decomposed: e + combining acute
+      (2L, "caf\u00e9"),    // precomposed
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = df.withColumn("n", TextOps.nfcNormalize(col("t")))
+      .withColumn("n2", TextOps.nfcNormalize(col("n")))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(out(1L)._1.contains("caf\u00e9"), "combining mark not composed")
+    assert(out(2L)._1.contains("caf\u00e9"))
+    assert(out(3L)._1.contains("plain ascii"))
+    assert(out(4L)._1.isEmpty, "null must stay null")
+    out.values.foreach { case (n, n2) => assert(n == n2, "not idempotent") }
+  }
+
   test("compactionPlan: bins partition the files, contiguously, near target") {
     val target = 100L
     val files = (0 until 30).map(i => ("g", i.toLong, 17L + (i % 5) * 13L))
