@@ -79,7 +79,7 @@ object Bench {
     final case class M(secs: Double, load: Double, spread: Double, retimes: Int)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, M]
 
-    // Fixed calibration workload (hash 4·10⁸ longs across the session's
+    // Fixed calibration workload (hash 8·10⁹ longs across the session's
     // cores, data-independent): measured at suite start AND end, the
     // minimum goes into the record as `calib_sec`. Cross-day totals on
     // driver boxes have swung ~1.4× on identical builds; dividing two
@@ -213,12 +213,18 @@ object Bench {
       case (a, b) if a > 0 && b > 0 => math.min(a, b)
       case (a, b) => math.max(a, b)
     }
+    // scaled_total = total / calib_sec: wall time in units of the fixed
+    // calibration workload. Two records' scaled_totals compare directly
+    // across boxes/days (the ~1.4× day-to-day CPU swing cancels); raw
+    // `value` stays for absolute reads.
+    val scaledInfo =
+      if (calib > 0) s""","scaled_total":${fmt(total / calib)}""" else ""
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""query_load":$loads,"query_spread":$spreads,"retimed":$retimed,""" +
         s""""unstable":$unstable,"sf":"$sfDir","loadavg":"$load"""" +
         s""","calib_sec":${fmt(calib)},"calib_start":${fmt(calibStart)}""" +
-        s""","calib_end":${fmt(calibEnd)}$quietInfo$subsetInfo}"""
+        s""","calib_end":${fmt(calibEnd)}$scaledInfo$quietInfo$subsetInfo}"""
     // sbt interleaves [info]/WARN prefixes on stdout, which broke the
     // driver's parse in round 1 — persist the result line to a file too.
     // Subset runs (SPARK_GRAFT_ONLY) write BENCH_subset.json so a scale

@@ -183,8 +183,10 @@ object IndexQueries {
       .select(col("o_orderkey").as("b_key"),
         unix_date(to_date(col("o_orderdate"))).cast("long").as("b_start"))
       .withColumn("b_end", col("b_start") + 5)
+    // the gate's corpus is a bounded slice (orderkey % 16); the unkeyed
+    // quadratic output is the documented finding q166 mitigates
     RangeJoin.overlapJoin(a, "a_start", "a_end", b, "b_start", "b_end",
-        binWidth = 7L)
+        binWidth = 7L, allowUnkeyed = true)
       .select(col("a_key"), col("b_key"),
         (least(col("a_end"), col("b_end"))
           - greatest(col("a_start"), col("b_start"))).as("overlap_days"))

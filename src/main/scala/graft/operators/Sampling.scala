@@ -286,11 +286,20 @@ object Sampling {
     def minK(entry: Column): Column = GraftColumnBridge.column(
       graft.plans.BoundedMinKAgg(GraftColumnBridge.expression(entry), k,
         distinct = false).toAggregateExpression())
+    // fail fast on the contract instead of silently corrupting the
+    // min-k pick: weight 0 would yield a null priority (non-ANSI
+    // div-by-zero) and a negative weight a negative priority, both of
+    // which would win the "smallest priority" race undetected
+    val wGuarded = expr(
+      s"CASE WHEN cast($weightCol as long) > 0 THEN cast($weightCol as long) " +
+        s"ELSE cast(raise_error('prioritySample: $weightCol must be > 0') " +
+        "as long) END")
     val withPri = df
+      .withColumn("__w", wGuarded)
       .withColumn("__hw", keyHashFor(df, idCol, seed) * lit(1000000L))
-      .withColumn("__p", expr(s"__hw div cast($weightCol as long)"))
+      .withColumn("__p", expr("__hw div __w"))
     val entry = struct(col("__p").as("p"), col(idCol).as("id"),
-      col(weightCol).cast("long").as("w"))
+      col("__w").as("w"))
     withPri.groupBy(col(strataCol))
       .agg(minK(entry).as("picks"))
       .select(col(strataCol), posexplode(col("picks")).as(Seq("pos", "e")))

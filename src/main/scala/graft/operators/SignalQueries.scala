@@ -838,10 +838,11 @@ object SignalQueries {
     "q161_item_cooccur" ->
       """WITH ui AS (
         |  SELECT DISTINCT user_id AS u,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
         |  FROM events
         |  WHERE event_type = 'click'
-        |    AND json_extract_string(props, '$.k') IS NOT NULL),
+        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |        IS NOT NULL),
         |keep AS (
         |  SELECT u FROM ui GROUP BY u HAVING count(*) <= 20),
         |kept AS (SELECT ui.u, ui.i FROM ui JOIN keep USING (u))

@@ -97,7 +97,10 @@ object Signals {
       .filter(col("src") =!= col("dst")).distinct()
     val outDeg = e.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("deg"))
-    val base = scale / dampDen * (dampDen - dampNum)
+    // matches the scaladoc form exactly: multiply first, then one
+    // truncating divide (scale·(dampDen−dampNum) stays ≪ 2⁶³ for any
+    // sane damping, so the product cannot overflow before the div)
+    val base = scale * (dampDen - dampNum) / dampDen
     var ranks = ids.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
       val contribs = e

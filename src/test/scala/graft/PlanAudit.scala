@@ -27,7 +27,19 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val failures = run(spark, sfDir)
+    println(if (failures == 0) "AUDIT OK" else s"AUDIT FAILURES: $failures")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
 
+  /** The audit body, callable from both the standalone main above and
+    * [[PlanAuditSpec]] (so `sbt test` fails on a plan regression — a
+    * dimension join falling back to shuffled-hash, a filter no longer
+    * pushed — instead of waiting for someone to remember the manual
+    * run). The session must have AQE disabled (see main). Returns the
+    * failure count. */
+  def run(spark: SparkSession, sfDir: String): Int = {
     var failures = 0
     def check(name: String, cond: Boolean, detail: => String = ""): Unit = {
       if (cond) println(s"PASS $name")
@@ -821,8 +833,6 @@ object PlanAudit {
         "no PartitionFilters on event_type")
     }
 
-    println(if (failures == 0) "AUDIT OK" else s"AUDIT FAILURES: $failures")
-    spark.stop()
-    if (failures > 0) sys.exit(1)
+    failures
   }
 }

@@ -25,7 +25,8 @@ class RangeJoinSpec extends SparkSpec {
       val s = rnd.nextInt(300).toLong; (i.toLong, s, s + 1 + rnd.nextInt(40))
     }.toDF("b_id", "b_s", "b_e")
     for (w <- Seq(1L, 7L, 64L, 1000L)) {
-      val got = RangeJoin.overlapJoin(left, "a_s", "a_e", right, "b_s", "b_e", w)
+      val got = RangeJoin.overlapJoin(left, "a_s", "a_e", right, "b_s", "b_e",
+          w, allowUnkeyed = true)
         .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
       val want = left.join(right, $"a_s" < $"b_e" && $"b_s" < $"a_e")
         .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
@@ -54,6 +55,28 @@ class RangeJoinSpec extends SparkSpec {
       assert(got.sorted == want.sorted, s"w=$w: pair sets differ")
       assert(got.size == got.distinct.size, s"w=$w: duplicate pair emitted")
     }
+  }
+
+  test("unkeyed overlapJoin must be opted into; fractional coords rejected") {
+    val l = Seq((1L, 0L, 5L)).toDF("a_id", "a_s", "a_e")
+    val r = Seq((2L, 3L, 9L)).toDF("b_id", "b_s", "b_e")
+    // default (allowUnkeyed = false) refuses the quadratic path
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.overlapJoin(l, "a_s", "a_e", r, "b_s", "b_e", 4L)
+    }
+    assert(e1.getMessage.contains("overlapJoinKeyed"))
+    // fractional coordinates would silently drop pairs -> rejected
+    val lf = Seq((1L, 0.0, 7.5)).toDF("a_id", "a_s", "a_e")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.overlapJoin(lf, "a_s", "a_e", r, "b_s", "b_e", 7L,
+        allowUnkeyed = true)
+    }
+    assert(e2.getMessage.contains("integral"))
+    val pf = Seq((1L, 2.5)).toDF("p_id", "p")
+    val e3 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(pf, "p", r, "b_s", "b_e", 4L)
+    }
+    assert(e3.getMessage.contains("integral"))
   }
 
   test("intervalJoin matches the naive range predicate join") {

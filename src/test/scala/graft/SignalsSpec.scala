@@ -135,6 +135,17 @@ class SignalsSpec extends SparkSpec {
     assert(picks.map(p => (p._1, p._3)) == expected.map(e => (e._1, e._3)))
   }
 
+  test("prioritySample: non-positive weight fails fast, not silently") {
+    val docs = Seq(("g", 1L, 3L), ("g", 2L, 0L)).toDF("src", "doc_id", "w")
+    val e = intercept[Exception] {
+      operators.Sampling.prioritySample(docs, "src", "doc_id", "w", 2, 7L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("must be > 0")))
+  }
+
   test("prioritySample: invariant under repartitioning, rank bounded by k") {
     val docs = (0L until 80L).map(i => ("g", i, 1L + i % 9)).toDF("src", "doc_id", "w")
     val a = operators.Sampling.prioritySample(docs, "src", "doc_id", "w", 7, 5L)
