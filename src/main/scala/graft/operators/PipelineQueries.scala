@@ -519,9 +519,9 @@ object PipelineQueries {
     * Scale note: the sorted fold buffers one group's values
     * (collect_list) — that is the price of CROSS-ENGINE bit-exactness and
     * belongs to the verification gate only. The production centroid path
-    * ([[Similarity.trainCentroids]]) uses `avg` — partial-aggregated, no
-    * per-group buffer — which is deterministic per plan, just not
-    * bit-identical across engines. */
+    * ([[Similarity.trainCentroids]]) instead sums fixed-point longs —
+    * partial-aggregated, no per-group buffer — which is both
+    * partitioning-independent and cross-engine replayable. */
   def q43Centroids(spark: SparkSession, dir: String): DataFrame = {
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))

@@ -233,7 +233,47 @@ object SelectionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q168/q169 corpus: embeddings plus 1.5×-scaled twins (cosine 1 to
+    * their originals) for every fifth vector — the q85 shape, but with
+    * NO label column: the cluster structure must be learned. */
+  private def autoCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val twins = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    emb.unionByName(twins)
+      .select(col("vec_id"),
+        when(col("vec_id") >= 100000,
+          transform(col("embedding"), v => v * lit(1.5f)))
+          .otherwise(col("embedding")).as("embedding"))
+  }
+
+  /** q168: PRODUCTION-SHAPE semantic dedup ([[Similarity.semDedupAuto]])
+    * — unlike q85's fixed 10-label codebook (quadratic once the corpus
+    * outgrows it), the codebook here is ceil(n/50) centroids trained by
+    * the deterministic fixed-point k-means, so cluster size — and with
+    * it the within-cluster pair space — stays bounded as n grows. The
+    * oracle replays the ENTIRE path in SQL: k-lowest-id seeding, two
+    * Lloyd rounds (fixed-point exact means), nearest-centroid
+    * assignment, and the within-cluster cosine pruning. This is the
+    * exact plan the sf10 probe measures, now value-gated. */
+  def q168SemDedupAuto(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupAuto(autoCorpus(spark, dir), "vec_id", "embedding",
+        minCos = 0.99, targetClusterSize = 50, iters = 2)
+      .orderBy(col("vec_id"))
+
+  /** q169: PRODUCTION-SHAPE mutual k-NN graph
+    * ([[Similarity.knnGraphAuto]], k=3) — q133's graph over a LEARNED
+    * k ∝ n codebook instead of the fixed label set, same training
+    * replay as q168. */
+  def q169KnnGraphAuto(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphAuto(autoCorpus(spark, dir), "vec_id", "embedding",
+        k = 3, targetClusterSize = 50, iters = 2)
+      .orderBy(col("vec_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_semdedup_auto"  -> q168SemDedupAuto _,
+    "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q140_image_phash"    -> q140ImagePhash _,
     "q142_audio_fingerprint" -> q142AudioFingerprint _,
     "q143_select_pipeline" -> q143SelectPipeline _,
@@ -264,7 +304,134 @@ object SelectionQueries {
   private val th19 = Sampling.splitThresholds(
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
+  /** q168/q169: ordered squared-L2 between two SQL lists — the oracle
+    * twin of the VecFold distance [[Similarity.squaredDist]]. */
+  private def sqdSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+       |      (acc, v) -> acc + v)""".stripMargin
+
+  /** The full q168/q169 training replay: twin-injected corpus,
+    * k = ceil(n/50), k-lowest-id seeding, two Lloyd rounds with
+    * fixed-point-exact means (2^20, the [[Similarity.trainCentroids]]
+    * arithmetic), empty clusters inheriting their previous centroid,
+    * and the final nearest-centroid assignment. Ends with
+    * `asg(vec_id, cluster)` and the clustered corpus
+    * `jc(vec_id, embedding, cluster)`. */
+  private val autoTrainCtes: String = {
+    // one Lloyd round: assign against centroid list `prevL`, recompute
+    // fixed-point means, position-wise coalesce onto centroid rows
+    // `prevR` (an empty cluster keeps its previous centroid)
+    def lloyd(i: Int, prevR: String, prevL: String): String =
+      s"""r${i}d AS (
+         |  SELECT e.vec_id, c.cid, ${sqdSql("e.embedding", "c.cv")} AS dd
+         |  FROM corpus e CROSS JOIN $prevL c),
+         |r${i}a AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+         |    FROM r${i}d) t WHERE rn = 1),
+         |r${i}m AS (
+         |  SELECT cid, CAST(x[2] AS BIGINT) AS pos,
+         |    CAST(sum(CAST(round(CAST(x[1] AS DOUBLE) * 1048576.0) AS BIGINT))
+         |         AS DOUBLE) / count(*) / 1048576.0 AS c
+         |  FROM (SELECT a.cid,
+         |          unnest(list_zip(e.embedding,
+         |            generate_series(0, len(e.embedding) - 1))) AS x
+         |        FROM corpus e JOIN r${i}a a USING (vec_id)) t
+         |  GROUP BY cid, CAST(x[2] AS BIGINT)),
+         |c${i}r AS (
+         |  SELECT p.cid, p.pos, COALESCE(m.c, p.c) AS c
+         |  FROM $prevR p LEFT JOIN r${i}m m ON m.cid = p.cid AND m.pos = p.pos),
+         |c$i AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c${i}r GROUP BY cid)"""
+        .stripMargin
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |    list_transform(embedding, v -> v * CAST(1.5 AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |kk AS (SELECT (count(*) + 49) // 50 AS k FROM corpus),
+       |init AS (
+       |  SELECT cid, embedding FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+       |    FROM corpus) t
+       |  WHERE cid < (SELECT k FROM kk)),
+       |c0r AS (
+       |  SELECT cid, CAST(x[2] AS BIGINT) AS pos, CAST(x[1] AS DOUBLE) AS c
+       |  FROM (SELECT cid,
+       |          unnest(list_zip(embedding,
+       |            generate_series(0, len(embedding) - 1))) AS x
+       |        FROM init) t),
+       |c0 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c0r GROUP BY cid),
+       |${lloyd(1, "c0r", "c0")},
+       |${lloyd(2, "c1r", "c1")},
+       |fd AS (
+       |  SELECT e.vec_id, c.cid, ${sqdSql("e.embedding", "c.cv")} AS dd
+       |  FROM corpus e CROSS JOIN c2 c),
+       |asg AS (
+       |  SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+       |    FROM fd) t WHERE rn = 1),
+       |jc AS (
+       |  SELECT c.vec_id, c.embedding, a.cluster
+       |  FROM corpus c JOIN asg a USING (vec_id))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // the complete production semantic-dedup replay: train (k ∝ n) →
+    // assign → within-cluster cosine pruning, all value-checked
+    "q168_semdedup_auto" ->
+      s"""$autoTrainCtes,
+        |av AS (
+        |  SELECT jc.vec_id, jc.embedding, jc.cluster,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(jc.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+        |      (acc, x) -> acc + x)) AS nrm
+        |  FROM jc),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id FROM av a JOIN av b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(0.0, list_transform(
+        |          list_zip(a.embedding, b.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+        |          (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.99)
+        |SELECT av.vec_id, av.cluster, (dr.vec_id IS NULL) AS keep
+        |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
+        |ORDER BY av.vec_id""".stripMargin,
+    // q133's graph replay, but over the LEARNED cluster assignment
+    "q169_knn_graph_auto" ->
+      s"""$autoTrainCtes,
+        |scored AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    a.embedding AS qv, b.embedding AS cv,
+        |    $cosineSql AS cos
+        |  FROM jc a JOIN jc b
+        |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+        |topk AS (
+        |  SELECT src, dst, cos, rank FROM (
+        |    SELECT src, dst, cos,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY cos DESC, dst) AS rank
+        |    FROM scored) t
+        |  WHERE rank <= 3),
+        |mut AS (
+        |  SELECT t.src, CAST(count(*) AS BIGINT) AS md
+        |  FROM topk t JOIN topk r ON r.src = t.dst AND r.dst = t.src
+        |  GROUP BY t.src)
+        |SELECT e.vec_id, e.cluster,
+        |  CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
+        |  coalesce(m.md, 0) AS mutual_degree,
+        |  CAST(t1.dst AS BIGINT) AS top_neighbor,
+        |  t1.cos AS top_cos
+        |FROM jc e
+        |LEFT JOIN (SELECT src, count(*) AS n_scored
+        |           FROM topk GROUP BY src) s ON s.src = e.vec_id
+        |LEFT JOIN mut m ON m.src = e.vec_id
+        |LEFT JOIN (SELECT * FROM topk WHERE rank = 1) t1 ON t1.src = e.vec_id
+        |ORDER BY vec_id""".stripMargin,
     // recursive-CTE closure of the near-dup graph (shared with q50) +
     // the integer quality score + windowed argmax with the same tie-break
     "q131_keep_best" ->

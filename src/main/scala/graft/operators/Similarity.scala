@@ -204,10 +204,21 @@ object Similarity {
     * iteration); only the k×dim codebook itself lands on the driver, which
     * is model state, not data. Initial centroids = `init` if given (e.g.
     * [[seedFarthestFirst]]), else the k lowest-id vectors (both
-    * reproducible). Empty clusters keep their previous centroid. */
+    * reproducible). Empty clusters keep their previous centroid.
+    *
+    * Means use the [[labelCentroidRows]] fixed-point trick
+    * (`round(v·2^scaleBits)` summed as longs): long addition is
+    * associative, so the distributed sum — and with it the whole trained
+    * codebook — is bit-identical under any partitioning AND exactly
+    * replayable by a SQL oracle (q168/q169 replay the full train →
+    * assign → dedup/graph path value-for-value). Quantization error per
+    * component is ≤ 2^-(scaleBits+1), immaterial for a coarse
+    * quantizer. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 5,
-                     init: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
+                     init: Option[Seq[Seq[Double]]] = None,
+                     scaleBits: Int = 20): Seq[Seq[Double]] = {
+    val q = (1L << scaleBits).toDouble
     var cents: Seq[Seq[Double]] = init.getOrElse(
       corpus.orderBy(col(idCol)).limit(k)
         .select(col(vecCol)).collect()
@@ -220,11 +231,13 @@ object Similarity {
         .select(col("__c"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
         .groupBy(col("__c"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        .agg(sum(round(col("v") * lit(q)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          c -> rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / r.getLong(3).toDouble / q).toSeq
         }
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
@@ -435,6 +448,28 @@ object Similarity {
     val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
     val cents = trainCentroids(corpus, idCol, vecCol, k, iters)
     semDedup(corpus, idCol, vecCol, cents, minCos)
+  }
+
+  /** [[knnGraph]] with the cluster structure LEARNED at
+    * corpus-proportional granularity — the production configuration of
+    * the mutual-kNN graph (a FIXED label/cluster set makes the blocked
+    * pair space Σ|cluster|² quadratic as the corpus outgrows it; a
+    * codebook of ceil(n / targetClusterSize) centroids keeps expected
+    * cluster size constant, so the pair space stays ~n·targetClusterSize,
+    * linear in n). Codebook trained by the deterministic, fixed-point
+    * [[trainCentroids]]; assignment is a codegen'd projection. This is
+    * the path the sf10 probe measures and q169 value-gates. */
+  def knnGraphAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                   targetClusterSize: Long = 1000,
+                   iters: Int = 2): DataFrame = {
+    val n = emb.count()
+    val nClusters =
+      math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val cents = trainCentroids(emb, idCol, vecCol, nClusters, iters)
+    knnGraph(
+      emb.withColumn("__cluster",
+        assignCluster(col(vecCol), cents).cast("long")),
+      idCol, vecCol, "__cluster", k)
   }
 
   /** Symmetric int8 quantization of an embedding column — the memory move

@@ -271,13 +271,109 @@ object StreamingQueries {
     } finally ev.unpersist()
   }
 
+  /** q170: the watermarked STREAM-STREAM interval join
+    * ([[StreamingLoad.intervalJoinStreams]]) under the driver's value
+    * gate — views joined to same-user purchases within the following
+    * hour, both sides arriving as four TIME-ORDERED micro-batches.
+    * The staging is what makes the replay exact: chunks split on global
+    * event-time quartiles, so (a) no input is ever older than the
+    * 2-hour watermark when it arrives (nothing late-dropped), and
+    * (b) any view whose match sits in the next chunk is within one
+    * hour of the boundary, and state for it survives because
+    * watermark = boundary − 2 h < view.ts + 1 h. Under those two
+    * invariants the bounded-state streaming join emits EXACTLY the
+    * static interval join, which is what the DuckDB oracle computes —
+    * the equivalence a 100 TB ingest pipeline otherwise trusts blind.
+    * Inner-join matches emit in the batch they occur (no watermark
+    * wait), so the memory sink holds the full result after
+    * `processAllAvailable`. */
+  def q170StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .persist()
+    try {
+      val tmp = Fixtures.tempDir("graft-q170-")
+      val inV = tmp.resolve("views")
+      val inB = tmp.resolve("buys")
+      Files.createDirectories(inV)
+      Files.createDirectories(inB)
+
+      def stageChunk(df: DataFrame, into: Path, name: String,
+                     mtimeMs: Long): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val listing = Files.list(stage)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        finally listing.close()
+        val dest = into.resolve(s"$name.parquet")
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+
+      // global event-time quartiles — two longs of driver state
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val lo = mm.getLong(0)
+      val span = mm.getLong(1) - lo + 1
+      val chunkOf = least(lit(3),
+        floor((unix_micros(col("ts")) - lit(lo)) * 4 / lit(span))).cast("int")
+
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val t0 = 1600000000000L
+      (0 until 4).foreach { i =>
+        stageChunk(views.filter(chunkOf === i), inV, s"v$i", t0 + i * 2000L)
+        stageChunk(buys.filter(chunkOf === i), inB, s"b$i", t0 + i * 2000L)
+      }
+
+      val schema = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", TimestampType)))
+      def src(dir: Path): DataFrame = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // one time-quartile per batch
+        .parquet(dir.toString)
+      val qn = "q170_ij_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingLoad.intervalJoinStreams(src(inV), src(inB),
+          "user_id", window = "1 hour", watermark = "2 hours")
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(qn)
+        .select(col("user_id"), col("event_id").as("view_event"),
+          col("event_id_r").as("buy_event"),
+          unix_micros(col("ts")).as("view_us"),
+          unix_micros(col("ts_r")).as("buy_us"))
+        .orderBy(col("user_id"), col("view_event"), col("buy_event"))
+    } finally ev.unpersist()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_stream_upsert" -> q114StreamUpsert _,
     "q127_stream_dedup"  -> q127StreamDedup _,
     "q141_stream_budget" -> q141StreamBudget _,
-    "q162_stream_hll"    -> q162StreamHll _)
+    "q162_stream_hll"    -> q162StreamHll _,
+    "q170_stream_interval_join" -> q170StreamIntervalJoin _)
 
   val oracles: Map[String, String] = Map(
+    // the STATIC interval join over the same rows — the streaming plan's
+    // time-ordered staging guarantees no late drops and no premature
+    // state expiry, so stream output ≡ this batch join, row for row
+    "q170_stream_interval_join" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |b AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id AS view_event, b.event_id AS buy_event,
+        |  epoch_us(v.ts) AS view_us, epoch_us(b.ts) AS buy_us
+        |FROM v JOIN b ON v.user_id = b.user_id
+        |  AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY v.user_id, view_event, buy_event""".stripMargin,
     // the BATCH sketch over the same rows: registers are order-
     // independent and max-idempotent, so stream arrival order and the
     // redelivery chunk cannot change them (q158's replay, keyed on

@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -212,8 +212,56 @@ object GraftDataSourceV2 {
     * fixed-width spans, quoted CSV, and plain/regex separator split. Only
     * `wanted` columns pay per-field cleanup (and fixed-width only
     * substrings wanted spans). */
+  /** Which pushed filters this source can exploit, and how:
+    *
+    *  - `_file` predicates (equality, IN, prefix/suffix/contains) prune
+    *    the driver-side FILE LISTING — the DSv2 analogue of partition
+    *    pruning. A staging directory of thousands of drop files queried
+    *    for one file plans one input partition, not thousands.
+    *  - `_lineno` upper bounds (`=`, `<`, `<=`) stop the text/fixed
+    *    parser EARLY — a header-probe query over multi-GB drop files
+    *    parses k lines per file instead of all of them.
+    *
+    * Every accepted filter is ALSO returned as a residual for Spark to
+    * re-evaluate (the pruning is sufficient for `_file` and upper-bound
+    * `_lineno`, but re-checking costs one codegen'd comparison and keeps
+    * the contract trivially safe — e.g. `_lineno = 5` prunes to the
+    * first 5 lines, the residual selects the 5th). */
+  def acceptsFilter(kind: String, f: Filter): Boolean = f match {
+    case EqualTo("_file", _: String) => true
+    case In("_file", vs) => vs.forall(_.isInstanceOf[String])
+    case StringStartsWith("_file", _) | StringEndsWith("_file", _) |
+         StringContains("_file", _) => true
+    case EqualTo("_lineno", _: Number) | LessThan("_lineno", _: Number) |
+         LessThanOrEqual("_lineno", _: Number) =>
+      kind == "graft-text" || kind == "graft-fixed"
+    case _ => false
+  }
+
+  /** The parse-stop bound implied by the pushed `_lineno` filters:
+    * lines numbered above it can never satisfy them. */
+  def linenoBound(pushed: Seq[Filter]): Long =
+    pushed.collect {
+      case EqualTo("_lineno", n: Number) => n.longValue
+      case LessThanOrEqual("_lineno", n: Number) => n.longValue
+      case LessThan("_lineno", n: Number) => n.longValue - 1
+    }.foldLeft(Long.MaxValue)(math.min)
+
+  /** Does `path` survive the pushed `_file` predicates? Compared against
+    * the same string the `_file` column carries (the partition's path),
+    * so pruning can never disagree with row values. */
+  def fileSurvives(pushed: Seq[Filter], path: String): Boolean =
+    pushed.forall {
+      case EqualTo("_file", v: String) => path == v
+      case In("_file", vs) => vs.exists(v => v == path)
+      case StringStartsWith("_file", p) => path.startsWith(p)
+      case StringEndsWith("_file", s) => path.endsWith(s)
+      case StringContains("_file", s) => path.contains(s)
+      case _ => true // _lineno filters don't constrain the file set
+    }
+
   def textProjected(path: String, content: Array[Byte], fmt: TextFormat,
-                    wanted: Seq[String]): Iterator[Seq[Any]] = {
+                    wanted: Seq[String], maxLineno: Long = Long.MaxValue): Iterator[Seq[Any]] = {
     val text = new String(content, java.nio.charset.Charset.forName(fmt.encoding))
     val recSep = if (fmt.allowLinefeedInData) "\r\n" else fmt.eol
     val lines = text.split(recSep, -1).iterator.zipWithIndex
@@ -253,7 +301,9 @@ object GraftDataSourceV2 {
       }
     val idxByTarget: Map[String, Int] = fmt.targets.zipWithIndex.toMap
     var lineno = 0L
-    afterSkip.filter(_.nonEmpty).flatMap { raw =>
+    // `lineno` counts rows already emitted; once it reaches the pushed
+    // upper bound, no later line can satisfy the filters — stop parsing
+    afterSkip.filter(_.nonEmpty).takeWhile(_ => lineno < maxLineno).flatMap { raw =>
       lineno += 1
       val f = fields(raw)
       if (fmt.dropEmptyFirstField && {
@@ -275,7 +325,8 @@ object GraftDataSourceV2 {
 final case class GraftInputPartition(path: String) extends InputPartition
 
 final class GraftPartitionReaderFactory(
-    kind: String, options: Map[String, String], wanted: Seq[String])
+    kind: String, options: Map[String, String], wanted: Seq[String],
+    maxLineno: Long = Long.MaxValue)
   extends PartitionReaderFactory {
   import GraftDataSourceV2._
 
@@ -308,9 +359,9 @@ final class GraftPartitionReaderFactory(
           case "graft-xml" =>
             XmlSource.parseProjected(filePath, content, xmlFormat(o), wanted)
           case "graft-fixed" =>
-            textProjected(filePath, content, fixedFormat(o), wanted)
+            textProjected(filePath, content, fixedFormat(o), wanted, maxLineno)
           case "graft-text" =>
-            textProjected(filePath, content, textFormat(o), wanted)
+            textProjected(filePath, content, textFormat(o), wanted, maxLineno)
           case other =>
             throw new IllegalStateException(s"unknown graft format $other")
         }
@@ -338,13 +389,15 @@ final class GraftPartitionReaderFactory(
 }
 
 final class GraftScan(kind: String, options: Map[String, String],
-                      required: StructType)
+                      required: StructType,
+                      pushed: Seq[Filter] = Seq.empty)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import GraftDataSourceV2._
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  // one driver-side listing serves partition planning AND statistics
+  // one driver-side listing serves partition planning AND statistics;
+  // pushed `_file` predicates prune it BEFORE partitions are planned
   private lazy val files: Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     inputPaths(opts(options.asJava)).flatMap { p =>
@@ -359,12 +412,13 @@ final class GraftScan(kind: String, options: Map[String, String],
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
         else Seq(st)
       }
-    }
+    }.filter(st => fileSurvives(pushed, st.getPath.toString))
   }
   override def planInputPartitions(): Array[InputPartition] =
     files.map(st => GraftInputPartition(st.getPath.toString): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftPartitionReaderFactory(kind, options, required.fieldNames.toSeq)
+    new GraftPartitionReaderFactory(kind, options, required.fieldNames.toSeq,
+      linenoBound(pushed))
   /** Without statistics a DSv2 relation reports `defaultSizeInBytes`
     * (effectively infinite), so a small workbook/XML dim joined to a fact
     * table would never broadcast. Total file size is an upper bound on
@@ -377,19 +431,31 @@ final class GraftScan(kind: String, options: Map[String, String],
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
     }
   override def description(): String =
-    s"$kind ReadSchema: ${required.fieldNames.mkString(", ")}"
+    s"$kind ReadSchema: ${required.fieldNames.mkString(", ")}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 }
 
 final class GraftScanBuilder(kind: String, schema: StructType,
                              options: Map[String, String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+  import GraftDataSourceV2._
   private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep the table's field order; Spark may hand fields in any order
     val keep = requiredSchema.fieldNames.toSet
     required = StructType(schema.fields.filter(f => keep.contains(f.name)))
   }
-  override def build(): Scan = new GraftScan(kind, options, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => acceptsFilter(kind, f))
+    // everything stays residual: the source prunes files / stops the
+    // parser early, Spark still applies the exact predicates
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan =
+    new GraftScan(kind, options, required, pushed.toSeq)
 }
 
 final class GraftFormatTable(kind: String, tableSchema: StructType,

@@ -192,4 +192,49 @@ class DataSourceV2Spec extends SparkSpec {
     assert(v2.count() == 3)
     assert(v2.select("_lineno").collect().forall(_.getLong(0) == 1L))
   }
+
+  test("_file filter pushdown prunes the planned partitions") {
+    val dir = tmp("graft-v2-push-")
+    for (i <- 1 to 4) {
+      val f = dir.resolve(s"f$i.csv")
+      Files.write(f, s"k,name\n$i,row$i\n${i}0,row${i}0\n".getBytes("UTF-8"))
+    }
+    val v2 = spark.read.format("graft-text")
+      .option("header", "k,name").option("sep", ",").option("skip", "1")
+      .load(dir.toString + "/*.csv")
+    val onlyF2 = v2.filter(col("_file").endsWith("f2.csv"))
+    // values correct (residual applies regardless of pruning)
+    assert(onlyF2.select("k").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("2", "20"))
+    // the pushed filter reaches the scan and prunes the file listing
+    val plan = onlyF2.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(planStr.contains("PushedFilters: [StringEndsWith(_file,f2.csv)]"),
+      s"no pushed _file filter in plan:\n$planStr")
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.partitions.size == 1,
+      s"expected 1 pruned partition, got ${scans.map(_.partitions.size)}")
+    // an unsupported filter (on a data column) is NOT claimed as pushed
+    val unp = v2.filter(col("k") === "2").queryExecution.executedPlan.toString
+    assert(unp.contains("PushedFilters: []"), s"claimed unsupported push:\n$unp")
+  }
+
+  test("_lineno upper-bound pushdown stops the parser early, values exact") {
+    val dir = tmp("graft-v2-line-")
+    val body = "k,name\n" + (1 to 100).map(i => s"$i,row$i").mkString("\n") + "\n"
+    Files.write(dir.resolve("big.csv"), body.getBytes("UTF-8"))
+    val v2 = spark.read.format("graft-text")
+      .option("header", "k,name").option("sep", ",").option("skip", "1")
+      .load(dir.resolve("big.csv").toString)
+    val head3 = v2.filter(col("_lineno") <= 3)
+    assert(head3.select("k").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("1", "2", "3"))
+    assert(head3.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [LessThanOrEqual(_lineno,3)]"))
+    // exact-match bound: prunes to a prefix, residual picks the line
+    val one = v2.filter(col("_lineno") === 42L)
+    assert(one.select("k").collect().map(_.getString(0)).toSeq == Seq("42"))
+  }
 }

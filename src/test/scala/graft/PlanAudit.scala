@@ -819,6 +819,30 @@ object PlanAudit {
         !plan("q167_unicode_nfc").contains("Join"))
     }
 
+    // DSv2 pushdown: a `_file` predicate must reach the graft-text scan
+    // (PushedFilters) and prune the planned partitions to the one file
+    audit("v2-pushdown") {
+      import org.apache.spark.sql.functions.col
+      val tmp = java.nio.file.Files.createTempDirectory("graft-v2audit-")
+      for (i <- 1 to 3)
+        java.nio.file.Files.write(tmp.resolve(s"p$i.csv"),
+          s"k,v\n$i,x$i\n".getBytes("UTF-8"))
+      val scan = spark.read.format("graft-text")
+        .option("header", "k,v").option("sep", ",").option("skip", "1")
+        .load(tmp.toString + "/*.csv")
+        .filter(col("_file").endsWith("p2.csv"))
+      val plan = scan.queryExecution.executedPlan
+      check("graft-text scan shows the pushed _file filter",
+        plan.toString.contains("PushedFilters: [StringEndsWith(_file,p2.csv)]"),
+        "no PushedFilters on the v2 scan")
+      val parts = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.partitions.size
+      }
+      check("pushed _file filter prunes the file listing to 1 partition",
+        parts.headOption.contains(1), s"partitions: $parts")
+    }
+
     // partitioned layout: a partition predicate must prune directories
     audit("partitioned-scan") {
       import graft.sinks.ParquetTable
