@@ -226,7 +226,14 @@ object SignalQueries {
     * discipline applied to the signal family. */
   def q157SignalFusion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the four signal branches + the budget fill each re-derive from the
+    // corpus; without reuse the plan scans `documents` 12× (ScanReuseProbe,
+    // round 8). One eager localCheckpoint materializes the corpus once and
+    // every branch reads the checkpointed partitions — at 100 TB this is
+    // the difference between one corpus pass and twelve.
     val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .localCheckpoint()
     val base = docs.select(col("doc_id"), col("source"),
       TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
     val cl = Signals.hashedLogit(docs, "doc_id", "text")
@@ -319,7 +326,10 @@ object SignalQueries {
     * production cascade runs cheapest-first exactly like this, dropping
     * exact dups before the shingle join ever sees them. */
   def q163DedupCascade(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = dupCorpus(spark, dir)
+    // three dedup stages, each with internal self-joins, re-derived the
+    // corpus-union 16× from the base scan (ScanReuseProbe, round 8); one
+    // eager localCheckpoint caps that at a single corpus materialization
+    val corpus = dupCorpus(spark, dir).localCheckpoint()
     val withFp = corpus.withColumn("fp", TextOps.fingerprint(col("text")))
     val keeper = withFp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper"))
