@@ -271,9 +271,29 @@ object SelectionQueries {
         k = 3, targetClusterSize = 50, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** q171: multi-probe IVF ANN over a TRAINED codebook
+    * ([[Similarity.ivfTopKMultiProbe]], nlist=8, nProbe=2, k=5) — the
+    * recall/cost dial of IVF indexes, previously spec-only. The exact
+    * fixed-point trainer makes the whole train → assign → probe → rank
+    * path SQL-replayable, so the oracle value-checks the production ANN
+    * plan, not a label shortcut. */
+  def q171IvfMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    // two INDEPENDENT reads: deriving queries and corpus from one plan
+    // makes the probe a self-join, and Catalyst's self-join dedup drops
+    // the attribute the probe-list lambda still references (runtime
+    // BindReferences failure); separate scans have distinct attribute
+    // ids, so nothing needs rewriting
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfTopKMultiProbe(emb().filter(col("vec_id") < 10), emb(),
+        "vec_id", "embedding", k = 5, nlist = 8, nProbe = 2, iters = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
+    "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
     "q140_image_phash"    -> q140ImagePhash _,
     "q142_audio_fingerprint" -> q142AudioFingerprint _,
     "q143_select_pipeline" -> q143SelectPipeline _,
@@ -312,14 +332,15 @@ object SelectionQueries {
        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
        |      (acc, v) -> acc + v)""".stripMargin
 
-  /** The full q168/q169 training replay: twin-injected corpus,
-    * k = ceil(n/50), k-lowest-id seeding, two Lloyd rounds with
-    * fixed-point-exact means (2^20, the [[Similarity.trainCentroids]]
-    * arithmetic), empty clusters inheriting their previous centroid,
-    * and the final nearest-centroid assignment. Ends with
-    * `asg(vec_id, cluster)` and the clustered corpus
-    * `jc(vec_id, embedding, cluster)`. */
-  private val autoTrainCtes: String = {
+  /** SQL replay of [[Similarity.trainCentroids]] + final assignment,
+    * parameterized over the corpus CTE body and the codebook-size
+    * expression: k-lowest-id seeding, two Lloyd rounds with
+    * fixed-point-exact means (2^20 — the trainer's arithmetic), empty
+    * clusters inheriting their previous centroid, final nearest-centroid
+    * assignment. Emits CTEs ending with `asg(vec_id, cluster)`, the
+    * clustered corpus `jc(vec_id, embedding, cluster)`, and the final
+    * codebook `c2(cid, cv)` (for probe-list replays). */
+  private def kmeansTrainCtes(corpusSql: String, kSql: String): String = {
     // one Lloyd round: assign against centroid list `prevL`, recompute
     // fixed-point means, position-wise coalesce onto centroid rows
     // `prevR` (an empty cluster keeps its previous centroid)
@@ -347,12 +368,8 @@ object SelectionQueries {
          |c$i AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c${i}r GROUP BY cid)"""
         .stripMargin
     s"""WITH corpus AS (
-       |  SELECT vec_id, embedding FROM embeddings
-       |  UNION ALL
-       |  SELECT vec_id + 100000,
-       |    list_transform(embedding, v -> v * CAST(1.5 AS FLOAT))
-       |  FROM embeddings WHERE vec_id % 5 = 0),
-       |kk AS (SELECT (count(*) + 49) // 50 AS k FROM corpus),
+       |$corpusSql),
+       |kk AS (SELECT $kSql AS k),
        |init AS (
        |  SELECT cid, embedding FROM (
        |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
@@ -380,6 +397,16 @@ object SelectionQueries {
        |  FROM corpus c JOIN asg a USING (vec_id))""".stripMargin
   }
 
+  /** The q168/q169 training replay: twin-injected corpus, k = ceil(n/50)
+    * — the PRODUCTION corpus-proportional codebook size. */
+  private val autoTrainCtes: String = kmeansTrainCtes(
+    """  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(embedding, v -> v * CAST(1.5 AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+    "(SELECT (count(*) + 49) // 50 FROM corpus)")
+
   val oracles: Map[String, String] = Map(
     // the complete production semantic-dedup replay: train (k ∝ n) →
     // assign → within-cluster cosine pruning, all value-checked
@@ -401,6 +428,36 @@ object SelectionQueries {
         |SELECT av.vec_id, av.cluster, (dr.vec_id IS NULL) AS keep
         |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
         |ORDER BY av.vec_id""".stripMargin,
+    // trained-codebook IVF: same training replay with nlist=8, then the
+    // query probe list (2 nearest centroids), cluster-probe equi-join,
+    // exact left-fold cosine, windowed top-5
+    "q171_ivf_multiprobe" ->
+      s"""${kmeansTrainCtes(
+             "  SELECT vec_id, embedding FROM embeddings", "8")},
+        |qd AS (
+        |  SELECT q.vec_id AS qid, c.cid, q.embedding AS qe,
+        |    ${sqdSql("q.embedding", "c.cv")} AS dd
+        |  FROM corpus q CROSS JOIN c2 c
+        |  WHERE q.vec_id < 10),
+        |probes AS (
+        |  SELECT qid, cid, qe FROM (
+        |    SELECT qid, cid, qe,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        |    FROM qd) t WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.qid AS query_id, j.vec_id AS neighbor_id,
+        |    p.qe AS qv, j.embedding AS cv,
+        |    $cosineSql AS cos
+        |  FROM probes p JOIN jc j ON j.cluster = p.cid
+        |  WHERE j.vec_id <> p.qid)
+        |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // q133's graph replay, but over the LEARNED cluster assignment
     "q169_knn_graph_auto" ->
       s"""$autoTrainCtes,

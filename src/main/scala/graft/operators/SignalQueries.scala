@@ -326,10 +326,17 @@ object SignalQueries {
     * production cascade runs cheapest-first exactly like this, dropping
     * exact dups before the shingle join ever sees them. */
   def q163DedupCascade(spark: SparkSession, dir: String): DataFrame = {
-    // three dedup stages, each with internal self-joins, re-derived the
-    // corpus-union 16× from the base scan (ScanReuseProbe, round 8); one
-    // eager localCheckpoint caps that at a single corpus materialization
-    val corpus = dupCorpus(spark, dir).localCheckpoint()
+    // NOTE (round 8): the plan shows 16 re-derivations of the corpus
+    // union, and an eager localCheckpoint looks like the obvious fix —
+    // measured, it is a 6× REGRESSION (2.4 s → 15.1 s at sf0.1): the
+    // checkpointed rows lose the columnar parquet scan that feeds the
+    // shingle/simhash stages' codegen pipelines, and 16 scans of a
+    // columnar file are cheaper than 16 RDD re-reads of materialized
+    // rows. The repeated scans ARE the right plan here (each stage
+    // prunes to (doc_id, text) and fuses its fingerprint arithmetic
+    // into the scan stage); q157 keeps its checkpoint because its
+    // branches are aggregation-heavy, not scan-fused.
+    val corpus = dupCorpus(spark, dir)
     val withFp = corpus.withColumn("fp", TextOps.fingerprint(col("text")))
     val keeper = withFp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper"))

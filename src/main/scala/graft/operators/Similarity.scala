@@ -260,7 +260,14 @@ object Similarity {
     * equi-join (query probe list exploded, corpus side untouched), so the
     * scanned fraction is ~nProbe/nlist and a physically cluster-partitioned
     * corpus prunes partitions per probe. nProbe = nlist degenerates to
-    * exact brute force. */
+    * exact brute force.
+    *
+    * Caveat: pass `queries` and `corpus` built from INDEPENDENT reads
+    * (two `spark.read` calls is enough). When both derive from one
+    * parquet plan, Catalyst's self-join dedup re-aliases one side and
+    * can drop the attribute the probe-list lambda still references —
+    * a runtime `BindReferences` internal error (hit by the q171 gate,
+    * round 8). */
   def ivfTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
                         vecCol: String, k: Int, nlist: Int, nProbe: Int,
                         iters: Int = 5): DataFrame = {
