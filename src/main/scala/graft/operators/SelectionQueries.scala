@@ -290,10 +290,24 @@ object SelectionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q172: SAMPLE-TRAINED semantic dedup
+    * ([[Similarity.semDedupAutoSampled]]) — q168's k ∝ n configuration
+    * with the codebook trained on the deterministic half-sample
+    * `vec_id % 2 = 0`: training cost halves, the full-corpus assignment
+    * and dedup are unchanged, and the oracle replays the sampled
+    * training verbatim (the rung of the scale ladder past the n·k flat
+    * trainer). */
+  def q172SemDedupSampled(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupAutoSampled(autoCorpus(spark, dir), "vec_id",
+        "embedding", minCos = 0.99, trainSample = col("vec_id") % 2 === 0,
+        targetClusterSize = 50, iters = 2)
+      .orderBy(col("vec_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
+    "q172_semdedup_sampled" -> q172SemDedupSampled _,
     "q140_image_phash"    -> q140ImagePhash _,
     "q142_audio_fingerprint" -> q142AudioFingerprint _,
     "q143_select_pipeline" -> q143SelectPipeline _,
@@ -340,14 +354,15 @@ object SelectionQueries {
     * assignment. Emits CTEs ending with `asg(vec_id, cluster)`, the
     * clustered corpus `jc(vec_id, embedding, cluster)`, and the final
     * codebook `c2(cid, cv)` (for probe-list replays). */
-  private def kmeansTrainCtes(corpusSql: String, kSql: String): String = {
+  private def kmeansTrainCtes(corpusSql: String, kSql: String,
+                              trainCondSql: String = "TRUE"): String = {
     // one Lloyd round: assign against centroid list `prevL`, recompute
     // fixed-point means, position-wise coalesce onto centroid rows
     // `prevR` (an empty cluster keeps its previous centroid)
     def lloyd(i: Int, prevR: String, prevL: String): String =
       s"""r${i}d AS (
          |  SELECT e.vec_id, c.cid, ${sqdSql("e.embedding", "c.cv")} AS dd
-         |  FROM corpus e CROSS JOIN $prevL c),
+         |  FROM tcorpus e CROSS JOIN $prevL c),
          |r${i}a AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
@@ -360,7 +375,7 @@ object SelectionQueries {
          |  FROM (SELECT a.cid,
          |          unnest(list_zip(e.embedding,
          |            generate_series(0, len(e.embedding) - 1))) AS x
-         |        FROM corpus e JOIN r${i}a a USING (vec_id)) t
+         |        FROM tcorpus e JOIN r${i}a a USING (vec_id)) t
          |  GROUP BY cid, CAST(x[2] AS BIGINT)),
          |c${i}r AS (
          |  SELECT p.cid, p.pos, COALESCE(m.c, p.c) AS c
@@ -369,11 +384,12 @@ object SelectionQueries {
         .stripMargin
     s"""WITH corpus AS (
        |$corpusSql),
+       |tcorpus AS (SELECT * FROM corpus WHERE $trainCondSql),
        |kk AS (SELECT $kSql AS k),
        |init AS (
        |  SELECT cid, embedding FROM (
        |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
-       |    FROM corpus) t
+       |    FROM tcorpus) t
        |  WHERE cid < (SELECT k FROM kk)),
        |c0r AS (
        |  SELECT cid, CAST(x[2] AS BIGINT) AS pos, CAST(x[1] AS DOUBLE) AS c
@@ -397,14 +413,16 @@ object SelectionQueries {
        |  FROM corpus c JOIN asg a USING (vec_id))""".stripMargin
   }
 
-  /** The q168/q169 training replay: twin-injected corpus, k = ceil(n/50)
-    * — the PRODUCTION corpus-proportional codebook size. */
-  private val autoTrainCtes: String = kmeansTrainCtes(
+  private val twinCorpusSql: String =
     """  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
       |  SELECT vec_id + 100000,
       |    list_transform(embedding, v -> v * CAST(1.5 AS FLOAT))
-      |  FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+      |  FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
+
+  /** The q168/q169 training replay: twin-injected corpus, k = ceil(n/50)
+    * — the PRODUCTION corpus-proportional codebook size. */
+  private val autoTrainCtes: String = kmeansTrainCtes(twinCorpusSql,
     "(SELECT (count(*) + 49) // 50 FROM corpus)")
 
   val oracles: Map[String, String] = Map(
@@ -458,6 +476,28 @@ object SelectionQueries {
         |  FROM scored) t
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // q168's replay with the training CTEs restricted to the
+    // deterministic half-sample; assignment + pruning stay full-corpus
+    "q172_semdedup_sampled" ->
+      s"""${kmeansTrainCtes(twinCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM corpus)",
+             "vec_id % 2 = 0")},
+        |av AS (
+        |  SELECT jc.vec_id, jc.embedding, jc.cluster,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(jc.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+        |      (acc, x) -> acc + x)) AS nrm
+        |  FROM jc),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id FROM av a JOIN av b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(0.0, list_transform(
+        |          list_zip(a.embedding, b.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+        |          (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.99)
+        |SELECT av.vec_id, av.cluster, (dr.vec_id IS NULL) AS keep
+        |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
+        |ORDER BY av.vec_id""".stripMargin,
     // q133's graph replay, but over the LEARNED cluster assignment
     "q169_knn_graph_auto" ->
       s"""$autoTrainCtes,

@@ -447,13 +447,43 @@ object Similarity {
     * keeping the pair space ~n·targetClusterSize (linear in n); the
     * codebook is trained with the deterministic [[trainCentroids]]
     * (k lowest-id seeds, fixed iterations — reproducible across runs,
-    * only k×dim doubles ever touch the driver). */
+    * only k×dim doubles ever touch the driver).
+    *
+    * Residual scale bound: with k ∝ n the DEDUP pair space is linear,
+    * but the flat nearest-centroid assignment each training/assign pass
+    * runs is n·k ≈ n²/targetClusterSize distance evaluations. Measured
+    * fine through the sf1/sf10 tiers (assignment is a codegen'd literal
+    * loop); past ~10M vectors a deployment should train the codebook on
+    * a bounded uniform sample (the centroids are means — a sample
+    * estimates them) and make assignment two-level: first pick among
+    * √k super-centroids, then among that super-cluster's children —
+    * n·2√k instead of n·k, the standard IVF coarse-quantizer ladder. */
   def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
                    minCos: Double, targetClusterSize: Long = 1000,
                    iters: Int = 2): DataFrame = {
     val n = corpus.count()
     val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
     val cents = trainCentroids(corpus, idCol, vecCol, k, iters)
+    semDedup(corpus, idCol, vecCol, cents, minCos)
+  }
+
+  /** [[semDedupAuto]] with the codebook trained on a BOUNDED SAMPLE —
+    * the next rung of the scale ladder the auto variant's scaladoc
+    * documents: centroids are means, so a uniform sample estimates
+    * them, and training cost drops from n·k to |sample|·k per pass
+    * while the (single) full-corpus assignment and the linear dedup
+    * pair space are unchanged. `trainSample` must be a deterministic
+    * predicate (id-hash mod, not rand()) so runs reproduce; the sample
+    * must contain ≥ k vectors (the trainer's seed requirement). q172
+    * value-gates this exact path, sample predicate and all. */
+  def semDedupAutoSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                          minCos: Double, trainSample: Column,
+                          targetClusterSize: Long = 1000,
+                          iters: Int = 2): DataFrame = {
+    val n = corpus.count()
+    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val cents = trainCentroids(corpus.filter(trainSample), idCol, vecCol,
+      k, iters)
     semDedup(corpus, idCol, vecCol, cents, minCos)
   }
 

@@ -126,6 +126,34 @@ class SimilaritySpec extends SparkSpec {
     assert(again == dropped)
   }
 
+  test("semDedupAutoSampled: full sample ≡ auto; half sample still catches twins") {
+    val base = (0 until 20).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(i % 8) = 1.0f
+      v((i + 3) % 8) += 0.05f + 0.01f * i
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val twins = base.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(twins)
+    def keyOf(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // degenerate sample (everything) reduces exactly to the auto path
+    assert(keyOf(Similarity.semDedupAutoSampled(corpus, "vec_id", "embedding",
+        0.999999, trainSample = lit(true), targetClusterSize = 10)) ==
+      keyOf(Similarity.semDedupAuto(corpus, "vec_id", "embedding",
+        0.999999, targetClusterSize = 10)))
+    // half-sample training: clusters may differ, but cosine-1 twins land
+    // with their originals under ANY codebook → still all dropped
+    val dropped = Similarity.semDedupAutoSampled(corpus, "vec_id",
+        "embedding", 0.999999, trainSample = col("vec_id") % 2 === 0,
+        targetClusterSize = 10)
+      .filter(!col("keep")).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(dropped == (0 until 20 by 2).map(_ + 1000L).toSet)
+  }
+
   test("quantizeInt8 is exact on the closed form and bounds reconstruction") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
