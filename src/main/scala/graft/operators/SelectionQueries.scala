@@ -303,11 +303,31 @@ object SelectionQueries {
         targetClusterSize = 50, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** q173: TWO-LEVEL semantic dedup ([[Similarity.semDedupTwoLevel]]) —
+    * the 100M-vector recipe: the q168 k ∝ n codebook is itself
+    * quantized under ceil(√k) super-centroids ([[Similarity.superQuantize]],
+    * driver-side over k×dim model state with the trainer's exact
+    * arithmetic), and corpus assignment probes super-then-children
+    * (n·2√k distance folds instead of n·k). The oracle replays BOTH
+    * training levels (two composed k-means CTE instances), the
+    * childless-super drop, the two-stage argmin, and the dedup. */
+  def q173TwoLevelDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = autoCorpus(spark, dir)
+    val n = corpus.count()
+    val k = ((n + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      k, iters = 2)
+    Similarity.semDedupTwoLevel(corpus, "vec_id", "embedding", cents,
+        minCos = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
     "q172_semdedup_sampled" -> q172SemDedupSampled _,
+    "q173_two_level_dedup" -> q173TwoLevelDedup _,
     "q140_image_phash"    -> q140ImagePhash _,
     "q142_audio_fingerprint" -> q142AudioFingerprint _,
     "q143_select_pipeline" -> q143SelectPipeline _,
@@ -355,62 +375,67 @@ object SelectionQueries {
     * clustered corpus `jc(vec_id, embedding, cluster)`, and the final
     * codebook `c2(cid, cv)` (for probe-list replays). */
   private def kmeansTrainCtes(corpusSql: String, kSql: String,
-                              trainCondSql: String = "TRUE"): String = {
+                              trainCondSql: String = "TRUE",
+                              p: String = ""): String = {
+    // all CTE names carry the optional prefix `p`, so two independent
+    // training replays (e.g. q173's codebook + super-codebook) compose
+    // in one statement without collisions; the p="" instance is the
+    // exact text q168/q169/q171/q172 used before the refactor
     // one Lloyd round: assign against centroid list `prevL`, recompute
     // fixed-point means, position-wise coalesce onto centroid rows
     // `prevR` (an empty cluster keeps its previous centroid)
     def lloyd(i: Int, prevR: String, prevL: String): String =
-      s"""r${i}d AS (
+      s"""${p}r${i}d AS (
          |  SELECT e.vec_id, c.cid, ${sqdSql("e.embedding", "c.cv")} AS dd
-         |  FROM tcorpus e CROSS JOIN $prevL c),
-         |r${i}a AS (
+         |  FROM ${p}tcorpus e CROSS JOIN $prevL c),
+         |${p}r${i}a AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
-         |    FROM r${i}d) t WHERE rn = 1),
-         |r${i}m AS (
+         |    FROM ${p}r${i}d) t WHERE rn = 1),
+         |${p}r${i}m AS (
          |  SELECT cid, CAST(x[2] AS BIGINT) AS pos,
          |    CAST(sum(CAST(round(CAST(x[1] AS DOUBLE) * 1048576.0) AS BIGINT))
          |         AS DOUBLE) / count(*) / 1048576.0 AS c
          |  FROM (SELECT a.cid,
          |          unnest(list_zip(e.embedding,
          |            generate_series(0, len(e.embedding) - 1))) AS x
-         |        FROM tcorpus e JOIN r${i}a a USING (vec_id)) t
+         |        FROM ${p}tcorpus e JOIN ${p}r${i}a a USING (vec_id)) t
          |  GROUP BY cid, CAST(x[2] AS BIGINT)),
-         |c${i}r AS (
+         |${p}c${i}r AS (
          |  SELECT p.cid, p.pos, COALESCE(m.c, p.c) AS c
-         |  FROM $prevR p LEFT JOIN r${i}m m ON m.cid = p.cid AND m.pos = p.pos),
-         |c$i AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c${i}r GROUP BY cid)"""
+         |  FROM $prevR p LEFT JOIN ${p}r${i}m m ON m.cid = p.cid AND m.pos = p.pos),
+         |${p}c$i AS (SELECT cid, list(c ORDER BY pos) AS cv FROM ${p}c${i}r GROUP BY cid)"""
         .stripMargin
-    s"""WITH corpus AS (
+    s"""WITH ${p}corpus AS (
        |$corpusSql),
-       |tcorpus AS (SELECT * FROM corpus WHERE $trainCondSql),
-       |kk AS (SELECT $kSql AS k),
-       |init AS (
+       |${p}tcorpus AS (SELECT * FROM ${p}corpus WHERE $trainCondSql),
+       |${p}kk AS (SELECT $kSql AS k),
+       |${p}init AS (
        |  SELECT cid, embedding FROM (
        |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
-       |    FROM tcorpus) t
-       |  WHERE cid < (SELECT k FROM kk)),
-       |c0r AS (
+       |    FROM ${p}tcorpus) t
+       |  WHERE cid < (SELECT k FROM ${p}kk)),
+       |${p}c0r AS (
        |  SELECT cid, CAST(x[2] AS BIGINT) AS pos, CAST(x[1] AS DOUBLE) AS c
        |  FROM (SELECT cid,
        |          unnest(list_zip(embedding,
        |            generate_series(0, len(embedding) - 1))) AS x
-       |        FROM init) t),
-       |c0 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c0r GROUP BY cid),
-       |${lloyd(1, "c0r", "c0")},
-       |${lloyd(2, "c1r", "c1")},
-       |fd AS (
+       |        FROM ${p}init) t),
+       |${p}c0 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM ${p}c0r GROUP BY cid),
+       |${lloyd(1, s"${p}c0r", s"${p}c0")},
+       |${lloyd(2, s"${p}c1r", s"${p}c1")},
+       |${p}fd AS (
        |  SELECT e.vec_id, c.cid, ${sqdSql("e.embedding", "c.cv")} AS dd
-       |  FROM corpus e CROSS JOIN c2 c),
-       |asg AS (
+       |  FROM ${p}corpus e CROSS JOIN ${p}c2 c),
+       |${p}asg AS (
        |  SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
-       |    FROM fd) t WHERE rn = 1),
-       |jc AS (
+       |    FROM ${p}fd) t WHERE rn = 1),
+       |${p}jc AS (
        |  SELECT c.vec_id, c.embedding, a.cluster
-       |  FROM corpus c JOIN asg a USING (vec_id))""".stripMargin
+       |  FROM ${p}corpus c JOIN ${p}asg a USING (vec_id))""".stripMargin
   }
 
   private val twinCorpusSql: String =
@@ -476,6 +501,54 @@ object SelectionQueries {
         |  FROM scored) t
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // BOTH training levels replayed: the flat codebook (unprefixed
+    // CTEs), the super-codebook trained over it (s-prefixed instance,
+    // kSuper = ceil(sqrt(k))), childless supers dropped, then the
+    // two-stage argmin and the q168 dedup tail
+    "q173_two_level_dedup" ->
+      s"""${kmeansTrainCtes(twinCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM corpus)")},
+        |${kmeansTrainCtes(
+             "  SELECT cid AS vec_id, cv AS embedding FROM c2",
+             "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM scorpus)",
+             "TRUE", "s").stripPrefix("WITH ")},
+        |live AS (
+        |  SELECT s.cid, s.cv FROM sc2 s
+        |  WHERE EXISTS (SELECT 1 FROM sasg a WHERE a.cluster = s.cid)),
+        |pd AS (
+        |  SELECT e.vec_id, s.cid, ${sqdSql("e.embedding", "s.cv")} AS dd
+        |  FROM corpus e CROSS JOIN live s),
+        |pa AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+        |    FROM pd) t WHERE rn = 1),
+        |cd AS (
+        |  SELECT e.vec_id, ch.vec_id AS ccid,
+        |    ${sqdSql("e.embedding", "ch.embedding")} AS dd
+        |  FROM corpus e JOIN pa USING (vec_id)
+        |  JOIN sjc ch ON ch.cluster = pa.cid),
+        |fasg AS (
+        |  SELECT vec_id, CAST(ccid AS BIGINT) AS cluster FROM (
+        |    SELECT vec_id, ccid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, ccid) AS rn
+        |    FROM cd) t WHERE rn = 1),
+        |av AS (
+        |  SELECT c.vec_id, c.embedding, f.cluster,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(c.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+        |      (acc, x) -> acc + x)) AS nrm
+        |  FROM corpus c JOIN fasg f USING (vec_id)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id FROM av a JOIN av b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(0.0, list_transform(
+        |          list_zip(a.embedding, b.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+        |          (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.99)
+        |SELECT av.vec_id, av.cluster, (dr.vec_id IS NULL) AS keep
+        |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
+        |ORDER BY av.vec_id""".stripMargin,
     // q168's replay with the training CTEs restricted to the
     // deterministic half-sample; assignment + pruning stay full-corpus
     "q172_semdedup_sampled" ->

@@ -467,6 +467,111 @@ object Similarity {
     semDedup(corpus, idCol, vecCol, cents, minCos)
   }
 
+  /** Second-level quantization of a codebook — the IVF coarse-quantizer
+    * ladder the [[semDedupAuto]] scaladoc prescribes past ~10M vectors:
+    * group the k centroids under ceil(√k) SUPER-centroids (a local
+    * k-means over the k×dim codebook — model state, not data), so
+    * assignment probes √k supers then only that super's children,
+    * n·2√k distance evaluations instead of n·k.
+    *
+    * Arithmetic is the exact [[trainCentroids]] discipline — first-k
+    * seeding, left-fold squared distance, fixed-point HALF_UP means,
+    * empty supers keep their previous centroid — run driver-side over
+    * the codebook (k vectors), so a SQL oracle replays it verbatim
+    * (q173). Supers that end up with NO children are dropped from the
+    * probe list (their centroid can win no assignment on either side).
+    *
+    * @return (supers, children): parallel seqs in super order; children
+    *         lists the (original centroid id, centroid) pairs. */
+  def superQuantize(cents: Seq[Seq[Double]], iters: Int = 2,
+                    scaleBits: Int = 20): (Seq[Seq[Double]], Seq[Seq[(Long, Seq[Double])]]) = {
+    require(cents.nonEmpty, "empty codebook")
+    val q = (1L << scaleBits).toDouble
+    val kSuper = math.ceil(math.sqrt(cents.length.toDouble)).toInt
+    def sqd(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    def argmin(v: Seq[Double], cs: Seq[Seq[Double]]): Int = {
+      var best = 0; var bd = sqd(v, cs(0)); var i = 1
+      while (i < cs.length) {
+        val d = sqd(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1
+      }
+      best
+    }
+    // Spark/DuckDB `round` is HALF_UP (away from zero on .5) — NOT
+    // math.round (floor(x+.5)), which differs on negative halves
+    def fxRound(x: Double): Long =
+      new java.math.BigDecimal(x).setScale(0, java.math.RoundingMode.HALF_UP)
+        .longValueExact()
+    var supers = cents.take(kSuper)
+    for (_ <- 1 to iters) {
+      val asg = cents.map(c => argmin(c, supers))
+      supers = supers.indices.map { s =>
+        val members = cents.indices.filter(i => asg(i) == s)
+        if (members.isEmpty) supers(s)
+        else {
+          val dim = cents.head.length
+          (0 until dim).map { p =>
+            val sum = members.map(i => fxRound(cents(i)(p) * q)).sum
+            sum.toDouble / members.length.toDouble / q
+          }
+        }
+      }
+    }
+    val finalAsg = cents.map(c => argmin(c, supers))
+    val grouped = supers.indices.map { s =>
+      cents.indices.filter(i => finalAsg(i) == s)
+        .map(i => (i.toLong, cents(i)))
+    }
+    val keep = supers.indices.filter(s => grouped(s).nonEmpty)
+    (keep.map(supers), keep.map(grouped))
+  }
+
+  /** Two-level nearest-centroid assignment against the
+    * [[superQuantize]] hierarchy: argmin over the supers, then argmin
+    * among ONLY that super's children — both pure codegen'd literal
+    * loops, ~2√k distance folds per row. Approximate by construction
+    * (the true nearest child may live under a losing super — the
+    * standard IVF recall trade); exactly replayable in SQL. */
+  def assignClusterTwoLevel(vec: Column, supers: Seq[Seq[Double]],
+                            children: Seq[Seq[(Long, Seq[Double])]]): Column = {
+    require(supers.length == children.length && supers.nonEmpty,
+      "supers/children must be parallel and non-empty")
+    val sDists = transform(typedlit(supers), c => squaredDist(vec, c))
+    val sIdx = array_position(sDists, array_min(sDists)).cast("int")
+    val kids = element_at(typedlit(children), sIdx) // 1-based: position is 1-based
+    val scored = transform(kids, kid =>
+      struct(squaredDist(vec, kid.getField("_2")).as("d"),
+        kid.getField("_1").as("cid")))
+    array_min(scored).getField("cid")
+  }
+
+  /** [[semDedup]] with the corpus assigned through the two-level
+    * hierarchy instead of the flat argmin — the full 100M-vector recipe:
+    * k ∝ n codebook, √k-laddered assignment (n·2√k), bounded
+    * within-cluster pair space. q173 value-gates the entire path
+    * including the super-quantizer training. */
+  def semDedupTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                       centroids: Seq[Seq[Double]], minCos: Double): DataFrame = {
+    val (supers, children) = superQuantize(centroids)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cluster",
+        assignClusterTwoLevel(col("v"), supers, children).cast("long"))
+      .withColumn("nrm", norm(col("v")))
+    val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cluster"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cluster"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= minCos)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped.withColumn("__drop", lit(1)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"), col("__drop").isNull.as("keep"))
+  }
+
   /** [[semDedupAuto]] with the codebook trained on a BOUNDED SAMPLE —
     * the next rung of the scale ladder the auto variant's scaladoc
     * documents: centroids are means, so a uniform sample estimates

@@ -351,14 +351,107 @@ object StreamingQueries {
     } finally ev.unpersist()
   }
 
+  /** q174: STREAMING event-time session windows
+    * ([[StreamingLoad.sessionCounts]], native `session_window`, 30-min
+    * gap, 2-h watermark) under the driver's value gate — the q44
+    * sessionize semantics as merging-window STATE across micro-batches.
+    * Same staging discipline as q170 (event-time-quartile chunks ⇒ no
+    * late drops, conservative state). Values are pre-rounded to dyadic
+    * 2^-20 rationals, so the per-session double sums are EXACT under
+    * any addition order (all addends are multiples of 2^-20 and totals
+    * stay ≪ 2^32) — the oracle's relational lag+cumsum sessionization
+    * reproduces them bit-for-bit. Complete-mode memory sink: the final
+    * table is the full session state, no watermark flush games. */
+  def q174StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"),
+        (round(col("value") * lit(1048576.0)).cast("long").cast("double")
+          / lit(1048576.0)).as("value"))
+      .persist()
+    try {
+      val tmp = Fixtures.tempDir("graft-q174-")
+      val in = tmp.resolve("in")
+      Files.createDirectories(in)
+      def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val listing = Files.list(stage)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        finally listing.close()
+        val dest = in.resolve(s"$name.parquet")
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val lo = mm.getLong(0)
+      val span = mm.getLong(1) - lo + 1
+      val chunkOf = least(lit(3),
+        floor((unix_micros(col("ts")) - lit(lo)) * 4 / lit(span))).cast("int")
+      val t0 = 1600000000000L
+      (0 until 4).foreach { i =>
+        stageChunk(ev.filter(chunkOf === i), s"c$i", t0 + i * 2000L)
+      }
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      val qn = "q174_sess_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingLoad.sessionCounts(stream, gap = "30 minutes",
+          watermark = "2 hours")
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(qn)
+        .select(col("user_id"),
+          unix_micros(col("sess_start")).as("sess_start_us"),
+          unix_micros(col("sess_end")).as("sess_end_us"),
+          col("n_events").cast("long").as("n_events"),
+          col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start_us"))
+    } finally ev.unpersist()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_stream_upsert" -> q114StreamUpsert _,
     "q127_stream_dedup"  -> q127StreamDedup _,
     "q141_stream_budget" -> q141StreamBudget _,
     "q162_stream_hll"    -> q162StreamHll _,
-    "q170_stream_interval_join" -> q170StreamIntervalJoin _)
+    "q170_stream_interval_join" -> q170StreamIntervalJoin _,
+    "q174_stream_sessions" -> q174StreamSessions _)
 
   val oracles: Map[String, String] = Map(
+    // relational sessionization (lag + cumsum breaks) over the same
+    // dyadic-rounded values; session end = last event + gap, break on
+    // diff >= gap (session_window's exclusive end)
+    "q174_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CAST(CAST(round(value * 1048576.0) AS BIGINT) AS DOUBLE)
+        |      / 1048576.0 AS v
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, ts, v,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS sess_start_us,
+        |  epoch_us(max(ts)) + 1800000000 AS sess_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  sum(v) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
     // the STATIC interval join over the same rows — the streaming plan's
     // time-ordered staging guarantees no late drops and no premature
     // state expiry, so stream output ≡ this batch join, row for row

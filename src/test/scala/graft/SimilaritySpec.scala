@@ -154,6 +154,33 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped == (0 until 20 by 2).map(_ + 1000L).toSet)
   }
 
+  test("semDedupTwoLevel: separated blobs match the flat path; twins dropped") {
+    val base = (0 until 20).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(i % 8) = 1.0f
+      v((i + 3) % 8) += 0.05f + 0.01f * i
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val twins = base.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(twins)
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      k = 3, iters = 2)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    // on one-hot-separated blobs the super ladder cannot misroute:
+    // keep decisions equal the flat assignment's exactly
+    assert(rows(Similarity.semDedupTwoLevel(corpus, "vec_id", "embedding",
+        cents, 0.999999)) ==
+      rows(Similarity.semDedup(corpus, "vec_id", "embedding",
+        cents, 0.999999)))
+    // superQuantize drops childless supers and partitions the codebook
+    val (supers, children) = Similarity.superQuantize(cents)
+    assert(supers.length == children.length && children.forall(_.nonEmpty))
+    assert(children.flatMap(_.map(_._1)).sorted == cents.indices.map(_.toLong))
+  }
+
   test("quantizeInt8 is exact on the closed form and bounds reconstruction") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
