@@ -322,12 +322,41 @@ object SelectionQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q175: AGREEMENT AUDIT of the two-level assignment ladder vs the
+    * flat argmin — per flat cluster: how many vectors the √k ladder
+    * routes identically (agree_ppm). This is the recall audit a
+    * deployment runs before flipping semantic dedup from n·k to n·2√k
+    * assignment: q135's quantization-recall discipline applied to the
+    * hierarchy. Both assignments and the super-training are replayed in
+    * full by the oracle. */
+  def q175AssignAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = autoCorpus(spark, dir)
+    val n = corpus.count()
+    val k = ((n + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      k, iters = 2)
+    val (supers, children) = Similarity.superQuantize(cents)
+    corpus
+      .withColumn("flat",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("two",
+        Similarity.assignClusterTwoLevel(col("embedding"), supers, children)
+          .cast("long"))
+      .groupBy(col("flat").as("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        sum(when(col("flat") === col("two"), 1L).otherwise(0L))
+          .cast("long").as("n_agree"))
+      .withColumn("agree_ppm", expr("(1000000 * n_agree) div n_vectors"))
+      .orderBy(col("cluster"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
     "q172_semdedup_sampled" -> q172SemDedupSampled _,
     "q173_two_level_dedup" -> q173TwoLevelDedup _,
+    "q175_assign_agreement" -> q175AssignAgreement _,
     "q140_image_phash"    -> q140ImagePhash _,
     "q142_audio_fingerprint" -> q142AudioFingerprint _,
     "q143_select_pipeline" -> q143SelectPipeline _,
@@ -549,6 +578,45 @@ object SelectionQueries {
         |SELECT av.vec_id, av.cluster, (dr.vec_id IS NULL) AS keep
         |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
         |ORDER BY av.vec_id""".stripMargin,
+    // flat asg (from the unprefixed instance) joined to the q173
+    // two-stage assignment, grouped per flat cluster
+    "q175_assign_agreement" ->
+      s"""${kmeansTrainCtes(twinCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM corpus)")},
+        |${kmeansTrainCtes(
+             "  SELECT cid AS vec_id, cv AS embedding FROM c2",
+             "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM scorpus)",
+             "TRUE", "s").stripPrefix("WITH ")},
+        |live AS (
+        |  SELECT s.cid, s.cv FROM sc2 s
+        |  WHERE EXISTS (SELECT 1 FROM sasg a WHERE a.cluster = s.cid)),
+        |pd AS (
+        |  SELECT e.vec_id, s.cid, ${sqdSql("e.embedding", "s.cv")} AS dd
+        |  FROM corpus e CROSS JOIN live s),
+        |pa AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+        |    FROM pd) t WHERE rn = 1),
+        |cd AS (
+        |  SELECT e.vec_id, ch.vec_id AS ccid,
+        |    ${sqdSql("e.embedding", "ch.embedding")} AS dd
+        |  FROM corpus e JOIN pa USING (vec_id)
+        |  JOIN sjc ch ON ch.cluster = pa.cid),
+        |fasg AS (
+        |  SELECT vec_id, CAST(ccid AS BIGINT) AS two FROM (
+        |    SELECT vec_id, ccid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, ccid) AS rn
+        |    FROM cd) t WHERE rn = 1)
+        |SELECT a.cluster,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN a.cluster = f.two THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree,
+        |  (1000000 * CAST(sum(CASE WHEN a.cluster = f.two THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS agree_ppm
+        |FROM asg a JOIN fasg f USING (vec_id)
+        |GROUP BY a.cluster
+        |ORDER BY a.cluster""".stripMargin,
     // q168's replay with the training CTEs restricted to the
     // deterministic half-sample; assignment + pruning stay full-corpus
     "q172_semdedup_sampled" ->

@@ -819,6 +819,36 @@ object PlanAudit {
         !plan("q167_unicode_nfc").contains("Join"))
     }
 
+    // q168/q172/q173 semantic dedup: centroid assignment is a pure
+    // projection (broadcast-literal codebook), the pair scan is a
+    // cluster equi-join — never a cartesian; the dedup agg partials
+    audit("q168") {
+      val p = plan("q168_semdedup_auto")
+      check("q168 semDedupAuto: cluster equi-join, no cartesian",
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    }
+    audit("q172") {
+      check("q172 sampled dedup: cluster equi-join, no cartesian",
+        !plan("q172_semdedup_sampled").contains("CartesianProduct"))
+    }
+    audit("q173") {
+      check("q173 two-level dedup: cluster equi-join, no cartesian",
+        !plan("q173_two_level_dedup").contains("CartesianProduct"))
+    }
+    // q169 learned-codebook kNN graph: blocked by the cluster equi-join,
+    // mutuality via the reversed-pair self-join — no cartesian
+    audit("q169") {
+      check("q169 knnGraphAuto pairs via cluster equi-join, no cartesian",
+        !plan("q169_knn_graph_auto").contains("CartesianProduct"))
+    }
+    // q171 multi-probe IVF: the bounded query side (10 probes exploded)
+    // must BROADCAST onto the corpus scan
+    audit("q171") {
+      val p = plan("q171_ivf_multiprobe")
+      check("q171 IVF probe join broadcasts the query side",
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    }
+
     // DSv2 pushdown: a `_file` predicate must reach the graft-text scan
     // (PushedFilters) and prune the planned partitions to the one file
     audit("v2-pushdown") {
