@@ -350,7 +350,34 @@ object SelectionQueries {
       .orderBy(col("cluster"))
   }
 
+  /** q176: farthest-first-SEEDED k-means clustering
+    * ([[Similarity.seedFarthestFirst]] → [[Similarity.trainCentroids]]
+    * with explicit init) — the k-means++-shaped seeding previously
+    * spec-only: 5 deterministic distributed argmax rounds pick
+    * spread-out seeds, two Lloyd rounds refine, the corpus assigns.
+    * The oracle replays the whole ladder: each seeding round is one
+    * max-by-(distance, id) CTE over an incrementally-`least`ed
+    * nearest-seed distance, then the shared training replay consumes
+    * the seeds as its init. Output = per-cluster size + lowest member,
+    * a compact value check of seed → train → assign. */
+  def q176FarthestSeedIvf(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val seeds = Similarity.seedFarthestFirst(emb(), "vec_id", "embedding",
+      k = 6)
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      k = 6, iters = 2, init = Some(seeds))
+    emb()
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        min(col("vec_id")).cast("long").as("first_vec"))
+      .orderBy(col("cluster"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_farthest_seed" -> q176FarthestSeedIvf _,
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
@@ -405,7 +432,9 @@ object SelectionQueries {
     * codebook `c2(cid, cv)` (for probe-list replays). */
   private def kmeansTrainCtes(corpusSql: String, kSql: String,
                               trainCondSql: String = "TRUE",
-                              p: String = ""): String = {
+                              p: String = "",
+                              preCtes: String = "",
+                              initSql: Option[String] = None): String = {
     // all CTE names carry the optional prefix `p`, so two independent
     // training replays (e.g. q173's codebook + super-codebook) compose
     // in one statement without collisions; the p="" instance is the
@@ -440,11 +469,12 @@ object SelectionQueries {
        |$corpusSql),
        |${p}tcorpus AS (SELECT * FROM ${p}corpus WHERE $trainCondSql),
        |${p}kk AS (SELECT $kSql AS k),
-       |${p}init AS (
-       |  SELECT cid, embedding FROM (
-       |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
-       |    FROM ${p}tcorpus) t
-       |  WHERE cid < (SELECT k FROM ${p}kk)),
+       |${if (preCtes.isEmpty) "" else preCtes + ",\n"}${p}init AS (
+       |${initSql.getOrElse(
+         s"""  SELECT cid, embedding FROM (
+            |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+            |    FROM ${p}tcorpus) t
+            |  WHERE cid < (SELECT k FROM ${p}kk)""".stripMargin)}),
        |${p}c0r AS (
        |  SELECT cid, CAST(x[2] AS BIGINT) AS pos, CAST(x[1] AS DOUBLE) AS c
        |  FROM (SELECT cid,
@@ -578,6 +608,42 @@ object SelectionQueries {
         |SELECT av.vec_id, av.cluster, (dr.vec_id IS NULL) AS keep
         |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
         |ORDER BY av.vec_id""".stripMargin,
+    // farthest-first seeding (5 argmax rounds over incrementally-least'ed
+    // nearest-seed distances) feeds the training replay as its init
+    "q176_farthest_seed" -> {
+      def mRound(i: Int, prevM: String): String =
+        s"""seed$i AS (
+           |  SELECT embedding AS sv FROM $prevM
+           |  ORDER BY dm DESC, vec_id LIMIT 1),
+           |m$i AS (
+           |  SELECT vec_id, embedding,
+           |    least(dm, ${sqdSql("embedding", s"(SELECT sv FROM seed$i)")}) AS dm
+           |  FROM $prevM)""".stripMargin
+      val pre =
+        s"""seed0 AS (SELECT embedding AS sv FROM corpus ORDER BY vec_id LIMIT 1),
+           |m0 AS (
+           |  SELECT c.vec_id, c.embedding,
+           |    ${sqdSql("c.embedding", "(SELECT sv FROM seed0)")} AS dm
+           |  FROM corpus c),
+           |${mRound(1, "m0")},
+           |${mRound(2, "m1")},
+           |${mRound(3, "m2")},
+           |${mRound(4, "m3")},
+           |seed5 AS (
+           |  SELECT embedding AS sv FROM m4
+           |  ORDER BY dm DESC, vec_id LIMIT 1)""".stripMargin
+      val initSeeds = (0 to 5).map(i =>
+        s"  SELECT $i AS cid, (SELECT sv FROM seed$i) AS embedding")
+        .mkString("\n  UNION ALL\n")
+      s"""${kmeansTrainCtes("  SELECT vec_id, embedding FROM embeddings",
+             "6", "TRUE", "", pre, Some(initSeeds))}
+        |SELECT a.cluster,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(min(vec_id) AS BIGINT) AS first_vec
+        |FROM asg a
+        |GROUP BY a.cluster
+        |ORDER BY a.cluster""".stripMargin
+    },
     // flat asg (from the unprefixed instance) joined to the q173
     // two-stage assignment, grouped per flat cluster
     "q175_assign_agreement" ->

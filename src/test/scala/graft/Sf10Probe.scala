@@ -57,6 +57,18 @@ object Sf10Probe {
     println(f"""{"probe":"semdedup_scaled_k","sf_dir":"$sfDir","n":$n,"k":$k,""" +
       f""""train_sec":$tTrain%.2f,"dedup_sec":$tDedup%.2f}""")
 
+    // round 8: the √k assignment ladder (q173's operator) on the SAME
+    // trained codebook — n·2√k distance folds instead of n·k for the
+    // dedup's assignment pass; the delta vs dedup_sec above is the
+    // ladder's saving at 100× data
+    val t1b = System.nanoTime()
+    graft.operators.Similarity
+      .semDedupTwoLevel(corpus, "vec_id", "embedding", cents, minCos = 0.99)
+      .write.format("noop").mode("overwrite").save()
+    val tDedup2 = (System.nanoTime() - t1b) / 1e9
+    println(f"""{"probe":"semdedup_two_level","sf_dir":"$sfDir","n":$n,"k":$k,""" +
+      f""""dedup_sec":$tDedup2%.2f}""")
+
     // q133's scale path shares the codebook: the GATE blocks the kNN
     // graph on the 10 fixed labels (oracle-checkable, quadratic past the
     // codebook like q85's fixed-k gate); production re-clusters at
