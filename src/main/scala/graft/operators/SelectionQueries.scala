@@ -376,8 +376,52 @@ object SelectionQueries {
       .orderBy(col("cluster"))
   }
 
+  /** q177: INCREMENTAL semantic dedup
+    * ([[Similarity.semDedupIncremental]]) — the standing-corpus ingest
+    * flow: the quantizer is trained on the BASE only (k = ceil(n_base/50)),
+    * base rows are settled, and the delta batch carries all three
+    * verdict cases: scaled twins of base vectors (dropped against the
+    * base), reversed-embedding novelties (kept — no base neighbor), and
+    * 2×-scaled copies of those novelties (dropped delta-internally,
+    * lower-id novelty wins). The oracle replays the base-only training,
+    * the standing assignment, and both drop rules. */
+  def q177IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    // the three delta variants come from ONE scan via explode, not a
+    // 3-way union: this synthetic union shape trips two optimizer bugs
+    // (Union.rewriteConstraints with lambdas in children;
+    // a PushPredicateThroughNonJoin assertion pushing the dedup's
+    // filters through the union+CASE projection), and checkpointing it
+    // instead trips the LogicalRDD self-join attribute-rewrite bug the
+    // q171 gate hit. An exploded single-scan plan is also what a real
+    // augmentation pipeline runs.
+    val tagged = emb()
+      .select(col("vec_id"), col("embedding"),
+        explode(typedlit(Seq(1, 2, 3))).as("variant"))
+      .filter((col("variant") === 1 && col("vec_id") % 5 === 0) ||
+        (col("variant") === 2 && col("vec_id") % 7 === 0) ||
+        (col("variant") === 3 && col("vec_id") % 14 === 0))
+    val delta = tagged.select(
+      (col("vec_id") + col("variant") * 100000L).as("vec_id"),
+      when(col("variant") === 3,
+        transform(reverse(col("embedding")), v => v * lit(2.0f)))
+        .when(col("variant") === 2, reverse(col("embedding")))
+        .otherwise(transform(col("embedding"), v => v * lit(1.5f)))
+        .as("embedding"))
+    val nBase = base.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k, iters = 2)
+    Similarity.semDedupIncremental(base, delta, "vec_id", "embedding",
+        cents, minCos = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
+    "q177_incremental_dedup" -> q177IncrementalDedup _,
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
@@ -608,6 +652,49 @@ object SelectionQueries {
         |SELECT av.vec_id, av.cluster, (dr.vec_id IS NULL) AS keep
         |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
         |ORDER BY av.vec_id""".stripMargin,
+    // base-only training (trainCond), standing assignment over
+    // base ∪ delta, then the two incremental drop rules
+    "q177_incremental_dedup" -> {
+      val cosAB =
+        """list_reduce(list_prepend(0.0, list_transform(
+          |          list_zip(a.embedding, b.embedding),
+          |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+          |          (acc, v) -> acc + v) / (a.nrm * b.nrm)""".stripMargin
+      s"""${kmeansTrainCtes(
+        """  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000,
+          |    list_transform(embedding, v -> v * CAST(1.5 AS FLOAT))
+          |  FROM embeddings WHERE vec_id % 5 = 0
+          |  UNION ALL
+          |  SELECT vec_id + 200000, list_reverse(embedding)
+          |  FROM embeddings WHERE vec_id % 7 = 0
+          |  UNION ALL
+          |  SELECT vec_id + 300000,
+          |    list_transform(list_reverse(embedding), v -> v * CAST(2 AS FLOAT))
+          |  FROM embeddings WHERE vec_id % 14 = 0""".stripMargin,
+        "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+        "vec_id < 100000")},
+        |ad AS (
+        |  SELECT jc.vec_id, jc.embedding, jc.cluster,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(jc.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+        |      (acc, x) -> acc + x)) AS nrm
+        |  FROM jc),
+        |bb AS (SELECT * FROM ad WHERE vec_id < 100000),
+        |dd AS (SELECT * FROM ad WHERE vec_id >= 100000),
+        |drv AS (
+        |  SELECT DISTINCT a.vec_id FROM dd a JOIN bb b
+        |    ON a.cluster = b.cluster
+        |  WHERE $cosAB >= 0.99
+        |  UNION
+        |  SELECT DISTINCT b.vec_id FROM dd a JOIN dd b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE $cosAB >= 0.99)
+        |SELECT dd.vec_id, dd.cluster, (dr.vec_id IS NULL) AS keep
+        |FROM dd LEFT JOIN drv dr ON dr.vec_id = dd.vec_id
+        |ORDER BY dd.vec_id""".stripMargin
+    },
     // farthest-first seeding (5 argmax rounds over incrementally-least'ed
     // nearest-seed distances) feeds the training replay as its init
     "q176_farthest_seed" -> {

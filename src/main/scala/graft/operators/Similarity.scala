@@ -572,6 +572,45 @@ object Similarity {
       .select(col("id").as(idCol), col("cluster"), col("__drop").isNull.as("keep"))
   }
 
+  /** INCREMENTAL semantic dedup — the daily-ingest flow of a standing
+    * 100 TB corpus: the codebook is the STANDING quantizer (trained on
+    * the base corpus, passed in), base membership is settled (base rows
+    * are never re-judged), and only the DELTA is scored: a delta vector
+    * is dropped if some same-cluster BASE vector, or a lower-id
+    * same-cluster DELTA vector, sits at cosine ≥ `minCos`. Cost is
+    * |delta|·k assignment + two cluster equi-joins whose left side is
+    * the delta — the base corpus is touched once per batch and NEVER
+    * self-joined, the property that lets a standing corpus absorb
+    * deltas forever (the semantic member of the q82/q109 incremental
+    * family). Verdict per delta row: (idCol, cluster, keep). */
+  def semDedupIncremental(base: DataFrame, delta: DataFrame, idCol: String,
+                          vecCol: String, centroids: Seq[Seq[Double]],
+                          minCos: Double): DataFrame = {
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("cluster", assignCluster(col("v"), centroids).cast("long"))
+        .withColumn("nrm", norm(col("v")))
+    val b = prep(base).select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cluster"))
+    val d = prep(delta)
+    val dl = d.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cluster"))
+    val vsBase = dl.join(b, Seq("cluster"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= minCos)
+      .select(col("id_a").as("id"))
+    val dr = d.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cluster"))
+    val vsDelta = dl.join(dr, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= minCos)
+      .select(col("id_b").as("id"))
+    val dropped = vsBase.unionByName(vsDelta).distinct()
+      .withColumn("__drop", lit(1))
+    d.join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        col("__drop").isNull.as("keep"))
+  }
+
   /** [[semDedupAuto]] with the codebook trained on a BOUNDED SAMPLE —
     * the next rung of the scale ladder the auto variant's scaladoc
     * documents: centroids are means, so a uniform sample estimates
