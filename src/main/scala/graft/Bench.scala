@@ -200,11 +200,16 @@ object Bench {
     // recorded 81.2 s at loadavg 5.2 vs the 59.0 s quiet record; every
     // "regression" evaporated on quiet re-time). Mark the record so
     // downstream readers stop treating loaded records as regressions.
+    // A full-suite run that self-qualified as quiet is the CANONICAL
+    // record for the round — loaded end-of-round driver runs (round 8:
+    // loadavg 18, 125 s vs the 85 s quiet record) carry quiet:false and
+    // canonical:false so no reader mistakes them for regressions.
     val quietInfo = priorQuietTotal match {
       case Some(ref) if ref > 0 && total > ref * 1.3 =>
-        s""","quiet":false,"quiet_trigger":"total ${fmt(total)}s > 1.3x prior quiet ${fmt(ref)}s""""
-      case Some(ref) => s""","quiet":true,"quiet_ref":${fmt(ref)}"""
-      case None => s""","quiet":true"""
+        s""","quiet":false,"canonical":false,"quiet_trigger":"total ${fmt(total)}s > 1.3x prior quiet ${fmt(ref)}s""""
+      case Some(ref) =>
+        s""","quiet":true,"canonical":${!isSubset},"quiet_ref":${fmt(ref)}"""
+      case None => s""","quiet":true,"canonical":${!isSubset}"""
     }
     val subsetInfo = if (isSubset) s""","subset":true""" else ""
     val calibEnd = try calibrate() catch { case e: Throwable =>

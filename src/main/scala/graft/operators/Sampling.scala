@@ -283,6 +283,20 @@ object Sampling {
                      weightCol: String, k: Int, seed: Long): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     require(k > 0, "k must be positive")
+    // integral type enforced at plan-build time (same contract style as
+    // RangeJoin.requireIntegral): a fractional weight like 0.5 would
+    // truncate to 0 and raise the misleading "must be > 0", and 2.7
+    // would silently become 2, quietly changing the sampling
+    // distribution — reject the TYPE up front with an accurate message
+    df.schema(weightCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"prioritySample: $weightCol must be an integral column " +
+          s"(fractional weights would truncate and skew the pick), got $dt")
+    }
     def minK(entry: Column): Column = GraftColumnBridge.column(
       graft.plans.BoundedMinKAgg(GraftColumnBridge.expression(entry), k,
         distinct = false).toAggregateExpression())

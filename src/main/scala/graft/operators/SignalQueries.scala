@@ -229,8 +229,12 @@ object SignalQueries {
     // the four signal branches + the budget fill each re-derive from the
     // corpus; without reuse the plan scans `documents` 12× (ScanReuseProbe,
     // round 8). One eager localCheckpoint materializes the corpus once and
-    // every branch reads the checkpointed partitions — at 100 TB this is
-    // the difference between one corpus pass and twelve.
+    // every branch reads the checkpointed partitions. Caveat: the blocks
+    // are executor-local and lineage-free, so the plan is not recoverable
+    // on executor loss and the scan runs eagerly at build time — right
+    // for this bench; a production cluster run at scale should swap in
+    // persist(StorageLevel.DISK_ONLY) (lineage kept, spillable) or a
+    // reliable checkpoint to shared storage.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
       .localCheckpoint()

@@ -244,7 +244,11 @@ object GraftDataSourceV2 {
     pushed.collect {
       case EqualTo("_lineno", n: Number) => n.longValue
       case LessThanOrEqual("_lineno", n: Number) => n.longValue
-      case LessThan("_lineno", n: Number) => n.longValue - 1
+      // saturating subtraction: a degenerate `< Long.MinValue` filter
+      // would wrap to Long.MaxValue and silently disable the early-stop
+      // (residual keeps values correct either way; this keeps pruning)
+      case LessThan("_lineno", n: Number) =>
+        if (n.longValue == Long.MinValue) Long.MinValue else n.longValue - 1
     }.foldLeft(Long.MaxValue)(math.min)
 
   /** Does `path` survive the pushed `_file` predicates? Compared against

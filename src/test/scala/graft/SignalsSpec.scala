@@ -146,6 +146,17 @@ class SignalsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("must be > 0")))
   }
 
+  test("prioritySample: fractional weight type rejected at plan build") {
+    // 0.5 would truncate to 0 (misleading "must be > 0") and 2.7 to 2
+    // (silent distribution skew) — the TYPE is rejected before any of
+    // that can happen, with a message naming the real problem
+    val docs = Seq(("g", 1L, 0.5), ("g", 2L, 2.7)).toDF("src", "doc_id", "w")
+    val e = intercept[IllegalArgumentException] {
+      operators.Sampling.prioritySample(docs, "src", "doc_id", "w", 2, 7L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("prioritySample: invariant under repartitioning, rank bounded by k") {
     val docs = (0L until 80L).map(i => ("g", i, 1L + i % 9)).toDF("src", "doc_id", "w")
     val a = operators.Sampling.prioritySample(docs, "src", "doc_id", "w", 7, 5L)
