@@ -385,31 +385,37 @@ object SelectionQueries {
     * 2×-scaled copies of those novelties (dropped delta-internally,
     * lower-id novelty wins). The oracle replays the base-only training,
     * the standing assignment, and both drop rules. */
-  def q177IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    def emb() = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val base = emb()
-    // the three delta variants come from ONE scan via explode, not a
-    // 3-way union: this synthetic union shape trips two optimizer bugs
-    // (Union.rewriteConstraints with lambdas in children;
-    // a PushPredicateThroughNonJoin assertion pushing the dedup's
-    // filters through the union+CASE projection), and checkpointing it
-    // instead trips the LogicalRDD self-join attribute-rewrite bug the
-    // q171 gate hit. An exploded single-scan plan is also what a real
-    // augmentation pipeline runs.
-    val tagged = emb()
+  /** The q177/q178 augmentation delta: scaled twins of base vectors
+    * (variant 1), reversed-embedding novelties (variant 2), and
+    * 2×-scaled copies of those novelties (variant 3). The variants come
+    * from ONE scan via explode, not a 3-way union: this synthetic union
+    * shape trips two optimizer bugs (Union.rewriteConstraints with
+    * lambdas in children; a PushPredicateThroughNonJoin assertion
+    * pushing the dedup's filters through the union+CASE projection),
+    * and checkpointing it instead trips the LogicalRDD self-join
+    * attribute-rewrite bug the q171 gate hit. An exploded single-scan
+    * plan is also what a real augmentation pipeline runs. */
+  private def augmentDelta(emb: DataFrame): DataFrame = {
+    val tagged = emb
       .select(col("vec_id"), col("embedding"),
         explode(typedlit(Seq(1, 2, 3))).as("variant"))
       .filter((col("variant") === 1 && col("vec_id") % 5 === 0) ||
         (col("variant") === 2 && col("vec_id") % 7 === 0) ||
         (col("variant") === 3 && col("vec_id") % 14 === 0))
-    val delta = tagged.select(
+    tagged.select(
       (col("vec_id") + col("variant") * 100000L).as("vec_id"),
       when(col("variant") === 3,
         transform(reverse(col("embedding")), v => v * lit(2.0f)))
         .when(col("variant") === 2, reverse(col("embedding")))
         .otherwise(transform(col("embedding"), v => v * lit(1.5f)))
         .as("embedding"))
+  }
+
+  def q177IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    val delta = augmentDelta(emb())
     val nBase = base.count()
     val k = ((nBase + 49) / 50).toInt
     val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
@@ -419,9 +425,73 @@ object SelectionQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** The q178 standing corpus: base rows (variant 0) plus the
+    * [[augmentDelta]] variants, all from ONE exploded scan (the union
+    * shape trips the optimizer bugs documented on [[augmentDelta]]). */
+  private def driftCorpus(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"),
+        explode(typedlit(Seq(0, 1, 2, 3))).as("variant"))
+      .filter(col("variant") === 0 ||
+        (col("variant") === 1 && col("vec_id") % 5 === 0) ||
+        (col("variant") === 2 && col("vec_id") % 7 === 0) ||
+        (col("variant") === 3 && col("vec_id") % 14 === 0))
+      .select((col("vec_id") + col("variant") * 100000L).as("vec_id"),
+        when(col("variant") === 3,
+          transform(reverse(col("embedding")), v => v * lit(2.0f)))
+          .when(col("variant") === 2, reverse(col("embedding")))
+          .when(col("variant") === 1,
+            transform(col("embedding"), v => v * lit(1.5f)))
+          .otherwise(col("embedding")).as("embedding"))
+
+  /** q178: CODEBOOK-DRIFT AUDIT ([[Similarity.codebookDrift]]) — the
+    * governance gate for the q177 standing-corpus flow: the standing
+    * quantizer (trained on the base only, q177's exact configuration)
+    * vs a fresh retrain on base + the accumulated [[augmentDelta]]
+    * batch, measured per standing cluster as the modal-block share of
+    * its members under the fresh codebook (stable_ppm) and the number
+    * of retrained clusters it scatters into. The oracle replays BOTH
+    * trainings (two composed k-means CTE instances over the same
+    * corpus, one base-restricted) and the integer audit verbatim. */
+  def q178CodebookDrift(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    def corpus() = driftCorpus(emb())
+    val base = corpus().filter(col("vec_id") < 100000L)
+    val nBase = base.count()
+    val nFull = corpus().count()
+    val kStd = ((nBase + 49) / 50).toInt
+    val kNew = ((nFull + 49) / 50).toInt
+    val standing = Similarity.trainCentroids(base, "vec_id", "embedding",
+      kStd, iters = 2)
+    val retrained = Similarity.trainCentroids(corpus(), "vec_id",
+      "embedding", kNew, iters = 2)
+    Similarity.codebookDrift(corpus(), "vec_id", "embedding",
+      standing, retrained)
+  }
+
+  /** q179: TWO-LEVEL PROBE LISTS for multi-probe IVF
+    * ([[Similarity.ivfTopKTwoLevelProbe]], nlist=8, sProbe=2, nProbe=2,
+    * k=5) — q171's ANN with the last flat-scan removed: the query's
+    * probe list ranks ceil(√nlist) supers then only the chosen supers'
+    * children, and the corpus assigns through the same ladder. The
+    * oracle replays both training levels, the childless-super drop,
+    * the two-stage probe-list construction, the two-level corpus
+    * assignment, and the windowed top-5. */
+  def q179TwoLevelProbe(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfTopKTwoLevelProbe(emb().filter(col("vec_id") < 10),
+        emb(), "vec_id", "embedding", k = 5, nlist = 8, sProbe = 2,
+        nProbe = 2, iters = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
     "q177_incremental_dedup" -> q177IncrementalDedup _,
+    "q178_codebook_drift" -> q178CodebookDrift _,
+    "q179_two_level_probe" -> q179TwoLevelProbe _,
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
@@ -548,6 +618,22 @@ object SelectionQueries {
       |    list_transform(embedding, v -> v * CAST(1.5 AS FLOAT))
       |  FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
 
+  /** The q177/q178 standing corpus: base + the three [[augmentDelta]]
+    * variants. */
+  private val incrCorpusSql: String =
+    """  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(embedding, v -> v * CAST(1.5 AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 5 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 200000, list_reverse(embedding)
+      |  FROM embeddings WHERE vec_id % 7 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 300000,
+      |    list_transform(list_reverse(embedding), v -> v * CAST(2 AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 14 = 0""".stripMargin
+
   /** The q168/q169 training replay: twin-injected corpus, k = ceil(n/50)
     * — the PRODUCTION corpus-proportional codebook size. */
   private val autoTrainCtes: String = kmeansTrainCtes(twinCorpusSql,
@@ -660,19 +746,7 @@ object SelectionQueries {
           |          list_zip(a.embedding, b.embedding),
           |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
           |          (acc, v) -> acc + v) / (a.nrm * b.nrm)""".stripMargin
-      s"""${kmeansTrainCtes(
-        """  SELECT vec_id, embedding FROM embeddings
-          |  UNION ALL
-          |  SELECT vec_id + 100000,
-          |    list_transform(embedding, v -> v * CAST(1.5 AS FLOAT))
-          |  FROM embeddings WHERE vec_id % 5 = 0
-          |  UNION ALL
-          |  SELECT vec_id + 200000, list_reverse(embedding)
-          |  FROM embeddings WHERE vec_id % 7 = 0
-          |  UNION ALL
-          |  SELECT vec_id + 300000,
-          |    list_transform(list_reverse(embedding), v -> v * CAST(2 AS FLOAT))
-          |  FROM embeddings WHERE vec_id % 14 = 0""".stripMargin,
+      s"""${kmeansTrainCtes(incrCorpusSql,
         "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
         "vec_id < 100000")},
         |ad AS (
@@ -695,6 +769,96 @@ object SelectionQueries {
         |FROM dd LEFT JOIN drv dr ON dr.vec_id = dd.vec_id
         |ORDER BY dd.vec_id""".stripMargin
     },
+    // both trainings replayed over the SAME corpus — the standing
+    // instance base-restricted (trainCond), the fresh instance
+    // (n-prefixed) over everything — then the label-free audit:
+    // per standing cluster, the modal retrained-cluster block
+    "q178_codebook_drift" ->
+      s"""${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+             "vec_id < 100000")},
+        |${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM ntcorpus)",
+             "TRUE", "n").stripPrefix("WITH ")},
+        |pc AS (
+        |  SELECT a.cluster AS std, n.cluster AS nw, count(*) AS n
+        |  FROM asg a JOIN nasg n USING (vec_id)
+        |  GROUP BY a.cluster, n.cluster)
+        |SELECT std AS cluster, CAST(sum(n) AS BIGINT) AS n_vectors,
+        |  CAST(count(*) AS BIGINT) AS n_new_clusters,
+        |  CAST(max(n) AS BIGINT) AS n_modal,
+        |  (1000000 * CAST(max(n) AS BIGINT)) // CAST(sum(n) AS BIGINT)
+        |    AS stable_ppm
+        |FROM pc GROUP BY std
+        |ORDER BY cluster""".stripMargin,
+    // the full two-level IVF replay: flat codebook (nlist=8), super
+    // codebook over it, childless-super drop, TWO-STAGE probe lists
+    // (sProbe=2 supers, then nProbe=2 of their children), two-level
+    // corpus assignment, windowed top-5
+    "q179_two_level_probe" ->
+      s"""${kmeansTrainCtes(
+             "  SELECT vec_id, embedding FROM embeddings", "8")},
+        |${kmeansTrainCtes(
+             "  SELECT cid AS vec_id, cv AS embedding FROM c2",
+             "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM scorpus)",
+             "TRUE", "s").stripPrefix("WITH ")},
+        |live AS (
+        |  SELECT s.cid, s.cv FROM sc2 s
+        |  WHERE EXISTS (SELECT 1 FROM sasg a WHERE a.cluster = s.cid)),
+        |pd AS (
+        |  SELECT e.vec_id, s.cid, ${sqdSql("e.embedding", "s.cv")} AS dd
+        |  FROM corpus e CROSS JOIN live s),
+        |pa AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+        |    FROM pd) t WHERE rn = 1),
+        |cd AS (
+        |  SELECT e.vec_id, ch.vec_id AS ccid,
+        |    ${sqdSql("e.embedding", "ch.embedding")} AS dd
+        |  FROM corpus e JOIN pa USING (vec_id)
+        |  JOIN sjc ch ON ch.cluster = pa.cid),
+        |fasg AS (
+        |  SELECT vec_id, CAST(ccid AS BIGINT) AS cluster FROM (
+        |    SELECT vec_id, ccid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, ccid) AS rn
+        |    FROM cd) t WHERE rn = 1),
+        |qsd AS (
+        |  SELECT q.vec_id AS qid, s.cid, q.embedding AS qe,
+        |    ${sqdSql("q.embedding", "s.cv")} AS dd
+        |  FROM corpus q CROSS JOIN live s
+        |  WHERE q.vec_id < 10),
+        |qsp AS (
+        |  SELECT qid, cid, qe FROM (
+        |    SELECT qid, cid, qe,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        |    FROM qsd) t WHERE rn <= 2),
+        |qcd AS (
+        |  SELECT p.qid, ch.vec_id AS ccid, p.qe,
+        |    ${sqdSql("p.qe", "ch.embedding")} AS dd
+        |  FROM qsp p JOIN sjc ch ON ch.cluster = p.cid),
+        |probes AS (
+        |  SELECT qid, ccid, qe FROM (
+        |    SELECT qid, ccid, qe,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, ccid) AS rn
+        |    FROM qcd) t WHERE rn <= 2),
+        |jv AS (
+        |  SELECT c.vec_id, c.embedding, f.cluster
+        |  FROM corpus c JOIN fasg f USING (vec_id)),
+        |scored AS (
+        |  SELECT p.qid AS query_id, j.vec_id AS neighbor_id,
+        |    p.qe AS qv, j.embedding AS cv,
+        |    $cosineSql AS cos
+        |  FROM probes p JOIN jv j ON j.cluster = p.ccid
+        |  WHERE j.vec_id <> p.qid)
+        |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // farthest-first seeding (5 argmax rounds over incrementally-least'ed
     // nearest-seed distances) feeds the training replay as its init
     "q176_farthest_seed" -> {

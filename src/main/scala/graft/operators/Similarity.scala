@@ -181,19 +181,39 @@ object Similarity {
     * buys, made reproducible by dropping the randomness. Each of the k-1
     * rounds is ONE distributed top-1 job (per-partition max, merge on the
     * driver — `TakeOrderedAndProject`, no full sort), so seeding 100 TB
-    * costs k scans, and only the k×dim codebook touches the driver. */
+    * costs k scans, and only the k×dim codebook touches the driver.
+    *
+    * The nearest-seed distance is maintained as a MATERIALIZED running
+    * min: each round folds only the NEWEST seed into `dmin` (one
+    * distance evaluation per row per round), and the lineage is
+    * truncated every `checkpointEvery` seeds so round i never replays
+    * rounds 1..i-1 — O(k) total distance folds per row instead of the
+    * O(k²) a re-`least`ed seed list costs (measured linear at k=64 by
+    * SeedScaleProbe). `least` is an exact left fold either way, so the
+    * seeds — and every gate consuming them (q176) — are bit-identical
+    * to the unmaterialized formulation. */
   def seedFarthestFirst(corpus: DataFrame, idCol: String, vecCol: String,
-                        k: Int): Seq[Seq[Double]] = {
+                        k: Int, checkpointEvery: Int = 16): Seq[Seq[Double]] = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
       r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     var cents = Seq(vecOf(base.orderBy(col("id")).limit(1).collect().head))
+    var state = base.withColumn("dmin",
+      squaredDist(col("v"), typedlit(cents.head)))
+    var sinceCheckpoint = 0
     while (cents.length < k) {
-      val dNearest = cents.map(c => squaredDist(col("v"), typedlit(c)))
-        .reduce((a, b) => least(a, b))
-      val next = base.withColumn("d", dNearest)
-        .orderBy(col("d").desc, col("id")).limit(1).collect().head
-      cents :+= vecOf(next)
+      val next = state.orderBy(col("dmin").desc, col("id"))
+        .limit(1).collect().head
+      val nv = vecOf(next)
+      cents :+= nv
+      state = state.withColumn("dmin",
+        least(col("dmin"), squaredDist(col("v"), typedlit(nv))))
+      sinceCheckpoint += 1
+      if (sinceCheckpoint >= checkpointEvery && cents.length < k) {
+        state = state.localCheckpoint()
+        sinceCheckpoint = 0
+      }
     }
     cents
   }
@@ -548,6 +568,68 @@ object Similarity {
     array_min(scored).getField("cid")
   }
 
+  /** Two-level PROBE-LIST construction for multi-probe IVF — the query
+    * side of the [[superQuantize]] ladder: [[probeClusters]] ranks ALL
+    * nlist centroids per query (at k ∝ n that is the same n·k wall the
+    * ladder removed from assignment), whereas this ranks the ceil(√k)
+    * supers, keeps the `sProbe` nearest, and ranks only THOSE supers'
+    * children — ~√k·(1 + sProbe·avgChildren/√k) ≈ 2√k-ish distance
+    * folds per query. Approximate like any IVF probe (a true near
+    * cluster may hide under a losing super — dial `sProbe` up for
+    * recall); deterministic (distance, then id, at both levels) and
+    * exactly replayable in SQL (q179). Returns the `nProbe` nearest
+    * child-centroid ids among the candidates. */
+  def probeClustersTwoLevel(vec: Column, supers: Seq[Seq[Double]],
+                            children: Seq[Seq[(Long, Seq[Double])]],
+                            sProbe: Int, nProbe: Int): Column = {
+    require(supers.length == children.length && supers.nonEmpty,
+      "supers/children must be parallel and non-empty")
+    require(sProbe >= 1 && nProbe >= 1, "need sProbe >= 1 and nProbe >= 1")
+    val sDists = transform(typedlit(supers), c => squaredDist(vec, c))
+    val sZip = zip_with(sDists, typedlit(supers.indices.map(_.toLong)),
+      (d, i) => struct(d.as("d"), i.as("i")))
+    val topSupers = transform(slice(array_sort(sZip), 1, sProbe),
+      s => s.getField("i").cast("int"))
+    val kids = flatten(transform(topSupers,
+      si => element_at(typedlit(children), si + 1))) // element_at is 1-based
+    val scored = transform(kids, kid =>
+      struct(squaredDist(vec, kid.getField("_2")).as("d"),
+        kid.getField("_1").as("cid")))
+    transform(slice(array_sort(scored), 1, nProbe),
+      s => s.getField("cid").cast("int"))
+  }
+
+  /** Multi-probe IVF with BOTH sides on the [[superQuantize]] ladder:
+    * the corpus assigns two-level ([[assignClusterTwoLevel]], ~2√k folds
+    * per vector) and each query's probe list is built two-level
+    * ([[probeClustersTwoLevel]]) — no per-row operation anywhere touches
+    * all nlist centroids, closing the last flat-scan in the IVF path.
+    * Same output contract as [[ivfTopKMultiProbe]]; same independent-
+    * reads caveat (see there). */
+  def ivfTopKTwoLevelProbe(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           nlist: Int, sProbe: Int, nProbe: Int,
+                           iters: Int = 5): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    val (supers, children) = superQuantize(cents)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qc",
+        explode(probeClustersTwoLevel(col("qv"), supers, children,
+          sProbe, nProbe)))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cc",
+        assignClusterTwoLevel(col("cv"), supers, children).cast("int"))
+    val scored = c.join(broadcast(q), col("qc") === col("cc"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** [[semDedup]] with the corpus assigned through the two-level
     * hierarchy instead of the flat argmin — the full 100M-vector recipe:
     * k ∝ n codebook, √k-laddered assignment (n·2√k), bounded
@@ -609,6 +691,39 @@ object Similarity {
     d.join(dropped, Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
         col("__drop").isNull.as("keep"))
+  }
+
+  /** CODEBOOK-DRIFT AUDIT — the governance check a standing corpus runs
+    * before trusting [[semDedupIncremental]] for another month: retrain
+    * the quantizer on base + accumulated deltas and measure, per
+    * STANDING cluster, how coherently its members re-assign under the
+    * fresh codebook. Centroid ids of two independently-trained
+    * codebooks are not comparable, so coherence is measured
+    * label-free: `n_modal` = the largest block of the standing
+    * cluster's members that lands together in ONE retrained cluster
+    * (`stable_ppm` = its ppm share). A cluster whose members scatter
+    * (low stable_ppm, high n_new_clusters) is where the standing
+    * quantizer has drifted off the data — re-cluster there first.
+    *
+    * Cost: both assignments are codegen'd literal argmins fused in one
+    * corpus scan; the audit aggregate is two map-side-combined
+    * groupBys on ≤ k·k' then ≤ k rows. All outputs are exact integers,
+    * so the oracle (q178) replays both trainings and the audit
+    * verbatim. */
+  def codebookDrift(corpus: DataFrame, idCol: String, vecCol: String,
+                    standing: Seq[Seq[Double]],
+                    retrained: Seq[Seq[Double]]): DataFrame = {
+    val assigned = corpus
+      .withColumn("__std", assignCluster(col(vecCol), standing).cast("long"))
+      .withColumn("__new", assignCluster(col(vecCol), retrained).cast("long"))
+    val pairCounts = assigned.groupBy(col("__std"), col("__new"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    pairCounts.groupBy(col("__std").as("cluster"))
+      .agg(sum(col("n")).cast("long").as("n_vectors"),
+        count(lit(1)).cast("long").as("n_new_clusters"),
+        max(col("n")).cast("long").as("n_modal"))
+      .withColumn("stable_ppm", expr("(1000000 * n_modal) div n_vectors"))
+      .orderBy(col("cluster"))
   }
 
   /** [[semDedupAuto]] with the codebook trained on a BOUNDED SAMPLE —

@@ -848,6 +848,22 @@ object PlanAudit {
       check("q171 IVF probe join broadcasts the query side",
         p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
     }
+    // q178 codebook drift: BOTH assignments are literal-codebook
+    // projections fused in one scan — no join anywhere before the
+    // two tiny audit aggregations
+    audit("q178") {
+      val p = plan("q178_codebook_drift")
+      check("q178 drift audit: pure projection + aggregations, no join",
+        !p.contains("Join") && !p.contains("CartesianProduct"))
+    }
+    // q179 two-level IVF: like q171, the bounded probe side broadcasts
+    // onto the corpus; no per-row flat centroid scan survives as a
+    // cartesian
+    audit("q179") {
+      val p = plan("q179_two_level_probe")
+      check("q179 two-level probe join broadcasts the query side",
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    }
 
     // DSv2 pushdown: a `_file` predicate must reach the graft-text scan
     // (PushedFilters) and prune the planned partitions to the one file

@@ -181,6 +181,58 @@ class SimilaritySpec extends SparkSpec {
     assert(children.flatMap(_.map(_._1)).sorted == cents.indices.map(_.toLong))
   }
 
+  test("seedFarthestFirst: materialized running min is checkpoint-invariant") {
+    val df = blobs()
+    // the checkpoint cadence is a pure lineage-truncation choice — every
+    // cadence must yield bit-identical seeds (least is an exact fold)
+    val every16 = Similarity.seedFarthestFirst(df, "vec_id", "embedding", k = 5)
+    val every1 = Similarity.seedFarthestFirst(df, "vec_id", "embedding",
+      k = 5, checkpointEvery = 1)
+    val every2 = Similarity.seedFarthestFirst(df, "vec_id", "embedding",
+      k = 5, checkpointEvery = 2)
+    assert(every16 == every1 && every16 == every2)
+    assert(every16.length == 5 && every16.distinct.length == 5)
+  }
+
+  test("ivfTopKTwoLevelProbe: full super probing equals brute force on separated blobs") {
+    val df = blobs()
+    val queries = df.filter(col("vec_id") < 2)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // nlist=2 → 2 supers; probing both supers and both children scans
+    // everything, so the ladder must reproduce exact brute force
+    assert(pairs(Similarity.ivfTopKTwoLevelProbe(queries, df, "vec_id",
+        "embedding", k = 3, nlist = 2, sProbe = 2, nProbe = 2, iters = 4)) ==
+      pairs(Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", k = 3)))
+    // deterministic under repartitioning
+    assert(pairs(Similarity.ivfTopKTwoLevelProbe(queries, df.repartition(7),
+        "vec_id", "embedding", k = 3, nlist = 2, sProbe = 2, nProbe = 2,
+        iters = 4)) ==
+      pairs(Similarity.ivfTopKTwoLevelProbe(queries, df, "vec_id",
+        "embedding", k = 3, nlist = 2, sProbe = 2, nProbe = 2, iters = 4)))
+  }
+
+  test("codebookDrift: identical codebooks are perfectly stable; a refit splits coherently") {
+    val df = blobs()
+    val cents = Similarity.trainCentroids(df, "vec_id", "embedding", k = 2,
+      iters = 4)
+    val same = Similarity.codebookDrift(df, "vec_id", "embedding",
+      cents, cents).collect()
+    assert(same.length == 2)
+    assert(same.forall(r => r.getLong(2) == 1L)) // n_new_clusters
+    assert(same.forall(r => r.getLong(4) == 1000000L)) // stable_ppm
+    // a finer retrain may split a standing cluster, but membership is
+    // conserved: blocks sum to the cluster size, modal block is a block
+    val finer = Similarity.trainCentroids(df, "vec_id", "embedding", k = 4,
+      iters = 4)
+    val drift = Similarity.codebookDrift(df, "vec_id", "embedding",
+      cents, finer).collect()
+    assert(drift.map(_.getLong(1)).sum == 20L) // all vectors accounted
+    assert(drift.forall(r => r.getLong(3) <= r.getLong(1)))
+    assert(drift.forall(r => r.getLong(4) >= 1000000L / r.getLong(2)))
+  }
+
   test("quantizeInt8 is exact on the closed form and bounds reconstruction") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
