@@ -417,7 +417,93 @@ object StreamingQueries {
     } finally ev.unpersist()
   }
 
+  /** q180: the watermark DROP path — the one behavior a production
+    * stream hits daily that q170/q174's time-ordered staging never
+    * exercises. Five chunks: the four event-time quartiles in order
+    * (all on-time — each row's window end is ahead of the watermark
+    * the previous chunks established), then a DELIBERATELY LATE fifth
+    * chunk replaying the ENTIRE timeline after the stream has already
+    * seen its maximum event time. At that point the watermark sits at
+    * `max(ts) − 1 h` (ms-truncated — Spark tracks event-time stats in
+    * milliseconds), so the stateful aggregation drops every replayed
+    * row whose hour window ended at or before it and double-counts
+    * exactly the rest. The oracle predicts the retained set closed-form
+    * from the same predicate — the gate fails if the engine's drop
+    * boundary moves. Update-mode memory sink: per key the update
+    * stream's count strictly increases, so the final state is the
+    * max-n row ([[StreamingLoad.windowedCounts]], 1 h tumbling
+    * windows, 1 h watermark; values dyadic-rounded as in q174 so the
+    * double sums are exact under any accumulation order). */
+  def q180WatermarkDrop(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"),
+        (round(col("value") * lit(1048576.0)).cast("long").cast("double")
+          / lit(1048576.0)).as("value"))
+      .persist()
+    try {
+      val tmp = Fixtures.tempDir("graft-q180-")
+      val in = tmp.resolve("in")
+      Files.createDirectories(in)
+      def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val listing = Files.list(stage)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        finally listing.close()
+        val dest = in.resolve(s"$name.parquet")
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val lo = mm.getLong(0)
+      val span = mm.getLong(1) - lo + 1
+      val chunkOf = least(lit(3),
+        floor((unix_micros(col("ts")) - lit(lo)) * 4 / lit(span))).cast("int")
+      val t0 = 1600000000000L
+      (0 until 4).foreach { i =>
+        stageChunk(ev.filter(chunkOf === i), s"c$i", t0 + i * 2000L)
+      }
+      // buffer batch: the max-ts row(s) redelivered on-time. Spark
+      // applies to batch N the watermark computed from stats through
+      // batch N-2 (the stats a batch reports reach the tracker one
+      // planning cycle late — measured on this exact staging); with the
+      // global max present in BOTH batch 3 and this buffer batch, the
+      // late batch after it sees watermark = global max − 1 h whether
+      // the tracker lags one batch or two, so the oracle's closed form
+      // doesn't depend on that internal cadence
+      stageChunk(ev.filter(unix_micros(col("ts")) === mm.getLong(1)),
+        "c4buffer", t0 + 8 * 2000L)
+      // the late chunk: the whole timeline again, arriving last
+      stageChunk(ev, "c5late", t0 + 10 * 2000L)
+      val schema = StructType(Seq(StructField("event_type", StringType),
+        StructField("ts", TimestampType), StructField("value", DoubleType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      val qn = "q180_wm_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingLoad.windowedCounts(stream, watermark = "1 hour",
+          window_ = "1 hour")
+        .writeStream.format("memory").queryName(qn).outputMode("update")
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("win_start"), col("event_type"))
+        .orderBy(col("n").desc)
+      spark.table(qn)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("n").cast("long").as("n"),
+          col("sum_value"))
+        .orderBy(col("win_start_us"), col("event_type"))
+    } finally ev.unpersist()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_watermark_drop" -> q180WatermarkDrop _,
     "q114_stream_upsert" -> q114StreamUpsert _,
     "q127_stream_dedup"  -> q127StreamDedup _,
     "q141_stream_budget" -> q141StreamBudget _,
@@ -426,6 +512,36 @@ object StreamingQueries {
     "q174_stream_sessions" -> q174StreamSessions _)
 
   val oracles: Map[String, String] = Map(
+    // closed-form watermark replay: every row contributes once on time
+    // (the quartile staging keeps each chunk ahead of the watermark the
+    // previous chunks set), and the late full replay contributes AGAIN
+    // exactly for windows ending after max(ts) − 1 h (watermark stats
+    // are millisecond-truncated, hence the //1000 step)
+    "q180_watermark_drop" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(round(value * 1048576.0) AS BIGINT) AS DOUBLE)
+        |      / 1048576.0 AS v
+        |  FROM events),
+        |wm AS (
+        |  SELECT ((max(ts_us) // 1000) - 3600000) * 1000 AS wm_us FROM e),
+        |b AS (
+        |  SELECT event_type, v, ts_us,
+        |    (ts_us // 3600000000) * 3600000000 AS w_start,
+        |    (ts_us // 3600000000) * 3600000000 + 3600000000 AS w_end
+        |  FROM e),
+        |contrib AS (
+        |  SELECT event_type, v, w_start FROM b
+        |  UNION ALL
+        |  SELECT event_type, v, w_start FROM b   -- on-time buffer batch
+        |  WHERE ts_us = (SELECT max(ts_us) FROM e)
+        |  UNION ALL
+        |  SELECT event_type, v, w_start FROM b   -- late replay, filtered
+        |  WHERE w_end > (SELECT wm_us FROM wm))
+        |SELECT w_start AS win_start_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, sum(v) AS sum_value
+        |FROM contrib GROUP BY w_start, event_type
+        |ORDER BY win_start_us, event_type""".stripMargin,
     // relational sessionization (lag + cumsum breaks) over the same
     // dyadic-rounded values; session end = last event + gap, break on
     // diff >= gap (session_window's exclusive end)
