@@ -487,11 +487,42 @@ object SelectionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q181: incremental dedup against the MATERIALIZED standing store
+    * ([[Similarity.semDedupIncrementalAssigned]]) — q177's scenario
+    * with the base's (id, vec, cluster, norm) written ONCE to parquet
+    * and read back, the way a standing 100 TB corpus actually holds
+    * its assignment (the per-batch n·k base re-assignment q177's
+    * convenience form implies is gone; IncrementalProbe measures the
+    * difference as the base grows). Floats, the norm double, and the
+    * cluster id all round-trip parquet bit-exactly, so the verdicts —
+    * and the oracle — are q177's verbatim. */
+  def q181IncrementalStore(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    val delta = augmentDelta(emb())
+    val nBase = base.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k, iters = 2)
+    val store = Fixtures.tempDir("graft-q181-").resolve("standing").toString
+    base
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .write.mode("overwrite").parquet(store)
+    Similarity.semDedupIncrementalAssigned(spark.read.parquet(store),
+        delta, "vec_id", "embedding", "cluster", "nrm", cents,
+        minCos = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
     "q177_incremental_dedup" -> q177IncrementalDedup _,
     "q178_codebook_drift" -> q178CodebookDrift _,
     "q179_two_level_probe" -> q179TwoLevelProbe _,
+    "q181_incremental_store" -> q181IncrementalStore _,
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
@@ -639,6 +670,40 @@ object SelectionQueries {
   private val autoTrainCtes: String = kmeansTrainCtes(twinCorpusSql,
     "(SELECT (count(*) + 49) // 50 FROM corpus)")
 
+  /** q177/q181 shared replay: base-only training (trainCond), standing
+    * assignment over base ∪ delta, then the two incremental drop
+    * rules — q181's parquet round-trip of the standing assignment is
+    * bit-exact, so both gates check against the same math. */
+  private val incrDedupOracle: String = {
+    val cosAB =
+      """list_reduce(list_prepend(0.0, list_transform(
+        |          list_zip(a.embedding, b.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+        |          (acc, v) -> acc + v) / (a.nrm * b.nrm)""".stripMargin
+    s"""${kmeansTrainCtes(incrCorpusSql,
+      "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+      "vec_id < 100000")},
+      |ad AS (
+      |  SELECT jc.vec_id, jc.embedding, jc.cluster,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(jc.embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+      |      (acc, x) -> acc + x)) AS nrm
+      |  FROM jc),
+      |bb AS (SELECT * FROM ad WHERE vec_id < 100000),
+      |dd AS (SELECT * FROM ad WHERE vec_id >= 100000),
+      |drv AS (
+      |  SELECT DISTINCT a.vec_id FROM dd a JOIN bb b
+      |    ON a.cluster = b.cluster
+      |  WHERE $cosAB >= 0.99
+      |  UNION
+      |  SELECT DISTINCT b.vec_id FROM dd a JOIN dd b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE $cosAB >= 0.99)
+      |SELECT dd.vec_id, dd.cluster, (dr.vec_id IS NULL) AS keep
+      |FROM dd LEFT JOIN drv dr ON dr.vec_id = dd.vec_id
+      |ORDER BY dd.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // the complete production semantic-dedup replay: train (k ∝ n) →
     // assign → within-cluster cosine pruning, all value-checked
@@ -739,36 +804,11 @@ object SelectionQueries {
         |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
         |ORDER BY av.vec_id""".stripMargin,
     // base-only training (trainCond), standing assignment over
-    // base ∪ delta, then the two incremental drop rules
-    "q177_incremental_dedup" -> {
-      val cosAB =
-        """list_reduce(list_prepend(0.0, list_transform(
-          |          list_zip(a.embedding, b.embedding),
-          |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
-          |          (acc, v) -> acc + v) / (a.nrm * b.nrm)""".stripMargin
-      s"""${kmeansTrainCtes(incrCorpusSql,
-        "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
-        "vec_id < 100000")},
-        |ad AS (
-        |  SELECT jc.vec_id, jc.embedding, jc.cluster,
-        |    sqrt(list_reduce(list_prepend(0.0, list_transform(jc.embedding,
-        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
-        |      (acc, x) -> acc + x)) AS nrm
-        |  FROM jc),
-        |bb AS (SELECT * FROM ad WHERE vec_id < 100000),
-        |dd AS (SELECT * FROM ad WHERE vec_id >= 100000),
-        |drv AS (
-        |  SELECT DISTINCT a.vec_id FROM dd a JOIN bb b
-        |    ON a.cluster = b.cluster
-        |  WHERE $cosAB >= 0.99
-        |  UNION
-        |  SELECT DISTINCT b.vec_id FROM dd a JOIN dd b
-        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |  WHERE $cosAB >= 0.99)
-        |SELECT dd.vec_id, dd.cluster, (dr.vec_id IS NULL) AS keep
-        |FROM dd LEFT JOIN drv dr ON dr.vec_id = dd.vec_id
-        |ORDER BY dd.vec_id""".stripMargin
-    },
+    // base ∪ delta, then the two incremental drop rules. q181 runs the
+    // same math with the base assignment round-tripped through the
+    // parquet standing store — bit-exact, so the oracle is shared.
+    "q177_incremental_dedup" -> incrDedupOracle,
+    "q181_incremental_store" -> incrDedupOracle,
     // both trainings replayed over the SAME corpus — the standing
     // instance base-restricted (trainCond), the fresh instance
     // (n-prefixed) over everything — then the label-free audit:

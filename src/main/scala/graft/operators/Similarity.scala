@@ -668,13 +668,80 @@ object Similarity {
   def semDedupIncremental(base: DataFrame, delta: DataFrame, idCol: String,
                           vecCol: String, centroids: Seq[Seq[Double]],
                           minCos: Double): DataFrame = {
-    def prep(df: DataFrame) =
-      df.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .withColumn("cluster", assignCluster(col("v"), centroids).cast("long"))
-        .withColumn("nrm", norm(col("v")))
-    val b = prep(base).select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("cluster"))
-    val d = prep(delta)
+    val assigned = base.select(col(idCol), col(vecCol))
+      .withColumn("__cluster",
+        assignCluster(col(vecCol), centroids).cast("long"))
+      .withColumn("__nrm", norm(col(vecCol)))
+    semDedupIncrementalAssigned(assigned, delta, idCol, vecCol,
+      "__cluster", "__nrm", centroids, minCos)
+  }
+
+  /** [[semDedupIncremental]] against a MATERIALIZED standing
+    * assignment — the form the daily flow actually runs: a 100 TB
+    * standing corpus stores (id, vec, cluster, norm) once at ingest
+    * (one n·k assignment pass, ever), and each delta batch then costs
+    * |delta|·k assignment plus two cluster equi-joins whose per-cluster
+    * base side is bounded by the k ∝ n training discipline. Re-deriving
+    * the base assignment per batch (what the convenience overload
+    * above does) is an n·k wall PER BATCH — linear in the base even
+    * when the delta is constant; this variant makes the per-batch cost
+    * independent of everything about the base except the matched
+    * clusters' contents (IncrementalProbe measures the curve). Verdict
+    * contract identical to [[semDedupIncremental]] — q181 gates this
+    * path through a parquet round-trip of the standing store with
+    * q177's own oracle. */
+  def semDedupIncrementalAssigned(baseAssigned: DataFrame, delta: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  clusterCol: String, nrmCol: String,
+                                  centroids: Seq[Seq[Double]],
+                                  minCos: Double): DataFrame = {
+    val d = delta.select(col(idCol), col(vecCol))
+      .withColumn("__cluster",
+        assignCluster(col(vecCol), centroids).cast("long"))
+      .withColumn("__nrm", norm(col(vecCol)))
+    semDedupIncrementalPrepped(baseAssigned, d, idCol, vecCol,
+      clusterCol, nrmCol, "__cluster", "__nrm", minCos)
+  }
+
+  /** The incremental-dedup CORE over two already-assigned sides — no
+    * assignment inside, only the two cluster equi-joins and the
+    * verdict. This is the shape to call in the daily flow: the delta's
+    * assignment (an interpreted literal-codebook argmin, referenced by
+    * BOTH joins and the verdict) should be materialized ONCE by the
+    * caller — `deltaAssigned.cache()` or a parquet staging write — not
+    * recomputed at every plan reference (IncrementalProbe measured the
+    * uncached form re-evaluating it ~12× at k = 4000), and at large k
+    * it should be the two-level [[assignClusterTwoLevel]] ladder.
+    *
+    * `pruneBaseByDeltaClusters` applies the join's cluster restriction
+    * to the standing side as an explicit predicate: a delta batch
+    * touches at most |delta| of the k clusters, and with the standing
+    * store laid out by cluster (sorted/partitioned), the predicate
+    * prunes row groups / partitions instead of scanning the whole base
+    * per batch — the move that makes per-batch cost track the DELTA,
+    * not the corpus. Collects the delta's ≤|delta| distinct cluster
+    * ids on the driver (batch-bounded); verdicts are unchanged by
+    * construction (clusters absent from the delta contribute no
+    * pairs). */
+  def semDedupIncrementalPrepped(baseAssigned: DataFrame,
+                                 deltaAssigned: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 baseClusterCol: String, baseNrmCol: String,
+                                 deltaClusterCol: String, deltaNrmCol: String,
+                                 minCos: Double,
+                                 pruneBaseByDeltaClusters: Boolean = false)
+      : DataFrame = {
+    val b0 = baseAssigned.select(col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col(baseNrmCol).as("nb"),
+      col(baseClusterCol).cast("long").as("cluster"))
+    val d = deltaAssigned.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(deltaClusterCol).cast("long").as("cluster"),
+      col(deltaNrmCol).as("nrm"))
+    val b = if (!pruneBaseByDeltaClusters) b0 else {
+      val touched = d.select(col("cluster")).distinct()
+        .collect().map(_.getLong(0))
+      b0.filter(col("cluster").isin(touched: _*))
+    }
     val dl = d.select(col("id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("cluster"))
     val vsBase = dl.join(b, Seq("cluster"))

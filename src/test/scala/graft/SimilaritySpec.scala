@@ -233,6 +233,37 @@ class SimilaritySpec extends SparkSpec {
     assert(drift.forall(r => r.getLong(4) >= 1000000L / r.getLong(2)))
   }
 
+  test("semDedupIncrementalPrepped: prune-invariant and equal to the convenience form") {
+    val base = blobs()
+    val twins = base.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), v => v * lit(2.0f)).as("embedding"))
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k = 2, iters = 4)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val convenience = rows(Similarity.semDedupIncremental(base, twins,
+      "vec_id", "embedding", cents, minCos = 0.999))
+    val assigned = base
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val deltaAssigned = twins
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val prepped = rows(Similarity.semDedupIncrementalPrepped(assigned,
+      deltaAssigned, "vec_id", "embedding", "cluster", "nrm", "cluster",
+      "nrm", minCos = 0.999))
+    val pruned = rows(Similarity.semDedupIncrementalPrepped(assigned,
+      deltaAssigned, "vec_id", "embedding", "cluster", "nrm", "cluster",
+      "nrm", minCos = 0.999, pruneBaseByDeltaClusters = true))
+    assert(prepped == convenience && pruned == prepped)
+    // every twin is a direction-duplicate of a same-cluster base vector
+    assert(prepped.nonEmpty && prepped.forall(!_._3))
+  }
+
   test("quantizeInt8 is exact on the closed form and bounds reconstruction") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
