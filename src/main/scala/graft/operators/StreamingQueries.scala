@@ -351,6 +351,92 @@ object StreamingQueries {
     } finally ev.unpersist()
   }
 
+  /** q182: LEFT OUTER watermarked stream-stream interval join
+    * ([[StreamingLoad.intervalJoinStreamsOuter]]) — q170's scenario
+    * with the non-converters surfaced: views with no same-user purchase
+    * in the following hour emit NULL-extended, and on a stream that
+    * decision is only final once the watermark passes the view's join
+    * window and its buffered state is evicted. The q170 staging plus
+    * two SENTINEL batches per side (a user −1 row at max(ts) + 4 h,
+    * twice — the watermark tracker lags a planning cycle, see q180)
+    * advance both sides' watermarks past every real join window, so
+    * the streaming output provably equals the static LEFT join the
+    * oracle computes (sentinels excluded by their negative user id).
+    * This gates the state-EVICTION path of the join — the half q170's
+    * inner join never exercises. */
+  def q182StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .persist()
+    try {
+      val tmp = Fixtures.tempDir("graft-q182-")
+      val inV = tmp.resolve("views")
+      val inB = tmp.resolve("buys")
+      Files.createDirectories(inV)
+      Files.createDirectories(inB)
+      def stageChunk(df: DataFrame, into: Path, name: String,
+                     mtimeMs: Long): Unit = {
+        val stage = tmp.resolve(s"stage-$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val listing = Files.list(stage)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        finally listing.close()
+        val dest = into.resolve(s"$name.parquet")
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val lo = mm.getLong(0)
+      val hi = mm.getLong(1)
+      val span = hi - lo + 1
+      val chunkOf = least(lit(3),
+        floor((unix_micros(col("ts")) - lit(lo)) * 4 / lit(span))).cast("int")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      def sentinel(offsetUs: Long): DataFrame =
+        ev.sparkSession.range(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("user_id"),
+          timestamp_micros(lit(hi + offsetUs)).as("ts"))
+      val t0 = 1600000000000L
+      (0 until 4).foreach { i =>
+        stageChunk(views.filter(chunkOf === i), inV, s"v$i", t0 + i * 2000L)
+        stageChunk(buys.filter(chunkOf === i), inB, s"b$i", t0 + i * 2000L)
+      }
+      val H = 3600L * 1000000L
+      Seq(4, 5).foreach { i =>
+        stageChunk(sentinel(4 * H + (i - 4) * 1000000L), inV, s"v$i",
+          t0 + i * 2000L)
+        stageChunk(sentinel(4 * H + (i - 4) * 1000000L), inB, s"b$i",
+          t0 + i * 2000L)
+      }
+      val schema = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", TimestampType)))
+      def src(d: Path): DataFrame = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d.toString)
+      val qn = "q182_oj_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingLoad.intervalJoinStreamsOuter(src(inV), src(inB),
+          "user_id", window = "1 hour", watermark = "2 hours")
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(qn)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("event_id").as("view_event"),
+          col("event_id_r").as("buy_event"),
+          unix_micros(col("ts")).as("view_us"),
+          unix_micros(col("ts_r")).as("buy_us"))
+        .orderBy(col("user_id").asc, col("view_event").asc,
+          col("buy_event").asc_nulls_first)
+    } finally ev.unpersist()
+  }
+
   /** q174: STREAMING event-time session windows
     * ([[StreamingLoad.sessionCounts]], native `session_window`, 30-min
     * gap, 2-h watermark) under the driver's value gate — the q44
@@ -504,6 +590,7 @@ object StreamingQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_watermark_drop" -> q180WatermarkDrop _,
+    "q182_stream_outer_join" -> q182StreamOuterJoin _,
     "q114_stream_upsert" -> q114StreamUpsert _,
     "q127_stream_dedup"  -> q127StreamDedup _,
     "q141_stream_budget" -> q141StreamBudget _,
@@ -568,6 +655,22 @@ object StreamingQueries {
         |  sum(v) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, sess_start_us""".stripMargin,
+    // the static LEFT interval join: matched rows as q170, plus every
+    // view with no in-window purchase null-extended — the streaming
+    // sentinel batches push the watermark past every real join window,
+    // so eviction-flushed nulls are exactly the static anti-join set
+    "q182_stream_outer_join" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |b AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id AS view_event, b.event_id AS buy_event,
+        |  epoch_us(v.ts) AS view_us, epoch_us(b.ts) AS buy_us
+        |FROM v LEFT JOIN b ON v.user_id = b.user_id
+        |  AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY v.user_id, view_event, buy_event NULLS FIRST""".stripMargin,
     // the STATIC interval join over the same rows — the streaming plan's
     // time-ordered staging guarantees no late drops and no premature
     // state expiry, so stream output ≡ this batch join, row for row

@@ -224,6 +224,28 @@ object StreamingLoad {
       .drop(keyCol + "_r")
   }
 
+  /** LEFT OUTER [[intervalJoinStreams]] — the attribution shape that
+    * also surfaces the non-converters: every left event emits, matched
+    * rows as they match, unmatched rows null-extended once the
+    * watermark passes the end of their join window and their buffered
+    * state is evicted. The time-bound join condition is what makes the
+    * outer semantics well-defined on a stream: state for a left row is
+    * provably complete at `watermark > ts + window`, so the
+    * null-extension decision is final — no retraction, bounded state.
+    * Same column contract as [[intervalJoinStreams]]. */
+  def intervalJoinStreamsOuter(left: DataFrame, right: DataFrame,
+                               keyCol: String, window: String = "1 hour",
+                               watermark: String = "2 hours"): DataFrame = {
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_r"))
+    left.withWatermark("ts", watermark)
+      .join(r.withWatermark("ts_r", watermark),
+        col(keyCol) === col(keyCol + "_r") &&
+          col("ts_r") >= col("ts") &&
+          col("ts_r") <= col("ts") + expr(s"INTERVAL $window"),
+        "leftOuter")
+      .drop(keyCol + "_r")
+  }
+
   /** Event-time session windows with a watermark: groups events closer
     * than `gap` into one session per key — the streaming twin of the
     * batch sessionize gate (q44), using Spark's native `session_window`
