@@ -517,12 +517,49 @@ object SelectionQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q183: DRIFT-TRIGGERED PARTIAL REFIT
+    * ([[Similarity.refitDriftedClusters]]) — the action the q178 audit
+    * exists to trigger: standing clusters whose stable_ppm fell below
+    * 500000 (half their members scattered under a fresh retrain) are
+    * re-clustered from their OWN members (k' = ceil(|members|/50));
+    * undrifted centroids — and their standing-store cluster ids — stay
+    * untouched. Output = corpus re-assigned against the merged
+    * codebook, summarized per cluster. The oracle replays THREE
+    * training instances (standing, fresh-retrain, refit-on-members),
+    * the ppm drift rule, the survivor/refit merge order, and the final
+    * assignment. */
+  def q183PartialRefit(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    def corpus() = driftCorpus(emb())
+    val base = corpus().filter(col("vec_id") < 100000L)
+    val nBase = base.count()
+    val nFull = corpus().count()
+    val kStd = ((nBase + 49) / 50).toInt
+    val kNew = ((nFull + 49) / 50).toInt
+    val standing = Similarity.trainCentroids(base, "vec_id", "embedding",
+      kStd, iters = 2)
+    val retrained = Similarity.trainCentroids(corpus(), "vec_id",
+      "embedding", kNew, iters = 2)
+    val drifted = Similarity.codebookDrift(corpus(), "vec_id", "embedding",
+        standing, retrained)
+      .filter(col("stable_ppm") < 500000L)
+      .select(col("cluster")).collect().map(_.getLong(0)).toSet
+    Similarity.refitDriftedClusters(corpus(), "vec_id", "embedding",
+        standing, drifted)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        min(col("vec_id")).cast("long").as("first_vec"))
+      .orderBy(col("cluster"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
     "q177_incremental_dedup" -> q177IncrementalDedup _,
     "q178_codebook_drift" -> q178CodebookDrift _,
     "q179_two_level_probe" -> q179TwoLevelProbe _,
     "q181_incremental_store" -> q181IncrementalStore _,
+    "q183_partial_refit" -> q183PartialRefit _,
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
@@ -830,6 +867,53 @@ object SelectionQueries {
         |  (1000000 * CAST(max(n) AS BIGINT)) // CAST(sum(n) AS BIGINT)
         |    AS stable_ppm
         |FROM pc GROUP BY std
+        |ORDER BY cluster""".stripMargin,
+    // THREE composed training replays: standing (base-restricted),
+    // fresh retrain (n-prefixed), and the refit instance (r-prefixed)
+    // trained only on the drifted clusters' members; then the
+    // survivor/refit merge (survivors keep standing order, refit ids
+    // appended) and the final argmin
+    "q183_partial_refit" ->
+      s"""${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+             "vec_id < 100000")},
+        |${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM ntcorpus)",
+             "TRUE", "n").stripPrefix("WITH ")},
+        |pc AS (
+        |  SELECT a.cluster AS std, n.cluster AS nw, count(*) AS n
+        |  FROM asg a JOIN nasg n USING (vec_id)
+        |  GROUP BY a.cluster, n.cluster),
+        |drift AS (
+        |  SELECT std AS cluster,
+        |    (1000000 * CAST(max(n) AS BIGINT)) // CAST(sum(n) AS BIGINT)
+        |      AS stable_ppm
+        |  FROM pc GROUP BY std),
+        |drifted AS (SELECT cluster FROM drift WHERE stable_ppm < 500000),
+        |${kmeansTrainCtes(
+             """  SELECT c.vec_id, c.embedding FROM corpus c
+               |  JOIN asg a USING (vec_id)
+               |  JOIN drifted d ON a.cluster = d.cluster""".stripMargin,
+             "(SELECT (count(*) + 49) // 50 FROM rtcorpus)",
+             "TRUE", "r").stripPrefix("WITH ")},
+        |surv AS (
+        |  SELECT row_number() OVER (ORDER BY cid) - 1 AS mid, cv
+        |  FROM c2 WHERE cid NOT IN (SELECT cluster FROM drifted)),
+        |mrg AS (
+        |  SELECT mid, cv FROM surv
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM surv) + cid AS mid, cv FROM rc2),
+        |md AS (
+        |  SELECT e.vec_id, m.mid, ${sqdSql("e.embedding", "m.cv")} AS dd
+        |  FROM corpus e CROSS JOIN mrg m),
+        |masg AS (
+        |  SELECT vec_id, CAST(mid AS BIGINT) AS cluster FROM (
+        |    SELECT vec_id, mid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, mid) AS rn
+        |    FROM md) t WHERE rn = 1)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(min(vec_id) AS BIGINT) AS first_vec
+        |FROM masg GROUP BY cluster
         |ORDER BY cluster""".stripMargin,
     // the full two-level IVF replay: flat codebook (nlist=8), super
     // codebook over it, childless-super drop, TWO-STAGE probe lists

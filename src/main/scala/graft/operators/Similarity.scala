@@ -793,6 +793,44 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** DRIFT-TRIGGERED PARTIAL REFIT — what a deployment actually does
+    * with a [[codebookDrift]] report: clusters whose stable_ppm fell
+    * below the threshold are re-clustered, the rest of the standing
+    * codebook survives untouched. The refit trains ONLY on the drifted
+    * clusters' members (k' = ceil(|members|/targetClusterSize), the
+    * same k ∝ n discipline), so its cost tracks the drift, not the
+    * corpus; the merged codebook is the surviving standing centroids
+    * (in standing order) followed by the refit centroids (in training
+    * order). Returns the corpus re-assigned against the merged
+    * codebook. A full retrain moves EVERY cluster id and forces a full
+    * standing-store rewrite; the partial refit keeps undrifted
+    * clusters' ids stable so their store partitions stay valid —
+    * at 100 TB that is the difference between rewriting the corpus and
+    * rewriting the drifted slice. */
+  def refitDriftedClusters(corpus: DataFrame, idCol: String, vecCol: String,
+                           standing: Seq[Seq[Double]],
+                           driftedClusters: Set[Long],
+                           targetClusterSize: Long = 50,
+                           iters: Int = 2): DataFrame = {
+    val survivors = standing.indices
+      .filterNot(i => driftedClusters(i.toLong)).map(standing)
+    val merged =
+      if (driftedClusters.isEmpty) standing
+      else {
+        val members = corpus
+          .withColumn("__std",
+            assignCluster(col(vecCol), standing).cast("long"))
+          .filter(col("__std").isin(driftedClusters.toSeq: _*))
+          .select(col(idCol), col(vecCol))
+        val nMem = members.count()
+        val kRefit = math.max(1L,
+          (nMem + targetClusterSize - 1) / targetClusterSize).toInt
+        survivors ++ trainCentroids(members, idCol, vecCol, kRefit, iters)
+      }
+    corpus.withColumn("cluster",
+      assignCluster(col(vecCol), merged).cast("long"))
+  }
+
   /** [[semDedupAuto]] with the codebook trained on a BOUNDED SAMPLE —
     * the next rung of the scale ladder the auto variant's scaladoc
     * documents: centroids are means, so a uniform sample estimates

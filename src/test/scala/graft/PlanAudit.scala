@@ -864,6 +864,13 @@ object PlanAudit {
       check("q179 two-level probe join broadcasts the query side",
         p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
     }
+    // q183 partial refit: the final re-assignment is a literal-codebook
+    // projection + one aggregation — no join, no cartesian
+    audit("q183") {
+      val p = plan("q183_partial_refit")
+      check("q183 partial refit: projection + aggregation, no cartesian",
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    }
 
     // DSv2 pushdown: a `_file` predicate must reach the graft-text scan
     // (PushedFilters) and prune the planned partitions to the one file

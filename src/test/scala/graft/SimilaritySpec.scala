@@ -264,6 +264,28 @@ class SimilaritySpec extends SparkSpec {
     assert(prepped.nonEmpty && prepped.forall(!_._3))
   }
 
+  test("refitDriftedClusters: empty drift keeps assignment; refit re-buckets only drifted members") {
+    val df = blobs()
+    val cents = Similarity.trainCentroids(df, "vec_id", "embedding", k = 2,
+      iters = 4)
+    def asg(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cluster")))).toSeq
+    // no drift → merged codebook IS the standing codebook
+    val untouched = asg(Similarity.refitDriftedClusters(df, "vec_id",
+      "embedding", cents, Set.empty))
+    val standingAsg = asg(df.withColumn("cluster",
+      Similarity.assignCluster(col("embedding"), cents).cast("long")))
+    assert(untouched == standingAsg)
+    // drift cluster 1 → cluster 0's id and membership survive verbatim;
+    // former cluster-1 members land in refit ids >= 1 (one survivor)
+    val refit = asg(Similarity.refitDriftedClusters(df, "vec_id",
+      "embedding", cents, Set(1L), targetClusterSize = 5))
+    val zero = standingAsg.filter(_._2 == 0L).map(_._1).toSet
+    assert(refit.filter(r => zero(r._1)).forall(_._2 == 0L))
+    assert(refit.filterNot(r => zero(r._1)).forall(_._2 >= 1L))
+  }
+
   test("quantizeInt8 is exact on the closed form and bounds reconstruction") {
     val df = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
