@@ -846,6 +846,60 @@ object SelectionQueries {
     // parquet standing store — bit-exact, so the oracle is shared.
     "q177_incremental_dedup" -> incrDedupOracle,
     "q181_incremental_store" -> incrDedupOracle,
+    // q184 (gate lives in StreamingQueries; the oracle composes this
+    // file's k-means replay): SEQUENTIAL judgment — batch 1 (the
+    // scaled twins) vs the base, then batch 2 (novelties + copies) vs
+    // base ∪ batch-1 keepers, each with the delta-internal lower-id
+    // rule — exactly what the foreachBatch loop's store append makes
+    // the stream compute
+    "q184_stream_ingest_dedup" -> {
+      val cosAB =
+        """list_reduce(list_prepend(0.0, list_transform(
+          |          list_zip(a.embedding, b.embedding),
+          |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+          |          (acc, v) -> acc + v) / (a.nrm * b.nrm)""".stripMargin
+      s"""${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+             "vec_id < 100000")},
+        |ad AS (
+        |  SELECT jc.vec_id, jc.embedding, jc.cluster,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(jc.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+        |      (acc, x) -> acc + x)) AS nrm
+        |  FROM jc),
+        |bb AS (SELECT * FROM ad WHERE vec_id < 100000),
+        |d1 AS (SELECT * FROM ad
+        |       WHERE vec_id >= 100000 AND vec_id < 200000),
+        |d2 AS (SELECT * FROM ad WHERE vec_id >= 200000),
+        |dr1 AS (
+        |  SELECT DISTINCT a.vec_id FROM d1 a JOIN bb b
+        |    ON a.cluster = b.cluster
+        |  WHERE $cosAB >= 0.99
+        |  UNION
+        |  SELECT DISTINCT b.vec_id FROM d1 a JOIN d1 b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE $cosAB >= 0.99),
+        |k1 AS (SELECT * FROM d1
+        |       WHERE vec_id NOT IN (SELECT vec_id FROM dr1)),
+        |bb2 AS (SELECT * FROM bb UNION ALL SELECT * FROM k1),
+        |dr2 AS (
+        |  SELECT DISTINCT a.vec_id FROM d2 a JOIN bb2 b
+        |    ON a.cluster = b.cluster
+        |  WHERE $cosAB >= 0.99
+        |  UNION
+        |  SELECT DISTINCT b.vec_id FROM d2 a JOIN d2 b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE $cosAB >= 0.99)
+        |SELECT vec_id, cluster, keep FROM (
+        |  SELECT d1.vec_id, d1.cluster,
+        |    (dr.vec_id IS NULL) AS keep
+        |  FROM d1 LEFT JOIN dr1 dr ON dr.vec_id = d1.vec_id
+        |  UNION ALL
+        |  SELECT d2.vec_id, d2.cluster,
+        |    (dr.vec_id IS NULL) AS keep
+        |  FROM d2 LEFT JOIN dr2 dr ON dr.vec_id = d2.vec_id) t
+        |ORDER BY vec_id""".stripMargin
+    },
     // both trainings replayed over the SAME corpus — the standing
     // instance base-restricted (trainCond), the fresh instance
     // (n-prefixed) over everything — then the label-free audit:

@@ -437,6 +437,104 @@ object StreamingQueries {
     } finally ev.unpersist()
   }
 
+  /** q184: STREAMING SEMANTIC INGEST against a standing store — the
+    * q181 daily flow run as an actual stream: each micro-batch of new
+    * embeddings is assigned against the standing quantizer
+    * (materialized once per batch), judged by
+    * [[Similarity.semDedupIncrementalPrepped]] against the standing
+    * store PLUS every previously-kept delta, and the keepers are
+    * appended to the store before the next batch runs — so batch 2's
+    * verdicts depend on batch 1's, the property that makes ingest
+    * order semantics worth gating. Two staged batches: the scaled
+    * twins (dropped against the base), then the reversed novelties +
+    * their 2× copies (kept vs base and batch-1 keepers; the copies
+    * drop batch-internally). The oracle replays the standing training
+    * and BOTH sequential judgments. foreachBatch serializes batches,
+    * so the store read in batch N sees exactly the batch-(N-1) append
+    * — the same settled-membership invariant q177 states. */
+  def q184StreamIngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val nBase = emb.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(emb, "vec_id",
+      "embedding", k, iters = 2)
+    val tmp = Fixtures.tempDir("graft-q184-")
+    val in = tmp.resolve("in")
+    Files.createDirectories(in)
+    val store = tmp.resolve("standing").toString
+    val verdicts = tmp.resolve("verdicts").toString
+    emb
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents)
+          .cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .write.mode("overwrite").parquet(store)
+    def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val stage = tmp.resolve(s"stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally listing.close()
+      val dest = in.resolve(s"$name.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    }
+    val delta = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(typedlit(Seq(1, 2, 3))).as("variant"))
+      .filter((col("variant") === 1 && col("vec_id") % 5 === 0) ||
+        (col("variant") === 2 && col("vec_id") % 7 === 0) ||
+        (col("variant") === 3 && col("vec_id") % 14 === 0))
+      .select((col("vec_id") + col("variant") * 100000L).as("vec_id"),
+        when(col("variant") === 3,
+          transform(reverse(col("embedding")), v => v * lit(2.0f)))
+          .when(col("variant") === 2, reverse(col("embedding")))
+          .otherwise(transform(col("embedding"), v => v * lit(1.5f)))
+          .as("embedding"))
+    val t0 = 1600000000000L
+    stageChunk(delta.filter(col("vec_id") < 200000L), "d1", t0)
+    stageChunk(delta.filter(col("vec_id") >= 200000L), "d2", t0 + 2000L)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the batch's assignment is an interpreted literal argmin
+        // referenced by both joins and the verdict — materialize ONCE
+        // (the prepped core's contract)
+        val d = batch
+          .withColumn("cluster",
+            Similarity.assignCluster(col("embedding"), cents)
+              .cast("long"))
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+          .cache()
+        try {
+          val standing = batch.sparkSession.read.parquet(store)
+          val v = Similarity.semDedupIncrementalPrepped(
+            standing, d, "vec_id", "embedding", "cluster", "nrm",
+            "cluster", "nrm", minCos = 0.99).cache()
+          try {
+            v.write.mode("append").parquet(verdicts)
+            // keepers join the standing corpus BEFORE the next batch
+            d.join(v.filter(col("keep")).select(col("vec_id")), "vec_id")
+              .select(col("vec_id"), col("embedding"), col("cluster"),
+                col("nrm"))
+              .write.mode("append").parquet(store)
+          } finally v.unpersist()
+        } finally d.unpersist()
+      }
+      .option("checkpointLocation", tmp.resolve("cp").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(verdicts)
+      .select(col("vec_id"), col("cluster"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q174: STREAMING event-time session windows
     * ([[StreamingLoad.sessionCounts]], native `session_window`, 30-min
     * gap, 2-h watermark) under the driver's value gate — the q44
@@ -591,6 +689,7 @@ object StreamingQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_watermark_drop" -> q180WatermarkDrop _,
     "q182_stream_outer_join" -> q182StreamOuterJoin _,
+    "q184_stream_ingest_dedup" -> q184StreamIngestDedup _,
     "q114_stream_upsert" -> q114StreamUpsert _,
     "q127_stream_dedup"  -> q127StreamDedup _,
     "q141_stream_budget" -> q141StreamBudget _,
