@@ -553,7 +553,48 @@ object SelectionQueries {
       .orderBy(col("cluster"))
   }
 
+  /** q185: PROBE-AGREEMENT AUDIT of the two-level probe ladder vs the
+    * flat ranking — q175's discipline applied to the query side: per
+    * query, how many of the nProbe probe targets the √k ladder picks
+    * identically to the flat all-centroid ranking, and how many of the
+    * final top-5 neighbors survive the switch. This is the audit a
+    * deployment runs before flipping q171's probe-list construction to
+    * q179's — the recall trade made visible where the two legitimately
+    * differ (a true near cluster can hide under a losing super). The
+    * oracle replays both probe constructions and both top-5s. */
+  def q185ProbeAgreement(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val (supers, children) = Similarity.superQuantize(cents)
+    val probes = emb().filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        size(array_intersect(
+          Similarity.probeClusters(col("embedding"), cents, 2),
+          Similarity.probeClustersTwoLevel(col("embedding"), supers,
+            children, sProbe = 2, nProbe = 2)))
+          .cast("long").as("n_common_probes"))
+    val flat5 = Similarity.ivfTopKMultiProbe(
+        emb().filter(col("vec_id") < 10), emb(), "vec_id", "embedding",
+        k = 5, nlist = 8, nProbe = 2, iters = 2)
+      .select(col("query_id").as("qf"), col("neighbor_id").as("nf"))
+    val two5 = Similarity.ivfTopKTwoLevelProbe(
+        emb().filter(col("vec_id") < 10), emb(), "vec_id", "embedding",
+        k = 5, nlist = 8, sProbe = 2, nProbe = 2, iters = 2)
+      .select(col("query_id").as("qt"), col("neighbor_id").as("nt"))
+    val common5 = flat5.join(two5,
+        col("qf") === col("qt") && col("nf") === col("nt"))
+      .groupBy(col("qf").as("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_common_top5"))
+    probes.join(common5, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_common_probes"),
+        coalesce(col("n_common_top5"), lit(0L)).as("n_common_top5"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_probe_agreement" -> q185ProbeAgreement _,
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
     "q177_incremental_dedup" -> q177IncrementalDedup _,
     "q178_codebook_drift" -> q178CodebookDrift _,
@@ -969,6 +1010,110 @@ object SelectionQueries {
         |  CAST(min(vec_id) AS BIGINT) AS first_vec
         |FROM masg GROUP BY cluster
         |ORDER BY cluster""".stripMargin,
+    // both probe constructions + both top-5s replayed over the shared
+    // flat/super training instances, then the per-query agreement counts
+    "q185_probe_agreement" ->
+      s"""${kmeansTrainCtes(
+             "  SELECT vec_id, embedding FROM embeddings", "8")},
+        |${kmeansTrainCtes(
+             "  SELECT cid AS vec_id, cv AS embedding FROM c2",
+             "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM scorpus)",
+             "TRUE", "s").stripPrefix("WITH ")},
+        |live AS (
+        |  SELECT s.cid, s.cv FROM sc2 s
+        |  WHERE EXISTS (SELECT 1 FROM sasg a WHERE a.cluster = s.cid)),
+        |pd AS (
+        |  SELECT e.vec_id, s.cid, ${sqdSql("e.embedding", "s.cv")} AS dd
+        |  FROM corpus e CROSS JOIN live s),
+        |pa AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+        |    FROM pd) t WHERE rn = 1),
+        |cd AS (
+        |  SELECT e.vec_id, ch.vec_id AS ccid,
+        |    ${sqdSql("e.embedding", "ch.embedding")} AS dd
+        |  FROM corpus e JOIN pa USING (vec_id)
+        |  JOIN sjc ch ON ch.cluster = pa.cid),
+        |fasg AS (
+        |  SELECT vec_id, CAST(ccid AS BIGINT) AS cluster FROM (
+        |    SELECT vec_id, ccid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, ccid) AS rn
+        |    FROM cd) t WHERE rn = 1),
+        |fqd AS (
+        |  SELECT q.vec_id AS qid, c.cid, q.embedding AS qe,
+        |    ${sqdSql("q.embedding", "c.cv")} AS dd
+        |  FROM corpus q CROSS JOIN c2 c
+        |  WHERE q.vec_id < 10),
+        |fprobes AS (
+        |  SELECT qid, cid, qe FROM (
+        |    SELECT qid, cid, qe,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        |    FROM fqd) t WHERE rn <= 2),
+        |qsd AS (
+        |  SELECT q.vec_id AS qid, s.cid, q.embedding AS qe,
+        |    ${sqdSql("q.embedding", "s.cv")} AS dd
+        |  FROM corpus q CROSS JOIN live s
+        |  WHERE q.vec_id < 10),
+        |qsp AS (
+        |  SELECT qid, cid, qe FROM (
+        |    SELECT qid, cid, qe,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        |    FROM qsd) t WHERE rn <= 2),
+        |qcd AS (
+        |  SELECT p.qid, ch.vec_id AS ccid, p.qe,
+        |    ${sqdSql("p.qe", "ch.embedding")} AS dd
+        |  FROM qsp p JOIN sjc ch ON ch.cluster = p.cid),
+        |tprobes AS (
+        |  SELECT qid, ccid, qe FROM (
+        |    SELECT qid, ccid, qe,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, ccid) AS rn
+        |    FROM qcd) t WHERE rn <= 2),
+        |fscored AS (
+        |  SELECT p.qid AS query_id, j.vec_id AS neighbor_id,
+        |    p.qe AS qv, j.embedding AS cv,
+        |    $cosineSql AS cos
+        |  FROM fprobes p JOIN jc j ON j.cluster = p.cid
+        |  WHERE j.vec_id <> p.qid),
+        |ftop AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM fscored) t WHERE rank <= 5),
+        |jv AS (
+        |  SELECT c.vec_id, c.embedding, f.cluster
+        |  FROM corpus c JOIN fasg f USING (vec_id)),
+        |tscored AS (
+        |  SELECT p.qid AS query_id, j.vec_id AS neighbor_id,
+        |    p.qe AS qv, j.embedding AS cv,
+        |    $cosineSql AS cos
+        |  FROM tprobes p JOIN jv j ON j.cluster = p.ccid
+        |  WHERE j.vec_id <> p.qid),
+        |ttop AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM tscored) t WHERE rank <= 5),
+        |probc AS (
+        |  SELECT f.qid, count(*) AS n FROM fprobes f
+        |  JOIN tprobes t ON t.qid = f.qid AND t.ccid = f.cid
+        |  GROUP BY f.qid),
+        |topc AS (
+        |  SELECT a.query_id, count(*) AS n FROM ftop a
+        |  JOIN ttop b ON b.query_id = a.query_id
+        |    AND b.neighbor_id = a.neighbor_id
+        |  GROUP BY a.query_id),
+        |qs AS (SELECT DISTINCT vec_id AS query_id FROM corpus
+        |       WHERE vec_id < 10)
+        |SELECT q.query_id,
+        |  CAST(coalesce(p.n, 0) AS BIGINT) AS n_common_probes,
+        |  CAST(coalesce(t.n, 0) AS BIGINT) AS n_common_top5
+        |FROM qs q
+        |LEFT JOIN probc p ON p.qid = q.query_id
+        |LEFT JOIN topc t ON t.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
     // the full two-level IVF replay: flat codebook (nlist=8), super
     // codebook over it, childless-super drop, TWO-STAGE probe lists
     // (sProbe=2 supers, then nProbe=2 of their children), two-level
