@@ -167,11 +167,17 @@ object Similarity {
       squared = true))
   }
 
-  /** Nearest-centroid assignment against a broadcast-literal codebook;
-    * deterministic (first index on distance ties). */
+  /** Nearest-centroid assignment — a native codegen'd argmin
+    * ([[graft.plans.NearestCentroid]]): one primitive loop over k×dim
+    * doubles per row, bit-identical to the declarative
+    * transform+array_min formulation it replaced (same left-fold
+    * distances, first index on ties) but without an interpreted lambda
+    * per centroid — the difference between 4.5 s and ~0.1 s for 900
+    * rows at k = 4000, and the inner loop of every training pass. */
   def assignCluster(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = transform(typedlit(centroids), c => squaredDist(vec, c))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.NearestCentroid(
+      GraftColumnBridge.expression(vec), centroids))
   }
 
   /** Deterministic k-means++-style seeding by farthest-first traversal:
@@ -559,8 +565,9 @@ object Similarity {
                             children: Seq[Seq[(Long, Seq[Double])]]): Column = {
     require(supers.length == children.length && supers.nonEmpty,
       "supers/children must be parallel and non-empty")
-    val sDists = transform(typedlit(supers), c => squaredDist(vec, c))
-    val sIdx = array_position(sDists, array_min(sDists)).cast("int")
+    // super stage = the native argmin (one primitive loop); the child
+    // stage stays declarative over only that super's ~√k children
+    val sIdx = (assignCluster(vec, supers) + 1).cast("int")
     val kids = element_at(typedlit(children), sIdx) // 1-based: position is 1-based
     val scored = transform(kids, kid =>
       struct(squaredDist(vec, kid.getField("_2")).as("d"),
