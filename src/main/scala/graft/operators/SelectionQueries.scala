@@ -593,8 +593,39 @@ object SelectionQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q186: INCREMENTAL dedup with BOTH sides on the √k ladder — the
+    * complete 100M-vector daily recipe in one gate: standing base and
+    * delta batch each assigned through [[Similarity.assignClusterTwoLevel]]
+    * (n·2√k folds, the q173 discipline) and judged by the prepped core
+    * (q181's shape). Composes the three production moves — k ∝ n
+    * codebook, two-level assignment, base-never-self-joined delta
+    * scoring — that q173/q177/q181 gate separately. The oracle replays
+    * both training levels and the two-stage assignment of base ∪
+    * delta, then q177's drop rules. */
+  def q186IncrementalTwoLevel(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    val delta = augmentDelta(emb())
+    val nBase = base.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k, iters = 2)
+    val (supers, children) = Similarity.superQuantize(cents)
+    def assigned(df: DataFrame) = df
+      .withColumn("cluster",
+        Similarity.assignClusterTwoLevel(col("embedding"), supers,
+          children).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    Similarity.semDedupIncrementalPrepped(assigned(base), assigned(delta),
+        "vec_id", "embedding", "cluster", "nrm", "cluster", "nrm",
+        minCos = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_probe_agreement" -> q185ProbeAgreement _,
+    "q186_incremental_two_level" -> q186IncrementalTwoLevel _,
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
     "q177_incremental_dedup" -> q177IncrementalDedup _,
     "q178_codebook_drift" -> q178CodebookDrift _,
@@ -940,6 +971,63 @@ object SelectionQueries {
         |    (dr.vec_id IS NULL) AS keep
         |  FROM d2 LEFT JOIN dr2 dr ON dr.vec_id = d2.vec_id) t
         |ORDER BY vec_id""".stripMargin
+    },
+    // both training levels replayed (standing codebook base-restricted,
+    // super codebook over it), base ∪ delta assigned through the
+    // two-stage argmin, then q177's drop rules
+    "q186_incremental_two_level" -> {
+      val cosAB =
+        """list_reduce(list_prepend(0.0, list_transform(
+          |          list_zip(a.embedding, b.embedding),
+          |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+          |          (acc, v) -> acc + v) / (a.nrm * b.nrm)""".stripMargin
+      s"""${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+             "vec_id < 100000")},
+        |${kmeansTrainCtes(
+             "  SELECT cid AS vec_id, cv AS embedding FROM c2",
+             "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM scorpus)",
+             "TRUE", "s").stripPrefix("WITH ")},
+        |live AS (
+        |  SELECT s.cid, s.cv FROM sc2 s
+        |  WHERE EXISTS (SELECT 1 FROM sasg a WHERE a.cluster = s.cid)),
+        |pd AS (
+        |  SELECT e.vec_id, s.cid, ${sqdSql("e.embedding", "s.cv")} AS dd
+        |  FROM corpus e CROSS JOIN live s),
+        |pa AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+        |    FROM pd) t WHERE rn = 1),
+        |cd AS (
+        |  SELECT e.vec_id, ch.vec_id AS ccid,
+        |    ${sqdSql("e.embedding", "ch.embedding")} AS dd
+        |  FROM corpus e JOIN pa USING (vec_id)
+        |  JOIN sjc ch ON ch.cluster = pa.cid),
+        |fasg AS (
+        |  SELECT vec_id, CAST(ccid AS BIGINT) AS cluster FROM (
+        |    SELECT vec_id, ccid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, ccid) AS rn
+        |    FROM cd) t WHERE rn = 1),
+        |ad AS (
+        |  SELECT c.vec_id, c.embedding, f.cluster,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(c.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+        |      (acc, x) -> acc + x)) AS nrm
+        |  FROM corpus c JOIN fasg f USING (vec_id)),
+        |bb AS (SELECT * FROM ad WHERE vec_id < 100000),
+        |dd AS (SELECT * FROM ad WHERE vec_id >= 100000),
+        |drv AS (
+        |  SELECT DISTINCT a.vec_id FROM dd a JOIN bb b
+        |    ON a.cluster = b.cluster
+        |  WHERE $cosAB >= 0.99
+        |  UNION
+        |  SELECT DISTINCT b.vec_id FROM dd a JOIN dd b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE $cosAB >= 0.99)
+        |SELECT dd.vec_id, dd.cluster, (dr.vec_id IS NULL) AS keep
+        |FROM dd LEFT JOIN drv dr ON dr.vec_id = dd.vec_id
+        |ORDER BY dd.vec_id""".stripMargin
     },
     // both trainings replayed over the SAME corpus — the standing
     // instance base-restricted (trainCond), the fresh instance
