@@ -517,6 +517,128 @@ object SelectionQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q187: incremental dedup over the PARTITIONED standing store
+    * ([[Similarity.writeStandingStore]] / [[Similarity.semDedupIncrementalStore]])
+    * — q181's scenario with the store hash-bucketed into `c_bucket`
+    * partition directories and cluster-sorted within them, so the delta
+    * batch's cluster set prunes FILES (partition dirs + row groups), not
+    * just rows: the physical layout under which per-batch base I/O
+    * tracks the delta's cluster footprint instead of the corpus size.
+    * Pruning is verdict-invariant (untouched clusters contribute no
+    * pairs) and parquet round-trips bit-exactly, so the oracle is
+    * q177/q181's verbatim. StandingStoreSpec asserts the plan shape
+    * (PartitionFilters on c_bucket, cluster IN pushed to the scan). */
+  def q187StorePruned(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    val delta = augmentDelta(emb())
+    val nBase = base.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k, iters = 2)
+    val store = Fixtures.tempDir("graft-q187-").resolve("standing").toString
+    def assigned(df: DataFrame) = df
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    Similarity.writeStandingStore(assigned(base), store, "cluster",
+      buckets = 16)
+    val deltaAssigned = assigned(delta).cache()
+    Similarity.semDedupIncrementalStore(spark, store, deltaAssigned,
+        "vec_id", "embedding", "cluster", "nrm", minCos = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
+  /** q188: DELETE-BY-ID from the partitioned standing store
+    * ([[Similarity.deleteFromStandingStore]]) — the right-to-be-
+    * forgotten lifecycle: base vectors with `vec_id % 10 = 3` are
+    * removed from the q187 store (only the buckets containing them are
+    * rewritten; StandingStoreSpec asserts untouched buckets keep their
+    * exact file listings), then the SAME delta batch is judged against
+    * what remains. The oracle is q177's replay with the deleted ids
+    * excluded from base membership (the standing codebook itself is
+    * unchanged: trained before the delete, as a production quantizer
+    * would be), so it confirms the delta is judged against exactly the
+    * survivors; the verdict FLIP a deletion can cause — a delta row
+    * whose only near-twin was deleted now survives — is asserted on a
+    * constructed fixture in StandingStoreSpec. */
+  def q188StoreDelete(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    val delta = augmentDelta(emb())
+    val nBase = base.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k, iters = 2)
+    val store = Fixtures.tempDir("graft-q188-").resolve("standing").toString
+    def assigned(df: DataFrame) = df
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    Similarity.writeStandingStore(assigned(base), store, "cluster",
+      buckets = 16)
+    Similarity.deleteFromStandingStore(spark, store,
+      base.filter(col("vec_id") % 10 === 3).select(col("vec_id")), "vec_id")
+    val deltaAssigned = assigned(delta).cache()
+    Similarity.semDedupIncrementalStore(spark, store, deltaAssigned,
+        "vec_id", "embedding", "cluster", "nrm", minCos = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
+  /** q190: FULL STORE LIFECYCLE — write → judge → append → delete →
+    * compact, then audit what the store HOLDS against the relational
+    * truth. One gate for the property the four lifecycle operators only
+    * individually guarantee: after a day's worth of mutations (the
+    * delta judged per q177's rules against the full base, keepers
+    * appended into their buckets, base ids ending in 3 then forgotten,
+    * fragmented buckets compacted), the store's per-cluster contents —
+    * counts, base/delta split, id range — equal what a from-scratch
+    * relational evaluation of the same sequence produces. Ordering is
+    * load-bearing and replayed: verdicts predate the delete (keepers
+    * were judged against the full base), the delete removes only base
+    * rows, compaction is contents-invariant. */
+  def q190StoreLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    val delta = augmentDelta(emb())
+    val nBase = base.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k, iters = 2)
+    val store = Fixtures.tempDir("graft-q190-").resolve("standing").toString
+    def assigned(df: DataFrame) = df
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    Similarity.writeStandingStore(assigned(base), store, "cluster",
+      buckets = 16)
+    val deltaAssigned = assigned(delta).cache()
+    val verdicts = Similarity.semDedupIncrementalStore(spark, store,
+      deltaAssigned, "vec_id", "embedding", "cluster", "nrm",
+      minCos = 0.99).cache()
+    Similarity.appendToStandingStore(
+      deltaAssigned
+        .join(verdicts.filter(col("keep")).select(col("vec_id")), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cluster"), col("nrm")),
+      store, "cluster")
+    Similarity.deleteFromStandingStore(spark, store,
+      base.filter(col("vec_id") % 10 === 3).select(col("vec_id")), "vec_id")
+    Similarity.compactStandingStore(spark, store, maxFilesPerBucket = 1)
+    spark.read.parquet(store + "/data")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        sum(when(col("vec_id") < 100000L, 1L).otherwise(0L))
+          .cast("long").as("n_base"),
+        sum(when(col("vec_id") >= 100000L, 1L).otherwise(0L))
+          .cast("long").as("n_delta"),
+        min(col("vec_id")).cast("long").as("min_vec"),
+        max(col("vec_id")).cast("long").as("max_vec"))
+      .orderBy(col("cluster"))
+  }
+
   /** q183: DRIFT-TRIGGERED PARTIAL REFIT
     * ([[Similarity.refitDriftedClusters]]) — the action the q178 audit
     * exists to trigger: standing clusters whose stable_ppm fell below
@@ -632,6 +754,9 @@ object SelectionQueries {
     "q179_two_level_probe" -> q179TwoLevelProbe _,
     "q181_incremental_store" -> q181IncrementalStore _,
     "q183_partial_refit" -> q183PartialRefit _,
+    "q187_store_pruned" -> q187StorePruned _,
+    "q188_store_delete" -> q188StoreDelete _,
+    "q190_store_lifecycle" -> q190StoreLifecycle _,
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
@@ -783,7 +908,7 @@ object SelectionQueries {
     * assignment over base ∪ delta, then the two incremental drop
     * rules — q181's parquet round-trip of the standing assignment is
     * bit-exact, so both gates check against the same math. */
-  private val incrDedupOracle: String = {
+  private def incrDedupOracleCond(baseCond: String): String = {
     val cosAB =
       """list_reduce(list_prepend(0.0, list_transform(
         |          list_zip(a.embedding, b.embedding),
@@ -798,7 +923,7 @@ object SelectionQueries {
       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
       |      (acc, x) -> acc + x)) AS nrm
       |  FROM jc),
-      |bb AS (SELECT * FROM ad WHERE vec_id < 100000),
+      |bb AS (SELECT * FROM ad WHERE $baseCond),
       |dd AS (SELECT * FROM ad WHERE vec_id >= 100000),
       |drv AS (
       |  SELECT DISTINCT a.vec_id FROM dd a JOIN bb b
@@ -811,6 +936,63 @@ object SelectionQueries {
       |SELECT dd.vec_id, dd.cluster, (dr.vec_id IS NULL) AS keep
       |FROM dd LEFT JOIN drv dr ON dr.vec_id = dd.vec_id
       |ORDER BY dd.vec_id""".stripMargin
+  }
+
+  private val incrDedupOracle: String = incrDedupOracleCond("vec_id < 100000")
+
+  /** q184/q189 shared replay: SEQUENTIAL judgment — batch 1 (the scaled
+    * twins) vs the base, then batch 2 (novelties + copies) vs base ∪
+    * batch-1 keepers, each with the delta-internal lower-id rule —
+    * exactly what the foreachBatch loop's store append makes the stream
+    * compute. q189 runs the identical math through the partitioned
+    * store (file-pruned judgments, bucket appends), bit-exactly. */
+  private val streamIngestOracle: String = {
+    val cosAB =
+      """list_reduce(list_prepend(0.0, list_transform(
+        |          list_zip(a.embedding, b.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+        |          (acc, v) -> acc + v) / (a.nrm * b.nrm)""".stripMargin
+    s"""${kmeansTrainCtes(incrCorpusSql,
+           "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+           "vec_id < 100000")},
+      |ad AS (
+      |  SELECT jc.vec_id, jc.embedding, jc.cluster,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(jc.embedding,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+      |      (acc, x) -> acc + x)) AS nrm
+      |  FROM jc),
+      |bb AS (SELECT * FROM ad WHERE vec_id < 100000),
+      |d1 AS (SELECT * FROM ad
+      |       WHERE vec_id >= 100000 AND vec_id < 200000),
+      |d2 AS (SELECT * FROM ad WHERE vec_id >= 200000),
+      |dr1 AS (
+      |  SELECT DISTINCT a.vec_id FROM d1 a JOIN bb b
+      |    ON a.cluster = b.cluster
+      |  WHERE $cosAB >= 0.99
+      |  UNION
+      |  SELECT DISTINCT b.vec_id FROM d1 a JOIN d1 b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE $cosAB >= 0.99),
+      |k1 AS (SELECT * FROM d1
+      |       WHERE vec_id NOT IN (SELECT vec_id FROM dr1)),
+      |bb2 AS (SELECT * FROM bb UNION ALL SELECT * FROM k1),
+      |dr2 AS (
+      |  SELECT DISTINCT a.vec_id FROM d2 a JOIN bb2 b
+      |    ON a.cluster = b.cluster
+      |  WHERE $cosAB >= 0.99
+      |  UNION
+      |  SELECT DISTINCT b.vec_id FROM d2 a JOIN d2 b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE $cosAB >= 0.99)
+      |SELECT vec_id, cluster, keep FROM (
+      |  SELECT d1.vec_id, d1.cluster,
+      |    (dr.vec_id IS NULL) AS keep
+      |  FROM d1 LEFT JOIN dr1 dr ON dr.vec_id = d1.vec_id
+      |  UNION ALL
+      |  SELECT d2.vec_id, d2.cluster,
+      |    (dr.vec_id IS NULL) AS keep
+      |  FROM d2 LEFT JOIN dr2 dr ON dr.vec_id = d2.vec_id) t
+      |ORDER BY vec_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -918,13 +1100,18 @@ object SelectionQueries {
     // parquet standing store — bit-exact, so the oracle is shared.
     "q177_incremental_dedup" -> incrDedupOracle,
     "q181_incremental_store" -> incrDedupOracle,
-    // q184 (gate lives in StreamingQueries; the oracle composes this
-    // file's k-means replay): SEQUENTIAL judgment — batch 1 (the
-    // scaled twins) vs the base, then batch 2 (novelties + copies) vs
-    // base ∪ batch-1 keepers, each with the delta-internal lower-id
-    // rule — exactly what the foreachBatch loop's store append makes
-    // the stream compute
-    "q184_stream_ingest_dedup" -> {
+    // q187 runs the same math through the bucket-partitioned store with
+    // file pruning — verdict-invariant, so the oracle is shared again
+    "q187_store_pruned" -> incrDedupOracle,
+    // q188 deletes base ids (vec_id % 10 = 3) from the store before
+    // judging the same delta: same training (the standing codebook
+    // predates the delete), base membership excludes the deleted ids
+    "q188_store_delete" ->
+      incrDedupOracleCond("vec_id < 100000 AND vec_id % 10 <> 3"),
+    // the lifecycle replay: verdicts judged against the FULL base
+    // (they predate the delete), final store = surviving base ∪ kept
+    // delta, grouped per cluster (compaction is contents-invariant)
+    "q190_store_lifecycle" -> {
       val cosAB =
         """list_reduce(list_prepend(0.0, list_transform(
           |          list_zip(a.embedding, b.embedding),
@@ -940,38 +1127,33 @@ object SelectionQueries {
         |      (acc, x) -> acc + x)) AS nrm
         |  FROM jc),
         |bb AS (SELECT * FROM ad WHERE vec_id < 100000),
-        |d1 AS (SELECT * FROM ad
-        |       WHERE vec_id >= 100000 AND vec_id < 200000),
-        |d2 AS (SELECT * FROM ad WHERE vec_id >= 200000),
-        |dr1 AS (
-        |  SELECT DISTINCT a.vec_id FROM d1 a JOIN bb b
+        |dd AS (SELECT * FROM ad WHERE vec_id >= 100000),
+        |drv AS (
+        |  SELECT DISTINCT a.vec_id FROM dd a JOIN bb b
         |    ON a.cluster = b.cluster
         |  WHERE $cosAB >= 0.99
         |  UNION
-        |  SELECT DISTINCT b.vec_id FROM d1 a JOIN d1 b
+        |  SELECT DISTINCT b.vec_id FROM dd a JOIN dd b
         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         |  WHERE $cosAB >= 0.99),
-        |k1 AS (SELECT * FROM d1
-        |       WHERE vec_id NOT IN (SELECT vec_id FROM dr1)),
-        |bb2 AS (SELECT * FROM bb UNION ALL SELECT * FROM k1),
-        |dr2 AS (
-        |  SELECT DISTINCT a.vec_id FROM d2 a JOIN bb2 b
-        |    ON a.cluster = b.cluster
-        |  WHERE $cosAB >= 0.99
-        |  UNION
-        |  SELECT DISTINCT b.vec_id FROM d2 a JOIN d2 b
-        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |  WHERE $cosAB >= 0.99)
-        |SELECT vec_id, cluster, keep FROM (
-        |  SELECT d1.vec_id, d1.cluster,
-        |    (dr.vec_id IS NULL) AS keep
-        |  FROM d1 LEFT JOIN dr1 dr ON dr.vec_id = d1.vec_id
+        |final AS (
+        |  SELECT vec_id, cluster FROM bb WHERE vec_id % 10 <> 3
         |  UNION ALL
-        |  SELECT d2.vec_id, d2.cluster,
-        |    (dr.vec_id IS NULL) AS keep
-        |  FROM d2 LEFT JOIN dr2 dr ON dr.vec_id = d2.vec_id) t
-        |ORDER BY vec_id""".stripMargin
+        |  SELECT vec_id, cluster FROM dd
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM drv))
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN vec_id < 100000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_base,
+        |  CAST(sum(CASE WHEN vec_id >= 100000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_delta,
+        |  CAST(min(vec_id) AS BIGINT) AS min_vec,
+        |  CAST(max(vec_id) AS BIGINT) AS max_vec
+        |FROM final GROUP BY cluster ORDER BY cluster""".stripMargin
     },
+    // gates live in StreamingQueries; the sequential two-batch replay
+    // is documented on streamIngestOracle above
+    "q184_stream_ingest_dedup" -> streamIngestOracle,
+    "q189_stream_ingest_store" -> streamIngestOracle,
     // both training levels replayed (standing codebook base-restricted,
     // super codebook over it), base ∪ delta assigned through the
     // two-stage argmin, then q177's drop rules

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -765,6 +765,193 @@ object Similarity {
     d.join(dropped, Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
         col("__drop").isNull.as("keep"))
+  }
+
+  /** PARTITIONED STANDING STORE — the physical layout that turns the
+    * delta's cluster restriction into FILE pruning instead of a scan.
+    * `semDedupIncrementalPrepped(pruneBaseByDeltaClusters = true)`
+    * emits `cluster IN (...)`; over an unpartitioned store that
+    * predicate still reads every file (row-group stats skip at best).
+    * This writer hash-buckets the cluster id into `buckets` partition
+    * directories (`c_bucket = cluster mod buckets` — stable under
+    * codebook GROWTH: new clusters land in existing buckets without
+    * rewriting old ones, unlike range bucketing whose boundaries move)
+    * and cluster-sorts within each, so a delta batch touching t
+    * clusters reads at most min(t, buckets) directories and skips
+    * row groups inside them via min/max stats. The bucket count is
+    * recorded in a `meta` sidecar so readers derive the same hash —
+    * at 100 TB, buckets ≈ corpus size / (a few GB) keeps partition
+    * dirs coarse enough for the driver and fine enough to prune.
+    * `assigned` must carry (idCol, vecCol, clusterCol, nrmCol) —
+    * exactly what [[semDedupIncrementalPrepped]] consumes; parquet
+    * round-trips floats/doubles/longs bit-exactly, so verdicts through
+    * the store equal the in-memory path's (q187 gates this). */
+  def writeStandingStore(assigned: DataFrame, path: String,
+                         clusterCol: String = "cluster",
+                         buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val spark = assigned.sparkSession
+    assigned
+      .withColumn("c_bucket",
+        pmod(col(clusterCol), lit(buckets.toLong)).cast("int"))
+      .repartition(col("c_bucket"))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode("overwrite").partitionBy("c_bucket")
+      .parquet(path + "/data")
+    spark.range(1).select(lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(path + "/meta")
+  }
+
+  /** The full standing store plus its recorded bucket count (the
+    * `c_bucket` partition column is dropped — it is derivable). */
+  def readStandingStore(spark: SparkSession, path: String): (DataFrame, Int) = {
+    val buckets = spark.read.parquet(path + "/meta")
+      .head.getInt(0)
+    (spark.read.parquet(path + "/data"), buckets)
+  }
+
+  /** The store restricted to `touched` clusters with BOTH pruning
+    * predicates: `c_bucket IN` (directory / partition pruning — files
+    * outside the touched buckets are never opened) and `cluster IN`
+    * (row-group stats skip within the cluster-sorted files). Verdict-
+    * invariant for the incremental join by construction — clusters
+    * absent from the delta contribute no pairs. */
+  def readStandingStorePruned(spark: SparkSession, path: String,
+                              touched: Seq[Long],
+                              clusterCol: String = "cluster"): DataFrame = {
+    val (df, buckets) = readStandingStore(spark, path)
+    val tb = touched.map(c => (((c % buckets) + buckets) % buckets).toInt)
+      .distinct
+    df.filter(col("c_bucket").isin(tb: _*) &&
+        col(clusterCol).isin(touched: _*))
+      .drop("c_bucket")
+  }
+
+  /** APPEND to the partitioned standing store — the ingest side of the
+    * lifecycle: a judged batch's keepers land in their clusters'
+    * buckets (hash derived from the recorded `meta`, so appends and the
+    * original write agree on layout forever — the stability property
+    * the mod-bucket choice buys). Appends never rewrite existing files;
+    * fragmentation from many small batches is the compaction job's
+    * problem, not the ingest path's. `assigned` must carry the same
+    * (id, vec, clusterCol, nrm) shape the store holds. */
+  def appendToStandingStore(assigned: DataFrame, path: String,
+                            clusterCol: String = "cluster"): Unit = {
+    val spark = assigned.sparkSession
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    assigned
+      .withColumn("c_bucket",
+        pmod(col(clusterCol), lit(buckets.toLong)).cast("int"))
+      .repartition(col("c_bucket"))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode("append").partitionBy("c_bucket")
+      .parquet(path + "/data")
+  }
+
+  /** COMPACT the partitioned standing store — the maintenance job that
+    * undoes append fragmentation: every micro-batch append leaves one
+    * more file per touched bucket, and a year of daily ingest would
+    * leave hundreds of small files whose per-file open cost eats the
+    * pruning win. Buckets holding more than `maxFilesPerBucket` data
+    * files are re-written as one cluster-sorted file each (dynamic
+    * partition overwrite — untouched buckets' files are never opened);
+    * contents are unchanged by construction, and the compacted slice is
+    * localCheckpoint-ed before the overwrite for the same
+    * read-then-replace reason as the delete (a production job would
+    * stage via a temp directory instead to keep the slice off the
+    * executors' memory). Returns the bucket ids compacted. */
+  def compactStandingStore(spark: SparkSession, path: String,
+                           maxFilesPerBucket: Int = 4): Seq[Int] = {
+    require(maxFilesPerBucket >= 1, "need maxFilesPerBucket >= 1")
+    val dataPath = new org.apache.hadoop.fs.Path(path + "/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frag = fs.listStatus(dataPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_bucket="))
+      .filter(s => fs.listStatus(s.getPath)
+        .count(_.getPath.getName.startsWith("part-")) > maxFilesPerBucket)
+      .map(_.getPath.getName.stripPrefix("c_bucket=").toInt)
+      .toSeq.sorted
+    if (frag.isEmpty) return Seq.empty
+    val (df, _) = readStandingStore(spark, path)
+    val slice = df.filter(col("c_bucket").isin(frag: _*))
+      .localCheckpoint(true)
+    slice
+      .repartition(col("c_bucket"))
+      .sortWithinPartitions(col("cluster"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("c_bucket").parquet(path + "/data")
+    frag
+  }
+
+  /** DELETE-BY-ID from the partitioned standing store — the
+    * right-to-be-forgotten lifecycle a standing corpus must support
+    * without a full rewrite. Two passes: (1) a column-pruned semi-join
+    * scan finds which `c_bucket` partition directories contain any of
+    * the ids (driver state = the touched bucket list, ≤ `buckets`
+    * ints); (2) ONLY those buckets are re-written without the deleted
+    * rows, via dynamic partition overwrite — untouched buckets' files
+    * are never opened for the rewrite and never replaced (the spec
+    * asserts their listings are byte-identical). `ids` is a DataFrame
+    * (an anti-join, not a driver literal), so the delete set itself
+    * scales. The kept slice is localCheckpoint-ed before the overwrite
+    * because Spark (correctly) refuses a write that still reads the
+    * path it replaces; a touched bucket is bounded by corpus/buckets,
+    * the same bound the store's layout already commits to. Returns the
+    * number of rows deleted. */
+  def deleteFromStandingStore(spark: SparkSession, path: String,
+                              ids: DataFrame, idCol: String): Long = {
+    val (df, buckets) = readStandingStore(spark, path)
+    val idSet = ids.select(col(idCol)).distinct()
+    val touched = df.join(idSet, Seq(idCol), "left_semi")
+      .select(col("c_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return 0L
+    val slice = df.filter(col("c_bucket").isin(touched: _*))
+    val kept = slice.join(idSet, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val nDeleted = slice.count() - kept.count()
+    kept
+      .repartition(col("c_bucket"))
+      .sortWithinPartitions(col("cluster"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("c_bucket").parquet(path + "/data")
+    // dynamic overwrite only replaces partitions PRESENT in the written
+    // data — a bucket emptied entirely by the delete writes no rows, so
+    // its stale directory must be dropped explicitly or the deleted
+    // rows resurface
+    val surviving = kept.select(col("c_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    touched.filterNot(surviving).foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/data/c_bucket=$b")
+      val fs = dir.getFileSystem(conf)
+      fs.delete(dir, true)
+    }
+    nDeleted
+  }
+
+  /** The daily-flow entry point over the PARTITIONED store: collect the
+    * delta's touched clusters (≤ |delta| longs — batch-bounded driver
+    * state), open only their buckets, and run the prepped core. This is
+    * [[semDedupIncrementalPrepped]]'s `pruneBaseByDeltaClusters` made
+    * physical: per-batch base I/O tracks the DELTA's cluster footprint,
+    * not the corpus size. `deltaAssigned` must already carry
+    * (idCol, vecCol, deltaClusterCol, deltaNrmCol) and should be
+    * materialized by the caller (it is referenced by the collect and
+    * both joins). */
+  def semDedupIncrementalStore(spark: SparkSession, storePath: String,
+                               deltaAssigned: DataFrame,
+                               idCol: String, vecCol: String,
+                               deltaClusterCol: String, deltaNrmCol: String,
+                               minCos: Double): DataFrame = {
+    val touched = deltaAssigned
+      .select(col(deltaClusterCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val base = readStandingStorePruned(spark, storePath, touched, "cluster")
+    semDedupIncrementalPrepped(base, deltaAssigned, idCol, vecCol,
+      "cluster", "nrm", deltaClusterCol, deltaNrmCol, minCos)
   }
 
   /** CODEBOOK-DRIFT AUDIT — the governance check a standing corpus runs

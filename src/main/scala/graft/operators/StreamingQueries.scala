@@ -535,6 +535,97 @@ object StreamingQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q189: q184's streaming semantic ingest run over the PARTITIONED
+    * standing store — the complete store lifecycle under a live stream:
+    * the base is laid out by [[Similarity.writeStandingStore]]
+    * (hash-bucketed dirs, cluster-sorted files), each micro-batch is
+    * judged by [[Similarity.semDedupIncrementalStore]] (the batch's
+    * cluster set prunes partition dirs + row groups, so per-batch base
+    * I/O tracks the batch's footprint), and keepers are appended into
+    * their buckets by [[Similarity.appendToStandingStore]] before the
+    * next batch. Identical math to q184 — same staged batches, same
+    * sequential dependence — so the oracle is q184's verbatim; what
+    * this gate adds is that the bucket layout survives judge → append
+    * → judge cycles bit-exactly. */
+  def q189StreamIngestStore(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val nBase = emb.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(emb, "vec_id",
+      "embedding", k, iters = 2)
+    val tmp = Fixtures.tempDir("graft-q189-")
+    val in = tmp.resolve("in")
+    Files.createDirectories(in)
+    val store = tmp.resolve("standing").toString
+    val verdicts = tmp.resolve("verdicts").toString
+    Similarity.writeStandingStore(
+      emb
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 16)
+    def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val stage = tmp.resolve(s"stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally listing.close()
+      val dest = in.resolve(s"$name.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    }
+    val delta = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(typedlit(Seq(1, 2, 3))).as("variant"))
+      .filter((col("variant") === 1 && col("vec_id") % 5 === 0) ||
+        (col("variant") === 2 && col("vec_id") % 7 === 0) ||
+        (col("variant") === 3 && col("vec_id") % 14 === 0))
+      .select((col("vec_id") + col("variant") * 100000L).as("vec_id"),
+        when(col("variant") === 3,
+          transform(reverse(col("embedding")), v => v * lit(2.0f)))
+          .when(col("variant") === 2, reverse(col("embedding")))
+          .otherwise(transform(col("embedding"), v => v * lit(1.5f)))
+          .as("embedding"))
+    val t0 = 1600000000000L
+    stageChunk(delta.filter(col("vec_id") < 200000L), "d1", t0)
+    stageChunk(delta.filter(col("vec_id") >= 200000L), "d2", t0 + 2000L)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch
+          .withColumn("cluster",
+            Similarity.assignCluster(col("embedding"), cents)
+              .cast("long"))
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+          .cache()
+        try {
+          val v = Similarity.semDedupIncrementalStore(
+            batch.sparkSession, store, d, "vec_id", "embedding",
+            "cluster", "nrm", minCos = 0.99).cache()
+          try {
+            v.write.mode("append").parquet(verdicts)
+            Similarity.appendToStandingStore(
+              d.join(v.filter(col("keep")).select(col("vec_id")), "vec_id")
+                .select(col("vec_id"), col("embedding"), col("cluster"),
+                  col("nrm")),
+              store, "cluster")
+          } finally v.unpersist()
+        } finally d.unpersist()
+      }
+      .option("checkpointLocation", tmp.resolve("cp").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(verdicts)
+      .select(col("vec_id"), col("cluster"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q174: STREAMING event-time session windows
     * ([[StreamingLoad.sessionCounts]], native `session_window`, 30-min
     * gap, 2-h watermark) under the driver's value gate — the q44
@@ -690,6 +781,7 @@ object StreamingQueries {
     "q180_watermark_drop" -> q180WatermarkDrop _,
     "q182_stream_outer_join" -> q182StreamOuterJoin _,
     "q184_stream_ingest_dedup" -> q184StreamIngestDedup _,
+    "q189_stream_ingest_store" -> q189StreamIngestStore _,
     "q114_stream_upsert" -> q114StreamUpsert _,
     "q127_stream_dedup"  -> q127StreamDedup _,
     "q141_stream_budget" -> q141StreamBudget _,

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *     production shape;
   *   - `delta_recompute_sec`: the same verdicts with the base
   *     re-assigned on the fly (q177's convenience form) — the per-batch
-  *     n·2√k wall the store removes.
+  *     n·2√k wall the store removes;
+  *   - `delta_store_partitioned_sec`: the q187 layout
+  *     ([[graft.operators.Similarity.writeStandingStore]]) — the store
+  *     hash-bucketed into c_bucket partition dirs, so the delta's
+  *     cluster set prunes FILES (directories + row groups), not rows.
   * The base assignment uses the two-level ladder at every tier (at
   * k = 4000 a flat argmin is the n·k wall the ladder exists to remove);
   * training runs on a deterministic id-sample as in q172.
@@ -100,6 +104,14 @@ object IncrementalProbe {
           .write.mode("overwrite").parquet(store)
         val buildSec = (System.nanoTime() - t1) / 1e9
         val standing = spark.read.parquet(store)
+        // the q187 layout: hash-bucketed partition dirs + cluster sort,
+        // so the delta's cluster set prunes FILES, not just row groups
+        val pstore = java.nio.file.Files
+          .createTempDirectory("graft-incr-").resolve("partitioned").toString
+        val t2 = System.nanoTime()
+        Similarity.writeStandingStore(assignedBase, pstore, "cluster",
+          buckets = math.min(64, k))
+        val buildPartSec = (System.nanoTime() - t2) / 1e9
         // the delta's assignment materialized ONCE (two-level ladder at
         // every tier), as the prepped core's contract prescribes
         val deltaAssigned = delta
@@ -115,6 +127,9 @@ object IncrementalProbe {
             minCos = 0.99, pruneBaseByDeltaClusters = prune)
         val storeSec = minOf2(run(standing, prune = false))
         val prunedSec = minOf2(run(standing, prune = true))
+        val partitionedSec = minOf2(
+          Similarity.semDedupIncrementalStore(spark, pstore, deltaAssigned,
+            "vec_id", "embedding", "cluster", "nrm", minCos = 0.99))
         val recomputeSec = minOf2(run(assignedBase, prune = false))
         deltaAssigned.unpersist()
         base.unpersist()
@@ -122,6 +137,8 @@ object IncrementalProbe {
           f""""build_store_sec":$buildSec%.2f,""" +
           f""""delta_store_sec":$storeSec%.2f,""" +
           f""""delta_store_pruned_sec":$prunedSec%.2f,""" +
+          f""""build_partitioned_sec":$buildPartSec%.2f,""" +
+          f""""delta_store_partitioned_sec":$partitionedSec%.2f,""" +
           f""""delta_recompute_sec":$recomputeSec%.2f}""")
       }
     }

@@ -1,0 +1,176 @@
+package graft
+
+import graft.operators.{Fixtures, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Partitioned standing store (q187's machinery): bucket layout,
+  * file-pruning plan shape, and verdict equality with the in-memory
+  * incremental path. */
+class StandingStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 vectors in two separated blobs, so k=2 training is stable
+  private def corpus() = (0 until 40).map { i =>
+    val base = if (i % 2 == 0) 0.0 else 10.0
+    (i.toLong, Seq.tabulate(4)(d => (base + (i % 5) * 0.1 + d * 0.01).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  private def assigned(df: org.apache.spark.sql.DataFrame,
+                       cents: Seq[Seq[Double]]) = df
+    .withColumn("cluster",
+      Similarity.assignCluster(col("embedding"), cents).cast("long"))
+    .withColumn("nrm", Similarity.norm(col("embedding")))
+
+  test("store round-trip: bucket column derives from cluster, meta records buckets") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    val (df, buckets) = Similarity.readStandingStore(spark, path)
+    assert(buckets == 8)
+    // every row's partition value is cluster mod buckets
+    assert(df.filter(col("c_bucket") =!=
+      pmod(col("cluster"), lit(8L)).cast("int")).count() == 0)
+    assert(df.count() == 40)
+  }
+
+  test("pruned read shows PartitionFilters on c_bucket and a cluster pushdown") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    val pruned = Similarity.readStandingStorePruned(spark, path, Seq(1L))
+    val ps = pruned.queryExecution.executedPlan.toString
+    assert(ps.contains("PartitionFilters: [") && ps.contains("c_bucket"),
+      s"no partition pruning on c_bucket:\n$ps")
+    // a 1-element IN folds to EqualTo; either form must reach the scan
+    assert(ps.contains("PushedFilters: [") &&
+      (ps.contains("In(cluster") || ps.contains("EqualTo(cluster")),
+      s"cluster restriction not pushed to the scan:\n$ps")
+    // only cluster-1 rows survive, and only bucket-1 files were readable
+    assert(pruned.filter(col("cluster") =!= 1L).count() == 0)
+  }
+
+  private def listFiles(dir: java.nio.file.Path): Map[String, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    val root = dir.toFile
+    root.listFiles().filter(_.getName.startsWith("c_bucket=")).map { d =>
+      d.getName -> d.listFiles().map(_.getName).toSeq.sorted
+    }.toMap
+  }
+
+  test("deleteFromStandingStore rewrites only touched buckets and flips verdicts") {
+    val base = corpus()
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(base, cents), path,
+      "cluster", buckets = 8)
+    val before = listFiles(java.nio.file.Paths.get(path, "data"))
+    // vec_id 0 lives in the blob-0 cluster; its scaled twin is the delta
+    val twin = Seq((1000L,
+        Seq.tabulate(4)(d => ((0 + 0 * 0.1 + d * 0.01) * 2.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val deltaAssigned = assigned(twin, cents).cache()
+    // before the delete: the twin drops against same-cluster base rows
+    val v0 = Similarity.semDedupIncrementalStore(spark, path, deltaAssigned,
+      "vec_id", "embedding", "cluster", "nrm", 0.99).collect()
+    assert(v0.length == 1 && !v0.head.getBoolean(2))
+    // delete the ENTIRE blob-0 cluster's membership (all even ids)
+    val doomed = base.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val n = Similarity.deleteFromStandingStore(spark, path, doomed, "vec_id")
+    assert(n == 20)
+    val after = listFiles(java.nio.file.Paths.get(path, "data"))
+    // the two blobs are distinct clusters, so distinct buckets: the
+    // surviving (odd-blob) bucket must keep its exact file listing
+    val survivorBuckets = spark.read.parquet(path + "/data")
+      .select("c_bucket").distinct()
+      .collect().map(r => s"c_bucket=${r.getInt(0)}").toSet
+    assert(survivorBuckets.nonEmpty)
+    survivorBuckets.foreach(b => assert(after(b) == before(b),
+      s"untouched bucket $b was rewritten"))
+    // ids are gone
+    assert(spark.read.parquet(path + "/data")
+      .filter(col("vec_id") % 2 === 0).count() == 0)
+    // and the twin's verdict flips to keep: its near-dups are gone
+    val v1 = Similarity.semDedupIncrementalStore(spark, path, deltaAssigned,
+      "vec_id", "embedding", "cluster", "nrm", 0.99).collect()
+    assert(v1.length == 1 && v1.head.getBoolean(2))
+  }
+
+  test("deleting a bucket's every row drops its directory (no resurrection)") {
+    val base = corpus()
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    // buckets = 1: everything lands in c_bucket=0; deleting all rows of
+    // both clusters must remove the directory rather than keep stale files
+    Similarity.writeStandingStore(assigned(base, cents), path,
+      "cluster", buckets = 1)
+    val n = Similarity.deleteFromStandingStore(spark, path,
+      base.select("vec_id"), "vec_id")
+    assert(n == 40)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "data", "c_bucket=0")))
+  }
+
+  test("compactStandingStore merges fragmented buckets, contents unchanged") {
+    val base = corpus()
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(base, cents), path,
+      "cluster", buckets = 8)
+    // two appends into the even blob's cluster → its bucket fragments
+    val extra1 = Seq((100L, Seq(0.05f, 0.06f, 0.07f, 0.08f)))
+      .toDF("vec_id", "embedding")
+    val extra2 = Seq((101L, Seq(0.15f, 0.16f, 0.17f, 0.18f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToStandingStore(assigned(extra1, cents), path)
+    Similarity.appendToStandingStore(assigned(extra2, cents), path)
+    val dataDir = java.nio.file.Paths.get(path, "data")
+    val before = listFiles(dataDir)
+    val fragged = before.filter(_._2.count(_.startsWith("part-")) > 1).keys
+    assert(fragged.nonEmpty, s"appends did not fragment: $before")
+    val want = spark.read.parquet(path + "/data")
+      .orderBy("vec_id").collect().toSeq
+    val compacted = Similarity.compactStandingStore(spark, path,
+      maxFilesPerBucket = 1)
+    assert(compacted.map(b => s"c_bucket=$b").toSet == fragged.toSet)
+    val after = listFiles(dataDir)
+    // fragmented buckets now hold exactly one data file
+    fragged.foreach(b =>
+      assert(after(b).count(_.startsWith("part-")) == 1, s"$b: ${after(b)}"))
+    // untouched buckets keep their listings; contents are unchanged
+    (before.keySet -- fragged).foreach(b => assert(after(b) == before(b)))
+    assert(spark.read.parquet(path + "/data")
+      .orderBy("vec_id").collect().toSeq == want)
+    // idempotent: nothing left to compact
+    assert(Similarity.compactStandingStore(spark, path, 1).isEmpty)
+  }
+
+  test("verdicts through the partitioned store equal the in-memory prepped path") {
+    val base = corpus()
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
+    // delta: scaled twins of the even ids (dropped) + a far novelty (kept)
+    val twins = base.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), v => v * lit(2.0f)).as("embedding"))
+    val novelty = Seq((2000L, Seq(100f, -100f, 100f, -100f)))
+      .toDF("vec_id", "embedding")
+    val delta = twins.unionByName(novelty)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(base, cents), path,
+      "cluster", buckets = 8)
+    val deltaAssigned = assigned(delta, cents).cache()
+    val viaStore = Similarity.semDedupIncrementalStore(spark, path,
+        deltaAssigned, "vec_id", "embedding", "cluster", "nrm", 0.99)
+      .orderBy("vec_id").collect()
+    val inMemory = Similarity.semDedupIncrementalPrepped(
+        assigned(base, cents), deltaAssigned,
+        "vec_id", "embedding", "cluster", "nrm", "cluster", "nrm", 0.99)
+      .orderBy("vec_id").collect()
+    assert(viaStore.toSeq == inMemory.toSeq)
+    // the scaled twins drop, the novelty survives
+    val keep = viaStore.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep(2000L))
+    assert((0 until 40 by 4).forall(i => !keep(i + 1000L)))
+  }
+}
