@@ -131,6 +131,33 @@ object IncrementalProbe {
           Similarity.semDedupIncrementalStore(spark, pstore, deltaAssigned,
             "vec_id", "embedding", "cluster", "nrm", minCos = 0.99))
         val recomputeSec = minOf2(run(assignedBase, prune = false))
+        // base rows each layout makes a batch SCAN — the deterministic
+        // I/O bound (at probe scale wall time is verdict-DAG overhead,
+        // so rows-scanned is the honest scale metric): full layout reads
+        // n per batch; the pruned partitioned read is bounded by the
+        // batch's cluster footprint
+        def touchedOf(d: DataFrame): Seq[Long] = d.select(col("cluster"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val bigTouched = touchedOf(deltaAssigned)
+        val bigPrunedRows = Similarity.readStandingStorePruned(spark,
+          pstore, bigTouched).count()
+        // the SMALL-batch regime pruning exists for: ~32 rows touch ≤32
+        // of the k clusters (the 829-row batch above touches ~800 — at
+        // k=4000 that is every one of the 64 buckets, so nothing prunes)
+        val smallDelta = deltaAssigned
+          .orderBy(col("vec_id")).limit(32).cache()
+        smallDelta.count()
+        def runSmall(b: DataFrame) =
+          Similarity.semDedupIncrementalPrepped(b, smallDelta,
+            "vec_id", "embedding", "cluster", "nrm", "cluster", "nrm",
+            minCos = 0.99)
+        val smallStoreSec = minOf2(runSmall(standing))
+        val smallPartSec = minOf2(
+          Similarity.semDedupIncrementalStore(spark, pstore, smallDelta,
+            "vec_id", "embedding", "cluster", "nrm", minCos = 0.99))
+        val smallPrunedRows = Similarity.readStandingStorePruned(spark,
+          pstore, touchedOf(smallDelta)).count()
+        smallDelta.unpersist()
         deltaAssigned.unpersist()
         base.unpersist()
         Some(f""""$tag":{"n":$n,"k":$k,"train_sec":$trainSec%.2f,""" +
@@ -139,6 +166,11 @@ object IncrementalProbe {
           f""""delta_store_pruned_sec":$prunedSec%.2f,""" +
           f""""build_partitioned_sec":$buildPartSec%.2f,""" +
           f""""delta_store_partitioned_sec":$partitionedSec%.2f,""" +
+          f""""base_rows_full_scan":$n,""" +
+          f""""base_rows_pruned_big_batch":$bigPrunedRows,""" +
+          f""""small_batch_store_sec":$smallStoreSec%.2f,""" +
+          f""""small_batch_partitioned_sec":$smallPartSec%.2f,""" +
+          f""""base_rows_pruned_small_batch":$smallPrunedRows,""" +
           f""""delta_recompute_sec":$recomputeSec%.2f}""")
       }
     }
