@@ -639,6 +639,33 @@ object SelectionQueries {
       .orderBy(col("cluster"))
   }
 
+  /** q191: ANN SEARCH over the partitioned standing store
+    * ([[Similarity.ivfTopKStore]]) — q171's multi-probe IVF with
+    * everything a search process needs living ON DISK: the codebook
+    * persisted beside the store ([[Similarity.writeCodebook]]), the
+    * corpus assignment read back (not recomputed), and the scan pruned
+    * to the query batch's probed clusters (partition dirs + row
+    * groups). Results are q171's verbatim — only probed clusters can
+    * contribute, and doubles/floats round-trip parquet bit-exactly —
+    * so the oracle is shared. */
+  def q191AnnStore(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val store = Fixtures.tempDir("graft-q191-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.ivfTopKStore(spark, store, emb().filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q183: DRIFT-TRIGGERED PARTIAL REFIT
     * ([[Similarity.refitDriftedClusters]]) — the action the q178 audit
     * exists to trigger: standing clusters whose stable_ppm fell below
@@ -757,6 +784,7 @@ object SelectionQueries {
     "q187_store_pruned" -> q187StorePruned _,
     "q188_store_delete" -> q188StoreDelete _,
     "q190_store_lifecycle" -> q190StoreLifecycle _,
+    "q191_ann_store" -> q191AnnStore _,
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
@@ -995,32 +1023,10 @@ object SelectionQueries {
       |ORDER BY vec_id""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
-    // the complete production semantic-dedup replay: train (k ∝ n) →
-    // assign → within-cluster cosine pruning, all value-checked
-    "q168_semdedup_auto" ->
-      s"""$autoTrainCtes,
-        |av AS (
-        |  SELECT jc.vec_id, jc.embedding, jc.cluster,
-        |    sqrt(list_reduce(list_prepend(0.0, list_transform(jc.embedding,
-        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
-        |      (acc, x) -> acc + x)) AS nrm
-        |  FROM jc),
-        |dropped AS (
-        |  SELECT DISTINCT b.vec_id FROM av a JOIN av b
-        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |  WHERE list_reduce(list_prepend(0.0, list_transform(
-        |          list_zip(a.embedding, b.embedding),
-        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
-        |          (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.99)
-        |SELECT av.vec_id, av.cluster, (dr.vec_id IS NULL) AS keep
-        |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
-        |ORDER BY av.vec_id""".stripMargin,
-    // trained-codebook IVF: same training replay with nlist=8, then the
-    // query probe list (2 nearest centroids), cluster-probe equi-join,
-    // exact left-fold cosine, windowed top-5
-    "q171_ivf_multiprobe" ->
-      s"""${kmeansTrainCtes(
+  /** q171/q191 shared replay: nlist=8 training, 2-probe lists,
+    * cluster equi-join, exact cosine, windowed top-5. */
+  private val ivfMultiProbeOracle: String =
+    s"""${kmeansTrainCtes(
              "  SELECT vec_id, embedding FROM embeddings", "8")},
         |qd AS (
         |  SELECT q.vec_id AS qid, c.cid, q.embedding AS qe,
@@ -1045,7 +1051,38 @@ object SelectionQueries {
         |                       ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // the complete production semantic-dedup replay: train (k ∝ n) →
+    // assign → within-cluster cosine pruning, all value-checked
+    "q168_semdedup_auto" ->
+      s"""$autoTrainCtes,
+        |av AS (
+        |  SELECT jc.vec_id, jc.embedding, jc.cluster,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(jc.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+        |      (acc, x) -> acc + x)) AS nrm
+        |  FROM jc),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id FROM av a JOIN av b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(0.0, list_transform(
+        |          list_zip(a.embedding, b.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+        |          (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.99)
+        |SELECT av.vec_id, av.cluster, (dr.vec_id IS NULL) AS keep
+        |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
+        |ORDER BY av.vec_id""".stripMargin,
+    // trained-codebook IVF: same training replay with nlist=8, then the
+    // query probe list (2 nearest centroids), cluster-probe equi-join,
+    // exact left-fold cosine, windowed top-5. q191 runs the identical
+    // math with codebook + corpus assignment reloaded from the
+    // partitioned store and the scan pruned to the probed clusters —
+    // result-invariant (only probed clusters can contribute), doubles
+    // round-trip parquet bit-exactly, so the oracle is shared.
+    "q191_ann_store" -> ivfMultiProbeOracle,
+    "q171_ivf_multiprobe" -> ivfMultiProbeOracle,
     // BOTH training levels replayed: the flat codebook (unprefixed
     // CTEs), the super-codebook trained over it (s-prefixed instance,
     // kSuper = ceil(sqrt(k))), childless supers dropped, then the

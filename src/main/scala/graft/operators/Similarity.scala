@@ -848,6 +848,61 @@ object Similarity {
       .parquet(path + "/data")
   }
 
+  /** Persist the standing quantizer WITH its store — (cid, cent) rows
+    * under `path`/codebook — so the store is self-contained on disk:
+    * ingest, search, and drift audits reload the exact codebook the
+    * assignments were made with instead of carrying it in closure
+    * state. Doubles round-trip parquet bit-exactly, so reloaded
+    * centroids reproduce assignments and probe lists verbatim (q191
+    * gates the search path through a reload against q171's oracle). */
+  def writeCodebook(spark: SparkSession, path: String,
+                    centroids: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("cid", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+  }
+
+  /** The persisted codebook, in training order. */
+  def readCodebook(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(path + "/codebook")
+      .orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** Multi-probe IVF SEARCH over the partitioned standing store — the
+    * query-side payoff of the q187 layout: the probe lists of the whole
+    * query batch touch ≤ |queries|·nProbe clusters, and only THOSE
+    * buckets/row groups of the store are read (the scanned fraction
+    * ~nProbe/nlist that [[ivfTopKMultiProbe]]'s scaladoc promises a
+    * cluster-partitioned corpus becomes literal file pruning here).
+    * Codebook and corpus assignment both come from disk, so a search
+    * process needs no state beyond the store path. Output contract and
+    * results identical to [[ivfTopKMultiProbe]] over the same corpus
+    * and codebook. */
+  def ivfTopKStore(spark: SparkSession, storePath: String,
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nProbe: Int): DataFrame = {
+    val cents = readCodebook(spark, storePath)
+    require(nProbe >= 1 && nProbe <= cents.length,
+      "need 1 <= nProbe <= nlist")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qc", explode(probeClusters(col("qv"), cents, nProbe)))
+    val probed = q.select(col("qc").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val c = readStandingStorePruned(spark, storePath, probed)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("cluster").cast("int").as("cc"))
+    val scored = c.join(broadcast(q), col("qc") === col("cc"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** COMPACT the partitioned standing store — the maintenance job that
     * undoes append fragmentation: every micro-batch append leaves one
     * more file per touched bucket, and a year of daily ingest would

@@ -146,6 +146,26 @@ class StandingStoreSpec extends SparkSpec {
     assert(Similarity.compactStandingStore(spark, path, 1).isEmpty)
   }
 
+  test("ivfTopKStore reloads the codebook bit-exactly and matches in-memory IVF") {
+    val base = corpus()
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(
+      assigned(base, cents).drop("nrm")
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      path, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    assert(Similarity.readCodebook(spark, path) == cents)
+    val queries = base.filter(col("vec_id") < 4)
+    val viaStore = Similarity.ivfTopKStore(spark, path, queries,
+        "vec_id", "embedding", k = 3, nProbe = 1)
+      .orderBy("query_id", "rank").collect()
+    val inMemory = Similarity.ivfTopKMultiProbe(queries, base,
+        "vec_id", "embedding", k = 3, nlist = 2, nProbe = 1, iters = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(viaStore.toSeq == inMemory.toSeq)
+  }
+
   test("verdicts through the partitioned store equal the in-memory prepped path") {
     val base = corpus()
     val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
