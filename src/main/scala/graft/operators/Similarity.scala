@@ -869,6 +869,36 @@ object Similarity {
       .orderBy(col("cid")).collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
 
+  /** Persist a SPARSE codebook — (cid, cent) with explicit, possibly
+    * non-contiguous ids. After an in-place refit the store's live
+    * cluster ids have holes (drifted ids retired, fresh ids appended
+    * past the old maximum), so the id is data, not a list position. */
+  def writeCodebookIds(spark: SparkSession, path: String,
+                       entries: Seq[(Long, Seq[Double])]): Unit = {
+    import spark.implicits._
+    entries.toDF("cid", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+  }
+
+  /** The persisted codebook with its explicit ids, id-ascending. */
+  def readCodebookIds(spark: SparkSession,
+                      path: String): Seq[(Long, Seq[Double])] =
+    spark.read.parquet(path + "/codebook")
+      .orderBy(col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+
+  /** Nearest-centroid assignment against a SPARSE (cid, cent) codebook:
+    * the argmin runs over the centroids in id order (so distance ties
+    * resolve to the LOWEST id, the same law as [[assignCluster]]) and
+    * the winning position maps back to its explicit id. */
+  def assignClusterIds(vec: Column,
+                       cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "empty codebook")
+    val sorted = cents.sortBy(_._1)
+    element_at(typedlit(sorted.map(_._1)),
+      assignCluster(vec, sorted.map(_._2)).cast("int") + 1)
+  }
+
   /** Multi-probe IVF SEARCH over the partitioned standing store — the
     * query-side payoff of the q187 layout: the probe lists of the whole
     * query batch touch ≤ |queries|·nProbe clusters, and only THOSE
@@ -985,6 +1015,81 @@ object Similarity {
       fs.delete(dir, true)
     }
     nDeleted
+  }
+
+  /** DELETE whole clusters from the partitioned store. Unlike the
+    * by-id delete, the touched buckets are DERIVED (cluster mod
+    * buckets) — no discovery scan at all; only those buckets are read
+    * and rewritten without the doomed clusters' rows, and a bucket
+    * emptied entirely is dropped explicitly (same resurrection hazard
+    * as [[deleteFromStandingStore]]). Returns rows removed. */
+  def deleteClustersFromStore(spark: SparkSession, path: String,
+                              clusters: Set[Long]): Long = {
+    if (clusters.isEmpty) return 0L
+    val (df, buckets) = readStandingStore(spark, path)
+    val touched = clusters.map(c => (((c % buckets) + buckets) % buckets).toInt)
+      .toSeq.sorted
+    val slice = df.filter(col("c_bucket").isin(touched: _*))
+    val kept = slice.filter(!col("cluster").isin(clusters.toSeq: _*))
+      .localCheckpoint(true)
+    val nDeleted = slice.count() - kept.count()
+    kept
+      .repartition(col("c_bucket"))
+      .sortWithinPartitions(col("cluster"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("c_bucket").parquet(path + "/data")
+    val surviving = kept.select(col("c_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    touched.filterNot(surviving).foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/data/c_bucket=$b")
+      val fs = dir.getFileSystem(conf)
+      fs.delete(dir, true)
+    }
+    nDeleted
+  }
+
+  /** IN-PLACE drift refit of the partitioned store — what a standing
+    * corpus DOES with a [[codebookDrift]] report, without rewriting the
+    * corpus: the drifted clusters' members are read through the pruned
+    * path (their buckets only), re-clustered among themselves at the
+    * k ∝ n discipline, written back under FRESH cluster ids (appended
+    * past the codebook's maximum — ids are never reused, so readers
+    * holding the old codebook can detect retirement), and the persisted
+    * codebook becomes survivors ∪ refit. Undrifted clusters keep their
+    * ids AND their files: cost tracks the drifted slice, not the
+    * corpus. Semantics differ deliberately from [[refitDriftedClusters]]
+    * (which re-assigns the whole corpus against the merged codebook and
+    * renumbers): here membership of undrifted clusters is SETTLED — the
+    * same invariant the incremental dedup flow already commits to.
+    * Returns the fresh (cid, centroid) entries. */
+  def refitStoreDriftedClusters(spark: SparkSession, path: String,
+                                idCol: String, vecCol: String,
+                                drifted: Set[Long],
+                                targetClusterSize: Long = 50,
+                                iters: Int = 2): Seq[(Long, Seq[Double])] = {
+    if (drifted.isEmpty) return Seq.empty
+    val cb = readCodebookIds(spark, path)
+    val nextId = cb.map(_._1).max + 1
+    val members = readStandingStorePruned(spark, path, drifted.toSeq)
+      .localCheckpoint(true)
+    val nMem = members.count()
+    if (nMem == 0L) return Seq.empty
+    val kRefit = math.max(1L,
+      (nMem + targetClusterSize - 1) / targetClusterSize).toInt
+    val refit = trainCentroids(members, idCol, vecCol, kRefit, iters)
+    val fresh = refit.zipWithIndex.map { case (c, i) => (nextId + i, c) }
+    val reassigned = members
+      .withColumn("cluster",
+        assignCluster(col(vecCol), refit).cast("long") + lit(nextId))
+    deleteClustersFromStore(spark, path, drifted)
+    appendToStandingStore(reassigned
+      .select(col(idCol), col(vecCol), col("cluster"), col("nrm")),
+      path, "cluster")
+    writeCodebookIds(spark, path,
+      cb.filterNot { case (cid, _) => drifted(cid) } ++ fresh)
+    fresh
   }
 
   /** The daily-flow entry point over the PARTITIONED store: collect the

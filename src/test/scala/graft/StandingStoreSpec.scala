@@ -166,6 +166,43 @@ class StandingStoreSpec extends SparkSpec {
     assert(viaStore.toSeq == inMemory.toSeq)
   }
 
+  test("refitStoreDriftedClusters: fresh ids, survivors' files untouched, codebook updated") {
+    val base = corpus()
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(base, cents), path,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    val before = listFiles(java.nio.file.Paths.get(path, "data"))
+    // which cluster holds the even blob? refit THAT one
+    val evenCluster = assigned(base.filter(col("vec_id") === 0L), cents)
+      .select("cluster").head.getLong(0)
+    val fresh = Similarity.refitStoreDriftedClusters(spark, path,
+      "vec_id", "embedding", Set(evenCluster), targetClusterSize = 10,
+      iters = 2)
+    // 20 members / target 10 => 2 fresh clusters, ids appended past max
+    assert(fresh.map(_._1) == Seq(2L, 3L))
+    val after = listFiles(java.nio.file.Paths.get(path, "data"))
+    val survivorBucket = s"c_bucket=${1 - evenCluster}"
+    assert(after(survivorBucket) == before(survivorBucket),
+      "undrifted cluster's bucket was rewritten")
+    val data = spark.read.parquet(path + "/data")
+    // the drifted id is retired, never reused; all members re-homed
+    assert(data.filter(col("cluster") === evenCluster).count() == 0)
+    assert(data.filter(col("cluster") >= 2L).count() == 20)
+    assert(data.count() == 40)
+    // persisted codebook = survivor id + the two fresh ids
+    val cb = Similarity.readCodebookIds(spark, path)
+    assert(cb.map(_._1) == Seq(1 - evenCluster, 2L, 3L).sorted)
+    // survivor centroid is bit-identical to the original
+    assert(cb.toMap.apply(1 - evenCluster) == cents((1 - evenCluster).toInt))
+    // sparse assignment law: ties and argmin against explicit ids
+    val reassigned = data
+      .withColumn("c2", Similarity.assignClusterIds(col("embedding"), cb))
+      .filter(col("c2") =!= col("cluster")).count()
+    assert(reassigned == 0, "store assignment disagrees with sparse argmin")
+  }
+
   test("verdicts through the partitioned store equal the in-memory prepped path") {
     val base = corpus()
     val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
