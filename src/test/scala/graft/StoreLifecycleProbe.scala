@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Store-lifecycle wall-times at the TRUE k ∝ n tier
+  * (`Test/runMain graft.StoreLifecycleProbe`): every q187-q192
+  * mechanism exercised once against the ScaleGen sf10 corpus
+  * (200k vectors, k = 4000, buckets = 64) — build, small-batch pruned
+  * judgment, keeper append, 1%-of-ids delete, compaction, 8-cluster
+  * in-place refit, and a 10-query ANN search from disk. The claim
+  * under measurement: every mutation's cost tracks its own footprint
+  * (batch, ids' buckets, fragmented buckets, drifted slice, probed
+  * clusters), never the corpus.
+  */
+object StoreLifecycleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Similarity
+
+    val dir = "/tmp/graft_sf10"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "embeddings.parquet"))) {
+      println(s"""{"probe":"store_lifecycle","skipped":"no $dir"}""")
+      spark.stop(); return
+    }
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).cache()
+    val n = base.count()
+    val k = ((n + 49) / 50).toInt
+    val m = math.max(1L, n / math.max(2L * k, 2000L))
+    val cents = Similarity.trainCentroids(
+      base.filter(pmod(xxhash64(col("vec_id")), lit(m)) === 0),
+      "vec_id", "embedding", k, iters = 1)
+    val (supers, children) = Similarity.superQuantize(cents)
+    def assignedTwoLevel(df: DataFrame) = df
+      .withColumn("cluster",
+        Similarity.assignClusterTwoLevel(col("embedding"), supers,
+          children).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+
+    def t(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-lc-").resolve("standing").toString
+
+    val buildSec = t {
+      Similarity.writeStandingStore(assignedTwoLevel(base), store,
+        "cluster", buckets = 64)
+      Similarity.writeCodebook(spark, store, cents)
+    }
+    // 32-row batch: scaled twins of ids 0,7,14,...
+    val batch = assignedTwoLevel(
+      base.filter(col("vec_id") % 7 === 0).limit(32)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"), v => v * lit(1.5f)).as("embedding")))
+      .cache()
+    batch.count()
+    var verdicts: DataFrame = null
+    val judgeSec = t {
+      verdicts = Similarity.semDedupIncrementalStore(spark, store, batch,
+        "vec_id", "embedding", "cluster", "nrm", minCos = 0.99)
+        .localCheckpoint(true)
+    }
+    val nKept = verdicts.filter(col("keep")).count()
+    val appendSec = t {
+      Similarity.appendToStandingStore(
+        batch.join(verdicts.filter(col("keep")).select("vec_id"), "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cluster"),
+            col("nrm")),
+        store, "cluster")
+    }
+    // compact BEFORE the 1% delete: the delete's ids land in every
+    // bucket, so its rewrite would incidentally coalesce the append
+    // fragmentation and compaction would (correctly) find nothing
+    var nCompacted = 0
+    val compactSec = t {
+      nCompacted = Similarity.compactStandingStore(spark, store,
+        maxFilesPerBucket = 1).length
+    }
+    val deleteSec = t {
+      Similarity.deleteFromStandingStore(spark, store,
+        base.filter(col("vec_id") % 100 === 7).select("vec_id"), "vec_id")
+    }
+    val live = spark.read.parquet(store + "/data")
+      .select(col("cluster")).distinct().orderBy(col("cluster"))
+      .limit(8).collect().map(_.getLong(0)).toSet
+    var nFresh = 0
+    val refitSec = t {
+      nFresh = Similarity.refitStoreDriftedClusters(spark, store,
+        "vec_id", "embedding", live, targetClusterSize = 50,
+        iters = 1).length
+    }
+    val queries = base.filter(col("vec_id") < 10)
+    var searchRows = 0L
+    val searchSec = t {
+      searchRows = Similarity.ivfTopKStore(spark, store, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4).count()
+    }
+    println(f"""{"probe":"store_lifecycle","n":$n,"k":$k,""" +
+      f""""build_sec":$buildSec%.2f,"judge_batch32_sec":$judgeSec%.2f,""" +
+      f""""n_kept":$nKept,"append_sec":$appendSec%.2f,""" +
+      f""""delete_1pct_sec":$deleteSec%.2f,""" +
+      f""""compact_sec":$compactSec%.2f,"n_compacted":$nCompacted,""" +
+      f""""refit8_sec":$refitSec%.2f,"n_fresh":$nFresh,""" +
+      f""""search10_sec":$searchSec%.2f,"search_rows":$searchRows}""")
+    spark.stop()
+  }
+}
