@@ -666,6 +666,35 @@ object SelectionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q193: TWO-LEVEL ANN SEARCH over the partitioned store
+    * ([[Similarity.ivfTopKStoreTwoLevel]]) — q179's √k-laddered probe
+    * lists and corpus assignment, with the corpus side living on disk
+    * in the q187 layout and the codebook reloaded from its sidecar:
+    * no per-query operation touches all nlist centroids AND only the
+    * probed clusters' buckets/row groups are read. The reloaded
+    * codebook reproduces the super-quantizer hierarchy bit-exactly,
+    * so the oracle is q179's verbatim. */
+  def q193AnnStoreTwoLevel(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val (supers, children) = Similarity.superQuantize(cents)
+    val store = Fixtures.tempDir("graft-q193-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignClusterTwoLevel(col("embedding"), supers,
+            children).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.ivfTopKStoreTwoLevel(spark, store,
+        emb().filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, sProbe = 2, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q192: IN-PLACE DRIFT REFIT of the partitioned store
     * ([[Similarity.refitStoreDriftedClusters]]) — q183's drift response
     * executed the way a standing corpus actually would: drifted
@@ -833,6 +862,7 @@ object SelectionQueries {
     "q190_store_lifecycle" -> q190StoreLifecycle _,
     "q191_ann_store" -> q191AnnStore _,
     "q192_store_refit" -> q192StoreRefit _,
+    "q193_ann_store_two_level" -> q193AnnStoreTwoLevel _,
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
@@ -1091,6 +1121,74 @@ object SelectionQueries {
         |    p.qe AS qv, j.embedding AS cv,
         |    $cosineSql AS cos
         |  FROM probes p JOIN jc j ON j.cluster = p.cid
+        |  WHERE j.vec_id <> p.qid)
+        |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+
+  /** q179/q193 shared replay: both training levels, childless-super
+    * drop, two-stage probe lists, two-level corpus assignment,
+    * windowed top-5. */
+  private val twoLevelProbeOracle: String =
+    s"""${kmeansTrainCtes(
+             "  SELECT vec_id, embedding FROM embeddings", "8")},
+        |${kmeansTrainCtes(
+             "  SELECT cid AS vec_id, cv AS embedding FROM c2",
+             "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM scorpus)",
+             "TRUE", "s").stripPrefix("WITH ")},
+        |live AS (
+        |  SELECT s.cid, s.cv FROM sc2 s
+        |  WHERE EXISTS (SELECT 1 FROM sasg a WHERE a.cluster = s.cid)),
+        |pd AS (
+        |  SELECT e.vec_id, s.cid, ${sqdSql("e.embedding", "s.cv")} AS dd
+        |  FROM corpus e CROSS JOIN live s),
+        |pa AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+        |    FROM pd) t WHERE rn = 1),
+        |cd AS (
+        |  SELECT e.vec_id, ch.vec_id AS ccid,
+        |    ${sqdSql("e.embedding", "ch.embedding")} AS dd
+        |  FROM corpus e JOIN pa USING (vec_id)
+        |  JOIN sjc ch ON ch.cluster = pa.cid),
+        |fasg AS (
+        |  SELECT vec_id, CAST(ccid AS BIGINT) AS cluster FROM (
+        |    SELECT vec_id, ccid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, ccid) AS rn
+        |    FROM cd) t WHERE rn = 1),
+        |qsd AS (
+        |  SELECT q.vec_id AS qid, s.cid, q.embedding AS qe,
+        |    ${sqdSql("q.embedding", "s.cv")} AS dd
+        |  FROM corpus q CROSS JOIN live s
+        |  WHERE q.vec_id < 10),
+        |qsp AS (
+        |  SELECT qid, cid, qe FROM (
+        |    SELECT qid, cid, qe,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        |    FROM qsd) t WHERE rn <= 2),
+        |qcd AS (
+        |  SELECT p.qid, ch.vec_id AS ccid, p.qe,
+        |    ${sqdSql("p.qe", "ch.embedding")} AS dd
+        |  FROM qsp p JOIN sjc ch ON ch.cluster = p.cid),
+        |probes AS (
+        |  SELECT qid, ccid, qe FROM (
+        |    SELECT qid, ccid, qe,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, ccid) AS rn
+        |    FROM qcd) t WHERE rn <= 2),
+        |jv AS (
+        |  SELECT c.vec_id, c.embedding, f.cluster
+        |  FROM corpus c JOIN fasg f USING (vec_id)),
+        |scored AS (
+        |  SELECT p.qid AS query_id, j.vec_id AS neighbor_id,
+        |    p.qe AS qv, j.embedding AS cv,
+        |    $cosineSql AS cos
+        |  FROM probes p JOIN jv j ON j.cluster = p.ccid
         |  WHERE j.vec_id <> p.qid)
         |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
         |FROM (
@@ -1513,70 +1611,10 @@ object SelectionQueries {
     // codebook over it, childless-super drop, TWO-STAGE probe lists
     // (sProbe=2 supers, then nProbe=2 of their children), two-level
     // corpus assignment, windowed top-5
-    "q179_two_level_probe" ->
-      s"""${kmeansTrainCtes(
-             "  SELECT vec_id, embedding FROM embeddings", "8")},
-        |${kmeansTrainCtes(
-             "  SELECT cid AS vec_id, cv AS embedding FROM c2",
-             "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM scorpus)",
-             "TRUE", "s").stripPrefix("WITH ")},
-        |live AS (
-        |  SELECT s.cid, s.cv FROM sc2 s
-        |  WHERE EXISTS (SELECT 1 FROM sasg a WHERE a.cluster = s.cid)),
-        |pd AS (
-        |  SELECT e.vec_id, s.cid, ${sqdSql("e.embedding", "s.cv")} AS dd
-        |  FROM corpus e CROSS JOIN live s),
-        |pa AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
-        |    FROM pd) t WHERE rn = 1),
-        |cd AS (
-        |  SELECT e.vec_id, ch.vec_id AS ccid,
-        |    ${sqdSql("e.embedding", "ch.embedding")} AS dd
-        |  FROM corpus e JOIN pa USING (vec_id)
-        |  JOIN sjc ch ON ch.cluster = pa.cid),
-        |fasg AS (
-        |  SELECT vec_id, CAST(ccid AS BIGINT) AS cluster FROM (
-        |    SELECT vec_id, ccid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, ccid) AS rn
-        |    FROM cd) t WHERE rn = 1),
-        |qsd AS (
-        |  SELECT q.vec_id AS qid, s.cid, q.embedding AS qe,
-        |    ${sqdSql("q.embedding", "s.cv")} AS dd
-        |  FROM corpus q CROSS JOIN live s
-        |  WHERE q.vec_id < 10),
-        |qsp AS (
-        |  SELECT qid, cid, qe FROM (
-        |    SELECT qid, cid, qe,
-        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
-        |    FROM qsd) t WHERE rn <= 2),
-        |qcd AS (
-        |  SELECT p.qid, ch.vec_id AS ccid, p.qe,
-        |    ${sqdSql("p.qe", "ch.embedding")} AS dd
-        |  FROM qsp p JOIN sjc ch ON ch.cluster = p.cid),
-        |probes AS (
-        |  SELECT qid, ccid, qe FROM (
-        |    SELECT qid, ccid, qe,
-        |      row_number() OVER (PARTITION BY qid ORDER BY dd, ccid) AS rn
-        |    FROM qcd) t WHERE rn <= 2),
-        |jv AS (
-        |  SELECT c.vec_id, c.embedding, f.cluster
-        |  FROM corpus c JOIN fasg f USING (vec_id)),
-        |scored AS (
-        |  SELECT p.qid AS query_id, j.vec_id AS neighbor_id,
-        |    p.qe AS qv, j.embedding AS cv,
-        |    $cosineSql AS cos
-        |  FROM probes p JOIN jv j ON j.cluster = p.ccid
-        |  WHERE j.vec_id <> p.qid)
-        |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
-        |FROM (
-        |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY cos DESC, neighbor_id) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "q179_two_level_probe" -> twoLevelProbeOracle,
+    // q193 = the same math with the corpus on disk in the partitioned
+    // layout and the codebook reloaded (bit-exact round-trip)
+    "q193_ann_store_two_level" -> twoLevelProbeOracle,
     // farthest-first seeding (5 argmax rounds over incrementally-least'ed
     // nearest-seed distances) feeds the training replay as its init
     "q176_farthest_seed" -> {

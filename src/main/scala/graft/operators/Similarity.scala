@@ -933,6 +933,43 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** [[ivfTopKStore]] with the probe lists built through the √k ladder
+    * — the store search at PRODUCTION k: the flat variant ranks all
+    * nlist centroids per query (at k ∝ n that literal-codebook scan is
+    * the measured wall of the k = 4000 tier, StoreLifecycleProbe), this
+    * one ranks ceil(√nlist) supers then only the kept supers' children
+    * (~2√k folds per query). The store must have been ASSIGNED through
+    * the same ladder ([[assignClusterTwoLevel]] over
+    * [[superQuantize]](codebook)) — the reloaded codebook reproduces
+    * the hierarchy bit-exactly, so search and ingest agree on cluster
+    * ids. Approximate exactly as [[ivfTopKTwoLevelProbe]] (a true near
+    * cluster can hide under a losing super; q185 audits the trade). */
+  def ivfTopKStoreTwoLevel(spark: SparkSession, storePath: String,
+                           queries: DataFrame, idCol: String,
+                           vecCol: String, k: Int, sProbe: Int,
+                           nProbe: Int): DataFrame = {
+    val cents = readCodebook(spark, storePath)
+    val (supers, children) = superQuantize(cents)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qc",
+        explode(probeClustersTwoLevel(col("qv"), supers, children,
+          sProbe, nProbe)))
+    val probed = q.select(col("qc").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val c = readStandingStorePruned(spark, storePath, probed)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("cluster").cast("int").as("cc"))
+    val scored = c.join(broadcast(q), col("qc") === col("cc"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** COMPACT the partitioned standing store — the maintenance job that
     * undoes append fragmentation: every micro-batch append leaves one
     * more file per touched bucket, and a year of daily ingest would

@@ -203,6 +203,29 @@ class StandingStoreSpec extends SparkSpec {
     assert(reassigned == 0, "store assignment disagrees with sparse argmin")
   }
 
+  test("ivfTopKStoreTwoLevel matches the in-memory two-level probe search") {
+    val base = corpus()
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
+    val (supers, children) = Similarity.superQuantize(cents)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(
+      base.withColumn("cluster",
+          Similarity.assignClusterTwoLevel(col("embedding"), supers,
+            children).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      path, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    val queries = base.filter(col("vec_id") < 4)
+    val viaStore = Similarity.ivfTopKStoreTwoLevel(spark, path, queries,
+        "vec_id", "embedding", k = 3, sProbe = 1, nProbe = 1)
+      .orderBy("query_id", "rank").collect()
+    val inMemory = Similarity.ivfTopKTwoLevelProbe(queries, base,
+        "vec_id", "embedding", k = 3, nlist = 2, sProbe = 1, nProbe = 1,
+        iters = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(viaStore.toSeq == inMemory.toSeq)
+  }
+
   test("verdicts through the partitioned store equal the in-memory prepped path") {
     val base = corpus()
     val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)

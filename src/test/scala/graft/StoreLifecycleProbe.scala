@@ -107,13 +107,34 @@ object StoreLifecycleProbe {
       searchRows = Similarity.ivfTopKStore(spark, store, queries,
         "vec_id", "embedding", k = 5, nProbe = 4).count()
     }
+    // the ladder search: at 10 queries both variants are plan-literal
+    // dominated; the ladder's n·2√k-vs-n·k arithmetic win needs a
+    // query batch large enough that per-row ranking dominates
+    var search2Rows = 0L
+    val search2Sec = t {
+      search2Rows = Similarity.ivfTopKStoreTwoLevel(spark, store, queries,
+        "vec_id", "embedding", k = 5, sProbe = 8, nProbe = 4).count()
+    }
+    val bigQueries = base.filter(col("vec_id") < 1000)
+    val searchBigFlatSec = t {
+      Similarity.ivfTopKStore(spark, store, bigQueries,
+        "vec_id", "embedding", k = 5, nProbe = 4).count()
+    }
+    val searchBigLadderSec = t {
+      Similarity.ivfTopKStoreTwoLevel(spark, store, bigQueries,
+        "vec_id", "embedding", k = 5, sProbe = 8, nProbe = 4).count()
+    }
     println(f"""{"probe":"store_lifecycle","n":$n,"k":$k,""" +
       f""""build_sec":$buildSec%.2f,"judge_batch32_sec":$judgeSec%.2f,""" +
       f""""n_kept":$nKept,"append_sec":$appendSec%.2f,""" +
       f""""delete_1pct_sec":$deleteSec%.2f,""" +
       f""""compact_sec":$compactSec%.2f,"n_compacted":$nCompacted,""" +
       f""""refit8_sec":$refitSec%.2f,"n_fresh":$nFresh,""" +
-      f""""search10_sec":$searchSec%.2f,"search_rows":$searchRows}""")
+      f""""search10_sec":$searchSec%.2f,"search_rows":$searchRows,""" +
+      f""""search10_two_level_sec":$search2Sec%.2f,""" +
+      f""""search_two_level_rows":$search2Rows,""" +
+      f""""search1000_flat_sec":$searchBigFlatSec%.2f,""" +
+      f""""search1000_two_level_sec":$searchBigLadderSec%.2f}""")
     spark.stop()
   }
 }
