@@ -695,6 +695,54 @@ object SelectionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q194: DELETE → REFIT interaction through the store's shared
+    * state — the two mutations q188 and q192 gate separately, composed
+    * in the order an operator would run them (forget ids first, then
+    * re-cluster what drifted): the refit must train ONLY on surviving
+    * members (the pruned read sees post-delete files) and must not
+    * resurrect deleted rows through its rewrite. Drift is detected
+    * BEFORE the delete (on the full corpus — the audit a deployment
+    * already ran); the oracle replays that ordering: drifted from the
+    * full-corpus ppm rule, refit trained on drifted-members minus the
+    * deleted ids, final membership = (undrifted survivors minus
+    * deleted) ∪ refit assignment. */
+  def q194DeleteThenRefit(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    def corpus() = driftCorpus(emb())
+    val base = corpus().filter(col("vec_id") < 100000L)
+    val nBase = base.count()
+    val nFull = corpus().count()
+    val kStd = ((nBase + 49) / 50).toInt
+    val kNew = ((nFull + 49) / 50).toInt
+    val standing = Similarity.trainCentroids(base, "vec_id", "embedding",
+      kStd, iters = 2)
+    val retrained = Similarity.trainCentroids(corpus(), "vec_id",
+      "embedding", kNew, iters = 2)
+    val drifted = Similarity.codebookDrift(corpus(), "vec_id", "embedding",
+        standing, retrained)
+      .filter(col("stable_ppm") < 500000L)
+      .select(col("cluster")).collect().map(_.getLong(0)).toSet
+    val store = Fixtures.tempDir("graft-q194-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      corpus()
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), standing).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 16)
+    Similarity.writeCodebook(spark, store, standing)
+    Similarity.deleteFromStandingStore(spark, store,
+      corpus().filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+      "vec_id")
+    Similarity.refitStoreDriftedClusters(spark, store, "vec_id",
+      "embedding", drifted, targetClusterSize = 50, iters = 2)
+    spark.read.parquet(store + "/data")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        min(col("vec_id")).cast("long").as("first_vec"))
+      .orderBy(col("cluster"))
+  }
+
   /** q192: IN-PLACE DRIFT REFIT of the partitioned store
     * ([[Similarity.refitStoreDriftedClusters]]) — q183's drift response
     * executed the way a standing corpus actually would: drifted
@@ -863,6 +911,7 @@ object SelectionQueries {
     "q191_ann_store" -> q191AnnStore _,
     "q192_store_refit" -> q192StoreRefit _,
     "q193_ann_store_two_level" -> q193AnnStoreTwoLevel _,
+    "q194_delete_then_refit" -> q194DeleteThenRefit _,
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
@@ -1421,6 +1470,47 @@ object SelectionQueries {
     // trained only on the drifted clusters' members; then the
     // survivor/refit merge (survivors keep standing order, refit ids
     // appended) and the final argmin
+    // q194: q192's replay with the delete applied first — refit trains
+    // on drifted members MINUS the deleted ids, survivors lose their
+    // deleted rows, and nothing deleted may resurface
+    "q194_delete_then_refit" ->
+      s"""${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+             "vec_id < 100000")},
+        |${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM ntcorpus)",
+             "TRUE", "n").stripPrefix("WITH ")},
+        |pc AS (
+        |  SELECT a.cluster AS std, n.cluster AS nw, count(*) AS n
+        |  FROM asg a JOIN nasg n USING (vec_id)
+        |  GROUP BY a.cluster, n.cluster),
+        |drift AS (
+        |  SELECT std AS cluster,
+        |    (1000000 * CAST(max(n) AS BIGINT)) // CAST(sum(n) AS BIGINT)
+        |      AS stable_ppm
+        |  FROM pc GROUP BY std),
+        |drifted AS (SELECT cluster FROM drift WHERE stable_ppm < 500000),
+        |${kmeansTrainCtes(
+             """  SELECT c.vec_id, c.embedding FROM corpus c
+               |  JOIN asg a USING (vec_id)
+               |  JOIN drifted d ON a.cluster = d.cluster
+               |  WHERE c.vec_id % 10 <> 3""".stripMargin,
+             "(SELECT (count(*) + 49) // 50 FROM rtcorpus)",
+             "TRUE", "r").stripPrefix("WITH ")},
+        |fin AS (
+        |  SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
+        |  FROM asg a
+        |  WHERE a.cluster NOT IN (SELECT cluster FROM drifted)
+        |    AND a.vec_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT r.vec_id,
+        |    CAST((SELECT count(*) FROM c2) + r.cluster AS BIGINT)
+        |      AS cluster
+        |  FROM rasg r)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(min(vec_id) AS BIGINT) AS first_vec
+        |FROM fin GROUP BY cluster
+        |ORDER BY cluster""".stripMargin,
     // q192: standing + fresh-retrain trainings and the ppm drift rule as
     // q183, then the IN-PLACE semantics — survivors keep their standing
     // assignment verbatim, drifted members re-assign among the refit
