@@ -743,6 +743,57 @@ object SelectionQueries {
       .orderBy(col("cluster"))
   }
 
+  /** q195: REFIT → INGEST — the month continues after the refit: the
+    * next delta batch must assign against the SPARSE survivor ∪ fresh
+    * codebook ([[Similarity.assignClusterIds]] over
+    * [[Similarity.readCodebookIds]] — id order, not list position) and
+    * be judged against the post-refit store, where drifted members now
+    * live under fresh cluster ids. This is the seam q184/q189 (dense
+    * codebook ingest) and q192 (refit) leave untested. The oracle
+    * composes q192's replay with a fourth stage: the merged (cid, cv)
+    * relation, the batch's lowest-id argmin against it, and q177's two
+    * drop rules against the refit-final membership. */
+  def q195RefitThenIngest(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    def corpus() = driftCorpus(emb())
+    val base = corpus().filter(col("vec_id") < 100000L)
+    val nBase = base.count()
+    val nFull = corpus().count()
+    val kStd = ((nBase + 49) / 50).toInt
+    val kNew = ((nFull + 49) / 50).toInt
+    val standing = Similarity.trainCentroids(base, "vec_id", "embedding",
+      kStd, iters = 2)
+    val retrained = Similarity.trainCentroids(corpus(), "vec_id",
+      "embedding", kNew, iters = 2)
+    val drifted = Similarity.codebookDrift(corpus(), "vec_id", "embedding",
+        standing, retrained)
+      .filter(col("stable_ppm") < 500000L)
+      .select(col("cluster")).collect().map(_.getLong(0)).toSet
+    val store = Fixtures.tempDir("graft-q195-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      corpus()
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), standing).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 16)
+    Similarity.writeCodebook(spark, store, standing)
+    Similarity.refitStoreDriftedClusters(spark, store, "vec_id",
+      "embedding", drifted, targetClusterSize = 50, iters = 2)
+    val cb = Similarity.readCodebookIds(spark, store)
+    val batch = emb().filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 400000L).as("vec_id"),
+        transform(col("embedding"), v => v * lit(0.5f)).as("embedding"))
+    val batchAssigned = batch
+      .withColumn("cluster",
+        Similarity.assignClusterIds(col("embedding"), cb).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .cache()
+    Similarity.semDedupIncrementalStore(spark, store, batchAssigned,
+        "vec_id", "embedding", "cluster", "nrm", minCos = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
   /** q192: IN-PLACE DRIFT REFIT of the partitioned store
     * ([[Similarity.refitStoreDriftedClusters]]) — q183's drift response
     * executed the way a standing corpus actually would: drifted
@@ -912,6 +963,7 @@ object SelectionQueries {
     "q192_store_refit" -> q192StoreRefit _,
     "q193_ann_store_two_level" -> q193AnnStoreTwoLevel _,
     "q194_delete_then_refit" -> q194DeleteThenRefit _,
+    "q195_refit_then_ingest" -> q195RefitThenIngest _,
     "q168_semdedup_auto"  -> q168SemDedupAuto _,
     "q169_knn_graph_auto" -> q169KnnGraphAuto _,
     "q171_ivf_multiprobe" -> q171IvfMultiProbe _,
@@ -1470,6 +1522,87 @@ object SelectionQueries {
     // trained only on the drifted clusters' members; then the
     // survivor/refit merge (survivors keep standing order, refit ids
     // appended) and the final argmin
+    // q195: q192's replay plus a fourth stage — the merged survivor ∪
+    // refit codebook relation, the batch's lowest-id argmin against it,
+    // and the two incremental drop rules vs the post-refit membership
+    "q195_refit_then_ingest" -> {
+      val cosAB =
+        """list_reduce(list_prepend(0.0, list_transform(
+          |          list_zip(a.embedding, b.embedding),
+          |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+          |          (acc, v) -> acc + v) / (a.nrm * b.nrm)""".stripMargin
+      val nrmOf = (e: String) =>
+        s"""sqrt(list_reduce(list_prepend(0.0, list_transform($e,
+           |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+           |      (acc, x) -> acc + x))""".stripMargin
+      s"""${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+             "vec_id < 100000")},
+        |${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM ntcorpus)",
+             "TRUE", "n").stripPrefix("WITH ")},
+        |pc AS (
+        |  SELECT a.cluster AS std, n.cluster AS nw, count(*) AS n
+        |  FROM asg a JOIN nasg n USING (vec_id)
+        |  GROUP BY a.cluster, n.cluster),
+        |drift AS (
+        |  SELECT std AS cluster,
+        |    (1000000 * CAST(max(n) AS BIGINT)) // CAST(sum(n) AS BIGINT)
+        |      AS stable_ppm
+        |  FROM pc GROUP BY std),
+        |drifted AS (SELECT cluster FROM drift WHERE stable_ppm < 500000),
+        |${kmeansTrainCtes(
+             """  SELECT c.vec_id, c.embedding FROM corpus c
+               |  JOIN asg a USING (vec_id)
+               |  JOIN drifted d ON a.cluster = d.cluster""".stripMargin,
+             "(SELECT (count(*) + 49) // 50 FROM rtcorpus)",
+             "TRUE", "r").stripPrefix("WITH ")},
+        |mrg AS (
+        |  SELECT CAST(cid AS BIGINT) AS mid, cv FROM c2
+        |  WHERE cid NOT IN (SELECT cluster FROM drifted)
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM c2) + cid AS mid, cv FROM rc2),
+        |fin AS (
+        |  SELECT f.vec_id, f.cluster, c.embedding,
+        |    ${nrmOf("c.embedding")} AS nrm
+        |  FROM (
+        |    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
+        |    FROM asg a
+        |    WHERE a.cluster NOT IN (SELECT cluster FROM drifted)
+        |    UNION ALL
+        |    SELECT r.vec_id,
+        |      CAST((SELECT count(*) FROM c2) + r.cluster AS BIGINT)
+        |    FROM rasg r) f
+        |  JOIN corpus c USING (vec_id)),
+        |batch AS (
+        |  SELECT vec_id + 400000 AS vec_id,
+        |    list_transform(embedding, v -> v * CAST(0.5 AS FLOAT))
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id % 9 = 0),
+        |bd AS (
+        |  SELECT b.vec_id, b.embedding, m.mid,
+        |    ${sqdSql("b.embedding", "m.cv")} AS dd
+        |  FROM batch b CROSS JOIN mrg m),
+        |ba AS (
+        |  SELECT vec_id, embedding, CAST(mid AS BIGINT) AS cluster,
+        |    ${nrmOf("embedding")} AS nrm
+        |  FROM (
+        |    SELECT vec_id, embedding, mid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, mid)
+        |        AS rn
+        |    FROM bd) t WHERE rn = 1),
+        |drb AS (
+        |  SELECT DISTINCT a.vec_id FROM ba a JOIN fin b
+        |    ON a.cluster = b.cluster
+        |  WHERE $cosAB >= 0.99
+        |  UNION
+        |  SELECT DISTINCT b.vec_id FROM ba a JOIN ba b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE $cosAB >= 0.99)
+        |SELECT ba.vec_id, ba.cluster, (d.vec_id IS NULL) AS keep
+        |FROM ba LEFT JOIN drb d ON d.vec_id = ba.vec_id
+        |ORDER BY ba.vec_id""".stripMargin
+    },
     // q194: q192's replay with the delete applied first — refit trains
     // on drifted members MINUS the deleted ids, survivors lose their
     // deleted rows, and nothing deleted may resurface
