@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -565,6 +565,103 @@ object Dedup {
     hashed.groupBy(col("id")).agg(sigAgg.as("sig"))
       .select(col("id").as(idCol), posexplode(col("sig")).as(Seq("k", "mh")))
       .select(col(idCol), col("k").cast("long").as("k"), col("mh"))
+  }
+
+  /** PARTITIONED SIGNATURE STORE — the [[minhashSignatures]] relation
+    * laid out for its two standing-corpus duties: absorbing loads via
+    * the per-(doc, k) MIN merge law, and forgetting documents. The
+    * layout keys on the DOCUMENT (`d_bucket = id mod buckets`, doc-and-
+    * k-sorted files), because both duties are doc-footprint-bounded:
+    * all of one document's K signature rows co-locate in one bucket, so
+    * a merge touches only the delta's doc buckets and a forget's
+    * buckets are DERIVED from the ids (no discovery scan at all). The
+    * banded LSH join key, by contrast, spreads every doc across all
+    * bands — an index derived at join time, not a storage layout.
+    * Bucket count rides in a `meta` sidecar (same contract as the
+    * embedding store's [[Similarity.writeStandingStore]]). */
+  def writeSignatureStore(sigs: DataFrame, path: String, idCol: String,
+                          buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val spark = sigs.sparkSession
+    sigs
+      .withColumn("d_bucket",
+        pmod(col(idCol), lit(buckets.toLong)).cast("int"))
+      .repartition(col("d_bucket"))
+      .sortWithinPartitions(col(idCol), col("k"))
+      .write.mode("overwrite").partitionBy("d_bucket")
+      .parquet(path + "/data")
+    spark.range(1).select(lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(path + "/meta")
+  }
+
+  /** Absorb a load into the signature store via the q109 merge law,
+    * executed BUCKET-LOCALLY: only the delta's doc buckets are read,
+    * union-min-re-aggregated with the delta, and rewritten (dynamic
+    * partition overwrite); untouched buckets' files never open. Because
+    * the store co-locates each doc's rows, re-ingesting a document is
+    * idempotent (identical signatures MIN to themselves) and a NEW
+    * doc's bucket materializes on first touch. The merge shuffle is
+    * bounded by the touched buckets' contents — delta-footprint, not
+    * corpus. Returns the touched bucket ids. */
+  def mergeIntoSignatureStore(spark: SparkSession, path: String,
+                              delta: DataFrame, idCol: String): Seq[Int] = {
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    val withB = delta
+      .withColumn("d_bucket",
+        pmod(col(idCol), lit(buckets.toLong)).cast("int"))
+    val touched = withB.select(col("d_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Seq.empty
+    val standingSlice = spark.read.parquet(path + "/data")
+      .filter(col("d_bucket").isin(touched: _*))
+    val merged = standingSlice.unionByName(withB)
+      .groupBy(col("d_bucket"), col(idCol), col("k"))
+      .agg(min(col("mh")).as("mh"))
+      .localCheckpoint(true)
+    merged
+      .repartition(col("d_bucket"))
+      .sortWithinPartitions(col(idCol), col("k"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("d_bucket").parquet(path + "/data")
+    touched
+  }
+
+  /** FORGET documents from the signature store — the text modality's
+    * right-to-be-forgotten: the ids' buckets are DERIVED (id mod
+    * buckets), only those are rewritten without the doomed docs' rows,
+    * and a fully-emptied bucket's directory is dropped explicitly
+    * (stale files would resurrect the forgotten signatures). Returns
+    * rows removed. */
+  def forgetDocsFromSignatureStore(spark: SparkSession, path: String,
+                                   docIds: DataFrame,
+                                   idCol: String): Long = {
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    val ids = docIds.select(col(idCol)).distinct()
+    val touched = ids
+      .select(pmod(col(idCol), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return 0L
+    val slice = spark.read.parquet(path + "/data")
+      .filter(col("d_bucket").isin(touched: _*))
+    val kept = slice.join(ids, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val nDeleted = slice.count() - kept.count()
+    kept
+      .repartition(col("d_bucket"))
+      .sortWithinPartitions(col(idCol), col("k"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("d_bucket").parquet(path + "/data")
+    val surviving = kept.select(col("d_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    touched.filterNot(surviving).foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/data/d_bucket=$b")
+      val fs = dir.getFileSystem(conf)
+      fs.delete(dir, true)
+    }
+    nDeleted
   }
 
   /** Incremental-ingest novelty scoring: measure each newly arrived

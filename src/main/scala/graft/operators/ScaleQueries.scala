@@ -376,6 +376,54 @@ object ScaleQueries {
       .orderBy(col("doc_id"), col("k"))
   }
 
+  /** q196: PARTITIONED SIGNATURE STORE under the merge law
+    * ([[Dedup.writeSignatureStore]] / [[Dedup.mergeIntoSignatureStore]])
+    * — the q109 incremental contract run through the doc-bucketed
+    * layout: the standing store (docs with doc_id % 3 ≠ 0) absorbs a
+    * delta load of the REMAINING docs plus a RE-LOAD of docs with
+    * doc_id % 5 = 1 (already standing — identical text, identical
+    * signatures, so the per-(doc, k) MIN makes re-ingest idempotent);
+    * only the delta's doc buckets are read and rewritten. The final
+    * store must hold exactly the whole-corpus signatures — q88/q109's
+    * oracle verbatim. */
+  def q196SigStoreMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    val delta = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 1),
+      "doc_id", "text")
+    val store = Fixtures.tempDir("graft-q196-").resolve("sigs").toString
+    Dedup.writeSignatureStore(standing, store, "doc_id", buckets = 16)
+    Dedup.mergeIntoSignatureStore(spark, store, delta, "doc_id")
+    spark.read.parquet(store + "/data")
+      .select(col("doc_id"), col("k"), col("mh"))
+      .orderBy(col("doc_id"), col("k"))
+  }
+
+  /** q197: FORGET documents from the signature store
+    * ([[Dedup.forgetDocsFromSignatureStore]]) — the text modality's
+    * right-to-be-forgotten, after the q196 merge: docs with
+    * doc_id % 7 = 3 are removed; their buckets are DERIVED from the
+    * ids (no discovery scan), only those directories are rewritten,
+    * and the store must hold exactly the whole-corpus signatures minus
+    * the forgotten docs' rows. */
+  def q197SigStoreForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    val delta = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val store = Fixtures.tempDir("graft-q197-").resolve("sigs").toString
+    Dedup.writeSignatureStore(standing, store, "doc_id", buckets = 16)
+    Dedup.mergeIntoSignatureStore(spark, store, delta, "doc_id")
+    Dedup.forgetDocsFromSignatureStore(spark, store,
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+    spark.read.parquet(store + "/data")
+      .select(col("doc_id"), col("k"), col("mh"))
+      .orderBy(col("doc_id"), col("k"))
+  }
+
   /** q110: native `session_window` semantics — Spark's merging-window
     * session aggregation (the STREAMING operator, run in batch) gated
     * against an independent SQL lag+cumsum sessionization: the two
@@ -437,6 +485,8 @@ object ScaleQueries {
     "q107_lang_drift"   -> q107LangDrift _,
     "q108_dup_rate"     -> q108DupRate _,
     "q109_sig_merge"    -> q109SigMerge _,
+    "q196_sig_store_merge" -> q196SigStoreMerge _,
+    "q197_sig_store_forget" -> q197SigStoreForget _,
     "q110_session_window" -> q110SessionWindow _,
     "q111_chunk_conserve" -> q111ChunkConserve _,
   )
@@ -643,6 +693,11 @@ object ScaleQueries {
     // two disjoint batch stores merged by MIN ≡ from-scratch signatures —
     // the identical oracle IS the merge-law statement
     "q109_sig_merge" -> minhashSigsSql,
+    // q196: the partitioned store after the (idempotent-re-ingest)
+    // merge holds exactly the whole-corpus signatures; q197: minus the
+    // forgotten docs
+    "q196_sig_store_merge" -> minhashSigsSql,
+    "q197_sig_store_forget" -> minhashSigsSqlCond("id % 7 <> 3"),
     "q110_session_window" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
@@ -661,9 +716,12 @@ object ScaleQueries {
         |ORDER BY user_id, sess_start""".stripMargin,
   )
 
-  /** Shared by q88 and q109: the full SQL recomputation of the portable
-    * minhash signatures over the whole documents table. */
-  private def minhashSigsSql: String =
+  /** Shared by q88/q109/q196/q197: the full SQL recomputation of the
+    * portable minhash signatures over the whole documents table;
+    * `cond` restricts the emitted docs (q197's forget). */
+  private def minhashSigsSql: String = minhashSigsSqlCond("TRUE")
+
+  private def minhashSigsSqlCond(cond: String): String =
       s"""WITH norm AS (
         |  SELECT doc_id AS id,
         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
@@ -683,6 +741,7 @@ object ScaleQueries {
         |SELECT id AS doc_id, CAST(k AS BIGINT) AS k,
         |  CAST(min((x * a + b) % 2147483647) AS BIGINT) AS mh
         |FROM hx, (VALUES $minhashCoefRows) AS coef(k, a, b)
+        |WHERE $cond
         |GROUP BY id, k
         |ORDER BY doc_id, k""".stripMargin
 

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Dedup, Fixtures}
+import org.apache.spark.sql.functions._
+
+/** Partitioned minhash-signature store (q196/q197's machinery):
+  * bucket-local merge, idempotent re-ingest, derived-bucket forget. */
+class SignatureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs() = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "pack my box with five dozen liquor jugs"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "sphinx of black quartz judge my vow"),
+    (8L, "how vexingly quick daft zebras jump")
+  ).toDF("doc_id", "text")
+
+  private def sigs(df: org.apache.spark.sql.DataFrame) =
+    Dedup.minhashSignatures(df, "doc_id", "text", n = 3, numHashes = 4)
+
+  private def listFiles(dir: java.nio.file.Path): Map[String, Seq[String]] =
+    dir.toFile.listFiles().filter(_.getName.startsWith("d_bucket=")).map { d =>
+      d.getName -> d.listFiles().map(_.getName).toSeq.sorted
+    }.toMap
+
+  test("merge is bucket-local and re-ingest is idempotent") {
+    val path = Fixtures.tempDir("graft-sigstore-").resolve("s").toString
+    // standing: docs 0,1,3 → buckets 0,1,3 (mod 8)
+    Dedup.writeSignatureStore(sigs(docs().filter(col("doc_id") < 4 &&
+      col("doc_id") =!= 2L)), path, "doc_id", buckets = 8)
+    val before = listFiles(java.nio.file.Paths.get(path, "data"))
+    // delta: new doc 2 (bucket 2), new doc 8 (bucket 0 — shared with
+    // doc 0), and a RE-LOAD of doc 1 (identical text → identical sigs)
+    val touched = Dedup.mergeIntoSignatureStore(spark, path,
+      sigs(docs().filter(col("doc_id") === 2L || col("doc_id") === 8L ||
+        col("doc_id") === 1L)), "doc_id")
+    assert(touched == Seq(0, 1, 2))
+    val after = listFiles(java.nio.file.Paths.get(path, "data"))
+    // bucket 3 (doc 3, untouched by the delta) keeps its exact listing
+    assert(after("d_bucket=3") == before("d_bucket=3"))
+    // the store equals the from-scratch whole-corpus signatures —
+    // including the idempotent re-load of doc 1
+    val got = spark.read.parquet(path + "/data")
+      .select("doc_id", "k", "mh").orderBy("doc_id", "k").collect().toSeq
+    val want = sigs(docs()).orderBy("doc_id", "k").collect().toSeq
+    assert(got == want)
+  }
+
+  test("forget derives buckets from ids and drops emptied directories") {
+    val path = Fixtures.tempDir("graft-sigstore-").resolve("s").toString
+    Dedup.writeSignatureStore(sigs(docs()), path, "doc_id", buckets = 8)
+    val before = listFiles(java.nio.file.Paths.get(path, "data"))
+    // forget docs 2 and 3: buckets 2 and 3; bucket 2 holds only doc 2
+    val n = Dedup.forgetDocsFromSignatureStore(spark, path,
+      Seq(2L, 3L).toDF("doc_id"), "doc_id")
+    assert(n == 8) // 2 docs x 4 hashes
+    val after = listFiles(java.nio.file.Paths.get(path, "data"))
+    assert(!after.contains("d_bucket=2"), "emptied bucket dir survived")
+    assert(after("d_bucket=0") == before("d_bucket=0"))
+    assert(after("d_bucket=1") == before("d_bucket=1"))
+    val got = spark.read.parquet(path + "/data")
+      .select("doc_id", "k", "mh").orderBy("doc_id", "k").collect().toSeq
+    val want = sigs(docs().filter(col("doc_id") =!= 2L &&
+      col("doc_id") =!= 3L)).orderBy("doc_id", "k").collect().toSeq
+    assert(got == want)
+  }
+}
