@@ -27,17 +27,34 @@ object Verify {
     // the round's correctness record (a silent omission cost two rounds of
     // signal when the events family broke).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        System.err.println(s"[verify] $name failed: $msg")
-        errors(name) = msg.take(500)
-      }
+    // The ~200-gate surface runs MULTI-THREADED: Spark job submission is
+    // thread-safe, and a sequential sweep leaves most of the cluster idle
+    // between one query's stages (round 9's official verify produced an
+    // empty record — a sequential ~6-minute sweep on a loaded box is the
+    // prime suspect for overrunning the driver's window). Each worker gets
+    // its OWN spark.newSession(): shared SparkContext, isolated SQL conf
+    // and temp-view catalog, so a gate that flips a session conf (e.g.
+    // ParquetTable's partitionOverwriteMode bracket) or registers views
+    // cannot race a concurrent gate.
+    val work = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+    val nThreads = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val tasks = work.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark.newSession(), sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            System.err.println(s"[verify] $name failed: $msg")
+            errors.synchronized { errors(name) = msg.take(500) }
+          }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -596,72 +596,67 @@ object Dedup {
 
   /** Absorb a load into the signature store via the q109 merge law,
     * executed BUCKET-LOCALLY: only the delta's doc buckets are read,
-    * union-min-re-aggregated with the delta, and rewritten (dynamic
-    * partition overwrite); untouched buckets' files never open. Because
-    * the store co-locates each doc's rows, re-ingesting a document is
-    * idempotent (identical signatures MIN to themselves) and a NEW
-    * doc's bucket materializes on first touch. The merge shuffle is
-    * bounded by the touched buckets' contents — delta-footprint, not
-    * corpus. Returns the touched bucket ids. */
+    * union-min-re-aggregated with the delta, and swapped in through
+    * [[StoreSwap.stagedRewrite]] (staged to disk, manifest-committed,
+    * crash rolled forward — a merge can never leave a bucket half
+    * absorbed); untouched buckets' files never open. Because the store
+    * co-locates each doc's rows, re-ingesting a document is idempotent
+    * (identical signatures MIN to themselves) and a NEW doc's bucket
+    * materializes on first touch. The merge shuffle is bounded by the
+    * touched buckets' contents — delta-footprint, not corpus. Returns
+    * the touched bucket ids. */
   def mergeIntoSignatureStore(spark: SparkSession, path: String,
                               delta: DataFrame, idCol: String): Seq[Int] = {
-    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    val (standing, buckets) = readSignatureStore(spark, path)
     val withB = delta
       .withColumn("d_bucket",
         pmod(col(idCol), lit(buckets.toLong)).cast("int"))
     val touched = withB.select(col("d_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return Seq.empty
-    val standingSlice = spark.read.parquet(path + "/data")
+    val standingSlice = standing
       .filter(col("d_bucket").isin(touched: _*))
     val merged = standingSlice.unionByName(withB)
       .groupBy(col("d_bucket"), col(idCol), col("k"))
       .agg(min(col("mh")).as("mh"))
-      .localCheckpoint(true)
-    merged
-      .repartition(col("d_bucket"))
-      .sortWithinPartitions(col(idCol), col("k"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("d_bucket").parquet(path + "/data")
+    StoreSwap.stagedRewrite(spark, path, "d_bucket", touched, merged,
+      Seq(col(idCol), col("k")))
     touched
+  }
+
+  /** The full signature store plus its recorded bucket count, with any
+    * committed-but-unapplied bucket swap of a crashed mutation rolled
+    * forward first ([[StoreSwap.recover]]). */
+  def readSignatureStore(spark: SparkSession,
+                         path: String): (DataFrame, Int) = {
+    StoreSwap.recover(spark, path)
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    (spark.read.parquet(path + "/data"), buckets)
   }
 
   /** FORGET documents from the signature store — the text modality's
     * right-to-be-forgotten: the ids' buckets are DERIVED (id mod
-    * buckets), only those are rewritten without the doomed docs' rows,
-    * and a fully-emptied bucket's directory is dropped explicitly
-    * (stale files would resurrect the forgotten signatures). Returns
-    * rows removed. */
+    * buckets), only those are rewritten without the doomed docs' rows.
+    * The rewrite is staged and manifest-committed
+    * ([[StoreSwap.stagedRewrite]]), so a crash mid-forget can never
+    * resurrect the forgotten signatures — including the fully-emptied-
+    * bucket case, whose directory drop rides in the same commit.
+    * Returns rows removed. */
   def forgetDocsFromSignatureStore(spark: SparkSession, path: String,
                                    docIds: DataFrame,
                                    idCol: String): Long = {
-    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    val (standing, buckets) = readSignatureStore(spark, path)
     val ids = docIds.select(col(idCol)).distinct()
     val touched = ids
       .select(pmod(col(idCol), lit(buckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return 0L
-    val slice = spark.read.parquet(path + "/data")
+    val slice = standing
       .filter(col("d_bucket").isin(touched: _*))
     val kept = slice.join(ids, Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    val nDeleted = slice.count() - kept.count()
-    kept
-      .repartition(col("d_bucket"))
-      .sortWithinPartitions(col(idCol), col("k"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("d_bucket").parquet(path + "/data")
-    val surviving = kept.select(col("d_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val conf = spark.sparkContext.hadoopConfiguration
-    touched.filterNot(surviving).foreach { b =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/data/d_bucket=$b")
-      val fs = dir.getFileSystem(conf)
-      fs.delete(dir, true)
-    }
-    nDeleted
+    val before = slice.count()
+    before - StoreSwap.stagedRewrite(spark, path, "d_bucket", touched,
+      kept, Seq(col(idCol), col("k")))
   }
 
   /** Incremental-ingest novelty scoring: measure each newly arrived

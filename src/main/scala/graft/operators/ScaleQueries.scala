@@ -396,7 +396,7 @@ object ScaleQueries {
     val store = Fixtures.tempDir("graft-q196-").resolve("sigs").toString
     Dedup.writeSignatureStore(standing, store, "doc_id", buckets = 16)
     Dedup.mergeIntoSignatureStore(spark, store, delta, "doc_id")
-    spark.read.parquet(store + "/data")
+    Dedup.readSignatureStore(spark, store)._1
       .select(col("doc_id"), col("k"), col("mh"))
       .orderBy(col("doc_id"), col("k"))
   }
@@ -419,7 +419,42 @@ object ScaleQueries {
     Dedup.mergeIntoSignatureStore(spark, store, delta, "doc_id")
     Dedup.forgetDocsFromSignatureStore(spark, store,
       docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
-    spark.read.parquet(store + "/data")
+    Dedup.readSignatureStore(spark, store)._1
+      .select(col("doc_id"), col("k"), col("mh"))
+      .orderBy(col("doc_id"), col("k"))
+  }
+
+  /** q198: CRASH RECOVERY of an interrupted store mutation
+    * ([[graft.operators.StoreSwap.recover]], value-gated) — the q196
+    * store with a fabricated "crashed mid-mutation" state layered on
+    * top: replacement content staged for buckets 2 and 5 (only the
+    * doc_id % 11 = 5 docs' signatures survive there), bucket 9 recorded
+    * as emptied, manifest committed — and the process "dies" before the
+    * swap applies. The next read must roll the commit FORWARD: buckets
+    * 2/5 hold exactly the staged rows, bucket 9 holds nothing, every
+    * other bucket is untouched. The oracle predicts the surviving set
+    * closed-form from the bucket arithmetic — if recovery replayed too
+    * little (stale rows resurrect) or too much (untouched buckets
+    * change), the hash breaks. */
+  def q198SigStoreRecover(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    val delta = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val store = Fixtures.tempDir("graft-q198-").resolve("sigs").toString
+    Dedup.writeSignatureStore(standing, store, "doc_id", buckets = 16)
+    Dedup.mergeIntoSignatureStore(spark, store, delta, "doc_id")
+    // the crashed mutation's committed-but-unapplied state
+    Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 11 === 5 &&
+          pmod(col("doc_id"), lit(16L)).isin(2L, 5L)), "doc_id", "text")
+      .withColumn("d_bucket", pmod(col("doc_id"), lit(16L)).cast("int"))
+      .repartition(col("d_bucket"))
+      .write.partitionBy("d_bucket").parquet(store + "/.staging")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store, "_pending_swap"), "d_bucket\n2,5\n9")
+    Dedup.readSignatureStore(spark, store)._1
       .select(col("doc_id"), col("k"), col("mh"))
       .orderBy(col("doc_id"), col("k"))
   }
@@ -487,6 +522,7 @@ object ScaleQueries {
     "q109_sig_merge"    -> q109SigMerge _,
     "q196_sig_store_merge" -> q196SigStoreMerge _,
     "q197_sig_store_forget" -> q197SigStoreForget _,
+    "q198_sig_store_recover" -> q198SigStoreRecover _,
     "q110_session_window" -> q110SessionWindow _,
     "q111_chunk_conserve" -> q111ChunkConserve _,
   )
@@ -698,6 +734,10 @@ object ScaleQueries {
     // forgotten docs
     "q196_sig_store_merge" -> minhashSigsSql,
     "q197_sig_store_forget" -> minhashSigsSqlCond("id % 7 <> 3"),
+    // untouched buckets keep the whole-corpus signatures; buckets 2/5
+    // hold only the staged (id % 11 = 5) docs' rows; bucket 9 is empty
+    "q198_sig_store_recover" -> minhashSigsSqlCond(
+      "(id % 16) NOT IN (2, 5, 9) OR ((id % 16) IN (2, 5) AND id % 11 = 5)"),
     "q110_session_window" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,

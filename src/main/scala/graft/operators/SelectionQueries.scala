@@ -947,7 +947,38 @@ object SelectionQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q199: IVF-PQ SEARCH over the partitioned store
+    * ([[Similarity.writePqSidecar]] + [[Similarity.pqTopKStore]]) —
+    * the two compression axes of a billion-vector serving layout
+    * composed ON DISK: coarse probing prunes WHICH buckets/row-groups
+    * a query batch reads (q191's layout), and the scan reads PQ codes
+    * instead of float vectors (q155's arithmetic) — full embeddings are
+    * never opened at query time. The oracle replays coarse training,
+    * probe lists, PQ training/encoding, and the fixed-order ADC sum;
+    * every distance is engine-exact, so rows/schema/hash must match to
+    * the bit. */
+  def q199PqStore(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val store = Fixtures.tempDir("graft-q199-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8)
+    Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_pq_store" -> q199PqStore _,
     "q185_probe_agreement" -> q185ProbeAgreement _,
     "q186_incremental_two_level" -> q186IncrementalTwoLevel _,
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
@@ -1301,6 +1332,86 @@ object SelectionQueries {
         |ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // IVF-PQ over the store: coarse training + 2-probe lists (q171's
+    // replay) gate WHICH corpus rows may appear; PQ training, encoding
+    // and the fixed-order ADC sum (q155's replay, pq-prefixed CTEs to
+    // avoid colliding with the kmeans replay's names) score them
+    "q199_pq_store" ->
+      s"""${kmeansTrainCtes(
+               "  SELECT vec_id, embedding FROM embeddings", "8")},
+        |qd AS (
+        |  SELECT q.vec_id AS qid, c.cid, ${sqdSql("q.embedding", "c.cv")} AS dd
+        |  FROM corpus q CROSS JOIN c2 c
+        |  WHERE q.vec_id < 10),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        |    FROM qd) t WHERE rn <= 2),
+        |pqsv AS (
+        |  SELECT vec_id AS id, s.s AS sub,
+        |    embedding[s.s*16+1 : s.s*16+16] AS sv
+        |  FROM embeddings, (VALUES (0),(1),(2),(3)) AS s(s)),
+        |pqinit AS (
+        |  SELECT sub, CAST(id AS BIGINT) AS cid,
+        |    list_transform(sv, v -> CAST(v AS DOUBLE)) AS cent
+        |  FROM pqsv WHERE id < 8),
+        |pqd0 AS (
+        |  SELECT pqsv.id, pqsv.sub, i.cid,
+        |    ${sqdSql("pqsv.sv", "i.cent")} AS d2
+        |  FROM pqsv JOIN pqinit i USING (sub)),
+        |pqa0 AS (
+        |  SELECT id, sub, cid FROM (
+        |    SELECT id, sub, cid,
+        |      row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
+        |    FROM pqd0) t WHERE rn = 1),
+        |pqm0 AS (
+        |  SELECT t.sub, t.cid, CAST(x[2] AS BIGINT) AS pos,
+        |    CAST(sum(CAST(round(CAST(x[1] AS DOUBLE) * 1048576.0) AS BIGINT))
+        |         AS DOUBLE) / count(*) / 1048576.0 AS c
+        |  FROM (SELECT pqa0.sub, pqa0.cid,
+        |          unnest(list_zip(pqsv.sv, generate_series(0, len(pqsv.sv) - 1)))
+        |            AS x
+        |        FROM pqsv JOIN pqa0 USING (id, sub)) t
+        |  GROUP BY t.sub, t.cid, CAST(x[2] AS BIGINT)),
+        |pqtrained AS (
+        |  SELECT sub, cid, list(c ORDER BY pos) AS cent
+        |  FROM pqm0 GROUP BY sub, cid),
+        |pqcb AS (
+        |  SELECT i.sub, i.cid, coalesce(t.cent, i.cent) AS cent
+        |  FROM pqinit i LEFT JOIN pqtrained t USING (sub, cid)),
+        |pqd1 AS (
+        |  SELECT pqsv.id, pqsv.sub, c.cid,
+        |    ${sqdSql("pqsv.sv", "c.cent")} AS d2
+        |  FROM pqsv JOIN pqcb c USING (sub)),
+        |pqcodes AS (
+        |  SELECT id AS nid, sub, cid FROM (
+        |    SELECT id, sub, cid,
+        |      row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
+        |    FROM pqd1) t WHERE rn = 1),
+        |pqqdt AS (
+        |  SELECT id AS query_id, sub, cid, d2 FROM pqd1 WHERE id < 10),
+        |j AS (
+        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
+        |  FROM pqcodes
+        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
+        |  JOIN jc ON jc.vec_id = pqcodes.nid
+        |  JOIN probes p ON p.qid = q.query_id AND p.cid = jc.cluster
+        |  WHERE q.query_id <> pqcodes.nid),
+        |adc AS (
+        |  SELECT query_id, nid,
+        |    ((sum(CASE WHEN sub = 0 THEN d2 ELSE 0.0 END)
+        |      + sum(CASE WHEN sub = 1 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 2 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 3 THEN d2 ELSE 0.0 END) AS adc
+        |  FROM j GROUP BY query_id, nid)
+        |SELECT query_id, rank, nid AS neighbor_id, adc FROM (
+        |  SELECT query_id, nid, adc,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY adc, nid) AS BIGINT) AS rank
+        |  FROM adc) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // the complete production semantic-dedup replay: train (k ∝ n) →
     // assign → within-cluster cosine pruning, all value-checked
     "q168_semdedup_auto" ->

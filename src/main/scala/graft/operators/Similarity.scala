@@ -803,8 +803,11 @@ object Similarity {
   }
 
   /** The full standing store plus its recorded bucket count (the
-    * `c_bucket` partition column is dropped — it is derivable). */
+    * `c_bucket` partition column is dropped — it is derivable). Rolls
+    * forward any bucket swap a crashed mutation left committed-but-
+    * unapplied ([[StoreSwap.recover]]) before listing data files. */
   def readStandingStore(spark: SparkSession, path: String): (DataFrame, Int) = {
+    StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta")
       .head.getInt(0)
     (spark.read.parquet(path + "/data"), buckets)
@@ -970,21 +973,113 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Train PQ codebooks from the standing store's OWN vectors and
+    * persist them plus the corpus codes beside it — the missing half of
+    * the billion-vector serving layout: [[ivfTopKStore]] prunes WHICH
+    * buckets a query reads, this compresses WHAT it reads there (m
+    * small centroid codes per vector instead of the full float array —
+    * at m=4/ksub=8 that is ~40× fewer bytes per row than a 64-float
+    * embedding, the difference between a memory-bandwidth-bound scan
+    * and an IO-bound one at 100 TB). Codes live under `pq_codes`,
+    * partitioned by the SAME `c_bucket` as the store and cluster-sorted
+    * within, so a probe prunes code files exactly as it prunes vector
+    * files; the (m·ksub)-row codebook sidecar is bounded model state.
+    * Training is [[pqCodebooks]]'s fixed-point Lloyd step — replayable
+    * in SQL, and parquet round-trips the double centroids bit-exactly,
+    * so search through the sidecar equals [[pqTopK]] over the same
+    * corpus restricted to the probed clusters. */
+  def writePqSidecar(spark: SparkSession, path: String, idCol: String,
+                     vecCol: String, m: Int, dsub: Int, ksub: Int): Unit = {
+    val (df, buckets) = readStandingStore(spark, path)
+    val cents = pqCodebooks(df, idCol, vecCol, m, dsub, ksub)
+      .localCheckpoint(true) // m·ksub rows — bounded model state
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(path + "/pq_codebook")
+    val codes = pqSubvectors(df, idCol, vecCol, m, dsub)
+      .join(broadcast(cents), "sub")
+      .withColumn("d2", sqDistCols(col("sv"), col("cent")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
+      .select(col("id"), col("sub"), col("mn.cid").as("cid"))
+    codes
+      .join(df.select(col(idCol).as("id"), col("cluster")), "id")
+      .withColumn("c_bucket",
+        pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("c_bucket"))
+      .sortWithinPartitions(col("cluster"), col("id"))
+      .write.mode("overwrite").partitionBy("c_bucket")
+      .parquet(path + "/pq_codes")
+  }
+
+  /** IVF-PQ top-k over the partitioned store — coarse probing decides
+    * WHICH clusters to scan ([[probeClusters]] against the persisted
+    * coarse codebook), and the scan itself reads only the PQ CODE
+    * sidecar (bucket-dir + row-group pruned, like
+    * [[readStandingStorePruned]]); the full float vectors are never
+    * opened at query time. Per query the cost is an m·ksub distance
+    * TABLE (computed against the reloaded PQ codebook — bit-equal to
+    * training-time values) plus one small-int lookup-and-add per
+    * candidate code, the asymmetric-distance arithmetic of [[pqTopK]]
+    * verbatim: the fixed sub-order sum makes even the double `adc`
+    * engine-exact, so the DuckDB oracle replays it to the last bit.
+    * Returns (query_id, rank, neighbor_id, adc) — adc ASCENDING (it is
+    * a distance, not a similarity). */
+  def pqTopKStore(spark: SparkSession, storePath: String,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  m: Int, dsub: Int, k: Int, nProbe: Int): DataFrame = {
+    val coarse = readCodebook(spark, storePath)
+    require(nProbe >= 1 && nProbe <= coarse.length,
+      "need 1 <= nProbe <= nlist")
+    val buckets = spark.read.parquet(storePath + "/meta").head.getInt(0)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qc", explode(probeClusters(col("qv"), coarse, nProbe)))
+      .select(col("query_id"), col("qc").cast("long").as("qc"))
+    val probed = probes.select(col("qc")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val tb = probed.map(c => (((c % buckets) + buckets) % buckets).toInt)
+      .distinct
+    val pqcb = spark.read.parquet(storePath + "/pq_codebook")
+    val qdt = pqSubvectors(
+        queries.select(col(idCol), col(vecCol)), idCol, vecCol, m, dsub)
+      .join(broadcast(pqcb), "sub")
+      .withColumn("d2", sqDistCols(col("sv"), col("cent")))
+      .select(col("id").as("query_id"), col("sub"), col("cid"), col("d2"))
+    val codes = spark.read.parquet(storePath + "/pq_codes")
+      .filter(col("c_bucket").isin(tb: _*) &&
+        col("cluster").isin(probed: _*))
+      .select(col("id").as("nid"), col("sub"), col("cid"), col("cluster"))
+    val cand = codes
+      .join(broadcast(probes), col("cluster") === col("qc"))
+      .filter(col("query_id") =!= col("nid"))
+    val scored = cand.join(broadcast(qdt), Seq("query_id", "sub", "cid"))
+    val sums = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("d2")).otherwise(lit(0.0))).as(s"s$s"))
+    val adc = scored.groupBy(col("query_id"), col("nid"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("adc", (0 until m).map(s => col(s"s$s")).reduce(_ + _))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("nid"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nid").as("neighbor_id"),
+        col("adc"))
+  }
+
   /** COMPACT the partitioned standing store — the maintenance job that
     * undoes append fragmentation: every micro-batch append leaves one
     * more file per touched bucket, and a year of daily ingest would
     * leave hundreds of small files whose per-file open cost eats the
     * pruning win. Buckets holding more than `maxFilesPerBucket` data
-    * files are re-written as one cluster-sorted file each (dynamic
-    * partition overwrite — untouched buckets' files are never opened);
-    * contents are unchanged by construction, and the compacted slice is
-    * localCheckpoint-ed before the overwrite for the same
-    * read-then-replace reason as the delete (a production job would
-    * stage via a temp directory instead to keep the slice off the
-    * executors' memory). Returns the bucket ids compacted. */
+    * files are re-written as one cluster-sorted file each; contents are
+    * unchanged by construction. The rewrite goes through
+    * [[StoreSwap.stagedRewrite]]: the compacted buckets are staged to
+    * disk and swapped in atomically behind a manifest commit, so a
+    * crash never leaves a bucket half-compacted and nothing is pinned
+    * in executor memory. Returns the bucket ids compacted. */
   def compactStandingStore(spark: SparkSession, path: String,
                            maxFilesPerBucket: Int = 4): Seq[Int] = {
     require(maxFilesPerBucket >= 1, "need maxFilesPerBucket >= 1")
+    StoreSwap.recover(spark, path)
     val dataPath = new org.apache.hadoop.fs.Path(path + "/data")
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val frag = fs.listStatus(dataPath)
@@ -996,13 +1091,8 @@ object Similarity {
     if (frag.isEmpty) return Seq.empty
     val (df, _) = readStandingStore(spark, path)
     val slice = df.filter(col("c_bucket").isin(frag: _*))
-      .localCheckpoint(true)
-    slice
-      .repartition(col("c_bucket"))
-      .sortWithinPartitions(col("cluster"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("c_bucket").parquet(path + "/data")
+    StoreSwap.stagedRewrite(spark, path, "c_bucket", frag, slice,
+      Seq(col("cluster")))
     frag
   }
 
@@ -1012,14 +1102,16 @@ object Similarity {
     * scan finds which `c_bucket` partition directories contain any of
     * the ids (driver state = the touched bucket list, ≤ `buckets`
     * ints); (2) ONLY those buckets are re-written without the deleted
-    * rows, via dynamic partition overwrite — untouched buckets' files
-    * are never opened for the rewrite and never replaced (the spec
-    * asserts their listings are byte-identical). `ids` is a DataFrame
-    * (an anti-join, not a driver literal), so the delete set itself
-    * scales. The kept slice is localCheckpoint-ed before the overwrite
-    * because Spark (correctly) refuses a write that still reads the
-    * path it replaces; a touched bucket is bounded by corpus/buckets,
-    * the same bound the store's layout already commits to. Returns the
+    * rows, through [[StoreSwap.stagedRewrite]] — untouched buckets'
+    * files are never opened for the rewrite and never replaced (the
+    * spec asserts their listings are byte-identical), the kept slice is
+    * staged to disk (nothing pinned in executor memory), and the swap
+    * is all-or-nothing behind a manifest commit: a crash at any point
+    * either leaves the store untouched or is rolled forward on the next
+    * read/mutation, so "forgotten" rows can never resurrect. A bucket
+    * the delete empties entirely is recorded in the manifest and its
+    * directory dropped at swap. `ids` is a DataFrame (an anti-join, not
+    * a driver literal), so the delete set itself scales. Returns the
     * number of rows deleted. */
   def deleteFromStandingStore(spark: SparkSession, path: String,
                               ids: DataFrame, idCol: String): Long = {
@@ -1031,35 +1123,17 @@ object Similarity {
     if (touched.isEmpty) return 0L
     val slice = df.filter(col("c_bucket").isin(touched: _*))
     val kept = slice.join(idSet, Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    val nDeleted = slice.count() - kept.count()
-    kept
-      .repartition(col("c_bucket"))
-      .sortWithinPartitions(col("cluster"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("c_bucket").parquet(path + "/data")
-    // dynamic overwrite only replaces partitions PRESENT in the written
-    // data — a bucket emptied entirely by the delete writes no rows, so
-    // its stale directory must be dropped explicitly or the deleted
-    // rows resurface
-    val surviving = kept.select(col("c_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val conf = spark.sparkContext.hadoopConfiguration
-    touched.filterNot(surviving).foreach { b =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/data/c_bucket=$b")
-      val fs = dir.getFileSystem(conf)
-      fs.delete(dir, true)
-    }
-    nDeleted
+    val before = slice.count()
+    before - StoreSwap.stagedRewrite(spark, path, "c_bucket", touched,
+      kept, Seq(col("cluster")))
   }
 
   /** DELETE whole clusters from the partitioned store. Unlike the
     * by-id delete, the touched buckets are DERIVED (cluster mod
     * buckets) — no discovery scan at all; only those buckets are read
-    * and rewritten without the doomed clusters' rows, and a bucket
-    * emptied entirely is dropped explicitly (same resurrection hazard
-    * as [[deleteFromStandingStore]]). Returns rows removed. */
+    * and rewritten without the doomed clusters' rows, with the same
+    * staged, crash-atomic swap (and emptied-bucket handling) as
+    * [[deleteFromStandingStore]]. Returns rows removed. */
   def deleteClustersFromStore(spark: SparkSession, path: String,
                               clusters: Set[Long]): Long = {
     if (clusters.isEmpty) return 0L
@@ -1068,23 +1142,9 @@ object Similarity {
       .toSeq.sorted
     val slice = df.filter(col("c_bucket").isin(touched: _*))
     val kept = slice.filter(!col("cluster").isin(clusters.toSeq: _*))
-      .localCheckpoint(true)
-    val nDeleted = slice.count() - kept.count()
-    kept
-      .repartition(col("c_bucket"))
-      .sortWithinPartitions(col("cluster"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("c_bucket").parquet(path + "/data")
-    val surviving = kept.select(col("c_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val conf = spark.sparkContext.hadoopConfiguration
-    touched.filterNot(surviving).foreach { b =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/data/c_bucket=$b")
-      val fs = dir.getFileSystem(conf)
-      fs.delete(dir, true)
-    }
-    nDeleted
+    val before = slice.count()
+    before - StoreSwap.stagedRewrite(spark, path, "c_bucket", touched,
+      kept, Seq(col("cluster")))
   }
 
   /** IN-PLACE drift refit of the partitioned store — what a standing
@@ -1100,7 +1160,13 @@ object Similarity {
     * (which re-assigns the whole corpus against the merged codebook and
     * renumbers): here membership of undrifted clusters is SETTLED — the
     * same invariant the incremental dedup flow already commits to.
-    * Returns the fresh (cid, centroid) entries. */
+    * Each constituent step (the cluster delete's bucket swap, the
+    * append, the codebook write) is individually crash-safe, but the
+    * SEQUENCE is not one transaction: a crash between the delete and
+    * the append loses the drifted slice from the store while its copy
+    * survives at `$path/.refit-members` — recovery is to re-run the
+    * refit (idempotent given the same `drifted` set) or restore from
+    * the tmp dir. Returns the fresh (cid, centroid) entries. */
   def refitStoreDriftedClusters(spark: SparkSession, path: String,
                                 idCol: String, vecCol: String,
                                 drifted: Set[Long],
@@ -1109,8 +1175,15 @@ object Similarity {
     if (drifted.isEmpty) return Seq.empty
     val cb = readCodebookIds(spark, path)
     val nextId = cb.map(_._1).max + 1
-    val members = readStandingStorePruned(spark, path, drifted.toSeq)
-      .localCheckpoint(true)
+    // The drifted slice must outlive the delete that destroys its source
+    // files; stage it to disk (not executor memory) so the refit is
+    // neither OOM-bound nor lost with an executor. The tmp dir lives
+    // under the store (dot-name: invisible to readers) and is reclaimed
+    // at the end; an orphan from a crashed refit is overwritten here.
+    val memTmp = path + "/.refit-members"
+    readStandingStorePruned(spark, path, drifted.toSeq)
+      .write.mode("overwrite").parquet(memTmp)
+    val members = spark.read.parquet(memTmp)
     val nMem = members.count()
     if (nMem == 0L) return Seq.empty
     val kRefit = math.max(1L,
@@ -1126,6 +1199,9 @@ object Similarity {
       path, "cluster")
     writeCodebookIds(spark, path,
       cb.filterNot { case (cid, _) => drifted(cid) } ++ fresh)
+    val tmpPath = new org.apache.hadoop.fs.Path(memTmp)
+    tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tmpPath, true)
     fresh
   }
 

@@ -170,12 +170,18 @@ object GraftExpressions {
     * declarative `transform(typedlit(cb), c => VecFold(v, c, squared))`
     * + `array_min`/`array_position` formulation it replaces (same
     * left-to-right squared-distance fold, strict `<` so the FIRST index
-    * wins distance ties, null on a null element / length mismatch /
-    * empty codebook — the cases where every declarative distance would
-    * be null), but ~50× faster at k in the thousands: the declarative
-    * chain evaluates an interpreted lambda per centroid per row and
-    * materializes the full distance array; this touches no
-    * per-element expression machinery at all. */
+    * wins distance ties, null on a null element / empty codebook) — a
+    * claim scoped to non-NaN inputs and UNIFORM-dimension codebooks,
+    * the only shapes [[graft.operators.Similarity]]'s training ever
+    * produces. On the shapes it doesn't: all-NaN distances return null
+    * here (no distance ever satisfies `< +∞`) where the declarative
+    * array_min would pick index 1 (Spark orders NaN = NaN), and a
+    * mixed-dimension codebook nulls at the first length mismatch where
+    * the declarative chain would skip that centroid's null distance.
+    * ~50× faster at k in the thousands: the declarative chain evaluates
+    * an interpreted lambda per centroid per row and materializes the
+    * full distance array; this touches no per-element expression
+    * machinery at all. */
   def nearestCentroid(v: org.apache.spark.sql.catalyst.util.ArrayData,
                       kind: Int,
                       cb: Array[Array[Double]]): java.lang.Integer = {

@@ -253,4 +253,60 @@ class StandingStoreSpec extends SparkSpec {
     assert(keep(2000L))
     assert((0 until 40 by 4).forall(i => !keep(i + 1000L)))
   }
+
+  test("a swap committed but not applied (post-manifest crash) rolls forward on read") {
+    import graft.operators.StoreSwap
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    val liveBuckets = spark.read.parquet(path + "/data")
+      .select("c_bucket").distinct().collect().map(_.getInt(0)).sorted
+    assert(liveBuckets.length == 2) // two blobs → two clusters → two buckets
+    val (bSurvive, bEmpty) = (liveBuckets(0), liveBuckets(1))
+    // fabricate the crashed state: replacement content staged for one
+    // bucket, the other recorded as emptied, manifest committed — and
+    // "crash" before the swap applies
+    Seq((9999L, Seq(1f, 1f, 1f, 1f), bSurvive.toLong, 2.0))
+      .toDF("vec_id", "embedding", "cluster", "nrm")
+      .withColumn("c_bucket", lit(bSurvive))
+      .write.partitionBy("c_bucket").parquet(path + "/.staging")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_pending_swap"),
+      s"c_bucket\n$bSurvive\n$bEmpty")
+    // the next read rolls the commit forward
+    val (df, _) = Similarity.readStandingStore(spark, path)
+    val rows = df.select("vec_id", "c_bucket").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 9999L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_pending_swap")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, ".staging")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "data", s"c_bucket=$bEmpty")))
+    // idempotent: nothing pending now
+    assert(!StoreSwap.recover(spark, path))
+  }
+
+  test("a pre-commit crash (orphan staging, no manifest) leaves the store untouched") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    // orphan staging dir, NO manifest — the crash happened before commit
+    Seq((9999L, Seq(1f, 1f, 1f, 1f), 0L, 2.0))
+      .toDF("vec_id", "embedding", "cluster", "nrm")
+      .withColumn("c_bucket", lit(0))
+      .write.partitionBy("c_bucket").parquet(path + "/.staging")
+    val (df, _) = Similarity.readStandingStore(spark, path)
+    assert(df.count() == 40) // store content unchanged, orphan invisible
+    assert(df.filter(col("vec_id") === 9999L).count() == 0)
+    // the next real mutation reclaims the orphan and completes normally
+    val n = Similarity.deleteFromStandingStore(spark, path,
+      Seq(0L).toDF("vec_id"), "vec_id")
+    assert(n == 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, ".staging")))
+    assert(Similarity.readStandingStore(spark, path)._1.count() == 39)
+  }
 }
