@@ -977,8 +977,48 @@ object SelectionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q200: INCREMENTAL PQ INGEST ([[Similarity.appendPqCodes]]) — the
+    * daily-flow twin of q199: the standing two-thirds of the corpus
+    * train the coarse codebook AND the PQ codebook; the remaining third
+    * arrives as a delta batch, coarse-assigned against the RELOADED
+    * codebook, appended to the store, and PQ-encoded against the frozen
+    * sidecar codebook (training never re-runs — standing codes stay
+    * valid). Search over the grown store must equal the oracle's
+    * replay, which trains base-restricted but encodes everything. */
+  def q200PqAppend(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val standing = emb().filter(col("vec_id") % 3 =!= 0)
+    val cents = Similarity.trainCentroids(standing, "vec_id", "embedding",
+      8, iters = 2)
+    val store = Fixtures.tempDir("graft-q200-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      standing
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8)
+    val reloaded = Similarity.readCodebook(spark, store)
+    val delta = emb().filter(col("vec_id") % 3 === 0)
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), reloaded).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    Similarity.appendToStandingStore(
+      delta.select(col("vec_id"), col("embedding"), col("cluster"),
+        col("nrm")), store, "cluster")
+    Similarity.appendPqCodes(spark, store, delta, "vec_id", "embedding",
+      m = 4, dsub = 16)
+    Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_pq_store" -> q199PqStore _,
+    "q200_pq_append" -> q200PqAppend _,
     "q185_probe_agreement" -> q185ProbeAgreement _,
     "q186_incremental_two_level" -> q186IncrementalTwoLevel _,
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
@@ -1331,14 +1371,19 @@ object SelectionQueries {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // IVF-PQ over the store: coarse training + 2-probe lists (q171's
-    // replay) gate WHICH corpus rows may appear; PQ training, encoding
-    // and the fixed-order ADC sum (q155's replay, pq-prefixed CTEs to
-    // avoid colliding with the kmeans replay's names) score them
-    "q199_pq_store" ->
+  /** q199/q200 shared replay: coarse training (optionally
+    * base-restricted) + 2-probe lists gate WHICH corpus rows may
+    * appear; PQ training (same optional base restriction), full-corpus
+    * encoding, and the fixed-order ADC sum (q155's replay, pq-prefixed
+    * CTEs to avoid colliding with the kmeans replay's names) score
+    * them. `pqTrainCond` restricts the rows the PQ codebook trains on
+    * (column name `id`); encoding always covers the whole corpus — the
+    * frozen-codebook discipline q200's delta append commits to. */
+  private def ivfPqOracle(coarseTrainCond: String,
+                          pqTrainCond: String): String =
       s"""${kmeansTrainCtes(
-               "  SELECT vec_id, embedding FROM embeddings", "8")},
+               "  SELECT vec_id, embedding FROM embeddings", "8",
+               coarseTrainCond)},
         |qd AS (
         |  SELECT q.vec_id AS qid, c.cid, ${sqdSql("q.embedding", "c.cv")} AS dd
         |  FROM corpus q CROSS JOIN c2 c
@@ -1352,14 +1397,15 @@ object SelectionQueries {
         |  SELECT vec_id AS id, s.s AS sub,
         |    embedding[s.s*16+1 : s.s*16+16] AS sv
         |  FROM embeddings, (VALUES (0),(1),(2),(3)) AS s(s)),
+        |pqtsv AS (SELECT * FROM pqsv WHERE $pqTrainCond),
         |pqinit AS (
         |  SELECT sub, CAST(id AS BIGINT) AS cid,
         |    list_transform(sv, v -> CAST(v AS DOUBLE)) AS cent
-        |  FROM pqsv WHERE id < 8),
+        |  FROM pqtsv WHERE id < 8),
         |pqd0 AS (
-        |  SELECT pqsv.id, pqsv.sub, i.cid,
-        |    ${sqdSql("pqsv.sv", "i.cent")} AS d2
-        |  FROM pqsv JOIN pqinit i USING (sub)),
+        |  SELECT pqtsv.id, pqtsv.sub, i.cid,
+        |    ${sqdSql("pqtsv.sv", "i.cent")} AS d2
+        |  FROM pqtsv JOIN pqinit i USING (sub)),
         |pqa0 AS (
         |  SELECT id, sub, cid FROM (
         |    SELECT id, sub, cid,
@@ -1370,9 +1416,9 @@ object SelectionQueries {
         |    CAST(sum(CAST(round(CAST(x[1] AS DOUBLE) * 1048576.0) AS BIGINT))
         |         AS DOUBLE) / count(*) / 1048576.0 AS c
         |  FROM (SELECT pqa0.sub, pqa0.cid,
-        |          unnest(list_zip(pqsv.sv, generate_series(0, len(pqsv.sv) - 1)))
+        |          unnest(list_zip(pqtsv.sv, generate_series(0, len(pqtsv.sv) - 1)))
         |            AS x
-        |        FROM pqsv JOIN pqa0 USING (id, sub)) t
+        |        FROM pqtsv JOIN pqa0 USING (id, sub)) t
         |  GROUP BY t.sub, t.cid, CAST(x[2] AS BIGINT)),
         |pqtrained AS (
         |  SELECT sub, cid, list(c ORDER BY pos) AS cent
@@ -1411,7 +1457,14 @@ object SelectionQueries {
         |                            ORDER BY adc, nid) AS BIGINT) AS rank
         |  FROM adc) t
         |WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q199_pq_store" -> ivfPqOracle("TRUE", "TRUE"),
+    // the standing two-thirds train BOTH codebooks; the delta third is
+    // coarse-assigned and PQ-encoded against them frozen, so the replay
+    // trains restricted but encodes everything
+    "q200_pq_append" -> ivfPqOracle("vec_id % 3 <> 0", "id % 3 <> 0"),
     // the complete production semantic-dedup replay: train (k ∝ n) →
     // assign → within-cluster cosine pruning, all value-checked
     "q168_semdedup_auto" ->

@@ -1011,6 +1011,38 @@ object Similarity {
       .parquet(path + "/pq_codes")
   }
 
+  /** Absorb a delta batch into the PQ sidecar — the ingest half of the
+    * serving layout: the delta's codes are encoded against the FROZEN
+    * persisted PQ codebook (training is NOT re-run — the codes of the
+    * standing corpus stay valid, exactly the settled-membership
+    * invariant the incremental dedup flow commits to) and appended to
+    * the same `c_bucket` partitions the store append touched. Cost is
+    * |delta|·m·ksub distance folds plus a delta-footprint write; the
+    * codebook-drift audit (q178) is the governance signal for when a
+    * re-train ([[writePqSidecar]], which rewrites all codes) is due.
+    * `delta` must carry (idCol, vecCol, `cluster`) — the coarse
+    * assignment [[appendToStandingStore]] already requires. */
+  def appendPqCodes(spark: SparkSession, path: String, delta: DataFrame,
+                    idCol: String, vecCol: String, m: Int,
+                    dsub: Int): Unit = {
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    val pqcb = spark.read.parquet(path + "/pq_codebook")
+    val codes = pqSubvectors(delta, idCol, vecCol, m, dsub)
+      .join(broadcast(pqcb), "sub")
+      .withColumn("d2", sqDistCols(col("sv"), col("cent")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
+      .select(col("id"), col("sub"), col("mn.cid").as("cid"))
+    codes
+      .join(delta.select(col(idCol).as("id"), col("cluster")), "id")
+      .withColumn("c_bucket",
+        pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("c_bucket"))
+      .sortWithinPartitions(col("cluster"), col("id"))
+      .write.mode("append").partitionBy("c_bucket")
+      .parquet(path + "/pq_codes")
+  }
+
   /** IVF-PQ top-k over the partitioned store — coarse probing decides
     * WHICH clusters to scan ([[probeClusters]] against the persisted
     * coarse codebook), and the scan itself reads only the PQ CODE
