@@ -1016,9 +1016,44 @@ object SelectionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q201: TWO-LEVEL IVF-PQ SEARCH over the partitioned store
+    * ([[Similarity.pqTopKStoreTwoLevel]]) — q199's code-sidecar scan
+    * with q193's √k-laddered probe lists: no per-query operation
+    * touches all nlist coarse centroids AND no candidate read opens a
+    * float vector. The store is assigned through the same ladder, so
+    * search and ingest agree on cluster ids; the oracle composes the
+    * q193 ladder replay with the q199 ADC replay. This is the
+    * full-production search shape: at the k ∝ n tier the flat PQ scan's
+    * probe-list ranking ties the flat FLOAT scan (StoreLifecycleProbe),
+    * so PQ's bytes-per-candidate win only materializes behind laddered
+    * probing. */
+  def q201PqStoreTwoLevel(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val (supers, children) = Similarity.superQuantize(cents)
+    val store = Fixtures.tempDir("graft-q201-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignClusterTwoLevel(col("embedding"), supers,
+            children).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8)
+    Similarity.pqTopKStoreTwoLevel(spark, store,
+        emb().filter(col("vec_id") < 10), "vec_id", "embedding",
+        m = 4, dsub = 16, k = 5, sProbe = 2, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_pq_store" -> q199PqStore _,
     "q200_pq_append" -> q200PqAppend _,
+    "q201_pq_store_two_level" -> q201PqStoreTwoLevel _,
     "q185_probe_agreement" -> q185ProbeAgreement _,
     "q186_incremental_two_level" -> q186IncrementalTwoLevel _,
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
@@ -1306,7 +1341,11 @@ object SelectionQueries {
   /** q179/q193 shared replay: both training levels, childless-super
     * drop, two-stage probe lists, two-level corpus assignment,
     * windowed top-5. */
-  private val twoLevelProbeOracle: String =
+  /** The two-level front CTEs shared by q179/q193 (cosine tail) and
+    * q201 (PQ ADC tail): both training levels, childless-super drop,
+    * ladder corpus assignment (`fasg`), and the two-stage probe lists
+    * (`probes`: qid, ccid, qe). */
+  private val twoLevelFrontCtes: String =
     s"""${kmeansTrainCtes(
              "  SELECT vec_id, embedding FROM embeddings", "8")},
         |${kmeansTrainCtes(
@@ -1352,7 +1391,10 @@ object SelectionQueries {
         |  SELECT qid, ccid, qe FROM (
         |    SELECT qid, ccid, qe,
         |      row_number() OVER (PARTITION BY qid ORDER BY dd, ccid) AS rn
-        |    FROM qcd) t WHERE rn <= 2),
+        |    FROM qcd) t WHERE rn <= 2)""".stripMargin
+
+  private val twoLevelProbeOracle: String =
+    s"""$twoLevelFrontCtes,
         |jv AS (
         |  SELECT c.vec_id, c.embedding, f.cluster
         |  FROM corpus c JOIN fasg f USING (vec_id)),
@@ -1371,29 +1413,12 @@ object SelectionQueries {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
 
-  /** q199/q200 shared replay: coarse training (optionally
-    * base-restricted) + 2-probe lists gate WHICH corpus rows may
-    * appear; PQ training (same optional base restriction), full-corpus
-    * encoding, and the fixed-order ADC sum (q155's replay, pq-prefixed
-    * CTEs to avoid colliding with the kmeans replay's names) score
-    * them. `pqTrainCond` restricts the rows the PQ codebook trains on
-    * (column name `id`); encoding always covers the whole corpus — the
-    * frozen-codebook discipline q200's delta append commits to. */
-  private def ivfPqOracle(coarseTrainCond: String,
-                          pqTrainCond: String): String =
-      s"""${kmeansTrainCtes(
-               "  SELECT vec_id, embedding FROM embeddings", "8",
-               coarseTrainCond)},
-        |qd AS (
-        |  SELECT q.vec_id AS qid, c.cid, ${sqdSql("q.embedding", "c.cv")} AS dd
-        |  FROM corpus q CROSS JOIN c2 c
-        |  WHERE q.vec_id < 10),
-        |probes AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT qid, cid,
-        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
-        |    FROM qd) t WHERE rn <= 2),
-        |pqsv AS (
+  /** The PQ train/encode replay as CTEs `pqsv`..`pqqdt` (q155's text,
+    * pq-prefixed): training restricted to `pqTrainCond` rows, encoding
+    * and query distance tables over the whole corpus. Shared by the
+    * flat (q199/q200) and two-level (q201) store-search oracles. */
+  private def pqReplayCtes(pqTrainCond: String): String =
+      s"""pqsv AS (
         |  SELECT vec_id AS id, s.s AS sub,
         |    embedding[s.s*16+1 : s.s*16+16] AS sv
         |  FROM embeddings, (VALUES (0),(1),(2),(3)) AS s(s)),
@@ -1436,15 +1461,13 @@ object SelectionQueries {
         |      row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
         |    FROM pqd1) t WHERE rn = 1),
         |pqqdt AS (
-        |  SELECT id AS query_id, sub, cid, d2 FROM pqd1 WHERE id < 10),
-        |j AS (
-        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
-        |  FROM pqcodes
-        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
-        |  JOIN jc ON jc.vec_id = pqcodes.nid
-        |  JOIN probes p ON p.qid = q.query_id AND p.cid = jc.cluster
-        |  WHERE q.query_id <> pqcodes.nid),
-        |adc AS (
+        |  SELECT id AS query_id, sub, cid, d2 FROM pqd1 WHERE id < 10)"""
+        .stripMargin
+
+  /** Fixed-sub-order ADC sum + windowed top-5 over the candidate join
+    * `j` — the shared tail of every PQ store-search oracle. */
+  private val pqAdcTail: String =
+      """adc AS (
         |  SELECT query_id, nid,
         |    ((sum(CASE WHEN sub = 0 THEN d2 ELSE 0.0 END)
         |      + sum(CASE WHEN sub = 1 THEN d2 ELSE 0.0 END))
@@ -1459,8 +1482,46 @@ object SelectionQueries {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
 
+  private def ivfPqOracle(coarseTrainCond: String,
+                          pqTrainCond: String): String =
+      s"""${kmeansTrainCtes(
+               "  SELECT vec_id, embedding FROM embeddings", "8",
+               coarseTrainCond)},
+        |qd AS (
+        |  SELECT q.vec_id AS qid, c.cid, ${sqdSql("q.embedding", "c.cv")} AS dd
+        |  FROM corpus q CROSS JOIN c2 c
+        |  WHERE q.vec_id < 10),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        |    FROM qd) t WHERE rn <= 2),
+        |${pqReplayCtes(pqTrainCond)},
+        |j AS (
+        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
+        |  FROM pqcodes
+        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
+        |  JOIN jc ON jc.vec_id = pqcodes.nid
+        |  JOIN probes p ON p.qid = q.query_id AND p.cid = jc.cluster
+        |  WHERE q.query_id <> pqcodes.nid),
+        |$pqAdcTail""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q199_pq_store" -> ivfPqOracle("TRUE", "TRUE"),
+    // q193's ladder front (training levels, fasg, two-stage probe
+    // lists) composed with q199's PQ scoring tail: candidates gated by
+    // the LADDER cluster assignment, scored by the fixed-order ADC
+    "q201_pq_store_two_level" ->
+      s"""$twoLevelFrontCtes,
+        |${pqReplayCtes("TRUE")},
+        |j AS (
+        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
+        |  FROM pqcodes
+        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
+        |  JOIN fasg f ON f.vec_id = pqcodes.nid
+        |  JOIN probes p ON p.qid = q.query_id AND p.ccid = f.cluster
+        |  WHERE q.query_id <> pqcodes.nid),
+        |$pqAdcTail""".stripMargin,
     // the standing two-thirds train BOTH codebooks; the delta third is
     // coarse-assigned and PQ-encoded against them frozen, so the replay
     // trains restricted but encodes everything

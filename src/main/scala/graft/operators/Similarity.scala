@@ -995,14 +995,7 @@ object Similarity {
       .localCheckpoint(true) // m·ksub rows — bounded model state
     cents.coalesce(1).write.mode("overwrite")
       .parquet(path + "/pq_codebook")
-    val codes = pqSubvectors(df, idCol, vecCol, m, dsub)
-      .join(broadcast(cents), "sub")
-      .withColumn("d2", sqDistCols(col("sv"), col("cent")))
-      .groupBy(col("id"), col("sub"))
-      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
-      .select(col("id"), col("sub"), col("mn.cid").as("cid"))
-    codes
-      .join(df.select(col(idCol).as("id"), col("cluster")), "id")
+    packedCodes(df, cents, idCol, vecCol, m, dsub)
       .withColumn("c_bucket",
         pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
       .repartition(col("c_bucket"))
@@ -1010,6 +1003,26 @@ object Similarity {
       .write.mode("overwrite").partitionBy("c_bucket")
       .parquet(path + "/pq_codes")
   }
+
+  /** Encode vectors against a PQ codebook relation into ONE row per
+    * vector — (id, cluster, codes: array<int>, sub-ordered). The packed
+    * layout is what makes the code scan beat the float scan on CPU as
+    * well as bytes: the per-candidate ADC becomes one m-entry fold
+    * instead of an m-row join + hash aggregation. */
+  private def packedCodes(df: DataFrame, cents: DataFrame, idCol: String,
+                          vecCol: String, m: Int,
+                          dsub: Int): DataFrame =
+    pqSubvectors(df, idCol, vecCol, m, dsub)
+      .join(broadcast(cents), "sub")
+      .withColumn("d2", sqDistCols(col("sv"), col("cent")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("mn.cid").as("cid")))),
+        e => e.getField("cid").cast("int")).as("codes"))
+      .join(df.select(col(idCol).as("id"), col("cluster")), "id")
+      .select(col("id"), col("cluster"), col("codes"))
 
   /** Absorb a delta batch into the PQ sidecar — the ingest half of the
     * serving layout: the delta's codes are encoded against the FROZEN
@@ -1027,14 +1040,7 @@ object Similarity {
                     dsub: Int): Unit = {
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
     val pqcb = spark.read.parquet(path + "/pq_codebook")
-    val codes = pqSubvectors(delta, idCol, vecCol, m, dsub)
-      .join(broadcast(pqcb), "sub")
-      .withColumn("d2", sqDistCols(col("sv"), col("cent")))
-      .groupBy(col("id"), col("sub"))
-      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
-      .select(col("id"), col("sub"), col("mn.cid").as("cid"))
-    codes
-      .join(delta.select(col(idCol).as("id"), col("cluster")), "id")
+    packedCodes(delta, pqcb, idCol, vecCol, m, dsub)
       .withColumn("c_bucket",
         pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
       .repartition(col("c_bucket"))
@@ -1062,34 +1068,85 @@ object Similarity {
     val coarse = readCodebook(spark, storePath)
     require(nProbe >= 1 && nProbe <= coarse.length,
       "need 1 <= nProbe <= nlist")
-    val buckets = spark.read.parquet(storePath + "/meta").head.getInt(0)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qc", explode(probeClusters(col("qv"), coarse, nProbe)))
       .select(col("query_id"), col("qc").cast("long").as("qc"))
+    pqAdcOverStore(spark, storePath, queries, probes, idCol, vecCol,
+      m, dsub, k)
+  }
+
+  /** [[pqTopKStore]] with the probe lists built through the √k ladder —
+    * the PQ search at PRODUCTION k: the flat variant ranks all nlist
+    * coarse centroids per query, which at k ∝ n is the measured wall of
+    * the 1000-query probe tier (StoreLifecycleProbe: the flat PQ scan
+    * ties the flat FLOAT scan because both pay the same probe-list
+    * ranking, while the laddered float search runs ~1.6× faster). This
+    * ranks ceil(√nlist) supers then only kept supers' children, exactly
+    * [[ivfTopKStoreTwoLevel]]'s discipline; the store must have been
+    * assigned through the same ladder. Approximate exactly as the
+    * laddered float search (q185 audits the trade). */
+  def pqTopKStoreTwoLevel(spark: SparkSession, storePath: String,
+                          queries: DataFrame, idCol: String,
+                          vecCol: String, m: Int, dsub: Int, k: Int,
+                          sProbe: Int, nProbe: Int): DataFrame = {
+    val coarse = readCodebook(spark, storePath)
+    val (supers, children) = superQuantize(coarse)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qc",
+        explode(probeClustersTwoLevel(col("qv"), supers, children,
+          sProbe, nProbe)))
+      .select(col("query_id"), col("qc").cast("long").as("qc"))
+    pqAdcOverStore(spark, storePath, queries, probes, idCol, vecCol,
+      m, dsub, k)
+  }
+
+  /** Shared ADC tail of the store PQ searches: pruned PACKED-code scan
+    * over the probed clusters, per-query distance TABLE (m×ksub
+    * doubles, sub- then cid-ordered nested array) against the reloaded
+    * sidecar codebook, and a per-candidate literal sum
+    * `((t₀+t₁)+t₂)+t₃` — the same left-associated fixed sub order as
+    * [[pqTopK]]'s conditional-sum reduce, so the ADC stays engine-exact
+    * while the scan stays ONE row per candidate: no m-row blowup, no
+    * per-pair hash aggregation, everything inside whole-stage codegen
+    * except the windowed top-k. The table rows are maps keyed by cid
+    * (a base-restricted training seeds a SPARSE cid set — q200). */
+  private def pqAdcOverStore(spark: SparkSession, storePath: String,
+                             queries: DataFrame, probes: DataFrame,
+                             idCol: String, vecCol: String, m: Int,
+                             dsub: Int, k: Int): DataFrame = {
+    val buckets = spark.read.parquet(storePath + "/meta").head.getInt(0)
     val probed = probes.select(col("qc")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val tb = probed.map(c => (((c % buckets) + buckets) % buckets).toInt)
       .distinct
     val pqcb = spark.read.parquet(storePath + "/pq_codebook")
-    val qdt = pqSubvectors(
+    val dts = pqSubvectors(
         queries.select(col(idCol), col(vecCol)), idCol, vecCol, m, dsub)
       .join(broadcast(pqcb), "sub")
       .withColumn("d2", sqDistCols(col("sv"), col("cent")))
-      .select(col("id").as("query_id"), col("sub"), col("cid"), col("d2"))
+      .groupBy(col("id"), col("sub"))
+      // keyed by cid, not position: a base-restricted training seeds a
+      // SPARSE cid set (q200), so positional lookup would misalign
+      .agg(map_from_entries(collect_list(struct(col("cid"), col("d2"))))
+        .as("row"))
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("sub"), col("row"))))
+        .as("dts"))
+      .select(col("id").as("query_id"), col("dts"))
     val codes = spark.read.parquet(storePath + "/pq_codes")
       .filter(col("c_bucket").isin(tb: _*) &&
         col("cluster").isin(probed: _*))
-      .select(col("id").as("nid"), col("sub"), col("cid"), col("cluster"))
-    val cand = codes
-      .join(broadcast(probes), col("cluster") === col("qc"))
+      .select(col("id").as("nid"), col("codes"), col("cluster"))
+    val adc = codes
+      .join(broadcast(probes.join(dts, "query_id")),
+        col("cluster") === col("qc"))
       .filter(col("query_id") =!= col("nid"))
-    val scored = cand.join(broadcast(qdt), Seq("query_id", "sub", "cid"))
-    val sums = (0 until m).map(s =>
-      sum(when(col("sub") === s, col("d2")).otherwise(lit(0.0))).as(s"s$s"))
-    val adc = scored.groupBy(col("query_id"), col("nid"))
-      .agg(sums.head, sums.tail: _*)
-      .withColumn("adc", (0 until m).map(s => col(s"s$s")).reduce(_ + _))
+      .withColumn("adc", (0 until m).map(s =>
+          element_at(element_at(col("dts"), lit(s)),
+            element_at(col("codes"), s + 1).cast("long")))
+        .reduce(_ + _))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("nid"))
     adc.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

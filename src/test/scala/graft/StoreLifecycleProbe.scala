@@ -124,6 +124,29 @@ object StoreLifecycleProbe {
       Similarity.ivfTopKStoreTwoLevel(spark, store, bigQueries,
         "vec_id", "embedding", k = 5, sProbe = 8, nProbe = 4).count()
     }
+    // PQ sidecar at the tier (q199/q200 mechanisms): one-shot train +
+    // full-corpus encode, frozen-codebook delta encode, and the
+    // code-scan ADC search for the same 1000-query batch the float
+    // scans above ran — the bytes-per-candidate claim in wall time
+    val pqWriteSec = t {
+      Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+        m = 4, dsub = 16, ksub = 8)
+    }
+    val pqAppendSec = t {
+      Similarity.appendPqCodes(spark, store,
+        batch.join(verdicts.filter(col("keep")).select("vec_id"), "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cluster")),
+        "vec_id", "embedding", m = 4, dsub = 16)
+    }
+    val pqSearchBigSec = t {
+      Similarity.pqTopKStore(spark, store, bigQueries,
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 4).count()
+    }
+    val pqSearchBigLadderSec = t {
+      Similarity.pqTopKStoreTwoLevel(spark, store, bigQueries,
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, sProbe = 8,
+        nProbe = 4).count()
+    }
     println(f"""{"probe":"store_lifecycle","n":$n,"k":$k,""" +
       f""""build_sec":$buildSec%.2f,"judge_batch32_sec":$judgeSec%.2f,""" +
       f""""n_kept":$nKept,"append_sec":$appendSec%.2f,""" +
@@ -134,7 +157,11 @@ object StoreLifecycleProbe {
       f""""search10_two_level_sec":$search2Sec%.2f,""" +
       f""""search_two_level_rows":$search2Rows,""" +
       f""""search1000_flat_sec":$searchBigFlatSec%.2f,""" +
-      f""""search1000_two_level_sec":$searchBigLadderSec%.2f}""")
+      f""""search1000_two_level_sec":$searchBigLadderSec%.2f,""" +
+      f""""pq_write_sec":$pqWriteSec%.2f,""" +
+      f""""pq_append_sec":$pqAppendSec%.2f,""" +
+      f""""pq_search1000_sec":$pqSearchBigSec%.2f,""" +
+      f""""pq_search1000_two_level_sec":$pqSearchBigLadderSec%.2f}""")
     spark.stop()
   }
 }
