@@ -1050,10 +1050,42 @@ object SelectionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q202: FORGET THROUGH THE PQ PATH — [[Similarity
+    * .deleteFromStandingStore]] over a store WITH a PQ sidecar must
+    * drop the ids' code rows too, or the "forgotten" vectors keep
+    * being served by [[Similarity.pqTopKStore]] (the float path alone
+    * is q188's gate). The sidecar swap runs BEFORE the data swap, so a
+    * crash between them leaves the delete incomplete (re-runnable),
+    * never dangling codes. Oracle: q199's replay with the forgotten
+    * ids excluded from candidates — both codebooks were persisted
+    * before the forget, so the trainings replay over the full corpus. */
+  def q202PqStoreForget(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val store = Fixtures.tempDir("graft-q202-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8)
+    Similarity.deleteFromStandingStore(spark, store,
+      emb().filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+    Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_pq_store" -> q199PqStore _,
     "q200_pq_append" -> q200PqAppend _,
     "q201_pq_store_two_level" -> q201PqStoreTwoLevel _,
+    "q202_pq_store_forget" -> q202PqStoreForget _,
     "q185_probe_agreement" -> q185ProbeAgreement _,
     "q186_incremental_two_level" -> q186IncrementalTwoLevel _,
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
@@ -1483,7 +1515,8 @@ object SelectionQueries {
         |ORDER BY query_id, rank""".stripMargin
 
   private def ivfPqOracle(coarseTrainCond: String,
-                          pqTrainCond: String): String =
+                          pqTrainCond: String,
+                          candCond: String = "TRUE"): String =
       s"""${kmeansTrainCtes(
                "  SELECT vec_id, embedding FROM embeddings", "8",
                coarseTrainCond)},
@@ -1503,7 +1536,7 @@ object SelectionQueries {
         |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
         |  JOIN jc ON jc.vec_id = pqcodes.nid
         |  JOIN probes p ON p.qid = q.query_id AND p.cid = jc.cluster
-        |  WHERE q.query_id <> pqcodes.nid),
+        |  WHERE q.query_id <> pqcodes.nid AND ($candCond)),
         |$pqAdcTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -1526,6 +1559,11 @@ object SelectionQueries {
     // coarse-assigned and PQ-encoded against them frozen, so the replay
     // trains restricted but encodes everything
     "q200_pq_append" -> ivfPqOracle("vec_id % 3 <> 0", "id % 3 <> 0"),
+    // forgotten ids must vanish from the CODE path, not just the float
+    // path: trainings replay over the pre-delete corpus (both codebooks
+    // were persisted before the forget), candidates exclude the ids
+    "q202_pq_store_forget" ->
+      ivfPqOracle("TRUE", "TRUE", "pqcodes.nid % 7 <> 3"),
     // the complete production semantic-dedup replay: train (k ∝ n) →
     // assign → within-cluster cosine pruning, all value-checked
     "q168_semdedup_auto" ->

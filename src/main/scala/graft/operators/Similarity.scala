@@ -1213,8 +1213,47 @@ object Similarity {
     val slice = df.filter(col("c_bucket").isin(touched: _*))
     val kept = slice.join(idSet, Seq(idCol), "left_anti")
     val before = slice.count()
+    // sidecar FIRST: a crash between the two swaps must leave the ids
+    // still present in /data (the delete is simply incomplete — re-run
+    // it), never the reverse, where dangling codes keep serving
+    // "forgotten" vectors through the PQ search path
+    dropPqCodes(spark, path, touched,
+      c => c.join(idSet.select(col(idCol).as("id")), Seq("id"), "left_anti"))
     before - StoreSwap.stagedRewrite(spark, path, "c_bucket", touched,
       kept, Seq(col("cluster")))
+  }
+
+  /** [[appendPqCodes]] with m/dsub derived from the persisted sidecar
+    * codebook — a no-op when the store has no sidecar. Used by the
+    * lifecycle mutations (refit) that must keep codes consistent
+    * without carrying the PQ geometry in their signatures. */
+  private def refreshPqCodes(spark: SparkSession, path: String,
+                             df: DataFrame, idCol: String,
+                             vecCol: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path + "/pq_codebook")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val geo = spark.read.parquet(path + "/pq_codebook")
+      .agg(max(col("sub")).as("m1"), max(size(col("cent"))).as("d")).head
+    appendPqCodes(spark, path,
+      df.select(col(idCol), col(vecCol), col("cluster")),
+      idCol, vecCol, m = geo.getInt(0) + 1, dsub = geo.getInt(1))
+  }
+
+  /** Rewrite the PQ code sidecar's `touched` buckets keeping only
+    * `keep(slice)`'s rows — a no-op when the store has no sidecar. The
+    * codes share the store's bucket derivation (cluster mod buckets),
+    * so the data rewrite's touched list applies verbatim. */
+  private def dropPqCodes(spark: SparkSession, path: String,
+                          touched: Seq[Int],
+                          keep: DataFrame => DataFrame): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path + "/pq_codes")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val slice = spark.read.parquet(path + "/pq_codes")
+      .filter(col("c_bucket").isin(touched: _*))
+    StoreSwap.stagedRewrite(spark, path, "c_bucket", touched, keep(slice),
+      Seq(col("cluster"), col("id")), "pq_codes")
   }
 
   /** DELETE whole clusters from the partitioned store. Unlike the
@@ -1232,6 +1271,9 @@ object Similarity {
     val slice = df.filter(col("c_bucket").isin(touched: _*))
     val kept = slice.filter(!col("cluster").isin(clusters.toSeq: _*))
     val before = slice.count()
+    // sidecar first — same crash-ordering rationale as the by-id delete
+    dropPqCodes(spark, path, touched,
+      c => c.filter(!col("cluster").isin(clusters.toSeq: _*)))
     before - StoreSwap.stagedRewrite(spark, path, "c_bucket", touched,
       kept, Seq(col("cluster")))
   }
@@ -1282,10 +1324,15 @@ object Similarity {
     val reassigned = members
       .withColumn("cluster",
         assignCluster(col(vecCol), refit).cast("long") + lit(nextId))
-    deleteClustersFromStore(spark, path, drifted)
+    deleteClustersFromStore(spark, path, drifted) // drops sidecar codes too
     appendToStandingStore(reassigned
       .select(col(idCol), col(vecCol), col("cluster"), col("nrm")),
       path, "cluster")
+    // re-encode the refit members against the FROZEN PQ codebook (its
+    // geometry didn't move — only coarse ids did); a crash between the
+    // append and this leaves the fresh clusters under-served by the PQ
+    // path (codes absent), never wrongly served — re-run the refresh
+    refreshPqCodes(spark, path, reassigned, idCol, vecCol)
     writeCodebookIds(spark, path,
       cb.filterNot { case (cid, _) => drifted(cid) } ++ fresh)
     val tmpPath = new org.apache.hadoop.fs.Path(memTmp)

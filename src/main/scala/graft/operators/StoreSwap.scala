@@ -65,20 +65,24 @@ object StoreSwap {
     val partCol = lines(0)
     def ints(s: String): Seq[Int] =
       if (s.isEmpty) Seq.empty else s.split(",").toSeq.map(_.toInt)
-    applySwap(spark, path, partCol, ints(lines(1)), ints(lines(2)))
+    val dataDir = if (lines.length > 3 && lines(3).nonEmpty) lines(3)
+      else "data"
+    applySwap(spark, path, partCol, ints(lines(1)), ints(lines(2)), dataDir)
     true
   }
 
-  /** Crash-atomic rewrite of the `touched` buckets of `$path/data`.
-    * `slice` must be the full replacement content for those buckets and
-    * carry `partCol`; buckets of `touched` absent from `slice` are
-    * emptied (their directories dropped at swap). Returns the staged
-    * row count (= rows the touched buckets hold after the swap),
-    * read from parquet metadata, so callers can derive deleted-row
-    * counts without evaluating `slice` twice. */
+  /** Crash-atomic rewrite of the `touched` buckets of `$path/$dataDir`
+    * (default `data`; the PQ code sidecar passes `pq_codes`). `slice`
+    * must be the full replacement content for those buckets and carry
+    * `partCol`; buckets of `touched` absent from `slice` are emptied
+    * (their directories dropped at swap). Returns the staged row count
+    * (= rows the touched buckets hold after the swap), read from
+    * parquet metadata, so callers can derive deleted-row counts without
+    * evaluating `slice` twice. */
   def stagedRewrite(spark: SparkSession, path: String, partCol: String,
                     touched: Seq[Int], slice: DataFrame,
-                    sortCols: Seq[Column]): Long = {
+                    sortCols: Seq[Column],
+                    dataDir: String = "data"): Long = {
     recover(spark, path) // finish any interrupted predecessor first
     val stg = staging(path)
     val fs = fsOf(spark, stg)
@@ -101,13 +105,13 @@ object StoreSwap {
     val tmp = new Path(path + "/_pending_swap.tmp")
     val out = fs.create(tmp, true)
     try out.write(
-      s"$partCol\n${surviving.mkString(",")}\n${emptied.mkString(",")}"
+      s"$partCol\n${surviving.mkString(",")}\n${emptied.mkString(",")}\n$dataDir"
         .getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(manifest(path))) fs.delete(manifest(path), false)
     if (!fs.rename(tmp, manifest(path)))
       sys.error(s"could not commit swap manifest under $path")
-    applySwap(spark, path, partCol, surviving, emptied)
+    applySwap(spark, path, partCol, surviving, emptied, dataDir)
     kept
   }
 
@@ -116,19 +120,20 @@ object StoreSwap {
     * manifest and staging remnants. Idempotent — re-runnable after a
     * crash at any point. */
   private def applySwap(spark: SparkSession, path: String, partCol: String,
-                        surviving: Seq[Int], emptied: Seq[Int]): Unit = {
+                        surviving: Seq[Int], emptied: Seq[Int],
+                        dataDir: String): Unit = {
     val stg = staging(path)
     val fs = fsOf(spark, stg)
     surviving.foreach { b =>
       val src = new Path(s"$path/.staging/$partCol=$b")
-      val dst = new Path(s"$path/data/$partCol=$b")
+      val dst = new Path(s"$path/$dataDir/$partCol=$b")
       if (fs.exists(src)) { // absent = this bucket already swapped
         if (fs.exists(dst)) fs.delete(dst, true)
         if (!fs.rename(src, dst)) sys.error(s"bucket swap failed: $dst")
       }
     }
     emptied.foreach { b =>
-      val dst = new Path(s"$path/data/$partCol=$b")
+      val dst = new Path(s"$path/$dataDir/$partCol=$b")
       if (fs.exists(dst)) fs.delete(dst, true)
     }
     fs.delete(manifest(path), false)

@@ -254,6 +254,43 @@ class StandingStoreSpec extends SparkSpec {
     assert((0 until 40 by 4).forall(i => !keep(i + 1000L)))
   }
 
+  test("delete with a PQ sidecar drops the ids' code rows; untouched code buckets keep listings") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4)
+    def codeList(): Map[String, Seq[String]] = {
+      val root = java.nio.file.Paths.get(path, "pq_codes").toFile
+      root.listFiles().filter(_.getName.startsWith("c_bucket=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName).toSeq.sorted
+      }.toMap
+    }
+    val before = codeList()
+    // delete the even-id blob: its cluster's bucket is rewritten in the
+    // sidecar too; the odd blob's code bucket must keep its exact files
+    val n = Similarity.deleteFromStandingStore(spark, path,
+      corpus().filter(col("vec_id") % 2 === 0).select("vec_id"), "vec_id")
+    assert(n == 20)
+    val codes = spark.read.parquet(path + "/pq_codes")
+    assert(codes.filter(col("id") % 2 === 0).count() == 0,
+      "forgotten ids still have PQ codes")
+    assert(codes.count() == 20)
+    val after = codeList()
+    val survivorBuckets = codes.select("c_bucket").distinct()
+      .collect().map(r => s"c_bucket=${r.getInt(0)}").toSet
+    survivorBuckets.foreach(b => assert(after(b) == before(b),
+      s"untouched code bucket $b was rewritten"))
+    // and the PQ search serves only survivors
+    val served = Similarity.pqTopKStore(spark, path,
+        corpus().filter(col("vec_id") === 1L), "vec_id", "embedding",
+        m = 2, dsub = 2, k = 10, nProbe = 2)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(served.nonEmpty && served.forall(_ % 2 == 1))
+  }
+
   test("a swap committed but not applied (post-manifest crash) rolls forward on read") {
     import graft.operators.StoreSwap
     val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
