@@ -1081,11 +1081,54 @@ object SelectionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q203: RECALL AUDIT of the production PQ search — recall@5 of
+    * [[Similarity.pqTopKStoreTwoLevel]] (laddered probes + code-only
+    * scan) against the exact float ranking, per query. q135 makes the
+    * int8 trade visible and q185 the ladder's probe trade; this stacks
+    * ALL the approximations the 100 TB serving path takes (coarse
+    * probing, ladder pruning, PQ distance distortion) and reports what
+    * they cost in ranking fidelity — the number a user needs before
+    * trusting the fast path. Both rankings replay in the oracle. */
+  def q203PqRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val (supers, children) = Similarity.superQuantize(cents)
+    val store = Fixtures.tempDir("graft-q203-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignClusterTwoLevel(col("embedding"), supers,
+            children).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8)
+    val queries = emb().filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb(),
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = Similarity.pqTopKStoreTwoLevel(spark, store, queries,
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, sProbe = 2,
+        nProbe = 2)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+    exact.join(pq,
+        exact("query_id") === pq("qid") && exact("neighbor_id") === pq("nid"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("nid")).cast("long").as("n_common"))
+      .withColumn("recall_pct", col("n_common") * 20)
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_pq_store" -> q199PqStore _,
     "q200_pq_append" -> q200PqAppend _,
     "q201_pq_store_two_level" -> q201PqStoreTwoLevel _,
     "q202_pq_store_forget" -> q202PqStoreForget _,
+    "q203_pq_recall_audit" -> q203PqRecallAudit _,
     "q185_probe_agreement" -> q185ProbeAgreement _,
     "q186_incremental_two_level" -> q186IncrementalTwoLevel _,
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
@@ -1564,6 +1607,51 @@ object SelectionQueries {
     // were persisted before the forget), candidates exclude the ids
     "q202_pq_store_forget" ->
       ivfPqOracle("TRUE", "TRUE", "pqcodes.nid % 7 <> 3"),
+    // both rankings replayed: the laddered PQ top-5 (q201's CTEs, kept
+    // as a relation) and the exact float cosine top-5 (q135's exs/ex),
+    // then the per-query intersection count
+    "q203_pq_recall_audit" ->
+      s"""$twoLevelFrontCtes,
+        |${pqReplayCtes("TRUE")},
+        |j AS (
+        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
+        |  FROM pqcodes
+        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
+        |  JOIN fasg f ON f.vec_id = pqcodes.nid
+        |  JOIN probes p ON p.qid = q.query_id AND p.ccid = f.cluster
+        |  WHERE q.query_id <> pqcodes.nid),
+        |adc AS (
+        |  SELECT query_id, nid,
+        |    ((sum(CASE WHEN sub = 0 THEN d2 ELSE 0.0 END)
+        |      + sum(CASE WHEN sub = 1 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 2 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 3 THEN d2 ELSE 0.0 END) AS adc
+        |  FROM j GROUP BY query_id, nid),
+        |pqtop AS (
+        |  SELECT query_id, nid FROM (
+        |    SELECT query_id, nid,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY adc, nid) AS rank
+        |    FROM adc) t WHERE rank <= 5),
+        |exs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS cv,
+        |    q.qv, $cosineSql AS cos
+        |  FROM corpus e
+        |  CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+        |              FROM corpus WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.query_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM exs) t WHERE rank <= 5)
+        |SELECT ex.query_id, CAST(count(pq.nid) AS BIGINT) AS n_common,
+        |  CAST(count(pq.nid) * 20 AS BIGINT) AS recall_pct
+        |FROM ex LEFT JOIN pqtop pq
+        |  ON pq.query_id = ex.query_id AND pq.nid = ex.neighbor_id
+        |GROUP BY ex.query_id
+        |ORDER BY ex.query_id""".stripMargin,
     // the complete production semantic-dedup replay: train (k ∝ n) →
     // assign → within-cluster cosine pruning, all value-checked
     "q168_semdedup_auto" ->

@@ -910,6 +910,44 @@ object PlanAudit {
         "no PartitionFilters on event_type")
     }
 
+    // IVF-PQ store search (q199/q201): the code scan must prune by the
+    // probed buckets (partition dirs) AND push the cluster restriction
+    // into row-group stats; the per-query side must broadcast — the
+    // corpus side is the only shuffled relation at 100 TB
+    audit("pq-store-search") {
+      import graft.operators.Similarity
+      import org.apache.spark.sql.functions.col
+      val emb = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        8, iters = 1)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pqa-")
+        .resolve("s").toString
+      Similarity.writeStandingStore(
+        emb.withColumn("cluster",
+            Similarity.assignCluster(col("embedding"), cents).cast("long"))
+          .withColumn("nrm", Similarity.norm(col("embedding"))),
+        tmp, "cluster", buckets = 8)
+      Similarity.writeCodebook(spark, tmp, cents)
+      Similarity.writePqSidecar(spark, tmp, "vec_id", "embedding",
+        m = 4, dsub = 16, ksub = 8)
+      val search = Similarity.pqTopKStore(spark, tmp,
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+        m = 4, dsub = 16, k = 5, nProbe = 2)
+      val ps = search.queryExecution.executedPlan.toString
+      check("pq code scan prunes by c_bucket partition filter",
+        ps.contains("PartitionFilters: [") && ps.contains("c_bucket"),
+        s"no c_bucket PartitionFilters:\n${ps.take(1500)}")
+      check("pq code scan pushes the cluster restriction",
+        ps.contains("In(cluster") || ps.contains("EqualTo(cluster"),
+        "cluster not pushed into the code scan")
+      check("pq query side broadcasts (probe pairs + distance tables)",
+        ps.contains("BroadcastHashJoin") || ps.contains("BroadcastNestedLoop"),
+        "no broadcast join in the pq search")
+      check("pq search has no cartesian product",
+        !ps.contains("CartesianProduct"), "cartesian in pq search")
+    }
+
     failures
   }
 }
