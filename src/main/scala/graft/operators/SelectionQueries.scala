@@ -1602,6 +1602,10 @@ object SelectionQueries {
     // coarse-assigned and PQ-encoded against them frozen, so the replay
     // trains restricted but encodes everything
     "q200_pq_append" -> ivfPqOracle("vec_id % 3 <> 0", "id % 3 <> 0"),
+    // the streaming ingest (gate in StreamingQueries) must land the
+    // store in exactly q200's state: batching, per-batch sidecar
+    // appends, and compaction are all content-invariant
+    "q204_stream_pq_ingest" -> ivfPqOracle("vec_id % 3 <> 0", "id % 3 <> 0"),
     // forgotten ids must vanish from the CODE path, not just the float
     // path: trainings replay over the pre-delete corpus (both codebooks
     // were persisted before the forget), candidates exclude the ids

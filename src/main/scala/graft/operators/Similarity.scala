@@ -1185,6 +1185,33 @@ object Similarity {
     frag
   }
 
+  /** Compact the PQ code sidecar's append-fragmented buckets — the
+    * codes fragment exactly like the data files (one more file per
+    * touched bucket per [[appendPqCodes]] batch) and their per-file
+    * open cost eats the probe-pruning win the same way. Same detection
+    * and staged-swap discipline as [[compactStandingStore]]; a no-op
+    * (empty) when the store has no sidecar. */
+  def compactPqCodes(spark: SparkSession, path: String,
+                     maxFilesPerBucket: Int = 4): Seq[Int] = {
+    require(maxFilesPerBucket >= 1, "need maxFilesPerBucket >= 1")
+    StoreSwap.recover(spark, path)
+    val dataPath = new org.apache.hadoop.fs.Path(path + "/pq_codes")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataPath)) return Seq.empty
+    val frag = fs.listStatus(dataPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_bucket="))
+      .filter(s => fs.listStatus(s.getPath)
+        .count(_.getPath.getName.startsWith("part-")) > maxFilesPerBucket)
+      .map(_.getPath.getName.stripPrefix("c_bucket=").toInt)
+      .toSeq.sorted
+    if (frag.isEmpty) return Seq.empty
+    val slice = spark.read.parquet(path + "/pq_codes")
+      .filter(col("c_bucket").isin(frag: _*))
+    StoreSwap.stagedRewrite(spark, path, "c_bucket", frag, slice,
+      Seq(col("cluster"), col("id")), "pq_codes")
+    frag
+  }
+
   /** DELETE-BY-ID from the partitioned standing store — the
     * right-to-be-forgotten lifecycle a standing corpus must support
     * without a full rewrite. Two passes: (1) a column-pruned semi-join

@@ -626,6 +626,83 @@ object StreamingQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q204: STREAMING PQ INGEST — the q200 daily flow run as an actual
+    * stream: the standing two-thirds train both codebooks; the delta
+    * third arrives as TWO micro-batches, each coarse-assigned against
+    * the RELOADED codebook, appended to the store AND PQ-encoded into
+    * the sidecar (frozen codebook) inside foreachBatch; after the
+    * stream, [[Similarity.compactPqCodes]] coalesces the
+    * append-fragmented code buckets. The final PQ search must equal
+    * q200's oracle exactly — batching, per-batch sidecar appends, and
+    * compaction are all content-invariant, which is precisely the
+    * claim worth gating (a lost batch, a double-encode, or a
+    * compaction that drops rows all break the hash). */
+  def q204StreamPqIngest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val standing = emb.filter(col("vec_id") % 3 =!= 0)
+    val cents = Similarity.trainCentroids(standing, "vec_id",
+      "embedding", 8, iters = 2)
+    val tmp = Fixtures.tempDir("graft-q204-")
+    val in = tmp.resolve("in")
+    Files.createDirectories(in)
+    val store = tmp.resolve("standing").toString
+    Similarity.writeStandingStore(
+      standing
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8)
+    def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val stage = tmp.resolve(s"stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally listing.close()
+      val dest = in.resolve(s"$name.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    }
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val t0 = 1600000000000L
+    stageChunk(delta.filter(col("vec_id") % 2 === 0), "d1", t0)
+    stageChunk(delta.filter(col("vec_id") % 2 =!= 0), "d2", t0 + 2000L)
+    val reloaded = Similarity.readCodebook(spark, store)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch
+          .withColumn("cluster",
+            Similarity.assignCluster(col("embedding"), reloaded)
+              .cast("long"))
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+          .cache()
+        try {
+          Similarity.appendToStandingStore(
+            d.select(col("vec_id"), col("embedding"), col("cluster"),
+              col("nrm")), store, "cluster")
+          Similarity.appendPqCodes(batch.sparkSession, store,
+            d.select(col("vec_id"), col("embedding"), col("cluster")),
+            "vec_id", "embedding", m = 4, dsub = 16)
+        } finally d.unpersist()
+      }
+      .option("checkpointLocation", tmp.resolve("cp").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Similarity.compactPqCodes(spark, store, maxFilesPerBucket = 1)
+    Similarity.pqTopKStore(spark, store, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q174: STREAMING event-time session windows
     * ([[StreamingLoad.sessionCounts]], native `session_window`, 30-min
     * gap, 2-h watermark) under the driver's value gate — the q44
@@ -782,6 +859,7 @@ object StreamingQueries {
     "q182_stream_outer_join" -> q182StreamOuterJoin _,
     "q184_stream_ingest_dedup" -> q184StreamIngestDedup _,
     "q189_stream_ingest_store" -> q189StreamIngestStore _,
+    "q204_stream_pq_ingest" -> q204StreamPqIngest _,
     "q114_stream_upsert" -> q114StreamUpsert _,
     "q127_stream_dedup"  -> q127StreamDedup _,
     "q141_stream_budget" -> q141StreamBudget _,
