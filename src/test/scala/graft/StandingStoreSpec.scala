@@ -291,6 +291,39 @@ class StandingStoreSpec extends SparkSpec {
     assert(served.nonEmpty && served.forall(_ % 2 == 1))
   }
 
+  test("drift refit with a PQ sidecar keeps codes 1:1 with store rows under fresh cluster ids") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.writeCodebookIds(spark, path,
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4)
+    val drifted = spark.read.parquet(path + "/data")
+      .select("cluster").distinct().orderBy("cluster")
+      .limit(1).collect().map(_.getLong(0)).toSet
+    val fresh = Similarity.refitStoreDriftedClusters(spark, path,
+      "vec_id", "embedding", drifted, targetClusterSize = 10, iters = 1)
+    assert(fresh.nonEmpty)
+    val data = spark.read.parquet(path + "/data")
+      .select(col("vec_id").as("id"), col("cluster").as("dc"))
+    val codes = spark.read.parquet(path + "/pq_codes")
+      .select(col("id"), col("cluster").as("cc"))
+    // exactly one code row per store row, and its cluster matches the
+    // (possibly fresh) store assignment — no stale drifted-id codes
+    assert(codes.count() == data.count())
+    assert(data.join(codes, "id").filter(col("dc") =!= col("cc")).count() == 0)
+    assert(codes.filter(col("cc").isin(drifted.toSeq: _*)).count() == 0)
+    // the PQ search still serves the refit members
+    val served = Similarity.pqTopKStore(spark, path,
+        corpus().filter(col("vec_id") === 0L), "vec_id", "embedding",
+        m = 2, dsub = 2, k = 39, nProbe = 2)
+      .count()
+    assert(served > 0)
+  }
+
   test("a swap committed but not applied (post-manifest crash) rolls forward on read") {
     import graft.operators.StoreSwap
     val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
