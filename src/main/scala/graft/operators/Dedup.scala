@@ -659,6 +659,183 @@ object Dedup {
       kept, Seq(col(idCol), col("k")))
   }
 
+  /** Replayable per-band signatures over a k-sorted signature array:
+    * band b's value is a polynomial fold (seed b, multiplier 1000003,
+    * mod p) over its rowsPerBand signature values in k order — the same
+    * collision-grouping role as a murmur band hash, but exactly
+    * re-expressible in SQL (`list_reduce`), so the BANDING itself can
+    * be oracle-replayed: a gate over the band index asserts the exact
+    * candidate set, with no recall assumption hiding behind a
+    * non-replayable hash. Fold values stay < 2^51 (acc < 2^31,
+    * multiplier < 2^20) — no wrap on either engine. */
+  private def bandSigArray(sig: Column, bands: Int,
+                           rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      aggregate(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+        lit(b.toLong),
+        (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L)))
+    }: _*)
+
+  /** (id, band, bsig, bb_bucket) band rows for a signature relation
+    * (idCol, k, mh). */
+  private def bandRows(sigs: DataFrame, idCol: String, bands: Int,
+                       rowsPerBand: Int, buckets: Int): DataFrame =
+    sigs.groupBy(col(idCol).as("id"))
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+        e => e.getField("mh")).as("sig"))
+      .select(col("id"),
+        posexplode(bandSigArray(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bsig")))
+      .withColumn("bb_bucket",
+        pmod(col("bsig"), lit(buckets.toLong)).cast("int"))
+
+  /** BAND INDEX over the signature store — the lookup-side projection
+    * the doc-bucketed layout cannot provide: [[writeSignatureStore]]
+    * co-locates a DOC's rows (merge and forget are doc-footprint
+    * bounded), but an incremental near-dup judgment needs the standing
+    * corpus keyed by BAND COLLISION, or every delta batch rescans all
+    * signatures. This derives (id, band, bsig) rows from the store and
+    * partitions them by `bb_bucket = bsig mod buckets`: a delta's band
+    * values prune the index read to min(|delta bands|, buckets)
+    * directories — the text twin of the embedding store's probe-pruned
+    * search. Bands/rowsPerBand ride in a `bands_meta` sidecar. */
+  def writeBandIndex(spark: SparkSession, path: String, idCol: String,
+                     bands: Int = 8): Unit = {
+    val (sigs, buckets) = readSignatureStore(spark, path)
+    val numHashes = sigs.agg(max(col("k"))).head.getLong(0).toInt + 1
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val r = numHashes / bands
+    bandRows(sigs.select(col(idCol), col("k"), col("mh")),
+        idCol, bands, r, buckets)
+      .repartition(col("bb_bucket"))
+      .sortWithinPartitions(col("band"), col("bsig"), col("id"))
+      .write.mode("overwrite").partitionBy("bb_bucket")
+      .parquet(path + "/bands")
+    spark.range(1).select(lit(bands).as("bands"),
+        lit(r).as("rows_per_band"))
+      .write.mode("overwrite").parquet(path + "/bands_meta")
+  }
+
+  private def bandsMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val m = spark.read.parquet(path + "/bands_meta").head
+    (m.getInt(0), m.getInt(1))
+  }
+
+  /** Current doc-pruned band rows for `docIds` — reads the docs'
+    * POST-merge signatures through the store's doc-bucket pruning. */
+  private def bandRowsForDocs(spark: SparkSession, path: String,
+                              docIds: DataFrame,
+                              idCol: String): DataFrame = {
+    val (sigs, buckets) = readSignatureStore(spark, path)
+    val (bands, r) = bandsMeta(spark, path)
+    val ids = docIds.select(col(idCol)).distinct()
+    val db = ids
+      .select(pmod(col(idCol), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val docSigs = sigs.filter(col("d_bucket").isin(db: _*))
+      .join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), col("k"), col("mh"))
+    bandRows(docSigs, idCol, bands, r, buckets)
+  }
+
+  /** Absorb docs into the band index AFTER their
+    * [[mergeIntoSignatureStore]]: their current (post-MIN-merge) band
+    * rows are union-distinct-merged into the touched `bb_bucket`s via
+    * the crash-atomic staged swap. Re-ingesting identical text is
+    * idempotent (identical rows collapse in the distinct). A re-ingest
+    * that CHANGED a doc's signature leaves its old band rows stale in
+    * underivable buckets — stale rows cost false candidates that the
+    * judge's exact verification discards, never wrong results; a
+    * [[writeBandIndex]] rebuild clears them. Returns touched buckets. */
+  def mergeIntoBandIndex(spark: SparkSession, path: String,
+                         docIds: DataFrame, idCol: String): Seq[Int] = {
+    val rows = bandRowsForDocs(spark, path, docIds, idCol)
+    val touched = rows.select(col("bb_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Seq.empty
+    val slice = spark.read.parquet(path + "/bands")
+      .filter(col("bb_bucket").isin(touched: _*))
+    val merged = slice.select(col("id"), col("band"), col("bsig"),
+        col("bb_bucket"))
+      .unionByName(rows).distinct()
+    StoreSwap.stagedRewrite(spark, path, "bb_bucket", touched, merged,
+      Seq(col("band"), col("bsig"), col("id")), "bands")
+    touched
+  }
+
+  /** Drop docs from the band index. MUST run BEFORE
+    * [[forgetDocsFromSignatureStore]] — the touched buckets derive from
+    * the docs' CURRENT signatures, which the signature forget destroys.
+    * Same staleness caveat as [[mergeIntoBandIndex]] for docs whose
+    * signature changed since their last index merge. Returns rows
+    * removed. */
+  def forgetFromBandIndex(spark: SparkSession, path: String,
+                          docIds: DataFrame, idCol: String): Long = {
+    val rows = bandRowsForDocs(spark, path, docIds, idCol)
+    val touched = rows.select(col("bb_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return 0L
+    val ids = docIds.select(col(idCol).as("id")).distinct()
+    val slice = spark.read.parquet(path + "/bands")
+      .filter(col("bb_bucket").isin(touched: _*))
+    val kept = slice.join(ids, Seq("id"), "left_anti")
+    val before = slice.count()
+    before - StoreSwap.stagedRewrite(spark, path, "bb_bucket", touched,
+      kept, Seq(col("band"), col("bsig"), col("id")), "bands")
+  }
+
+  /** Judge a delta batch against the standing corpus THROUGH the band
+    * index — the text twin of the embedding store's
+    * `semDedupIncrementalStore`: the delta's signatures are computed
+    * fresh (same portable arithmetic the store was built with), its
+    * band values prune the index read to their `bb_bucket`s, candidates
+    * are the (standing, delta) pairs colliding in ≥1 band, and only
+    * candidates pay exact verification — distinct-shingle-hash Jaccard
+    * against the standing docs' text, engine-exact at the [[polyHash]]
+    * level so the oracle replays signatures, banding, candidates, AND
+    * the verdicts. Per batch the standing side costs a pruned index
+    * read plus the candidate docs' shingles — never a corpus rescan.
+    * Returns (id_a = standing, id_b = delta, jaccard ≥ threshold). */
+  def lshJudgeStore(spark: SparkSession, path: String,
+                    standingDocs: DataFrame, delta: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3,
+                    numHashes: Int = 16, seed: Long = 7L,
+                    threshold: Double = 0.5): DataFrame = {
+    val (bands, r) = bandsMeta(spark, path)
+    require(bands * r == numHashes, "band geometry must match the store")
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    val dSigs = minhashSignatures(delta, idCol, textCol, n, numHashes, seed)
+    val dRows = bandRows(dSigs, idCol, bands, r, buckets)
+      .select(col("id").as("d_id"), col("band"), col("bsig"),
+        col("bb_bucket"))
+      .localCheckpoint(true) // bounded: |delta|·bands rows
+    val touched = dRows.select(col("bb_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(path + "/bands")
+      .filter(col("bb_bucket").isin(touched: _*))
+    val cand = idx.join(broadcast(dRows), Seq("band", "bsig"))
+      .filter(col("id") =!= col("d_id"))
+      .select(col("id").as("s_id"), col("d_id")).distinct()
+    // exact verification at the polyHash level (oracle-exact even under
+    // 31-bit hash collisions — both engines count the same x values)
+    val dSh = docShingles(delta, idCol, textCol, n)
+      .select(col("id").as("d_id"), polyHash(col("sh")).as("x")).distinct()
+    val sSh = docShingles(standingDocs, idCol, textCol, n)
+      .select(col("id").as("s_id"), polyHash(col("sh")).as("x")).distinct()
+      .join(cand.select(col("s_id")).distinct(), Seq("s_id"), "left_semi")
+    val sizesD = dSh.groupBy(col("d_id")).agg(count(lit(1)).as("n_d"))
+    val sizesS = sSh.groupBy(col("s_id")).agg(count(lit(1)).as("n_s"))
+    cand.join(sSh, "s_id").join(dSh, Seq("d_id", "x"))
+      .groupBy(col("s_id"), col("d_id")).agg(count(lit(1)).as("common"))
+      .join(sizesS, "s_id").join(sizesD, "d_id")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_s") + col("n_d") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("s_id").as("id_a"), col("d_id").as("id_b"),
+        col("jaccard"))
+  }
+
   /** Incremental-ingest novelty scoring: measure each newly arrived
     * document of `batch` against the already-ingested `corpus` — the
     * continuous-refresh twin of the whole-corpus dedup family. The

@@ -459,6 +459,86 @@ object ScaleQueries {
       .orderBy(col("doc_id"), col("k"))
   }
 
+  /** The q205-q207 delta batch: near-dup copies (first token dropped,
+    * ids shifted by `shift`) of the docs with `doc_id % mod = 0`. */
+  private def nearDupDelta(docs: DataFrame, mod: Int, shift: Long,
+                           dropTokens: Int): DataFrame = {
+    val pat = "^" + ("\\S+\\s+" * dropTokens)
+    docs.filter(col("doc_id") % mod === 0)
+      .select((col("doc_id") + shift).as("doc_id"),
+        regexp_replace(col("text"), pat, "").as("text"))
+  }
+
+  /** q205: INCREMENTAL LSH JUDGMENT through the band index
+    * ([[Dedup.writeBandIndex]] + [[Dedup.lshJudgeStore]]) — the
+    * signature store co-locates by DOC (merge/forget-bounded); near-dup
+    * lookup needs the corpus keyed by BAND COLLISION or every batch
+    * rescans all signatures. The index is that projection, bucketed by
+    * band value so the delta's bands prune the read. Banding uses a
+    * polynomial fold (not murmur) precisely so this oracle can replay
+    * signatures → bands → the exact candidate set → Jaccard verdicts:
+    * no recall assumption hides behind a non-replayable hash. */
+  def q205LshJudgeStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.select(col("doc_id"), col("text"))
+    val delta = nearDupDelta(standing, 3, 100000L, 1)
+    val store = Fixtures.tempDir("graft-q205-").resolve("sigs").toString
+    Dedup.writeSignatureStore(
+      Dedup.minhashSignatures(standing, "doc_id", "text"),
+      store, "doc_id", buckets = 16)
+    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    Dedup.lshJudgeStore(spark, store, standing, delta, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q206: the band index ABSORBS a load and judges the next one — the
+    * daily flow: delta1 merges into signature store then band index
+    * ([[Dedup.mergeIntoBandIndex]], bucket-local distinct-merge through
+    * the staged swap); delta2 is then judged against standing ∪ delta1.
+    * A lost band row (delta2 misses a delta1 partner) or a duplicated
+    * one (verification still dedupes, but the candidate set is gated
+    * exactly) breaks the hash. */
+  def q206BandIndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.select(col("doc_id"), col("text"))
+    val delta1 = nearDupDelta(standing, 3, 100000L, 1)
+    val delta2 = nearDupDelta(standing, 5, 200000L, 2)
+    val store = Fixtures.tempDir("graft-q206-").resolve("sigs").toString
+    Dedup.writeSignatureStore(
+      Dedup.minhashSignatures(standing, "doc_id", "text"),
+      store, "doc_id", buckets = 16)
+    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    Dedup.mergeIntoSignatureStore(spark, store,
+      Dedup.minhashSignatures(delta1, "doc_id", "text"), "doc_id")
+    Dedup.mergeIntoBandIndex(spark, store,
+      delta1.select(col("doc_id")), "doc_id")
+    Dedup.lshJudgeStore(spark, store, standing.unionByName(delta1),
+        delta2, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q207: FORGET from the band index ([[Dedup.forgetFromBandIndex]],
+    * run BEFORE the signature forget — its buckets derive from the
+    * docs' current signatures) — forgotten docs must stop appearing as
+    * near-dup partners in subsequent judgments, the same
+    * right-to-be-forgotten contract q202 gates for the PQ path. */
+  def q207BandIndexForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.select(col("doc_id"), col("text"))
+    val delta = nearDupDelta(standing, 3, 100000L, 1)
+    val store = Fixtures.tempDir("graft-q207-").resolve("sigs").toString
+    Dedup.writeSignatureStore(
+      Dedup.minhashSignatures(standing, "doc_id", "text"),
+      store, "doc_id", buckets = 16)
+    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    val doomed = standing.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"))
+    Dedup.forgetFromBandIndex(spark, store, doomed, "doc_id")
+    Dedup.forgetDocsFromSignatureStore(spark, store, doomed, "doc_id")
+    Dedup.lshJudgeStore(spark, store, standing, delta, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q110: native `session_window` semantics — Spark's merging-window
     * session aggregation (the STREAMING operator, run in batch) gated
     * against an independent SQL lag+cumsum sessionization: the two
@@ -523,6 +603,9 @@ object ScaleQueries {
     "q196_sig_store_merge" -> q196SigStoreMerge _,
     "q197_sig_store_forget" -> q197SigStoreForget _,
     "q198_sig_store_recover" -> q198SigStoreRecover _,
+    "q205_lsh_judge_store" -> q205LshJudgeStore _,
+    "q206_band_index_merge" -> q206BandIndexMerge _,
+    "q207_band_index_forget" -> q207BandIndexForget _,
     "q110_session_window" -> q110SessionWindow _,
     "q111_chunk_conserve" -> q111ChunkConserve _,
   )
@@ -738,6 +821,24 @@ object ScaleQueries {
     // hold only the staged (id % 11 = 5) docs' rows; bucket 9 is empty
     "q198_sig_store_recover" -> minhashSigsSqlCond(
       "(id % 16) NOT IN (2, 5, 9) OR ((id % 16) IN (2, 5) AND id % 11 = 5)"),
+    "q205_lsh_judge_store" -> lshJudgeSql(
+      "SELECT doc_id AS id, text FROM documents",
+      "SELECT doc_id + 100000 AS id, regexp_replace(text, '^\\S+\\s+', '') AS text" +
+        " FROM documents WHERE doc_id % 3 = 0",
+      "s.id < 100000 AND d.id >= 100000"),
+    "q206_band_index_merge" -> lshJudgeSql(
+      "SELECT doc_id AS id, text FROM documents" +
+        " UNION ALL SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '')" +
+        " FROM documents WHERE doc_id % 3 = 0",
+      "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
+        " FROM documents WHERE doc_id % 5 = 0",
+      "s.id < 200000 AND d.id >= 200000"),
+    // forgotten standing docs can no longer be partners
+    "q207_band_index_forget" -> lshJudgeSql(
+      "SELECT doc_id AS id, text FROM documents",
+      "SELECT doc_id + 100000 AS id, regexp_replace(text, '^\\S+\\s+', '') AS text" +
+        " FROM documents WHERE doc_id % 3 = 0",
+      "s.id < 100000 AND d.id >= 100000 AND s.id % 7 <> 3"),
     "q110_session_window" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
@@ -761,11 +862,15 @@ object ScaleQueries {
     * `cond` restricts the emitted docs (q197's forget). */
   private def minhashSigsSql: String = minhashSigsSqlCond("TRUE")
 
-  private def minhashSigsSqlCond(cond: String): String =
-      s"""WITH norm AS (
-        |  SELECT doc_id AS id,
+  /** The portable minhash replay as CTEs norm/sh/hx/sigs over an
+    * arbitrary (id, text) corpus — shared by the signature-store gates
+    * (whole-table corpus) and the band-index gates (standing ∪ delta
+    * corpora with disjoint id ranges). */
+  private def minhashSigCtes(corpusSql: String): String =
+      s"""norm AS (
+        |  SELECT id,
         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents),
+        |  FROM ($corpusSql)),
         |sh AS (
         |  SELECT DISTINCT id, sh FROM (
         |    SELECT id, unnest(list_transform(
@@ -777,13 +882,54 @@ object ScaleQueries {
         |      list_transform(generate_series(1, length(sh)),
         |                     i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))),
         |      (acc, c) -> (acc * 31 + c) % 2147483647) AS x
-        |  FROM sh)
-        |SELECT id AS doc_id, CAST(k AS BIGINT) AS k,
-        |  CAST(min((x * a + b) % 2147483647) AS BIGINT) AS mh
-        |FROM hx, (VALUES $minhashCoefRows) AS coef(k, a, b)
+        |  FROM sh),
+        |sigs AS (
+        |  SELECT id, CAST(k AS BIGINT) AS k,
+        |    CAST(min((x * a + b) % 2147483647) AS BIGINT) AS mh
+        |  FROM hx, (VALUES $minhashCoefRows) AS coef(k, a, b)
+        |  GROUP BY id, k)""".stripMargin
+
+  private def minhashSigsSqlCond(cond: String): String =
+      s"""WITH ${minhashSigCtes("SELECT doc_id AS id, text FROM documents")}
+        |SELECT id AS doc_id, k, mh
+        |FROM sigs
         |WHERE $cond
-        |GROUP BY id, k
         |ORDER BY doc_id, k""".stripMargin
+
+  /** Band-index judge replay: signatures (3-gram polyHash minhash) over
+    * standing ∪ delta, the polynomial band fold, the exact candidate
+    * set (standing × delta colliding in ≥1 band, both sides of
+    * `pairCond`), and distinct-shingle-hash Jaccard verdicts — every
+    * stage bit-replayable, including the banding itself. */
+  private def lshJudgeSql(standingSql: String, deltaSql: String,
+                          pairCond: String): String =
+      s"""WITH ${minhashSigCtes(s"$standingSql UNION ALL $deltaSql")},
+        |bs AS (
+        |  SELECT id, k // 2 AS band,
+        |    list_reduce(list_prepend(CAST(k // 2 AS BIGINT),
+        |        list(mh ORDER BY k)),
+        |      (acc, v) -> (acc * 1000003 + v) % 2147483647) AS bsig
+        |  FROM sigs GROUP BY id, k // 2),
+        |cand AS (
+        |  SELECT DISTINCT s.id AS id_a, d.id AS id_b
+        |  FROM bs s JOIN bs d ON s.band = d.band AND s.bsig = d.bsig
+        |  WHERE $pairCond),
+        |xs AS (SELECT DISTINCT id, x FROM hx),
+        |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n
+        |          FROM xs GROUP BY id),
+        |common AS (
+        |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM cand c
+        |  JOIN xs a ON a.id = c.id_a
+        |  JOIN xs b ON b.id = c.id_b AND b.x = a.x
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b,
+        |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
 
   private val oraclesB: Map[String, String] = Map(
     "q89_bool_retrieval" ->
