@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Band-index lifecycle wall-times at the 100× tier
+  * (`Test/runMain graft.BandIndexProbe`): the q205-q207 mechanisms
+  * against the ScaleGen sf10 documents corpus (500k docs, 16-hash
+  * signatures, 8 bands, 64 buckets) — signature-store build, index
+  * build, a 500-doc near-dup delta judged through the index, the
+  * delta's merge into store + index, and a 1%-of-docs forget through
+  * both. The claim under measurement: judgment and mutation cost track
+  * the DELTA's footprint (its band buckets, its doc buckets, its
+  * candidates), never the standing corpus — the only corpus-scale
+  * passes are the two builds.
+  */
+object BandIndexProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+
+    val dir = "/tmp/graft_sf10"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "documents.parquet"))) {
+      println(s"""{"probe":"band_index","skipped":"no $dir"}""")
+      spark.stop(); return
+    }
+    def t(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).cache()
+    val n = docs.count()
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-bip-").resolve("sigs").toString
+
+    val sigBuildSec = t {
+      Dedup.writeSignatureStore(
+        Dedup.minhashSignatures(docs, "doc_id", "text"),
+        store, "doc_id", buckets = 64)
+    }
+    val idxBuildSec = t {
+      Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    }
+    // 500-doc near-dup delta: first token dropped, ids shifted
+    val delta = docs.filter(col("doc_id") % 1000 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      .cache()
+    val nDelta = delta.count()
+    var nPairs = 0L
+    val judgeSec = t {
+      nPairs = Dedup.lshJudgeStore(spark, store, docs, delta,
+        "doc_id", "text").count()
+    }
+    val sigMergeSec = t {
+      Dedup.mergeIntoSignatureStore(spark, store,
+        Dedup.minhashSignatures(delta, "doc_id", "text"), "doc_id")
+    }
+    val idxMergeSec = t {
+      Dedup.mergeIntoBandIndex(spark, store,
+        delta.select(col("doc_id")), "doc_id")
+    }
+    val doomed = docs.filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id"))
+    var idxForgotten = 0L
+    val idxForgetSec = t {
+      idxForgotten = Dedup.forgetFromBandIndex(spark, store, doomed,
+        "doc_id")
+    }
+    val sigForgetSec = t {
+      Dedup.forgetDocsFromSignatureStore(spark, store, doomed, "doc_id")
+    }
+    println(f"""{"probe":"band_index","n_docs":$n,"n_delta":$nDelta,""" +
+      f""""sig_build_sec":$sigBuildSec%.2f,""" +
+      f""""idx_build_sec":$idxBuildSec%.2f,""" +
+      f""""judge_sec":$judgeSec%.2f,"n_pairs":$nPairs,""" +
+      f""""sig_merge_sec":$sigMergeSec%.2f,""" +
+      f""""idx_merge_sec":$idxMergeSec%.2f,""" +
+      f""""idx_forget_1pct_sec":$idxForgetSec%.2f,""" +
+      f""""idx_forgotten_rows":$idxForgotten,""" +
+      f""""sig_forget_1pct_sec":$sigForgetSec%.2f}""")
+    spark.stop()
+  }
+}
