@@ -802,6 +802,9 @@ object Dedup {
                     idCol: String, textCol: String, n: Int = 3,
                     numHashes: Int = 16, seed: Long = 7L,
                     threshold: Double = 0.5): DataFrame = {
+    // a judgment-only process must also roll forward a crashed index
+    // mutation's committed swap, or it serves stale band rows
+    StoreSwap.recover(spark, path)
     val (bands, r) = bandsMeta(spark, path)
     require(bands * r == numHashes, "band geometry must match the store")
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)

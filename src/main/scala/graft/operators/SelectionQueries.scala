@@ -1539,16 +1539,21 @@ object SelectionQueries {
         |  SELECT id AS query_id, sub, cid, d2 FROM pqd1 WHERE id < 10)"""
         .stripMargin
 
-  /** Fixed-sub-order ADC sum + windowed top-5 over the candidate join
-    * `j` — the shared tail of every PQ store-search oracle. */
-  private val pqAdcTail: String =
+  /** Fixed-sub-order ADC sum over the candidate join `j` — the
+    * arithmetic every PQ store-search oracle hinges on, defined ONCE. */
+  private val pqAdcCte: String =
       """adc AS (
         |  SELECT query_id, nid,
         |    ((sum(CASE WHEN sub = 0 THEN d2 ELSE 0.0 END)
         |      + sum(CASE WHEN sub = 1 THEN d2 ELSE 0.0 END))
         |      + sum(CASE WHEN sub = 2 THEN d2 ELSE 0.0 END))
         |      + sum(CASE WHEN sub = 3 THEN d2 ELSE 0.0 END) AS adc
-        |  FROM j GROUP BY query_id, nid)
+        |  FROM j GROUP BY query_id, nid)""".stripMargin
+
+  /** [[pqAdcCte]] + windowed top-5 — the shared final form of the
+    * direct PQ search oracles. */
+  private val pqAdcTail: String =
+      s"""$pqAdcCte
         |SELECT query_id, rank, nid AS neighbor_id, adc FROM (
         |  SELECT query_id, nid, adc,
         |    CAST(row_number() OVER (PARTITION BY query_id
@@ -1556,6 +1561,18 @@ object SelectionQueries {
         |  FROM adc) t
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
+
+  /** Laddered-candidate join: codes × query distance tables, gated by
+    * the LADDER cluster assignment (`fasg`) and two-stage probe lists
+    * (`probes`) — shared by q201 and q203. */
+  private val pqLadderJCte: String =
+      """j AS (
+        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
+        |  FROM pqcodes
+        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
+        |  JOIN fasg f ON f.vec_id = pqcodes.nid
+        |  JOIN probes p ON p.qid = q.query_id AND p.ccid = f.cluster
+        |  WHERE q.query_id <> pqcodes.nid)""".stripMargin
 
   private def ivfPqOracle(coarseTrainCond: String,
                           pqTrainCond: String,
@@ -1590,13 +1607,7 @@ object SelectionQueries {
     "q201_pq_store_two_level" ->
       s"""$twoLevelFrontCtes,
         |${pqReplayCtes("TRUE")},
-        |j AS (
-        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
-        |  FROM pqcodes
-        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
-        |  JOIN fasg f ON f.vec_id = pqcodes.nid
-        |  JOIN probes p ON p.qid = q.query_id AND p.ccid = f.cluster
-        |  WHERE q.query_id <> pqcodes.nid),
+        |$pqLadderJCte,
         |$pqAdcTail""".stripMargin,
     // the standing two-thirds train BOTH codebooks; the delta third is
     // coarse-assigned and PQ-encoded against them frozen, so the replay
@@ -1617,20 +1628,8 @@ object SelectionQueries {
     "q203_pq_recall_audit" ->
       s"""$twoLevelFrontCtes,
         |${pqReplayCtes("TRUE")},
-        |j AS (
-        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
-        |  FROM pqcodes
-        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
-        |  JOIN fasg f ON f.vec_id = pqcodes.nid
-        |  JOIN probes p ON p.qid = q.query_id AND p.ccid = f.cluster
-        |  WHERE q.query_id <> pqcodes.nid),
-        |adc AS (
-        |  SELECT query_id, nid,
-        |    ((sum(CASE WHEN sub = 0 THEN d2 ELSE 0.0 END)
-        |      + sum(CASE WHEN sub = 1 THEN d2 ELSE 0.0 END))
-        |      + sum(CASE WHEN sub = 2 THEN d2 ELSE 0.0 END))
-        |      + sum(CASE WHEN sub = 3 THEN d2 ELSE 0.0 END) AS adc
-        |  FROM j GROUP BY query_id, nid),
+        |$pqLadderJCte,
+        |$pqAdcCte,
         |pqtop AS (
         |  SELECT query_id, nid FROM (
         |    SELECT query_id, nid,

@@ -1038,6 +1038,7 @@ object Similarity {
   def appendPqCodes(spark: SparkSession, path: String, delta: DataFrame,
                     idCol: String, vecCol: String, m: Int,
                     dsub: Int): Unit = {
+    StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
     val pqcb = spark.read.parquet(path + "/pq_codebook")
     packedCodes(delta, pqcb, idCol, vecCol, m, dsub)
@@ -1116,8 +1117,15 @@ object Similarity {
                              queries: DataFrame, probes: DataFrame,
                              idCol: String, vecCol: String, m: Int,
                              dsub: Int, k: Int): DataFrame = {
+    // a search-only process must also roll forward a crashed mutation's
+    // committed swap, or "forgotten" codes keep being served
+    StoreSwap.recover(spark, storePath)
     val buckets = spark.read.parquet(storePath + "/meta").head.getInt(0)
-    val probed = probes.select(col("qc")).distinct()
+    // materialized once: the probe-list ranking is the measured wall of
+    // large query batches, and the collect below would otherwise
+    // re-rank every query a second time inside the broadcast join
+    val probesM = probes.localCheckpoint(true) // |queries|·nProbe rows
+    val probed = probesM.select(col("qc")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val tb = probed.map(c => (((c % buckets) + buckets) % buckets).toInt)
       .distinct
@@ -1140,7 +1148,7 @@ object Similarity {
         col("cluster").isin(probed: _*))
       .select(col("id").as("nid"), col("codes"), col("cluster"))
     val adc = codes
-      .join(broadcast(probes.join(dts, "query_id")),
+      .join(broadcast(probesM.join(dts, "query_id")),
         col("cluster") === col("qc"))
       .filter(col("query_id") =!= col("nid"))
       .withColumn("adc", (0 until m).map(s =>
@@ -1168,21 +1176,30 @@ object Similarity {
   def compactStandingStore(spark: SparkSession, path: String,
                            maxFilesPerBucket: Int = 4): Seq[Int] = {
     require(maxFilesPerBucket >= 1, "need maxFilesPerBucket >= 1")
-    StoreSwap.recover(spark, path)
-    val dataPath = new org.apache.hadoop.fs.Path(path + "/data")
-    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val frag = fs.listStatus(dataPath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_bucket="))
-      .filter(s => fs.listStatus(s.getPath)
-        .count(_.getPath.getName.startsWith("part-")) > maxFilesPerBucket)
-      .map(_.getPath.getName.stripPrefix("c_bucket=").toInt)
-      .toSeq.sorted
+    StoreSwap.recover(spark, path) // list AFTER any pending swap applies
+    val frag = fragBuckets(spark, s"$path/data", "c_bucket",
+      maxFilesPerBucket)
     if (frag.isEmpty) return Seq.empty
     val (df, _) = readStandingStore(spark, path)
     val slice = df.filter(col("c_bucket").isin(frag: _*))
     StoreSwap.stagedRewrite(spark, path, "c_bucket", frag, slice,
       Seq(col("cluster")))
     frag
+  }
+
+  /** Partition dirs under `dir` holding more than `maxFiles` data
+    * files — the shared fragmentation detector of both compactors. */
+  private def fragBuckets(spark: SparkSession, dir: String,
+                          partCol: String, maxFiles: Int): Seq[Int] = {
+    val dataPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataPath)) return Seq.empty
+    fs.listStatus(dataPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .filter(s => fs.listStatus(s.getPath)
+        .count(_.getPath.getName.startsWith("part-")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix(partCol + "=").toInt)
+      .toSeq.sorted
   }
 
   /** Compact the PQ code sidecar's append-fragmented buckets — the
@@ -1195,15 +1212,8 @@ object Similarity {
                      maxFilesPerBucket: Int = 4): Seq[Int] = {
     require(maxFilesPerBucket >= 1, "need maxFilesPerBucket >= 1")
     StoreSwap.recover(spark, path)
-    val dataPath = new org.apache.hadoop.fs.Path(path + "/pq_codes")
-    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dataPath)) return Seq.empty
-    val frag = fs.listStatus(dataPath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_bucket="))
-      .filter(s => fs.listStatus(s.getPath)
-        .count(_.getPath.getName.startsWith("part-")) > maxFilesPerBucket)
-      .map(_.getPath.getName.stripPrefix("c_bucket=").toInt)
-      .toSeq.sorted
+    val frag = fragBuckets(spark, s"$path/pq_codes", "c_bucket",
+      maxFilesPerBucket)
     if (frag.isEmpty) return Seq.empty
     val slice = spark.read.parquet(path + "/pq_codes")
       .filter(col("c_bucket").isin(frag: _*))
@@ -1337,10 +1347,19 @@ object Similarity {
     // files; stage it to disk (not executor memory) so the refit is
     // neither OOM-bound nor lost with an executor. The tmp dir lives
     // under the store (dot-name: invisible to readers) and is reclaimed
-    // at the end; an orphan from a crashed refit is overwritten here.
+    // at the end. A re-run after a mid-refit crash finds the pruned
+    // read EMPTY (the delete already ran) while the backup still holds
+    // the slice — so the backup is only REPLACED when the store still
+    // has the rows; overwriting unconditionally would destroy the one
+    // copy the documented recovery path depends on.
     val memTmp = path + "/.refit-members"
-    readStandingStorePruned(spark, path, drifted.toSeq)
-      .write.mode("overwrite").parquet(memTmp)
+    val tmpPath = new org.apache.hadoop.fs.Path(memTmp)
+    val tmpFs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pruned = readStandingStorePruned(spark, path, drifted.toSeq)
+    if (pruned.count() > 0L)
+      pruned.write.mode("overwrite").parquet(memTmp)
+    else if (!tmpFs.exists(tmpPath))
+      return Seq.empty // nothing standing AND no crashed predecessor
     val members = spark.read.parquet(memTmp)
     val nMem = members.count()
     if (nMem == 0L) return Seq.empty
@@ -1362,9 +1381,7 @@ object Similarity {
     refreshPqCodes(spark, path, reassigned, idCol, vecCol)
     writeCodebookIds(spark, path,
       cb.filterNot { case (cid, _) => drifted(cid) } ++ fresh)
-    val tmpPath = new org.apache.hadoop.fs.Path(memTmp)
-    tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(tmpPath, true)
+    tmpFs.delete(tmpPath, true)
     fresh
   }
 
