@@ -358,6 +358,37 @@ class StandingStoreSpec extends SparkSpec {
     assert(!StoreSwap.recover(spark, path))
   }
 
+  test("a committed sidecar-directory swap (4th manifest line) recovers into pq_codes") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4)
+    val liveBuckets = spark.read.parquet(path + "/pq_codes")
+      .select("c_bucket").distinct().collect().map(_.getInt(0)).sorted
+    val b = liveBuckets.head
+    // fabricate a crashed CODE-sidecar mutation: replacement staged for
+    // one code bucket, manifest names pq_codes as the target directory
+    Seq((9999L, 123L, Seq(0, 1)))
+      .toDF("id", "cluster", "codes")
+      .withColumn("c_bucket", lit(b))
+      .write.partitionBy("c_bucket").parquet(path + "/.staging")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_pending_swap"),
+      s"c_bucket\n$b\n\npq_codes")
+    assert(graft.operators.StoreSwap.recover(spark, path))
+    val codes = spark.read.parquet(path + "/pq_codes")
+    // the staged row replaced bucket b's codes; other buckets untouched;
+    // the DATA directory was not touched at all
+    assert(codes.filter(col("c_bucket") === b)
+      .collect().map(_.getLong(0)).toSeq == Seq(9999L))
+    assert(spark.read.parquet(path + "/data").count() == 40)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_pending_swap")))
+  }
+
   test("a pre-commit crash (orphan staging, no manifest) leaves the store untouched") {
     val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
     val path = Fixtures.tempDir("graft-store-").resolve("s").toString
