@@ -67,6 +67,15 @@ object SparkEntry {
     * globally at this single assembly point; the only other `AS (`
     * construct in the corpus is the named-window clause
     * (`WINDOW w AS (...)`, q101/q174), which the second pass restores. */
+  /** The pre-rewrite corpus, exposed for ContractSpec's shape audit:
+    * [[materializeCtes]] is a blind textual rewrite whose safety rests
+    * on corpus-wide invariants (exact-case `AS (`, at most one named
+    * window per WINDOW clause) — the audit makes a future oracle that
+    * breaks them fail loudly at test time instead of silently
+    * mis-rewriting at verify time. */
+  private[graft] def rawOracleSql: Map[String, String] =
+    oracleRegistries.reduce(_ ++ _)
+
   private def materializeCtes(sql: String): String =
     sql.replace("AS (", "AS MATERIALIZED (")
       .replaceAll("WINDOW (\\w+) AS MATERIALIZED \\(", "WINDOW $1 AS (")

@@ -38,8 +38,18 @@ object Verify {
     // cannot race a concurrent gate.
     val work = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+    // A malformed override must not abort the sweep before any gate runs
+    // (an aborted sweep IS the empty-correctness failure this parallel
+    // path exists to prevent) — fall back to the default and warn.
     val nThreads = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
+      sys.env.get("SPARK_GRAFT_VERIFY_THREADS") match {
+        case Some(v) => scala.util.Try(v.toInt).getOrElse {
+          System.err.println(
+            s"[verify] SPARK_GRAFT_VERIFY_THREADS='$v' is not an int; using 4")
+          4
+        }
+        case None => 4
+      })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
     val tasks = work.map { case (name, fn) =>
       pool.submit(new Runnable {

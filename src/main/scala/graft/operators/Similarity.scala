@@ -841,6 +841,7 @@ object Similarity {
   def appendToStandingStore(assigned: DataFrame, path: String,
                             clusterCol: String = "cluster"): Unit = {
     val spark = assigned.sparkSession
+    StoreSwap.withLease(spark, path) {
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
     assigned
       .withColumn("c_bucket",
@@ -849,6 +850,7 @@ object Similarity {
       .sortWithinPartitions(col(clusterCol))
       .write.mode("append").partitionBy("c_bucket")
       .parquet(path + "/data")
+    }
   }
 
   /** Persist the standing quantizer WITH its store — (cid, cent) rows
@@ -1037,7 +1039,7 @@ object Similarity {
     * assignment [[appendToStandingStore]] already requires. */
   def appendPqCodes(spark: SparkSession, path: String, delta: DataFrame,
                     idCol: String, vecCol: String, m: Int,
-                    dsub: Int): Unit = {
+                    dsub: Int): Unit = StoreSwap.withLease(spark, path) {
     StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
     val pqcb = spark.read.parquet(path + "/pq_codebook")
@@ -1332,17 +1334,33 @@ object Similarity {
     * append, the codebook write) is individually crash-safe, but the
     * SEQUENCE is not one transaction: a crash between the delete and
     * the append loses the drifted slice from the store while its copy
-    * survives at `$path/.refit-members` — recovery is to re-run the
-    * refit (idempotent given the same `drifted` set) or restore from
-    * the tmp dir. Returns the fresh (cid, centroid) entries. */
+    * survives at `$path/.refit-members`. Recovery is to RE-RUN the
+    * refit with the same `drifted` set — idempotent at ANY crash
+    * point: the fresh-id base is persisted with the backup
+    * (`_next_id`, so a post-codebook-write crash can't shift it), data
+    * rows and sidecar codes already appended by a prior run are
+    * anti-joined out before re-appending, and the codebook write
+    * strips a prior run's fresh entries before re-adding them.
+    * Returns the fresh (cid, centroid) entries. */
   def refitStoreDriftedClusters(spark: SparkSession, path: String,
                                 idCol: String, vecCol: String,
                                 drifted: Set[Long],
                                 targetClusterSize: Long = 50,
                                 iters: Int = 2): Seq[(Long, Seq[Double])] = {
     if (drifted.isEmpty) return Seq.empty
+    // one lease across the whole delete→append→re-encode→codebook
+    // sequence (constituent mutations re-enter it)
+    StoreSwap.withLease(spark, path) {
+      refitLocked(spark, path, idCol, vecCol, drifted, targetClusterSize,
+        iters)
+    }
+  }
+
+  private def refitLocked(spark: SparkSession, path: String,
+                          idCol: String, vecCol: String,
+                          drifted: Set[Long], targetClusterSize: Long,
+                          iters: Int): Seq[(Long, Seq[Double])] = {
     val cb = readCodebookIds(spark, path)
-    val nextId = cb.map(_._1).max + 1
     // The drifted slice must outlive the delete that destroys its source
     // files; stage it to disk (not executor memory) so the refit is
     // neither OOM-bound nor lost with an executor. The tmp dir lives
@@ -1351,15 +1369,28 @@ object Similarity {
     // read EMPTY (the delete already ran) while the backup still holds
     // the slice — so the backup is only REPLACED when the store still
     // has the rows; overwriting unconditionally would destroy the one
-    // copy the documented recovery path depends on.
+    // copy the documented recovery path depends on. The fresh-id base is
+    // PERSISTED with the backup (`_next_id`): a crash after the codebook
+    // write would otherwise shift `max(cid)+1` on the re-run, so the
+    // recomputed fresh ids would no longer match the rows a prior run
+    // already appended and the duplicate guards below would miss them.
     val memTmp = path + "/.refit-members"
     val tmpPath = new org.apache.hadoop.fs.Path(memTmp)
     val tmpFs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nextIdFile = new org.apache.hadoop.fs.Path(memTmp + "/_next_id")
     val pruned = readStandingStorePruned(spark, path, drifted.toSeq)
-    if (pruned.count() > 0L)
+    if (pruned.count() > 0L) {
       pruned.write.mode("overwrite").parquet(memTmp)
-    else if (!tmpFs.exists(tmpPath))
+      val out = tmpFs.create(nextIdFile, true)
+      try out.write((cb.map(_._1).max + 1).toString.getBytes("UTF-8"))
+      finally out.close()
+    } else if (!tmpFs.exists(tmpPath))
       return Seq.empty // nothing standing AND no crashed predecessor
+    val nextId: Long = if (tmpFs.exists(nextIdFile)) {
+      val in = tmpFs.open(nextIdFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else cb.map(_._1).max + 1 // backup from a pre-marker build
     val members = spark.read.parquet(memTmp)
     val nMem = members.count()
     if (nMem == 0L) return Seq.empty
@@ -1371,16 +1402,44 @@ object Similarity {
       .withColumn("cluster",
         assignCluster(col(vecCol), refit).cast("long") + lit(nextId))
     deleteClustersFromStore(spark, path, drifted) // drops sidecar codes too
+    // Re-run idempotency: a crash AFTER an append but BEFORE the backup
+    // cleanup re-enters here with the SAME deterministic training (same
+    // backup bytes, same `_next_id`) — same fresh ids, same assignments.
+    // Any member id already standing in the fresh clusters is a prior
+    // run's append; blindly re-appending would duplicate it. Data rows
+    // and sidecar codes are probed INDEPENDENTLY (their appends are
+    // separate jobs — a crash between them must re-run the codes while
+    // skipping the data). Both probes read only the fresh clusters'
+    // buckets, so the guard is delta-footprint.
+    val freshIds = fresh.map(_._1)
+    val standingFresh = readStandingStorePruned(spark, path, freshIds)
+      .select(col(idCol))
     appendToStandingStore(reassigned
-      .select(col(idCol), col(vecCol), col("cluster"), col("nrm")),
+      .select(col(idCol), col(vecCol), col("cluster"), col("nrm"))
+      .join(standingFresh, Seq(idCol), "left_anti"),
       path, "cluster")
     // re-encode the refit members against the FROZEN PQ codebook (its
     // geometry didn't move — only coarse ids did); a crash between the
     // append and this leaves the fresh clusters under-served by the PQ
     // path (codes absent), never wrongly served — re-run the refresh
-    refreshPqCodes(spark, path, reassigned, idCol, vecCol)
+    val codesDir = new org.apache.hadoop.fs.Path(path + "/pq_codes")
+    val codesToRefresh = if (!tmpFs.exists(codesDir)) reassigned else {
+      val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+      val fb = freshIds
+        .map(c => (((c % buckets) + buckets) % buckets).toInt).distinct
+      val present = spark.read.parquet(path + "/pq_codes")
+        .filter(col("c_bucket").isin(fb: _*) &&
+          col("cluster").isin(freshIds: _*))
+        .select(col("id").as(idCol))
+      reassigned.join(present, Seq(idCol), "left_anti")
+    }
+    refreshPqCodes(spark, path, codesToRefresh, idCol, vecCol)
+    // `cid >= nextId` strips a crashed prior run's fresh entries (ids
+    // are never reused, so every legitimate survivor is below nextId) —
+    // without it the re-run's codebook would carry duplicate cids
     writeCodebookIds(spark, path,
-      cb.filterNot { case (cid, _) => drifted(cid) } ++ fresh)
+      cb.filterNot { case (cid, _) => drifted(cid) || cid >= nextId }
+        ++ fresh)
     tmpFs.delete(tmpPath, true)
     fresh
   }

@@ -43,6 +43,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * survived (staged) vs emptied (no rows left — their live directories
   * must be dropped or deleted rows resurface), so recovery never
   * confuses "already swapped" with "emptied".
+  *
+  * '''Concurrency contract.''' Staging is invisible to readers, but the
+  * swap INSTANT is not: [[applySwap]] deletes a live bucket directory
+  * and then renames the staged one in, so a reader listing the store
+  * between the two operations sees that bucket missing. Crash safety
+  * (single writer, roll-forward) is complete; concurrent-READER
+  * isolation is not provided — schedule mutations in the maintenance
+  * windows of whatever serves the store, or front it with a
+  * snapshot-isolating table format. Mutators are SINGLE-WRITER by
+  * contract, enforced: every mutation entry point runs under
+  * [[withLease]], and a second simultaneous mutator of the same store
+  * path fails fast instead of corrupting the shared staging dir and
+  * manifest.
   */
 object StoreSwap {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -50,6 +63,72 @@ object StoreSwap {
 
   private def manifest(path: String) = new Path(path + "/_pending_swap")
   private def staging(path: String) = new Path(path + "/.staging")
+  private def lease(path: String) = new Path(path + "/_writer_lease")
+
+  /** Store paths whose lease THIS thread currently holds — composite
+    * mutations (a refit is delete + append + code refresh + codebook
+    * write) re-enter [[withLease]] freely; a DIFFERENT thread or
+    * process hits the lease file and fails fast instead. */
+  private val heldByThread =
+    new ThreadLocal[scala.collection.mutable.Set[String]] {
+      override def initialValue() = scala.collection.mutable.Set.empty[String]
+    }
+
+  /** Default age past which a lease is presumed abandoned by a crashed
+    * writer and broken (1 h — far beyond any single mutation here). */
+  val DefaultLeaseStaleMs: Long = 60L * 60 * 1000
+
+  /** Run `body` holding `path`'s WRITER LEASE — the stores are
+    * single-mutator by contract: [[stagedRewrite]]'s swap instant
+    * (delete live dir, rename staged dir in) is invisible to crash
+    * recovery but NOT to a concurrent reader, and two concurrent
+    * mutators would overwrite each other's staging dir and manifest.
+    * The lease file (`$path/_writer_lease`) is created
+    * create-if-absent; a second mutator fails fast with an error
+    * naming the holder rather than corrupting state. A lease older
+    * than `staleMs` is presumed crashed and broken (the next
+    * mutation's entry-point [[recover]] completes whatever the dead
+    * writer committed). Reentrant per thread, so composite mutations
+    * acquire once. Best-effort on filesystems without atomic
+    * create-if-absent semantics (raw S3) — there, front the store
+    * with a real lock service or table format. */
+  def withLease[T](spark: SparkSession, path: String,
+                   staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
+    if (heldByThread.get.contains(path)) return body
+    val lp = lease(path)
+    val fs = fsOf(spark, lp)
+    if (fs.exists(lp)) {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(lp).getModificationTime
+      if (age >= staleMs) fs.delete(lp, false) // crashed holder
+    }
+    val acquired =
+      try {
+        val out = fs.create(lp, false) // atomic create-if-absent
+        try out.write(
+          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
+            .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!acquired) {
+      val holder =
+        try {
+          val in = fs.open(lp)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+      sys.error(s"store $path is already being mutated (writer lease held" +
+        s" by $holder); stores are single-mutator — serialize mutations" +
+        s" externally, or break a dead writer's lease by deleting $lp")
+    }
+    heldByThread.get += path
+    try body
+    finally {
+      heldByThread.get -= path
+      fs.delete(lp, false)
+    }
+  }
 
   /** Roll forward a swap interrupted after its commit point. Called by
     * the store read and mutation entry points; a no-op (false) when no
@@ -82,7 +161,7 @@ object StoreSwap {
   def stagedRewrite(spark: SparkSession, path: String, partCol: String,
                     touched: Seq[Int], slice: DataFrame,
                     sortCols: Seq[Column],
-                    dataDir: String = "data"): Long = {
+                    dataDir: String = "data"): Long = withLease(spark, path) {
     recover(spark, path) // finish any interrupted predecessor first
     val stg = staging(path)
     val fs = fsOf(spark, stg)
@@ -108,7 +187,13 @@ object StoreSwap {
       s"$partCol\n${surviving.mkString(",")}\n${emptied.mkString(",")}\n$dataDir"
         .getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(manifest(path))) fs.delete(manifest(path), false)
+    // recover() at entry consumed any predecessor's manifest and the
+    // lease excludes other writers — a manifest appearing here means the
+    // single-mutator contract was violated (e.g. a lease broken as
+    // stale under a still-live writer): fail fast, don't clobber it
+    if (fs.exists(manifest(path)))
+      sys.error(s"foreign swap manifest appeared under $path during a" +
+        " staged rewrite — concurrent mutator detected, aborting")
     if (!fs.rename(tmp, manifest(path)))
       sys.error(s"could not commit swap manifest under $path")
     applySwap(spark, path, partCol, surviving, emptied, dataDir)

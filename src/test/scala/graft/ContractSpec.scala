@@ -17,4 +17,59 @@ class ContractSpec extends AnyFunSuite {
     val bad = SparkEntry.queries.keySet.filterNot(_.matches("q\\d+_[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-conforming names: $bad")
   }
+
+  // ---- materializeCtes shape audit -----------------------------------
+  // The CTE-materialization rewrite (SparkEntry.materializeCtes) is a
+  // blind `AS (` → `AS MATERIALIZED (` replace plus a named-window
+  // restore pass. That is safe only while the corpus holds two
+  // invariants; these tests make a violating future oracle fail HERE,
+  // loudly, instead of producing a DuckDB syntax error (or a silently
+  // unmaterialized CTE) in the driver's verify run.
+
+  test("every oracle AS( is exact-case 'AS (' so the rewrite never skips") {
+    val asLike = java.util.regex.Pattern.compile("(?i)\\bas\\s*\\(")
+    for ((name, sql) <- SparkEntry.rawOracleSql) {
+      val m = asLike.matcher(sql)
+      while (m.find())
+        assert(sql.regionMatches(m.start, "AS (", 0, 4),
+          s"$name: '${sql.substring(m.start, math.min(m.end + 8, sql.length))}'" +
+            " — materializeCtes only rewrites the literal 'AS (';" +
+            " normalize the oracle's casing/spacing")
+    }
+  }
+
+  test("no WINDOW clause defines more than one named window") {
+    // The restore pass only repairs `WINDOW w AS MATERIALIZED (`; a
+    // second definition in the same clause (`, w2 AS MATERIALIZED (`)
+    // would be left broken. Scan: from each WINDOW keyword, match the
+    // first window's parens; a following `, name AS (` means a
+    // multi-window clause the rewrite cannot handle.
+    val winKw = java.util.regex.Pattern.compile("(?i)\\bWINDOW\\s+\\w+\\s+AS\\s*\\(")
+    val second = java.util.regex.Pattern.compile("^\\s*,\\s*\\w+\\s+AS\\s*\\(")
+    for ((name, sql) <- SparkEntry.rawOracleSql) {
+      val m = winKw.matcher(sql)
+      while (m.find()) {
+        var i = sql.indexOf('(', m.start); var depth = 0
+        while (i < sql.length && { // walk to the matching close paren
+          if (sql.charAt(i) == '(') depth += 1
+          else if (sql.charAt(i) == ')') depth -= 1
+          depth != 0
+        }) i += 1
+        val tail = sql.substring(math.min(i + 1, sql.length))
+        assert(!second.matcher(tail).find(),
+          s"$name: WINDOW clause with multiple named windows —" +
+            " materializeCtes' restore pass handles only the first;" +
+            " extend the rewrite before adding this oracle shape")
+      }
+    }
+  }
+
+  test("rewritten oracles carry no mangled named-window definitions") {
+    val broken = java.util.regex.Pattern
+      .compile("(?i)WINDOW\\s+\\w+\\s+AS\\s+MATERIALIZED\\s*\\(")
+    val bad = SparkEntry.oracleSql.collect {
+      case (name, sql) if broken.matcher(sql).find() => name
+    }
+    assert(bad.isEmpty, s"window restore pass missed: ${bad.toSeq.sorted}")
+  }
 }

@@ -324,6 +324,62 @@ class StandingStoreSpec extends SparkSpec {
     assert(served > 0)
   }
 
+  test("refit re-run after a post-append crash duplicates nothing (data, codes, codebook)") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.writeCodebookIds(spark, path,
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4)
+    val drifted = spark.read.parquet(path + "/data")
+      .select("cluster").distinct().orderBy("cluster")
+      .limit(1).collect().map(_.getLong(0)).toSet
+    // capture what the crashed run's backup held: the pre-refit drifted
+    // members and the pre-refit fresh-id base. Collected to the driver —
+    // a cached plan over path/data would be auto-RECACHED (empty) when
+    // the refit appends to that path, silently losing the snapshot.
+    val preSchema = Similarity.readStandingStorePruned(spark, path,
+      drifted.toSeq).schema
+    val preRows = Similarity.readStandingStorePruned(spark, path,
+      drifted.toSeq).collect()
+    assert(preRows.nonEmpty)
+    val preNextId = spark.read.parquet(path + "/codebook")
+      .agg(max(col("cid"))).head.getLong(0) + 1
+    val fresh = Similarity.refitStoreDriftedClusters(spark, path,
+      "vec_id", "embedding", drifted, targetClusterSize = 10, iters = 1)
+    assert(fresh.nonEmpty)
+    def snap() = (
+      spark.read.parquet(path + "/data")
+        .select(col("vec_id"), col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      spark.read.parquet(path + "/pq_codes")
+        .select(col("id"), col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      spark.read.parquet(path + "/codebook")
+        .select(col("cid")).collect().map(_.getLong(0)).sorted.toSeq)
+    val clean = snap()
+    // fabricate the crash state: a run that died AFTER its appends and
+    // codebook write but BEFORE cleaning the backup — store mutated,
+    // `.refit-members` (with its `_next_id` marker) still present
+    spark.createDataFrame(java.util.Arrays.asList(preRows: _*), preSchema)
+      .write.mode("overwrite").parquet(path + "/.refit-members")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, ".refit-members", "_next_id"),
+      preNextId.toString.getBytes("UTF-8"))
+    // the documented recovery: re-run the refit with the same set
+    val fresh2 = Similarity.refitStoreDriftedClusters(spark, path,
+      "vec_id", "embedding", drifted, targetClusterSize = 10, iters = 1)
+    assert(fresh2.map(_._1) == fresh.map(_._1),
+      "re-run must reuse the persisted fresh-id base")
+    assert(snap() == clean, "re-run changed the store: duplicate rows," +
+      " duplicate codes, or duplicate codebook entries")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, ".refit-members")))
+  }
+
   test("a swap committed but not applied (post-manifest crash) rolls forward on read") {
     import graft.operators.StoreSwap
     val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
@@ -409,5 +465,70 @@ class StandingStoreSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, ".staging")))
     assert(Similarity.readStandingStore(spark, path)._1.count() == 39)
+  }
+
+  // ---- writer lease: the single-mutator contract, enforced ----------
+
+  private def builtStore(): String = {
+    val base = corpus()
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(base, cents), path,
+      "cluster", buckets = 8)
+    path
+  }
+
+  test("a second mutator fails fast while the writer lease is held") {
+    import graft.operators.StoreSwap
+    val path = builtStore()
+    // simulate a live foreign writer: its lease file exists and is fresh
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_writer_lease"),
+      "foreign-writer@elsewhere".getBytes("UTF-8"))
+    val e = intercept[RuntimeException] {
+      Similarity.deleteFromStandingStore(spark, path,
+        Seq(0L).toDF("vec_id"), "vec_id")
+    }
+    assert(e.getMessage.contains("writer lease") &&
+      e.getMessage.contains("foreign-writer@elsewhere"))
+    // the failed attempt must not have consumed the foreign lease
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_writer_lease")))
+    // ...and the store is untouched
+    assert(Similarity.readStandingStore(spark, path)._1.count() == 40)
+  }
+
+  test("a stale lease (crashed writer) is broken and the mutation proceeds") {
+    val path = builtStore()
+    val lp = java.nio.file.Paths.get(path, "_writer_lease")
+    java.nio.file.Files.write(lp, "dead-writer@gone".getBytes("UTF-8"))
+    // age the file past the stale threshold
+    java.nio.file.Files.setLastModifiedTime(lp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - graft.operators.StoreSwap.DefaultLeaseStaleMs - 1000))
+    val n = Similarity.deleteFromStandingStore(spark, path,
+      Seq(0L).toDF("vec_id"), "vec_id")
+    assert(n == 1)
+    // lease released after the mutation completes
+    assert(!java.nio.file.Files.exists(lp))
+  }
+
+  test("withLease is reentrant per thread and releases on exit, also on failure") {
+    import graft.operators.StoreSwap
+    val path = Fixtures.tempDir("graft-lease-").resolve("s").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val lp = java.nio.file.Paths.get(path, "_writer_lease")
+    val got = StoreSwap.withLease(spark, path) {
+      assert(java.nio.file.Files.exists(lp)) // held across the body
+      StoreSwap.withLease(spark, path) { 42 } // nested acquire: no-op
+    }
+    assert(got == 42)
+    assert(!java.nio.file.Files.exists(lp))
+    intercept[IllegalStateException] {
+      StoreSwap.withLease(spark, path) {
+        throw new IllegalStateException("boom")
+      }
+    }
+    assert(!java.nio.file.Files.exists(lp)) // released on the error path too
   }
 }
