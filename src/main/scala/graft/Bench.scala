@@ -19,10 +19,17 @@ import org.apache.spark.sql.SparkSession
   * near 1) and re-time the `unstable` rest.
   *
   * Record hygiene: `SPARK_GRAFT_ONLY` subset runs write `BENCH_subset
-  * .json` (never the canonical `BENCH.json`), and a full run compares its
-  * total against the previous quiet record at the same sf — >1.3× apart
-  * marks the new record `"quiet": false` with the trigger, so loaded
-  * records self-identify instead of reading as regressions.
+  * .json` (never the canonical `BENCH.json`). A full run self-qualifies
+  * against the previous quiet record at the same sf on THREE axes:
+  * (a) per query — any value >2× its prior-quiet counterpart is
+  * re-timed in the defense pass (a sustained burst pollutes both timed
+  * runs equally, which the spread trigger can't see; round 10 shipped
+  * four such 2-11× phantoms under a canonical stamp) and reported in
+  * `over_prior` if it persists; (b) total >1.3× prior quiet; (c) start
+  * loadavg above 2×cores/8 — a run that BEGAN loaded refuses the
+  * canonical stamp outright. (b) or (c) mark the record
+  * `"quiet": false` with the trigger, so loaded records self-identify
+  * instead of reading as regressions.
   */
 object Bench {
 
@@ -53,6 +60,15 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").getLines().next()
         .split(" ")(0).toDouble
     } catch { case _: Throwable => -1.0 }
+
+    // Start-of-run load, sampled before ANY bench work: the suite's own
+    // local[32] execution legitimately saturates the box, so only the
+    // PRE-EXISTING pressure is a valid disqualifier. Round 10's
+    // end-of-round snapshot started at loadavg 24.6, passed the
+    // total-level 1.3× check, and still carried four 2-11× per-query
+    // load phantoms — a record that starts on a loaded box must refuse
+    // the canonical stamp no matter what its total says.
+    val loadStart = load1()
 
     def execute(name: String): Double = {
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -102,6 +118,50 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    // The last full-suite record at the same sf, read BEFORE this run
+    // overwrites it. Subset runs never provide a reference (their total
+    // reflects only the subset) and never clobber the canonical file —
+    // round 2 lost a full-suite record exactly that way. Only records
+    // that were themselves quiet (or predate the flag) qualify, so one
+    // loaded record can't poison the chain. Besides the total, the
+    // PER-QUERY values feed the defense pass: round 10's load phantoms
+    // (0.2 s queries reading 2.4 s) sailed past the spread trigger
+    // because BOTH their timed runs were equally polluted.
+    val isSubset = only.isDefined
+    val outFile = if (isSubset) "BENCH_subset.json" else "BENCH.json"
+    def jsonField(src: String, key: String): Option[String] = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + java.util.regex.Pattern.quote(key) + "\":(\"[^\"]*\"|[^,}]*)")
+        .matcher(src)
+      if (m.find()) Some(m.group(1).stripPrefix("\"").stripSuffix("\"")) else None
+    }
+    def jsonNumObj(src: String, key: String): Map[String, Double] = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + java.util.regex.Pattern.quote(key) + "\":\\{([^}]*)\\}")
+        .matcher(src)
+      if (!m.find()) Map.empty
+      else m.group(1).split(",").iterator.flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) => v.trim.toDoubleOption
+            .map(k.trim.stripPrefix("\"").stripSuffix("\"") -> _)
+          case _ => None
+        }
+      }.toMap
+    }
+    val (priorQuietTotal, priorQuietQueries): (Option[Double], Map[String, Double]) =
+      try {
+        val p = java.nio.file.Paths.get("BENCH.json")
+        if (!java.nio.file.Files.exists(p)) (None, Map.empty) else {
+          val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val sameSf = jsonField(src, "sf").contains(sfDir)
+          val wasQuiet = jsonField(src, "quiet").forall(_ != "false")
+          if (sameSf && wasQuiet)
+            (if (isSubset) None else jsonField(src, "value").flatMap(_.toDoubleOption),
+              jsonNumObj(src, "queries").filter(_._2 > 0))
+          else (None, Map.empty)
+        }
+      } catch { case _: Throwable => (None, Map.empty) }
     names.foreach { name =>
       try {
         execute(name) // warm-up (not timed)
@@ -121,15 +181,23 @@ object Bench {
       }
     }
 
-    // defense pass: re-time every query whose two runs disagreed — the
-    // burst has usually passed by the end of the suite; a re-run that
-    // agrees with the kept minimum (within SpreadThresh) vindicates it
+    // defense pass: re-time every query whose two runs disagreed OR
+    // whose kept value reads >2× its value in the prior quiet record —
+    // the burst has usually passed by the end of the suite. The spread
+    // trigger alone is not enough: a sustained co-tenant burst pollutes
+    // BOTH timed runs equally (round 10: q151 0.20→2.39 s with spread
+    // ~1), and only the prior-quiet comparison catches that. A re-timed
+    // value that STAYS >2× prior is a real regression and is reported
+    // in `over_prior`, not silently kept.
+    def overPrior(name: String, secs: Double): Boolean =
+      priorQuietQueries.get(name).exists(p => secs > 2 * p)
     names.foreach { name =>
       val m = results(name)
-      if (m.secs >= 0 && m.spread > SpreadThresh) {
+      if (m.secs >= 0 && (m.spread > SpreadThresh || overPrior(name, m.secs))) {
         var cur = m
         var tries = 0
-        while (tries < 2 && cur.spread > SpreadThresh) {
+        while (tries < 2 &&
+          (cur.spread > SpreadThresh || overPrior(name, cur.secs))) {
           tries += 1
           try {
             val (s, l) = timed(name)
@@ -146,31 +214,6 @@ object Bench {
         results(name) = cur
       }
     }
-
-    // Self-qualification reference: the last full-suite record at the same
-    // sf, read BEFORE this run overwrites it. Subset runs never provide a
-    // reference (their total reflects only the subset) and never clobber
-    // the canonical file — round 2 lost a full-suite record exactly that
-    // way. Only records that were themselves quiet (or predate the flag)
-    // qualify as a reference, so one loaded record can't poison the chain.
-    val isSubset = only.isDefined
-    val outFile = if (isSubset) "BENCH_subset.json" else "BENCH.json"
-    def jsonField(src: String, key: String): Option[String] = {
-      val m = java.util.regex.Pattern
-        .compile("\"" + java.util.regex.Pattern.quote(key) + "\":(\"[^\"]*\"|[^,}]*)")
-        .matcher(src)
-      if (m.find()) Some(m.group(1).stripPrefix("\"").stripSuffix("\"")) else None
-    }
-    val priorQuietTotal: Option[Double] = if (isSubset) None else try {
-      val p = java.nio.file.Paths.get("BENCH.json")
-      if (!java.nio.file.Files.exists(p)) None else {
-        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val sameSf = jsonField(src, "sf").contains(sfDir)
-        val wasQuiet = jsonField(src, "quiet").forall(_ != "false")
-        if (sameSf && wasQuiet) jsonField(src, "value").flatMap(_.toDoubleOption)
-        else None
-      }
-    } catch { case _: Throwable => None }
 
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma decimal separator would corrupt the JSON record
@@ -189,6 +232,12 @@ object Bench {
     val unstable = results.collect {
       case (k, m) if m.secs >= 0 && m.spread > SpreadThresh => "\"" + k + "\""
     }.mkString("[", ",", "]")
+    // entries still >2× their prior-quiet value AFTER the defense pass:
+    // either a real regression or a box too loaded to retime clean —
+    // either way the one signal a round-over-round diff must start from
+    val overPriorList = results.collect {
+      case (k, m) if m.secs >= 0 && overPrior(k, m.secs) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val total = results.values.map(_.secs).filter(_ >= 0).sum
     // machine load at bench end: co-tenant CPU bursts can inflate wall
     // times several-fold, so the record carries its own noise diagnostic
@@ -204,13 +253,31 @@ object Bench {
     // record for the round — loaded end-of-round driver runs (round 8:
     // loadavg 18, 125 s vs the 85 s quiet record) carry quiet:false and
     // canonical:false so no reader mistakes them for regressions.
-    val quietInfo = priorQuietTotal match {
+    // Two independent disqualifiers, both recorded: (a) start loadavg —
+    // a run that BEGAN on a loaded box can't be canonical even if its
+    // total lands inside 1.3× (the load may have concentrated on a few
+    // queries, as in round 10's four phantoms); (b) the total-level
+    // check against the prior quiet record.
+    val loadGate = 2.0 * cpus.toInt / 8.0
+    val loadTrigger =
+      if (loadStart > loadGate)
+        Some(s"start loadavg ${fmt(loadStart)} > ${fmt(loadGate)} (2x cores/8)")
+      else None
+    val totalTrigger = priorQuietTotal match {
       case Some(ref) if ref > 0 && total > ref * 1.3 =>
-        s""","quiet":false,"canonical":false,"quiet_trigger":"total ${fmt(total)}s > 1.3x prior quiet ${fmt(ref)}s""""
-      case Some(ref) =>
-        s""","quiet":true,"canonical":${!isSubset},"quiet_ref":${fmt(ref)}"""
-      case None => s""","quiet":true,"canonical":${!isSubset}"""
+        Some(s"total ${fmt(total)}s > 1.3x prior quiet ${fmt(ref)}s")
+      case _ => None
     }
+    val triggers = loadTrigger.toSeq ++ totalTrigger.toSeq
+    val quietInfo =
+      if (triggers.nonEmpty)
+        s""","quiet":false,"canonical":false,"quiet_trigger":"${triggers.mkString("; ")}"""" +
+          priorQuietTotal.map(r => s""","quiet_ref":${fmt(r)}""").getOrElse("")
+      else priorQuietTotal match {
+        case Some(ref) =>
+          s""","quiet":true,"canonical":${!isSubset},"quiet_ref":${fmt(ref)}"""
+        case None => s""","quiet":true,"canonical":${!isSubset}"""
+      }
     val subsetInfo = if (isSubset) s""","subset":true""" else ""
     val calibEnd = try calibrate() catch { case e: Throwable =>
       System.err.println(s"[bench] calibration failed: ${e.getMessage}"); -1.0 }
@@ -227,7 +294,8 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""query_load":$loads,"query_spread":$spreads,"retimed":$retimed,""" +
-        s""""unstable":$unstable,"sf":"$sfDir","loadavg":"$load"""" +
+        s""""unstable":$unstable,"over_prior":$overPriorList,""" +
+        s""""sf":"$sfDir","loadavg":"$load","load_start":${fmt(loadStart)}""" +
         s""","calib_sec":${fmt(calib)},"calib_start":${fmt(calibStart)}""" +
         s""","calib_end":${fmt(calibEnd)}$scaledInfo$quietInfo$subsetInfo}"""
     // sbt interleaves [info]/WARN prefixes on stdout, which broke the
