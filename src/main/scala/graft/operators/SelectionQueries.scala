@@ -1123,12 +1123,155 @@ object SelectionQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q208: IVF-RESIDUAL PQ SEARCH — q199's layout with the sidecar
+    * encoding (vector − its coarse centroid) instead of the raw vector
+    * ([[Similarity.writePqSidecar]] `residual = true`): the offset the
+    * coarse index already encodes stops consuming subquantizer bits,
+    * the standard recall fix for vanilla PQ's distortion (q203 measures
+    * 26% recall@5 at these bits). Distance tables become per
+    * (query, probed cluster) — the query's residual against THAT
+    * centroid — which the oracle replays exactly: coarse training,
+    * residual corpus, PQ train/encode over residuals, per-probe query
+    * tables, fixed-order ADC. Engine-exact to the bit. */
+  def q208PqResidualStore(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val store = Fixtures.tempDir("graft-q208-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8, residual = true)
+    Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q209: RECALL AUDIT of the residual rung — q203's audit verbatim
+    * (laddered probes, code-only scan, exact float ranking as truth)
+    * with the RESIDUAL sidecar at the SAME bits (m=4, ksub=8): the
+    * recall@5 delta between this gate and q203 is the measured value
+    * of residual encoding on the same vectors — the bits-vs-recall
+    * knob demonstrated, not assumed. Both rankings replay in the
+    * oracle. */
+  def q209PqResidualRecall(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val (supers, children) = Similarity.superQuantize(cents)
+    val store = Fixtures.tempDir("graft-q209-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignClusterTwoLevel(col("embedding"), supers,
+            children).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8, residual = true)
+    val queries = emb().filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb(),
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = Similarity.pqTopKStoreTwoLevel(spark, store, queries,
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, sProbe = 2,
+        nProbe = 2)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+    exact.join(pq,
+        exact("query_id") === pq("qid") && exact("neighbor_id") === pq("nid"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("nid")).cast("long").as("n_common"))
+      .withColumn("recall_pct", col("n_common") * 20)
+      .orderBy(col("query_id"))
+  }
+
+  /** q210: GEOMETRY-RESOLVED RECALL — vanilla vs residual PQ at the
+    * SAME bits (m=4, ksub=8) on CLUSTERED vectors (16 centers from the
+    * corpus's own rows 0-15, plus 0.15× the row's vector as noise),
+    * side by side per query. q203/q209 record PQ's worst case
+    * (near-uniform geometry: 26% / 24% recall@5, residual can't rescue
+    * structure that isn't there); this gate is the realistic regime —
+    * the coarse index captures the centers, so residual encoding
+    * removes the dominant variance before quantization and the recall
+    * delta (`recall_residual_pct − recall_vanilla_pct`) measures what
+    * the rung buys. Every stage replays in the oracle: the derived
+    * corpus (exact double arithmetic), both PQ trainings, both ADC
+    * rankings, and the exact ranking they are audited against. */
+  def q210PqGeometryRecall(spark: SparkSession, dir: String): DataFrame = {
+    def clus() = {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val centers = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < 16)
+        .select(col("vec_id").as("gid"), col("embedding").as("ce"))
+      e.join(broadcast(centers),
+          pmod(col("vec_id"), lit(16L)) === col("gid"))
+        .select(col("vec_id"),
+          zip_with(col("ce").cast("array<double>"),
+            col("embedding").cast("array<double>"),
+            (c, n) => c + n * lit(0.15)).as("embedding"))
+    }
+    // k = the number of planted centers, seeded by ids 0-15 = one seed
+    // per group: the coarse index can actually learn the structure
+    val cents = Similarity.trainCentroids(clus(), "vec_id", "embedding",
+      16, iters = 2)
+    def mkStore(tag: String, residual: Boolean): String = {
+      val store = Fixtures.tempDir(s"graft-q210$tag-")
+        .resolve("standing").toString
+      Similarity.writeStandingStore(
+        clus()
+          .withColumn("cluster",
+            Similarity.assignCluster(col("embedding"), cents).cast("long"))
+          .withColumn("nrm", Similarity.norm(col("embedding"))),
+        store, "cluster", buckets = 8)
+      Similarity.writeCodebook(spark, store, cents)
+      Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+        m = 4, dsub = 16, ksub = 8, residual = residual)
+      store
+    }
+    val storeV = mkStore("v", residual = false)
+    val storeR = mkStore("r", residual = true)
+    val queries = clus().filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, clus(),
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def top(store: String) = Similarity.pqTopKStore(spark, store, queries,
+      "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+    val pv = top(storeV)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+    val pr = top(storeR)
+      .select(col("query_id").as("rqid"), col("neighbor_id").as("rnid"))
+    exact
+      .join(pv, exact("query_id") === pv("qid") &&
+        exact("neighbor_id") === pv("nid"), "left")
+      .join(pr, exact("query_id") === col("rqid") &&
+        exact("neighbor_id") === col("rnid"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("nid")).cast("long").as("n_common_vanilla"),
+        count(col("rnid")).cast("long").as("n_common_residual"))
+      .withColumn("recall_vanilla_pct", col("n_common_vanilla") * 20)
+      .withColumn("recall_residual_pct", col("n_common_residual") * 20)
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_pq_geometry_recall" -> q210PqGeometryRecall _,
     "q199_pq_store" -> q199PqStore _,
     "q200_pq_append" -> q200PqAppend _,
     "q201_pq_store_two_level" -> q201PqStoreTwoLevel _,
     "q202_pq_store_forget" -> q202PqStoreForget _,
     "q203_pq_recall_audit" -> q203PqRecallAudit _,
+    "q208_pq_residual_store" -> q208PqResidualStore _,
+    "q209_pq_residual_recall" -> q209PqResidualRecall _,
     "q185_probe_agreement" -> q185ProbeAgreement _,
     "q186_incremental_two_level" -> q186IncrementalTwoLevel _,
     "q176_farthest_seed" -> q176FarthestSeedIvf _,
@@ -1492,11 +1635,12 @@ object SelectionQueries {
     * pq-prefixed): training restricted to `pqTrainCond` rows, encoding
     * and query distance tables over the whole corpus. Shared by the
     * flat (q199/q200) and two-level (q201) store-search oracles. */
-  private def pqReplayCtes(pqTrainCond: String): String =
+  private def pqReplayCtes(pqTrainCond: String,
+                           rel: String = "embeddings"): String =
       s"""pqsv AS (
         |  SELECT vec_id AS id, s.s AS sub,
         |    embedding[s.s*16+1 : s.s*16+16] AS sv
-        |  FROM embeddings, (VALUES (0),(1),(2),(3)) AS s(s)),
+        |  FROM $rel, (VALUES (0),(1),(2),(3)) AS s(s)),
         |pqtsv AS (SELECT * FROM pqsv WHERE $pqTrainCond),
         |pqinit AS (
         |  SELECT sub, CAST(id AS BIGINT) AS cid,
@@ -1538,6 +1682,76 @@ object SelectionQueries {
         |pqqdt AS (
         |  SELECT id AS query_id, sub, cid, d2 FROM pqd1 WHERE id < 10)"""
         .stripMargin
+
+  /** Residual-PQ replay (q208/q209): the corpus residualized against
+    * its assigned centroid (`asgRel(vec_id, cluster)` × `c2`), q155's
+    * train/encode text over the residuals, and PER-(query,
+    * probed-cluster) distance tables — the query's residual against
+    * THAT cluster's centroid, the standard IVF-ADC arithmetic. Emits
+    * `pqcodes(nid, sub, cid)` and `pqqdt(query_id, qc, sub, cid, d2)`;
+    * the candidate join must gate `qc` on the candidate's cluster
+    * (which also restricts candidates to probed clusters — pqqdt only
+    * holds probed pairs). `probesRel` must expose (qid, $probeCol). */
+  private def pqResidualCtes(asgRel: String, probesRel: String,
+                             probeCol: String, p: String = ""): String =
+      s"""${p}res AS (
+        |  SELECT a.vec_id AS id, a.cluster,
+        |    list_transform(list_zip(c.embedding, cc.cv),
+        |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv
+        |  FROM $asgRel a JOIN corpus c ON c.vec_id = a.vec_id
+        |  JOIN c2 cc ON cc.cid = a.cluster),
+        |${p}pqsv AS (
+        |  SELECT id, s.s AS sub, rv[s.s*16+1 : s.s*16+16] AS sv
+        |  FROM ${p}res, (VALUES (0),(1),(2),(3)) AS s(s)),
+        |${p}pqinit AS (
+        |  SELECT sub, CAST(id AS BIGINT) AS cid, sv AS cent
+        |  FROM ${p}pqsv WHERE id < 8),
+        |${p}pqd0 AS (
+        |  SELECT v.id, v.sub, i.cid,
+        |    ${sqdSql("v.sv", "i.cent")} AS d2
+        |  FROM ${p}pqsv v JOIN ${p}pqinit i USING (sub)),
+        |${p}pqa0 AS (
+        |  SELECT id, sub, cid FROM (
+        |    SELECT id, sub, cid,
+        |      row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
+        |    FROM ${p}pqd0) t WHERE rn = 1),
+        |${p}pqm0 AS (
+        |  SELECT t.sub, t.cid, CAST(x[2] AS BIGINT) AS pos,
+        |    CAST(sum(CAST(round(CAST(x[1] AS DOUBLE) * 1048576.0) AS BIGINT))
+        |         AS DOUBLE) / count(*) / 1048576.0 AS c
+        |  FROM (SELECT a.sub, a.cid,
+        |          unnest(list_zip(v.sv, generate_series(0, len(v.sv) - 1)))
+        |            AS x
+        |        FROM ${p}pqsv v JOIN ${p}pqa0 a USING (id, sub)) t
+        |  GROUP BY t.sub, t.cid, CAST(x[2] AS BIGINT)),
+        |${p}pqtrained AS (
+        |  SELECT sub, cid, list(c ORDER BY pos) AS cent
+        |  FROM ${p}pqm0 GROUP BY sub, cid),
+        |${p}pqcb AS (
+        |  SELECT i.sub, i.cid, coalesce(t.cent, i.cent) AS cent
+        |  FROM ${p}pqinit i LEFT JOIN ${p}pqtrained t USING (sub, cid)),
+        |${p}pqd1 AS (
+        |  SELECT v.id, v.sub, c.cid,
+        |    ${sqdSql("v.sv", "c.cent")} AS d2
+        |  FROM ${p}pqsv v JOIN ${p}pqcb c USING (sub)),
+        |${p}pqcodes AS (
+        |  SELECT id AS nid, sub, cid FROM (
+        |    SELECT id, sub, cid,
+        |      row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
+        |    FROM ${p}pqd1) t WHERE rn = 1),
+        |${p}qres AS (
+        |  SELECT p.qid, p.$probeCol AS qc,
+        |    list_transform(list_zip(q.embedding, cc.cv),
+        |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv
+        |  FROM $probesRel p JOIN corpus q ON q.vec_id = p.qid
+        |  JOIN c2 cc ON cc.cid = p.$probeCol),
+        |${p}qrsv AS (
+        |  SELECT qid, qc, s.s AS sub, rv[s.s*16+1 : s.s*16+16] AS sv
+        |  FROM ${p}qres, (VALUES (0),(1),(2),(3)) AS s(s)),
+        |${p}pqqdt AS (
+        |  SELECT r.qid AS query_id, r.qc, r.sub, c.cid,
+        |    ${sqdSql("r.sv", "c.cent")} AS d2
+        |  FROM ${p}qrsv r JOIN ${p}pqcb c USING (sub))""".stripMargin
 
   /** Fixed-sub-order ADC sum over the candidate join `j` — the
     * arithmetic every PQ store-search oracle hinges on, defined ONCE. */
@@ -1599,7 +1813,97 @@ object SelectionQueries {
         |  WHERE q.query_id <> pqcodes.nid AND ($candCond)),
         |$pqAdcTail""".stripMargin
 
+  /** The q210 clustered corpus: 16 centers (the corpus's own rows
+    * 0-15) + 0.15× the row's vector — exact double arithmetic, so both
+    * engines derive identical vectors. */
+  private val clusteredCorpusSql: String =
+    """  SELECT e.vec_id,
+      |    list_transform(list_zip(c.embedding, e.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) + CAST(x[2] AS DOUBLE) * 0.15)
+      |      AS embedding
+      |  FROM embeddings e JOIN embeddings c ON c.vec_id = e.vec_id % 16"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
+    // both PQ flavors replayed over the derived clustered corpus at the
+    // same bits, audited against the exact ranking — the residual side
+    // is the r-prefixed CTE instance
+    "q210_pq_geometry_recall" ->
+      s"""${kmeansTrainCtes(clusteredCorpusSql, "16")},
+        |qd AS (
+        |  SELECT q.vec_id AS qid, c.cid, ${sqdSql("q.embedding", "c.cv")} AS dd
+        |  FROM corpus q CROSS JOIN c2 c
+        |  WHERE q.vec_id < 10),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        |    FROM qd) t WHERE rn <= 2),
+        |${pqReplayCtes("TRUE", "corpus")},
+        |jv AS (
+        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
+        |  FROM pqcodes
+        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
+        |  JOIN jc ON jc.vec_id = pqcodes.nid
+        |  JOIN probes p ON p.qid = q.query_id AND p.cid = jc.cluster
+        |  WHERE q.query_id <> pqcodes.nid),
+        |adcv AS (
+        |  SELECT query_id, nid,
+        |    ((sum(CASE WHEN sub = 0 THEN d2 ELSE 0.0 END)
+        |      + sum(CASE WHEN sub = 1 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 2 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 3 THEN d2 ELSE 0.0 END) AS adc
+        |  FROM jv GROUP BY query_id, nid),
+        |topv AS (
+        |  SELECT query_id, nid FROM (
+        |    SELECT query_id, nid,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY adc, nid) AS rank
+        |    FROM adcv) t WHERE rank <= 5),
+        |${pqResidualCtes("jc", "probes", "cid", "r")},
+        |jr AS (
+        |  SELECT q.query_id, rpqcodes.nid, q.sub, q.d2
+        |  FROM rpqcodes
+        |  JOIN jc ON jc.vec_id = rpqcodes.nid
+        |  JOIN rpqqdt q ON q.sub = rpqcodes.sub AND q.cid = rpqcodes.cid
+        |    AND q.qc = jc.cluster
+        |  WHERE q.query_id <> rpqcodes.nid),
+        |adcr AS (
+        |  SELECT query_id, nid,
+        |    ((sum(CASE WHEN sub = 0 THEN d2 ELSE 0.0 END)
+        |      + sum(CASE WHEN sub = 1 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 2 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 3 THEN d2 ELSE 0.0 END) AS adc
+        |  FROM jr GROUP BY query_id, nid),
+        |topr AS (
+        |  SELECT query_id, nid FROM (
+        |    SELECT query_id, nid,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY adc, nid) AS rank
+        |    FROM adcr) t WHERE rank <= 5),
+        |exs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS cv,
+        |    q.qv, $cosineSql AS cos
+        |  FROM corpus e
+        |  CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+        |              FROM corpus WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.query_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM exs) t WHERE rank <= 5)
+        |SELECT ex.query_id,
+        |  CAST(count(v.nid) AS BIGINT) AS n_common_vanilla,
+        |  CAST(count(r.nid) AS BIGINT) AS n_common_residual,
+        |  CAST(count(v.nid) * 20 AS BIGINT) AS recall_vanilla_pct,
+        |  CAST(count(r.nid) * 20 AS BIGINT) AS recall_residual_pct
+        |FROM ex
+        |LEFT JOIN topv v ON v.query_id = ex.query_id AND v.nid = ex.neighbor_id
+        |LEFT JOIN topr r ON r.query_id = ex.query_id AND r.nid = ex.neighbor_id
+        |GROUP BY ex.query_id
+        |ORDER BY ex.query_id""".stripMargin,
     "q199_pq_store" -> ivfPqOracle("TRUE", "TRUE"),
     // q193's ladder front (training levels, fasg, two-stage probe
     // lists) composed with q199's PQ scoring tail: candidates gated by
@@ -1629,6 +1933,71 @@ object SelectionQueries {
       s"""$twoLevelFrontCtes,
         |${pqReplayCtes("TRUE")},
         |$pqLadderJCte,
+        |$pqAdcCte,
+        |pqtop AS (
+        |  SELECT query_id, nid FROM (
+        |    SELECT query_id, nid,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY adc, nid) AS rank
+        |    FROM adc) t WHERE rank <= 5),
+        |exs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS cv,
+        |    q.qv, $cosineSql AS cos
+        |  FROM corpus e
+        |  CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+        |              FROM corpus WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.query_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM exs) t WHERE rank <= 5)
+        |SELECT ex.query_id, CAST(count(pq.nid) AS BIGINT) AS n_common,
+        |  CAST(count(pq.nid) * 20 AS BIGINT) AS recall_pct
+        |FROM ex LEFT JOIN pqtop pq
+        |  ON pq.query_id = ex.query_id AND pq.nid = ex.neighbor_id
+        |GROUP BY ex.query_id
+        |ORDER BY ex.query_id""".stripMargin,
+    // q199's flat front composed with the RESIDUAL replay: corpus
+    // residualized against its assigned centroid, PQ trained/encoded
+    // over residuals, query tables per (query, probed cluster) — the
+    // qc = candidate-cluster gate replaces the explicit probes join
+    // (pqqdt only holds probed pairs)
+    "q208_pq_residual_store" ->
+      s"""${kmeansTrainCtes(
+               "  SELECT vec_id, embedding FROM embeddings", "8")},
+        |qd AS (
+        |  SELECT q.vec_id AS qid, c.cid, ${sqdSql("q.embedding", "c.cv")} AS dd
+        |  FROM corpus q CROSS JOIN c2 c
+        |  WHERE q.vec_id < 10),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        |    FROM qd) t WHERE rn <= 2),
+        |${pqResidualCtes("jc", "probes", "cid")},
+        |j AS (
+        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
+        |  FROM pqcodes
+        |  JOIN jc ON jc.vec_id = pqcodes.nid
+        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
+        |    AND q.qc = jc.cluster
+        |  WHERE q.query_id <> pqcodes.nid),
+        |$pqAdcTail""".stripMargin,
+    // q203's audit with the residual sidecar at the same bits: ladder
+    // front, residual replay against the LADDER assignment (fasg), ADC
+    // top-5, exact float top-5, per-query intersection
+    "q209_pq_residual_recall" ->
+      s"""$twoLevelFrontCtes,
+        |${pqResidualCtes("fasg", "probes", "ccid")},
+        |j AS (
+        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
+        |  FROM pqcodes
+        |  JOIN fasg f ON f.vec_id = pqcodes.nid
+        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
+        |    AND q.qc = f.cluster
+        |  WHERE q.query_id <> pqcodes.nid),
         |$pqAdcCte,
         |pqtop AS (
         |  SELECT query_id, nid FROM (

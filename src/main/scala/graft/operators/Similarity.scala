@@ -991,19 +991,58 @@ object Similarity {
     * so search through the sidecar equals [[pqTopK]] over the same
     * corpus restricted to the probed clusters. */
   def writePqSidecar(spark: SparkSession, path: String, idCol: String,
-                     vecCol: String, m: Int, dsub: Int, ksub: Int): Unit = {
+                     vecCol: String, m: Int, dsub: Int, ksub: Int,
+                     residual: Boolean = false): Unit =
+    StoreSwap.withLease(spark, path) {
     val (df, buckets) = readStandingStore(spark, path)
-    val cents = pqCodebooks(df, idCol, vecCol, m, dsub, ksub)
+    val (enc, encCol) = pqEncInput(spark, path, df, vecCol, residual)
+    val cents = pqCodebooks(enc, idCol, encCol, m, dsub, ksub)
       .localCheckpoint(true) // m·ksub rows — bounded model state
     cents.coalesce(1).write.mode("overwrite")
       .parquet(path + "/pq_codebook")
-    packedCodes(df, cents, idCol, vecCol, m, dsub)
+    // the encoding FLAVOR is a property of the sidecar, recorded with
+    // it — search and ingest auto-detect instead of trusting callers
+    // to pass a matching flag forever
+    spark.range(1).select(lit(residual).as("residual"))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/pq_meta")
+    packedCodes(enc, cents, idCol, encCol, m, dsub)
       .withColumn("c_bucket",
         pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
       .repartition(col("c_bucket"))
       .sortWithinPartitions(col("cluster"), col("id"))
       .write.mode("overwrite").partitionBy("c_bucket")
       .parquet(path + "/pq_codes")
+  }
+
+  /** What the PQ layer quantizes: the raw vector (vanilla PQ) or the
+    * vector MINUS ITS COARSE CENTROID (IVF-residual — the offset the
+    * coarse index already encodes is removed, so the subquantizers
+    * spend their bits on the remainder; at equal bits recall improves
+    * wherever the coarse clustering captures real structure). The
+    * residual is exact double arithmetic (float widened, centroid
+    * already double), so the DuckDB oracle replays it bit-for-bit. */
+  private def pqEncInput(spark: SparkSession, path: String, df: DataFrame,
+                         vecCol: String,
+                         residual: Boolean): (DataFrame, String) =
+    if (!residual) (df, vecCol)
+    else {
+      val cb = spark.read.parquet(path + "/codebook")
+        .select(col("cid").as("__ccid"), col("cent").as("__ccent"))
+      (df.join(broadcast(cb), col("cluster") === col("__ccid"))
+        .withColumn("__enc",
+          zip_with(col(vecCol).cast("array<double>"), col("__ccent"),
+            (a, b) => a - b))
+        .drop("__ccid", "__ccent"), "__enc")
+    }
+
+  /** Whether `path`'s PQ sidecar holds residual codes (recorded by
+    * [[writePqSidecar]]; absent marker = vanilla, for sidecars written
+    * before the flavor existed). */
+  private def pqResidual(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path + "/pq_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      spark.read.parquet(path + "/pq_meta").head.getBoolean(0)
   }
 
   /** Encode vectors against a PQ codebook relation into ONE row per
@@ -1043,7 +1082,11 @@ object Similarity {
     StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
     val pqcb = spark.read.parquet(path + "/pq_codebook")
-    packedCodes(delta, pqcb, idCol, vecCol, m, dsub)
+    // a residual sidecar's deltas must be residual-encoded too — the
+    // flavor travels with the sidecar, not the caller
+    val (enc, encCol) =
+      pqEncInput(spark, path, delta, vecCol, pqResidual(spark, path))
+    packedCodes(enc, pqcb, idCol, encCol, m, dsub)
       .withColumn("c_bucket",
         pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
       .repartition(col("c_bucket"))
@@ -1132,26 +1175,60 @@ object Similarity {
     val tb = probed.map(c => (((c % buckets) + buckets) % buckets).toInt)
       .distinct
     val pqcb = spark.read.parquet(storePath + "/pq_codebook")
-    val dts = pqSubvectors(
-        queries.select(col(idCol), col(vecCol)), idCol, vecCol, m, dsub)
-      .join(broadcast(pqcb), "sub")
-      .withColumn("d2", sqDistCols(col("sv"), col("cent")))
-      .groupBy(col("id"), col("sub"))
-      // keyed by cid, not position: a base-restricted training seeds a
-      // SPARSE cid set (q200), so positional lookup would misalign
-      .agg(map_from_entries(collect_list(struct(col("cid"), col("d2"))))
-        .as("row"))
-      .groupBy(col("id"))
-      .agg(map_from_entries(collect_list(struct(col("sub"), col("row"))))
-        .as("dts"))
-      .select(col("id").as("query_id"), col("dts"))
     val codes = spark.read.parquet(storePath + "/pq_codes")
       .filter(col("c_bucket").isin(tb: _*) &&
         col("cluster").isin(probed: _*))
       .select(col("id").as("nid"), col("codes"), col("cluster"))
+    val broadcastSide = if (!pqResidual(spark, storePath)) {
+      val dts = pqSubvectors(
+          queries.select(col(idCol), col(vecCol)), idCol, vecCol, m, dsub)
+        .join(broadcast(pqcb), "sub")
+        .withColumn("d2", sqDistCols(col("sv"), col("cent")))
+        .groupBy(col("id"), col("sub"))
+        // keyed by cid, not position: a base-restricted training seeds a
+        // SPARSE cid set (q200), so positional lookup would misalign
+        .agg(map_from_entries(collect_list(struct(col("cid"), col("d2"))))
+          .as("row"))
+        .groupBy(col("id"))
+        .agg(map_from_entries(collect_list(struct(col("sub"), col("row"))))
+          .as("dts"))
+        .select(col("id").as("query_id"), col("dts"))
+      probesM.join(dts, "query_id")
+    } else {
+      // IVF-residual: codes encode (vector − its coarse centroid), so
+      // the distance table is PER (query, probed cluster) — the query's
+      // residual against THAT cluster's centroid, the standard IVF-ADC
+      // arithmetic. Same broadcast footprint as the vanilla side
+      // (|queries|·nProbe rows, one m×ksub map each); the extra cost is
+      // nProbe distance-table builds per query instead of one, all
+      // bounded model-state joins.
+      val cb = spark.read.parquet(storePath + "/codebook")
+        .select(col("cid").as("__ccid"), col("cent").as("__ccent"))
+      val qres = probesM
+        .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+          "query_id")
+        .join(broadcast(cb), col("qc") === col("__ccid"))
+        .withColumn("rv",
+          zip_with(col("qv").cast("array<double>"), col("__ccent"),
+            (a, b) => a - b))
+        .select(col("query_id"), col("qc"), col("rv"))
+      val subs = array((0 until m).map { s =>
+        struct(lit(s).as("sub"), slice(col("rv"), s * dsub + 1, dsub).as("sv"))
+      }: _*)
+      qres.select(col("query_id"), col("qc"), explode(subs).as("e"))
+        .select(col("query_id"), col("qc"), col("e.sub").as("sub"),
+          col("e.sv").as("sv"))
+        .join(broadcast(pqcb), "sub")
+        .withColumn("d2", sqDistCols(col("sv"), col("cent")))
+        .groupBy(col("query_id"), col("qc"), col("sub"))
+        .agg(map_from_entries(collect_list(struct(col("cid"), col("d2"))))
+          .as("row"))
+        .groupBy(col("query_id"), col("qc"))
+        .agg(map_from_entries(collect_list(struct(col("sub"), col("row"))))
+          .as("dts"))
+    }
     val adc = codes
-      .join(broadcast(probesM.join(dts, "query_id")),
-        col("cluster") === col("qc"))
+      .join(broadcast(broadcastSide), col("cluster") === col("qc"))
       .filter(col("query_id") =!= col("nid"))
       .withColumn("adc", (0 until m).map(s =>
           element_at(element_at(col("dts"), lit(s)),
