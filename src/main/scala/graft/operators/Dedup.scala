@@ -706,15 +706,50 @@ object Dedup {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
-    bandRows(sigs.select(col(idCol), col("k"), col("mh")),
-        idCol, bands, r, buckets)
+    def rows() = bandRows(sigs.select(col(idCol), col("k"), col("mh")),
+      idCol, bands, r, buckets)
+    rows()
       .repartition(col("bb_bucket"))
       .sortWithinPartitions(col("band"), col("bsig"), col("id"))
       .write.mode("overwrite").partitionBy("bb_bucket")
       .parquet(path + "/bands")
+    // per-doc BAND INVENTORY, partitioned by the doc's OWN bucket: the
+    // index rows a doc currently owns stay DERIVABLE FROM ITS ID even
+    // after a re-ingest changes its signature (the band values — hence
+    // the index buckets — of the old rows are otherwise unrecoverable).
+    // This is what makes [[reindexDocsInBandIndex]] doc-footprint
+    // instead of the full rebuild that used to be the only stale-row
+    // remedy.
+    rows()
+      .withColumn("d_bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("d_bucket"))
+      .sortWithinPartitions(col("id"), col("band"))
+      .write.mode("overwrite").partitionBy("d_bucket")
+      .parquet(path + "/bands_inv")
     spark.range(1).select(lit(bands).as("bands"),
         lit(r).as("rows_per_band"))
       .write.mode("overwrite").parquet(path + "/bands_meta")
+  }
+
+  /** Whether `path` carries the per-doc band inventory (indexes built
+    * before it existed lack one until the next [[writeBandIndex]]). */
+  private def bandInvExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path + "/bands_inv")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The inventory's rows for `docIds` — doc-bucket pruned. */
+  private def invRowsForDocs(spark: SparkSession, path: String,
+                             docIds: DataFrame, idCol: String,
+                             buckets: Int): DataFrame = {
+    val ids = docIds.select(col(idCol).as("id")).distinct()
+    val db = ids
+      .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path + "/bands_inv")
+      .filter(col("d_bucket").isin(db: _*))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("id"), col("band"), col("bsig"), col("bb_bucket"))
   }
 
   private def bandsMeta(spark: SparkSession, path: String): (Int, Int) = {
@@ -744,13 +779,16 @@ object Dedup {
     * rows are union-distinct-merged into the touched `bb_bucket`s via
     * the crash-atomic staged swap. Re-ingesting identical text is
     * idempotent (identical rows collapse in the distinct). A re-ingest
-    * that CHANGED a doc's signature leaves its old band rows stale in
-    * underivable buckets — stale rows cost false candidates that the
-    * judge's exact verification discards, never wrong results; a
-    * [[writeBandIndex]] rebuild clears them. Returns touched buckets. */
+    * that CHANGED a doc's signature leaves its old band rows stale —
+    * stale rows cost false candidates that the judge's exact
+    * verification discards, never wrong results — and the band
+    * inventory records them, so [[reindexDocsInBandIndex]] clears them
+    * doc-footprint (no [[writeBandIndex]] rebuild needed). Returns
+    * touched buckets. */
   def mergeIntoBandIndex(spark: SparkSession, path: String,
                          docIds: DataFrame, idCol: String): Seq[Int] = {
     val rows = bandRowsForDocs(spark, path, docIds, idCol)
+      .localCheckpoint(true) // |docs|·bands rows, referenced twice
     val touched = rows.select(col("bb_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return Seq.empty
@@ -761,18 +799,46 @@ object Dedup {
       .unionByName(rows).distinct()
     StoreSwap.stagedRewrite(spark, path, "bb_bucket", touched, merged,
       Seq(col("band"), col("bsig"), col("id")), "bands")
+    // inventory upkeep: after the merge the docs own old ∪ fresh rows
+    // in the index — record exactly that, so a later repair or forget
+    // can find the old rows without a corpus scan. Index swap FIRST:
+    // a crash here leaves the inventory missing the fresh rows, and
+    // re-running the merge (the documented recovery for every store
+    // mutation) completes it idempotently.
+    if (bandInvExists(spark, path)) {
+      val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+      val ids = docIds.select(col(idCol).as("id")).distinct()
+      val db = ids
+        .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val invSlice = spark.read.parquet(path + "/bands_inv")
+        .filter(col("d_bucket").isin(db: _*))
+        .select(col("id"), col("band"), col("bsig"), col("bb_bucket"))
+      val invMerged = invSlice.unionByName(rows).distinct()
+        .withColumn("d_bucket",
+          pmod(col("id"), lit(buckets.toLong)).cast("int"))
+      StoreSwap.stagedRewrite(spark, path, "d_bucket", db, invMerged,
+        Seq(col("id"), col("band")), "bands_inv")
+    }
     touched
   }
 
-  /** Drop docs from the band index. MUST run BEFORE
-    * [[forgetDocsFromSignatureStore]] — the touched buckets derive from
-    * the docs' CURRENT signatures, which the signature forget destroys.
-    * Same staleness caveat as [[mergeIntoBandIndex]] for docs whose
-    * signature changed since their last index merge. Returns rows
-    * removed. */
+  /** Drop docs from the band index. With the band inventory present,
+    * the docs' rows (INCLUDING stale ones from signature-changing
+    * re-ingests) are found through their own d_buckets; a pre-inventory
+    * index falls back to deriving from the docs' current signatures, in
+    * which case this MUST run BEFORE [[forgetDocsFromSignatureStore]]
+    * (the signature forget destroys the derivation) and stale rows from
+    * changed signatures are missed. Returns rows removed. */
   def forgetFromBandIndex(spark: SparkSession, path: String,
                           docIds: DataFrame, idCol: String): Long = {
-    val rows = bandRowsForDocs(spark, path, docIds, idCol)
+    StoreSwap.recover(spark, path)
+    val hasInv = bandInvExists(spark, path)
+    val rows =
+      if (hasInv) {
+        val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+        invRowsForDocs(spark, path, docIds, idCol, buckets)
+      } else bandRowsForDocs(spark, path, docIds, idCol)
     val touched = rows.select(col("bb_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return 0L
@@ -781,8 +847,83 @@ object Dedup {
       .filter(col("bb_bucket").isin(touched: _*))
     val kept = slice.join(ids, Seq("id"), "left_anti")
     val before = slice.count()
-    before - StoreSwap.stagedRewrite(spark, path, "bb_bucket", touched,
-      kept, Seq(col("band"), col("bsig"), col("id")), "bands")
+    val removed = before - StoreSwap.stagedRewrite(spark, path,
+      "bb_bucket", touched, kept,
+      Seq(col("band"), col("bsig"), col("id")), "bands")
+    // drop the docs' inventory rows too (index swap first — a crash
+    // between the swaps re-runs to a no-op index rewrite, then
+    // completes the inventory)
+    if (hasInv) {
+      val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+      val db = ids
+        .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (db.nonEmpty) {
+        val invKept = spark.read.parquet(path + "/bands_inv")
+          .filter(col("d_bucket").isin(db: _*))
+          .join(ids, Seq("id"), "left_anti")
+        StoreSwap.stagedRewrite(spark, path, "d_bucket", db, invKept,
+          Seq(col("id"), col("band")), "bands_inv")
+      }
+    }
+    removed
+  }
+
+  /** TARGETED REPAIR for docs whose signature changed since their last
+    * index merge — the operation that retires the full
+    * [[writeBandIndex]] rebuild as the only stale-row remedy (on a
+    * 100 TB store the rebuild was the one corpus-scale op in an
+    * otherwise delta-footprint lifecycle). The docs' OLD rows come from
+    * the band inventory (their own d_buckets — no scan); rows the
+    * current signatures no longer produce are anti-joined OUT of their
+    * index buckets, the fresh rows are union-merged in, and the
+    * inventory is reset to exactly the fresh rows. Index swap FIRST,
+    * inventory second: a crash between the swaps re-runs with
+    * `stale` already absent — the repair is idempotent. Cost tracks
+    * the docs' band footprint (old ∪ new buckets), never the corpus.
+    * Returns the number of stale rows removed. */
+  def reindexDocsInBandIndex(spark: SparkSession, path: String,
+                             docIds: DataFrame, idCol: String): Long = {
+    StoreSwap.recover(spark, path)
+    require(bandInvExists(spark, path),
+      s"$path has no band inventory — rebuild with writeBandIndex first")
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    val fresh = bandRowsForDocs(spark, path, docIds, idCol)
+      .localCheckpoint(true) // |docs|·bands rows, referenced three times
+    val stale = invRowsForDocs(spark, path, docIds, idCol, buckets)
+      .join(fresh.select(col("id"), col("band"), col("bsig")),
+        Seq("id", "band", "bsig"), "left_anti")
+      .localCheckpoint(true)
+    val touched = stale.select(col("bb_bucket"))
+      .unionByName(fresh.select(col("bb_bucket")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return 0L
+    val nStale = stale.count()
+    val slice = spark.read.parquet(path + "/bands")
+      .filter(col("bb_bucket").isin(touched: _*))
+    val kept = slice
+      .join(stale.select(col("id"), col("band"), col("bsig")),
+        Seq("id", "band", "bsig"), "left_anti")
+    val merged = kept.select(col("id"), col("band"), col("bsig"),
+        col("bb_bucket"))
+      .unionByName(fresh).distinct()
+    StoreSwap.stagedRewrite(spark, path, "bb_bucket", touched, merged,
+      Seq(col("band"), col("bsig"), col("id")), "bands")
+    // inventory := exactly the fresh rows for these docs
+    val ids = docIds.select(col(idCol).as("id")).distinct()
+    val db = ids
+      .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val invKept = spark.read.parquet(path + "/bands_inv")
+      .filter(col("d_bucket").isin(db: _*))
+      .select(col("id"), col("band"), col("bsig"), col("bb_bucket"))
+      .join(ids, Seq("id"), "left_anti")
+    val invNew = invKept.unionByName(fresh)
+      .withColumn("d_bucket",
+        pmod(col("id"), lit(buckets.toLong)).cast("int"))
+    StoreSwap.stagedRewrite(spark, path, "d_bucket", db, invNew,
+      Seq(col("id"), col("band")), "bands_inv")
+    nStale
   }
 
   /** Judge a delta batch against the standing corpus THROUGH the band

@@ -539,6 +539,41 @@ object ScaleQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q211: TARGETED BAND-INDEX REPAIR
+    * ([[Dedup.reindexDocsInBandIndex]]) — a third of the corpus is
+    * re-ingested with CHANGED text (first token dropped, SAME ids): the
+    * signature MIN-merge moves those docs' signatures, the index merge
+    * necessarily leaves their old band rows stale (q206's documented
+    * caveat), and the repair removes exactly them through the per-doc
+    * band inventory — doc-footprint, where a full [[Dedup
+    * .writeBandIndex]] rebuild used to be the only remedy. The gate
+    * dumps the ENTIRE index; the oracle predicts it closed-form as the
+    * banding of the post-merge signatures (a MIN-merge of two ingests
+    * IS the minhash of the union of their shingle sets), so one stale
+    * or missing row anywhere breaks the hash. */
+  def q211BandIndexReindex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.select(col("doc_id"), col("text"))
+    val changed = standing.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val store = Fixtures.tempDir("graft-q211-").resolve("sigs").toString
+    Dedup.writeSignatureStore(
+      Dedup.minhashSignatures(standing, "doc_id", "text"),
+      store, "doc_id", buckets = 16)
+    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    Dedup.mergeIntoSignatureStore(spark, store,
+      Dedup.minhashSignatures(changed, "doc_id", "text"), "doc_id")
+    Dedup.mergeIntoBandIndex(spark, store,
+      changed.select(col("doc_id")), "doc_id")
+    Dedup.reindexDocsInBandIndex(spark, store,
+      changed.select(col("doc_id")), "doc_id")
+    spark.read.parquet(store + "/bands")
+      .select(col("id").as("doc_id"), col("band").cast("long").as("band"),
+        col("bsig"))
+      .orderBy(col("doc_id"), col("band"), col("bsig"))
+  }
+
   /** q110: native `session_window` semantics — Spark's merging-window
     * session aggregation (the STREAMING operator, run in batch) gated
     * against an independent SQL lag+cumsum sessionization: the two
@@ -606,6 +641,7 @@ object ScaleQueries {
     "q205_lsh_judge_store" -> q205LshJudgeStore _,
     "q206_band_index_merge" -> q206BandIndexMerge _,
     "q207_band_index_forget" -> q207BandIndexForget _,
+    "q211_band_index_reindex" -> q211BandIndexReindex _,
     "q110_session_window" -> q110SessionWindow _,
     "q111_chunk_conserve" -> q111ChunkConserve _,
   )
@@ -833,6 +869,22 @@ object ScaleQueries {
       "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
         " FROM documents WHERE doc_id % 5 = 0",
       "s.id < 200000 AND d.id >= 200000"),
+    // the repaired index must equal the banding of the post-merge
+    // signatures exactly — minhash(union of shingles) = MIN-merge of
+    // the two ingests' signatures, so one replay covers both
+    "q211_band_index_reindex" ->
+      s"""WITH ${minhashSigCtes(
+             "SELECT doc_id AS id, text FROM documents" +
+               " UNION ALL SELECT doc_id, regexp_replace(text, '^\\S+\\s+', '')" +
+               " FROM documents WHERE doc_id % 3 = 0")},
+        |bs AS (
+        |  SELECT id, k // 2 AS band,
+        |    list_reduce(list_prepend(CAST(k // 2 AS BIGINT),
+        |        list(mh ORDER BY k)),
+        |      (acc, v) -> (acc * 1000003 + v) % 2147483647) AS bsig
+        |  FROM sigs GROUP BY id, k // 2)
+        |SELECT id AS doc_id, band, bsig FROM bs
+        |ORDER BY doc_id, band, bsig""".stripMargin,
     // forgotten standing docs can no longer be partners
     "q207_band_index_forget" -> lshJudgeSql(
       "SELECT doc_id AS id, text FROM documents",

@@ -184,6 +184,59 @@ object StoreLifecycleProbe {
       if (flCount == 0) 0L
       else pqTop256.join(flTop, pqTop256("query_id") === flTop("q2") &&
         pqTop256("neighbor_id") === flTop("n2")).count() * 100 / flCount
+    // RESIDUAL RUNG on CLUSTERED geometry — the realistic recall curve
+    // (q210's regime at tier scale): 256 planted centers + 0.15× noise
+    // derived from the corpus itself, ONE store, four sidecar flavors
+    // (vanilla/residual × 12/64 bits per vector), each measured as
+    // recall@5 against the exact float ranking of the same 1000
+    // queries. The near-uniform tiers above are PQ's floor; this is
+    // the curve a real corpus sits on, and where the residual rung's
+    // bits-vs-recall knob actually operates.
+    val nClus = math.min(n, 50000L)
+    val centers = base.filter(col("vec_id") < 256)
+      .select(col("vec_id").as("gid"), col("embedding").as("ce"))
+    val clus = base.filter(col("vec_id") < nClus)
+      .join(broadcast(centers),
+        pmod(col("vec_id"), lit(256L)) === col("gid"))
+      .select(col("vec_id"),
+        zip_with(col("ce").cast("array<double>"),
+          col("embedding").cast("array<double>"),
+          (c, nz) => c + nz * lit(0.15)).as("embedding"))
+      .cache()
+    clus.count()
+    val ccents = Similarity.trainCentroids(clus, "vec_id", "embedding",
+      256, iters = 1)
+    val cstore = java.nio.file.Files
+      .createTempDirectory("graft-lc-clus-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      clus.withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), ccents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      cstore, "cluster", buckets = 64)
+    Similarity.writeCodebook(spark, cstore, ccents)
+    val cq = clus.filter(col("vec_id") < 1000)
+    val exTop = Similarity.bruteForceTopK(cq, clus, "vec_id", "embedding",
+        k = 5)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      .localCheckpoint(true)
+    val exCount = exTop.count()
+    def recallAt(mm: Int, ds: Int, ks: Int, res: Boolean): (Double, Long) = {
+      val w = t {
+        Similarity.writePqSidecar(spark, cstore, "vec_id", "embedding",
+          mm, ds, ks, res)
+      }
+      val top = Similarity.pqTopKStore(spark, cstore, cq,
+          "vec_id", "embedding", mm, ds, k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val r = if (exCount == 0) 0L
+        else top.join(exTop, top("query_id") === col("q2") &&
+          top("neighbor_id") === col("n2")).count() * 100 / exCount
+      (w, r)
+    }
+    val (cw12v, rec12v) = recallAt(4, 16, 8, res = false)
+    val (cw12r, rec12r) = recallAt(4, 16, 8, res = true)
+    val (cw64v, rec64v) = recallAt(8, 8, 256, res = false)
+    val (cw64r, rec64r) = recallAt(8, 8, 256, res = true)
     println(f"""{"probe":"store_lifecycle","n":$n,"k":$k,""" +
       f""""build_sec":$buildSec%.2f,"judge_batch32_sec":$judgeSec%.2f,""" +
       f""""n_kept":$nKept,"append_sec":$appendSec%.2f,""" +
@@ -202,7 +255,16 @@ object StoreLifecycleProbe {
       f""""pq_vs_float_ladder_overlap_pct":$overlapPct,""" +
       f""""pq256_write_sec":$pqWrite256Sec%.2f,""" +
       f""""pq256_search1000_two_level_sec":$pqSearch256Sec%.2f,""" +
-      f""""pq256_vs_float_ladder_overlap_pct":$overlap256Pct}""")
+      f""""pq256_vs_float_ladder_overlap_pct":$overlap256Pct,""" +
+      f""""clus_n":$nClus,""" +
+      f""""clus_recall12_vanilla_pct":$rec12v,""" +
+      f""""clus_recall12_residual_pct":$rec12r,""" +
+      f""""clus_recall64_vanilla_pct":$rec64v,""" +
+      f""""clus_recall64_residual_pct":$rec64r,""" +
+      f""""clus_pq_write12_sec":$cw12v%.2f,""" +
+      f""""clus_pq_write12_residual_sec":$cw12r%.2f,""" +
+      f""""clus_pq_write64_sec":$cw64v%.2f,""" +
+      f""""clus_pq_write64_residual_sec":$cw64r%.2f}""")
     spark.stop()
   }
 }
