@@ -869,6 +869,16 @@ object ScaleQueries {
       "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
         " FROM documents WHERE doc_id % 5 = 0",
       "s.id < 200000 AND d.id >= 200000"),
+    // the streaming ingest loop (gate in StreamingQueries) must land
+    // the store in exactly q206's state — micro-batched judge → sig
+    // merge → index merge is content-invariant
+    "q212_stream_lsh_ingest" -> lshJudgeSql(
+      "SELECT doc_id AS id, text FROM documents" +
+        " UNION ALL SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '')" +
+        " FROM documents WHERE doc_id % 3 = 0",
+      "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
+        " FROM documents WHERE doc_id % 5 = 0",
+      "s.id < 200000 AND d.id >= 200000"),
     // the repaired index must equal the banding of the post-merge
     // signatures exactly — minhash(union of shingles) = MIN-merge of
     // the two ingests' signatures, so one replay covers both
