@@ -1165,11 +1165,54 @@ object Similarity {
     // a search-only process must also roll forward a crashed mutation's
     // committed swap, or "forgotten" codes keep being served
     StoreSwap.recover(spark, storePath)
-    val buckets = spark.read.parquet(storePath + "/meta").head.getInt(0)
     // materialized once: the probe-list ranking is the measured wall of
-    // large query batches, and the collect below would otherwise
+    // large query batches, and the collects below would otherwise
     // re-rank every query a second time inside the broadcast join
     val probesM = probes.localCheckpoint(true) // |queries|·nProbe rows
+    // QUERY-BATCH CHUNKING: the query side of the ADC join is
+    // broadcast (per-query m×ksub distance maps × the probe rows), so
+    // an unbounded query batch would exceed any broadcast budget — and
+    // the per-chunk `cluster IN (probed)` literal scales with the
+    // chunk, not the batch. Queries are whole per chunk (hash of
+    // query_id), each chunk executes EAGERLY (localCheckpoint) so at
+    // most one chunk's broadcast is alive at a time, and the union of
+    // per-query-complete top-k results is exact. The budget is
+    // per-query bytes (map entries × residual's nProbe multiplier)
+    // against `graft.pq.maxBroadcastMb` (default 64).
+    val residual = pqResidual(spark, storePath)
+    val targetBytes = math.max(1.0, spark.conf
+      .getOption("graft.pq.maxBroadcastMb").getOrElse("64")
+      .toDouble * 1024 * 1024)
+    val ksub = spark.read.parquet(storePath + "/pq_codebook").count() / m
+    val bcRows =
+      if (residual) probesM.count()
+      else probesM.select(col("query_id")).distinct().count()
+    val rowBytes = m * ksub * 32L + 256L
+    val chunks = math.max(1L,
+      math.ceil(bcRows * rowBytes / targetBytes).toLong).toInt
+    if (chunks == 1)
+      pqAdcChunk(spark, storePath, queries, probesM, idCol, vecCol,
+        m, dsub, k, residual)
+    else
+      (0 until chunks).map { i =>
+        pqAdcChunk(spark, storePath,
+          queries.filter(
+            pmod(xxhash64(col(idCol)), lit(chunks.toLong)) === i),
+          probesM.filter(
+            pmod(xxhash64(col("query_id")), lit(chunks.toLong)) === i),
+          idCol, vecCol, m, dsub, k, residual)
+          .localCheckpoint(true) // run now; free this chunk's broadcast
+      }.reduce(_ unionByName _)
+  }
+
+  /** One bounded-broadcast slice of the store ADC search — the whole
+    * algorithm for query batches under the broadcast budget, a chunk
+    * of [[pqAdcOverStore]]'s loop above it. */
+  private def pqAdcChunk(spark: SparkSession, storePath: String,
+                         queries: DataFrame, probesM: DataFrame,
+                         idCol: String, vecCol: String, m: Int,
+                         dsub: Int, k: Int, residual: Boolean): DataFrame = {
+    val buckets = spark.read.parquet(storePath + "/meta").head.getInt(0)
     val probed = probesM.select(col("qc")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val tb = probed.map(c => (((c % buckets) + buckets) % buckets).toInt)
@@ -1179,7 +1222,7 @@ object Similarity {
       .filter(col("c_bucket").isin(tb: _*) &&
         col("cluster").isin(probed: _*))
       .select(col("id").as("nid"), col("codes"), col("cluster"))
-    val broadcastSide = if (!pqResidual(spark, storePath)) {
+    val broadcastSide = if (!residual) {
       val dts = pqSubvectors(
           queries.select(col(idCol), col(vecCol)), idCol, vecCol, m, dsub)
         .join(broadcast(pqcb), "sub")

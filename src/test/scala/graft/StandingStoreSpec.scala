@@ -467,6 +467,35 @@ class StandingStoreSpec extends SparkSpec {
     assert(Similarity.readStandingStore(spark, path)._1.count() == 39)
   }
 
+  test("chunked PQ search under a tiny broadcast budget equals the single-chunk result") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4)
+    def run() = Similarity.pqTopKStore(spark, path, corpus(),
+        "vec_id", "embedding", m = 2, dsub = 2, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    val single = run()
+    // ~0.01 MB budget forces multiple chunks for the 40-query batch;
+    // queries stay whole per chunk, so the union must be identical
+    spark.conf.set("graft.pq.maxBroadcastMb", "0.01")
+    try {
+      val chunked = run()
+      assert(chunked == single)
+    } finally spark.conf.unset("graft.pq.maxBroadcastMb")
+    // residual flavor goes through the same chunk loop
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4, residual = true)
+    val singleR = run()
+    spark.conf.set("graft.pq.maxBroadcastMb", "0.01")
+    try assert(run() == singleR)
+    finally spark.conf.unset("graft.pq.maxBroadcastMb")
+  }
+
   // ---- writer lease: the single-mutator contract, enforced ----------
 
   private def builtStore(): String = {

@@ -163,6 +163,16 @@ object StoreLifecycleProbe {
       if (flCount == 0) 0L
       else pqTop.join(flTop, pqTop("query_id") === flTop("q2") &&
         pqTop("neighbor_id") === flTop("n2")).count() * 100 / flCount
+    // 100k-QUERY tier: bcRows·rowBytes ≈ 128 MB at m=4/ksub=8 exceeds
+    // the 64 MB default broadcast budget, so this runs pqAdcOverStore's
+    // CHUNKED path (2 chunks, one broadcast alive at a time) at real
+    // batch scale — the production shape for bulk near-dup scoring
+    var search100kRows = 0L
+    val pqSearch100kSec = t {
+      search100kRows = Similarity.pqTopKStoreTwoLevel(spark, store,
+        base.filter(col("vec_id") < 100000), "vec_id", "embedding",
+        m = 4, dsub = 16, k = 5, sProbe = 8, nProbe = 4).count()
+    }
     // fidelity is a PARAMETER choice: re-encode at a production-grade
     // geometry (m=8 subs × 256 codes = 64 bits/vector vs the toy
     // 4×8 = 12 bits) and re-measure — near-uniform random vectors are
@@ -253,6 +263,8 @@ object StoreLifecycleProbe {
       f""""pq_search1000_sec":$pqSearchBigSec%.2f,""" +
       f""""pq_search1000_two_level_sec":$pqSearchBigLadderSec%.2f,""" +
       f""""pq_vs_float_ladder_overlap_pct":$overlapPct,""" +
+      f""""pq_search100k_chunked_sec":$pqSearch100kSec%.2f,""" +
+      f""""pq_search100k_rows":$search100kRows,""" +
       f""""pq256_write_sec":$pqWrite256Sec%.2f,""" +
       f""""pq256_search1000_two_level_sec":$pqSearch256Sec%.2f,""" +
       f""""pq256_vs_float_ladder_overlap_pct":$overlap256Pct,""" +
