@@ -946,6 +946,24 @@ object PlanAudit {
         "no broadcast join in the pq search")
       check("pq search has no cartesian product",
         !ps.contains("CartesianProduct"), "cartesian in pq search")
+      // the RESIDUAL flavor must keep the same physical shape: pruned
+      // code scan, broadcast query side (now per-probe distance
+      // tables), no cartesian from the per-probe residual join
+      Similarity.writePqSidecar(spark, tmp, "vec_id", "embedding",
+        m = 4, dsub = 16, ksub = 8, residual = true)
+      val searchR = Similarity.pqTopKStore(spark, tmp,
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+        m = 4, dsub = 16, k = 5, nProbe = 2)
+      val psR = searchR.queryExecution.executedPlan.toString
+      check("residual pq code scan prunes by c_bucket partition filter",
+        psR.contains("PartitionFilters: [") && psR.contains("c_bucket"),
+        s"no c_bucket PartitionFilters (residual):\n${psR.take(1500)}")
+      check("residual pq query side broadcasts",
+        psR.contains("BroadcastHashJoin") ||
+          psR.contains("BroadcastNestedLoop"),
+        "no broadcast join in the residual pq search")
+      check("residual pq search has no cartesian product",
+        !psR.contains("CartesianProduct"), "cartesian in residual pq search")
     }
 
     failures
