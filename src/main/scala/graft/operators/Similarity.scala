@@ -1181,8 +1181,9 @@ object Similarity {
     // against `graft.pq.maxBroadcastMb` (default 64).
     val residual = pqResidual(spark, storePath)
     val targetBytes = math.max(1.0, spark.conf
-      .getOption("graft.pq.maxBroadcastMb").getOrElse("64")
-      .toDouble * 1024 * 1024)
+      .getOption("graft.pq.maxBroadcastMb")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .getOrElse(64.0) * 1024 * 1024)
     val ksub = spark.read.parquet(storePath + "/pq_codebook").count() / m
     val bcRows =
       if (residual) probesM.count()
@@ -1553,13 +1554,19 @@ object Similarity {
         .select(col("id").as(idCol))
       reassigned.join(present, Seq(idCol), "left_anti")
     }
-    refreshPqCodes(spark, path, codesToRefresh, idCol, vecCol)
-    // `cid >= nextId` strips a crashed prior run's fresh entries (ids
-    // are never reused, so every legitimate survivor is below nextId) —
-    // without it the re-run's codebook would carry duplicate cids
+    // codebook BEFORE the code refresh: a residual sidecar re-encodes
+    // against the coarse codebook, which must already hold the fresh
+    // cids or the encode's centroid join silently drops every refit
+    // member. `cid >= nextId` strips a crashed prior run's fresh
+    // entries (ids are never reused, so every legitimate survivor is
+    // below nextId) — without it the re-run's codebook would carry
+    // duplicate cids. A crash between this write and the refresh
+    // leaves the fresh clusters under-served by the PQ path (codes
+    // absent), never wrongly served — the re-run completes them.
     writeCodebookIds(spark, path,
       cb.filterNot { case (cid, _) => drifted(cid) || cid >= nextId }
         ++ fresh)
+    refreshPqCodes(spark, path, codesToRefresh, idCol, vecCol)
     tmpFs.delete(tmpPath, true)
     fresh
   }

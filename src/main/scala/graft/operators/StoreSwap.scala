@@ -91,7 +91,11 @@ object StoreSwap {
     * writer committed). Reentrant per thread, so composite mutations
     * acquire once. Best-effort on filesystems without atomic
     * create-if-absent semantics (raw S3) — there, front the store
-    * with a real lock service or table format. */
+    * with a real lock service or table format. The stale-break itself
+    * has a delete/create race window (two writers that both judged the
+    * same lease stale can both acquire); the lease is a fail-fast
+    * guard for the documented single-mutator contract, not a
+    * distributed lock — schedule mutations externally. */
   def withLease[T](spark: SparkSession, path: String,
                    staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
     if (heldByThread.get.contains(path)) return body

@@ -324,6 +324,33 @@ class StandingStoreSpec extends SparkSpec {
     assert(served > 0)
   }
 
+  test("drift refit with a RESIDUAL sidecar re-encodes members against the fresh cids") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.writeCodebookIds(spark, path,
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4, residual = true)
+    val drifted = spark.read.parquet(path + "/data")
+      .select("cluster").distinct().orderBy("cluster")
+      .limit(1).collect().map(_.getLong(0)).toSet
+    val fresh = Similarity.refitStoreDriftedClusters(spark, path,
+      "vec_id", "embedding", drifted, targetClusterSize = 10, iters = 1)
+    assert(fresh.nonEmpty)
+    // the residual encode joins on the coarse codebook — if the fresh
+    // cids weren't written before the refresh, the refit members' code
+    // rows would be silently dropped and this 1:1 check fails
+    val data = spark.read.parquet(path + "/data")
+      .select(col("vec_id").as("id"), col("cluster").as("dc"))
+    val codes = spark.read.parquet(path + "/pq_codes")
+      .select(col("id"), col("cluster").as("cc"))
+    assert(codes.count() == data.count())
+    assert(data.join(codes, "id").filter(col("dc") =!= col("cc")).count() == 0)
+  }
+
   test("refit re-run after a post-append crash duplicates nothing (data, codes, codebook)") {
     val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
     val path = Fixtures.tempDir("graft-store-").resolve("s").toString
