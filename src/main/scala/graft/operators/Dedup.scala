@@ -946,6 +946,43 @@ object Dedup {
     // a judgment-only process must also roll forward a crashed index
     // mutation's committed swap, or it serves stale band rows
     StoreSwap.recover(spark, path)
+    val (bands, _) = bandsMeta(spark, path)
+    // DELTA-BATCH CHUNKING, the text twin of the PQ search's: the
+    // delta's band rows are the broadcast side of the candidate join,
+    // so an unbounded batch (1M docs × bands rows) would blow the
+    // broadcast budget. Judgments are per-delta-doc independent, so
+    // hash-chunking the delta and unioning the per-chunk results is
+    // exact; each chunk executes eagerly (one broadcast alive at a
+    // time) and prunes its own index buckets. Budget from
+    // `graft.lsh.maxBroadcastMb` (default 64) at ~112 bytes per band
+    // row.
+    val targetBytes = math.max(1.0, spark.conf
+      .getOption("graft.lsh.maxBroadcastMb")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .getOrElse(64.0) * 1024 * 1024)
+    val nDelta = delta.select(col(idCol)).distinct().count()
+    val chunks = math.max(1L,
+      math.ceil(nDelta.toDouble * bands * 112L / targetBytes).toLong).toInt
+    if (chunks == 1)
+      lshJudgeChunk(spark, path, standingDocs, delta, idCol, textCol,
+        n, numHashes, seed, threshold)
+    else
+      (0 until chunks).map { i =>
+        lshJudgeChunk(spark, path, standingDocs,
+          delta.filter(
+            pmod(xxhash64(col(idCol)), lit(chunks.toLong)) === i),
+          idCol, textCol, n, numHashes, seed, threshold)
+          .localCheckpoint(true) // run now; free this chunk's broadcast
+      }.reduce(_ unionByName _)
+  }
+
+  /** One bounded-broadcast slice of the store judgment — the whole
+    * algorithm for delta batches under the budget. */
+  private def lshJudgeChunk(spark: SparkSession, path: String,
+                            standingDocs: DataFrame, delta: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            numHashes: Int, seed: Long,
+                            threshold: Double): DataFrame = {
     val (bands, r) = bandsMeta(spark, path)
     require(bands * r == numHashes, "band geometry must match the store")
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)

@@ -65,4 +65,25 @@ class SignatureStoreSpec extends SparkSpec {
       col("doc_id") =!= 3L)).orderBy("doc_id", "k").collect().toSeq
     assert(got == want)
   }
+
+  test("chunked lshJudgeStore under a tiny broadcast budget equals single-chunk") {
+    val path = Fixtures.tempDir("graft-sigstore-").resolve("s").toString
+    val standing = docs()
+    Dedup.writeSignatureStore(sigs(standing), path, "doc_id", buckets = 8)
+    Dedup.writeBandIndex(spark, path, "doc_id", bands = 2)
+    // exact copies of the standing docs under shifted ids — every one
+    // must judge as a near-dup of its original
+    val delta = standing.select((col("doc_id") + 100L).as("doc_id"),
+      col("text"))
+    def run() = Dedup.lshJudgeStore(spark, path, standing, delta,
+        "doc_id", "text", n = 3, numHashes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val single = run()
+    assert(single.nonEmpty)
+    // ~840-byte budget forces multiple chunks for the 5-doc delta
+    spark.conf.set("graft.lsh.maxBroadcastMb", "0.0008")
+    try assert(run() == single)
+    finally spark.conf.unset("graft.lsh.maxBroadcastMb")
+  }
 }
