@@ -554,9 +554,14 @@ object ScaleQueries {
   def q211BandIndexReindex(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val standing = docs.select(col("doc_id"), col("text"))
+    // the change must ADD shingles (prepend), not remove them (a
+    // token-drop's shingles are a subset of the original's, so the
+    // MIN-merge would leave every signature unchanged and the repair
+    // would be vacuously tested — caught by BandIndexProbe's
+    // n_stale_removed)
     val changed = standing.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"),
-        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+        concat(lit("zzz qqq xyz "), col("text")).as("text"))
     val store = Fixtures.tempDir("graft-q211-").resolve("sigs").toString
     Dedup.writeSignatureStore(
       Dedup.minhashSignatures(standing, "doc_id", "text"),
@@ -885,7 +890,7 @@ object ScaleQueries {
     "q211_band_index_reindex" ->
       s"""WITH ${minhashSigCtes(
              "SELECT doc_id AS id, text FROM documents" +
-               " UNION ALL SELECT doc_id, regexp_replace(text, '^\\S+\\s+', '')" +
+               " UNION ALL SELECT doc_id, 'zzz qqq xyz ' || text" +
                " FROM documents WHERE doc_id % 3 = 0")},
         |bs AS (
         |  SELECT id, k // 2 AS band,

@@ -70,6 +70,31 @@ object BandIndexProbe {
       Dedup.mergeIntoBandIndex(spark, store,
         delta.select(col("doc_id")), "doc_id")
     }
+    // CHANGED-doc re-ingest + TARGETED REPAIR (the op that replaces
+    // the full index rebuild for stale rows): 500 standing docs get
+    // new text, their signatures MIN-merge to new values, the index
+    // merge leaves their old rows stale, and the reindex removes
+    // exactly them through the per-doc inventory — doc-footprint
+    // prepended tokens ADD shingles so the MIN-merge actually moves
+    // the signatures (a token drop would leave them unchanged)
+    val changed = docs.filter(col("doc_id") % 1000 === 1)
+      .select(col("doc_id"),
+        concat(lit("zzz qqq xyz "), col("text")).as("text"))
+      .cache()
+    val nChanged = changed.count()
+    val sigMerge2Sec = t {
+      Dedup.mergeIntoSignatureStore(spark, store,
+        Dedup.minhashSignatures(changed, "doc_id", "text"), "doc_id")
+    }
+    val idxMerge2Sec = t {
+      Dedup.mergeIntoBandIndex(spark, store,
+        changed.select(col("doc_id")), "doc_id")
+    }
+    var nStale = 0L
+    val reindexSec = t {
+      nStale = Dedup.reindexDocsInBandIndex(spark, store,
+        changed.select(col("doc_id")), "doc_id")
+    }
     val doomed = docs.filter(col("doc_id") % 100 === 7)
       .select(col("doc_id"))
     var idxForgotten = 0L
@@ -86,6 +111,10 @@ object BandIndexProbe {
       f""""judge_sec":$judgeSec%.2f,"n_pairs":$nPairs,""" +
       f""""sig_merge_sec":$sigMergeSec%.2f,""" +
       f""""idx_merge_sec":$idxMergeSec%.2f,""" +
+      f""""n_changed":$nChanged,""" +
+      f""""sig_merge_changed_sec":$sigMerge2Sec%.2f,""" +
+      f""""idx_merge_changed_sec":$idxMerge2Sec%.2f,""" +
+      f""""reindex_sec":$reindexSec%.2f,"n_stale_removed":$nStale,""" +
       f""""idx_forget_1pct_sec":$idxForgetSec%.2f,""" +
       f""""idx_forgotten_rows":$idxForgotten,""" +
       f""""sig_forget_1pct_sec":$sigForgetSec%.2f}""")
