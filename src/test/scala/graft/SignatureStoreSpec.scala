@@ -86,4 +86,33 @@ class SignatureStoreSpec extends SparkSpec {
     try assert(run() == single)
     finally spark.conf.unset("graft.lsh.maxBroadcastMb")
   }
+
+  test("forget removes a changed-signature doc's STALE band rows via the inventory") {
+    val path = Fixtures.tempDir("graft-sigstore-").resolve("s").toString
+    Dedup.writeSignatureStore(sigs(docs()), path, "doc_id", buckets = 8)
+    Dedup.writeBandIndex(spark, path, "doc_id", bands = 2)
+    // re-ingest doc 0 with PREPENDED text: its signature MIN-merges to
+    // new values, and the index merge leaves old + fresh rows
+    val changed = docs().filter(col("doc_id") === 0L)
+      .select(col("doc_id"),
+        concat(lit("zzz qqq xyz "), col("text")).as("text"))
+    Dedup.mergeIntoSignatureStore(spark, path,
+      Dedup.minhashSignatures(changed, "doc_id", "text",
+        n = 3, numHashes = 4), "doc_id")
+    Dedup.mergeIntoBandIndex(spark, path,
+      changed.select(col("doc_id")), "doc_id")
+    val rowsForDoc0 = spark.read.parquet(path + "/bands")
+      .filter(col("id") === 0L).count()
+    assert(rowsForDoc0 > 2, // > bands ⇒ stale rows present
+      s"fixture vacuous: doc 0 has only $rowsForDoc0 band rows")
+    // the forget must find the stale rows too — their buckets are NOT
+    // derivable from the current signature, only from the inventory
+    val removed = Dedup.forgetFromBandIndex(spark, path,
+      Seq(0L).toDF("doc_id"), "doc_id")
+    assert(removed == rowsForDoc0)
+    assert(spark.read.parquet(path + "/bands")
+      .filter(col("id") === 0L).count() == 0, "stale band rows survived")
+    assert(spark.read.parquet(path + "/bands_inv")
+      .filter(col("id") === 0L).count() == 0, "inventory rows survived")
+  }
 }
