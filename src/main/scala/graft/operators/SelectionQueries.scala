@@ -1263,7 +1263,73 @@ object SelectionQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q213: RESIDUAL DELTA INGEST — q200's daily flow over a RESIDUAL
+    * sidecar: the delta is coarse-assigned against the reloaded
+    * codebook and appendPqCodes auto-detects the flavor from
+    * `pq_meta`, residual-encoding the delta against the FROZEN
+    * codebooks (coarse for the residual, PQ for the codes) — standing
+    * codes stay valid. The end-to-end path no unit spec covers:
+    * flavor travels with the sidecar, not the caller. */
+  def q213PqResidualAppend(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val standing = emb().filter(col("vec_id") % 3 =!= 0)
+    val cents = Similarity.trainCentroids(standing, "vec_id", "embedding",
+      8, iters = 2)
+    val store = Fixtures.tempDir("graft-q213-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      standing
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8, residual = true)
+    val reloaded = Similarity.readCodebook(spark, store)
+    val delta = emb().filter(col("vec_id") % 3 === 0)
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), reloaded).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    Similarity.appendToStandingStore(
+      delta.select(col("vec_id"), col("embedding"), col("cluster"),
+        col("nrm")), store, "cluster")
+    Similarity.appendPqCodes(spark, store, delta, "vec_id", "embedding",
+      m = 4, dsub = 16)
+    Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q214: FORGET THROUGH THE RESIDUAL PQ PATH — q202's
+    * right-to-be-forgotten contract over the residual sidecar: the
+    * by-id delete must drop the ids' residual code rows (codes-first
+    * crash ordering) exactly as it drops vanilla ones. */
+  def q214PqResidualForget(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val store = Fixtures.tempDir("graft-q214-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8, residual = true)
+    Similarity.deleteFromStandingStore(spark, store,
+      emb().filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+    Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_pq_residual_append" -> q213PqResidualAppend _,
+    "q214_pq_residual_forget" -> q214PqResidualForget _,
     "q210_pq_geometry_recall" -> q210PqGeometryRecall _,
     "q199_pq_store" -> q199PqStore _,
     "q200_pq_append" -> q200PqAppend _,
@@ -1693,7 +1759,8 @@ object SelectionQueries {
     * (which also restricts candidates to probed clusters — pqqdt only
     * holds probed pairs). `probesRel` must expose (qid, $probeCol). */
   private def pqResidualCtes(asgRel: String, probesRel: String,
-                             probeCol: String, p: String = ""): String =
+                             probeCol: String, p: String = "",
+                             trainCond: String = "TRUE"): String =
       s"""${p}res AS (
         |  SELECT a.vec_id AS id, a.cluster,
         |    list_transform(list_zip(c.embedding, cc.cv),
@@ -1703,13 +1770,14 @@ object SelectionQueries {
         |${p}pqsv AS (
         |  SELECT id, s.s AS sub, rv[s.s*16+1 : s.s*16+16] AS sv
         |  FROM ${p}res, (VALUES (0),(1),(2),(3)) AS s(s)),
+        |${p}pqtsv AS (SELECT * FROM ${p}pqsv WHERE $trainCond),
         |${p}pqinit AS (
         |  SELECT sub, CAST(id AS BIGINT) AS cid, sv AS cent
-        |  FROM ${p}pqsv WHERE id < 8),
+        |  FROM ${p}pqtsv WHERE id < 8),
         |${p}pqd0 AS (
         |  SELECT v.id, v.sub, i.cid,
         |    ${sqdSql("v.sv", "i.cent")} AS d2
-        |  FROM ${p}pqsv v JOIN ${p}pqinit i USING (sub)),
+        |  FROM ${p}pqtsv v JOIN ${p}pqinit i USING (sub)),
         |${p}pqa0 AS (
         |  SELECT id, sub, cid FROM (
         |    SELECT id, sub, cid,
@@ -1722,7 +1790,7 @@ object SelectionQueries {
         |  FROM (SELECT a.sub, a.cid,
         |          unnest(list_zip(v.sv, generate_series(0, len(v.sv) - 1)))
         |            AS x
-        |        FROM ${p}pqsv v JOIN ${p}pqa0 a USING (id, sub)) t
+        |        FROM ${p}pqtsv v JOIN ${p}pqa0 a USING (id, sub)) t
         |  GROUP BY t.sub, t.cid, CAST(x[2] AS BIGINT)),
         |${p}pqtrained AS (
         |  SELECT sub, cid, list(c ORDER BY pos) AS cent
@@ -1752,6 +1820,36 @@ object SelectionQueries {
         |  SELECT r.qid AS query_id, r.qc, r.sub, c.cid,
         |    ${sqdSql("r.sv", "c.cent")} AS d2
         |  FROM ${p}qrsv r JOIN ${p}pqcb c USING (sub))""".stripMargin
+
+  /** The flat-probe residual-PQ store-search oracle (q208/q213/q214):
+    * [[kmeansTrainCtes]]'s coarse front (training restricted by
+    * `coarseCond`), flat nProbe=2 probe lists, the residual replay
+    * (PQ training restricted by `pqTrainCond` over the residuals),
+    * and the fixed-order ADC tail with `candCond` gating candidates. */
+  private def ivfPqResidualOracle(coarseCond: String,
+                                  pqTrainCond: String,
+                                  candCond: String = "TRUE"): String =
+      s"""${kmeansTrainCtes(
+               "  SELECT vec_id, embedding FROM embeddings", "8",
+               coarseCond)},
+        |qd AS (
+        |  SELECT q.vec_id AS qid, c.cid, ${sqdSql("q.embedding", "c.cv")} AS dd
+        |  FROM corpus q CROSS JOIN c2 c
+        |  WHERE q.vec_id < 10),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        |    FROM qd) t WHERE rn <= 2),
+        |${pqResidualCtes("jc", "probes", "cid", "", pqTrainCond)},
+        |j AS (
+        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
+        |  FROM pqcodes
+        |  JOIN jc ON jc.vec_id = pqcodes.nid
+        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
+        |    AND q.qc = jc.cluster
+        |  WHERE q.query_id <> pqcodes.nid AND ($candCond)),
+        |$pqAdcTail""".stripMargin
 
   /** Fixed-sub-order ADC sum over the candidate join `j` — the
     * arithmetic every PQ store-search oracle hinges on, defined ONCE. */
@@ -1964,27 +2062,18 @@ object SelectionQueries {
     // over residuals, query tables per (query, probed cluster) — the
     // qc = candidate-cluster gate replaces the explicit probes join
     // (pqqdt only holds probed pairs)
-    "q208_pq_residual_store" ->
-      s"""${kmeansTrainCtes(
-               "  SELECT vec_id, embedding FROM embeddings", "8")},
-        |qd AS (
-        |  SELECT q.vec_id AS qid, c.cid, ${sqdSql("q.embedding", "c.cv")} AS dd
-        |  FROM corpus q CROSS JOIN c2 c
-        |  WHERE q.vec_id < 10),
-        |probes AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT qid, cid,
-        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
-        |    FROM qd) t WHERE rn <= 2),
-        |${pqResidualCtes("jc", "probes", "cid")},
-        |j AS (
-        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
-        |  FROM pqcodes
-        |  JOIN jc ON jc.vec_id = pqcodes.nid
-        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
-        |    AND q.qc = jc.cluster
-        |  WHERE q.query_id <> pqcodes.nid),
-        |$pqAdcTail""".stripMargin,
+    "q208_pq_residual_store" -> ivfPqResidualOracle("TRUE", "TRUE"),
+    // the residual twin of q200: standing two-thirds train BOTH
+    // codebooks, the delta is coarse-assigned against the reloaded
+    // codebook and RESIDUAL-encoded against the frozen sidecar (the
+    // flavor auto-detected from pq_meta) — the replay trains
+    // restricted, residualizes and encodes everything
+    "q213_pq_residual_append" ->
+      ivfPqResidualOracle("vec_id % 3 <> 0", "id % 3 <> 0"),
+    // the residual twin of q202: forgotten ids vanish from the code
+    // path; both codebooks replay over the pre-delete corpus
+    "q214_pq_residual_forget" ->
+      ivfPqResidualOracle("TRUE", "TRUE", "pqcodes.nid % 7 <> 3"),
     // q203's audit with the residual sidecar at the same bits: ladder
     // front, residual replay against the LADDER assignment (fasg), ADC
     // top-5, exact float top-5, per-query intersection
