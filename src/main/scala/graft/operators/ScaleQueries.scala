@@ -874,6 +874,11 @@ object ScaleQueries {
       "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
         " FROM documents WHERE doc_id % 5 = 0",
       "s.id < 200000 AND d.id >= 200000"),
+    // the streaming RESIDUAL ingest (gate in StreamingQueries) lands
+    // the store in exactly q213's state — batching, per-batch residual
+    // sidecar appends, and compaction are content-invariant
+    "q215_stream_residual_ingest" ->
+      SelectionQueries.pqResidualAppendOracle,
     // the streaming ingest loop (gate in StreamingQueries) must land
     // the store in exactly q206's state — micro-batched judge → sig
     // merge → index merge is content-invariant

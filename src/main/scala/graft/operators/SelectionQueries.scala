@@ -1851,6 +1851,12 @@ object SelectionQueries {
         |  WHERE q.query_id <> pqcodes.nid AND ($candCond)),
         |$pqAdcTail""".stripMargin
 
+  /** The q213 oracle, shared verbatim by the streaming twin (q215 in
+    * ScaleQueries' registry) — batching and compaction are
+    * content-invariant, exactly the q200/q204 relationship. */
+  private[operators] lazy val pqResidualAppendOracle: String =
+    ivfPqResidualOracle("vec_id % 3 <> 0", "id % 3 <> 0")
+
   /** Fixed-sub-order ADC sum over the candidate join `j` — the
     * arithmetic every PQ store-search oracle hinges on, defined ONCE. */
   private val pqAdcCte: String =
@@ -2068,8 +2074,7 @@ object SelectionQueries {
     // codebook and RESIDUAL-encoded against the frozen sidecar (the
     // flavor auto-detected from pq_meta) — the replay trains
     // restricted, residualizes and encodes everything
-    "q213_pq_residual_append" ->
-      ivfPqResidualOracle("vec_id % 3 <> 0", "id % 3 <> 0"),
+    "q213_pq_residual_append" -> pqResidualAppendOracle,
     // the residual twin of q202: forgotten ids vanish from the code
     // path; both codebooks replay over the pre-delete corpus
     "q214_pq_residual_forget" ->

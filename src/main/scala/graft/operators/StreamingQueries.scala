@@ -637,13 +637,24 @@ object StreamingQueries {
     * compaction are all content-invariant, which is precisely the
     * claim worth gating (a lost batch, a double-encode, or a
     * compaction that drops rows all break the hash). */
-  def q204StreamPqIngest(spark: SparkSession, dir: String): DataFrame = {
+  def q204StreamPqIngest(spark: SparkSession, dir: String): DataFrame =
+    streamPqIngest(spark, dir, "q204", residual = false)
+
+  /** q215: q204's streaming ingest over a RESIDUAL sidecar — per-batch
+    * appends residual-encode against the frozen codebooks (flavor
+    * auto-detected), compaction preserves the residual codes, and the
+    * final search must equal q213's batch-flow oracle exactly. */
+  def q215StreamResidualIngest(spark: SparkSession, dir: String): DataFrame =
+    streamPqIngest(spark, dir, "q215", residual = true)
+
+  private def streamPqIngest(spark: SparkSession, dir: String,
+                             tag: String, residual: Boolean): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val standing = emb.filter(col("vec_id") % 3 =!= 0)
     val cents = Similarity.trainCentroids(standing, "vec_id",
       "embedding", 8, iters = 2)
-    val tmp = Fixtures.tempDir("graft-q204-")
+    val tmp = Fixtures.tempDir(s"graft-$tag-")
     val in = tmp.resolve("in")
     Files.createDirectories(in)
     val store = tmp.resolve("standing").toString
@@ -655,7 +666,7 @@ object StreamingQueries {
       store, "cluster", buckets = 8)
     Similarity.writeCodebook(spark, store, cents)
     Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8)
+      m = 4, dsub = 16, ksub = 8, residual = residual)
     def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
       val stage = tmp.resolve(s"stage-$name")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -935,6 +946,7 @@ object StreamingQueries {
     "q184_stream_ingest_dedup" -> q184StreamIngestDedup _,
     "q189_stream_ingest_store" -> q189StreamIngestStore _,
     "q204_stream_pq_ingest" -> q204StreamPqIngest _,
+    "q215_stream_residual_ingest" -> q215StreamResidualIngest _,
     "q212_stream_lsh_ingest" -> q212StreamLshIngest _,
     "q114_stream_upsert" -> q114StreamUpsert _,
     "q127_stream_dedup"  -> q127StreamDedup _,
