@@ -1327,7 +1327,148 @@ object SelectionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q216: ROTATED PQ SEARCH — q199's layout with the sidecar encoding
+    * the ROTATED vector ([[Similarity.writePqSidecar]] `rotate = true`,
+    * the OPQ-style rung): a structured orthogonal rotation (LCG sign
+    * flips + the full Walsh–Hadamard butterfly) applied before the
+    * subvector split, so per-dimension variance spreads evenly across
+    * the m subquantizers instead of concentrating in whichever slice
+    * the data's dominant dimensions fall into. R is orthogonal, so ADC
+    * in rotated space estimates original L2. The search auto-detects
+    * the flavor from `pq_meta` and rotates the query side; the oracle
+    * replays the rotation bit-exactly (rows form, one self-join per
+    * butterfly stage) and the whole train/encode/ADC chain over it. */
+  def q216PqRotatedStore(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val store = Fixtures.tempDir("graft-q216-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8, rotate = true)
+    Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The q217 REDUNDANT-DIMS corpus: dimension j carries
+    * `e[j mod 16] + 0.05·e[j]` — sixteen underlying variables, each
+    * copied (with small unique noise) into all four subquantizer
+    * slices. This is the correlated geometry real embeddings have and
+    * PQ's coordinate split is worst at: unrotated, the four
+    * subquantizers each quantize the SAME 16-variable structure (four
+    * redundant 3-bit codes ≈ one 3-bit code), while the sign-flipped
+    * Walsh–Hadamard rotation decorrelates the copies so the four
+    * codes carry complementary slices (≈ 12 effective bits). Picked
+    * empirically: on INDEPENDENT dims (anisotropic scalings, planted
+    * low-dim clusters) rotation measured level-or-worse — with fixed
+    * per-sub bits, concentrating independent signal lets k-means
+    * exploit low intrinsic dimension, and rotation smears it; only
+    * cross-sub redundancy gives rotation something to reclaim. Exact
+    * double arithmetic (float widened, ×0.05 — both engines parse the
+    * same double), so the oracle derives identical vectors. */
+  private def redundantCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        element_at(col("embedding"), pmod(i, lit(16)) + 1).cast("double")
+          + x.cast("double") * lit(0.05)).as("embedding"))
+
+  /** q217: ROTATION-RESOLVED RECALL — plain vs rotated PQ at the SAME
+    * bits (m=4, ksub=8) on REDUNDANT-DIMS vectors (each subquantizer
+    * slice carries a copy of the same 16 variables — see
+    * [[redundantCorpus]]), side by side per query. This is the
+    * geometry the rotation rung exists for: unrotated, the four
+    * subquantizers spend their codes on the SAME structure (four
+    * redundant 3-bit descriptions), while the Walsh–Hadamard rotation
+    * decorrelates the copies so the codes compose (≈12 effective
+    * bits). The recall delta (`recall_rotated_pct − recall_plain_pct`)
+    * measures what the rung buys — the rotation twin of q210's
+    * residual demonstration (and like it, the flip side is recorded
+    * honestly: q209/the probe tiers show rotation is level-or-worse
+    * on independent-dims geometry). Every stage replays in the
+    * oracle: the derived corpus, both PQ trainings, both ADC
+    * rankings, the rotation, and the exact ranking they are audited
+    * against. */
+  def q217PqRotationRecall(spark: SparkSession, dir: String): DataFrame = {
+    def aniso() = redundantCorpus(spark, dir)
+    val cents = Similarity.trainCentroids(aniso(), "vec_id", "embedding",
+      8, iters = 2)
+    def mkStore(tag: String, rotate: Boolean): String = {
+      val store = Fixtures.tempDir(s"graft-q217$tag-")
+        .resolve("standing").toString
+      Similarity.writeStandingStore(
+        aniso()
+          .withColumn("cluster",
+            Similarity.assignCluster(col("embedding"), cents).cast("long"))
+          .withColumn("nrm", Similarity.norm(col("embedding"))),
+        store, "cluster", buckets = 8)
+      Similarity.writeCodebook(spark, store, cents)
+      Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+        m = 4, dsub = 16, ksub = 8, rotate = rotate)
+      store
+    }
+    val storeP = mkStore("p", rotate = false)
+    val storeR = mkStore("r", rotate = true)
+    val queries = aniso().filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, aniso(),
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def top(store: String) = Similarity.pqTopKStore(spark, store, queries,
+      "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+    val pp = top(storeP)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+    val pr = top(storeR)
+      .select(col("query_id").as("rqid"), col("neighbor_id").as("rnid"))
+    exact
+      .join(pp, exact("query_id") === pp("qid") &&
+        exact("neighbor_id") === pp("nid"), "left")
+      .join(pr, exact("query_id") === col("rqid") &&
+        exact("neighbor_id") === col("rnid"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("nid")).cast("long").as("n_common_plain"),
+        count(col("rnid")).cast("long").as("n_common_rotated"))
+      .withColumn("recall_plain_pct", col("n_common_plain") * 20)
+      .withColumn("recall_rotated_pct", col("n_common_rotated") * 20)
+      .orderBy(col("query_id"))
+  }
+
+  /** q218: ROTATED RESIDUAL SEARCH — both rungs stacked (q208's
+    * residual encode, then q216's rotation): the sidecar quantizes
+    * R·(vector − its coarse centroid), the standard IVF-OPQ layout.
+    * Exercises the combined query path — the per-(query, probed
+    * cluster) residual is rotated BEFORE the distance-table build,
+    * matching the encode side's order. Engine-exact oracle. */
+  def q218PqRotatedResidual(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val store = Fixtures.tempDir("graft-q218-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8, residual = true, rotate = true)
+    Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_pq_rotated_store" -> q216PqRotatedStore _,
+    "q217_pq_rotation_recall" -> q217PqRotationRecall _,
+    "q218_pq_rotated_residual" -> q218PqRotatedResidual _,
     "q213_pq_residual_append" -> q213PqResidualAppend _,
     "q214_pq_residual_forget" -> q214PqResidualForget _,
     "q210_pq_geometry_recall" -> q210PqGeometryRecall _,
@@ -1700,54 +1841,96 @@ object SelectionQueries {
   /** The PQ train/encode replay as CTEs `pqsv`..`pqqdt` (q155's text,
     * pq-prefixed): training restricted to `pqTrainCond` rows, encoding
     * and query distance tables over the whole corpus. Shared by the
-    * flat (q199/q200) and two-level (q201) store-search oracles. */
+    * flat (q199/q200) and two-level (q201) store-search oracles; the
+    * optional name prefix `p` lets two replays (e.g. q217's plain +
+    * rotated pair) compose in one statement. */
   private def pqReplayCtes(pqTrainCond: String,
-                           rel: String = "embeddings"): String =
-      s"""pqsv AS (
+                           rel: String = "embeddings",
+                           p: String = ""): String =
+      s"""${p}pqsv AS (
         |  SELECT vec_id AS id, s.s AS sub,
         |    embedding[s.s*16+1 : s.s*16+16] AS sv
         |  FROM $rel, (VALUES (0),(1),(2),(3)) AS s(s)),
-        |pqtsv AS (SELECT * FROM pqsv WHERE $pqTrainCond),
-        |pqinit AS (
+        |${p}pqtsv AS (SELECT * FROM ${p}pqsv WHERE $pqTrainCond),
+        |${p}pqinit AS (
         |  SELECT sub, CAST(id AS BIGINT) AS cid,
         |    list_transform(sv, v -> CAST(v AS DOUBLE)) AS cent
-        |  FROM pqtsv WHERE id < 8),
-        |pqd0 AS (
-        |  SELECT pqtsv.id, pqtsv.sub, i.cid,
-        |    ${sqdSql("pqtsv.sv", "i.cent")} AS d2
-        |  FROM pqtsv JOIN pqinit i USING (sub)),
-        |pqa0 AS (
+        |  FROM ${p}pqtsv WHERE id < 8),
+        |${p}pqd0 AS (
+        |  SELECT v.id, v.sub, i.cid,
+        |    ${sqdSql("v.sv", "i.cent")} AS d2
+        |  FROM ${p}pqtsv v JOIN ${p}pqinit i USING (sub)),
+        |${p}pqa0 AS (
         |  SELECT id, sub, cid FROM (
         |    SELECT id, sub, cid,
         |      row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
-        |    FROM pqd0) t WHERE rn = 1),
-        |pqm0 AS (
+        |    FROM ${p}pqd0) t WHERE rn = 1),
+        |${p}pqm0 AS (
         |  SELECT t.sub, t.cid, CAST(x[2] AS BIGINT) AS pos,
         |    CAST(sum(CAST(round(CAST(x[1] AS DOUBLE) * 1048576.0) AS BIGINT))
         |         AS DOUBLE) / count(*) / 1048576.0 AS c
-        |  FROM (SELECT pqa0.sub, pqa0.cid,
-        |          unnest(list_zip(pqtsv.sv, generate_series(0, len(pqtsv.sv) - 1)))
+        |  FROM (SELECT a.sub, a.cid,
+        |          unnest(list_zip(v.sv, generate_series(0, len(v.sv) - 1)))
         |            AS x
-        |        FROM pqtsv JOIN pqa0 USING (id, sub)) t
+        |        FROM ${p}pqtsv v JOIN ${p}pqa0 a USING (id, sub)) t
         |  GROUP BY t.sub, t.cid, CAST(x[2] AS BIGINT)),
-        |pqtrained AS (
+        |${p}pqtrained AS (
         |  SELECT sub, cid, list(c ORDER BY pos) AS cent
-        |  FROM pqm0 GROUP BY sub, cid),
-        |pqcb AS (
+        |  FROM ${p}pqm0 GROUP BY sub, cid),
+        |${p}pqcb AS (
         |  SELECT i.sub, i.cid, coalesce(t.cent, i.cent) AS cent
-        |  FROM pqinit i LEFT JOIN pqtrained t USING (sub, cid)),
-        |pqd1 AS (
-        |  SELECT pqsv.id, pqsv.sub, c.cid,
-        |    ${sqdSql("pqsv.sv", "c.cent")} AS d2
-        |  FROM pqsv JOIN pqcb c USING (sub)),
-        |pqcodes AS (
+        |  FROM ${p}pqinit i LEFT JOIN ${p}pqtrained t USING (sub, cid)),
+        |${p}pqd1 AS (
+        |  SELECT v.id, v.sub, c.cid,
+        |    ${sqdSql("v.sv", "c.cent")} AS d2
+        |  FROM ${p}pqsv v JOIN ${p}pqcb c USING (sub)),
+        |${p}pqcodes AS (
         |  SELECT id AS nid, sub, cid FROM (
         |    SELECT id, sub, cid,
         |      row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
-        |    FROM pqd1) t WHERE rn = 1),
-        |pqqdt AS (
-        |  SELECT id AS query_id, sub, cid, d2 FROM pqd1 WHERE id < 10)"""
+        |    FROM ${p}pqd1) t WHERE rn = 1),
+        |${p}pqqdt AS (
+        |  SELECT id AS query_id, sub, cid, d2 FROM ${p}pqd1 WHERE id < 10)"""
         .stripMargin
+
+  /** SQL replay of [[Similarity.whtRotate]] — the structured rotation
+    * (LCG sign flips + the 6-stage Walsh–Hadamard butterfly over
+    * 64-dim vectors), in rows form: unnest to (keys, pos, v), one
+    * self-join per stage on `pos XOR stride`, re-assemble. Emits
+    * `${p}rot(keys..., embedding)` (double list). Every element is two
+    * loads, one add/sub, one multiply in the engine's exact order, and
+    * `7071067811865476e-16` parses to the identical double, so the
+    * replay is bit-exact. */
+  private def whtRotateCtes(inRel: String, keys: Seq[String],
+                            vecExpr: String, p: String = ""): String = {
+    val kSel = keys.mkString(", ")
+    val aSel = keys.map(k => s"a.$k").mkString(", ")
+    val kJoin = keys.map(k => s"b.$k = a.$k").mkString(" AND ")
+    val c = "7071067811865476e-16"
+    val head =
+      s"""${p}rt0 AS (
+         |  SELECT $kSel, CAST(x[2] AS BIGINT) AS pos,
+         |    CASE WHEN ((CAST(x[2] AS BIGINT) * 1103515245 + 12345) >> 16) & 1 = 0
+         |         THEN CAST(x[1] AS DOUBLE) ELSE -CAST(x[1] AS DOUBLE) END AS v
+         |  FROM (SELECT $kSel,
+         |          unnest(list_zip($vecExpr,
+         |            generate_series(0, len($vecExpr) - 1))) AS x
+         |        FROM $inRel) t)""".stripMargin
+    val stages = (1 to 6).map { i =>
+      val h = 1 << (i - 1)
+      s"""${p}rt$i AS (
+         |  SELECT $aSel, a.pos,
+         |    CASE WHEN (a.pos & $h) = 0 THEN (a.v + b.v) * $c
+         |         ELSE (b.v - a.v) * $c END AS v
+         |  FROM ${p}rt${i - 1} a JOIN ${p}rt${i - 1} b
+         |    ON $kJoin AND b.pos = xor(a.pos, $h))""".stripMargin
+    }
+    val tail =
+      s"""${p}rot AS (
+         |  SELECT $kSel, list(v ORDER BY pos) AS embedding
+         |  FROM ${p}rt6 GROUP BY $kSel)""".stripMargin
+    (head +: stages :+ tail).mkString(",\n")
+  }
 
   /** Residual-PQ replay (q208/q209): the corpus residualized against
     * its assigned centroid (`asgRel(vec_id, cluster)` × `c2`), q155's
@@ -1757,19 +1940,26 @@ object SelectionQueries {
     * `pqcodes(nid, sub, cid)` and `pqqdt(query_id, qc, sub, cid, d2)`;
     * the candidate join must gate `qc` on the candidate's cluster
     * (which also restricts candidates to probed clusters — pqqdt only
-    * holds probed pairs). `probesRel` must expose (qid, $probeCol). */
+    * holds probed pairs). `probesRel` must expose (qid, $probeCol).
+    * `rotate` pipes both residual relations through the structured
+    * rotation (residualize, then rotate — the encode side's order). */
   private def pqResidualCtes(asgRel: String, probesRel: String,
                              probeCol: String, p: String = "",
-                             trainCond: String = "TRUE"): String =
+                             trainCond: String = "TRUE",
+                             rotate: Boolean = false): String =
       s"""${p}res AS (
         |  SELECT a.vec_id AS id, a.cluster,
         |    list_transform(list_zip(c.embedding, cc.cv),
         |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv
         |  FROM $asgRel a JOIN corpus c ON c.vec_id = a.vec_id
         |  JOIN c2 cc ON cc.cid = a.cluster),
-        |${p}pqsv AS (
+        |${if (!rotate) "" else
+          whtRotateCtes(s"${p}res", Seq("id"), "rv", s"${p}c") + ",\n" +
+          s"${p}res2 AS (SELECT id, embedding AS rv FROM ${p}crot),\n"
+        }${p}pqsv AS (
         |  SELECT id, s.s AS sub, rv[s.s*16+1 : s.s*16+16] AS sv
-        |  FROM ${p}res, (VALUES (0),(1),(2),(3)) AS s(s)),
+        |  FROM ${if (rotate) s"${p}res2" else s"${p}res"},
+        |    (VALUES (0),(1),(2),(3)) AS s(s)),
         |${p}pqtsv AS (SELECT * FROM ${p}pqsv WHERE $trainCond),
         |${p}pqinit AS (
         |  SELECT sub, CAST(id AS BIGINT) AS cid, sv AS cent
@@ -1813,9 +2003,14 @@ object SelectionQueries {
         |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv
         |  FROM $probesRel p JOIN corpus q ON q.vec_id = p.qid
         |  JOIN c2 cc ON cc.cid = p.$probeCol),
-        |${p}qrsv AS (
+        |${if (!rotate) "" else
+          whtRotateCtes(s"${p}qres", Seq("qid", "qc"), "rv", s"${p}q") +
+          ",\n" +
+          s"${p}qres2 AS (SELECT qid, qc, embedding AS rv FROM ${p}qrot),\n"
+        }${p}qrsv AS (
         |  SELECT qid, qc, s.s AS sub, rv[s.s*16+1 : s.s*16+16] AS sv
-        |  FROM ${p}qres, (VALUES (0),(1),(2),(3)) AS s(s)),
+        |  FROM ${if (rotate) s"${p}qres2" else s"${p}qres"},
+        |    (VALUES (0),(1),(2),(3)) AS s(s)),
         |${p}pqqdt AS (
         |  SELECT r.qid AS query_id, r.qc, r.sub, c.cid,
         |    ${sqdSql("r.sv", "c.cent")} AS d2
@@ -1828,7 +2023,8 @@ object SelectionQueries {
     * and the fixed-order ADC tail with `candCond` gating candidates. */
   private def ivfPqResidualOracle(coarseCond: String,
                                   pqTrainCond: String,
-                                  candCond: String = "TRUE"): String =
+                                  candCond: String = "TRUE",
+                                  rotate: Boolean = false): String =
       s"""${kmeansTrainCtes(
                "  SELECT vec_id, embedding FROM embeddings", "8",
                coarseCond)},
@@ -1841,7 +2037,8 @@ object SelectionQueries {
         |    SELECT qid, cid,
         |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
         |    FROM qd) t WHERE rn <= 2),
-        |${pqResidualCtes("jc", "probes", "cid", "", pqTrainCond)},
+        |${pqResidualCtes("jc", "probes", "cid", "", pqTrainCond,
+               rotate)},
         |j AS (
         |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
         |  FROM pqcodes
@@ -1894,7 +2091,8 @@ object SelectionQueries {
 
   private def ivfPqOracle(coarseTrainCond: String,
                           pqTrainCond: String,
-                          candCond: String = "TRUE"): String =
+                          candCond: String = "TRUE",
+                          rotate: Boolean = false): String =
       s"""${kmeansTrainCtes(
                "  SELECT vec_id, embedding FROM embeddings", "8",
                coarseTrainCond)},
@@ -1907,7 +2105,9 @@ object SelectionQueries {
         |    SELECT qid, cid,
         |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
         |    FROM qd) t WHERE rn <= 2),
-        |${pqReplayCtes(pqTrainCond)},
+        |${if (!rotate) "" else
+          whtRotateCtes("corpus", Seq("vec_id"), "embedding") + ",\n"
+        }${pqReplayCtes(pqTrainCond, if (rotate) "rot" else "embeddings")},
         |j AS (
         |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
         |  FROM pqcodes
@@ -1916,6 +2116,17 @@ object SelectionQueries {
         |  JOIN probes p ON p.qid = q.query_id AND p.cid = jc.cluster
         |  WHERE q.query_id <> pqcodes.nid AND ($candCond)),
         |$pqAdcTail""".stripMargin
+
+  /** q217's redundant-dims corpus in SQL — [[redundantCorpus]]'s
+    * arithmetic (`e[j mod 16] + 0.05·e[j]`; `5e-2` parses to the same
+    * double as the engine's literal). */
+  private val redundantCorpusSql: String =
+    """  SELECT vec_id,
+      |    list_transform(list_zip(embedding,
+      |        generate_series(0, len(embedding) - 1)),
+      |      x -> CAST(embedding[(CAST(x[2] AS BIGINT) % 16) + 1] AS DOUBLE)
+      |           + CAST(x[1] AS DOUBLE) * 5e-2) AS embedding
+      |  FROM embeddings""".stripMargin
 
   /** The q210 clustered corpus: 16 centers (the corpus's own rows
     * 0-15) + 0.15× the row's vector — exact double arithmetic, so both
@@ -2069,6 +2280,97 @@ object SelectionQueries {
     // qc = candidate-cluster gate replaces the explicit probes join
     // (pqqdt only holds probed pairs)
     "q208_pq_residual_store" -> ivfPqResidualOracle("TRUE", "TRUE"),
+    // q199's flat front with the ROTATED replay: the corpus is piped
+    // through the structured rotation (sign flips + 6 butterfly
+    // stages, bit-exact rows-form replay) before the PQ train/encode;
+    // query tables come from the same rotated rows (queries are corpus
+    // members)
+    "q216_pq_rotated_store" -> ivfPqOracle("TRUE", "TRUE", rotate = true),
+    // both rungs stacked: residualize against the assigned coarse
+    // centroid, THEN rotate — encode and per-(query, probe) table
+    // sides in the same order as the engine
+    "q218_pq_rotated_residual" ->
+      ivfPqResidualOracle("TRUE", "TRUE", rotate = true),
+    // plain and rotated PQ replayed over the derived anisotropic
+    // corpus at the same bits, audited against the exact cosine
+    // ranking — the w-prefixed CTE instance is the rotated replay
+    "q217_pq_rotation_recall" ->
+      s"""${kmeansTrainCtes(redundantCorpusSql, "8")},
+        |qd AS (
+        |  SELECT q.vec_id AS qid, c.cid, ${sqdSql("q.embedding", "c.cv")} AS dd
+        |  FROM corpus q CROSS JOIN c2 c
+        |  WHERE q.vec_id < 10),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        |    FROM qd) t WHERE rn <= 2),
+        |${pqReplayCtes("TRUE", "corpus")},
+        |jp AS (
+        |  SELECT q.query_id, pqcodes.nid, q.sub, q.d2
+        |  FROM pqcodes
+        |  JOIN pqqdt q ON q.sub = pqcodes.sub AND q.cid = pqcodes.cid
+        |  JOIN jc ON jc.vec_id = pqcodes.nid
+        |  JOIN probes p ON p.qid = q.query_id AND p.cid = jc.cluster
+        |  WHERE q.query_id <> pqcodes.nid),
+        |adcp AS (
+        |  SELECT query_id, nid,
+        |    ((sum(CASE WHEN sub = 0 THEN d2 ELSE 0.0 END)
+        |      + sum(CASE WHEN sub = 1 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 2 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 3 THEN d2 ELSE 0.0 END) AS adc
+        |  FROM jp GROUP BY query_id, nid),
+        |topp AS (
+        |  SELECT query_id, nid FROM (
+        |    SELECT query_id, nid,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY adc, nid) AS rank
+        |    FROM adcp) t WHERE rank <= 5),
+        |${whtRotateCtes("corpus", Seq("vec_id"), "embedding")},
+        |${pqReplayCtes("TRUE", "rot", "w")},
+        |jw AS (
+        |  SELECT q.query_id, wpqcodes.nid, q.sub, q.d2
+        |  FROM wpqcodes
+        |  JOIN wpqqdt q ON q.sub = wpqcodes.sub AND q.cid = wpqcodes.cid
+        |  JOIN jc ON jc.vec_id = wpqcodes.nid
+        |  JOIN probes p ON p.qid = q.query_id AND p.cid = jc.cluster
+        |  WHERE q.query_id <> wpqcodes.nid),
+        |adcw AS (
+        |  SELECT query_id, nid,
+        |    ((sum(CASE WHEN sub = 0 THEN d2 ELSE 0.0 END)
+        |      + sum(CASE WHEN sub = 1 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 2 THEN d2 ELSE 0.0 END))
+        |      + sum(CASE WHEN sub = 3 THEN d2 ELSE 0.0 END) AS adc
+        |  FROM jw GROUP BY query_id, nid),
+        |topw AS (
+        |  SELECT query_id, nid FROM (
+        |    SELECT query_id, nid,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY adc, nid) AS rank
+        |    FROM adcw) t WHERE rank <= 5),
+        |exs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS cv,
+        |    q.qv, $cosineSql AS cos
+        |  FROM corpus e
+        |  CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+        |              FROM corpus WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.query_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM exs) t WHERE rank <= 5)
+        |SELECT ex.query_id,
+        |  CAST(count(v.nid) AS BIGINT) AS n_common_plain,
+        |  CAST(count(r.nid) AS BIGINT) AS n_common_rotated,
+        |  CAST(count(v.nid) * 20 AS BIGINT) AS recall_plain_pct,
+        |  CAST(count(r.nid) * 20 AS BIGINT) AS recall_rotated_pct
+        |FROM ex
+        |LEFT JOIN topp v ON v.query_id = ex.query_id AND v.nid = ex.neighbor_id
+        |LEFT JOIN topw r ON r.query_id = ex.query_id AND r.nid = ex.neighbor_id
+        |GROUP BY ex.query_id
+        |ORDER BY ex.query_id""".stripMargin,
     // the residual twin of q200: standing two-thirds train BOTH
     // codebooks, the delta is coarse-assigned against the reloaded
     // codebook and RESIDUAL-encoded against the frozen sidecar (the

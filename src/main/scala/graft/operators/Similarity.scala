@@ -992,10 +992,12 @@ object Similarity {
     * corpus restricted to the probed clusters. */
   def writePqSidecar(spark: SparkSession, path: String, idCol: String,
                      vecCol: String, m: Int, dsub: Int, ksub: Int,
-                     residual: Boolean = false): Unit =
+                     residual: Boolean = false,
+                     rotate: Boolean = false): Unit =
     StoreSwap.withLease(spark, path) {
     val (df, buckets) = readStandingStore(spark, path)
-    val (enc, encCol) = pqEncInput(spark, path, df, vecCol, residual)
+    val (enc, encCol) =
+      pqEncInput(spark, path, df, vecCol, residual, rotate, m * dsub)
     val cents = pqCodebooks(enc, idCol, encCol, m, dsub, ksub)
       .localCheckpoint(true) // m·ksub rows — bounded model state
     cents.coalesce(1).write.mode("overwrite")
@@ -1003,7 +1005,8 @@ object Similarity {
     // the encoding FLAVOR is a property of the sidecar, recorded with
     // it — search and ingest auto-detect instead of trusting callers
     // to pass a matching flag forever
-    spark.range(1).select(lit(residual).as("residual"))
+    spark.range(1).select(lit(residual).as("residual"),
+        lit(rotate).as("rotated"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/pq_meta")
     packedCodes(enc, cents, idCol, encCol, m, dsub)
       .withColumn("c_bucket",
@@ -1022,27 +1025,88 @@ object Similarity {
     * residual is exact double arithmetic (float widened, centroid
     * already double), so the DuckDB oracle replays it bit-for-bit. */
   private def pqEncInput(spark: SparkSession, path: String, df: DataFrame,
-                         vecCol: String,
-                         residual: Boolean): (DataFrame, String) =
-    if (!residual) (df, vecCol)
-    else {
-      val cb = spark.read.parquet(path + "/codebook")
-        .select(col("cid").as("__ccid"), col("cent").as("__ccent"))
-      (df.join(broadcast(cb), col("cluster") === col("__ccid"))
-        .withColumn("__enc",
-          zip_with(col(vecCol).cast("array<double>"), col("__ccent"),
-            (a, b) => a - b))
-        .drop("__ccid", "__ccent"), "__enc")
-    }
+                         vecCol: String, residual: Boolean,
+                         rotate: Boolean, d: Int): (DataFrame, String) = {
+    val (rdf, rcol) =
+      if (!residual) (df, vecCol)
+      else {
+        val cb = spark.read.parquet(path + "/codebook")
+          .select(col("cid").as("__ccid"), col("cent").as("__ccent"))
+        (df.join(broadcast(cb), col("cluster") === col("__ccid"))
+          .withColumn("__enc",
+            zip_with(col(vecCol).cast("array<double>"), col("__ccent"),
+              (a, b) => a - b))
+          .drop("__ccid", "__ccent"), "__enc")
+      }
+    if (!rotate) (rdf, rcol)
+    else (whtRotate(rdf, rcol, "__rot", d), "__rot")
+  }
 
-  /** Whether `path`'s PQ sidecar holds residual codes (recorded by
-    * [[writePqSidecar]]; absent marker = vanilla, for sidecars written
-    * before the flavor existed). */
-  private def pqResidual(spark: SparkSession, path: String): Boolean = {
+  /** 1/√2, the per-stage butterfly normalizer of [[whtRotate]] — a
+    * double literal, identical on both engines. */
+  private val InvSqrt2 = 0.7071067811865476
+
+  /** Deterministic ±1 per dimension index (an LCG bit — replayable
+    * integer arithmetic): the sign-flip half of the structured
+    * rotation, which keeps the Walsh basis from aligning with any
+    * fixed coordinate structure in the data. */
+  private def whtSign(x: Column, i: Column): Column =
+    when(shiftright(i.cast("long") * lit(1103515245L) + lit(12345L), 16)
+           .bitwiseAND(lit(1L)) === 0L, x.cast("double"))
+      .otherwise(-x.cast("double"))
+
+  /** One Walsh–Hadamard butterfly stage at stride `h` over a BOUND
+    * column (never an inline expression tree — each of the d output
+    * elements reads the previous stage twice, so an unbound operand
+    * would duplicate the whole upstream subtree 2d× per stage). */
+  private def whtStage(prev: Column, h: Int): Column =
+    transform(prev, (x, i) =>
+      when(i.bitwiseAND(lit(h)) === 0,
+        (x + element_at(prev, i + lit(h + 1))) * lit(InvSqrt2))
+        .otherwise(
+          (element_at(prev, i - lit(h - 1)) - x) * lit(InvSqrt2)))
+
+  /** Structured orthogonal rotation of a d-dim vector column —
+    * deterministic sign flips followed by the full Walsh–Hadamard
+    * transform (log2 d butterfly stages, 1/√2-normalized): the
+    * OPQ-style rung of the PQ layer. An orthogonal R preserves L2
+    * distances, so ADC over rotated codes still estimates original
+    * distances — but the transform spreads per-dimension variance
+    * evenly across PQ subspaces, so no subquantizer's bits are wasted
+    * on a near-constant slice when the data is anisotropic (q217
+    * measures the recall delta). Pure double arithmetic in a fixed
+    * per-element order (two loads, one add/sub, one multiply), so the
+    * DuckDB oracle replays it bit-for-bit. Each stage materializes as
+    * its own projection; cost is d·log2(d) flops per vector, encode
+    * and query side only (codes and search are unchanged). */
+  private[graft] def whtRotate(df: DataFrame, inCol: String,
+                               outCol: String, d: Int): DataFrame = {
+    require(d > 0 && (d & (d - 1)) == 0,
+      s"rotation needs power-of-two dims, got $d")
+    var cur = df.withColumn(outCol,
+      transform(col(inCol), (x, i) => whtSign(x, i)))
+    var h = 1
+    while (h < d) {
+      cur = cur.withColumn(outCol, whtStage(col(outCol), h))
+      h <<= 1
+    }
+    cur
+  }
+
+  /** The sidecar's encoding flavor — (residual, rotated), recorded by
+    * [[writePqSidecar]] in `pq_meta`; absent marker = vanilla, absent
+    * `rotated` column = unrotated (sidecars written before each flavor
+    * existed). */
+  private def pqFlavor(spark: SparkSession, path: String): (Boolean, Boolean) = {
     val p = new org.apache.hadoop.fs.Path(path + "/pq_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) &&
-      spark.read.parquet(path + "/pq_meta").head.getBoolean(0)
+    if (!fs.exists(p)) (false, false)
+    else {
+      val meta = spark.read.parquet(path + "/pq_meta")
+      val row = meta.head
+      (row.getAs[Boolean]("residual"),
+        meta.columns.contains("rotated") && row.getAs[Boolean]("rotated"))
+    }
   }
 
   /** Encode vectors against a PQ codebook relation into ONE row per
@@ -1082,10 +1146,11 @@ object Similarity {
     StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
     val pqcb = spark.read.parquet(path + "/pq_codebook")
-    // a residual sidecar's deltas must be residual-encoded too — the
-    // flavor travels with the sidecar, not the caller
+    // a residual/rotated sidecar's deltas must be encoded the same way
+    // — the flavor travels with the sidecar, not the caller
+    val (residual, rotated) = pqFlavor(spark, path)
     val (enc, encCol) =
-      pqEncInput(spark, path, delta, vecCol, pqResidual(spark, path))
+      pqEncInput(spark, path, delta, vecCol, residual, rotated, m * dsub)
     packedCodes(enc, pqcb, idCol, encCol, m, dsub)
       .withColumn("c_bucket",
         pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
@@ -1179,7 +1244,7 @@ object Similarity {
     // per-query-complete top-k results is exact. The budget is
     // per-query bytes (map entries × residual's nProbe multiplier)
     // against `graft.pq.maxBroadcastMb` (default 64).
-    val residual = pqResidual(spark, storePath)
+    val (residual, rotated) = pqFlavor(spark, storePath)
     val targetBytes = math.max(1.0, spark.conf
       .getOption("graft.pq.maxBroadcastMb")
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
@@ -1193,7 +1258,7 @@ object Similarity {
       math.ceil(bcRows * rowBytes / targetBytes).toLong).toInt
     if (chunks == 1)
       pqAdcChunk(spark, storePath, queries, probesM, idCol, vecCol,
-        m, dsub, k, residual)
+        m, dsub, k, residual, rotated)
     else
       (0 until chunks).map { i =>
         pqAdcChunk(spark, storePath,
@@ -1201,7 +1266,7 @@ object Similarity {
             pmod(xxhash64(col(idCol)), lit(chunks.toLong)) === i),
           probesM.filter(
             pmod(xxhash64(col("query_id")), lit(chunks.toLong)) === i),
-          idCol, vecCol, m, dsub, k, residual)
+          idCol, vecCol, m, dsub, k, residual, rotated)
           .localCheckpoint(true) // run now; free this chunk's broadcast
       }.reduce(_ unionByName _)
   }
@@ -1212,7 +1277,8 @@ object Similarity {
   private def pqAdcChunk(spark: SparkSession, storePath: String,
                          queries: DataFrame, probesM: DataFrame,
                          idCol: String, vecCol: String, m: Int,
-                         dsub: Int, k: Int, residual: Boolean): DataFrame = {
+                         dsub: Int, k: Int, residual: Boolean,
+                         rotated: Boolean): DataFrame = {
     val buckets = spark.read.parquet(storePath + "/meta").head.getInt(0)
     val probed = probesM.select(col("qc")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -1224,8 +1290,14 @@ object Similarity {
         col("cluster").isin(probed: _*))
       .select(col("id").as("nid"), col("codes"), col("cluster"))
     val broadcastSide = if (!residual) {
-      val dts = pqSubvectors(
-          queries.select(col(idCol), col(vecCol)), idCol, vecCol, m, dsub)
+      // a rotated sidecar's distance tables come from the ROTATED query
+      // (codes were trained/encoded in rotated space; R orthogonal, so
+      // ADC there estimates original-space distances)
+      val (qin, qcol) =
+        if (!rotated) (queries.select(col(idCol), col(vecCol)), vecCol)
+        else (whtRotate(queries.select(col(idCol), col(vecCol)), vecCol,
+          "__rot", m * dsub), "__rot")
+      val dts = pqSubvectors(qin, idCol, qcol, m, dsub)
         .join(broadcast(pqcb), "sub")
         .withColumn("d2", sqDistCols(col("sv"), col("cent")))
         .groupBy(col("id"), col("sub"))
@@ -1248,7 +1320,7 @@ object Similarity {
       // bounded model-state joins.
       val cb = spark.read.parquet(storePath + "/codebook")
         .select(col("cid").as("__ccid"), col("cent").as("__ccent"))
-      val qres = probesM
+      val qres0 = probesM
         .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
           "query_id")
         .join(broadcast(cb), col("qc") === col("__ccid"))
@@ -1256,6 +1328,11 @@ object Similarity {
           zip_with(col("qv").cast("array<double>"), col("__ccent"),
             (a, b) => a - b))
         .select(col("query_id"), col("qc"), col("rv"))
+      // rotated+residual: the rotation applies to the RESIDUAL, matching
+      // the encode side's order (residualize, then rotate)
+      val qres =
+        if (!rotated) qres0
+        else whtRotate(qres0, "rv", "rv", m * dsub)
       val subs = array((0 until m).map { s =>
         struct(lit(s).as("sub"), slice(col("rv"), s * dsub + 1, dsub).as("sv"))
       }: _*)

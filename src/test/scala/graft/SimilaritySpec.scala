@@ -306,4 +306,42 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
     errs.foreach { case (m, e) => assert(e <= m / 254 + 1e-9, s"err $e scale $m") }
   }
+
+  test("whtRotate: matches the reference transform bit-exactly and preserves distances") {
+    val vecs = Map(
+      0L -> Array.tabulate(8)(d => (d + 1).toDouble),
+      1L -> Array.tabulate(8)(d => (8 - d) * 0.5),
+      2L -> Array.tabulate(8)(d => if (d < 2) 3.0 else 0.01 * d))
+    val df = vecs.toSeq.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.whtRotate(df, "embedding", "r", 8)
+      .select("vec_id", "r").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // reference: sign flips (LCG bit) + 3 butterfly stages, same op order
+    def ref(v: Array[Double]): Array[Double] = {
+      var cur = Array.tabulate(8)(i =>
+        if ((((i.toLong * 1103515245L + 12345L) >> 16) & 1L) == 0L)
+          v(i).toFloat.toDouble else -v(i).toFloat.toDouble)
+      var h = 1
+      while (h < 8) {
+        cur = Array.tabulate(8)(i =>
+          if ((i & h) == 0) (cur(i) + cur(i + h)) * 0.7071067811865476
+          else (cur(i - h) - cur(i)) * 0.7071067811865476)
+        h <<= 1
+      }
+      cur
+    }
+    vecs.foreach { case (id, v) =>
+      assert(got(id).toSeq == ref(v).toSeq, s"vec $id")
+    }
+    // orthogonality: pairwise squared distances preserved to rounding
+    def sqd(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (i <- vecs.keys; j <- vecs.keys if i < j) {
+      val before = sqd(vecs(i).map(_.toFloat.toDouble), vecs(j).map(_.toFloat.toDouble))
+      val after = sqd(got(i), got(j))
+      assert(math.abs(before - after) <= 1e-9 * math.max(1.0, before),
+        s"distance drift $i-$j: $before vs $after")
+    }
+  }
 }
