@@ -351,6 +351,89 @@ class StandingStoreSpec extends SparkSpec {
     assert(data.join(codes, "id").filter(col("dc") =!= col("cc")).count() == 0)
   }
 
+  test("drift refit with a ROTATED-RESIDUAL sidecar keeps codes 1:1 (stacked flavors survive the refresh)") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.writeCodebookIds(spark, path,
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4, residual = true, rotate = true)
+    val drifted = spark.read.parquet(path + "/data")
+      .select("cluster").distinct().orderBy("cluster")
+      .limit(1).collect().map(_.getLong(0)).toSet
+    val fresh = Similarity.refitStoreDriftedClusters(spark, path,
+      "vec_id", "embedding", drifted, targetClusterSize = 10, iters = 1)
+    assert(fresh.nonEmpty)
+    // the refresh re-encodes through appendPqCodes, which must apply
+    // BOTH persisted flavors (residualize against the fresh coarse
+    // cids, then rotate) — a dropped flavor would yield wrong or
+    // missing code rows
+    val data = spark.read.parquet(path + "/data")
+      .select(col("vec_id").as("id"), col("cluster").as("dc"))
+    val codes = spark.read.parquet(path + "/pq_codes")
+      .select(col("id"), col("cluster").as("cc"))
+    assert(codes.count() == data.count())
+    assert(data.join(codes, "id").filter(col("dc") =!= col("cc")).count() == 0)
+    // search still serves refit members through the stacked query path
+    val served = Similarity.pqTopKStore(spark, path,
+        corpus().filter(col("vec_id") === 0L), "vec_id", "embedding",
+        m = 2, dsub = 2, k = 10, nProbe = 2)
+      .count()
+    assert(served > 0)
+  }
+
+  test("a ROTATED sidecar auto-rotates delta appends; codes match a rotate-aware re-encode") {
+    val standing = corpus().filter(col("vec_id") % 3 =!= 0)
+    val cents = Similarity.trainCentroids(standing, "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(standing, cents), path,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4, rotate = true)
+    val reloaded = Similarity.readCodebook(spark, path)
+    val delta = assigned(corpus().filter(col("vec_id") % 3 === 0), reloaded)
+    Similarity.appendToStandingStore(
+      delta.select(col("vec_id"), col("embedding"), col("cluster"),
+        col("nrm")), path, "cluster")
+    Similarity.appendPqCodes(spark, path, delta, "vec_id", "embedding",
+      m = 2, dsub = 2)
+    // expected codes: rotate the delta vectors, then per-sub argmin
+    // against the persisted PQ codebook — if appendPqCodes had ignored
+    // the sidecar's rotated flavor, the argmin would be over UNROTATED
+    // subvectors and disagree
+    val rot = Similarity.whtRotate(
+      delta.select(col("vec_id"), col("embedding")), "embedding", "r", 4)
+    val pqcb = spark.read.parquet(path + "/pq_codebook")
+    val exp = rot.select(col("vec_id"), explode(array(
+        struct(lit(0).as("sub"), slice(col("r"), 1, 2).as("sv")),
+        struct(lit(1).as("sub"), slice(col("r"), 3, 2).as("sv")))).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .join(pqcb, "sub")
+      .withColumn("d2", Similarity.sqDistCols(col("sv"), col("cent")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("sub"), col("mn.cid").as("exp_cid"))
+    val got = spark.read.parquet(path + "/pq_codes")
+      .filter(col("id") % 3 === 0)
+      .select(col("id").as("vec_id"), col("codes"))
+    assert(got.count() == delta.count())
+    val mismatches = got.join(exp, "vec_id")
+      .filter(element_at(col("codes"), col("sub") + 1).cast("long")
+        =!= col("exp_cid"))
+      .count()
+    assert(mismatches == 0, "delta codes differ from the rotate-aware encode")
+    // and the search path (which rotates the query side) serves them
+    val served = Similarity.pqTopKStore(spark, path,
+        corpus().filter(col("vec_id") === 3L), "vec_id", "embedding",
+        m = 2, dsub = 2, k = 10, nProbe = 2)
+      .count()
+    assert(served > 0)
+  }
+
   test("refit re-run after a post-append crash duplicates nothing (data, codes, codebook)") {
     val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
     val path = Fixtures.tempDir("graft-store-").resolve("s").toString

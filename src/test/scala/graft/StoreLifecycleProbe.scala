@@ -247,6 +247,52 @@ object StoreLifecycleProbe {
     val (cw12r, rec12r) = recallAt(4, 16, 8, res = true)
     val (cw64v, rec64v) = recallAt(8, 8, 256, res = false)
     val (cw64r, rec64r) = recallAt(8, 8, 256, res = true)
+    // ROTATION RUNG on REDUNDANT-DIMS geometry (q217's regime at tier
+    // scale): dimension j = e[j mod 16] + 0.05·e[j], so every
+    // subquantizer slice carries a copy of the same 16 variables —
+    // plain PQ's four codes are redundant, the rotated codes compose.
+    // Same store, plain vs rotated at 12 bits, recall@5 vs exact.
+    val red = base.filter(col("vec_id") < nClus)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          element_at(col("embedding"), pmod(i, lit(16)) + 1).cast("double")
+            + x.cast("double") * lit(0.05)).as("embedding"))
+      .cache()
+    red.count()
+    val rcents = Similarity.trainCentroids(red, "vec_id", "embedding",
+      256, iters = 1)
+    val rstore = java.nio.file.Files
+      .createTempDirectory("graft-lc-red-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      red.withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), rcents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      rstore, "cluster", buckets = 64)
+    Similarity.writeCodebook(spark, rstore, rcents)
+    val rq = red.filter(col("vec_id") < 1000)
+    val rexTop = Similarity.bruteForceTopK(rq, red, "vec_id", "embedding",
+        k = 5)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      .localCheckpoint(true)
+    val rexCount = rexTop.count()
+    def redRecallAt(mm: Int, ds: Int, ks: Int,
+                    rot: Boolean): (Double, Long) = {
+      val w = t {
+        Similarity.writePqSidecar(spark, rstore, "vec_id", "embedding",
+          mm, ds, ks, residual = false, rotate = rot)
+      }
+      val top = Similarity.pqTopKStore(spark, rstore, rq,
+          "vec_id", "embedding", mm, ds, k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val r = if (rexCount == 0) 0L
+        else top.join(rexTop, top("query_id") === col("q2") &&
+          top("neighbor_id") === col("n2")).count() * 100 / rexCount
+      (w, r)
+    }
+    val (rw12p, rrec12p) = redRecallAt(4, 16, 8, rot = false)
+    val (rw12r, rrec12r) = redRecallAt(4, 16, 8, rot = true)
+    val (rw64p, rrec64p) = redRecallAt(8, 8, 256, rot = false)
+    val (rw64r, rrec64r) = redRecallAt(8, 8, 256, rot = true)
     println(f"""{"probe":"store_lifecycle","n":$n,"k":$k,""" +
       f""""build_sec":$buildSec%.2f,"judge_batch32_sec":$judgeSec%.2f,""" +
       f""""n_kept":$nKept,"append_sec":$appendSec%.2f,""" +
@@ -276,7 +322,15 @@ object StoreLifecycleProbe {
       f""""clus_pq_write12_sec":$cw12v%.2f,""" +
       f""""clus_pq_write12_residual_sec":$cw12r%.2f,""" +
       f""""clus_pq_write64_sec":$cw64v%.2f,""" +
-      f""""clus_pq_write64_residual_sec":$cw64r%.2f}""")
+      f""""clus_pq_write64_residual_sec":$cw64r%.2f,""" +
+      f""""red_recall12_plain_pct":$rrec12p,""" +
+      f""""red_recall12_rotated_pct":$rrec12r,""" +
+      f""""red_recall64_plain_pct":$rrec64p,""" +
+      f""""red_recall64_rotated_pct":$rrec64r,""" +
+      f""""red_pq_write12_sec":$rw12p%.2f,""" +
+      f""""red_pq_write12_rotated_sec":$rw12r%.2f,""" +
+      f""""red_pq_write64_sec":$rw64p%.2f,""" +
+      f""""red_pq_write64_rotated_sec":$rw64r%.2f}""")
     spark.stop()
   }
 }
