@@ -69,6 +69,23 @@ object ExtendedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q34's exact percentiles through HISTOGRAM REFINEMENT
+    * ([[OrderStats.exactPercentilesBinned]]): two hash aggregations
+    * locate every requested rank's bin, and only the candidate bins are
+    * sorted — the full data is never ordered. Same order statistics,
+    * same interpolation arithmetic, same oracle as q34; the variant
+    * exists for the 100 TB shape where q34's per-group external sort is
+    * the measured wall (BENCH_sf10: sort-bound, ~58× for 100× data). */
+  def q219PercentilesBinned(spark: SparkSession, dir: String): DataFrame = {
+    OrderStats.exactPercentilesBinned(Tables.lineitem(spark, dir),
+        Seq("l_returnflag"),
+        Seq(("p25", "l_quantity", 0.25),
+            ("p50", "l_quantity", 0.5),
+            ("p75", "l_quantity", 0.75),
+            ("price_median", "l_extendedprice", 0.5)))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** String function battery over part names. */
   def q35StringFuncs(spark: SparkSession, dir: String): DataFrame = {
     Tables.part(spark, dir)
@@ -229,6 +246,7 @@ object ExtendedQueries {
     "q32_asof_join"       -> q32AsofJoin _,
     "q33_grouping_sets"   -> q33GroupingSets _,
     "q34_percentiles"     -> q34Percentiles _,
+    "q219_percentiles_binned" -> q219PercentilesBinned _,
     "q35_string_funcs"    -> q35StringFuncs _,
     "q36_monthly"         -> q36Monthly _,
     "q37_outer_join"      -> q37OuterJoin _,
@@ -325,6 +343,15 @@ object ExtendedQueries {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q34_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5)  AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_extendedprice, 0.5) AS price_median
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // same order statistics, same interpolation — the binned-refinement
+    // engine path must land on the identical values
+    "q219_percentiles_binned" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,
         |  quantile_cont(l_quantity, 0.5)  AS p50,

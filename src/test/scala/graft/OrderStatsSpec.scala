@@ -70,4 +70,29 @@ class OrderStatsSpec extends SparkSpec {
     assert(got.getDouble(1) == 10.0)  // -50 clamps into bin 0 → edge 10
     assert(got.getDouble(2) == 100.0) // 1e9 clamps into bin 9 → edge 100
   }
+
+  test("exactPercentilesBinned equals exactPercentiles on adversarial shapes, any nBins") {
+    import spark.implicits._
+    // ties everywhere, an all-equal group, a single-row group, a
+    // two-row group, and a near-continuous group — across two value
+    // columns with different fractions
+    val rows =
+      (0 until 97).map(i => ("ties", (i % 7).toDouble, i * 1.5)) ++
+      (0 until 40).map(_ => ("const", 42.0, 42.0)) ++
+      Seq(("single", 3.25, -1.0)) ++
+      Seq(("pair", 1.0, 10.0), ("pair", 2.0, 20.0)) ++
+      (0 until 101).map(i => ("cont", math.sin(i) * 100, math.cos(i) * 50))
+    val df = rows.toDF("k", "a", "b")
+    val specs = Seq(("p10", "a", 0.10), ("p50", "a", 0.50),
+      ("p99", "a", 0.99), ("bmed", "b", 0.5), ("b75", "b", 0.75))
+    val want = OrderStats.exactPercentiles(df, Seq("k"), specs)
+      .orderBy("k").collect().map(_.toSeq)
+    // nBins = 1 degenerates to the full sort; 3 forces multi-row bins
+    // with cross-bin ranks; 1024 is the default geometry
+    for (nBins <- Seq(1, 3, 1024)) {
+      val got = OrderStats.exactPercentilesBinned(df, Seq("k"), specs, nBins)
+        .orderBy("k").collect().map(_.toSeq)
+      assert(got.toSeq == want.toSeq, s"nBins=$nBins")
+    }
+  }
 }

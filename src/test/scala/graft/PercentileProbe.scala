@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** sf-tier probe for the exact-percentile pair (`Test/runMain
+  * graft.PercentileProbe [sfDir]`): times q34 (full per-group window
+  * sort — [[graft.operators.OrderStats.exactPercentiles]], the measured
+  * sort-bound wall of BENCH_sf10's watch item) against q219 (histogram
+  * refinement — [[graft.operators.OrderStats.exactPercentilesBinned]],
+  * which never sorts the full data) on the SAME lineitem tier, and
+  * asserts the two land on identical values — the point of the variant
+  * is a cheaper plan for the same order statistics, not an estimate.
+  */
+object PercentileProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft_sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val sortSec = t {
+      graft.operators.ExtendedQueries.q34Percentiles(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val binnedSec = t {
+      graft.operators.ExtendedQueries.q219PercentilesBinned(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val a = graft.operators.ExtendedQueries.q34Percentiles(spark, sfDir)
+      .collect().map(_.toSeq)
+    val b = graft.operators.ExtendedQueries.q219PercentilesBinned(spark, sfDir)
+      .collect().map(_.toSeq)
+    val equal = a.toSeq == b.toSeq
+    require(equal, s"binned != sort-based at $sfDir")
+    println(f"""{"probe":"percentiles","sf_dir":"$sfDir",""" +
+      f""""sort_sec":$sortSec%.2f,"binned_sec":$binnedSec%.2f,""" +
+      f""""values_equal":$equal}""")
+    spark.stop()
+  }
+}
