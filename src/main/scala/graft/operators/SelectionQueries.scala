@@ -1374,7 +1374,7 @@ object SelectionQueries {
     * cross-sub redundancy gives rotation something to reclaim. Exact
     * double arithmetic (float widened, ×0.05 — both engines parse the
     * same double), so the oracle derives identical vectors. */
-  private def redundantCorpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def redundantCorpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"),
       transform(col("embedding"), (x, i) =>
         element_at(col("embedding"), pmod(i, lit(16)) + 1).cast("double")
@@ -1902,7 +1902,14 @@ object SelectionQueries {
     * `7071067811865476e-16` parses to the identical double, so the
     * replay is bit-exact. */
   private def whtRotateCtes(inRel: String, keys: Seq[String],
-                            vecExpr: String, p: String = ""): String = {
+                            vecExpr: String, p: String = "",
+                            d: Int = 64): String = {
+    // mirror whtRotate's contract loudly: a non-power-of-two (or
+    // mis-sized) d would make the final stage's xor-join find no
+    // partner rows and silently EMPTY the rot CTE
+    require(d > 0 && (d & (d - 1)) == 0,
+      s"rotation replay needs power-of-two dims, got $d")
+    val nStages = Integer.numberOfTrailingZeros(d)
     val kSel = keys.mkString(", ")
     val aSel = keys.map(k => s"a.$k").mkString(", ")
     val kJoin = keys.map(k => s"b.$k = a.$k").mkString(" AND ")
@@ -1916,7 +1923,7 @@ object SelectionQueries {
          |          unnest(list_zip($vecExpr,
          |            generate_series(0, len($vecExpr) - 1))) AS x
          |        FROM $inRel) t)""".stripMargin
-    val stages = (1 to 6).map { i =>
+    val stages = (1 to nStages).map { i =>
       val h = 1 << (i - 1)
       s"""${p}rt$i AS (
          |  SELECT $aSel, a.pos,
@@ -1928,7 +1935,7 @@ object SelectionQueries {
     val tail =
       s"""${p}rot AS (
          |  SELECT $kSel, list(v ORDER BY pos) AS embedding
-         |  FROM ${p}rt6 GROUP BY $kSel)""".stripMargin
+         |  FROM ${p}rt$nStages GROUP BY $kSel)""".stripMargin
     (head +: stages :+ tail).mkString(",\n")
   }
 

@@ -25,21 +25,22 @@ object PercentileProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def t(body: => Unit): Double = {
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    // time the collects directly (3-row results — driver cost nil), so
+    // each side executes ONCE: q34 at the sf tier is the measured
+    // sort-bound wall, and a second execution would double the probe
+    def t[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
     }
-    val sortSec = t {
+    val (a, sortSec) = t {
       graft.operators.ExtendedQueries.q34Percentiles(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+        .collect().map(_.toSeq)
     }
-    val binnedSec = t {
+    val (b, binnedSec) = t {
       graft.operators.ExtendedQueries.q219PercentilesBinned(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+        .collect().map(_.toSeq)
     }
-    val a = graft.operators.ExtendedQueries.q34Percentiles(spark, sfDir)
-      .collect().map(_.toSeq)
-    val b = graft.operators.ExtendedQueries.q219PercentilesBinned(spark, sfDir)
-      .collect().map(_.toSeq)
     val equal = a.toSeq == b.toSeq
     require(equal, s"binned != sort-based at $sfDir")
     println(f"""{"probe":"percentiles","sf_dir":"$sfDir",""" +

@@ -252,11 +252,9 @@ object StoreLifecycleProbe {
     // subquantizer slice carries a copy of the same 16 variables —
     // plain PQ's four codes are redundant, the rotated codes compose.
     // Same store, plain vs rotated at 12 bits, recall@5 vs exact.
-    val red = base.filter(col("vec_id") < nClus)
-      .select(col("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          element_at(col("embedding"), pmod(i, lit(16)) + 1).cast("double")
-            + x.cast("double") * lit(0.05)).as("embedding"))
+    val red = graft.operators.SelectionQueries
+      .redundantCorpus(spark, dir) // q217's exact transform — one copy
+      .filter(col("vec_id") < nClus)
       .cache()
     red.count()
     val rcents = Similarity.trainCentroids(red, "vec_id", "embedding",
