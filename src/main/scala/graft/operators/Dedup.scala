@@ -700,15 +700,15 @@ object Dedup {
     * directories — the text twin of the embedding store's probe-pruned
     * search. Bands/rowsPerBand ride in a `bands_meta` sidecar. */
   def writeBandIndex(spark: SparkSession, path: String, idCol: String,
-                     bands: Int = 8): Unit = {
+                     bands: Int = 8): Unit =
+    StoreSwap.withLease(spark, path) {
     val (sigs, buckets) = readSignatureStore(spark, path)
     val numHashes = sigs.agg(max(col("k"))).head.getLong(0).toInt + 1
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
-    def rows() = bandRows(sigs.select(col(idCol), col("k"), col("mh")),
-      idCol, bands, r, buckets)
-    rows()
+    bandRows(sigs.select(col(idCol), col("k"), col("mh")),
+        idCol, bands, r, buckets)
       .repartition(col("bb_bucket"))
       .sortWithinPartitions(col("band"), col("bsig"), col("id"))
       .write.mode("overwrite").partitionBy("bb_bucket")
@@ -719,8 +719,11 @@ object Dedup {
     // the index buckets — of the old rows are otherwise unrecoverable).
     // This is what makes [[reindexDocsInBandIndex]] doc-footprint
     // instead of the full rebuild that used to be the only stale-row
-    // remedy.
-    rows()
+    // remedy. Derived from the JUST-WRITTEN index (a cheap column scan)
+    // rather than re-running the corpus-scale band derivation a second
+    // time — the rebuild's dominant compute would otherwise double.
+    spark.read.parquet(path + "/bands")
+      .select(col("id"), col("band"), col("bsig"), col("bb_bucket"))
       .withColumn("d_bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
       .repartition(col("d_bucket"))
       .sortWithinPartitions(col("id"), col("band"))
@@ -786,7 +789,9 @@ object Dedup {
     * doc-footprint (no [[writeBandIndex]] rebuild needed). Returns
     * touched buckets. */
   def mergeIntoBandIndex(spark: SparkSession, path: String,
-                         docIds: DataFrame, idCol: String): Seq[Int] = {
+                         docIds: DataFrame,
+                         idCol: String): Seq[Int] = StoreSwap.withLease(
+      spark, path) {
     val rows = bandRowsForDocs(spark, path, docIds, idCol)
       .localCheckpoint(true) // |docs|·bands rows, referenced twice
     val touched = rows.select(col("bb_bucket")).distinct()
@@ -831,7 +836,9 @@ object Dedup {
     * (the signature forget destroys the derivation) and stale rows from
     * changed signatures are missed. Returns rows removed. */
   def forgetFromBandIndex(spark: SparkSession, path: String,
-                          docIds: DataFrame, idCol: String): Long = {
+                          docIds: DataFrame,
+                          idCol: String): Long = StoreSwap.withLease(
+      spark, path) {
     StoreSwap.recover(spark, path)
     val hasInv = bandInvExists(spark, path)
     val rows =
@@ -883,7 +890,9 @@ object Dedup {
     * the docs' band footprint (old ∪ new buckets), never the corpus.
     * Returns the number of stale rows removed. */
   def reindexDocsInBandIndex(spark: SparkSession, path: String,
-                             docIds: DataFrame, idCol: String): Long = {
+                             docIds: DataFrame,
+                             idCol: String): Long = StoreSwap.withLease(
+      spark, path) {
     StoreSwap.recover(spark, path)
     require(bandInvExists(spark, path),
       s"$path has no band inventory — rebuild with writeBandIndex first")

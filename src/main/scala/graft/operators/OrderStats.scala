@@ -166,6 +166,11 @@ object OrderStats {
         .join(located, groupCols :+ "__bin")
         .filter(col("__rn") === col("__off"))
         .select(g :+ col("__rank") :+ col(vc).cast("double").as("__v"): _*)
+        // ≤ 2·|specs| rows per group, but the subtree behind them is the
+        // candidate-bin scan+sort this operator exists to minimize — and
+        // it is referenced twice per spec (lo/hi). Materialize once so
+        // the cost is deterministic, not an exchange-reuse heuristic.
+        .localCheckpoint(true)
       vc -> vals
     }.toMap
     // stitch: per spec, the lo/hi rank values + interpolation (same

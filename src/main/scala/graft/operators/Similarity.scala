@@ -990,31 +990,81 @@ object Similarity {
     * in SQL, and parquet round-trips the double centroids bit-exactly,
     * so search through the sidecar equals [[pqTopK]] over the same
     * corpus restricted to the probed clusters. */
+  /** The PQ sidecar's three artifacts — codebook, flavor marker, codes
+    * — must change TOGETHER: any live mix of old and new (old codes
+    * under a new flavor marker, old codes under a new codebook) serves
+    * silently wrong distances. [[writePqSidecar]] therefore stages all
+    * three under dot-dirs (invisible to readers), commits with one
+    * marker-file create, and swaps each with one rename;
+    * [[pqRecover]] — called by every sidecar read/mutation entry —
+    * rolls a committed-but-unapplied swap forward. Same protocol as
+    * [[StoreSwap]], specialized to the sidecar's whole-directory
+    * replacement. */
+  private val PqSidecarDirs = Seq("pq_codebook", "pq_meta", "pq_codes")
+
+  private def pqPending(path: String) =
+    new org.apache.hadoop.fs.Path(path + "/_pending_pq")
+
+  private[graft] def pqRecover(spark: SparkSession, path: String): Unit = {
+    val mark = pqPending(path)
+    val fs = mark.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mark)) return
+    pqApplySwap(spark, path)
+  }
+
+  /** Idempotent post-commit half: an absent staging dir = that artifact
+    * already swapped. */
+  private def pqApplySwap(spark: SparkSession, path: String): Unit = {
+    val fs = pqPending(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PqSidecarDirs.foreach { d =>
+      val stg = new org.apache.hadoop.fs.Path(s"$path/.staging-$d")
+      val live = new org.apache.hadoop.fs.Path(s"$path/$d")
+      if (fs.exists(stg)) {
+        if (fs.exists(live)) fs.delete(live, true)
+        if (!fs.rename(stg, live)) sys.error(s"sidecar swap failed: $live")
+      }
+    }
+    fs.delete(pqPending(path), false)
+  }
+
   def writePqSidecar(spark: SparkSession, path: String, idCol: String,
                      vecCol: String, m: Int, dsub: Int, ksub: Int,
                      residual: Boolean = false,
                      rotate: Boolean = false): Unit =
     StoreSwap.withLease(spark, path) {
+    pqRecover(spark, path) // finish any interrupted predecessor first
     val (df, buckets) = readStandingStore(spark, path)
+    val fs = pqPending(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PqSidecarDirs.foreach { d => // orphans of a pre-commit crash
+      val stg = new org.apache.hadoop.fs.Path(s"$path/.staging-$d")
+      if (fs.exists(stg)) fs.delete(stg, true)
+    }
     val (enc, encCol) =
       pqEncInput(spark, path, df, vecCol, residual, rotate, m * dsub)
     val cents = pqCodebooks(enc, idCol, encCol, m, dsub, ksub)
       .localCheckpoint(true) // m·ksub rows — bounded model state
     cents.coalesce(1).write.mode("overwrite")
-      .parquet(path + "/pq_codebook")
+      .parquet(path + "/.staging-pq_codebook")
     // the encoding FLAVOR is a property of the sidecar, recorded with
     // it — search and ingest auto-detect instead of trusting callers
     // to pass a matching flag forever
     spark.range(1).select(lit(residual).as("residual"),
         lit(rotate).as("rotated"))
-      .coalesce(1).write.mode("overwrite").parquet(path + "/pq_meta")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(path + "/.staging-pq_meta")
     packedCodes(enc, cents, idCol, encCol, m, dsub)
       .withColumn("c_bucket",
         pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
       .repartition(col("c_bucket"))
       .sortWithinPartitions(col("cluster"), col("id"))
       .write.mode("overwrite").partitionBy("c_bucket")
-      .parquet(path + "/pq_codes")
+      .parquet(path + "/.staging-pq_codes")
+    // commit point: all three artifacts swap or none do
+    val out = fs.create(pqPending(path), false)
+    try out.write("pq sidecar swap\n".getBytes("UTF-8")) finally out.close()
+    pqApplySwap(spark, path)
   }
 
   /** What the PQ layer quantizes: the raw vector (vanilla PQ) or the
@@ -1098,6 +1148,10 @@ object Similarity {
     * `rotated` column = unrotated (sidecars written before each flavor
     * existed). */
   private def pqFlavor(spark: SparkSession, path: String): (Boolean, Boolean) = {
+    // every flavored read/mutation funnels through here — roll a
+    // committed-but-unapplied sidecar swap forward before trusting the
+    // marker (the marker and the codes must never be read split-brain)
+    pqRecover(spark, path)
     val p = new org.apache.hadoop.fs.Path(path + "/pq_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) (false, false)
@@ -1250,9 +1304,12 @@ object Similarity {
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
       .getOrElse(64.0) * 1024 * 1024)
     val ksub = spark.read.parquet(storePath + "/pq_codebook").count() / m
-    val bcRows =
-      if (residual) probesM.count()
-      else probesM.select(col("query_id")).distinct().count()
+    // BOTH flavors broadcast one m×ksub distance map per PROBE row —
+    // the vanilla side builds one map per query but joins it onto
+    // probesM before broadcasting, duplicating it into every probe row
+    // (a distinct-query count would undercount by nProbe× and blow the
+    // budget the chunking exists to enforce)
+    val bcRows = probesM.count()
     val rowBytes = m * ksub * 32L + 256L
     val chunks = math.max(1L,
       math.ceil(bcRows * rowBytes / targetBytes).toLong).toInt
@@ -1412,6 +1469,7 @@ object Similarity {
                      maxFilesPerBucket: Int = 4): Seq[Int] = {
     require(maxFilesPerBucket >= 1, "need maxFilesPerBucket >= 1")
     StoreSwap.recover(spark, path)
+    pqRecover(spark, path)
     val frag = fragBuckets(spark, s"$path/pq_codes", "c_bucket",
       maxFilesPerBucket)
     if (frag.isEmpty) return Seq.empty
@@ -1440,7 +1498,9 @@ object Similarity {
     * a driver literal), so the delete set itself scales. Returns the
     * number of rows deleted. */
   def deleteFromStandingStore(spark: SparkSession, path: String,
-                              ids: DataFrame, idCol: String): Long = {
+                              ids: DataFrame,
+                              idCol: String): Long = StoreSwap.withLease(
+      spark, path) {
     val (df, buckets) = readStandingStore(spark, path)
     val idSet = ids.select(col(idCol)).distinct()
     val touched = df.join(idSet, Seq(idCol), "left_semi")
@@ -1484,6 +1544,7 @@ object Similarity {
   private def dropPqCodes(spark: SparkSession, path: String,
                           touched: Seq[Int],
                           keep: DataFrame => DataFrame): Unit = {
+    pqRecover(spark, path)
     val dir = new org.apache.hadoop.fs.Path(path + "/pq_codes")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return
@@ -1500,7 +1561,8 @@ object Similarity {
     * staged, crash-atomic swap (and emptied-bucket handling) as
     * [[deleteFromStandingStore]]. Returns rows removed. */
   def deleteClustersFromStore(spark: SparkSession, path: String,
-                              clusters: Set[Long]): Long = {
+                              clusters: Set[Long]): Long = StoreSwap.withLease(
+      spark, path) {
     if (clusters.isEmpty) return 0L
     val (df, buckets) = readStandingStore(spark, path)
     val touched = clusters.map(c => (((c % buckets) + buckets) % buckets).toInt)

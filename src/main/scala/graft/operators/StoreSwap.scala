@@ -106,31 +106,38 @@ object StoreSwap {
         fs.getFileStatus(lp).getModificationTime
       if (age >= staleMs) fs.delete(lp, false) // crashed holder
     }
+    // the token is unique per acquisition, not just per process: if THIS
+    // writer's lease is stale-broken by another mutator mid-run, release
+    // must NOT delete the new holder's lease (that would cascade a third
+    // mutator into the overlap the lease exists to prevent)
+    val token =
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}" +
+        s"#${java.util.UUID.randomUUID()}"
+    def readLease(): String =
+      try {
+        val in = fs.open(lp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } catch { case _: java.io.IOException => "<unreadable>" }
     val acquired =
       try {
         val out = fs.create(lp, false) // atomic create-if-absent
-        try out.write(
-          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
-            .getBytes("UTF-8"))
+        try out.write(s"$token\n".getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    if (!acquired) {
-      val holder =
-        try {
-          val in = fs.open(lp)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        } catch { case _: java.io.IOException => "<unreadable>" }
+    if (!acquired)
       sys.error(s"store $path is already being mutated (writer lease held" +
-        s" by $holder); stores are single-mutator — serialize mutations" +
-        s" externally, or break a dead writer's lease by deleting $lp")
-    }
+        s" by ${readLease()}); stores are single-mutator — serialize" +
+        s" mutations externally, or break a dead writer's lease by" +
+        s" deleting $lp")
     heldByThread.get += path
     try body
     finally {
       heldByThread.get -= path
-      fs.delete(lp, false)
+      // release only a lease we still own — ours may have been
+      // stale-broken and replaced while we ran past staleMs
+      if (fs.exists(lp) && readLease() == token) fs.delete(lp, false)
     }
   }
 

@@ -670,4 +670,71 @@ class StandingStoreSpec extends SparkSpec {
     }
     assert(!java.nio.file.Files.exists(lp)) // released on the error path too
   }
+
+  test("a writer whose lease was stale-broken does not release the new holder's lease") {
+    import graft.operators.StoreSwap
+    val path = Fixtures.tempDir("graft-lease-").resolve("s").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val lp = java.nio.file.Paths.get(path, "_writer_lease")
+    StoreSwap.withLease(spark, path) {
+      // while this writer runs past staleMs, a second mutator breaks
+      // its lease and acquires: simulate by replacing the lease file
+      java.nio.file.Files.write(lp,
+        "new-holder#other-token".getBytes("UTF-8"))
+    }
+    // the finishing writer must NOT have deleted the new holder's lease
+    assert(java.nio.file.Files.exists(lp),
+      "stale-broken writer deleted the live holder's lease on exit")
+    assert(new String(java.nio.file.Files.readAllBytes(lp), "UTF-8").trim
+      == "new-holder#other-token")
+    java.nio.file.Files.delete(lp)
+  }
+
+  test("a committed-but-unapplied PQ SIDECAR swap rolls forward before any flavored read") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4)
+    val before = Similarity.pqTopKStore(spark, path,
+        corpus().filter(col("vec_id") === 1L), "vec_id", "embedding",
+        m = 2, dsub = 2, k = 5, nProbe = 2)
+      .collect().map(_.toSeq)
+    // fabricate the post-commit crash of a RE-FLAVOR to rotated: all
+    // three artifacts staged, marker created, none swapped. The staged
+    // sidecar is the current one re-encoded rotated (built via a temp
+    // store so the fabrication uses only public machinery).
+    val tmp = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), tmp,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, tmp, cents)
+    Similarity.writePqSidecar(spark, tmp, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4, rotate = true)
+    def mv(src: String, dst: String): Unit = {
+      val s = new org.apache.hadoop.fs.Path(src)
+      val fs = s.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.rename(s, new org.apache.hadoop.fs.Path(dst))
+    }
+    Seq("pq_codebook", "pq_meta", "pq_codes").foreach(d =>
+      mv(s"$tmp/$d", s"$path/.staging-$d"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_pending_pq"),
+      "pq sidecar swap\n".getBytes("UTF-8"))
+    // any flavored read rolls the swap forward and serves the NEW
+    // (rotated) sidecar — never the old codes under the old marker
+    val after = Similarity.pqTopKStore(spark, path,
+        corpus().filter(col("vec_id") === 1L), "vec_id", "embedding",
+        m = 2, dsub = 2, k = 5, nProbe = 2)
+      .collect().map(_.toSeq)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_pending_pq")), "marker not consumed")
+    assert(spark.read.parquet(path + "/pq_meta")
+      .head.getAs[Boolean]("rotated"), "rotated sidecar not swapped in")
+    // the rotated sidecar was built over the same store with the same
+    // geometry: same neighbor SET served, ADC values differ (rotated
+    // space), rows present
+    assert(after.nonEmpty && before.nonEmpty)
+  }
 }
