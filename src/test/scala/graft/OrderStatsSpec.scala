@@ -94,5 +94,12 @@ class OrderStatsSpec extends SparkSpec {
         .orderBy("k").collect().map(_.toSeq)
       assert(got.toSeq == want.toSeq, s"nBins=$nBins")
     }
+    // partitioning-invariant: ties within a bin may rank different ROWS
+    // across partitionings, but the VALUE at a rank is unique — the
+    // output must not depend on physical layout
+    val rep = OrderStats.exactPercentilesBinned(
+        df.repartition(13), Seq("k"), specs, 3)
+      .orderBy("k").collect().map(_.toSeq)
+    assert(rep.toSeq == want.toSeq, "repartition changed binned percentiles")
   }
 }
