@@ -19,7 +19,13 @@ import org.apache.spark.sql.SparkSession
   * near 1) and re-time the `unstable` rest.
   *
   * Record hygiene: `SPARK_GRAFT_ONLY` subset runs write `BENCH_subset
-  * .json` (never the canonical `BENCH.json`). A full run self-qualifies
+  * .json` (never the canonical `BENCH.json`). A full run that qualifies
+  * as canonical is ALSO copied to `BENCH_canonical.json`, which
+  * non-canonical runs never touch — so a loaded end-of-round run can
+  * overwrite `BENCH.json` with a self-flagged record (round 11 did)
+  * without evicting the steering-grade number from the tree, and the
+  * prior-quiet reference chain reads from the canonical file first. A
+  * full run self-qualifies
   * against the previous quiet record at the same sf on THREE axes:
   * (a) per query — any value >2× its prior-quiet counterpart is
   * re-timed in the defense pass (a sustained burst pollutes both timed
@@ -149,19 +155,25 @@ object Bench {
         }
       }.toMap
     }
+    // BENCH_canonical.json first: BENCH.json may be a self-flagged loaded
+    // record (quiet:false) that would yield no reference at all, while the
+    // canonical file always holds the last quiet full-suite run
     val (priorQuietTotal, priorQuietQueries): (Option[Double], Map[String, Double]) =
-      try {
-        val p = java.nio.file.Paths.get("BENCH.json")
-        if (!java.nio.file.Files.exists(p)) (None, Map.empty) else {
-          val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          val sameSf = jsonField(src, "sf").contains(sfDir)
-          val wasQuiet = jsonField(src, "quiet").forall(_ != "false")
-          if (sameSf && wasQuiet)
-            (if (isSubset) None else jsonField(src, "value").flatMap(_.toDoubleOption),
-              jsonNumObj(src, "queries").filter(_._2 > 0))
-          else (None, Map.empty)
-        }
-      } catch { case _: Throwable => (None, Map.empty) }
+      Seq("BENCH_canonical.json", "BENCH.json").iterator.flatMap { f =>
+        try {
+          val p = java.nio.file.Paths.get(f)
+          if (!java.nio.file.Files.exists(p)) None else {
+            val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            val sameSf = jsonField(src, "sf").contains(sfDir)
+            val wasQuiet = jsonField(src, "quiet").forall(_ != "false")
+            if (sameSf && wasQuiet)
+              Some((if (isSubset) None
+                else jsonField(src, "value").flatMap(_.toDoubleOption),
+                jsonNumObj(src, "queries").filter(_._2 > 0)))
+            else None
+          }
+        } catch { case _: Throwable => None }
+      }.nextOption().getOrElse((None, Map.empty))
     names.foreach { name =>
       try {
         execute(name) // warm-up (not timed)
@@ -304,6 +316,13 @@ object Bench {
     // smoke can never clobber the canonical full-suite record.
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
+    // canonical preservation: only canonical runs may touch
+    // BENCH_canonical.json, so the tree always carries the last
+    // steering-grade record even after a loaded run rewrites BENCH.json
+    if (!isSubset && triggers.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_canonical.json"),
+        (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
   }

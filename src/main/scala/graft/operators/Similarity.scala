@@ -999,7 +999,14 @@ object Similarity {
     * [[pqRecover]] — called by every sidecar read/mutation entry —
     * rolls a committed-but-unapplied swap forward. Same protocol as
     * [[StoreSwap]], specialized to the sidecar's whole-directory
-    * replacement. */
+    * replacement. The guarantee is CRASH-atomicity: a process dying at
+    * any point leaves either the old sidecar or (after roll-forward)
+    * the new one. The three post-commit renames are NOT reader-atomic —
+    * a reader racing the swap could observe a new codebook with old
+    * codes — but concurrent readers during mutation are already
+    * excluded by the store contract ([[StoreSwap]]'s concurrency
+    * paragraph); serve reads through a snapshot (the versioned-manifest
+    * read path) or schedule them outside maintenance windows. */
   private val PqSidecarDirs = Seq("pq_codebook", "pq_meta", "pq_codes")
 
   private def pqPending(path: String) =
@@ -1009,6 +1016,16 @@ object Similarity {
     val mark = pqPending(path)
     val fs = mark.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(mark)) return
+    // a pending marker under a LIVE foreign lease is the writer
+    // mid-commit, not a crash: applying the swap from an unleased read
+    // path (pqFlavor, pqTopKStore) would race the writer's own
+    // pqApplySwap destructively — delete a just-swapped live artifact
+    // dir, then fail the rename. Fail fast; retry after the release.
+    StoreSwap.foreignLiveLease(spark, path).foreach { holder =>
+      sys.error(s"store $path has a pending PQ sidecar swap under a live" +
+        s" writer lease ($holder) — the writer is mid-commit; retry" +
+        " after it releases instead of racing its roll-forward")
+    }
     pqApplySwap(spark, path)
   }
 

@@ -136,18 +136,78 @@ object StoreSwap {
     finally {
       heldByThread.get -= path
       // release only a lease we still own — ours may have been
-      // stale-broken and replaced while we ran past staleMs
-      if (fs.exists(lp) && readLease() == token) fs.delete(lp, false)
+      // stale-broken and replaced while we ran past staleMs. The check
+      // is rename-then-verify, not read-then-delete: a successor that
+      // stale-breaks and rewrites the lease BETWEEN a read and a delete
+      // would have its fresh lease deleted, re-opening the overlap the
+      // token exists to prevent. Rename atomically captures whatever
+      // file is at the lease path; only a tombstone that verifies as
+      // OURS is deleted — a successor's is renamed back intact.
+      if (fs.exists(lp) && readLease() == token) {
+        val tomb = new Path(path + s"/.lease-tomb-${java.util.UUID.randomUUID()}")
+        if (fs.rename(lp, tomb)) {
+          val captured =
+            try {
+              val in = fs.open(tomb)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            } catch { case _: java.io.IOException => "<unreadable>" }
+          if (captured == token) fs.delete(tomb, false)
+          else if (!fs.rename(tomb, lp)) fs.delete(tomb, false)
+          // rename-back can only fail if a THIRD writer re-created the
+          // lease meanwhile; dropping the orphaned tombstone then is the
+          // documented best-effort bound of this fail-fast guard
+        }
+      }
+    }
+  }
+
+  /** The holder string of a LIVE lease on `path` owned by another
+    * thread/process, or None when the path is mutable by this caller
+    * (no lease, our own reentrant lease, or a stale one). Read paths
+    * that ROLL FORWARD a committed swap consult this first: applying a
+    * swap concurrently with the lease-holding writer's own apply is a
+    * destructive race (delete a just-swapped live dir, then fail the
+    * rename), so a reader seeing a live foreign lease must refuse
+    * instead. */
+  def foreignLiveLease(spark: SparkSession, path: String,
+                       staleMs: Long = DefaultLeaseStaleMs): Option[String] = {
+    if (heldByThread.get.contains(path)) return None
+    val lp = lease(path)
+    val fs = fsOf(spark, lp)
+    if (!fs.exists(lp)) return None
+    try {
+      val st = fs.getFileStatus(lp)
+      if (System.currentTimeMillis() - st.getModificationTime >= staleMs)
+        None // stale — the next mutator will break it
+      else {
+        val in = fs.open(lp)
+        val holder =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        Some(holder)
+      }
+    } catch {
+      case _: java.io.IOException => None // vanished between exists and read
     }
   }
 
   /** Roll forward a swap interrupted after its commit point. Called by
     * the store read and mutation entry points; a no-op (false) when no
-    * manifest is pending. */
+    * manifest is pending. A pending manifest under a LIVE foreign lease
+    * is not a crash to recover but a writer mid-commit — applying the
+    * swap from here would race the writer's own apply destructively
+    * (both delete-and-rename the same live dirs), so the call fails
+    * fast instead; retry after the writer releases. */
   def recover(spark: SparkSession, path: String): Boolean = {
     val mf = manifest(path)
     val fs = fsOf(spark, mf)
     if (!fs.exists(mf)) return false
+    foreignLiveLease(spark, path).foreach { holder =>
+      sys.error(s"store $path has a pending swap under a live writer" +
+        s" lease ($holder) — the writer is mid-commit; retry after it" +
+        " releases instead of racing its roll-forward")
+    }
     val in = fs.open(mf)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()

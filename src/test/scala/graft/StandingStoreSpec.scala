@@ -671,6 +671,64 @@ class StandingStoreSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(lp)) // released on the error path too
   }
 
+  test("lease release leaves no tombstone residue") {
+    import graft.operators.StoreSwap
+    val path = Fixtures.tempDir("graft-lease-").resolve("s").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    StoreSwap.withLease(spark, path) { 1 }
+    val leftovers = java.nio.file.Files.list(
+        java.nio.file.Paths.get(path)).toArray.map(_.toString)
+      .filter(p => p.contains("lease"))
+    assert(leftovers.isEmpty, s"lease residue: ${leftovers.mkString(",")}")
+  }
+
+  test("a read path refuses to roll a pending swap forward under a live foreign lease") {
+    import graft.operators.StoreSwap
+    val path = builtStore()
+    // a writer MID-COMMIT: manifest down, lease live. A reader applying
+    // the swap itself would race the writer's own apply (delete a
+    // just-swapped dir, then fail the rename) — it must refuse instead.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_pending_swap"), "c_bucket\n\n\ndata")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_writer_lease"),
+      "live-writer@elsewhere".getBytes("UTF-8"))
+    val e = intercept[RuntimeException] {
+      Similarity.readStandingStore(spark, path)
+    }
+    assert(e.getMessage.contains("mid-commit"))
+    // once the lease is released (writer finished its own apply — here
+    // simulated by clearing both), the read proceeds
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_writer_lease"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_pending_swap"))
+    assert(Similarity.readStandingStore(spark, path)._1.count() == 40)
+  }
+
+  test("a flavored read refuses a pending PQ sidecar swap under a live foreign lease") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_pending_pq"), "pq sidecar swap\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_writer_lease"),
+      "live-writer@elsewhere".getBytes("UTF-8"))
+    val queries = corpus().filter(col("vec_id") < 2)
+    val e = intercept[RuntimeException] {
+      Similarity.pqTopKStore(spark, path, queries, "vec_id", "embedding",
+        m = 2, dsub = 2, k = 3, nProbe = 2).collect()
+    }
+    assert(e.getMessage.contains("mid-commit"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_writer_lease"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_pending_pq"))
+    assert(Similarity.pqTopKStore(spark, path, queries, "vec_id",
+      "embedding", m = 2, dsub = 2, k = 3, nProbe = 2).count() > 0)
+  }
+
   test("a writer whose lease was stale-broken does not release the new holder's lease") {
     import graft.operators.StoreSwap
     val path = Fixtures.tempDir("graft-lease-").resolve("s").toString
