@@ -640,11 +640,18 @@ object Dedup {
     * The rewrite is staged and manifest-committed
     * ([[StoreSwap.stagedRewrite]]), so a crash mid-forget can never
     * resurrect the forgotten signatures — including the fully-emptied-
-    * bucket case, whose directory drop rides in the same commit.
-    * Returns rows removed. */
+    * bucket case, whose directory drop rides in the same commit. A
+    * shingle sidecar, when present, drops the docs' rows in the same
+    * mutation (its own staged swap — a crash between the two swaps
+    * leaves the forget incomplete, and re-running it, the documented
+    * recovery for every store mutation, completes idempotently; a
+    * lingering sidecar row alone can never resurface a verdict, since
+    * candidates come from the band index). One outer lease brackets
+    * both swaps. Returns signature rows removed. */
   def forgetDocsFromSignatureStore(spark: SparkSession, path: String,
                                    docIds: DataFrame,
-                                   idCol: String): Long = {
+                                   idCol: String): Long =
+    StoreSwap.withLease(spark, path) {
     val (standing, buckets) = readSignatureStore(spark, path)
     val ids = docIds.select(col(idCol)).distinct()
     val touched = ids
@@ -655,8 +662,94 @@ object Dedup {
       .filter(col("d_bucket").isin(touched: _*))
     val kept = slice.join(ids, Seq(idCol), "left_anti")
     val before = slice.count()
-    before - StoreSwap.stagedRewrite(spark, path, "d_bucket", touched,
-      kept, Seq(col(idCol), col("k")))
+    val removed = before - StoreSwap.stagedRewrite(spark, path, "d_bucket",
+      touched, kept, Seq(col(idCol), col("k")))
+    if (shingleSidecarExists(spark, path)) {
+      val shKept = spark.read.parquet(path + "/shingles")
+        .filter(col("d_bucket").isin(touched: _*))
+        .join(ids.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      StoreSwap.stagedRewrite(spark, path, "d_bucket", touched, shKept,
+        Seq(col("id"), col("x")), "shingles")
+    }
+    removed
+  }
+
+  /** SHINGLE-HASH SIDECAR — the store artifact that makes near-dup
+    * JUDGMENT doc-footprint end to end. The signature store holds
+    * signatures (merge/forget) and band rows (candidate lookup), but
+    * exact verification needs each candidate's distinct shingle-hash
+    * set — and deriving that from corpus TEXT costs a corpus-footprint
+    * scan per delta batch (the one remaining corpus-scale read of the
+    * text lifecycle; sf1 evidence: q212 judge 2.6× for 10× standing).
+    * This persists the per-doc distinct [[polyHash]](shingle) rows
+    * (id, x) partitioned by the doc's own bucket (`d_bucket = id mod
+    * buckets`, like `data` and `bands_inv`), so verification reads
+    * ONLY candidate docs' buckets. Shingle width n rides in
+    * `shingles_meta`; [[lshJudgeStore]] auto-uses the sidecar when
+    * present and fails fast if a candidate doc is missing from it
+    * (an incomplete sidecar must never silently drop verdicts).
+    *
+    * Content contract: the sidecar mirrors each doc's CURRENT text —
+    * a re-ingest REPLACES its rows ([[mergeShinglesIntoStore]]),
+    * matching what verification against caller-supplied text gives.
+    * (The signature MIN-merge, by contrast, accumulates the union of
+    * ingests — its stale candidates are exactly what verification
+    * discards, and [[reindexDocsInBandIndex]] repairs.) */
+  def writeShingleSidecar(spark: SparkSession, path: String,
+                          docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3): Unit = StoreSwap.withLease(spark, path) {
+    StoreSwap.recover(spark, path)
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    docShingles(docs, idCol, textCol, n)
+      .select(col("id"), polyHash(col("sh")).as("x")).distinct()
+      .withColumn("d_bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("d_bucket"))
+      .sortWithinPartitions(col("id"), col("x"))
+      .write.mode("overwrite").partitionBy("d_bucket")
+      .parquet(path + "/shingles")
+    spark.range(1).select(lit(n).as("n"))
+      .write.mode("overwrite").parquet(path + "/shingles_meta")
+  }
+
+  /** Whether `path` carries the shingle-hash sidecar. */
+  private[operators] def shingleSidecarExists(spark: SparkSession,
+                                              path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path + "/shingles")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Absorb a delta load into the shingle sidecar — REPLACE semantics
+    * per doc (the sidecar mirrors current text; see
+    * [[writeShingleSidecar]]'s content contract): the delta ids'
+    * buckets are DERIVED (id mod buckets), their old rows anti-joined
+    * out, the fresh distinct shingle hashes merged in, all through the
+    * crash-atomic staged swap. Runs with the signature merge in the
+    * ingest flow: merge signatures, merge shingles, merge band index.
+    * Returns touched buckets. */
+  def mergeShinglesIntoStore(spark: SparkSession, path: String,
+                             deltaDocs: DataFrame, idCol: String,
+                             textCol: String): Seq[Int] =
+    StoreSwap.withLease(spark, path) {
+    StoreSwap.recover(spark, path)
+    require(shingleSidecarExists(spark, path),
+      s"$path has no shingle sidecar — build it with writeShingleSidecar")
+    val n = spark.read.parquet(path + "/shingles_meta").head.getInt(0)
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    val ids = deltaDocs.select(col(idCol).as("id")).distinct()
+    val touched = ids
+      .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Seq.empty
+    val fresh = docShingles(deltaDocs, idCol, textCol, n)
+      .select(col("id"), polyHash(col("sh")).as("x")).distinct()
+      .withColumn("d_bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
+    val kept = spark.read.parquet(path + "/shingles")
+      .filter(col("d_bucket").isin(touched: _*))
+      .join(ids, Seq("id"), "left_anti")
+      .select(col("id"), col("x"), col("d_bucket"))
+    StoreSwap.stagedRewrite(spark, path, "d_bucket", touched,
+      kept.unionByName(fresh), Seq(col("id"), col("x")), "shingles")
+    touched
   }
 
   /** Replayable per-band signatures over a k-sorted signature array:
@@ -941,11 +1034,19 @@ object Dedup {
     * fresh (same portable arithmetic the store was built with), its
     * band values prune the index read to their `bb_bucket`s, candidates
     * are the (standing, delta) pairs colliding in ≥1 band, and only
-    * candidates pay exact verification — distinct-shingle-hash Jaccard
-    * against the standing docs' text, engine-exact at the [[polyHash]]
-    * level so the oracle replays signatures, banding, candidates, AND
-    * the verdicts. Per batch the standing side costs a pruned index
-    * read plus the candidate docs' shingles — never a corpus rescan.
+    * candidates pay exact verification — distinct-shingle-hash Jaccard,
+    * engine-exact at the [[polyHash]] level so the oracle replays
+    * signatures, banding, candidates, AND the verdicts.
+    *
+    * Standing-side verification reads: with the shingle sidecar present
+    * ([[writeShingleSidecar]]), the candidate docs' hash sets come from
+    * their OWN `d_bucket` dirs — per batch the standing side costs a
+    * band-pruned index read plus a doc-bucket-pruned sidecar read,
+    * never a corpus rescan, and `standingDocs` is ignored (pass the
+    * corpus relation for sidecar-less stores only, where verification
+    * falls back to deriving shingles from its text — a corpus-footprint
+    * scan per batch). A candidate doc absent from the sidecar fails
+    * fast rather than silently dropping its verdicts.
     * Returns (id_a = standing, id_b = delta, jaccard ≥ threshold). */
   def lshJudgeStore(spark: SparkSession, path: String,
                     standingDocs: DataFrame, delta: DataFrame,
@@ -1007,13 +1108,39 @@ object Dedup {
     val cand = idx.join(broadcast(dRows), Seq("band", "bsig"))
       .filter(col("id") =!= col("d_id"))
       .select(col("id").as("s_id"), col("d_id")).distinct()
+      .localCheckpoint(true) // candidate pairs — read 3-4×  below
     // exact verification at the polyHash level (oracle-exact even under
     // 31-bit hash collisions — both engines count the same x values)
     val dSh = docShingles(delta, idCol, textCol, n)
       .select(col("id").as("d_id"), polyHash(col("sh")).as("x")).distinct()
-    val sSh = docShingles(standingDocs, idCol, textCol, n)
+    val sIds = cand.select(col("s_id")).distinct()
+    val sSh = if (shingleSidecarExists(spark, path)) {
+      // DOC-FOOTPRINT verification: candidate docs' hash sets from their
+      // own sidecar buckets — the standing corpus text never opens
+      val sn = spark.read.parquet(path + "/shingles_meta").head.getInt(0)
+      require(sn == n,
+        s"shingle width n=$n must match the sidecar's (n=$sn)")
+      val db = sIds
+        .select(pmod(col("s_id"), lit(buckets.toLong)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val rows = spark.read.parquet(path + "/shingles")
+        .filter(col("d_bucket").isin(db: _*))
+        .select(col("id").as("s_id"), col("x"))
+        .join(sIds, Seq("s_id"), "left_semi")
+      // an incomplete sidecar must fail, not silently drop verdicts
+      // (the inner join on per-doc sizes would). Candidate-bounded job.
+      val nMissing = sIds
+        .join(rows.select(col("s_id")).distinct(), Seq("s_id"), "left_anti")
+        .count()
+      if (nMissing > 0) sys.error(
+        s"$nMissing candidate doc(s) have no shingle sidecar rows under" +
+          s" $path/shingles — the sidecar is incomplete; merge the" +
+          " missing docs with mergeShinglesIntoStore (or rebuild with" +
+          " writeShingleSidecar) before judging")
+      rows
+    } else docShingles(standingDocs, idCol, textCol, n)
       .select(col("id").as("s_id"), polyHash(col("sh")).as("x")).distinct()
-      .join(cand.select(col("s_id")).distinct(), Seq("s_id"), "left_semi")
+      .join(sIds, Seq("s_id"), "left_semi")
     val sizesD = dSh.groupBy(col("d_id")).agg(count(lit(1)).as("n_d"))
     val sizesS = sSh.groupBy(col("s_id")).agg(count(lit(1)).as("n_s"))
     cand.join(sSh, "s_id").join(dSh, Seq("d_id", "x"))

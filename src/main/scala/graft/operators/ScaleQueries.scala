@@ -487,6 +487,9 @@ object ScaleQueries {
       Dedup.minhashSignatures(standing, "doc_id", "text"),
       store, "doc_id", buckets = 16)
     Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    // shingle sidecar: verification reads candidate docs' own buckets,
+    // not the standing corpus text (standingDocs is ignored with it)
+    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
     Dedup.lshJudgeStore(spark, store, standing, delta, "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -508,8 +511,13 @@ object ScaleQueries {
       Dedup.minhashSignatures(standing, "doc_id", "text"),
       store, "doc_id", buckets = 16)
     Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
     Dedup.mergeIntoSignatureStore(spark, store,
       Dedup.minhashSignatures(delta1, "doc_id", "text"), "doc_id")
+    // the ingest flow's sidecar half: delta1's shingle hashes land in
+    // their doc buckets, so judging delta2 verifies delta1 partners
+    // from the sidecar too (standing ∪ delta1 text never re-read)
+    Dedup.mergeShinglesIntoStore(spark, store, delta1, "doc_id", "text")
     Dedup.mergeIntoBandIndex(spark, store,
       delta1.select(col("doc_id")), "doc_id")
     Dedup.lshJudgeStore(spark, store, standing.unionByName(delta1),
@@ -531,9 +539,11 @@ object ScaleQueries {
       Dedup.minhashSignatures(standing, "doc_id", "text"),
       store, "doc_id", buckets = 16)
     Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
     val doomed = standing.filter(col("doc_id") % 7 === 3)
       .select(col("doc_id"))
     Dedup.forgetFromBandIndex(spark, store, doomed, "doc_id")
+    // also drops the doomed docs' shingle sidecar rows (same mutation)
     Dedup.forgetDocsFromSignatureStore(spark, store, doomed, "doc_id")
     Dedup.lshJudgeStore(spark, store, standing, delta, "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))

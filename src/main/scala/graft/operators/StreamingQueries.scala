@@ -742,6 +742,7 @@ object StreamingQueries {
       Dedup.minhashSignatures(standing, "doc_id", "text"),
       store, "doc_id", buckets = 16)
     Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
     def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
       val stage = tmp.resolve(s"stage-$name")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -771,9 +772,12 @@ object StreamingQueries {
           // corpus through the index (the loop's read path)
           Dedup.lshJudgeStore(s, store, standing, b, "doc_id", "text")
             .write.mode("append").parquet(verdicts)
-          // then absorb it: signature MIN-merge, index + inventory merge
+          // then absorb it: signature MIN-merge, shingle sidecar
+          // replace-merge (so the NEXT batch's verification reads this
+          // one's docs from their buckets), index + inventory merge
           Dedup.mergeIntoSignatureStore(s, store,
             Dedup.minhashSignatures(b, "doc_id", "text"), "doc_id")
+          Dedup.mergeShinglesIntoStore(s, store, b, "doc_id", "text")
           Dedup.mergeIntoBandIndex(s, store,
             b.select(col("doc_id")), "doc_id")
           () // foreachBatch wants Unit

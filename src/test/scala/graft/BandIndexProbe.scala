@@ -51,6 +51,9 @@ object BandIndexProbe {
     val idxBuildSec = t {
       Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
     }
+    val shBuildSec = t {
+      Dedup.writeShingleSidecar(spark, store, docs, "doc_id", "text")
+    }
     // 500-doc near-dup delta: first token dropped, ids shifted
     val delta = docs.filter(col("doc_id") % 1000 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
@@ -62,9 +65,42 @@ object BandIndexProbe {
       nPairs = Dedup.lshJudgeStore(spark, store, docs, delta,
         "doc_id", "text").count()
     }
+    // JUDGE-FLATNESS TIER — the round-12 claim: with the shingle
+    // sidecar, judging a fixed delta is DOC-FOOTPRINT (band-pruned
+    // index read + candidate-bucket sidecar read), so its cost must
+    // stay ~flat as the standing corpus grows 10×. Build a 1/10th
+    // store beside the full one, judge the SAME delta through both
+    // paths at both sizes: sidecar ~flat, text-fallback ~linear (it
+    // re-derives standing shingles from corpus text per batch).
+    val small = docs.filter(col("doc_id") % 10 === 3).cache()
+    val nSmall = small.count()
+    val store10 = java.nio.file.Files
+      .createTempDirectory("graft-bip-").resolve("sigs10").toString
+    Dedup.writeSignatureStore(
+      Dedup.minhashSignatures(small, "doc_id", "text"),
+      store10, "doc_id", buckets = 64)
+    Dedup.writeBandIndex(spark, store10, "doc_id", bands = 8)
+    Dedup.writeShingleSidecar(spark, store10, small, "doc_id", "text")
+    def judgeVia(path: String, standing: org.apache.spark.sql.DataFrame,
+                 sidecar: Boolean): Double = {
+      val shp = new org.apache.hadoop.fs.Path(path + "/shingles")
+      val shpTmp = new org.apache.hadoop.fs.Path(path + "/.shingles-off")
+      val fs = shp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!sidecar) fs.rename(shp, shpTmp) // hide the sidecar: fallback
+      try t { Dedup.lshJudgeStore(spark, path, standing, delta,
+        "doc_id", "text").count() }
+      finally if (!sidecar) fs.rename(shpTmp, shp)
+    }
+    val judgeSide10 = judgeVia(store10, small, sidecar = true)
+    val judgeSideFull = judgeVia(store, docs, sidecar = true)
+    val judgeText10 = judgeVia(store10, small, sidecar = false)
+    val judgeTextFull = judgeVia(store, docs, sidecar = false)
     val sigMergeSec = t {
       Dedup.mergeIntoSignatureStore(spark, store,
         Dedup.minhashSignatures(delta, "doc_id", "text"), "doc_id")
+    }
+    val shMergeSec = t {
+      Dedup.mergeShinglesIntoStore(spark, store, delta, "doc_id", "text")
     }
     val idxMergeSec = t {
       Dedup.mergeIntoBandIndex(spark, store,
@@ -108,8 +144,15 @@ object BandIndexProbe {
     println(f"""{"probe":"band_index","n_docs":$n,"n_delta":$nDelta,""" +
       f""""sig_build_sec":$sigBuildSec%.2f,""" +
       f""""idx_build_sec":$idxBuildSec%.2f,""" +
+      f""""shingle_build_sec":$shBuildSec%.2f,""" +
       f""""judge_sec":$judgeSec%.2f,"n_pairs":$nPairs,""" +
+      f""""n_standing_small":$nSmall,""" +
+      f""""judge_sidecar_small_sec":$judgeSide10%.2f,""" +
+      f""""judge_sidecar_full_sec":$judgeSideFull%.2f,""" +
+      f""""judge_textfallback_small_sec":$judgeText10%.2f,""" +
+      f""""judge_textfallback_full_sec":$judgeTextFull%.2f,""" +
       f""""sig_merge_sec":$sigMergeSec%.2f,""" +
+      f""""shingle_merge_sec":$shMergeSec%.2f,""" +
       f""""idx_merge_sec":$idxMergeSec%.2f,""" +
       f""""n_changed":$nChanged,""" +
       f""""sig_merge_changed_sec":$sigMerge2Sec%.2f,""" +

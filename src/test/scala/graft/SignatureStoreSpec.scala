@@ -87,6 +87,78 @@ class SignatureStoreSpec extends SparkSpec {
     finally spark.conf.unset("graft.lsh.maxBroadcastMb")
   }
 
+  test("sidecar-verified judgment equals text-fallback judgment (and never reads standing text)") {
+    val path = Fixtures.tempDir("graft-sigstore-").resolve("s").toString
+    val standing = docs()
+    Dedup.writeSignatureStore(sigs(standing), path, "doc_id", buckets = 8)
+    Dedup.writeBandIndex(spark, path, "doc_id", bands = 2)
+    val delta = standing.select((col("doc_id") + 100L).as("doc_id"),
+      col("text"))
+    def run(st: org.apache.spark.sql.DataFrame) =
+      Dedup.lshJudgeStore(spark, path, st, delta,
+        "doc_id", "text", n = 3, numHashes = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val viaText = run(standing) // no sidecar yet: text fallback
+    assert(viaText.nonEmpty)
+    Dedup.writeShingleSidecar(spark, path, standing, "doc_id", "text",
+      n = 3)
+    // standingDocs is IGNORED with the sidecar present — hand the judge
+    // deliberately corrupted standing text to prove verification reads
+    // the sidecar buckets, then check the verdicts match the text run
+    val corrupted = standing.select(col("doc_id"),
+      lit("corrupted corrupted corrupted").as("text"))
+    assert(run(corrupted) == viaText)
+  }
+
+  test("shingle sidecar merge replaces per doc, bucket-locally; forget drops its rows") {
+    val path = Fixtures.tempDir("graft-sigstore-").resolve("s").toString
+    Dedup.writeSignatureStore(sigs(docs()), path, "doc_id", buckets = 8)
+    Dedup.writeShingleSidecar(spark, path, docs(), "doc_id", "text", n = 3)
+    val before = listFiles(java.nio.file.Paths.get(path, "shingles"))
+    // re-ingest doc 0 with CHANGED text: REPLACE semantics — the
+    // sidecar must hold exactly the new text's hashes (the signature
+    // store, by contrast, MIN-merges to the union)
+    val changed = docs().filter(col("doc_id") === 0L)
+      .select(col("doc_id"), lit("totally different words now").as("text"))
+    val touched = Dedup.mergeShinglesIntoStore(spark, path, changed,
+      "doc_id", "text")
+    assert(touched == Seq(0))
+    val after = listFiles(java.nio.file.Paths.get(path, "shingles"))
+    assert(after("d_bucket=1") == before("d_bucket=1"))
+    assert(after("d_bucket=3") == before("d_bucket=3"))
+    val got = spark.read.parquet(path + "/shingles")
+      .filter(col("id") === 0L).select("x")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = Dedup.docShingles(changed, "doc_id", "text", 3)
+      .select(Dedup.polyHash(col("sh")).as("x")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "sidecar must mirror CURRENT text, not the union")
+    // forget: the signature forget drops the sidecar rows in the same
+    // mutation
+    Dedup.forgetDocsFromSignatureStore(spark, path,
+      Seq(0L).toDF("doc_id"), "doc_id")
+    assert(spark.read.parquet(path + "/shingles")
+      .filter(col("id") === 0L).count() == 0, "sidecar rows survived forget")
+  }
+
+  test("judgment fails fast on an incomplete shingle sidecar instead of dropping verdicts") {
+    val path = Fixtures.tempDir("graft-sigstore-").resolve("s").toString
+    val standing = docs()
+    Dedup.writeSignatureStore(sigs(standing), path, "doc_id", buckets = 8)
+    Dedup.writeBandIndex(spark, path, "doc_id", bands = 2)
+    // sidecar misses doc 0 — a candidate doc without verification rows
+    Dedup.writeShingleSidecar(spark, path,
+      standing.filter(col("doc_id") =!= 0L), "doc_id", "text", n = 3)
+    val delta = standing.filter(col("doc_id") === 0L)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val e = intercept[RuntimeException] {
+      Dedup.lshJudgeStore(spark, path, standing, delta,
+        "doc_id", "text", n = 3, numHashes = 4).collect()
+    }
+    assert(e.getMessage.contains("incomplete"))
+  }
+
   test("forget removes a changed-signature doc's STALE band rows via the inventory") {
     val path = Fixtures.tempDir("graft-sigstore-").resolve("s").toString
     Dedup.writeSignatureStore(sigs(docs()), path, "doc_id", buckets = 8)
