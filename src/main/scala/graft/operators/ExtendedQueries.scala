@@ -69,15 +69,17 @@ object ExtendedQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  /** q34's exact percentiles through HISTOGRAM REFINEMENT
-    * ([[OrderStats.exactPercentilesBinned]]): two hash aggregations
-    * locate every requested rank's bin, and only the candidate bins are
-    * sorted — the full data is never ordered. Same order statistics,
-    * same interpolation arithmetic, same oracle as q34; the variant
-    * exists for the 100 TB shape where q34's per-group external sort is
-    * the measured wall (BENCH_sf10: sort-bound, ~58× for 100× data). */
+  /** q34's exact percentiles through the PRODUCTION entry
+    * ([[OrderStats.percentiles]], routed to histogram refinement): two
+    * hash aggregations locate every requested rank's bin, and only the
+    * candidate bins are sorted — the full data is never ordered. Same
+    * order statistics, same interpolation arithmetic, same oracle as
+    * q34 (which stays on the sort path as the differential twin); the
+    * routing exists for the 100 TB shape where q34's per-group external
+    * sort is the measured wall (BENCH_sf10: sort-bound, ~58× for 100×
+    * data vs binned's ~8.7×). */
   def q219PercentilesBinned(spark: SparkSession, dir: String): DataFrame = {
-    OrderStats.exactPercentilesBinned(Tables.lineitem(spark, dir),
+    OrderStats.percentiles(Tables.lineitem(spark, dir),
         Seq("l_returnflag"),
         Seq(("p25", "l_quantity", 0.25),
             ("p50", "l_quantity", 0.5),

@@ -101,5 +101,10 @@ class OrderStatsSpec extends SparkSpec {
         df.repartition(13), Seq("k"), specs, 3)
       .orderBy("k").collect().map(_.toSeq)
     assert(rep.toSeq == want.toSeq, "repartition changed binned percentiles")
+    // the PRODUCTION entry routes to the binned variant and must give
+    // the same values as the sort-path differential twin
+    val routed = OrderStats.percentiles(df, Seq("k"), specs)
+      .orderBy("k").collect().map(_.toSeq)
+    assert(routed.toSeq == want.toSeq, "routed entry diverged")
   }
 }
