@@ -33,6 +33,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** Max literal values per pushed-down IN list (candidate ids into the
+    * shingle sidecar scan, per-band signatures into the band-index
+    * scan). Spark expands a pushed IN to a left-deep OR chain in the
+    * parquet filter, so list length IS recursion depth at evaluation —
+    * 4000 overflowed an executor stack; 1000 is comfortably under any
+    * default stack while still covering the small continuous batches
+    * whose per-batch flatness the pushdown exists for. Keep
+    * `spark.sql.parquet.pushdown.inFilterThreshold` >= this (sessions
+    * here set 1024) or the list never reaches the reader. */
+  private val PushdownCap = 1000
+
   /** A result DataFrame whose plan reads cached relations owned by the
     * callee. `close()` unpersists them (idempotent, lazy-safe: Spark
     * recomputes if the plan is re-executed afterwards); `use` is the
@@ -579,17 +590,62 @@ object Dedup {
     * bands — an index derived at join time, not a storage layout.
     * Bucket count rides in a `meta` sidecar (same contract as the
     * embedding store's [[Similarity.writeStandingStore]]). */
+  /** `$path/$dataDir` as a DataFrame under either commit protocol:
+    * versioned stores ([[StoreSwap.isVersioned]]) resolve through the
+    * latest committed manifest — an atomic SNAPSHOT, immune to
+    * concurrent mutation — while legacy stores list the live dir.
+    * Filters on `partCol` prune files in both modes (the partition
+    * column infers from the dir names either way). */
+  private def dirDf(spark: SparkSession, path: String, dataDir: String,
+                    partCol: String): DataFrame =
+    if (StoreSwap.isVersioned(spark, path))
+      StoreSwap.readVersioned(spark, path, dataDir, partCol)
+    else spark.read.parquet(s"$path/$dataDir")
+
+  /** Whether `dataDir` exists under either protocol — a committed
+    * manifest (versioned) or a live directory (legacy). */
+  private def dirExists(spark: SparkSession, path: String,
+                        dataDir: String): Boolean =
+    if (StoreSwap.isVersioned(spark, path))
+      StoreSwap.latestSnapshot(spark, path, dataDir).isDefined
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$dataDir")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+  /** Full write of a store dataDir under the store's commit protocol
+    * (writers auto-follow a versioned store; `forceVersioned` starts
+    * one). */
+  private def writeDir(spark: SparkSession, path: String, dataDir: String,
+                       partCol: String, df: DataFrame, sortCols: Seq[Column],
+                       forceVersioned: Boolean = false): Unit =
+    if (forceVersioned || StoreSwap.isVersioned(spark, path))
+      StoreSwap.versionedOverwrite(spark, path, partCol, df, sortCols,
+        dataDir)
+    else df
+      .repartition(col(partCol))
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$path/$dataDir")
+
+  /** @param versioned start the store on the versioned-manifest commit
+    *                  protocol ([[StoreSwap]]'s snapshot mode): every
+    *                  later mutation of data/bands/bands_inv/shingles
+    *                  commits reader-atomically (a concurrent reader
+    *                  sees the old or the new complete store, never a
+    *                  missing bucket), at the cost of manifest
+    *                  indirection on reads. Legacy (default) keeps the
+    *                  in-place bucket swap, whose swap instant requires
+    *                  a maintenance window for readers. */
   def writeSignatureStore(sigs: DataFrame, path: String, idCol: String,
-                          buckets: Int = 64): Unit = {
+                          buckets: Int = 64,
+                          versioned: Boolean = false): Unit = {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val spark = sigs.sparkSession
-    sigs
-      .withColumn("d_bucket",
-        pmod(col(idCol), lit(buckets.toLong)).cast("int"))
-      .repartition(col("d_bucket"))
-      .sortWithinPartitions(col(idCol), col("k"))
-      .write.mode("overwrite").partitionBy("d_bucket")
-      .parquet(path + "/data")
+    writeDir(spark, path, "data", "d_bucket",
+      sigs.withColumn("d_bucket",
+        pmod(col(idCol), lit(buckets.toLong)).cast("int")),
+      Seq(col(idCol), col("k")), forceVersioned = versioned)
     spark.range(1).select(lit(buckets).as("buckets"))
       .write.mode("overwrite").parquet(path + "/meta")
   }
@@ -631,7 +687,7 @@ object Dedup {
                          path: String): (DataFrame, Int) = {
     StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
-    (spark.read.parquet(path + "/data"), buckets)
+    (dirDf(spark, path, "data", "d_bucket"), buckets)
   }
 
   /** FORGET documents from the signature store — the text modality's
@@ -665,7 +721,7 @@ object Dedup {
     val removed = before - StoreSwap.stagedRewrite(spark, path, "d_bucket",
       touched, kept, Seq(col(idCol), col("k")))
     if (shingleSidecarExists(spark, path)) {
-      val shKept = spark.read.parquet(path + "/shingles")
+      val shKept = dirDf(spark, path, "shingles", "d_bucket")
         .filter(col("d_bucket").isin(touched: _*))
         .join(ids.select(col(idCol).as("id")), Seq("id"), "left_anti")
       StoreSwap.stagedRewrite(spark, path, "d_bucket", touched, shKept,
@@ -700,23 +756,20 @@ object Dedup {
                           n: Int = 3): Unit = StoreSwap.withLease(spark, path) {
     StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
-    docShingles(docs, idCol, textCol, n)
-      .select(col("id"), polyHash(col("sh")).as("x")).distinct()
-      .withColumn("d_bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
-      .repartition(col("d_bucket"))
-      .sortWithinPartitions(col("id"), col("x"))
-      .write.mode("overwrite").partitionBy("d_bucket")
-      .parquet(path + "/shingles")
+    writeDir(spark, path, "shingles", "d_bucket",
+      docShingles(docs, idCol, textCol, n)
+        .select(col("id"), polyHash(col("sh")).as("x")).distinct()
+        .withColumn("d_bucket",
+          pmod(col("id"), lit(buckets.toLong)).cast("int")),
+      Seq(col("id"), col("x")))
     spark.range(1).select(lit(n).as("n"))
       .write.mode("overwrite").parquet(path + "/shingles_meta")
   }
 
   /** Whether `path` carries the shingle-hash sidecar. */
   private[operators] def shingleSidecarExists(spark: SparkSession,
-                                              path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path + "/shingles")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+                                              path: String): Boolean =
+    dirExists(spark, path, "shingles")
 
   /** Absorb a delta load into the shingle sidecar — REPLACE semantics
     * per doc (the sidecar mirrors current text; see
@@ -743,7 +796,7 @@ object Dedup {
     val fresh = docShingles(deltaDocs, idCol, textCol, n)
       .select(col("id"), polyHash(col("sh")).as("x")).distinct()
       .withColumn("d_bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
-    val kept = spark.read.parquet(path + "/shingles")
+    val kept = dirDf(spark, path, "shingles", "d_bucket")
       .filter(col("d_bucket").isin(touched: _*))
       .join(ids, Seq("id"), "left_anti")
       .select(col("id"), col("x"), col("d_bucket"))
@@ -800,12 +853,10 @@ object Dedup {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
-    bandRows(sigs.select(col(idCol), col("k"), col("mh")),
-        idCol, bands, r, buckets)
-      .repartition(col("bb_bucket"))
-      .sortWithinPartitions(col("band"), col("bsig"), col("id"))
-      .write.mode("overwrite").partitionBy("bb_bucket")
-      .parquet(path + "/bands")
+    writeDir(spark, path, "bands", "bb_bucket",
+      bandRows(sigs.select(col(idCol), col("k"), col("mh")),
+        idCol, bands, r, buckets),
+      Seq(col("band"), col("bsig"), col("id")))
     // per-doc BAND INVENTORY, partitioned by the doc's OWN bucket: the
     // index rows a doc currently owns stay DERIVABLE FROM ITS ID even
     // after a re-ingest changes its signature (the band values — hence
@@ -815,13 +866,12 @@ object Dedup {
     // remedy. Derived from the JUST-WRITTEN index (a cheap column scan)
     // rather than re-running the corpus-scale band derivation a second
     // time — the rebuild's dominant compute would otherwise double.
-    spark.read.parquet(path + "/bands")
-      .select(col("id"), col("band"), col("bsig"), col("bb_bucket"))
-      .withColumn("d_bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
-      .repartition(col("d_bucket"))
-      .sortWithinPartitions(col("id"), col("band"))
-      .write.mode("overwrite").partitionBy("d_bucket")
-      .parquet(path + "/bands_inv")
+    writeDir(spark, path, "bands_inv", "d_bucket",
+      dirDf(spark, path, "bands", "bb_bucket")
+        .select(col("id"), col("band"), col("bsig"), col("bb_bucket"))
+        .withColumn("d_bucket",
+          pmod(col("id"), lit(buckets.toLong)).cast("int")),
+      Seq(col("id"), col("band")))
     spark.range(1).select(lit(bands).as("bands"),
         lit(r).as("rows_per_band"))
       .write.mode("overwrite").parquet(path + "/bands_meta")
@@ -829,10 +879,8 @@ object Dedup {
 
   /** Whether `path` carries the per-doc band inventory (indexes built
     * before it existed lack one until the next [[writeBandIndex]]). */
-  private def bandInvExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path + "/bands_inv")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def bandInvExists(spark: SparkSession, path: String): Boolean =
+    dirExists(spark, path, "bands_inv")
 
   /** The inventory's rows for `docIds` — doc-bucket pruned. */
   private def invRowsForDocs(spark: SparkSession, path: String,
@@ -842,7 +890,7 @@ object Dedup {
     val db = ids
       .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(path + "/bands_inv")
+    dirDf(spark, path, "bands_inv", "d_bucket")
       .filter(col("d_bucket").isin(db: _*))
       .join(ids, Seq("id"), "left_semi")
       .select(col("id"), col("band"), col("bsig"), col("bb_bucket"))
@@ -890,7 +938,7 @@ object Dedup {
     val touched = rows.select(col("bb_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return Seq.empty
-    val slice = spark.read.parquet(path + "/bands")
+    val slice = dirDf(spark, path, "bands", "bb_bucket")
       .filter(col("bb_bucket").isin(touched: _*))
     val merged = slice.select(col("id"), col("band"), col("bsig"),
         col("bb_bucket"))
@@ -909,7 +957,7 @@ object Dedup {
       val db = ids
         .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      val invSlice = spark.read.parquet(path + "/bands_inv")
+      val invSlice = dirDf(spark, path, "bands_inv", "d_bucket")
         .filter(col("d_bucket").isin(db: _*))
         .select(col("id"), col("band"), col("bsig"), col("bb_bucket"))
       val invMerged = invSlice.unionByName(rows).distinct()
@@ -943,7 +991,7 @@ object Dedup {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return 0L
     val ids = docIds.select(col(idCol).as("id")).distinct()
-    val slice = spark.read.parquet(path + "/bands")
+    val slice = dirDf(spark, path, "bands", "bb_bucket")
       .filter(col("bb_bucket").isin(touched: _*))
     val kept = slice.join(ids, Seq("id"), "left_anti")
     val before = slice.count()
@@ -959,7 +1007,7 @@ object Dedup {
         .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (db.nonEmpty) {
-        val invKept = spark.read.parquet(path + "/bands_inv")
+        val invKept = dirDf(spark, path, "bands_inv", "d_bucket")
           .filter(col("d_bucket").isin(db: _*))
           .join(ids, Seq("id"), "left_anti")
         StoreSwap.stagedRewrite(spark, path, "d_bucket", db, invKept,
@@ -1001,7 +1049,7 @@ object Dedup {
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return 0L
     val nStale = stale.count()
-    val slice = spark.read.parquet(path + "/bands")
+    val slice = dirDf(spark, path, "bands", "bb_bucket")
       .filter(col("bb_bucket").isin(touched: _*))
     val kept = slice
       .join(stale.select(col("id"), col("band"), col("bsig")),
@@ -1016,7 +1064,7 @@ object Dedup {
     val db = ids
       .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val invKept = spark.read.parquet(path + "/bands_inv")
+    val invKept = dirDf(spark, path, "bands_inv", "d_bucket")
       .filter(col("d_bucket").isin(db: _*))
       .select(col("id"), col("band"), col("bsig"), col("bb_bucket"))
       .join(ids, Seq("id"), "left_anti")
@@ -1103,8 +1151,30 @@ object Dedup {
       .localCheckpoint(true) // bounded: |delta|·bands rows
     val touched = dRows.select(col("bb_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idx = spark.read.parquet(path + "/bands")
+    // same two pruning rungs as the sidecar read below: bucket dirs
+    // always, plus — PER BAND — the delta's band-signature list pushed
+    // into the scan. The index files are (band, bsig)-sorted within
+    // each bucket, so page stats skip non-colliding rows instead of
+    // scanning the full standing index (which a modest delta otherwise
+    // forces: 500 docs × 8 bands already touch every bb_bucket). The
+    // per-band split keeps every IN list within the parquet OR-chain
+    // depth Spark expands it to (a flat 4000-value list overflowed the
+    // evaluator's stack — [[PushdownCap]] bounds each list, and a band
+    // whose list exceeds it falls back to the unpruned scan for that
+    // band: big batches amortize the index scan across their docs
+    // anyway; per-batch flatness matters for the small continuous
+    // batches that stay under the cap).
+    val idx0 = dirDf(spark, path, "bands", "bb_bucket")
       .filter(col("bb_bucket").isin(touched: _*))
+    val byBand = dRows.select(col("band"), col("bsig")).distinct()
+      .collect().groupBy(_.getInt(0))
+      .map { case (b, rs) => b -> rs.map(_.getLong(1)).toSeq }
+    val idx =
+      if (byBand.nonEmpty && byBand.values.forall(_.length <= PushdownCap))
+        byBand.toSeq.sortBy(_._1).map { case (b, vals) =>
+          idx0.filter(col("band") === b && col("bsig").isin(vals: _*))
+        }.reduce(_ unionByName _)
+      else idx0
     val cand = idx.join(broadcast(dRows), Seq("band", "bsig"))
       .filter(col("id") =!= col("d_id"))
       .select(col("id").as("s_id"), col("d_id")).distinct()
@@ -1114,6 +1184,7 @@ object Dedup {
     val dSh = docShingles(delta, idCol, textCol, n)
       .select(col("id").as("d_id"), polyHash(col("sh")).as("x")).distinct()
     val sIds = cand.select(col("s_id")).distinct()
+      .localCheckpoint(true) // candidate DOCS — bounded, read 2-3× below
     val sSh = if (shingleSidecarExists(spark, path)) {
       // DOC-FOOTPRINT verification: candidate docs' hash sets from their
       // own sidecar buckets — the standing corpus text never opens
@@ -1123,10 +1194,28 @@ object Dedup {
       val db = sIds
         .select(pmod(col("s_id"), lit(buckets.toLong)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val rows = spark.read.parquet(path + "/shingles")
+      // two pruning rungs: directory-level (the candidates' d_buckets)
+      // always; and — when the candidate set is bounded — the ids
+      // PUSHED DOWN into the parquet scan itself, where the id-sorted
+      // files' page stats skip non-candidate pages (dir pruning alone
+      // goes blind once candidates outnumber buckets, and a broadcast
+      // semi-join filters rows only AFTER they are read). The literal
+      // id list is bounded by [[PushdownCap]] (the parquet OR-chain
+      // depth limit — see the index read above); beyond it the
+      // semi-join path keeps correctness and the bucket count carries
+      // the pruning. Sessions must raise
+      // spark.sql.parquet.pushdown.inFilterThreshold (default 10) to
+      // the cap so the IN list actually reaches the parquet reader as
+      // OR-of-equals rather than a min/max range.
+      val nCand = sIds.count()
+      val base = dirDf(spark, path, "shingles", "d_bucket")
         .filter(col("d_bucket").isin(db: _*))
+      val rows = (if (nCand <= PushdownCap) {
+        val ids = sIds.collect().map(_.getLong(0)).toSeq
+        base.filter(col("id").isin(ids: _*))
+      } else base.join(sIds.withColumnRenamed("s_id", "id"),
+        Seq("id"), "left_semi"))
         .select(col("id").as("s_id"), col("x"))
-        .join(sIds, Seq("s_id"), "left_semi")
       // an incomplete sidecar must fail, not silently drop verdicts
       // (the inner join on per-doc sizes would). Candidate-bounded job.
       val nMissing = sIds

@@ -589,6 +589,43 @@ object ScaleQueries {
       .orderBy(col("doc_id"), col("band"), col("bsig"))
   }
 
+  /** q220: the COMPOSED text lifecycle on a VERSIONED store
+    * ([[graft.operators.StoreSwap]]'s snapshot mode): build (data +
+    * band index + shingle sidecar) → ingest delta1 (signature
+    * MIN-merge, shingle replace-merge, index + inventory merge) →
+    * forget a seventh of the original standing → judge delta2. q206's
+    * daily flow plus a forget, with every mutation committing through
+    * one manifest rename into immutable generation dirs instead of
+    * in-place bucket swaps — a concurrent reader resolves a complete
+    * old or new snapshot, never a mid-swap hole. The oracle replays
+    * the whole chain closed-form; equality proves the versioned commit
+    * protocol content-invariant (SignatureStoreSpec proves the reader
+    * guarantees it adds). */
+  def q220VersionedStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.select(col("doc_id"), col("text"))
+    val delta1 = nearDupDelta(standing, 3, 100000L, 1)
+    val delta2 = nearDupDelta(standing, 5, 200000L, 2)
+    val store = Fixtures.tempDir("graft-q220-").resolve("sigs").toString
+    Dedup.writeSignatureStore(
+      Dedup.minhashSignatures(standing, "doc_id", "text"),
+      store, "doc_id", buckets = 16, versioned = true)
+    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
+    Dedup.mergeIntoSignatureStore(spark, store,
+      Dedup.minhashSignatures(delta1, "doc_id", "text"), "doc_id")
+    Dedup.mergeShinglesIntoStore(spark, store, delta1, "doc_id", "text")
+    Dedup.mergeIntoBandIndex(spark, store,
+      delta1.select(col("doc_id")), "doc_id")
+    val doomed = standing.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"))
+    Dedup.forgetFromBandIndex(spark, store, doomed, "doc_id")
+    Dedup.forgetDocsFromSignatureStore(spark, store, doomed, "doc_id")
+    Dedup.lshJudgeStore(spark, store, standing.unionByName(delta1),
+        delta2, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q110: native `session_window` semantics — Spark's merging-window
     * session aggregation (the STREAMING operator, run in batch) gated
     * against an independent SQL lag+cumsum sessionization: the two
@@ -657,6 +694,7 @@ object ScaleQueries {
     "q206_band_index_merge" -> q206BandIndexMerge _,
     "q207_band_index_forget" -> q207BandIndexForget _,
     "q211_band_index_reindex" -> q211BandIndexReindex _,
+    "q220_versioned_store" -> q220VersionedStore _,
     "q110_session_window" -> q110SessionWindow _,
     "q111_chunk_conserve" -> q111ChunkConserve _,
   )
@@ -915,6 +953,17 @@ object ScaleQueries {
         |  FROM sigs GROUP BY id, k // 2)
         |SELECT id AS doc_id, band, bsig FROM bs
         |ORDER BY doc_id, band, bsig""".stripMargin,
+    // the versioned-manifest store must judge exactly as the legacy
+    // one: q206's flow plus a forget of the original standing's
+    // sevenths (delta1's shifted ids are exempt — the forget targets
+    // ids < 100000 only)
+    "q220_versioned_store" -> lshJudgeSql(
+      "SELECT doc_id AS id, text FROM documents" +
+        " UNION ALL SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '')" +
+        " FROM documents WHERE doc_id % 3 = 0",
+      "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
+        " FROM documents WHERE doc_id % 5 = 0",
+      "s.id < 200000 AND d.id >= 200000 AND (s.id >= 100000 OR s.id % 7 <> 3)"),
     // forgotten standing docs can no longer be partners
     "q207_band_index_forget" -> lshJudgeSql(
       "SELECT doc_id AS id, text FROM documents",

@@ -45,17 +45,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * confuses "already swapped" with "emptied".
   *
   * '''Concurrency contract.''' Staging is invisible to readers, but the
-  * swap INSTANT is not: [[applySwap]] deletes a live bucket directory
-  * and then renames the staged one in, so a reader listing the store
-  * between the two operations sees that bucket missing. Crash safety
-  * (single writer, roll-forward) is complete; concurrent-READER
-  * isolation is not provided — schedule mutations in the maintenance
-  * windows of whatever serves the store, or front it with a
-  * snapshot-isolating table format. Mutators are SINGLE-WRITER by
-  * contract, enforced: every mutation entry point runs under
-  * [[withLease]], and a second simultaneous mutator of the same store
-  * path fails fast instead of corrupting the shared staging dir and
-  * manifest.
+  * legacy swap INSTANT is not: [[applySwap]] deletes a live bucket
+  * directory and then renames the staged one in, so a reader listing
+  * the store between the two operations sees that bucket missing.
+  * Crash safety (single writer, roll-forward) is complete; for
+  * concurrent-READER isolation, opt the store into the VERSIONED
+  * manifest mode below ([[enableVersioning]] /
+  * `writeSignatureStore(versioned = true)`): commits become one
+  * manifest rename over immutable generation dirs, so a reader always
+  * resolves a complete snapshot — old or new, never mid-swap — and can
+  * serve straight through maintenance. Legacy stores keep the
+  * maintenance-window requirement. Mutators are SINGLE-WRITER by
+  * contract in both modes, enforced: every mutation entry point runs
+  * under [[withLease]], and a second simultaneous mutator of the same
+  * store path fails fast instead of corrupting the shared staging dir
+  * and manifest.
   */
 object StoreSwap {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -249,6 +253,18 @@ object StoreSwap {
     // the answer is simply 0
     val kept = if (stagedBuckets.isEmpty) 0L
       else spark.read.parquet(stg.toString).count() // metadata-only
+    if (isVersioned(spark, path)) {
+      // reader-atomic commit path: staged buckets become an immutable
+      // generation, visibility flips with one manifest rename, emptied
+      // touched buckets simply leave the manifest. No _pending_swap, no
+      // roll-forward — a crash before the manifest leaves the store
+      // byte-identical (the orphan gen is reclaimed at the next commit).
+      commitVersioned(spark, path, dataDir, stg,
+        stagedBuckets.map(b => s"$partCol=$b"),
+        touchedDirs = touched.map(b => s"$partCol=$b").toSet,
+        replaceAll = false)
+      return kept
+    }
     val surviving = touched.filter(stagedBuckets)
     val emptied = touched.filterNot(stagedBuckets)
     // commit point: the manifest rename makes the swap durable
@@ -269,6 +285,232 @@ object StoreSwap {
       sys.error(s"could not commit swap manifest under $path")
     applySwap(spark, path, partCol, surviving, emptied, dataDir)
     kept
+  }
+
+  // ---- versioned-manifest snapshot mode ------------------------------
+  //
+  // The legacy swap above is crash-atomic but not READER-atomic: the
+  // per-bucket delete+rename leaves an instant where a listing reader
+  // sees the bucket missing (the documented maintenance-window caveat).
+  // The versioned mode removes that caveat with indirection:
+  //
+  //   $path/_v/<dataDir>.v<N>            — committed manifests: one line
+  //                                        per live bucket dir,
+  //                                        "partCol=b|g1,g2,…" (the gens
+  //                                        holding that bucket's files —
+  //                                        a set, so appends stay O(delta))
+  //   $path/<dataDir>.gens/g<G>/partCol=b/part-*.parquet
+  //                                      — IMMUTABLE once committed;
+  //                                        each commit renames its staged
+  //                                        buckets in as a fresh gen
+  //
+  // A read resolves the LATEST manifest (one file read = an atomic
+  // snapshot), lists exactly the referenced dirs, and reads them with
+  // per-gen basePath so the partition column still infers. A mutation
+  // stages as before, renames the staging dir to gens/g<v+1> (orphan if
+  // it crashes here — inert, reclaimed on the next commit), and commits
+  // by renaming manifest v+1 into _v — the single visibility point.
+  // There is NO roll-forward: either the manifest exists (commit
+  // complete, nothing left to do) or it doesn't (store unchanged). A
+  // reader that resolved just before a commit keeps reading its gens
+  // untouched: GC unlinks only gens unreferenced by the last
+  // `graft.store.snapshotKeep`+1 manifests (default 1 prior — the grace
+  // window; raise it for long-running readers).
+
+  private def versionsDir(path: String) = new Path(path + "/_v")
+
+  /** Whether `path` commits through versioned manifests. */
+  def isVersioned(spark: SparkSession, path: String): Boolean = {
+    val v = versionsDir(path)
+    fsOf(spark, v).exists(v)
+  }
+
+  /** Parsed manifests for `dataDir`, ascending by version. */
+  private def manifests(fs: FileSystem, path: String,
+                        dataDir: String): Seq[(Int, Path)] = {
+    val vd = versionsDir(path)
+    if (!fs.exists(vd)) return Seq.empty
+    val prefix = dataDir + ".v"
+    fs.listStatus(vd).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .flatMap(p => p.getName.stripPrefix(prefix).toIntOption.map(_ -> p))
+      .sortBy(_._1)
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): Map[String, Seq[Int]] = {
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val Array(dir, gens) = line.split("\\|", 2)
+      dir -> gens.split(",").toSeq.map(_.toInt)
+    }.toMap
+  }
+
+  /** The latest committed (version, bucketDir → gens) snapshot of
+    * `dataDir`, or None when no manifest has ever committed. */
+  def latestSnapshot(spark: SparkSession, path: String,
+                     dataDir: String): Option[(Int, Map[String, Seq[Int]])] = {
+    val fs = fsOf(spark, versionsDir(path))
+    manifests(fs, path, dataDir).lastOption
+      .map { case (v, p) => (v, readManifest(fs, p)) }
+  }
+
+  private def writeManifest(fs: FileSystem, path: String, dataDir: String,
+                            v: Int, entries: Map[String, Seq[Int]]): Unit = {
+    fs.mkdirs(versionsDir(path))
+    val tmp = new Path(path + s"/_v/.${dataDir}.v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.toSeq.sortBy(_._1)
+      .map { case (d, gs) => s"$d|${gs.sorted.mkString(",")}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(path + s"/_v/$dataDir.v$v")
+    if (fs.exists(dst) || !fs.rename(tmp, dst))
+      sys.error(s"could not commit manifest $dst — concurrent mutator?")
+  }
+
+  /** Resolved leaf-dir paths of a snapshot, grouped by generation (one
+    * group per basePath for partition-column inference), restricted to
+    * `buckets` when given. */
+  private def snapshotDirs(path: String, dataDir: String,
+                           entries: Map[String, Seq[Int]],
+                           partCol: String,
+                           buckets: Option[Seq[Int]]): Seq[(String, Seq[String])] = {
+    val want = buckets.map(_.map(b => s"$partCol=$b").toSet)
+    entries.toSeq
+      .filter { case (d, _) => want.forall(_.contains(d)) }
+      .flatMap { case (d, gens) => gens.map(g => g -> d) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (g, ds) =>
+        (s"$path/$dataDir.gens/g$g",
+          ds.map { case (_, d) => s"$path/$dataDir.gens/g$g/$d" }.sorted)
+      }
+  }
+
+  /** Snapshot read of a versioned `dataDir` — resolves the latest
+    * committed manifest ONCE (atomic), reads only the referenced (and,
+    * with `buckets`, requested) immutable dirs. The plan never lists
+    * the live tree, so a concurrent mutation is invisible to it: old
+    * snapshot until the commit, new snapshot after, never a missing
+    * bucket. */
+  def readVersioned(spark: SparkSession, path: String, dataDir: String,
+                    partCol: String,
+                    buckets: Option[Seq[Int]] = None): DataFrame = {
+    val (_, entries) = latestSnapshot(spark, path, dataDir).getOrElse(
+      sys.error(s"$path/$dataDir has no committed manifest — not a" +
+        " versioned store dataDir (or never written)"))
+    val groups = snapshotDirs(path, dataDir, entries, partCol, buckets)
+    if (groups.isEmpty) {
+      // bucket-pruned read with no surviving bucket: empty relation
+      // with the store's schema (from any live dir; a store with NO
+      // entries at all has no schema to offer)
+      val any = snapshotDirs(path, dataDir, entries, partCol, None)
+      require(any.nonEmpty, s"$path/$dataDir snapshot is empty")
+      return spark.read.option("basePath", any.head._1)
+        .parquet(any.head._2.head).filter(lit(false))
+    }
+    groups.map { case (base, dirs) =>
+      spark.read.option("basePath", base).parquet(dirs: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Switch a store's `dataDirs` (name → partition column) to the
+    * versioned-manifest commit protocol: each existing legacy dir
+    * becomes generation 0 (one rename) under a v0 manifest; dirs that
+    * don't exist yet simply start versioned on first write. Legacy
+    * sidecar files (meta, codebooks) are untouched — they are
+    * write-once model state. Existing legacy stores keep working
+    * unconverted; versioning is opt-in per store. */
+  def enableVersioning(spark: SparkSession, path: String,
+                       dataDirs: Seq[String]): Unit = withLease(spark, path) {
+    recover(spark, path) // nothing legacy may stay half-swapped behind
+    val fs = fsOf(spark, versionsDir(path))
+    dataDirs.foreach { dataDir =>
+      val live = new Path(s"$path/$dataDir")
+      if (fs.exists(live) && manifests(fs, path, dataDir).isEmpty) {
+        val g0 = new Path(s"$path/$dataDir.gens/g0")
+        fs.mkdirs(g0.getParent)
+        if (!fs.rename(live, g0))
+          sys.error(s"could not migrate $live to $g0")
+        val entries = fs.listStatus(g0)
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+          .map(_.getPath.getName -> Seq(0)).toMap
+        writeManifest(fs, path, dataDir, 0, entries)
+      }
+    }
+    fs.mkdirs(versionsDir(path)) // the mode marker, even if all-empty
+  }
+
+  /** How many PRIOR manifests (and their gens) each commit preserves —
+    * the reader grace window. */
+  private def snapshotKeep(spark: SparkSession): Int =
+    spark.conf.getOption("graft.store.snapshotKeep")
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(1)
+
+  /** The versioned commit: rename staged buckets in as generation
+    * v+1, publish manifest v+1 derived from v by `remap`, GC what no
+    * kept manifest references. Returns nothing the caller needs —
+    * `stagedRewrite` wraps it. */
+  private def commitVersioned(spark: SparkSession, path: String,
+                              dataDir: String, stg: Path,
+                              stagedBuckets: Set[String],
+                              touchedDirs: Set[String],
+                              replaceAll: Boolean): Unit = {
+    val fs = fsOf(spark, stg)
+    val prev = latestSnapshot(spark, path, dataDir)
+    val v1 = prev.map(_._1 + 1).getOrElse(0)
+    val gDir = new Path(s"$path/$dataDir.gens/g$v1")
+    fs.mkdirs(gDir.getParent)
+    // a gen dir at v1 with no manifest v1 is an orphan of a crashed
+    // commit (the manifest rename never happened) — reclaim it
+    if (fs.exists(gDir)) fs.delete(gDir, true)
+    if (stagedBuckets.nonEmpty && !fs.rename(stg, gDir))
+      sys.error(s"could not commit staged generation $gDir")
+    val prevEntries = prev.map(_._2).getOrElse(Map.empty)
+    val entries =
+      (if (replaceAll) Map.empty[String, Seq[Int]]
+       else prevEntries -- touchedDirs) ++
+        stagedBuckets.map(_ -> Seq(v1))
+    writeManifest(fs, path, dataDir, v1, entries)
+    // GC: drop manifests older than the grace window, then gens no
+    // kept manifest (of ANY dataDir under this store) references
+    val keep = snapshotKeep(spark)
+    val all = manifests(fs, path, dataDir)
+    all.dropRight(keep + 1).foreach { case (_, p) => fs.delete(p, false) }
+    val kept = manifests(fs, path, dataDir).map { case (_, p) =>
+      readManifest(fs, p) }
+    val live = kept.flatMap(_.values.flatten).toSet
+    val gensRoot = new Path(s"$path/$dataDir.gens")
+    if (fs.exists(gensRoot))
+      fs.listStatus(gensRoot)
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("g") &&
+          p.getName.stripPrefix("g").toIntOption.exists(!live.contains(_)))
+        .foreach(p => fs.delete(p, true))
+  }
+
+  /** Full-overwrite write of a versioned `dataDir`: stage the whole
+    * relation, commit it as the next generation REPLACING every prior
+    * entry — the versioned twin of the legacy writers'
+    * `mode("overwrite").partitionBy(...)`. Readers snapshotted on the
+    * old manifest keep their gens through the grace window. */
+  def versionedOverwrite(spark: SparkSession, path: String,
+                         partCol: String, df: DataFrame,
+                         sortCols: Seq[Column],
+                         dataDir: String): Unit = withLease(spark, path) {
+    val stg = staging(path)
+    val fs = fsOf(spark, stg)
+    if (fs.exists(stg)) fs.delete(stg, true)
+    df.repartition(col(partCol))
+      .sortWithinPartitions(sortCols: _*)
+      .write.partitionBy(partCol).parquet(stg.toString)
+    val stagedBuckets = fs.listStatus(stg)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map(_.getPath.getName).toSet
+    commitVersioned(spark, path, dataDir, stg, stagedBuckets,
+      touchedDirs = Set.empty, replaceAll = true)
   }
 
   /** The post-commit half: swap surviving buckets in (one atomic rename

@@ -22,6 +22,10 @@ object StoreLifecycleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // candidate-id pushdown (Dedup.lshJudgeChunk): let bounded IN
+      // lists reach the parquet reader as OR-of-equals so id-sorted
+      // files page-skip, instead of the default-10 cutoff
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,157 @@
+package graft
+
+import graft.operators.{Dedup, Fixtures, StoreSwap}
+import org.apache.spark.sql.functions._
+
+/** The versioned-manifest snapshot mode ([[StoreSwap]]): reader-atomic
+  * commits for the partitioned stores. A legacy store's swap instant
+  * deletes-then-renames a live bucket dir, so a concurrent listing
+  * reader can see the bucket missing; the versioned mode commits by
+  * renaming ONE manifest file over immutable generation dirs, so a
+  * reader that resolved a manifest always sees a complete store — old
+  * or new, never mid-swap — and keeps its resolved dirs through the GC
+  * grace window (`graft.store.snapshotKeep` prior manifests). */
+class VersionedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs() = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "pack my box with five dozen liquor jugs"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "sphinx of black quartz judge my vow"),
+    (8L, "how vexingly quick daft zebras jump")
+  ).toDF("doc_id", "text")
+
+  private def sigs(df: org.apache.spark.sql.DataFrame) =
+    Dedup.minhashSignatures(df, "doc_id", "text", n = 3, numHashes = 4)
+
+  /** Read a RESOLVED snapshot by its entries — what a reader that
+    * loaded the manifest just before a mutation holds. */
+  private def readResolved(path: String, dataDir: String,
+                           entries: Map[String, Seq[Int]]) = {
+    val byGen = entries.toSeq.flatMap { case (d, gs) => gs.map(_ -> d) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    byGen.map { case (g, ds) =>
+      spark.read.option("basePath", s"$path/$dataDir.gens/g$g")
+        .parquet(ds.map { case (_, d) => s"$path/$dataDir.gens/g$g/$d" }: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  private def sigRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "k", "mh").orderBy("doc_id", "k").collect().toSeq
+
+  test("a snapshot resolved before a mutation stays complete through it") {
+    val path = Fixtures.tempDir("graft-vstore-").resolve("s").toString
+    val standing = docs().filter(col("doc_id") < 4 && col("doc_id") =!= 2L)
+    Dedup.writeSignatureStore(sigs(standing), path, "doc_id",
+      buckets = 8, versioned = true)
+    assert(StoreSwap.isVersioned(spark, path))
+    val (v0, entries0) = StoreSwap.latestSnapshot(spark, path, "data").get
+    // the pre-mutation reader's view, fully materialized for comparison
+    val before = sigRows(readResolved(path, "data", entries0))
+    assert(before == sigRows(sigs(standing)))
+    // mutation: merge a delta (rewrites the touched doc buckets)
+    Dedup.mergeIntoSignatureStore(spark, path,
+      sigs(docs().filter(col("doc_id") === 2L || col("doc_id") === 8L)),
+      "doc_id")
+    val (v1, entries1) = StoreSwap.latestSnapshot(spark, path, "data").get
+    assert(v1 == v0 + 1)
+    // the OLD resolved snapshot is still complete and byte-identical —
+    // its gen dirs were not touched by the commit (grace window)
+    assert(sigRows(readResolved(path, "data", entries0)) == before,
+      "pre-mutation snapshot changed under a committed mutation")
+    // the NEW snapshot holds the merged store exactly
+    assert(sigRows(readResolved(path, "data", entries1)) ==
+      sigRows(sigs(docs())))
+    // and the production read path resolves to the same
+    assert(sigRows(Dedup.readSignatureStore(spark, path)._1) ==
+      sigRows(sigs(docs())))
+  }
+
+  test("GC keeps the grace window: one prior manifest survives, older gens are reclaimed") {
+    val path = Fixtures.tempDir("graft-vstore-").resolve("s").toString
+    Dedup.writeSignatureStore(sigs(docs()), path, "doc_id",
+      buckets = 8, versioned = true)
+    // two mutations: forget doc 8 (bucket 0 rewritten), then forget
+    // doc 3 (bucket 3 rewritten) — v0's touched gen-0 dirs become
+    // unreferenced once v0's manifest ages out of the window
+    Dedup.forgetDocsFromSignatureStore(spark, path,
+      Seq(8L).toDF("doc_id"), "doc_id")
+    Dedup.forgetDocsFromSignatureStore(spark, path,
+      Seq(3L).toDF("doc_id"), "doc_id")
+    val vd = java.nio.file.Paths.get(path, "_v")
+    val listing = java.nio.file.Files.list(vd)
+    val manifests = try listing.toArray.map(_.toString)
+      .filter { p => // skip the local FS's hidden .crc checksum twins
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        name.startsWith("data.v")
+      }.sorted.toSeq finally listing.close()
+    assert(manifests.size == 2, // latest + one prior (snapshotKeep = 1)
+      s"expected a 2-manifest grace window, got $manifests")
+    // every gen a kept manifest references must exist; the store reads
+    // back exactly the post-forget signatures
+    assert(sigRows(Dedup.readSignatureStore(spark, path)._1) ==
+      sigRows(sigs(docs().filter(col("doc_id") =!= 8L &&
+        col("doc_id") =!= 3L))))
+    val (_, entriesPrev) =
+      StoreSwap.latestSnapshot(spark, path, "data").get
+    readResolved(path, "data", entriesPrev).count() // dirs all readable
+  }
+
+  test("a crashed versioned commit (gen dir, no manifest) is invisible and reclaimed") {
+    val path = Fixtures.tempDir("graft-vstore-").resolve("s").toString
+    Dedup.writeSignatureStore(sigs(docs()), path, "doc_id",
+      buckets = 8, versioned = true)
+    val wantV0 = sigRows(Dedup.readSignatureStore(spark, path)._1)
+    val (v0, _) = StoreSwap.latestSnapshot(spark, path, "data").get
+    // simulate a mutator that staged and renamed its generation in but
+    // died before the manifest rename: readers must not see it
+    val orphan = java.nio.file.Paths.get(path, "data.gens", s"g${v0 + 1}",
+      "d_bucket=0")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk.txt"), "not parquet")
+    assert(sigRows(Dedup.readSignatureStore(spark, path)._1) == wantV0,
+      "an uncommitted generation leaked into reads")
+    // the next mutation reclaims the orphan and commits cleanly
+    Dedup.forgetDocsFromSignatureStore(spark, path,
+      Seq(8L).toDF("doc_id"), "doc_id")
+    assert(!java.nio.file.Files.exists(orphan.resolve("junk.txt")),
+      "orphan generation survived the next commit")
+    assert(sigRows(Dedup.readSignatureStore(spark, path)._1) ==
+      sigRows(sigs(docs().filter(col("doc_id") =!= 8L))))
+  }
+
+  test("full text lifecycle on a versioned store matches the legacy store") {
+    def lifecycle(versioned: Boolean): (Seq[Any], Seq[Any]) = {
+      val path = Fixtures.tempDir("graft-vstore-").resolve("s").toString
+      val standing = docs()
+      Dedup.writeSignatureStore(sigs(standing), path, "doc_id",
+        buckets = 8, versioned = versioned)
+      Dedup.writeBandIndex(spark, path, "doc_id", bands = 2)
+      Dedup.writeShingleSidecar(spark, path, standing, "doc_id", "text",
+        n = 3)
+      val delta1 = standing.filter(col("doc_id") <= 1L)
+        .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+      Dedup.mergeIntoSignatureStore(spark, path, sigs(delta1), "doc_id")
+      Dedup.mergeShinglesIntoStore(spark, path, delta1, "doc_id", "text")
+      Dedup.mergeIntoBandIndex(spark, path,
+        delta1.select(col("doc_id")), "doc_id")
+      val doomed = Seq(3L).toDF("doc_id")
+      Dedup.forgetFromBandIndex(spark, path, doomed, "doc_id")
+      Dedup.forgetDocsFromSignatureStore(spark, path, doomed, "doc_id")
+      val delta2 = standing.select((col("doc_id") + 200L).as("doc_id"),
+        col("text"))
+      val verdicts = Dedup.lshJudgeStore(spark, path,
+          standing.unionByName(delta1), delta2, "doc_id", "text",
+          n = 3, numHashes = 4)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      val store = sigRows(Dedup.readSignatureStore(spark, path)._1)
+      (verdicts, store)
+    }
+    val legacy = lifecycle(versioned = false)
+    val vsn = lifecycle(versioned = true)
+    assert(vsn._1 == legacy._1, "verdicts diverged across commit protocols")
+    assert(vsn._2 == legacy._2, "store content diverged across commit protocols")
+    assert(vsn._1.nonEmpty)
+  }
+}
