@@ -598,20 +598,13 @@ object Dedup {
     * column infers from the dir names either way). */
   private def dirDf(spark: SparkSession, path: String, dataDir: String,
                     partCol: String): DataFrame =
-    if (StoreSwap.isVersioned(spark, path))
-      StoreSwap.readVersioned(spark, path, dataDir, partCol)
-    else spark.read.parquet(s"$path/$dataDir")
+    StoreSwap.readDir(spark, path, dataDir, partCol)
 
   /** Whether `dataDir` exists under either protocol — a committed
     * manifest (versioned) or a live directory (legacy). */
   private def dirExists(spark: SparkSession, path: String,
                         dataDir: String): Boolean =
-    if (StoreSwap.isVersioned(spark, path))
-      StoreSwap.latestSnapshot(spark, path, dataDir).isDefined
-    else {
-      val p = new org.apache.hadoop.fs.Path(s"$path/$dataDir")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    StoreSwap.dirExists(spark, path, dataDir)
 
   /** Full write of a store dataDir under the store's commit protocol
     * (writers auto-follow a versioned store; `forceVersioned` starts
@@ -619,14 +612,8 @@ object Dedup {
   private def writeDir(spark: SparkSession, path: String, dataDir: String,
                        partCol: String, df: DataFrame, sortCols: Seq[Column],
                        forceVersioned: Boolean = false): Unit =
-    if (forceVersioned || StoreSwap.isVersioned(spark, path))
-      StoreSwap.versionedOverwrite(spark, path, partCol, df, sortCols,
-        dataDir)
-    else df
-      .repartition(col(partCol))
-      .sortWithinPartitions(sortCols: _*)
-      .write.mode("overwrite").partitionBy(partCol)
-      .parquet(s"$path/$dataDir")
+    StoreSwap.overwriteDir(spark, path, dataDir, partCol, df, sortCols,
+      forceVersioned)
 
   /** @param versioned start the store on the versioned-manifest commit
     *                  protocol ([[StoreSwap]]'s snapshot mode): every
@@ -1152,29 +1139,21 @@ object Dedup {
     val touched = dRows.select(col("bb_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     // same two pruning rungs as the sidecar read below: bucket dirs
-    // always, plus — PER BAND — the delta's band-signature list pushed
-    // into the scan. The index files are (band, bsig)-sorted within
-    // each bucket, so page stats skip non-colliding rows instead of
-    // scanning the full standing index (which a modest delta otherwise
-    // forces: 500 docs × 8 bands already touch every bb_bucket). The
-    // per-band split keeps every IN list within the parquet OR-chain
-    // depth Spark expands it to (a flat 4000-value list overflowed the
-    // evaluator's stack — [[PushdownCap]] bounds each list, and a band
-    // whose list exceeds it falls back to the unpruned scan for that
-    // band: big batches amortize the index scan across their docs
-    // anyway; per-batch flatness matters for the small continuous
-    // batches that stay under the cap).
+    // always, plus the delta's band-signature list pushed into the
+    // scan when it fits [[PushdownCap]] — the index files are
+    // (band, bsig)-sorted within each bucket, so page stats skip
+    // non-colliding rows instead of scanning the full standing index.
+    // Beyond the cap (a 4000-value OR chain overflowed the parquet
+    // evaluator's stack; splitting per band into 8 unioned scans paid
+    // more in scan setup than it pruned) the single unpruned scan
+    // stands: large batches amortize it across their docs — per-batch
+    // flatness matters for the small continuous batches under the cap.
     val idx0 = dirDf(spark, path, "bands", "bb_bucket")
       .filter(col("bb_bucket").isin(touched: _*))
-    val byBand = dRows.select(col("band"), col("bsig")).distinct()
-      .collect().groupBy(_.getInt(0))
-      .map { case (b, rs) => b -> rs.map(_.getLong(1)).toSeq }
-    val idx =
-      if (byBand.nonEmpty && byBand.values.forall(_.length <= PushdownCap))
-        byBand.toSeq.sortBy(_._1).map { case (b, vals) =>
-          idx0.filter(col("band") === b && col("bsig").isin(vals: _*))
-        }.reduce(_ unionByName _)
-      else idx0
+    val dSigVals = dRows.select(col("bsig")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = if (dSigVals.length <= PushdownCap)
+      idx0.filter(col("bsig").isin(dSigVals: _*)) else idx0
     val cand = idx.join(broadcast(dRows), Seq("band", "bsig"))
       .filter(col("id") =!= col("d_id"))
       .select(col("id").as("s_id"), col("d_id")).distinct()

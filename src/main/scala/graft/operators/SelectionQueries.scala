@@ -639,6 +639,56 @@ object SelectionQueries {
       .orderBy(col("cluster"))
   }
 
+  /** q221: q190's FULL STORE LIFECYCLE on a VERSIONED store
+    * ([[graft.operators.StoreSwap]]'s snapshot mode — manifest-rename
+    * commits over immutable generation dirs): write(versioned) →
+    * judge → append (a new generation EXTENDING the touched buckets'
+    * gen lists) → delete (a rewrite REPLACING them) → compact (the
+    * cross-generation fragmentation detector folds each bucket back
+    * to one gen) → dump through the manifest-resolved read. The
+    * oracle is q190's verbatim: the commit protocol must be
+    * content-invariant, and VersionedStoreSpec separately proves the
+    * reader-atomicity it adds. */
+  def q221VersionedEmbStore(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    val delta = augmentDelta(emb())
+    val nBase = base.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k, iters = 2)
+    val store = Fixtures.tempDir("graft-q221-").resolve("standing").toString
+    def assigned(df: DataFrame) = df
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    Similarity.writeStandingStore(assigned(base), store, "cluster",
+      buckets = 16, versioned = true)
+    val deltaAssigned = assigned(delta).cache()
+    val verdicts = Similarity.semDedupIncrementalStore(spark, store,
+      deltaAssigned, "vec_id", "embedding", "cluster", "nrm",
+      minCos = 0.99).cache()
+    Similarity.appendToStandingStore(
+      deltaAssigned
+        .join(verdicts.filter(col("keep")).select(col("vec_id")), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cluster"), col("nrm")),
+      store, "cluster")
+    Similarity.deleteFromStandingStore(spark, store,
+      base.filter(col("vec_id") % 10 === 3).select(col("vec_id")), "vec_id")
+    Similarity.compactStandingStore(spark, store, maxFilesPerBucket = 1)
+    Similarity.readStandingStore(spark, store)._1
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        sum(when(col("vec_id") < 100000L, 1L).otherwise(0L))
+          .cast("long").as("n_base"),
+        sum(when(col("vec_id") >= 100000L, 1L).otherwise(0L))
+          .cast("long").as("n_delta"),
+        min(col("vec_id")).cast("long").as("min_vec"),
+        max(col("vec_id")).cast("long").as("max_vec"))
+      .orderBy(col("cluster"))
+  }
+
   /** q191: ANN SEARCH over the partitioned standing store
     * ([[Similarity.ivfTopKStore]]) — q171's multi-probe IVF with
     * everything a search process needs living ON DISK: the codebook
@@ -1490,6 +1540,7 @@ object SelectionQueries {
     "q187_store_pruned" -> q187StorePruned _,
     "q188_store_delete" -> q188StoreDelete _,
     "q190_store_lifecycle" -> q190StoreLifecycle _,
+    "q221_versioned_emb_store" -> q221VersionedEmbStore _,
     "q191_ann_store" -> q191AnnStore _,
     "q192_store_refit" -> q192StoreRefit _,
     "q193_ann_store_two_level" -> q193AnnStoreTwoLevel _,
@@ -2138,6 +2189,50 @@ object SelectionQueries {
   /** The q210 clustered corpus: 16 centers (the corpus's own rows
     * 0-15) + 0.15× the row's vector — exact double arithmetic, so both
     * engines derive identical vectors. */
+  /** The q190 lifecycle replay (verdicts judged against the FULL base
+    * — they predate the delete — final store = surviving base ∪ kept
+    * delta, grouped per cluster; compaction contents-invariant).
+    * Shared verbatim by q221's versioned-store twin. */
+  private lazy val storeLifecycleOracle: String = {
+      val cosAB =
+        """list_reduce(list_prepend(0.0, list_transform(
+          |          list_zip(a.embedding, b.embedding),
+          |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+          |          (acc, v) -> acc + v) / (a.nrm * b.nrm)""".stripMargin
+      s"""${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+             "vec_id < 100000")},
+        |ad AS (
+        |  SELECT jc.vec_id, jc.embedding, jc.cluster,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(jc.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+        |      (acc, x) -> acc + x)) AS nrm
+        |  FROM jc),
+        |bb AS (SELECT * FROM ad WHERE vec_id < 100000),
+        |dd AS (SELECT * FROM ad WHERE vec_id >= 100000),
+        |drv AS (
+        |  SELECT DISTINCT a.vec_id FROM dd a JOIN bb b
+        |    ON a.cluster = b.cluster
+        |  WHERE $cosAB >= 0.99
+        |  UNION
+        |  SELECT DISTINCT b.vec_id FROM dd a JOIN dd b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE $cosAB >= 0.99),
+        |final AS (
+        |  SELECT vec_id, cluster FROM bb WHERE vec_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT vec_id, cluster FROM dd
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM drv))
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN vec_id < 100000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_base,
+        |  CAST(sum(CASE WHEN vec_id >= 100000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_delta,
+        |  CAST(min(vec_id) AS BIGINT) AS min_vec,
+        |  CAST(max(vec_id) AS BIGINT) AS max_vec
+        |FROM final GROUP BY cluster ORDER BY cluster""".stripMargin
+    }
+
   private val clusteredCorpusSql: String =
     """  SELECT e.vec_id,
       |    list_transform(list_zip(c.embedding, e.embedding),
@@ -2521,45 +2616,11 @@ object SelectionQueries {
     // the lifecycle replay: verdicts judged against the FULL base
     // (they predate the delete), final store = surviving base ∪ kept
     // delta, grouped per cluster (compaction is contents-invariant)
-    "q190_store_lifecycle" -> {
-      val cosAB =
-        """list_reduce(list_prepend(0.0, list_transform(
-          |          list_zip(a.embedding, b.embedding),
-          |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
-          |          (acc, v) -> acc + v) / (a.nrm * b.nrm)""".stripMargin
-      s"""${kmeansTrainCtes(incrCorpusSql,
-             "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
-             "vec_id < 100000")},
-        |ad AS (
-        |  SELECT jc.vec_id, jc.embedding, jc.cluster,
-        |    sqrt(list_reduce(list_prepend(0.0, list_transform(jc.embedding,
-        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
-        |      (acc, x) -> acc + x)) AS nrm
-        |  FROM jc),
-        |bb AS (SELECT * FROM ad WHERE vec_id < 100000),
-        |dd AS (SELECT * FROM ad WHERE vec_id >= 100000),
-        |drv AS (
-        |  SELECT DISTINCT a.vec_id FROM dd a JOIN bb b
-        |    ON a.cluster = b.cluster
-        |  WHERE $cosAB >= 0.99
-        |  UNION
-        |  SELECT DISTINCT b.vec_id FROM dd a JOIN dd b
-        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |  WHERE $cosAB >= 0.99),
-        |final AS (
-        |  SELECT vec_id, cluster FROM bb WHERE vec_id % 10 <> 3
-        |  UNION ALL
-        |  SELECT vec_id, cluster FROM dd
-        |  WHERE vec_id NOT IN (SELECT vec_id FROM drv))
-        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
-        |  CAST(sum(CASE WHEN vec_id < 100000 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_base,
-        |  CAST(sum(CASE WHEN vec_id >= 100000 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_delta,
-        |  CAST(min(vec_id) AS BIGINT) AS min_vec,
-        |  CAST(max(vec_id) AS BIGINT) AS max_vec
-        |FROM final GROUP BY cluster ORDER BY cluster""".stripMargin
-    },
+    "q190_store_lifecycle" -> storeLifecycleOracle,
+    // the identical lifecycle run on a VERSIONED store (manifest
+    // commits) — content-invariance of the snapshot protocol, judged
+    // by the same closed-form replay
+    "q221_versioned_emb_store" -> storeLifecycleOracle,
     // gates live in StreamingQueries; the sequential two-batch replay
     // is documented on streamIngestOracle above
     "q184_stream_ingest_dedup" -> streamIngestOracle,

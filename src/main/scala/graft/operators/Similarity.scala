@@ -786,18 +786,24 @@ object Similarity {
     * exactly what [[semDedupIncrementalPrepped]] consumes; parquet
     * round-trips floats/doubles/longs bit-exactly, so verdicts through
     * the store equal the in-memory path's (q187 gates this). */
+  /** @param versioned start `data` on [[StoreSwap]]'s versioned-manifest
+    *                  commit protocol: every later rewrite/append of the
+    *                  data commits reader-atomically (old or new complete
+    *                  snapshot, never a mid-swap hole). The PQ sidecar's
+    *                  three artifacts keep their own `_pending_pq`
+    *                  crash-atomic swap either way — splitting `pq_codes`
+    *                  into a separate manifest would reopen exactly the
+    *                  codebook/codes split-brain that protocol closes. */
   def writeStandingStore(assigned: DataFrame, path: String,
                          clusterCol: String = "cluster",
-                         buckets: Int = 64): Unit = {
+                         buckets: Int = 64,
+                         versioned: Boolean = false): Unit = {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val spark = assigned.sparkSession
-    assigned
-      .withColumn("c_bucket",
-        pmod(col(clusterCol), lit(buckets.toLong)).cast("int"))
-      .repartition(col("c_bucket"))
-      .sortWithinPartitions(col(clusterCol))
-      .write.mode("overwrite").partitionBy("c_bucket")
-      .parquet(path + "/data")
+    StoreSwap.overwriteDir(spark, path, "data", "c_bucket",
+      assigned.withColumn("c_bucket",
+        pmod(col(clusterCol), lit(buckets.toLong)).cast("int")),
+      Seq(col(clusterCol)), forceVersioned = versioned)
     spark.range(1).select(lit(buckets).as("buckets"))
       .write.mode("overwrite").parquet(path + "/meta")
   }
@@ -810,7 +816,7 @@ object Similarity {
     StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta")
       .head.getInt(0)
-    (spark.read.parquet(path + "/data"), buckets)
+    (StoreSwap.readDir(spark, path, "data", "c_bucket"), buckets)
   }
 
   /** The store restricted to `touched` clusters with BOTH pruning
@@ -843,13 +849,10 @@ object Similarity {
     val spark = assigned.sparkSession
     StoreSwap.withLease(spark, path) {
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
-    assigned
-      .withColumn("c_bucket",
-        pmod(col(clusterCol), lit(buckets.toLong)).cast("int"))
-      .repartition(col("c_bucket"))
-      .sortWithinPartitions(col(clusterCol))
-      .write.mode("append").partitionBy("c_bucket")
-      .parquet(path + "/data")
+    StoreSwap.appendDir(spark, path, "data", "c_bucket",
+      assigned.withColumn("c_bucket",
+        pmod(col(clusterCol), lit(buckets.toLong)).cast("int")),
+      Seq(col(clusterCol)))
     }
   }
 
@@ -1330,10 +1333,20 @@ object Similarity {
     val rowBytes = m * ksub * 32L + 256L
     val chunks = math.max(1L,
       math.ceil(bcRows * rowBytes / targetBytes).toLong).toInt
+    // HUGE-BATCH FALLBACK: the serial chunk loop holds wall time
+    // hostage to chunk count (each chunk is a full probe-pruned code
+    // scan — 1M queries at the 64 MB budget is ~80 sequential scans).
+    // Past `graft.pq.maxSerialChunks` (default 16) the right plan is
+    // ONE pass with the distance tables SHUFFLED instead of broadcast:
+    // both sides exchange on the cluster key and the ADC join runs as
+    // a shuffled hash/sort-merge join, so cost scales with
+    // (codes + query tables), not chunks × codes.
+    val maxSerial = spark.conf.getOption("graft.pq.maxSerialChunks")
+      .flatMap(_.toIntOption).getOrElse(16)
     if (chunks == 1)
       pqAdcChunk(spark, storePath, queries, probesM, idCol, vecCol,
         m, dsub, k, residual, rotated)
-    else
+    else if (chunks <= maxSerial)
       (0 until chunks).map { i =>
         pqAdcChunk(spark, storePath,
           queries.filter(
@@ -1343,6 +1356,9 @@ object Similarity {
           idCol, vecCol, m, dsub, k, residual, rotated)
           .localCheckpoint(true) // run now; free this chunk's broadcast
       }.reduce(_ unionByName _)
+    else
+      pqAdcChunk(spark, storePath, queries, probesM, idCol, vecCol,
+        m, dsub, k, residual, rotated, broadcastTables = false)
   }
 
   /** One bounded-broadcast slice of the store ADC search — the whole
@@ -1352,7 +1368,8 @@ object Similarity {
                          queries: DataFrame, probesM: DataFrame,
                          idCol: String, vecCol: String, m: Int,
                          dsub: Int, k: Int, residual: Boolean,
-                         rotated: Boolean): DataFrame = {
+                         rotated: Boolean,
+                         broadcastTables: Boolean = true): DataFrame = {
     val buckets = spark.read.parquet(storePath + "/meta").head.getInt(0)
     val probed = probesM.select(col("qc")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -1423,7 +1440,10 @@ object Similarity {
           .as("dts"))
     }
     val adc = codes
-      .join(broadcast(broadcastSide), col("cluster") === col("qc"))
+      .join(if (broadcastTables) broadcast(broadcastSide)
+            else broadcastSide, // huge batch: shuffle both sides on the
+                                // cluster key instead (see the caller)
+        col("cluster") === col("qc"))
       .filter(col("query_id") =!= col("nid"))
       .withColumn("adc", (0 until m).map(s =>
           element_at(element_at(col("dts"), lit(s)),
@@ -1451,7 +1471,7 @@ object Similarity {
                            maxFilesPerBucket: Int = 4): Seq[Int] = {
     require(maxFilesPerBucket >= 1, "need maxFilesPerBucket >= 1")
     StoreSwap.recover(spark, path) // list AFTER any pending swap applies
-    val frag = fragBuckets(spark, s"$path/data", "c_bucket",
+    val frag = fragBuckets(spark, path, "data", "c_bucket",
       maxFilesPerBucket)
     if (frag.isEmpty) return Seq.empty
     val (df, _) = readStandingStore(spark, path)
@@ -1461,19 +1481,41 @@ object Similarity {
     frag
   }
 
-  /** Partition dirs under `dir` holding more than `maxFiles` data
-    * files — the shared fragmentation detector of both compactors. */
-  private def fragBuckets(spark: SparkSession, dir: String,
-                          partCol: String, maxFiles: Int): Seq[Int] = {
-    val dataPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dataPath)) return Seq.empty
-    fs.listStatus(dataPath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-      .filter(s => fs.listStatus(s.getPath)
-        .count(_.getPath.getName.startsWith("part-")) > maxFiles)
-      .map(_.getPath.getName.stripPrefix(partCol + "=").toInt)
-      .toSeq.sorted
+  /** Buckets of `$path/$dataDir` holding more than `maxFiles` data
+    * files — the shared fragmentation detector of both compactors. A
+    * versioned dataDir counts each bucket's files ACROSS its
+    * generations (appends add a gen per batch — the fragmentation is
+    * the gen list); legacy dirs are listed directly. */
+  private def fragBuckets(spark: SparkSession, path: String,
+                          dataDir: String, partCol: String,
+                          maxFiles: Int): Seq[Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (StoreSwap.dataDirVersioned(spark, path, dataDir))
+      StoreSwap.latestSnapshot(spark, path, dataDir).toSeq.flatMap {
+        case (_, entries) => entries.toSeq.flatMap { case (d, gens) =>
+          d.stripPrefix(partCol + "=").toIntOption.filter { _ =>
+            gens.map { g =>
+              val p = new org.apache.hadoop.fs.Path(
+                s"$path/$dataDir.gens/g$g/$d")
+              val fs = p.getFileSystem(conf)
+              if (fs.exists(p)) fs.listStatus(p)
+                .count(_.getPath.getName.startsWith("part-"))
+              else 0
+            }.sum > maxFiles
+          }
+        }
+      }.sorted
+    else {
+      val dataPath = new org.apache.hadoop.fs.Path(s"$path/$dataDir")
+      val fs = dataPath.getFileSystem(conf)
+      if (!fs.exists(dataPath)) return Seq.empty
+      fs.listStatus(dataPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+        .filter(s => fs.listStatus(s.getPath)
+          .count(_.getPath.getName.startsWith("part-")) > maxFiles)
+        .map(_.getPath.getName.stripPrefix(partCol + "=").toInt)
+        .toSeq.sorted
+    }
   }
 
   /** Compact the PQ code sidecar's append-fragmented buckets — the
@@ -1487,7 +1529,7 @@ object Similarity {
     require(maxFilesPerBucket >= 1, "need maxFilesPerBucket >= 1")
     StoreSwap.recover(spark, path)
     pqRecover(spark, path)
-    val frag = fragBuckets(spark, s"$path/pq_codes", "c_bucket",
+    val frag = fragBuckets(spark, path, "pq_codes", "c_bucket",
       maxFilesPerBucket)
     if (frag.isEmpty) return Seq.empty
     val slice = spark.read.parquet(path + "/pq_codes")

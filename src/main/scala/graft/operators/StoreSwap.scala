@@ -253,7 +253,7 @@ object StoreSwap {
     // the answer is simply 0
     val kept = if (stagedBuckets.isEmpty) 0L
       else spark.read.parquet(stg.toString).count() // metadata-only
-    if (isVersioned(spark, path)) {
+    if (dataDirVersioned(spark, path, dataDir)) {
       // reader-atomic commit path: staged buckets become an immutable
       // generation, visibility flips with one manifest rename, emptied
       // touched buckets simply leave the manifest. No _pending_swap, no
@@ -324,6 +324,83 @@ object StoreSwap {
     val v = versionsDir(path)
     fsOf(spark, v).exists(v)
   }
+
+  /** Whether THIS dataDir of the store commits through manifests: it
+    * has one, or the store is versioned and the dataDir has no legacy
+    * live dir (fresh dataDirs of a versioned store start versioned).
+    * Per-dataDir, because a versioned store may deliberately keep a
+    * dataDir on another protocol — the PQ sidecar's three artifacts
+    * swap together under `_pending_pq`, and splitting `pq_codes` into
+    * a manifest would break exactly the split-brain guarantee that
+    * protocol exists for. */
+  def dataDirVersioned(spark: SparkSession, path: String,
+                       dataDir: String): Boolean = {
+    if (!isVersioned(spark, path)) return false
+    if (latestSnapshot(spark, path, dataDir).isDefined) return true
+    val live = new Path(s"$path/$dataDir")
+    !fsOf(spark, live).exists(live)
+  }
+
+  /** `$path/$dataDir` as a DataFrame under its commit protocol:
+    * manifest-resolved snapshot (versioned) or live-dir listing
+    * (legacy). Filters on `partCol` prune files in both modes. */
+  def readDir(spark: SparkSession, path: String, dataDir: String,
+              partCol: String): DataFrame =
+    if (dataDirVersioned(spark, path, dataDir))
+      readVersioned(spark, path, dataDir, partCol)
+    else spark.read.parquet(s"$path/$dataDir")
+
+  /** Whether `dataDir` exists under either protocol. */
+  def dirExists(spark: SparkSession, path: String,
+                dataDir: String): Boolean =
+    if (dataDirVersioned(spark, path, dataDir))
+      latestSnapshot(spark, path, dataDir).isDefined
+    else {
+      val p = new Path(s"$path/$dataDir")
+      fsOf(spark, p).exists(p)
+    }
+
+  /** Full write of a store dataDir under the store's protocol
+    * (`forceVersioned` starts a versioned dataDir). */
+  def overwriteDir(spark: SparkSession, path: String, dataDir: String,
+                   partCol: String, df: DataFrame, sortCols: Seq[Column],
+                   forceVersioned: Boolean = false): Unit =
+    if (forceVersioned || dataDirVersioned(spark, path, dataDir))
+      versionedOverwrite(spark, path, partCol, df, sortCols, dataDir)
+    else df
+      .repartition(col(partCol))
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$path/$dataDir")
+
+  /** APPEND a delta to a store dataDir under its protocol. Versioned:
+    * the staged delta becomes a new generation ADDED to its buckets'
+    * generation lists (reads union a bucket's gens), one manifest
+    * rename — reader-atomic like every versioned commit, and
+    * delta-footprint (untouched buckets' files never open). Legacy:
+    * a plain append write (new files land in live bucket dirs). */
+  def appendDir(spark: SparkSession, path: String, dataDir: String,
+                partCol: String, df: DataFrame,
+                sortCols: Seq[Column]): Unit =
+    if (dataDirVersioned(spark, path, dataDir)) withLease(spark, path) {
+      val stg = staging(path)
+      val fs = fsOf(spark, stg)
+      if (fs.exists(stg)) fs.delete(stg, true)
+      df.repartition(col(partCol))
+        .sortWithinPartitions(sortCols: _*)
+        .write.partitionBy(partCol).parquet(stg.toString)
+      val stagedBuckets = fs.listStatus(stg)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(partCol + "="))
+        .map(_.getPath.getName).toSet
+      commitVersioned(spark, path, dataDir, stg, stagedBuckets,
+        touchedDirs = Set.empty, replaceAll = false, append = true)
+    }
+    else df
+      .repartition(col(partCol))
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("append").partitionBy(partCol)
+      .parquet(s"$path/$dataDir")
 
   /** Parsed manifests for `dataDir`, ascending by version. */
   private def manifests(fs: FileSystem, path: String,
@@ -457,7 +534,8 @@ object StoreSwap {
                               dataDir: String, stg: Path,
                               stagedBuckets: Set[String],
                               touchedDirs: Set[String],
-                              replaceAll: Boolean): Unit = {
+                              replaceAll: Boolean,
+                              append: Boolean = false): Unit = {
     val fs = fsOf(spark, stg)
     val prev = latestSnapshot(spark, path, dataDir)
     val v1 = prev.map(_._1 + 1).getOrElse(0)
@@ -470,9 +548,13 @@ object StoreSwap {
       sys.error(s"could not commit staged generation $gDir")
     val prevEntries = prev.map(_._2).getOrElse(Map.empty)
     val entries =
-      (if (replaceAll) Map.empty[String, Seq[Int]]
-       else prevEntries -- touchedDirs) ++
-        stagedBuckets.map(_ -> Seq(v1))
+      if (append) // the new gen EXTENDS its buckets' gen lists
+        prevEntries ++ stagedBuckets.map(d =>
+          d -> (prevEntries.getOrElse(d, Seq.empty) :+ v1))
+      else
+        (if (replaceAll) Map.empty[String, Seq[Int]]
+         else prevEntries -- touchedDirs) ++
+          stagedBuckets.map(_ -> Seq(v1))
     writeManifest(fs, path, dataDir, v1, entries)
     // GC: drop manifests older than the grace window, then gens no
     // kept manifest (of ANY dataDir under this store) references

@@ -86,19 +86,32 @@ object BandIndexProbe {
     Dedup.writeBandIndex(spark, store10, "doc_id", bands = 8)
     Dedup.writeShingleSidecar(spark, store10, small, "doc_id", "text")
     def judgeVia(path: String, standing: org.apache.spark.sql.DataFrame,
+                 d: org.apache.spark.sql.DataFrame,
                  sidecar: Boolean): Double = {
       val shp = new org.apache.hadoop.fs.Path(path + "/shingles")
       val shpTmp = new org.apache.hadoop.fs.Path(path + "/.shingles-off")
       val fs = shp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!sidecar) fs.rename(shp, shpTmp) // hide the sidecar: fallback
-      try t { Dedup.lshJudgeStore(spark, path, standing, delta,
+      try t { Dedup.lshJudgeStore(spark, path, standing, d,
         "doc_id", "text").count() }
       finally if (!sidecar) fs.rename(shpTmp, shp)
     }
-    val judgeSide10 = judgeVia(store10, small, sidecar = true)
-    val judgeSideFull = judgeVia(store, docs, sidecar = true)
-    val judgeText10 = judgeVia(store10, small, sidecar = false)
-    val judgeTextFull = judgeVia(store, docs, sidecar = false)
+    val judgeSide10 = judgeVia(store10, small, delta, sidecar = true)
+    val judgeSideFull = judgeVia(store, docs, delta, sidecar = true)
+    val judgeText10 = judgeVia(store10, small, delta, sidecar = false)
+    val judgeTextFull = judgeVia(store, docs, delta, sidecar = false)
+    // the CONTINUOUS-BATCH tier: 100 docs stay under PushdownCap on
+    // both rungs (800 band values, ≲1000 candidate ids), so the index
+    // scan page-skips to the colliding rows and the sidecar scan to
+    // the candidate docs — the shape whose per-batch flatness the
+    // pushdowns exist for (big deltas amortize the scans instead)
+    val micro = docs.filter(col("doc_id") % 5000 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      .cache()
+    val nMicro = micro.count()
+    val judgeMicro10 = judgeVia(store10, small, micro, sidecar = true)
+    val judgeMicroFull = judgeVia(store, docs, micro, sidecar = true)
     val sigMergeSec = t {
       Dedup.mergeIntoSignatureStore(spark, store,
         Dedup.minhashSignatures(delta, "doc_id", "text"), "doc_id")
@@ -155,6 +168,9 @@ object BandIndexProbe {
       f""""judge_sidecar_full_sec":$judgeSideFull%.2f,""" +
       f""""judge_textfallback_small_sec":$judgeText10%.2f,""" +
       f""""judge_textfallback_full_sec":$judgeTextFull%.2f,""" +
+      f""""n_micro":$nMicro,""" +
+      f""""judge_micro_sidecar_small_sec":$judgeMicro10%.2f,""" +
+      f""""judge_micro_sidecar_full_sec":$judgeMicroFull%.2f,""" +
       f""""sig_merge_sec":$sigMergeSec%.2f,""" +
       f""""shingle_merge_sec":$shMergeSec%.2f,""" +
       f""""idx_merge_sec":$idxMergeSec%.2f,""" +

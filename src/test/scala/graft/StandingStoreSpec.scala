@@ -604,6 +604,15 @@ class StandingStoreSpec extends SparkSpec {
     spark.conf.set("graft.pq.maxBroadcastMb", "0.01")
     try assert(run() == singleR)
     finally spark.conf.unset("graft.pq.maxBroadcastMb")
+    // HUGE-BATCH fallback: chunk count past graft.pq.maxSerialChunks
+    // switches to ONE shuffled-join pass — same rows exactly
+    spark.conf.set("graft.pq.maxBroadcastMb", "0.01")
+    spark.conf.set("graft.pq.maxSerialChunks", "1")
+    try assert(run() == singleR, "shuffled ADC diverged from broadcast")
+    finally {
+      spark.conf.unset("graft.pq.maxBroadcastMb")
+      spark.conf.unset("graft.pq.maxSerialChunks")
+    }
   }
 
   // ---- writer lease: the single-mutator contract, enforced ----------

@@ -177,6 +177,32 @@ object StoreLifecycleProbe {
         base.filter(col("vec_id") < 100000), "vec_id", "embedding",
         m = 4, dsub = 16, k = 5, sProbe = 8, nProbe = 4).count()
     }
+    // the same 100k batch FORCED onto the shuffled-ADC plan — the
+    // crossover measurement for graft.pq.maxSerialChunks: below the
+    // cap the serial broadcast chunks win or tie (this pair records
+    // which), far above it the shuffle is the only plan that doesn't
+    // scale wall time with chunk count
+    spark.conf.set("graft.pq.maxSerialChunks", "1")
+    val pqSearch100kShuffleSec = t {
+      Similarity.pqTopKStoreTwoLevel(spark, store,
+        base.filter(col("vec_id") < 100000), "vec_id", "embedding",
+        m = 4, dsub = 16, k = 5, sProbe = 8, nProbe = 4).count()
+    }
+    spark.conf.unset("graft.pq.maxSerialChunks")
+    // 1M-QUERY tier: 5× the corpus under shifted ids ⇒ ~5 GB of
+    // distance tables = ~80 serial chunks at the 64 MB budget, so the
+    // auto path IS the shuffle fallback — bulk scoring at the scale
+    // the serial loop stops being a plan
+    val q1m = (0 until 5).map { i =>
+      base.select((col("vec_id") + lit(i.toLong * 10000000L))
+        .as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+    var search1mRows = 0L
+    val pqSearch1mSec = t {
+      search1mRows = Similarity.pqTopKStoreTwoLevel(spark, store, q1m,
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, sProbe = 8,
+        nProbe = 4).count()
+    }
     // fidelity is a PARAMETER choice: re-encode at a production-grade
     // geometry (m=8 subs × 256 codes = 64 bits/vector vs the toy
     // 4×8 = 12 bits) and re-measure — near-uniform random vectors are
@@ -295,6 +321,48 @@ object StoreLifecycleProbe {
     val (rw12r, rrec12r) = redRecallAt(4, 16, 8, rot = true)
     val (rw64p, rrec64p) = redRecallAt(8, 8, 256, rot = false)
     val (rw64r, rrec64r) = redRecallAt(8, 8, 256, rot = true)
+    // COMPOSED rotated-residual tier — the geometry a production store
+    // actually serves: CLUSTERED (coarse structure the residual rung
+    // removes) AND cross-sub REDUNDANT (correlation the rotation rung
+    // decorrelates). The four flavors at equal 12 bits answer whether
+    // the stack composes — recorded honestly either way (q218 gates
+    // the stack's exactness; this is its recall evidence).
+    val cr = clus.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          element_at(col("embedding"), pmod(i, lit(16)) + 1)
+            + x * lit(0.05)).as("embedding"))
+      .cache()
+    cr.count()
+    val crcents = Similarity.trainCentroids(cr, "vec_id", "embedding",
+      256, iters = 1)
+    val crstore = java.nio.file.Files
+      .createTempDirectory("graft-lc-cr-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      cr.withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), crcents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      crstore, "cluster", buckets = 64)
+    Similarity.writeCodebook(spark, crstore, crcents)
+    val crq = cr.filter(col("vec_id") < 1000)
+    val crexTop = Similarity.bruteForceTopK(crq, cr, "vec_id",
+        "embedding", k = 5)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      .localCheckpoint(true)
+    val crexCount = crexTop.count()
+    def crRecallAt(res: Boolean, rot: Boolean): Long = {
+      Similarity.writePqSidecar(spark, crstore, "vec_id", "embedding",
+        m = 4, dsub = 16, ksub = 8, residual = res, rotate = rot)
+      val top = Similarity.pqTopKStore(spark, crstore, crq,
+          "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      if (crexCount == 0) 0L
+      else top.join(crexTop, top("query_id") === col("q2") &&
+        top("neighbor_id") === col("n2")).count() * 100 / crexCount
+    }
+    val crPlain = crRecallAt(res = false, rot = false)
+    val crRes = crRecallAt(res = true, rot = false)
+    val crRot = crRecallAt(res = false, rot = true)
+    val crBoth = crRecallAt(res = true, rot = true)
     println(f"""{"probe":"store_lifecycle","n":$n,"k":$k,""" +
       f""""build_sec":$buildSec%.2f,"judge_batch32_sec":$judgeSec%.2f,""" +
       f""""n_kept":$nKept,"append_sec":$appendSec%.2f,""" +
@@ -313,6 +381,9 @@ object StoreLifecycleProbe {
       f""""pq_vs_float_ladder_overlap_pct":$overlapPct,""" +
       f""""pq_search100k_chunked_sec":$pqSearch100kSec%.2f,""" +
       f""""pq_search100k_rows":$search100kRows,""" +
+      f""""pq_search100k_shuffle_sec":$pqSearch100kShuffleSec%.2f,""" +
+      f""""pq_search1m_shuffle_sec":$pqSearch1mSec%.2f,""" +
+      f""""pq_search1m_rows":$search1mRows,""" +
       f""""pq256_write_sec":$pqWrite256Sec%.2f,""" +
       f""""pq256_search1000_two_level_sec":$pqSearch256Sec%.2f,""" +
       f""""pq256_vs_float_ladder_overlap_pct":$overlap256Pct,""" +

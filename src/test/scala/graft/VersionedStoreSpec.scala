@@ -121,6 +121,45 @@ class VersionedStoreSpec extends SparkSpec {
       sigRows(sigs(docs().filter(col("doc_id") =!= 8L))))
   }
 
+  test("versioned embedding store: append extends generations, delete replaces, compact folds") {
+    import graft.operators.Similarity
+    def vecs() = (0L until 20L).map(i =>
+      (i, Seq.tabulate(4)(j => (i + j).toFloat), i % 4, 1.0))
+      .toDF("vec_id", "embedding", "cluster", "nrm")
+    val path = Fixtures.tempDir("graft-vstore-").resolve("emb").toString
+    Similarity.writeStandingStore(vecs().filter(col("vec_id") < 10),
+      path, "cluster", buckets = 4, versioned = true)
+    val (v0, e0) = StoreSwap.latestSnapshot(spark, path, "data").get
+    // APPEND = a new generation ADDED to the touched buckets' gen
+    // lists — never a rewrite of standing files
+    Similarity.appendToStandingStore(vecs().filter(col("vec_id") >= 10),
+      path, "cluster")
+    val (v1, e1) = StoreSwap.latestSnapshot(spark, path, "data").get
+    assert(v1 == v0 + 1)
+    assert(e1.values.exists(_.length == 2),
+      "append did not extend any bucket's generation list")
+    // a reader snapshotted pre-append keeps its complete 10-row view
+    assert(readResolved(path, "data", e0).count() == 10)
+    assert(Similarity.readStandingStore(spark, path)._1.count() == 20)
+    // DELETE = a rewrite: touched buckets collapse back to one gen
+    val n = Similarity.deleteFromStandingStore(spark, path,
+      Seq(0L, 1L).toDF("vec_id"), "vec_id")
+    assert(n == 2)
+    val (_, e2) = StoreSwap.latestSnapshot(spark, path, "data").get
+    assert(e2("c_bucket=0").length == 1 && e2("c_bucket=1").length == 1,
+      "delete rewrite did not replace the touched buckets' gen lists")
+    assert(Similarity.readStandingStore(spark, path)._1.count() == 18)
+    // COMPACT folds every multi-generation bucket to one gen
+    val folded = Similarity.compactStandingStore(spark, path,
+      maxFilesPerBucket = 1)
+    assert(folded.nonEmpty, "cross-generation fragmentation undetected")
+    val (_, e3) = StoreSwap.latestSnapshot(spark, path, "data").get
+    assert(e3.values.forall(_.length == 1))
+    val got = Similarity.readStandingStore(spark, path)._1
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (2L until 20L).toSeq)
+  }
+
   test("full text lifecycle on a versioned store matches the legacy store") {
     def lifecycle(versioned: Boolean): (Seq[Any], Seq[Any]) = {
       val path = Fixtures.tempDir("graft-vstore-").resolve("s").toString
