@@ -403,7 +403,11 @@ object StoreLifecycleProbe {
       f""""red_pq_write12_sec":$rw12p%.2f,""" +
       f""""red_pq_write12_rotated_sec":$rw12r%.2f,""" +
       f""""red_pq_write64_sec":$rw64p%.2f,""" +
-      f""""red_pq_write64_rotated_sec":$rw64r%.2f}""")
+      f""""red_pq_write64_rotated_sec":$rw64r%.2f,""" +
+      f""""composed_recall12_plain_pct":$crPlain,""" +
+      f""""composed_recall12_residual_pct":$crRes,""" +
+      f""""composed_recall12_rotated_pct":$crRot,""" +
+      f""""composed_recall12_rotated_residual_pct":$crBoth}""")
     spark.stop()
   }
 }
