@@ -689,6 +689,53 @@ object SelectionQueries {
       .orderBy(col("cluster"))
   }
 
+  /** q222: TIME-TRAVEL READ of a versioned standing store — the
+    * snapshot-isolation protocol's second dividend: because every
+    * commit is a whole manifest over immutable generations, any
+    * RETAINED manifest is a complete, readable store state. The gate
+    * builds the versioned store (v0), appends the full augmented delta
+    * (v1), deletes a base slice (v2) — then reads AS OF v0 through
+    * [[Similarity.readStandingStoreAt]] and groups per cluster. The
+    * oracle replays ONLY the base build: the later mutations must be
+    * invisible to the pinned snapshot (a leaked delta row breaks
+    * n_vectors/max_vec; a leaked delete breaks n_vectors/min_vec).
+    * `graft.store.snapshotKeep` is raised for the gate's three
+    * commits — retention IS the time-travel horizon, exactly the
+    * table-format contract
+    * (the reference has no store layer at all — it delegates state to
+    * the DBMS, /root/reference/Wrap/DB.pm:73). */
+  def q222StoreTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    val delta = augmentDelta(emb())
+    val nBase = base.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k, iters = 2)
+    val store = Fixtures.tempDir("graft-q222-").resolve("standing").toString
+    def assigned(df: DataFrame) = df
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      Similarity.writeStandingStore(assigned(base), store, "cluster",
+        buckets = 16, versioned = true)
+      val v0 = Similarity.standingStoreVersions(spark, store).last
+      Similarity.appendToStandingStore(assigned(delta), store, "cluster")
+      Similarity.deleteFromStandingStore(spark, store,
+        base.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+        "vec_id")
+      Similarity.readStandingStoreAt(spark, store, v0)._1
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("long").as("n_vectors"),
+          min(col("vec_id")).cast("long").as("min_vec"),
+          max(col("vec_id")).cast("long").as("max_vec"))
+        .orderBy(col("cluster"))
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
   /** q191: ANN SEARCH over the partitioned standing store
     * ([[Similarity.ivfTopKStore]]) — q171's multi-probe IVF with
     * everything a search process needs living ON DISK: the codebook
@@ -1541,6 +1588,7 @@ object SelectionQueries {
     "q188_store_delete" -> q188StoreDelete _,
     "q190_store_lifecycle" -> q190StoreLifecycle _,
     "q221_versioned_emb_store" -> q221VersionedEmbStore _,
+    "q222_store_time_travel" -> q222StoreTimeTravel _,
     "q191_ann_store" -> q191AnnStore _,
     "q192_store_refit" -> q192StoreRefit _,
     "q193_ann_store_two_level" -> q193AnnStoreTwoLevel _,
@@ -2621,10 +2669,31 @@ object SelectionQueries {
     // commits) — content-invariance of the snapshot protocol, judged
     // by the same closed-form replay
     "q221_versioned_emb_store" -> storeLifecycleOracle,
+    // time-travel: the pinned v0 snapshot = the BASE build alone; the
+    // append and delete that followed must be invisible to it. Same
+    // training replay (base-trained centroids assign the corpus),
+    // restricted to base rows
+    "q222_store_time_travel" ->
+      s"""${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+             "vec_id < 100000")}
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(min(vec_id) AS BIGINT) AS min_vec,
+        |  CAST(max(vec_id) AS BIGINT) AS max_vec
+        |FROM jc WHERE vec_id < 100000
+        |GROUP BY cluster ORDER BY cluster""".stripMargin,
     // gates live in StreamingQueries; the sequential two-batch replay
     // is documented on streamIngestOracle above
     "q184_stream_ingest_dedup" -> streamIngestOracle,
     "q189_stream_ingest_store" -> streamIngestOracle,
+    // exactly-once ingest (gate in StreamingQueries): base ∪ BOTH
+    // batches, each counted ONCE — the redelivered batch 0 must be a
+    // ledger no-op, so the final store is just the corpus assignment
+    "q223_stream_exactly_once" ->
+      s"""${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+             "vec_id < 100000")}
+        |SELECT vec_id, cluster FROM jc ORDER BY vec_id""".stripMargin,
     // both training levels replayed (standing codebook base-restricted,
     // super codebook over it), base ∪ delta assigned through the
     // two-stage argmin, then q177's drop rules

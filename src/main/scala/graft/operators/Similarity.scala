@@ -819,6 +819,26 @@ object Similarity {
     (StoreSwap.readDir(spark, path, "data", "c_bucket"), buckets)
   }
 
+  /** TIME-TRAVEL read of a VERSIONED standing store: the data AS OF
+    * committed manifest `version` — the pre-mutation snapshot an
+    * auditor or a long-running training job pins while the store keeps
+    * mutating underneath. Only versions inside the GC grace window
+    * ([[standingStoreVersions]]; widen with `graft.store.snapshotKeep`
+    * BEFORE the mutations) are readable; a GC'd version fails fast.
+    * The bucket count is layout state shared by every version (appends
+    * and rewrites derive it from `meta`, never change it). */
+  def readStandingStoreAt(spark: SparkSession, path: String,
+                          version: Int): (DataFrame, Int) = {
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    (StoreSwap.readVersionedAt(spark, path, "data", "c_bucket", version)
+      .drop("c_bucket"), buckets)
+  }
+
+  /** Retained (readable) manifest versions of a versioned standing
+    * store's data, ascending; last = the live version. */
+  def standingStoreVersions(spark: SparkSession, path: String): Seq[Int] =
+    StoreSwap.snapshotVersions(spark, path, "data")
+
   /** The store restricted to `touched` clusters with BOTH pruning
     * predicates: `c_bucket IN` (directory / partition pruning — files
     * outside the touched buckets are never opened) and `cluster IN`
@@ -844,15 +864,22 @@ object Similarity {
     * fragmentation from many small batches is the compaction job's
     * problem, not the ingest path's. `assigned` must carry the same
     * (id, vec, clusterCol, nrm) shape the store holds. */
+  /** @param batchId exactly-once key for streaming ingest into a
+    *                 VERSIONED store: recorded atomically with the
+    *                 appended rows ([[StoreSwap.appendDir]]'s manifest
+    *                 ledger), so a micro-batch redelivered after an
+    *                 unacknowledged epoch is skipped instead of
+    *                 double-appended. */
   def appendToStandingStore(assigned: DataFrame, path: String,
-                            clusterCol: String = "cluster"): Unit = {
+                            clusterCol: String = "cluster",
+                            batchId: Option[Long] = None): Unit = {
     val spark = assigned.sparkSession
     StoreSwap.withLease(spark, path) {
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
     StoreSwap.appendDir(spark, path, "data", "c_bucket",
       assigned.withColumn("c_bucket",
         pmod(col(clusterCol), lit(buckets.toLong)).cast("int")),
-      Seq(col(clusterCol)))
+      Seq(col(clusterCol)), batchId)
     }
   }
 

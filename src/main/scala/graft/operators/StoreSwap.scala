@@ -379,10 +379,25 @@ object StoreSwap {
     * rename — reader-atomic like every versioned commit, and
     * delta-footprint (untouched buckets' files never open). Legacy:
     * a plain append write (new files land in live bucket dirs). */
+  /** @param batchId idempotent-replay key for streaming ingest
+    *                 (versioned dataDirs only): the id is recorded in
+    *                 the SAME manifest rename that publishes the data,
+    *                 so "rows visible" and "batch acknowledged" cannot
+    *                 diverge across a crash — and a redelivered batch
+    *                 (Structured Streaming's at-least-once foreachBatch
+    *                 contract after an unacknowledged epoch) is
+    *                 detected by [[committedBatches]] and skipped
+    *                 WITHOUT evaluating the DataFrame. That makes the
+    *                 sink exactly-once end-to-end. Legacy (unversioned)
+    *                 appends have no atomic data+ledger commit to offer
+    *                 and refuse the parameter. */
   def appendDir(spark: SparkSession, path: String, dataDir: String,
                 partCol: String, df: DataFrame,
-                sortCols: Seq[Column]): Unit =
+                sortCols: Seq[Column],
+                batchId: Option[Long] = None): Unit =
     if (dataDirVersioned(spark, path, dataDir)) withLease(spark, path) {
+      if (batchId.exists(committedBatches(spark, path, dataDir).contains))
+        return // replayed micro-batch: already durably committed
       val stg = staging(path)
       val fs = fsOf(spark, stg)
       if (fs.exists(stg)) fs.delete(stg, true)
@@ -394,13 +409,45 @@ object StoreSwap {
           s.getPath.getName.startsWith(partCol + "="))
         .map(_.getPath.getName).toSet
       commitVersioned(spark, path, dataDir, stg, stagedBuckets,
-        touchedDirs = Set.empty, replaceAll = false, append = true)
+        touchedDirs = Set.empty, replaceAll = false, append = true,
+        batchRecord = batchId)
     }
-    else df
-      .repartition(col(partCol))
-      .sortWithinPartitions(sortCols: _*)
-      .write.mode("append").partitionBy(partCol)
-      .parquet(s"$path/$dataDir")
+    else {
+      require(batchId.isEmpty, s"$path/$dataDir is not versioned:" +
+        " exactly-once batch tracking needs the manifest commit" +
+        " protocol (writeStandingStore/writeSignatureStore with" +
+        " versioned = true)")
+      df.repartition(col(partCol))
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode("append").partitionBy(partCol)
+        .parquet(s"$path/$dataDir")
+    }
+
+  /** Streaming batch ids already committed into a versioned `dataDir`
+    * — the tail window of [[BatchLedgerKeep]] most-recent ids, read
+    * from the latest manifest (one file read, atomic with the data it
+    * acknowledges). */
+  def committedBatches(spark: SparkSession, path: String,
+                       dataDir: String): Set[Long] =
+    latestSnapshot(spark, path, dataDir)
+      .flatMap(_._2.get(BatchesKey))
+      .map(_.map(_.toLong).toSet)
+      .getOrElse(Set.empty)
+
+  private val BatchesKey = "#batches"
+
+  /** How many trailing batch ids the ledger retains. Structured
+    * Streaming redelivers at most the batches after the last epoch the
+    * sink acknowledged — in practice the immediately preceding one —
+    * so a short tail is ample; a bounded ledger keeps the manifest
+    * O(buckets), not O(stream lifetime). */
+  val BatchLedgerKeep: Int = 64
+
+  /** Manifest entry keys starting with `#` are RESERVED metadata, not
+    * bucket directories: `#batches` carries the tail of streaming batch
+    * ids already committed into the dataDir (the idempotent-replay
+    * ledger). Reads and generation GC must skip them. */
+  private def isReservedKey(k: String): Boolean = k.startsWith("#")
 
   /** Parsed manifests for `dataDir`, ascending by version. */
   private def manifests(fs: FileSystem, path: String,
@@ -457,7 +504,7 @@ object StoreSwap {
                            buckets: Option[Seq[Int]]): Seq[(String, Seq[String])] = {
     val want = buckets.map(_.map(b => s"$partCol=$b").toSet)
     entries.toSeq
-      .filter { case (d, _) => want.forall(_.contains(d)) }
+      .filter { case (d, _) => !isReservedKey(d) && want.forall(_.contains(d)) }
       .flatMap { case (d, gens) => gens.map(g => g -> d) }
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (g, ds) =>
@@ -478,6 +525,43 @@ object StoreSwap {
     val (_, entries) = latestSnapshot(spark, path, dataDir).getOrElse(
       sys.error(s"$path/$dataDir has no committed manifest — not a" +
         " versioned store dataDir (or never written)"))
+    readEntries(spark, path, dataDir, partCol, entries, buckets)
+  }
+
+  /** The RETAINED manifest versions of `dataDir`, ascending — the
+    * time-travel horizon. Commits GC manifests beyond the
+    * `graft.store.snapshotKeep` grace window, so this is a sliding
+    * window ending at the live version, not unbounded history; raise
+    * the knob BEFORE the mutations whose pre-states must stay
+    * readable. */
+  def snapshotVersions(spark: SparkSession, path: String,
+                       dataDir: String): Seq[Int] =
+    manifests(fsOf(spark, versionsDir(path)), path, dataDir).map(_._1)
+
+  /** TIME-TRAVEL read: the snapshot of `dataDir` AS OF committed
+    * `version` — same single-manifest-resolution guarantee as
+    * [[readVersioned]], against a historical manifest instead of the
+    * latest. The generations a retained manifest references are kept
+    * by GC exactly as long as the manifest itself, so a version listed
+    * by [[snapshotVersions]] is fully readable. Reading a GC'd version
+    * fails fast naming the retained window. */
+  def readVersionedAt(spark: SparkSession, path: String, dataDir: String,
+                      partCol: String, version: Int,
+                      buckets: Option[Seq[Int]] = None): DataFrame = {
+    val fs = fsOf(spark, versionsDir(path))
+    val all = manifests(fs, path, dataDir)
+    val p = all.collectFirst { case (v, mp) if v == version => mp }
+      .getOrElse(sys.error(s"$path/$dataDir has no retained manifest" +
+        s" v$version — retained: ${all.map(_._1).mkString(",")}" +
+        " (raise graft.store.snapshotKeep before mutating to widen" +
+        " the time-travel window)"))
+    readEntries(spark, path, dataDir, partCol, readManifest(fs, p), buckets)
+  }
+
+  private def readEntries(spark: SparkSession, path: String,
+                          dataDir: String, partCol: String,
+                          entries: Map[String, Seq[Int]],
+                          buckets: Option[Seq[Int]]): DataFrame = {
     val groups = snapshotDirs(path, dataDir, entries, partCol, buckets)
     if (groups.isEmpty) {
       // bucket-pruned read with no surviving bucket: empty relation
@@ -535,7 +619,8 @@ object StoreSwap {
                               stagedBuckets: Set[String],
                               touchedDirs: Set[String],
                               replaceAll: Boolean,
-                              append: Boolean = false): Unit = {
+                              append: Boolean = false,
+                              batchRecord: Option[Long] = None): Unit = {
     val fs = fsOf(spark, stg)
     val prev = latestSnapshot(spark, path, dataDir)
     val v1 = prev.map(_._1 + 1).getOrElse(0)
@@ -555,7 +640,18 @@ object StoreSwap {
         (if (replaceAll) Map.empty[String, Seq[Int]]
          else prevEntries -- touchedDirs) ++
           stagedBuckets.map(_ -> Seq(v1))
-    writeManifest(fs, path, dataDir, v1, entries)
+    // the batch ledger rides the same manifest rename as the data it
+    // acknowledges — exactly-once hinges on that atomicity
+    val withLedger = batchRecord match {
+      case Some(id) =>
+        require(id >= 0 && id <= Int.MaxValue,
+          s"batchId $id outside the ledger's Int range")
+        entries + (BatchesKey ->
+          ((prevEntries.getOrElse(BatchesKey, Seq.empty) :+ id.toInt)
+            .distinct.takeRight(BatchLedgerKeep)))
+      case None => entries
+    }
+    writeManifest(fs, path, dataDir, v1, withLedger)
     // GC: drop manifests older than the grace window, then gens no
     // kept manifest (of ANY dataDir under this store) references
     val keep = snapshotKeep(spark)
@@ -563,7 +659,11 @@ object StoreSwap {
     all.dropRight(keep + 1).foreach { case (_, p) => fs.delete(p, false) }
     val kept = manifests(fs, path, dataDir).map { case (_, p) =>
       readManifest(fs, p) }
-    val live = kept.flatMap(_.values.flatten).toSet
+    // reserved entries (#batches) carry batch ids, not generation
+    // numbers — including them would pin unrelated gens forever
+    val live = kept.flatMap(_.collect {
+      case (d, gs) if !isReservedKey(d) => gs
+    }.flatten).toSet
     val gensRoot = new Path(s"$path/$dataDir.gens")
     if (fs.exists(gensRoot))
       fs.listStatus(gensRoot)

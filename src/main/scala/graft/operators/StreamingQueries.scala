@@ -626,6 +626,93 @@ object StreamingQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q223: EXACTLY-ONCE STREAMING INGEST into a VERSIONED store —
+    * foreachBatch is at-least-once by contract: after a crash between
+    * a sink write and the epoch acknowledgment, Structured Streaming
+    * REDELIVERS the batch, and a plain append would double its rows.
+    * Here each micro-batch commits through
+    * [[Similarity.appendToStandingStore]] with its batchId, which
+    * [[graft.operators.StoreSwap.appendDir]] records in the SAME
+    * manifest rename that publishes the rows — data visibility and
+    * batch acknowledgment are one atomic operation, so the ledger can
+    * never claim a batch whose rows are missing nor miss a batch whose
+    * rows landed. The gate runs the two-batch ingest, then REDELIVERS
+    * batch 0 (same id, same rows — the post-crash contract) and dumps
+    * the store: the oracle is the once-only assignment replay, so a
+    * double-append breaks rows+hash. The skip happens WITHOUT
+    * evaluating the redelivered DataFrame (VersionedStoreSpec proves
+    * that with a poisoned batch). */
+  def q223StreamExactlyOnce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val nBase = emb.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(emb, "vec_id",
+      "embedding", k, iters = 2)
+    val tmp = Fixtures.tempDir("graft-q223-")
+    val in = tmp.resolve("in")
+    Files.createDirectories(in)
+    val store = tmp.resolve("standing").toString
+    def assigned(df: DataFrame) = df
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    Similarity.writeStandingStore(assigned(emb), store, "cluster",
+      buckets = 16, versioned = true)
+    def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val stage = tmp.resolve(s"stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally listing.close()
+      val dest = in.resolve(s"$name.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    }
+    val delta = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(typedlit(Seq(1, 2, 3))).as("variant"))
+      .filter((col("variant") === 1 && col("vec_id") % 5 === 0) ||
+        (col("variant") === 2 && col("vec_id") % 7 === 0) ||
+        (col("variant") === 3 && col("vec_id") % 14 === 0))
+      .select((col("vec_id") + col("variant") * 100000L).as("vec_id"),
+        when(col("variant") === 3,
+          transform(reverse(col("embedding")), v => v * lit(2.0f)))
+          .when(col("variant") === 2, reverse(col("embedding")))
+          .otherwise(transform(col("embedding"), v => v * lit(1.5f)))
+          .as("embedding"))
+    val t0 = 1600000000000L
+    stageChunk(delta.filter(col("vec_id") < 200000L), "d1", t0)
+    stageChunk(delta.filter(col("vec_id") >= 200000L), "d2", t0 + 2000L)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Similarity.appendToStandingStore(
+          assigned(batch)
+            .select(col("vec_id"), col("embedding"), col("cluster"),
+              col("nrm")),
+          store, "cluster", batchId = Some(id))
+      }
+      .option("checkpointLocation", tmp.resolve("cp").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the at-least-once case: batch 0 redelivered verbatim after an
+    // "unacknowledged epoch" — the ledger must make it a no-op
+    Similarity.appendToStandingStore(
+      assigned(delta.filter(col("vec_id") < 200000L))
+        .select(col("vec_id"), col("embedding"), col("cluster"),
+          col("nrm")),
+      store, "cluster", batchId = Some(0L))
+    Similarity.readStandingStore(spark, store)._1
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q204: STREAMING PQ INGEST — the q200 daily flow run as an actual
     * stream: the standing two-thirds train both codebooks; the delta
     * third arrives as TWO micro-batches, each coarse-assigned against
@@ -952,6 +1039,7 @@ object StreamingQueries {
     "q204_stream_pq_ingest" -> q204StreamPqIngest _,
     "q215_stream_residual_ingest" -> q215StreamResidualIngest _,
     "q212_stream_lsh_ingest" -> q212StreamLshIngest _,
+    "q223_stream_exactly_once" -> q223StreamExactlyOnce _,
     "q114_stream_upsert" -> q114StreamUpsert _,
     "q127_stream_dedup"  -> q127StreamDedup _,
     "q141_stream_budget" -> q141StreamBudget _,

@@ -160,6 +160,86 @@ class VersionedStoreSpec extends SparkSpec {
     assert(got == (2L until 20L).toSeq)
   }
 
+  test("time-travel: a retained version reads the exact historical state; a GC'd one fails fast") {
+    import graft.operators.Similarity
+    def vecs(lo: Long, hi: Long) = (lo until hi).map(i =>
+      (i, Seq.tabulate(4)(j => (i + j).toFloat), i % 4, 1.0))
+      .toDF("vec_id", "embedding", "cluster", "nrm")
+    val path = Fixtures.tempDir("graft-vstore-").resolve("emb").toString
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      Similarity.writeStandingStore(vecs(0, 10), path, "cluster",
+        buckets = 4, versioned = true)
+      val v0 = Similarity.standingStoreVersions(spark, path).last
+      Similarity.appendToStandingStore(vecs(10, 20), path, "cluster")
+      val v1 = Similarity.standingStoreVersions(spark, path).last
+      Similarity.deleteFromStandingStore(spark, path,
+        Seq(0L, 1L, 15L).toDF("vec_id"), "vec_id")
+      def idsAt(v: Int) = Similarity.readStandingStoreAt(spark, path, v)
+        ._1.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(idsAt(v0) == (0L until 10L).toSeq)
+      assert(idsAt(v1) == (0L until 20L).toSeq)
+      assert(Similarity.readStandingStore(spark, path)._1.count() == 17)
+      // schema equality: the snapshot read is a full store read
+      assert(Similarity.readStandingStoreAt(spark, path, v0)._1.columns
+        .sorted.toSeq == Seq("cluster", "embedding", "nrm", "vec_id"))
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+    // default keep (1): a third mutation ages v0 out — reading it
+    // must fail naming the retained window, not return partial data
+    Similarity.appendToStandingStore(vecs(20, 22), path, "cluster")
+    Similarity.appendToStandingStore(vecs(22, 24), path, "cluster")
+    val retained = Similarity.standingStoreVersions(spark, path)
+    assert(retained.size == 2, s"grace window should retain 2, got $retained")
+    val ex = intercept[RuntimeException] {
+      Similarity.readStandingStoreAt(spark, path, 0)._1.count()
+    }
+    assert(ex.getMessage.contains("no retained manifest"), ex.getMessage)
+  }
+
+  test("exactly-once ledger: a replayed batchId is skipped without evaluating the batch") {
+    import graft.operators.Similarity
+    def vecs(lo: Long, hi: Long) = (lo until hi).map(i =>
+      (i, Seq.tabulate(4)(j => (i + j).toFloat), i % 4, 1.0))
+      .toDF("vec_id", "embedding", "cluster", "nrm")
+    val path = Fixtures.tempDir("graft-vstore-").resolve("emb").toString
+    Similarity.writeStandingStore(vecs(0, 8), path, "cluster",
+      buckets = 4, versioned = true)
+    Similarity.appendToStandingStore(vecs(8, 12), path, "cluster",
+      batchId = Some(0L))
+    Similarity.appendToStandingStore(vecs(12, 16), path, "cluster",
+      batchId = Some(1L))
+    assert(StoreSwap.committedBatches(spark, path, "data") == Set(0L, 1L))
+    // a rewrite BETWEEN batches must not lose the ledger — a crash
+    // after it would otherwise re-admit an already-applied batch
+    Similarity.deleteFromStandingStore(spark, path,
+      Seq(2L).toDF("vec_id"), "vec_id")
+    assert(StoreSwap.committedBatches(spark, path, "data") == Set(0L, 1L))
+    // the redelivered batch is POISONED: evaluating it throws, so the
+    // skip must happen from the ledger alone (no staging write)
+    val boom = org.apache.spark.sql.functions.udf { (i: Long) =>
+      sys.error("redelivered batch was evaluated"); i
+    }
+    val poisoned = vecs(8, 12).withColumn("vec_id", boom(col("vec_id")))
+    Similarity.appendToStandingStore(poisoned, path, "cluster",
+      batchId = Some(0L))
+    val got = Similarity.readStandingStore(spark, path)._1
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 16L).toSeq.filterNot(_ == 2L)))
+    // a FRESH id still lands, and the gate refuses ledger use on a
+    // legacy (unversioned) store rather than silently at-least-once
+    Similarity.appendToStandingStore(vecs(16, 18), path, "cluster",
+      batchId = Some(2L))
+    assert(Similarity.readStandingStore(spark, path)._1.count() == 17)
+    val legacy = Fixtures.tempDir("graft-vstore-").resolve("leg").toString
+    Similarity.writeStandingStore(vecs(0, 4), legacy, "cluster",
+      buckets = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToStandingStore(vecs(4, 6), legacy, "cluster",
+        batchId = Some(0L))
+    }
+    assert(ex.getMessage.contains("not versioned"), ex.getMessage)
+  }
+
   test("full text lifecycle on a versioned store matches the legacy store") {
     def lifecycle(versioned: Boolean): (Seq[Any], Seq[Any]) = {
       val path = Fixtures.tempDir("graft-vstore-").resolve("s").toString
