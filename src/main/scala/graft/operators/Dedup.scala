@@ -667,6 +667,44 @@ object Dedup {
     touched
   }
 
+  /** EXACTLY-ONCE composed ingest of a delta batch into the signature
+    * store and its serving structures — the foreachBatch body of a
+    * streaming text-ingest loop (q212's flow), hardened for the
+    * at-least-once redelivery contract. The three merges are each
+    * idempotent for identical batch content (signatures MIN to
+    * themselves, the shingle sidecar REPLACEs per doc, band rows
+    * collapse in the distinct), so redelivery was already
+    * content-harmless; what the ledger adds is the SKIP — an acked
+    * batchId returns before `deltaDocs` is even evaluated, so a
+    * redelivered batch costs one manifest read instead of three
+    * store mutations. Ack ordering: merges first,
+    * [[StoreSwap.ackBatch]] LAST — a crash between them re-runs the
+    * idempotent merges on redelivery and THEN acks; a crash after the
+    * ack skips outright. Requires the store's data dir on the
+    * versioned protocol when `batchId` is used. */
+  def ingestBatchIntoStore(spark: SparkSession, path: String,
+                           deltaDocs: DataFrame, idCol: String,
+                           textCol: String,
+                           batchId: Option[Long] = None,
+                           n: Int = 3, numHashes: Int = 16): Unit =
+    StoreSwap.withLease(spark, path) {
+    if (batchId.isDefined)
+      require(StoreSwap.dataDirVersioned(spark, path, "data"),
+        s"$path is not versioned: the batch ledger needs the manifest" +
+          " commit protocol (writeSignatureStore with versioned = true)")
+    if (batchId.exists(
+        StoreSwap.committedBatches(spark, path, "data").contains))
+      return // redelivered batch: already fully absorbed and acked
+    mergeIntoSignatureStore(spark, path,
+      minhashSignatures(deltaDocs, idCol, textCol, n, numHashes), idCol)
+    if (shingleSidecarExists(spark, path))
+      mergeShinglesIntoStore(spark, path, deltaDocs, idCol, textCol)
+    if (StoreSwap.dirExists(spark, path, "bands"))
+      mergeIntoBandIndex(spark, path,
+        deltaDocs.select(col(idCol)), idCol)
+    batchId.foreach(StoreSwap.ackBatch(spark, path, "data", _))
+  }
+
   /** The full signature store plus its recorded bucket count, with any
     * committed-but-unapplied bucket swap of a crashed mutation rolled
     * forward first ([[StoreSwap.recover]]). */

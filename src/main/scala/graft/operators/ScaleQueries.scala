@@ -937,6 +937,16 @@ object ScaleQueries {
       "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
         " FROM documents WHERE doc_id % 5 = 0",
       "s.id < 200000 AND d.id >= 200000"),
+    // the exactly-once text loop (gate in StreamingQueries): the
+    // versioned store with ledger-acked batches AND a redelivered
+    // batch 0 must land in exactly q212's (= q206's) judged state
+    "q224_stream_text_exactly_once" -> lshJudgeSql(
+      "SELECT doc_id AS id, text FROM documents" +
+        " UNION ALL SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '')" +
+        " FROM documents WHERE doc_id % 3 = 0",
+      "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
+        " FROM documents WHERE doc_id % 5 = 0",
+      "s.id < 200000 AND d.id >= 200000"),
     // the repaired index must equal the banding of the post-merge
     // signatures exactly — minhash(union of shingles) = MIN-merge of
     // the two ingests' signatures, so one replay covers both

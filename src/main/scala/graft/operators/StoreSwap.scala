@@ -434,6 +434,27 @@ object StoreSwap {
       .map(_.map(_.toLong).toSet)
       .getOrElse(Set.empty)
 
+  /** ACK-ONLY ledger commit for a versioned dataDir: record `batchId`
+    * as committed WITHOUT publishing data — the second exactly-once
+    * pattern this protocol supports. [[appendDir]]'s atomic
+    * data+ledger rename fits a single-relation sink; a COMPOSED
+    * mutation (the text lifecycle's signature + shingle + band-index
+    * merges) instead makes each step idempotent and acks LAST: a
+    * crash anywhere before the ack re-runs every step on redelivery
+    * (each converges to the same state), a crash after it skips the
+    * batch outright. One manifest rename, same ledger, same
+    * [[committedBatches]] lookup. */
+  def ackBatch(spark: SparkSession, path: String, dataDir: String,
+               batchId: Long): Unit = withLease(spark, path) {
+    require(dataDirVersioned(spark, path, dataDir),
+      s"$path/$dataDir is not versioned: the batch ledger needs the" +
+        " manifest commit protocol")
+    if (committedBatches(spark, path, dataDir).contains(batchId)) return
+    commitVersioned(spark, path, dataDir, staging(path),
+      stagedBuckets = Set.empty, touchedDirs = Set.empty,
+      replaceAll = false, append = true, batchRecord = Some(batchId))
+  }
+
   private val BatchesKey = "#batches"
 
   /** How many trailing batch ids the ledger retains. Structured

@@ -240,6 +240,47 @@ class VersionedStoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("not versioned"), ex.getMessage)
   }
 
+  test("composed text ingest: acked batch skips unevaluated; crash before ack re-runs idempotently") {
+    val path = Fixtures.tempDir("graft-vstore-").resolve("s").toString
+    val standing = docs().filter(col("doc_id") < 4 && col("doc_id") =!= 2L)
+    Dedup.writeSignatureStore(sigs(standing), path, "doc_id",
+      buckets = 8, versioned = true)
+    Dedup.writeBandIndex(spark, path, "doc_id", bands = 2)
+    Dedup.writeShingleSidecar(spark, path, standing, "doc_id", "text",
+      n = 3)
+    val delta = docs().filter(col("doc_id") === 2L || col("doc_id") === 8L)
+    // "crash" between the merges and the ack: the merges already ran…
+    Dedup.mergeIntoSignatureStore(spark, path, sigs(delta), "doc_id")
+    Dedup.mergeShinglesIntoStore(spark, path, delta, "doc_id", "text")
+    Dedup.mergeIntoBandIndex(spark, path,
+      delta.select(col("doc_id")), "doc_id")
+    assert(StoreSwap.committedBatches(spark, path, "data").isEmpty)
+    val afterCrash = sigRows(Dedup.readSignatureStore(spark, path)._1)
+    // …redelivery re-runs all three idempotently, then acks
+    Dedup.ingestBatchIntoStore(spark, path, delta, "doc_id", "text",
+      batchId = Some(0L), n = 3, numHashes = 4)
+    assert(StoreSwap.committedBatches(spark, path, "data") == Set(0L))
+    assert(sigRows(Dedup.readSignatureStore(spark, path)._1) == afterCrash,
+      "idempotent re-run changed the store")
+    // a SECOND redelivery of the acked batch is skipped without
+    // evaluating the batch at all
+    val boom = org.apache.spark.sql.functions.udf { (s: String) =>
+      sys.error("redelivered batch was evaluated"); s
+    }
+    Dedup.ingestBatchIntoStore(spark, path,
+      delta.withColumn("text", boom(col("text"))), "doc_id", "text",
+      batchId = Some(0L), n = 3, numHashes = 4)
+    // the ledger refuses a legacy store instead of degrading
+    val legacy = Fixtures.tempDir("graft-vstore-").resolve("leg").toString
+    Dedup.writeSignatureStore(sigs(standing), legacy, "doc_id",
+      buckets = 8)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.ingestBatchIntoStore(spark, legacy, delta, "doc_id", "text",
+        batchId = Some(0L), n = 3, numHashes = 4)
+    }
+    assert(ex.getMessage.contains("not versioned"), ex.getMessage)
+  }
+
   test("full text lifecycle on a versioned store matches the legacy store") {
     def lifecycle(versioned: Boolean): (Seq[Any], Seq[Any]) = {
       val path = Fixtures.tempDir("graft-vstore-").resolve("s").toString
