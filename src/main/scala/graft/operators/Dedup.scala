@@ -715,6 +715,26 @@ object Dedup {
     (dirDf(spark, path, "data", "d_bucket"), buckets)
   }
 
+  /** TIME-TRAVEL read of a VERSIONED signature store — the text twin
+    * of [[Similarity.readStandingStoreAt]]: any retained manifest
+    * version of the data resolves to a complete historical snapshot
+    * (retention = `graft.store.snapshotKeep`). Band index, inventory,
+    * and shingle sidecar version independently (own manifests per
+    * dataDir), so a historical JUDGMENT replay should rebuild those
+    * from the pinned signatures; this read serves the signature state
+    * itself — audits, diffs, forget verification. */
+  def readSignatureStoreAt(spark: SparkSession, path: String,
+                           version: Int): (DataFrame, Int) = {
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    (StoreSwap.readVersionedAt(spark, path, "data", "d_bucket", version)
+      .drop("d_bucket"), buckets)
+  }
+
+  /** Retained (readable) manifest versions of a versioned signature
+    * store's data, ascending; last = live. */
+  def signatureStoreVersions(spark: SparkSession, path: String): Seq[Int] =
+    StoreSwap.snapshotVersions(spark, path, "data")
+
   /** FORGET documents from the signature store — the text modality's
     * right-to-be-forgotten: the ids' buckets are DERIVED (id mod
     * buckets), only those are rewritten without the doomed docs' rows.

@@ -51,6 +51,30 @@ class StandingStoreSpec extends SparkSpec {
     assert(pruned.filter(col("cluster") =!= 1L).count() == 0)
   }
 
+  test("versioned store: pruning survives the manifest-resolved read, across generations") {
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("s").toString
+    Similarity.writeStandingStore(
+      assigned(corpus().filter(col("vec_id") < 20), cents), path,
+      "cluster", buckets = 8, versioned = true)
+    // a second generation, so the snapshot read unions per-gen scans
+    Similarity.appendToStandingStore(
+      assigned(corpus().filter(col("vec_id") >= 20), cents), path,
+      "cluster")
+    val pruned = Similarity.readStandingStorePruned(spark, path, Seq(1L))
+    val ps = pruned.queryExecution.executedPlan.toString
+    // the indirection through immutable gen dirs must not cost the
+    // scan its partition pruning or its row-group pushdown — the
+    // layout claim the store makes at 100 TB holds in BOTH protocols
+    assert(ps.contains("PartitionFilters: [") && ps.contains("c_bucket"),
+      s"no partition pruning through the versioned read:\n$ps")
+    assert(ps.contains("PushedFilters: [") &&
+      (ps.contains("In(cluster") || ps.contains("EqualTo(cluster")),
+      s"cluster restriction not pushed through the versioned read:\n$ps")
+    assert(pruned.filter(col("cluster") =!= 1L).count() == 0)
+    assert(Similarity.readStandingStore(spark, path)._1.count() == 40)
+  }
+
   private def listFiles(dir: java.nio.file.Path): Map[String, Seq[String]] = {
     import scala.jdk.CollectionConverters._
     val root = dir.toFile

@@ -255,7 +255,12 @@ class VersionedStoreSpec extends SparkSpec {
     Dedup.mergeIntoBandIndex(spark, path,
       delta.select(col("doc_id")), "doc_id")
     assert(StoreSwap.committedBatches(spark, path, "data").isEmpty)
+    val preIngest = Dedup.signatureStoreVersions(spark, path).last
     val afterCrash = sigRows(Dedup.readSignatureStore(spark, path)._1)
+    // the text twin of readStandingStoreAt: a retained version reads
+    // the same complete snapshot the live read sees at that version
+    assert(sigRows(Dedup.readSignatureStoreAt(spark, path, preIngest)._1)
+      == afterCrash)
     // …redelivery re-runs all three idempotently, then acks
     Dedup.ingestBatchIntoStore(spark, path, delta, "doc_id", "text",
       batchId = Some(0L), n = 3, numHashes = 4)
