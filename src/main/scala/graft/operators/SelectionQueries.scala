@@ -736,6 +736,46 @@ object SelectionQueries {
     } finally spark.conf.unset("graft.store.snapshotKeep")
   }
 
+  /** q225: MANIFEST-PRUNED CDC over the versioned store — q222's
+    * scenario read as a CHANGE FEED: diff(v0 → live) after the append
+    * and the delete must be exactly {insert: every delta row, delete:
+    * the base tenth-slice}, with updates empty (no refit between the
+    * versions). [[Similarity.standingStoreDiff]] compares the two
+    * manifests' generation lists first and reads ONLY differing
+    * buckets — generations are immutable, so an equal gen list proves
+    * a bucket byte-identical without opening it; the diff's cost
+    * tracks the mutation footprint between the versions, never the
+    * store. The oracle derives both change sets closed-form from the
+    * same training replay. */
+  def q225StoreDiff(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    val delta = augmentDelta(emb())
+    val nBase = base.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k, iters = 2)
+    val store = Fixtures.tempDir("graft-q225-").resolve("standing").toString
+    def assigned(df: DataFrame) = df
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      Similarity.writeStandingStore(assigned(base), store, "cluster",
+        buckets = 16, versioned = true)
+      val v0 = Similarity.standingStoreVersions(spark, store).last
+      Similarity.appendToStandingStore(assigned(delta), store, "cluster")
+      Similarity.deleteFromStandingStore(spark, store,
+        base.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+        "vec_id")
+      val live = Similarity.standingStoreVersions(spark, store).last
+      Similarity.standingStoreDiff(spark, store, v0, live)
+        .orderBy(col("change"), col("vec_id"))
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
   /** q191: ANN SEARCH over the partitioned standing store
     * ([[Similarity.ivfTopKStore]]) — q171's multi-probe IVF with
     * everything a search process needs living ON DISK: the codebook
@@ -1589,6 +1629,7 @@ object SelectionQueries {
     "q190_store_lifecycle" -> q190StoreLifecycle _,
     "q221_versioned_emb_store" -> q221VersionedEmbStore _,
     "q222_store_time_travel" -> q222StoreTimeTravel _,
+    "q225_store_diff" -> q225StoreDiff _,
     "q191_ann_store" -> q191AnnStore _,
     "q192_store_refit" -> q192StoreRefit _,
     "q193_ann_store_two_level" -> q193AnnStoreTwoLevel _,
@@ -2682,6 +2723,20 @@ object SelectionQueries {
         |  CAST(max(vec_id) AS BIGINT) AS max_vec
         |FROM jc WHERE vec_id < 100000
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // the change feed between v0 and live: inserts = every delta row
+    // (all were appended), deletes = the base tenth-slice, updates
+    // empty (no refit between the versions) — both sets closed-form
+    // from the same training replay
+    "q225_store_diff" ->
+      s"""${kmeansTrainCtes(incrCorpusSql,
+             "(SELECT (count(*) + 49) // 50 FROM tcorpus)",
+             "vec_id < 100000")}
+        |SELECT 'insert' AS change, vec_id, cluster FROM jc
+        |WHERE vec_id >= 100000
+        |UNION ALL
+        |SELECT 'delete' AS change, vec_id, cluster FROM jc
+        |WHERE vec_id < 100000 AND vec_id % 10 = 3
+        |ORDER BY change, vec_id""".stripMargin,
     // gates live in StreamingQueries; the sequential two-batch replay
     // is documented on streamIngestOracle above
     "q184_stream_ingest_dedup" -> streamIngestOracle,

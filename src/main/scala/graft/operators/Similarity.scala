@@ -839,6 +839,44 @@ object Similarity {
   def standingStoreVersions(spark: SparkSession, path: String): Seq[Int] =
     StoreSwap.snapshotVersions(spark, path, "data")
 
+  /** MANIFEST-PRUNED CDC between two retained versions of a versioned
+    * standing store: (change, vec_id, cluster) rows where `change` is
+    * `insert` (id only in `toV`), `delete` (only in `fromV`), or
+    * `update` (present in both with a different cluster — what a refit
+    * does to reassigned members; embeddings are immutable under an
+    * id). The 100 TB point is the PRUNING: generations are immutable
+    * once committed, so a bucket whose generation list is IDENTICAL in
+    * both manifests is byte-identical and contributes no change —
+    * only differing buckets are read and joined. Diff cost tracks the
+    * mutation footprint between the versions, never the store; a
+    * downstream consumer (index refresh, cache invalidation, replica
+    * sync) gets an incremental feed without the store keeping a
+    * changelog. */
+  def standingStoreDiff(spark: SparkSession, path: String,
+                        fromV: Int, toV: Int): DataFrame = {
+    val eA = StoreSwap.snapshotEntriesAt(spark, path, "data", fromV)
+    val eB = StoreSwap.snapshotEntriesAt(spark, path, "data", toV)
+    val changed = (eA.keySet ++ eB.keySet)
+      .filter(d => eA.get(d) != eB.get(d))
+      .map(_.stripPrefix("c_bucket=").toInt).toSeq.sorted
+    if (changed.isEmpty)
+      return spark.range(0).select(lit("").as("change"),
+        lit(0L).as("vec_id"), lit(0L).as("cluster")).filter(lit(false))
+    def side(v: Int, as: String) =
+      StoreSwap.readVersionedAt(spark, path, "data", "c_bucket", v,
+          buckets = Some(changed))
+        .select(col("vec_id"), col("cluster").as(as))
+    side(fromV, "old_cluster")
+      .join(side(toV, "new_cluster"), Seq("vec_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_cluster").isNull, lit("insert"))
+          .when(col("new_cluster").isNull, lit("delete"))
+          .when(col("old_cluster") =!= col("new_cluster"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col("change"), col("vec_id"),
+        coalesce(col("new_cluster"), col("old_cluster")).as("cluster"))
+  }
+
   /** The store restricted to `touched` clusters with BOTH pruning
     * predicates: `c_bucket IN` (directory / partition pruning — files
     * outside the touched buckets are never opened) and `cluster IN`

@@ -579,6 +579,23 @@ object StoreSwap {
     readEntries(spark, path, dataDir, partCol, readManifest(fs, p), buckets)
   }
 
+  /** The bucket-dir → generation-list entries of a RETAINED manifest
+    * version (reserved ledger keys excluded) — the metadata a
+    * manifest-pruned diff compares: generations are immutable once
+    * committed, so two versions' entries being EQUAL for a bucket
+    * proves its files (hence rows) are byte-identical without opening
+    * them. */
+  def snapshotEntriesAt(spark: SparkSession, path: String,
+                        dataDir: String,
+                        version: Int): Map[String, Seq[Int]] = {
+    val fs = fsOf(spark, versionsDir(path))
+    val all = manifests(fs, path, dataDir)
+    val p = all.collectFirst { case (v, mp) if v == version => mp }
+      .getOrElse(sys.error(s"$path/$dataDir has no retained manifest" +
+        s" v$version — retained: ${all.map(_._1).mkString(",")}"))
+    readManifest(fs, p).filter { case (k, _) => !isReservedKey(k) }
+  }
+
   private def readEntries(spark: SparkSession, path: String,
                           dataDir: String, partCol: String,
                           entries: Map[String, Seq[Int]],

@@ -240,6 +240,48 @@ class VersionedStoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("not versioned"), ex.getMessage)
   }
 
+  test("store diff: manifest-pruned CDC detects insert/delete/update and reads only changed buckets") {
+    import graft.operators.Similarity
+    def vec(i: Long, cl: Long) =
+      (i, Seq.tabulate(4)(j => (i + j).toFloat), cl, 1.0)
+    def df(rows: (Long, Seq[Float], Long, Double)*) =
+      rows.toDF("vec_id", "embedding", "cluster", "nrm")
+    val path = Fixtures.tempDir("graft-vstore-").resolve("emb").toString
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      // buckets = 4 and cluster = id % 4 ⇒ bucket b holds cluster b
+      Similarity.writeStandingStore(
+        df((0L until 10L).map(i => vec(i, i % 4)): _*), path,
+        "cluster", buckets = 4, versioned = true)
+      val v0 = Similarity.standingStoreVersions(spark, path).last
+      // insert: two rows into cluster 1 (bucket 1)
+      Similarity.appendToStandingStore(
+        df(vec(10L, 1L), vec(11L, 1L)), path, "cluster")
+      // delete: id 0 (bucket 0)
+      Similarity.deleteFromStandingStore(spark, path,
+        Seq(0L).toDF("vec_id"), "vec_id")
+      // update: id 5 moves cluster 1 → 2 (what a refit does) — the
+      // store mutation is delete + re-append under the new cluster
+      Similarity.deleteFromStandingStore(spark, path,
+        Seq(5L).toDF("vec_id"), "vec_id")
+      Similarity.appendToStandingStore(df(vec(5L, 2L)), path, "cluster")
+      val live = Similarity.standingStoreVersions(spark, path).last
+      val diff = Similarity.standingStoreDiff(spark, path, v0, live)
+      val got = diff.orderBy("change", "vec_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq(("delete", 0L, 0L), ("insert", 10L, 1L),
+        ("insert", 11L, 1L), ("update", 5L, 2L)))
+      // bucket 3's generation list is identical in both manifests, so
+      // the diff plan must not read a single file of it
+      assert(diff.inputFiles.nonEmpty &&
+        !diff.inputFiles.exists(_.contains("c_bucket=3")),
+        s"diff read an unchanged bucket:\n${diff.inputFiles.mkString("\n")}")
+      // identical versions diff to nothing without reading anything
+      assert(Similarity.standingStoreDiff(spark, path, live, live)
+        .count() == 0)
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
   test("composed text ingest: acked batch skips unevaluated; crash before ack re-runs idempotently") {
     val path = Fixtures.tempDir("graft-vstore-").resolve("s").toString
     val standing = docs().filter(col("doc_id") < 4 && col("doc_id") =!= 2L)
