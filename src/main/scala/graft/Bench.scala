@@ -285,9 +285,22 @@ object Bench {
       case _ => None
     }
     val triggers = loadTrigger.toSeq ++ totalTrigger.toSeq
+    // HYSTERESIS against threshold-straddling (round 12: a run at
+    // load_start 7.81 vs the 8.0 refusal line replaced a quieter
+    // record): a run that began in the top 20% of the allowed load
+    // band is BORDERLINE — it may only claim canonical if it is
+    // actually FASTER than the standing canonical record at this sf,
+    // so a borderline box state can never replace a quieter, faster
+    // record. A genuinely quiet start (<= 0.8x the gate) keeps the
+    // plain replace-always rule.
+    val borderline = triggers.isEmpty && loadStart > 0.8 * loadGate &&
+      priorQuietTotal.exists(ref => total >= ref)
     val quietInfo =
       if (triggers.nonEmpty)
         s""","quiet":false,"canonical":false,"quiet_trigger":"${triggers.mkString("; ")}"""" +
+          priorQuietTotal.map(r => s""","quiet_ref":${fmt(r)}""").getOrElse("")
+      else if (borderline)
+        s""","quiet":true,"canonical":false,"quiet_trigger":"borderline start loadavg ${fmt(loadStart)} > 0.8x gate ${fmt(loadGate)} and not faster than canonical"""" +
           priorQuietTotal.map(r => s""","quiet_ref":${fmt(r)}""").getOrElse("")
       else priorQuietTotal match {
         case Some(ref) =>
@@ -323,7 +336,7 @@ object Bench {
     // canonical preservation: only canonical runs may touch
     // BENCH_canonical.json, so the tree always carries the last
     // steering-grade record even after a loaded run rewrites BENCH.json
-    if (!isSubset && triggers.isEmpty)
+    if (!isSubset && triggers.isEmpty && !borderline)
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_canonical.json"),
         (json + "\n").getBytes("UTF-8"))

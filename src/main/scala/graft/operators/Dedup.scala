@@ -695,15 +695,39 @@ object Dedup {
     if (batchId.exists(
         StoreSwap.committedBatches(spark, path, "data").contains))
       return // redelivered batch: already fully absorbed and acked
-    mergeIntoSignatureStore(spark, path,
-      minhashSignatures(deltaDocs, idCol, textCol, n, numHashes), idCol)
-    if (shingleSidecarExists(spark, path))
-      mergeShinglesIntoStore(spark, path, deltaDocs, idCol, textCol)
-    if (StoreSwap.dirExists(spark, path, "bands"))
-      mergeIntoBandIndex(spark, path,
-        deltaDocs.select(col(idCol)), idCol)
-    batchId.foreach(StoreSwap.ackBatch(spark, path, "data", _))
+    def run(): Unit = {
+      mergeIntoSignatureStore(spark, path,
+        minhashSignatures(deltaDocs, idCol, textCol, n, numHashes), idCol)
+      if (shingleSidecarExists(spark, path))
+        mergeShinglesIntoStore(spark, path, deltaDocs, idCol, textCol)
+      if (StoreSwap.dirExists(spark, path, "bands"))
+        mergeIntoBandIndex(spark, path,
+          deltaDocs.select(col(idCol)), idCol)
+      batchId.foreach(StoreSwap.ackBatch(spark, path, "data", _))
+    }
+    // a UNIFIED store upgrades the composed flow from idempotence+
+    // ack-last to a real transaction: the three merges AND the ledger
+    // ack publish in ONE manifest rename — a crash anywhere inside
+    // leaves the store at its pre-batch version with the batch
+    // unacked, so redelivery re-runs from scratch against unchanged
+    // state. Per-dataDir stores keep the ack-last protocol (each merge
+    // commits separately; idempotence covers the gaps).
+    if (StoreSwap.isUnified(spark, path))
+      StoreSwap.transact(spark, path) { run() }
+    else run()
   }
+
+  /** Migrate a signature store (and every serving structure it
+    * carries) to [[StoreSwap]]'s UNIFIED manifest: `data`, `bands`,
+    * `bands_inv`, and `shingles` stop versioning independently and
+    * every commit — including [[ingestBatchIntoStore]]'s composed
+    * three-merge ingest, which becomes a single-rename transaction —
+    * publishes one store-wide snapshot. Any retained version is then
+    * a CONSISTENT state of the whole store, which is what makes
+    * [[lshJudgeStoreAt]]'s historical judgment replay exact. */
+  def unifySignatureStore(spark: SparkSession, path: String): Unit =
+    StoreSwap.unifyVersioning(spark, path,
+      Seq("data", "bands", "bands_inv", "shingles"))
 
   /** The full signature store plus its recorded bucket count, with any
     * committed-but-unapplied bucket swap of a crashed mutation rolled
@@ -722,18 +746,68 @@ object Dedup {
     * and shingle sidecar version independently (own manifests per
     * dataDir), so a historical JUDGMENT replay should rebuild those
     * from the pinned signatures; this read serves the signature state
-    * itself — audits, diffs, forget verification. */
+    * itself — audits, diffs, forget verification. Schema-equal to
+    * [[readSignatureStore]]: the `d_bucket` partition column is kept
+    * in both. */
   def readSignatureStoreAt(spark: SparkSession, path: String,
                            version: Int): (DataFrame, Int) = {
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
-    (StoreSwap.readVersionedAt(spark, path, "data", "d_bucket", version)
-      .drop("d_bucket"), buckets)
+    (StoreSwap.readVersionedAt(spark, path, "data", "d_bucket", version),
+      buckets)
   }
 
   /** Retained (readable) manifest versions of a versioned signature
     * store's data, ascending; last = live. */
   def signatureStoreVersions(spark: SparkSession, path: String): Seq[Int] =
     StoreSwap.snapshotVersions(spark, path, "data")
+
+  /** MANIFEST-PRUNED CDC for the SIGNATURE store — the text twin of
+    * [[Similarity.standingStoreDiff]]: a doc-level change feed between
+    * two retained versions of `data`, where `change` is `insert` (doc
+    * only in `toV`), `delete` (only in `fromV`), or `update` (present
+    * in both with a DIFFERENT signature — what a re-ingest's MIN-merge
+    * does to docs whose text gained shingles). The 100 TB property is
+    * the same: generations are immutable once committed, so a d_bucket
+    * whose generation list is IDENTICAL in both manifests is
+    * byte-identical and is never opened — diff cost tracks the
+    * mutation footprint between the versions, not the corpus. A
+    * downstream replica (a mirrored band index, a dedup-aware search
+    * tier) consumes this instead of rescanning 1e9 docs' signatures.
+    * Returns (change, doc_id) with `idCol` as the doc id column. */
+  def signatureStoreDiff(spark: SparkSession, path: String,
+                         idCol: String, fromV: Int,
+                         toV: Int): DataFrame = {
+    val eA = StoreSwap.snapshotEntriesAt(spark, path, "data", fromV)
+    val eB = StoreSwap.snapshotEntriesAt(spark, path, "data", toV)
+    val changed = (eA.keySet ++ eB.keySet)
+      .filter(d => eA.get(d) != eB.get(d))
+      .map(_.stripPrefix("d_bucket=").toInt).toSeq.sorted
+    if (changed.isEmpty)
+      return spark.range(0).select(lit("").as("change"),
+        lit(0L).as(idCol)).filter(lit(false))
+    // per-doc signature FINGERPRINT over the changed buckets only: the
+    // k-sorted (k, mh) fold is order-canonical, so equal fingerprints
+    // ⇔ equal signatures (the fold is the oracle-replayable polynomial
+    // accumulator, not a black-box hash)
+    def side(v: Int, as: String) =
+      StoreSwap.readVersionedAt(spark, path, "data", "d_bucket", v,
+          buckets = Some(changed))
+        .groupBy(col(idCol))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+            e => e.getField("mh")),
+          lit(7L),
+          (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L)))
+          .as(as))
+    side(fromV, "old_fp")
+      .join(side(toV, "new_fp"), Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("old_fp").isNull, lit("insert"))
+          .when(col("new_fp").isNull, lit("delete"))
+          .when(col("old_fp") =!= col("new_fp"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col("change"), col(idCol))
+  }
 
   /** FORGET documents from the signature store — the text modality's
     * right-to-be-forgotten: the ids' buckets are DERIVED (id mod
@@ -1145,7 +1219,12 @@ object Dedup {
                     standingDocs: DataFrame, delta: DataFrame,
                     idCol: String, textCol: String, n: Int = 3,
                     numHashes: Int = 16, seed: Long = 7L,
-                    threshold: Double = 0.5): DataFrame = {
+                    threshold: Double = 0.5,
+                    asOf: Option[Int] = None): DataFrame = {
+    require(asOf.isEmpty || StoreSwap.isUnified(spark, path),
+      s"$path: historical judgment (asOf) needs the UNIFIED manifest —" +
+        " per-dataDir versions pin signatures only (bands and sidecar" +
+        " version independently); migrate with unifySignatureStore")
     // a judgment-only process must also roll forward a crashed index
     // mutation's committed swap, or it serves stale band rows
     StoreSwap.recover(spark, path)
@@ -1164,20 +1243,57 @@ object Dedup {
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
       .getOrElse(64.0) * 1024 * 1024)
     val nDelta = delta.select(col(idCol)).distinct().count()
-    val chunks = math.max(1L,
+    val bcChunks = math.max(1L,
       math.ceil(nDelta.toDouble * bands * 112L / targetBytes).toLong).toInt
+    // PUSHDOWN-SIZED sub-chunking, the second chunking driver: each
+    // chunk's band-signature list (≤ chunkDocs × bands values) and
+    // candidate-id list only reach the parquet readers while they fit
+    // [[PushdownCap]] — past it the scans fall back to the unpruned
+    // band-index slice and per-batch judge cost tracks STANDING size
+    // (round-12 evidence: 1.60× per 10× standing at 500-doc deltas vs
+    // 1.28× at 100 where both rungs engage). Sizing chunks to the cap
+    // keeps the rungs engaged for mid-size deltas at the price of one
+    // extra pruned scan per chunk. Unbounded it would explode (a 1M-doc
+    // batch would mean 8000 scans), so past `graft.lsh.maxJudgeChunks`
+    // (default 16) chunks the batch is big enough to amortize the
+    // unpruned scan and only the broadcast budget drives the split.
+    val maxJudgeChunks = spark.conf.getOption("graft.lsh.maxJudgeChunks")
+      .flatMap(_.toIntOption).getOrElse(16)
+    val pdChunks = math.ceil(nDelta.toDouble * bands / PushdownCap).toInt
+    val chunks =
+      if (pdChunks > bcChunks && pdChunks <= maxJudgeChunks) pdChunks
+      else bcChunks
     if (chunks == 1)
       lshJudgeChunk(spark, path, standingDocs, delta, idCol, textCol,
-        n, numHashes, seed, threshold)
+        n, numHashes, seed, threshold, asOf)
     else
       (0 until chunks).map { i =>
         lshJudgeChunk(spark, path, standingDocs,
           delta.filter(
             pmod(xxhash64(col(idCol)), lit(chunks.toLong)) === i),
-          idCol, textCol, n, numHashes, seed, threshold)
+          idCol, textCol, n, numHashes, seed, threshold, asOf)
           .localCheckpoint(true) // run now; free this chunk's broadcast
       }.reduce(_ unionByName _)
   }
+
+  /** HISTORICAL JUDGMENT REPLAY: judge `delta` against the store AS OF
+    * retained unified version `version` — the band index AND the
+    * shingle sidecar resolve from the SAME pinned manifest, so the
+    * verdicts are bit-exactly what [[lshJudgeStore]] returned when
+    * that version was live (the consistency the unified manifest
+    * exists for; per-dataDir versioning cannot offer this — its
+    * time-travel pins signatures only). Audits, incident replay,
+    * "what would yesterday's corpus have said about this batch". */
+  def lshJudgeStoreAt(spark: SparkSession, path: String,
+                      delta: DataFrame, idCol: String, textCol: String,
+                      version: Int, n: Int = 3, numHashes: Int = 16,
+                      seed: Long = 7L,
+                      threshold: Double = 0.5): DataFrame =
+    lshJudgeStore(spark, path,
+      standingDocs = delta.limit(0), // sidecar is required at the pinned
+                                     // version; no text fallback
+      delta, idCol, textCol, n, numHashes, seed, threshold,
+      asOf = Some(version))
 
   /** One bounded-broadcast slice of the store judgment — the whole
     * algorithm for delta batches under the budget. */
@@ -1185,10 +1301,27 @@ object Dedup {
                             standingDocs: DataFrame, delta: DataFrame,
                             idCol: String, textCol: String, n: Int,
                             numHashes: Int, seed: Long,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            asOf: Option[Int] = None): DataFrame = {
     val (bands, r) = bandsMeta(spark, path)
     require(bands * r == numHashes, "band geometry must match the store")
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    // version-pinned store reads for the historical replay (meta and
+    // bands_meta stay live — layout constants fixed at build time)
+    def storeDir(dataDir: String, partCol: String): DataFrame = asOf match {
+      case Some(v) =>
+        StoreSwap.readVersionedAt(spark, path, dataDir, partCol, v)
+      case None => dirDf(spark, path, dataDir, partCol)
+    }
+    val sidecarPresent = asOf match {
+      case Some(v) =>
+        StoreSwap.snapshotEntriesAt(spark, path, "shingles", v).nonEmpty
+      case None => shingleSidecarExists(spark, path)
+    }
+    if (asOf.isDefined) require(sidecarPresent,
+      s"$path has no shingle sidecar at version ${asOf.get} — historical" +
+        " judgment has no text fallback (the corpus text of that moment" +
+        " is gone); only sidecar-carrying versions replay")
     val dSigs = minhashSignatures(delta, idCol, textCol, n, numHashes, seed)
     val dRows = bandRows(dSigs, idCol, bands, r, buckets)
       .select(col("id").as("d_id"), col("band"), col("bsig"),
@@ -1206,7 +1339,7 @@ object Dedup {
     // more in scan setup than it pruned) the single unpruned scan
     // stands: large batches amortize it across their docs — per-batch
     // flatness matters for the small continuous batches under the cap.
-    val idx0 = dirDf(spark, path, "bands", "bb_bucket")
+    val idx0 = storeDir("bands", "bb_bucket")
       .filter(col("bb_bucket").isin(touched: _*))
     val dSigVals = dRows.select(col("bsig")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -1222,7 +1355,7 @@ object Dedup {
       .select(col("id").as("d_id"), polyHash(col("sh")).as("x")).distinct()
     val sIds = cand.select(col("s_id")).distinct()
       .localCheckpoint(true) // candidate DOCS — bounded, read 2-3× below
-    val sSh = if (shingleSidecarExists(spark, path)) {
+    val sSh = if (sidecarPresent) {
       // DOC-FOOTPRINT verification: candidate docs' hash sets from their
       // own sidecar buckets — the standing corpus text never opens
       val sn = spark.read.parquet(path + "/shingles_meta").head.getInt(0)
@@ -1245,7 +1378,7 @@ object Dedup {
       // the cap so the IN list actually reaches the parquet reader as
       // OR-of-equals rather than a min/max range.
       val nCand = sIds.count()
-      val base = dirDf(spark, path, "shingles", "d_bucket")
+      val base = storeDir("shingles", "d_bucket")
         .filter(col("d_bucket").isin(db: _*))
       val rows = (if (nCand <= PushdownCap) {
         val ids = sIds.collect().map(_.getLong(0)).toSeq

@@ -626,6 +626,80 @@ object ScaleQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q226: MANIFEST-PRUNED CDC over the versioned SIGNATURE store
+    * ([[Dedup.signatureStoreDiff]]) — the text twin of q225: the store
+    * takes an insert load (delta1's shifted near-dups), an UPDATE load
+    * (docs gaining shingles, so the MIN-merge moves some signatures),
+    * and a forget, and the v0→live change feed must be exactly
+    * {insert: delta1's ids, delete: the forgotten sevenths, update:
+    * the changed docs whose signature actually moved}. Buckets whose
+    * generation lists match are never opened (UnifiedStoreSpec asserts
+    * the zero-file property); the oracle recomputes both versions'
+    * signatures closed-form and diffs them — a doc whose re-ingest
+    * changed nothing must NOT appear, which gates the semantic
+    * (per-doc fingerprint) layer, not just the physical diff. */
+  def q226SigStoreCdc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.select(col("doc_id"), col("text"))
+    val delta1 = nearDupDelta(standing, 3, 100000L, 1)
+    val changed = standing.filter(col("doc_id") % 11 === 4)
+      .select(col("doc_id"),
+        concat(lit("zzz qqq xyz "), col("text")).as("text"))
+    val store = Fixtures.tempDir("graft-q226-").resolve("sigs").toString
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      Dedup.writeSignatureStore(
+        Dedup.minhashSignatures(standing, "doc_id", "text"),
+        store, "doc_id", buckets = 16, versioned = true)
+      val v0 = Dedup.signatureStoreVersions(spark, store).last
+      Dedup.mergeIntoSignatureStore(spark, store,
+        Dedup.minhashSignatures(delta1, "doc_id", "text"), "doc_id")
+      Dedup.mergeIntoSignatureStore(spark, store,
+        Dedup.minhashSignatures(changed, "doc_id", "text"), "doc_id")
+      Dedup.forgetDocsFromSignatureStore(spark, store,
+        standing.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+        "doc_id")
+      val live = Dedup.signatureStoreVersions(spark, store).last
+      Dedup.signatureStoreDiff(spark, store, "doc_id", v0, live)
+        .orderBy(col("change"), col("doc_id"))
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
+  /** q227: HISTORICAL JUDGMENT REPLAY over the UNIFIED text store —
+    * what the per-dataDir protocol cannot do: `data`, `bands`,
+    * `bands_inv`, and `shingles` pin TOGETHER under one retained
+    * `store.v<N>` manifest ([[graft.operators.StoreSwap
+    * .unifyVersioning]]), so judging a batch AS OF a version replays
+    * the verdicts that version's live judgment produced, bit-exactly.
+    * The gate ingests delta1 through the composed exactly-once flow —
+    * which on a unified store is a REAL transaction: three merges plus
+    * the ledger ack in ONE manifest rename ([[graft.operators.StoreSwap
+    * .transact]]) — then judges delta2 as of the PRE-ingest version;
+    * the oracle replays the judgment against the original standing
+    * corpus only. A leaked delta1 band row, sidecar row, or signature
+    * breaks the hash. */
+  def q227JudgmentReplay(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.select(col("doc_id"), col("text"))
+    val delta1 = nearDupDelta(standing, 3, 100000L, 1)
+    val delta2 = nearDupDelta(standing, 5, 200000L, 2)
+    val store = Fixtures.tempDir("graft-q227-").resolve("sigs").toString
+    Dedup.writeSignatureStore(
+      Dedup.minhashSignatures(standing, "doc_id", "text"),
+      store, "doc_id", buckets = 16, versioned = true)
+    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
+    Dedup.unifySignatureStore(spark, store)
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      val v0 = Dedup.signatureStoreVersions(spark, store).last
+      Dedup.ingestBatchIntoStore(spark, store, delta1, "doc_id", "text",
+        batchId = Some(0L))
+      Dedup.lshJudgeStoreAt(spark, store, delta2, "doc_id", "text", v0)
+        .orderBy(col("id_a"), col("id_b"))
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
   /** q110: native `session_window` semantics — Spark's merging-window
     * session aggregation (the STREAMING operator, run in batch) gated
     * against an independent SQL lag+cumsum sessionization: the two
@@ -695,6 +769,8 @@ object ScaleQueries {
     "q207_band_index_forget" -> q207BandIndexForget _,
     "q211_band_index_reindex" -> q211BandIndexReindex _,
     "q220_versioned_store" -> q220VersionedStore _,
+    "q226_sig_store_cdc" -> q226SigStoreCdc _,
+    "q227_judgment_replay" -> q227JudgmentReplay _,
     "q110_session_window" -> q110SessionWindow _,
     "q111_chunk_conserve" -> q111ChunkConserve _,
   )
@@ -974,6 +1050,39 @@ object ScaleQueries {
       "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
         " FROM documents WHERE doc_id % 5 = 0",
       "s.id < 200000 AND d.id >= 200000 AND (s.id >= 100000 OR s.id % 7 <> 3)"),
+    // the signature-store change feed: inserts = delta1's shifted ids,
+    // deletes = the forgotten sevenths, updates = ONLY the re-ingested
+    // docs whose MIN-merged signature actually differs from the
+    // original (both signature sets recomputed closed-form; the union
+    // corpus IS the MIN-merge — minhash(shingles(a) ∪ shingles(b)) =
+    // min(sig(a), sig(b)) per permutation)
+    "q226_sig_store_cdc" ->
+      s"""WITH ${minhashSigCtes(
+             "SELECT doc_id AS id, text FROM documents WHERE doc_id % 11 = 4" +
+               " UNION ALL SELECT doc_id, 'zzz qqq xyz ' || text" +
+               " FROM documents WHERE doc_id % 11 = 4")},
+        |${minhashSigCtes(
+             "SELECT doc_id AS id, text FROM documents WHERE doc_id % 11 = 4",
+             "o")}
+        |SELECT 'delete' AS change, doc_id FROM documents WHERE doc_id % 7 = 3
+        |UNION ALL
+        |SELECT 'insert' AS change, doc_id + 100000 AS doc_id
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 'update' AS change, id AS doc_id FROM (
+        |  SELECT s.id FROM sigs s JOIN sigso o ON s.id = o.id AND s.k = o.k
+        |  WHERE s.id % 7 <> 3
+        |  GROUP BY s.id
+        |  HAVING sum(CASE WHEN s.mh <> o.mh THEN 1 ELSE 0 END) > 0) u
+        |ORDER BY change, doc_id""".stripMargin,
+    // the pinned-version judgment: delta2 judged AS OF the pre-delta1
+    // version must see the ORIGINAL standing corpus only — the oracle
+    // is the plain standing-vs-delta2 judge replay, with delta1 absent
+    "q227_judgment_replay" -> lshJudgeSql(
+      "SELECT doc_id AS id, text FROM documents",
+      "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
+        " FROM documents WHERE doc_id % 5 = 0",
+      "s.id < 100000 AND d.id >= 200000"),
     // forgotten standing docs can no longer be partners
     "q207_band_index_forget" -> lshJudgeSql(
       "SELECT doc_id AS id, text FROM documents",
@@ -1007,27 +1116,29 @@ object ScaleQueries {
     * arbitrary (id, text) corpus — shared by the signature-store gates
     * (whole-table corpus) and the band-index gates (standing ∪ delta
     * corpora with disjoint id ranges). */
-  private def minhashSigCtes(corpusSql: String): String =
-      s"""norm AS (
+  /** @param sfx CTE-name suffix so TWO signature replays (e.g. q226's
+    *             old-vs-merged diff) can coexist in one oracle. */
+  private def minhashSigCtes(corpusSql: String, sfx: String = ""): String =
+      s"""norm$sfx AS (
         |  SELECT id,
         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
         |  FROM ($corpusSql)),
-        |sh AS (
+        |sh$sfx AS (
         |  SELECT DISTINCT id, sh FROM (
         |    SELECT id, unnest(list_transform(
         |      generate_series(0, greatest(len(toks) - 3, 0)),
         |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
-        |    FROM norm) t WHERE length(sh) > 0),
-        |hx AS (
+        |    FROM norm$sfx) t WHERE length(sh) > 0),
+        |hx$sfx AS (
         |  SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(generate_series(1, length(sh)),
         |                     i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))),
         |      (acc, c) -> (acc * 31 + c) % 2147483647) AS x
-        |  FROM sh),
-        |sigs AS (
+        |  FROM sh$sfx),
+        |sigs$sfx AS (
         |  SELECT id, CAST(k AS BIGINT) AS k,
         |    CAST(min((x * a + b) % 2147483647) AS BIGINT) AS mh
-        |  FROM hx, (VALUES $minhashCoefRows) AS coef(k, a, b)
+        |  FROM hx$sfx, (VALUES $minhashCoefRows) AS coef(k, a, b)
         |  GROUP BY id, k)""".stripMargin
 
   private def minhashSigsSqlCond(cond: String): String =

@@ -808,10 +808,13 @@ object Similarity {
       .write.mode("overwrite").parquet(path + "/meta")
   }
 
-  /** The full standing store plus its recorded bucket count (the
-    * `c_bucket` partition column is dropped — it is derivable). Rolls
-    * forward any bucket swap a crashed mutation left committed-but-
-    * unapplied ([[StoreSwap.recover]]) before listing data files. */
+  /** The full standing store plus its recorded bucket count. The
+    * `c_bucket` partition column is KEPT (derivable, but retained so
+    * bucket filters prune files without recomputation) — the time-
+    * travel read [[readStandingStoreAt]] keeps it too, so the two
+    * paths are schema-equal. Rolls forward any bucket swap a crashed
+    * mutation left committed-but-unapplied ([[StoreSwap.recover]])
+    * before listing data files. */
   def readStandingStore(spark: SparkSession, path: String): (DataFrame, Int) = {
     StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta")
@@ -826,12 +829,14 @@ object Similarity {
     * ([[standingStoreVersions]]; widen with `graft.store.snapshotKeep`
     * BEFORE the mutations) are readable; a GC'd version fails fast.
     * The bucket count is layout state shared by every version (appends
-    * and rewrites derive it from `meta`, never change it). */
+    * and rewrites derive it from `meta`, never change it). Schema-equal
+    * to [[readStandingStore]]: the `c_bucket` partition column is kept
+    * in both. */
   def readStandingStoreAt(spark: SparkSession, path: String,
                           version: Int): (DataFrame, Int) = {
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
-    (StoreSwap.readVersionedAt(spark, path, "data", "c_bucket", version)
-      .drop("c_bucket"), buckets)
+    (StoreSwap.readVersionedAt(spark, path, "data", "c_bucket", version),
+      buckets)
   }
 
   /** Retained (readable) manifest versions of a versioned standing
@@ -1398,16 +1403,21 @@ object Similarity {
     val rowBytes = m * ksub * 32L + 256L
     val chunks = math.max(1L,
       math.ceil(bcRows * rowBytes / targetBytes).toLong).toInt
-    // HUGE-BATCH FALLBACK: the serial chunk loop holds wall time
+    // OVER-BUDGET FALLBACK: the serial chunk loop holds wall time
     // hostage to chunk count (each chunk is a full probe-pruned code
     // scan — 1M queries at the 64 MB budget is ~80 sequential scans).
-    // Past `graft.pq.maxSerialChunks` (default 16) the right plan is
-    // ONE pass with the distance tables SHUFFLED instead of broadcast:
-    // both sides exchange on the cluster key and the ADC join runs as
-    // a shuffled hash/sort-merge join, so cost scales with
-    // (codes + query tables), not chunks × codes.
+    // Past `graft.pq.maxSerialChunks` the right plan is ONE pass with
+    // the distance tables SHUFFLED instead of broadcast: both sides
+    // exchange on the cluster key and the ADC join runs as a shuffled
+    // hash/sort-merge join, so cost scales with (codes + query
+    // tables), not chunks × codes. Default 1 — measured (round 12
+    // probe, 200k-vector store): the shuffle already beat the serial
+    // loop at TWO chunks (39.8 vs 48.9 s at 100k queries), so any
+    // batch over the broadcast budget goes straight to the shuffle;
+    // raise the knob on clusters where re-scanning the pruned codes
+    // is cheaper than exchanging them.
     val maxSerial = spark.conf.getOption("graft.pq.maxSerialChunks")
-      .flatMap(_.toIntOption).getOrElse(16)
+      .flatMap(_.toIntOption).getOrElse(1)
     if (chunks == 1)
       pqAdcChunk(spark, storePath, queries, probesM, idCol, vecCol,
         m, dsub, k, residual, rotated)

@@ -325,6 +325,274 @@ object StoreSwap {
     fsOf(spark, v).exists(v)
   }
 
+  // ---- unified store manifests ---------------------------------------
+  //
+  // The per-dataDir manifests above give each dataDir its OWN version
+  // line, so a composed store (the text store's data + bands +
+  // bands_inv + shingles) has no consistent cross-dataDir snapshot: a
+  // time-travel read pins signatures only, and a reader can observe new
+  // signatures with a not-yet-merged band index mid-ingest. The UNIFIED
+  // mode replaces the four families with ONE manifest
+  // (`_v/store.v<N>`) whose entries are "<dataDir>/<partDir>|gens" —
+  // the same immutable per-dataDir generation dirs underneath, but
+  // every commit (and, through [[transact]], every composed MULTI-
+  // dataDir mutation) publishes with one rename. Any retained store
+  // version is then a consistent snapshot of the WHOLE store: a
+  // historical judgment replay reads the bands, sidecar, and data the
+  // live judgment saw at that version. Generation numbers stay
+  // per-dataDir (allocated max+1 over every retained reference and
+  // whatever is on disk, so orphans of crashed commits can never
+  // collide); reserved keys (#batches) are store-level.
+
+  /** The manifest family name of the unified mode — reserved; no
+    * dataDir may be called this. */
+  private val StoreFamily = "store"
+
+  /** Whether `path` commits through ONE unified store manifest. */
+  def isUnified(spark: SparkSession, path: String): Boolean =
+    manifests(fsOf(spark, versionsDir(path)), path, StoreFamily).nonEmpty
+
+  /** An open composite commit: entry updates accumulate here and
+    * publish as ONE manifest rename when [[transact]] closes. */
+  private final class Txn(val baseV: Int) {
+    var entries: Map[String, Seq[Long]] = Map.empty
+    var dirty: Boolean = false
+  }
+  private val activeTxn =
+    new ThreadLocal[scala.collection.mutable.Map[String, Txn]] {
+      override def initialValue() =
+        scala.collection.mutable.Map.empty[String, Txn]
+    }
+
+  private def latestUnifiedRaw(spark: SparkSession,
+                               path: String): Option[(Int, Map[String, Seq[Long]])] = {
+    val fs = fsOf(spark, versionsDir(path))
+    manifests(fs, path, StoreFamily).lastOption
+      .map { case (v, p) => (v, readManifest(fs, p)) }
+  }
+
+  /** The unified entries THIS thread currently sees: an open txn's
+    * pending view (read-your-own-writes — a composed mutation's later
+    * steps read its earlier steps' commits) or the latest manifest. */
+  private def unifiedView(spark: SparkSession,
+                          path: String): Option[(Int, Map[String, Seq[Long]])] =
+    activeTxn.get.get(path) match {
+      case Some(t) => Some((t.baseV, t.entries))
+      case None => latestUnifiedRaw(spark, path)
+    }
+
+  /** A dataDir's slice of a unified entry map: bare partDir keys, plus
+    * the store-level reserved keys (#batches). */
+  private def sliceDataDir(all: Map[String, Seq[Long]],
+                           dataDir: String): Map[String, Seq[Long]] = {
+    val pfx = dataDir + "/"
+    all.collect {
+      case (k, v) if isReservedKey(k) => k -> v
+      case (k, v) if k.startsWith(pfx) => k.stripPrefix(pfx) -> v
+    }
+  }
+
+  /** MIGRATE a versioned store to the unified manifest: each dataDir's
+    * LATEST per-dataDir state (or its legacy live dir, renamed in as
+    * generation 0) becomes its slice of `store.v0`, and the old
+    * per-dataDir manifest families are retired. The store.v0 rename is
+    * the commit point — a crash before it leaves the store on its old
+    * protocol untouched; a crash after it leaves stale per-dataDir
+    * manifest files that a re-run deletes (reads already prefer the
+    * unified manifest). Per-dataDir HISTORY is not carried over: the
+    * unified numbering starts fresh at v0 (document the cutover in
+    * operational runbooks; retention windows restart). Idempotent. */
+  def unifyVersioning(spark: SparkSession, path: String,
+                      dataDirs: Seq[String]): Unit = withLease(spark, path) {
+    require(!dataDirs.contains(StoreFamily),
+      s"'$StoreFamily' is the unified manifest family name, not a dataDir")
+    recover(spark, path)
+    val fs = fsOf(spark, versionsDir(path))
+    if (!isUnified(spark, path)) {
+      var all = Map.empty[String, Seq[Long]]
+      dataDirs.foreach { d =>
+        val perDir = manifests(fs, path, d)
+        if (perDir.nonEmpty) {
+          val e = readManifest(fs, perDir.last._2)
+          all ++= e.collect {
+            case (k, gs) if !isReservedKey(k) => s"$d/$k" -> gs
+          }
+          e.get(BatchesKey).foreach { ids =>
+            all += BatchesKey -> (all.getOrElse(BatchesKey, Seq.empty) ++ ids)
+              .distinct.takeRight(BatchLedgerKeep)
+          }
+        } else {
+          val live = new Path(s"$path/$d")
+          if (fs.exists(live)) {
+            val g0 = new Path(s"$path/$d.gens/g0")
+            fs.mkdirs(g0.getParent)
+            if (fs.exists(g0)) fs.delete(g0, true) // crashed predecessor
+            if (!fs.rename(live, g0))
+              sys.error(s"could not migrate $live to $g0")
+            all ++= fs.listStatus(g0)
+              .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+              .map(s => s"$d/${s.getPath.getName}" -> Seq(0L))
+          }
+        }
+      }
+      writeManifest(fs, path, StoreFamily, 0, all) // the commit point
+    }
+    // retire the per-dataDir families (also the crash-after-commit
+    // cleanup path): the unified manifest took precedence the instant
+    // it committed, and nextGen never consults these
+    dataDirs.foreach { d =>
+      manifests(fs, path, d).foreach { case (_, p) => fs.delete(p, false) }
+    }
+    fs.mkdirs(versionsDir(path))
+  }
+
+  /** Run `body` as ONE composite commit of a unified store: every
+    * versioned mutation inside it (staged rewrites, appends, ledger
+    * acks — across ANY of the store's dataDirs) accumulates into one
+    * pending entry map that publishes as a single `store.v<N+1>`
+    * manifest rename when `body` returns. A crash or exception
+    * anywhere inside leaves the store AT ITS PRE-TXN VERSION — the
+    * staged generation dirs are unreferenced orphans reclaimed by the
+    * next commit's GC. Mutations inside the txn read their own
+    * pending writes (a composed ingest's band merge reads the
+    * signatures its first step merged); other threads keep resolving
+    * the committed manifest. Reentrant; requires the unified
+    * protocol. */
+  def transact[T](spark: SparkSession, path: String)(body: => T): T =
+    withLease(spark, path) {
+      if (activeTxn.get.contains(path)) body
+      else {
+        recover(spark, path)
+        require(isUnified(spark, path),
+          s"$path is not a unified-manifest store — migrate with" +
+            " unifyVersioning before using composite transactions")
+        val (baseV, entries) = latestUnifiedRaw(spark, path)
+          .getOrElse((-1, Map.empty[String, Seq[Long]]))
+        val t = new Txn(baseV)
+        t.entries = entries
+        activeTxn.get(path) = t
+        val result =
+          try body
+          finally activeTxn.get.remove(path)
+        if (t.dirty) {
+          val fs = fsOf(spark, versionsDir(path))
+          writeManifest(fs, path, StoreFamily, baseV + 1, t.entries)
+          gcUnified(spark, fs, path)
+        }
+        result
+      }
+    }
+
+  /** Next free generation number for `dataDir` — strictly above every
+    * gen any RETAINED unified manifest references, the current (txn)
+    * view references, or that exists on disk (orphans of crashed
+    * commits must not be reused while a reader could still list
+    * them). */
+  private def nextGen(fs: FileSystem, path: String, dataDir: String,
+                      current: Map[String, Seq[Long]]): Long = {
+    val pfx = dataDir + "/"
+    val fromManifests = manifests(fs, path, StoreFamily)
+      .flatMap { case (_, p) =>
+        readManifest(fs, p).collect {
+          case (k, gs) if k.startsWith(pfx) => gs
+        }.flatten
+      }
+    val fromCurrent = current.collect {
+      case (k, gs) if k.startsWith(pfx) => gs
+    }.flatten
+    val root = new Path(s"$path/$dataDir.gens")
+    val fromDisk =
+      if (fs.exists(root)) fs.listStatus(root).toSeq
+        .flatMap(s => s.getPath.getName.stripPrefix("g").toLongOption)
+      else Seq.empty[Long]
+    (fromManifests ++ fromCurrent ++ fromDisk).foldLeft(-1L)(math.max) + 1
+  }
+
+  /** The unified commit: rename staged buckets in as a fresh
+    * generation of `dataDir`, fold the dataDir's entry updates into
+    * the store-wide map, publish (or defer to the open txn). Same
+    * append/replace/touched semantics as the per-dataDir commit,
+    * scoped to the dataDir's slice. */
+  private def commitUnified(spark: SparkSession, path: String,
+                            dataDir: String, stg: Path,
+                            stagedBuckets: Set[String],
+                            touchedDirs: Set[String],
+                            replaceAll: Boolean,
+                            append: Boolean,
+                            batchRecord: Option[Long]): Unit = {
+    val fs = fsOf(spark, stg)
+    val txnOpt = activeTxn.get.get(path)
+    val (baseV, all0) = txnOpt.map(t => (t.baseV, t.entries))
+      .orElse(latestUnifiedRaw(spark, path))
+      .getOrElse((-1, Map.empty[String, Seq[Long]]))
+    val pfx = dataDir + "/"
+    val gen =
+      if (stagedBuckets.isEmpty) -1L // ledger-only commit stages nothing
+      else {
+        val g = nextGen(fs, path, dataDir, all0)
+        val gDir = new Path(s"$path/$dataDir.gens/g$g")
+        fs.mkdirs(gDir.getParent)
+        if (fs.exists(gDir)) fs.delete(gDir, true)
+        if (!fs.rename(stg, gDir))
+          sys.error(s"could not commit staged generation $gDir")
+        g
+      }
+    val stagedP = stagedBuckets.map(pfx + _)
+    val entries =
+      if (append)
+        all0 ++ stagedP.map(d => d -> (all0.getOrElse(d, Seq.empty) :+ gen))
+      else
+        (if (replaceAll) all0.filter { case (k, _) => !k.startsWith(pfx) }
+         else all0 -- touchedDirs.map(pfx + _)) ++
+          stagedP.map(_ -> Seq(gen))
+    val withLedger = batchRecord match {
+      case Some(id) =>
+        entries + (BatchesKey ->
+          ((all0.getOrElse(BatchesKey, Seq.empty) :+ id)
+            .distinct.takeRight(BatchLedgerKeep)))
+      case None => entries
+    }
+    txnOpt match {
+      case Some(t) =>
+        t.entries = withLedger
+        t.dirty = true
+      case None =>
+        writeManifest(fs, path, StoreFamily, baseV + 1, withLedger)
+        gcUnified(spark, fs, path)
+    }
+  }
+
+  /** Unified-mode GC: drop store manifests beyond the grace window,
+    * then, PER dataDir the kept manifests reference, delete
+    * unreferenced generation dirs. Gens roots of dataDirs NO kept
+    * manifest mentions are left alone — they belong to other
+    * protocols (the PQ sidecar's own family) or to an open txn. */
+  private def gcUnified(spark: SparkSession, fs: FileSystem,
+                        path: String): Unit = {
+    val keep = snapshotKeep(spark)
+    val all = manifests(fs, path, StoreFamily)
+    all.dropRight(keep + 1).foreach { case (_, p) => fs.delete(p, false) }
+    val kept = manifests(fs, path, StoreFamily).map { case (_, p) =>
+      readManifest(fs, p) }
+    // NOTE: each manifest map must be flattened to a Seq BEFORE
+    // collecting (dataDir, gens) pairs — collect on a Map would key the
+    // result by dataDir and silently keep ONE bucket's gens per dir
+    val byDir = kept.flatMap(_.toSeq.collect {
+        case (k, gs) if !isReservedKey(k) && k.contains("/") =>
+          (k.substring(0, k.indexOf("/")), gs)
+      })
+      .groupBy(_._1).map { case (d, xs) => d -> xs.flatMap(_._2).toSet }
+    byDir.foreach { case (d, live) =>
+      val root = new Path(s"$path/$d.gens")
+      if (fs.exists(root))
+        fs.listStatus(root)
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("g") &&
+            p.getName.stripPrefix("g").toLongOption.exists(!live.contains(_)))
+          .foreach(p => fs.delete(p, true))
+    }
+  }
+
   /** Whether THIS dataDir of the store commits through manifests: it
     * has one, or the store is versioned and the dataDir has no legacy
     * live dir (fresh dataDirs of a versioned store start versioned).
@@ -429,9 +697,10 @@ object StoreSwap {
     * acknowledges). */
   def committedBatches(spark: SparkSession, path: String,
                        dataDir: String): Set[Long] =
-    latestSnapshot(spark, path, dataDir)
-      .flatMap(_._2.get(BatchesKey))
-      .map(_.map(_.toLong).toSet)
+    (if (isUnified(spark, path)) unifiedView(spark, path).map(_._2)
+     else latestSnapshot(spark, path, dataDir).map(_._2))
+      .flatMap(_.get(BatchesKey))
+      .map(_.toSet)
       .getOrElse(Set.empty)
 
   /** ACK-ONLY ledger commit for a versioned dataDir: record `batchId`
@@ -483,27 +752,39 @@ object StoreSwap {
       .sortBy(_._1)
   }
 
-  private def readManifest(fs: FileSystem, p: Path): Map[String, Seq[Int]] = {
+  /** Manifest values are LONGS: generation numbers fit comfortably in
+    * Int, but the `#batches` ledger shares this value slot and
+    * Structured Streaming batch ids are unbounded longs — a stream
+    * past 2^31 batches must keep committing, not throw. */
+  private def readManifest(fs: FileSystem, p: Path): Map[String, Seq[Long]] = {
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     body.split("\n").iterator.filter(_.nonEmpty).map { line =>
       val Array(dir, gens) = line.split("\\|", 2)
-      dir -> gens.split(",").toSeq.map(_.toInt)
+      dir -> gens.split(",").toSeq.map(_.toLong)
     }.toMap
   }
 
   /** The latest committed (version, bucketDir → gens) snapshot of
-    * `dataDir`, or None when no manifest has ever committed. */
+    * `dataDir`, or None when no manifest has ever committed (unified
+    * stores: None when the unified manifest holds no bucket entry for
+    * the dataDir — "this dataDir was never written"). Inside an open
+    * [[transact]] the txn's pending view is returned. */
   def latestSnapshot(spark: SparkSession, path: String,
-                     dataDir: String): Option[(Int, Map[String, Seq[Int]])] = {
-    val fs = fsOf(spark, versionsDir(path))
-    manifests(fs, path, dataDir).lastOption
-      .map { case (v, p) => (v, readManifest(fs, p)) }
-  }
+                     dataDir: String): Option[(Int, Map[String, Seq[Long]])] =
+    if (isUnified(spark, path))
+      unifiedView(spark, path)
+        .map { case (v, all) => (v, sliceDataDir(all, dataDir)) }
+        .filter(_._2.keys.exists(k => !isReservedKey(k)))
+    else {
+      val fs = fsOf(spark, versionsDir(path))
+      manifests(fs, path, dataDir).lastOption
+        .map { case (v, p) => (v, readManifest(fs, p)) }
+    }
 
   private def writeManifest(fs: FileSystem, path: String, dataDir: String,
-                            v: Int, entries: Map[String, Seq[Int]]): Unit = {
+                            v: Int, entries: Map[String, Seq[Long]]): Unit = {
     fs.mkdirs(versionsDir(path))
     val tmp = new Path(path + s"/_v/.${dataDir}.v$v.tmp")
     val out = fs.create(tmp, true)
@@ -520,7 +801,7 @@ object StoreSwap {
     * group per basePath for partition-column inference), restricted to
     * `buckets` when given. */
   private def snapshotDirs(path: String, dataDir: String,
-                           entries: Map[String, Seq[Int]],
+                           entries: Map[String, Seq[Long]],
                            partCol: String,
                            buckets: Option[Seq[Int]]): Seq[(String, Seq[String])] = {
     val want = buckets.map(_.map(b => s"$partCol=$b").toSet)
@@ -557,7 +838,8 @@ object StoreSwap {
     * readable. */
   def snapshotVersions(spark: SparkSession, path: String,
                        dataDir: String): Seq[Int] =
-    manifests(fsOf(spark, versionsDir(path)), path, dataDir).map(_._1)
+    manifests(fsOf(spark, versionsDir(path)), path,
+      if (isUnified(spark, path)) StoreFamily else dataDir).map(_._1)
 
   /** TIME-TRAVEL read: the snapshot of `dataDir` AS OF committed
     * `version` — same single-manifest-resolution guarantee as
@@ -570,13 +852,18 @@ object StoreSwap {
                       partCol: String, version: Int,
                       buckets: Option[Seq[Int]] = None): DataFrame = {
     val fs = fsOf(spark, versionsDir(path))
-    val all = manifests(fs, path, dataDir)
+    val unified = isUnified(spark, path)
+    val family = if (unified) StoreFamily else dataDir
+    val all = manifests(fs, path, family)
     val p = all.collectFirst { case (v, mp) if v == version => mp }
       .getOrElse(sys.error(s"$path/$dataDir has no retained manifest" +
         s" v$version — retained: ${all.map(_._1).mkString(",")}" +
         " (raise graft.store.snapshotKeep before mutating to widen" +
         " the time-travel window)"))
-    readEntries(spark, path, dataDir, partCol, readManifest(fs, p), buckets)
+    val entries =
+      if (unified) sliceDataDir(readManifest(fs, p), dataDir)
+      else readManifest(fs, p)
+    readEntries(spark, path, dataDir, partCol, entries, buckets)
   }
 
   /** The bucket-dir → generation-list entries of a RETAINED manifest
@@ -587,18 +874,22 @@ object StoreSwap {
     * them. */
   def snapshotEntriesAt(spark: SparkSession, path: String,
                         dataDir: String,
-                        version: Int): Map[String, Seq[Int]] = {
+                        version: Int): Map[String, Seq[Long]] = {
     val fs = fsOf(spark, versionsDir(path))
-    val all = manifests(fs, path, dataDir)
+    val unified = isUnified(spark, path)
+    val family = if (unified) StoreFamily else dataDir
+    val all = manifests(fs, path, family)
     val p = all.collectFirst { case (v, mp) if v == version => mp }
       .getOrElse(sys.error(s"$path/$dataDir has no retained manifest" +
         s" v$version — retained: ${all.map(_._1).mkString(",")}"))
-    readManifest(fs, p).filter { case (k, _) => !isReservedKey(k) }
+    val raw = readManifest(fs, p)
+    (if (unified) sliceDataDir(raw, dataDir) else raw)
+      .filter { case (k, _) => !isReservedKey(k) }
   }
 
   private def readEntries(spark: SparkSession, path: String,
                           dataDir: String, partCol: String,
-                          entries: Map[String, Seq[Int]],
+                          entries: Map[String, Seq[Long]],
                           buckets: Option[Seq[Int]]): DataFrame = {
     val groups = snapshotDirs(path, dataDir, entries, partCol, buckets)
     if (groups.isEmpty) {
@@ -635,7 +926,7 @@ object StoreSwap {
           sys.error(s"could not migrate $live to $g0")
         val entries = fs.listStatus(g0)
           .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-          .map(_.getPath.getName -> Seq(0)).toMap
+          .map(_.getPath.getName -> Seq(0L)).toMap
         writeManifest(fs, path, dataDir, 0, entries)
       }
     }
@@ -659,6 +950,11 @@ object StoreSwap {
                               replaceAll: Boolean,
                               append: Boolean = false,
                               batchRecord: Option[Long] = None): Unit = {
+    if (isUnified(spark, path)) {
+      commitUnified(spark, path, dataDir, stg, stagedBuckets, touchedDirs,
+        replaceAll, append, batchRecord)
+      return
+    }
     val fs = fsOf(spark, stg)
     val prev = latestSnapshot(spark, path, dataDir)
     val v1 = prev.map(_._1 + 1).getOrElse(0)
@@ -673,25 +969,30 @@ object StoreSwap {
     val entries =
       if (append) // the new gen EXTENDS its buckets' gen lists
         prevEntries ++ stagedBuckets.map(d =>
-          d -> (prevEntries.getOrElse(d, Seq.empty) :+ v1))
+          d -> (prevEntries.getOrElse(d, Seq.empty) :+ v1.toLong))
       else
-        (if (replaceAll) Map.empty[String, Seq[Int]]
+        // replaceAll drops every BUCKET entry but carries the reserved
+        // metadata keys (#batches) through: a mid-stream full rewrite
+        // (refit, sidecar rebuild) must not amnesia the exactly-once
+        // ledger, or a batch redelivered after the rewrite re-applies
+        (if (replaceAll) prevEntries.filter { case (k, _) => isReservedKey(k) }
          else prevEntries -- touchedDirs) ++
-          stagedBuckets.map(_ -> Seq(v1))
+          stagedBuckets.map(_ -> Seq(v1.toLong))
     // the batch ledger rides the same manifest rename as the data it
     // acknowledges — exactly-once hinges on that atomicity
     val withLedger = batchRecord match {
       case Some(id) =>
-        require(id >= 0 && id <= Int.MaxValue,
-          s"batchId $id outside the ledger's Int range")
         entries + (BatchesKey ->
-          ((prevEntries.getOrElse(BatchesKey, Seq.empty) :+ id.toInt)
+          ((prevEntries.getOrElse(BatchesKey, Seq.empty) :+ id)
             .distinct.takeRight(BatchLedgerKeep)))
       case None => entries
     }
     writeManifest(fs, path, dataDir, v1, withLedger)
     // GC: drop manifests older than the grace window, then gens no
-    // kept manifest (of ANY dataDir under this store) references
+    // kept manifest references. Both the live-gen set and the deletion
+    // root are scoped to THIS dataDir — each dataDir has its own .gens
+    // root and manifest family, so gen numbers are only meaningful
+    // per-dataDir.
     val keep = snapshotKeep(spark)
     val all = manifests(fs, path, dataDir)
     all.dropRight(keep + 1).foreach { case (_, p) => fs.delete(p, false) }
@@ -707,7 +1008,7 @@ object StoreSwap {
       fs.listStatus(gensRoot)
         .map(_.getPath)
         .filter(p => p.getName.startsWith("g") &&
-          p.getName.stripPrefix("g").toIntOption.exists(!live.contains(_)))
+          p.getName.stripPrefix("g").toLongOption.exists(!live.contains(_)))
         .foreach(p => fs.delete(p, true))
   }
 

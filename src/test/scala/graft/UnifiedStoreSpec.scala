@@ -1,0 +1,206 @@
+package graft
+
+import graft.operators.{Dedup, Fixtures, StoreSwap}
+import org.apache.spark.sql.functions._
+
+/** The UNIFIED store manifest ([[StoreSwap.unifyVersioning]]): one
+  * `store.v<N>` manifest spanning every dataDir, so composed
+  * multi-dataDir mutations commit with ONE rename
+  * ([[StoreSwap.transact]]) and any retained version is a CONSISTENT
+  * snapshot of the whole store — bands, sidecar, and signatures
+  * together, which is what makes historical judgment replay
+  * ([[Dedup.lshJudgeStoreAt]]) exact. */
+class UnifiedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs() = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "pack my box with five dozen liquor jugs"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "sphinx of black quartz judge my vow"),
+    (8L, "how vexingly quick daft zebras jump")
+  ).toDF("doc_id", "text")
+
+  private def sigs(df: org.apache.spark.sql.DataFrame) =
+    Dedup.minhashSignatures(df, "doc_id", "text", n = 3, numHashes = 4)
+
+  private def sigRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "k", "mh").orderBy("doc_id", "k").collect().toSeq
+
+  private def judgeRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b").orderBy("id_a", "id_b").collect().toSeq
+
+  /** A fully built versioned text store (data + bands + sidecar) over
+    * `standing`, migrated to the unified manifest. */
+  private def buildUnified(standing: org.apache.spark.sql.DataFrame): String = {
+    val path = Fixtures.tempDir("graft-ustore-").resolve("s").toString
+    Dedup.writeSignatureStore(sigs(standing), path, "doc_id",
+      buckets = 8, versioned = true)
+    Dedup.writeBandIndex(spark, path, "doc_id", bands = 2)
+    Dedup.writeShingleSidecar(spark, path, standing, "doc_id", "text",
+      n = 3)
+    Dedup.unifySignatureStore(spark, path)
+    path
+  }
+
+  test("unify is content-invariant and idempotent; later mutations commit unified") {
+    val standing = docs().filter(col("doc_id") < 4)
+    val before = sigRows(sigs(standing))
+    val path = buildUnified(standing)
+    assert(StoreSwap.isUnified(spark, path))
+    assert(sigRows(Dedup.readSignatureStore(spark, path)._1) == before)
+    // idempotent re-run changes nothing
+    Dedup.unifySignatureStore(spark, path)
+    assert(StoreSwap.snapshotVersions(spark, path, "data") == Seq(0))
+    assert(sigRows(Dedup.readSignatureStore(spark, path)._1) == before)
+    // data, bands, bands_inv, and shingles all resolve through the one
+    // manifest and report the SAME version line
+    Seq("bands", "bands_inv", "shingles").foreach { d =>
+      assert(StoreSwap.snapshotVersions(spark, path, d) ==
+        StoreSwap.snapshotVersions(spark, path, "data"), d)
+    }
+    // a post-unify mutation bumps the ONE store version
+    Dedup.mergeIntoSignatureStore(spark, path,
+      sigs(docs().filter(col("doc_id") === 8L)), "doc_id")
+    assert(StoreSwap.snapshotVersions(spark, path, "data").last == 1)
+    assert(sigRows(Dedup.readSignatureStore(spark, path)._1) ==
+      sigRows(sigs(docs().filter(col("doc_id") < 4 || col("doc_id") === 8L))))
+  }
+
+  test("transact publishes a composed ingest (3 merges + ack) as ONE version; failure leaves the pre-txn state") {
+    val standing = docs().filter(col("doc_id") < 4 && col("doc_id") =!= 2L)
+    val path = buildUnified(standing)
+    val preV = StoreSwap.snapshotVersions(spark, path, "data").last
+    val preSigs = sigRows(Dedup.readSignatureStore(spark, path)._1)
+    // a txn that fails mid-way must leave EVERY dataDir at the pre-txn
+    // version — the first merge had already staged and recorded
+    val boom = intercept[RuntimeException] {
+      StoreSwap.transact(spark, path) {
+        Dedup.mergeIntoSignatureStore(spark, path,
+          sigs(docs().filter(col("doc_id") === 2L)), "doc_id")
+        sys.error("boom")
+      }
+    }
+    assert(boom.getMessage.contains("boom"))
+    assert(StoreSwap.snapshotVersions(spark, path, "data").last == preV,
+      "failed txn bumped the store version")
+    assert(sigRows(Dedup.readSignatureStore(spark, path)._1) == preSigs,
+      "failed txn changed visible data")
+    // the composed exactly-once ingest commits as ONE version bump,
+    // with the ledger ack in the SAME manifest
+    val delta = docs().filter(col("doc_id") === 2L || col("doc_id") === 8L)
+    Dedup.ingestBatchIntoStore(spark, path, delta, "doc_id", "text",
+      batchId = Some(7L), n = 3, numHashes = 4)
+    val postV = StoreSwap.snapshotVersions(spark, path, "data").last
+    assert(postV == preV + 1,
+      s"composed ingest took ${postV - preV} commits, wanted 1")
+    assert(StoreSwap.committedBatches(spark, path, "data") == Set(7L))
+    assert(sigRows(Dedup.readSignatureStore(spark, path)._1) ==
+      sigRows(sigs(docs())))
+    // redelivery of the acked batch is skipped without a version bump
+    Dedup.ingestBatchIntoStore(spark, path, delta, "doc_id", "text",
+      batchId = Some(7L), n = 3, numHashes = 4)
+    assert(StoreSwap.snapshotVersions(spark, path, "data").last == postV)
+  }
+
+  test("historical judgment replays bit-exactly from a pinned unified version") {
+    val standing = docs().filter(col("doc_id") =!= 2L)
+    val path = buildUnified(standing)
+    val probe = Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "totally unrelated content nothing matches"))
+      .toDF("doc_id", "text")
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      val v0 = StoreSwap.snapshotVersions(spark, path, "data").last
+      val liveVerdict = judgeRows(Dedup.lshJudgeStore(spark, path,
+        standing, probe, "doc_id", "text", n = 3, numHashes = 4))
+      // mutate the store: ingest doc 2 (a dup of doc 0) — the LIVE
+      // judgment of the probe changes (new partner), the PINNED one
+      // must not
+      Dedup.ingestBatchIntoStore(spark, path,
+        docs().filter(col("doc_id") === 2L), "doc_id", "text",
+        n = 3, numHashes = 4)
+      val liveAfter = judgeRows(Dedup.lshJudgeStore(spark, path,
+        docs(), probe, "doc_id", "text", n = 3, numHashes = 4))
+      assert(liveAfter != liveVerdict,
+        "mutation should have changed the live verdict (weak scenario)")
+      val replay = judgeRows(Dedup.lshJudgeStoreAt(spark, path,
+        probe, "doc_id", "text", v0, n = 3, numHashes = 4))
+      assert(replay == liveVerdict,
+        "pinned replay diverged from the verdict at that version")
+      // per-dataDir versioned stores refuse asOf — signatures alone
+      // cannot replay a judgment
+      val perDir = Fixtures.tempDir("graft-ustore-").resolve("pd").toString
+      Dedup.writeSignatureStore(sigs(standing), perDir, "doc_id",
+        buckets = 8, versioned = true)
+      Dedup.writeBandIndex(spark, perDir, "doc_id", bands = 2)
+      Dedup.writeShingleSidecar(spark, perDir, standing, "doc_id",
+        "text", n = 3)
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.lshJudgeStoreAt(spark, perDir, probe, "doc_id", "text",
+          0, n = 3, numHashes = 4)
+      }
+      assert(ex.getMessage.contains("UNIFIED"), ex.getMessage)
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
+  test("a full overwrite carries the exactly-once ledger (no post-rewrite re-apply)") {
+    // ADVICE r12: versionedOverwrite rebuilt entries from empty and
+    // silently dropped #batches — a batch redelivered after a
+    // mid-stream full rewrite was re-applied. Both protocols must
+    // carry the ledger through replaceAll commits.
+    import graft.operators.Similarity
+    def vecs(a: Long, b: Long) = (a until b).map(i =>
+      (i, Seq.tabulate(4)(j => (i + j).toFloat), i % 4, 1.0))
+      .toDF("vec_id", "embedding", "cluster", "nrm")
+    val path = Fixtures.tempDir("graft-ustore-").resolve("emb").toString
+    Similarity.writeStandingStore(vecs(0, 8), path, "cluster",
+      buckets = 4, versioned = true)
+    Similarity.appendToStandingStore(vecs(8, 10), path, "cluster",
+      batchId = Some(3L))
+    assert(StoreSwap.committedBatches(spark, path, "data") == Set(3L))
+    // the mid-stream full rewrite (a refit's writeStandingStore)
+    Similarity.writeStandingStore(vecs(0, 10), path, "cluster",
+      buckets = 4, versioned = true)
+    assert(StoreSwap.committedBatches(spark, path, "data") == Set(3L),
+      "full overwrite dropped the exactly-once ledger")
+    // redelivery after the rewrite must still be a no-op
+    Similarity.appendToStandingStore(vecs(8, 10), path, "cluster",
+      batchId = Some(3L))
+    assert(Similarity.readStandingStore(spark, path)._1.count() == 10)
+  }
+
+  test("signature-store CDC: doc-level insert/update/delete, unchanged buckets never read") {
+    // buckets = 8 and ids 0,1,2,3,8 ⇒ d_bucket = doc_id % 8: doc 1 in
+    // bucket 1 stays untouched by every mutation below
+    val standing = docs()
+    val path = Fixtures.tempDir("graft-ustore-").resolve("cdc").toString
+    Dedup.writeSignatureStore(sigs(standing), path, "doc_id",
+      buckets = 8, versioned = true)
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      val v0 = Dedup.signatureStoreVersions(spark, path).last
+      // insert: a new doc (id 16 → bucket 0)
+      Dedup.mergeIntoSignatureStore(spark, path,
+        sigs(Seq((16L, "entirely new content for the feed"))
+          .toDF("doc_id", "text")), "doc_id")
+      // update: doc 3 gains shingles (prepend) — MIN-merge changes mh
+      Dedup.mergeIntoSignatureStore(spark, path,
+        sigs(Seq((3L, "zzz qqq xyz sphinx of black quartz judge my vow"))
+          .toDF("doc_id", "text")), "doc_id")
+      // delete: doc 8 forgotten
+      Dedup.forgetDocsFromSignatureStore(spark, path,
+        Seq(8L).toDF("doc_id"), "doc_id")
+      val live = Dedup.signatureStoreVersions(spark, path).last
+      val diff = Dedup.signatureStoreDiff(spark, path, "doc_id", v0, live)
+      val got = diff.orderBy("change", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("delete", 8L), ("insert", 16L), ("update", 3L)))
+      assert(diff.inputFiles.nonEmpty &&
+        !diff.inputFiles.exists(_.contains("d_bucket=1")),
+        s"diff read an unchanged bucket:\n${diff.inputFiles.mkString("\n")}")
+      assert(Dedup.signatureStoreDiff(spark, path, "doc_id", live, live)
+        .count() == 0)
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+}

@@ -28,7 +28,7 @@ class VersionedStoreSpec extends SparkSpec {
   /** Read a RESOLVED snapshot by its entries — what a reader that
     * loaded the manifest just before a mutation holds. */
   private def readResolved(path: String, dataDir: String,
-                           entries: Map[String, Seq[Int]]) = {
+                           entries: Map[String, Seq[Long]]) = {
     val byGen = entries.toSeq.flatMap { case (d, gs) => gs.map(_ -> d) }
       .groupBy(_._1).toSeq.sortBy(_._1)
     byGen.map { case (g, ds) =>
@@ -182,7 +182,8 @@ class VersionedStoreSpec extends SparkSpec {
       assert(Similarity.readStandingStore(spark, path)._1.count() == 17)
       // schema equality: the snapshot read is a full store read
       assert(Similarity.readStandingStoreAt(spark, path, v0)._1.columns
-        .sorted.toSeq == Seq("cluster", "embedding", "nrm", "vec_id"))
+        .sorted.toSeq ==
+        Similarity.readStandingStore(spark, path)._1.columns.sorted.toSeq)
     } finally spark.conf.unset("graft.store.snapshotKeep")
     // default keep (1): a third mutation ages v0 out — reading it
     // must fail naming the retained window, not return partial data
