@@ -80,18 +80,29 @@ object Bench {
     // the canonical stamp no matter what its total says.
     val loadStart = load1()
 
-    def execute(name: String): Double = {
+    /** One execution = (prepare_sec, exec_sec). `prepare` is the gate
+      * driver's own wall — for the composed store gates (q212/q220/
+      * q224/q227 style) that is the IN-GATE corpus-scale store BUILD
+      * plus mutations, executed eagerly before the returned plan; the
+      * timed `value` is the returned plan's execution (the judge /
+      * read path). Recording both decomposes build-vs-delta cost in
+      * the subset records, so a composed gate's sf1/sf10 ratio can be
+      * read per phase instead of as one conflated number. */
+    def execute(name: String): (Double, Double) = {
+      val tq0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      ((t0 - tq0) / 1e9, (System.nanoTime() - t0) / 1e9)
     }
 
-    /** One timed run; the load sample is taken BEFORE the run so it
-      * reflects pressure the run started under. */
-    def timed(name: String): (Double, Double) = {
+    /** One timed run — (exec_sec, load, prepare_sec); the load sample
+      * is taken BEFORE the run so it reflects pressure the run started
+      * under. */
+    def timed(name: String): (Double, Double, Double) = {
       val l = load1()
-      (execute(name), l)
+      val (prep, exec) = execute(name)
+      (exec, l, prep)
     }
 
     // measurement state per query: best secs, load of the best run, and
@@ -102,7 +113,8 @@ object Bench {
     // external burst, in contrast, hits one of the two runs harder than
     // the other, so a wide spread marks exactly the entries worth
     // re-timing. Round-3's 9.9s-vs-1.1s q33 entry had spread ~9.
-    final case class M(secs: Double, load: Double, spread: Double, retimes: Int)
+    final case class M(secs: Double, load: Double, spread: Double,
+                       retimes: Int, prep: Double = -1.0)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, M]
 
     // Fixed calibration workload (hash 8·10⁹ longs across the session's
@@ -185,7 +197,8 @@ object Bench {
         val b = timed(name)
         val best = if (a._1 <= b._1) a else b
         val spread = math.max(a._1, b._1) / math.max(1e-9, math.min(a._1, b._1))
-        results(name) = M(best._1, best._2, spread, 0)
+        results(name) = M(best._1, best._2, spread, 0,
+          prep = math.min(a._3, b._3))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         results(name) = M(-1.0, -1.0, -1.0, 0)
@@ -216,12 +229,12 @@ object Bench {
           (cur.spread > SpreadThresh || overPrior(name, cur.secs))) {
           tries += 1
           try {
-            val (s, l) = timed(name)
+            val (s, l, p) = timed(name)
             val agree = math.max(s, cur.secs) / math.max(1e-9, math.min(s, cur.secs))
             // keep the faster measurement; the new spread is the re-run's
             // agreement with it — two runs that agree close the case
-            if (s < cur.secs) cur = M(s, l, agree, tries)
-            else cur = M(cur.secs, cur.load, agree, tries)
+            if (s < cur.secs) cur = M(s, l, agree, tries, math.min(p, cur.prep))
+            else cur = M(cur.secs, cur.load, agree, tries, math.min(p, cur.prep))
           } catch { case e: Throwable =>
             System.err.println(s"[bench] retime $name failed: ${e.getMessage}")
             tries = 2
@@ -244,6 +257,12 @@ object Bench {
       .mkString("{", ",", "}")
     val retimed = results.collect { case (k, m) if m.retimes > 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // driver-side prepare wall (in-gate store builds/mutations) per
+    // query, emitted where it is material — the build-vs-delta
+    // decomposition of the composed gates
+    val preps = results.collect { case (k, m) if m.prep > 0.05 =>
+      "\"" + k + "\":" + fmt(m.prep) }
+      .mkString("{", ",", "}")
     // entries whose runs never converged — treat their times as suspect
     val unstable = results.collect {
       case (k, m) if m.secs >= 0 && m.spread > SpreadThresh => "\"" + k + "\""
@@ -323,6 +342,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""query_load":$loads,"query_spread":$spreads,"retimed":$retimed,""" +
+        s""""query_prepare":$preps,""" +
         s""""unstable":$unstable,"over_prior":$overPriorList,""" +
         s""""sf":"$sfDir","loadavg":"$load","load_start":${fmt(loadStart)}""" +
         s""","calib_sec":${fmt(calib)},"calib_start":${fmt(calibStart)}""" +

@@ -89,6 +89,33 @@ object Dedup {
                         maxShingleFreq: Int = 1000): DataFrame =
     ngramJaccardPairsScoped(df, idCol, textCol, n, threshold, maxShingleFreq).df
 
+  /** [[ngramJaccardPairs]] with a SCALE ESCAPE HATCH — the cascade's
+    * near-dup stage at 100 TB: the exact shingle self-join's candidate
+    * space grows with DUPLICATE DENSITY (every doc pair sharing any
+    * shingle is a candidate), which is what made the q163 cascade 29×
+    * for 100× data at sf10. Above `graft.dedup.bandedAbove` documents
+    * (default 100000) pair GENERATION routes through MinHash banding
+    * (the q21 machinery, 32 hashes × 16 bands = 2 rows/band —
+    * collision probability s² per band, ≥99% recall at the 0.5
+    * threshold and →1 above it) while verification stays EXACT
+    * Jaccard over the shingle hashes, so emitted pairs carry true
+    * scores and false candidates are discarded; the only deviation
+    * from the exact path is banding recall on near-threshold pairs.
+    * Below the threshold the exact join runs unchanged (the oracle
+    * gates the exact path at sf0.01). */
+  def ngramJaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double,
+                            maxShingleFreq: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    val bandedAbove = spark.conf.getOption("graft.dedup.bandedAbove")
+      .flatMap(_.toLongOption).getOrElse(100000L)
+    if (df.count() <= bandedAbove)
+      ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleFreq)
+    else
+      minhashLshPairs(df, idCol, textCol, n, numHashes = 32, bands = 16,
+        threshold = threshold)
+  }
+
   /** [[ngramJaccardPairs]] with an owned cache handle (see the class doc's
     * cache-lifecycle paragraph). */
   def ngramJaccardPairsScoped(df: DataFrame, idCol: String, textCol: String,

@@ -791,9 +791,13 @@ object Similarity {
     *                  data commits reader-atomically (old or new complete
     *                  snapshot, never a mid-swap hole). The PQ sidecar's
     *                  three artifacts keep their own `_pending_pq`
-    *                  crash-atomic swap either way — splitting `pq_codes`
-    *                  into a separate manifest would reopen exactly the
-    *                  codebook/codes split-brain that protocol closes. */
+    *                  crash-atomic swap on per-dataDir stores (splitting
+    *                  `pq_codes` into a SEPARATE manifest would reopen the
+    *                  codebook/codes split-brain that protocol closes);
+    *                  on a UNIFIED store ([[unifyStandingStore]]) the
+    *                  triple instead commits inside one
+    *                  [[StoreSwap.transact]] manifest rename — reader-
+    *                  atomic, no maintenance window. */
   def writeStandingStore(assigned: DataFrame, path: String,
                          clusterCol: String = "cluster",
                          buckets: Int = 64,
@@ -843,6 +847,17 @@ object Similarity {
     * store's data, ascending; last = the live version. */
   def standingStoreVersions(spark: SparkSession, path: String): Seq[Int] =
     StoreSwap.snapshotVersions(spark, path, "data")
+
+  /** Migrate an embedding standing store to [[StoreSwap]]'s UNIFIED
+    * manifest. Only `data` migrates directly; a legacy PQ sidecar
+    * keeps serving through its `_pending_pq` protocol until the next
+    * [[writePqSidecar]], which rewrites the triple as versioned
+    * dataDirs committed in ONE [[StoreSwap.transact]] rename — from
+    * then on sidecar rewrites are reader-atomic (a concurrent flavored
+    * read pins codebook, meta, and codes at one store version via
+    * [[pqPin]] and can never observe a mixed triple). */
+  def unifyStandingStore(spark: SparkSession, path: String): Unit =
+    StoreSwap.unifyVersioning(spark, path, Seq("data"))
 
   /** MANIFEST-PRUNED CDC between two retained versions of a versioned
     * standing store: (change, vec_id, cluster) rows where `change` is
@@ -1066,21 +1081,54 @@ object Similarity {
   /** The PQ sidecar's three artifacts — codebook, flavor marker, codes
     * — must change TOGETHER: any live mix of old and new (old codes
     * under a new flavor marker, old codes under a new codebook) serves
-    * silently wrong distances. [[writePqSidecar]] therefore stages all
-    * three under dot-dirs (invisible to readers), commits with one
-    * marker-file create, and swaps each with one rename;
-    * [[pqRecover]] — called by every sidecar read/mutation entry —
-    * rolls a committed-but-unapplied swap forward. Same protocol as
-    * [[StoreSwap]], specialized to the sidecar's whole-directory
-    * replacement. The guarantee is CRASH-atomicity: a process dying at
-    * any point leaves either the old sidecar or (after roll-forward)
-    * the new one. The three post-commit renames are NOT reader-atomic —
-    * a reader racing the swap could observe a new codebook with old
-    * codes — but concurrent readers during mutation are already
-    * excluded by the store contract ([[StoreSwap]]'s concurrency
-    * paragraph); serve reads through a snapshot (the versioned-manifest
-    * read path) or schedule them outside maintenance windows. */
+    * silently wrong distances. Two protocols, by store mode:
+    *
+    *  - '''Legacy / per-dataDir-versioned stores''': [[writePqSidecar]]
+    *    stages all three under dot-dirs (invisible to readers), commits
+    *    with one marker-file create, and swaps each with one rename;
+    *    [[pqRecover]] — called by every sidecar read/mutation entry —
+    *    rolls a committed-but-unapplied swap forward. The guarantee is
+    *    CRASH-atomicity: a process dying at any point leaves either the
+    *    old sidecar or (after roll-forward) the new one. The three
+    *    post-commit renames are NOT reader-atomic, so concurrent reads
+    *    during a sidecar rewrite need a maintenance window (the store
+    *    contract already excludes them).
+    *  - '''UNIFIED stores''' ([[StoreSwap.unifyVersioning]]): the three
+    *    artifacts are ordinary versioned dataDirs committed inside ONE
+    *    [[StoreSwap.transact]] — a single manifest rename publishes the
+    *    whole triple, and every flavored read resolves codebook, meta,
+    *    and codes AT ONE PINNED STORE VERSION ([[pqPin]]), so a reader
+    *    racing the rewrite sees the old or the new TRIPLE, never a mix:
+    *    fully reader-atomic, no maintenance window. The codebook and
+    *    meta gain a constant `part=0` partition column (the versioned
+    *    reader infers partition columns from dir names; harmless to
+    *    every consumer). */
   private val PqSidecarDirs = Seq("pq_codebook", "pq_meta", "pq_codes")
+
+  /** Whether the sidecar commits through the unified store manifest:
+    * the flavor marker is a versioned dataDir there. */
+  private def pqVersioned(spark: SparkSession, path: String): Boolean =
+    StoreSwap.isUnified(spark, path) &&
+      StoreSwap.latestSnapshot(spark, path, "pq_meta").isDefined
+
+  /** The pinned store version EVERY artifact of one flavored read
+    * resolves at — the reader-atomicity point: three separate
+    * latest-manifest resolutions could straddle a commit, a single
+    * pinned version cannot. None = legacy live-dir sidecar. */
+  private def pqPin(spark: SparkSession, path: String): Option[Int] =
+    if (pqVersioned(spark, path))
+      Some(StoreSwap.snapshotVersions(spark, path, "pq_meta").last)
+    else None
+
+  /** A sidecar artifact at the pinned version (or the legacy live
+    * dir). */
+  private def pqDirDf(spark: SparkSession, path: String, dataDir: String,
+                      partCol: String, pin: Option[Int]): DataFrame =
+    pin match {
+      case Some(v) =>
+        StoreSwap.readVersionedAt(spark, path, dataDir, partCol, v)
+      case None => spark.read.parquet(s"$path/$dataDir")
+    }
 
   private def pqPending(path: String) =
     new org.apache.hadoop.fs.Path(path + "/_pending_pq")
@@ -1127,26 +1175,49 @@ object Similarity {
     val (df, buckets) = readStandingStore(spark, path)
     val fs = pqPending(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    PqSidecarDirs.foreach { d => // orphans of a pre-commit crash
-      val stg = new org.apache.hadoop.fs.Path(s"$path/.staging-$d")
-      if (fs.exists(stg)) fs.delete(stg, true)
-    }
     val (enc, encCol) =
       pqEncInput(spark, path, df, vecCol, residual, rotate, m * dsub)
     val cents = pqCodebooks(enc, idCol, encCol, m, dsub, ksub)
       .localCheckpoint(true) // m·ksub rows — bounded model state
-    cents.coalesce(1).write.mode("overwrite")
-      .parquet(path + "/.staging-pq_codebook")
     // the encoding FLAVOR is a property of the sidecar, recorded with
     // it — search and ingest auto-detect instead of trusting callers
     // to pass a matching flag forever
-    spark.range(1).select(lit(residual).as("residual"),
-        lit(rotate).as("rotated"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(path + "/.staging-pq_meta")
-    packedCodes(enc, cents, idCol, encCol, m, dsub)
+    val meta = spark.range(1).select(lit(residual).as("residual"),
+      lit(rotate).as("rotated"))
+    val codes = packedCodes(enc, cents, idCol, encCol, m, dsub)
       .withColumn("c_bucket",
         pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
+    if (StoreSwap.isUnified(spark, path)) {
+      // READER-ATOMIC commit: the three artifacts become versioned
+      // dataDirs published by ONE manifest rename. A crash anywhere
+      // inside the txn leaves the previous triple fully live.
+      StoreSwap.transact(spark, path) {
+        StoreSwap.overwriteDir(spark, path, "pq_codebook", "part",
+          cents.withColumn("part", lit(0)), Seq(col("sub"), col("cid")),
+          forceVersioned = true)
+        StoreSwap.overwriteDir(spark, path, "pq_meta", "part",
+          meta.withColumn("part", lit(0)), Seq(col("residual")),
+          forceVersioned = true)
+        StoreSwap.overwriteDir(spark, path, "pq_codes", "c_bucket",
+          codes, Seq(col("cluster"), col("id")), forceVersioned = true)
+      }
+      // retire any LEGACY artifact dirs (a store unified after its
+      // sidecar was built): the versioned triple owns the names now
+      PqSidecarDirs.foreach { d =>
+        val live = new org.apache.hadoop.fs.Path(s"$path/$d")
+        if (fs.exists(live)) fs.delete(live, true)
+      }
+      return
+    }
+    PqSidecarDirs.foreach { d => // orphans of a pre-commit crash
+      val stg = new org.apache.hadoop.fs.Path(s"$path/.staging-$d")
+      if (fs.exists(stg)) fs.delete(stg, true)
+    }
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(path + "/.staging-pq_codebook")
+    meta.coalesce(1).write.mode("overwrite")
+      .parquet(path + "/.staging-pq_meta")
+    codes
       .repartition(col("c_bucket"))
       .sortWithinPartitions(col("cluster"), col("id"))
       .write.mode("overwrite").partitionBy("c_bucket")
@@ -1237,20 +1308,23 @@ object Similarity {
     * [[writePqSidecar]] in `pq_meta`; absent marker = vanilla, absent
     * `rotated` column = unrotated (sidecars written before each flavor
     * existed). */
-  private def pqFlavor(spark: SparkSession, path: String): (Boolean, Boolean) = {
+  private def pqFlavor(spark: SparkSession, path: String,
+                       pin: Option[Int] = None): (Boolean, Boolean) = {
     // every flavored read/mutation funnels through here — roll a
     // committed-but-unapplied sidecar swap forward before trusting the
-    // marker (the marker and the codes must never be read split-brain)
-    pqRecover(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path + "/pq_meta")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) (false, false)
-    else {
-      val meta = spark.read.parquet(path + "/pq_meta")
-      val row = meta.head
-      (row.getAs[Boolean]("residual"),
-        meta.columns.contains("rotated") && row.getAs[Boolean]("rotated"))
+    // marker (the marker and the codes must never be read split-brain);
+    // a unified-store pin supersedes this: the triple resolves from one
+    // immutable manifest and there is no swap to roll forward
+    val effPin = pin.orElse { pqRecover(spark, path); pqPin(spark, path) }
+    if (effPin.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path + "/pq_meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return (false, false)
     }
+    val meta = pqDirDf(spark, path, "pq_meta", "part", effPin)
+    val row = meta.head
+    (row.getAs[Boolean]("residual"),
+      meta.columns.contains("rotated") && row.getAs[Boolean]("rotated"))
   }
 
   /** Encode vectors against a PQ codebook relation into ONE row per
@@ -1289,15 +1363,21 @@ object Similarity {
                     dsub: Int): Unit = StoreSwap.withLease(spark, path) {
     StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
-    val pqcb = spark.read.parquet(path + "/pq_codebook")
     // a residual/rotated sidecar's deltas must be encoded the same way
-    // — the flavor travels with the sidecar, not the caller
-    val (residual, rotated) = pqFlavor(spark, path)
+    // — the flavor travels with the sidecar, not the caller. Pin the
+    // codebook and flavor to ONE version (versioned sidecars).
+    val pin = pqPin(spark, path)
+    val pqcb = pqDirDf(spark, path, "pq_codebook", "part", pin)
+    val (residual, rotated) = pqFlavor(spark, path, pin)
     val (enc, encCol) =
       pqEncInput(spark, path, delta, vecCol, residual, rotated, m * dsub)
-    packedCodes(enc, pqcb, idCol, encCol, m, dsub)
+    val coded = packedCodes(enc, pqcb, idCol, encCol, m, dsub)
       .withColumn("c_bucket",
         pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
+    if (pin.isDefined)
+      StoreSwap.appendDir(spark, path, "pq_codes", "c_bucket", coded,
+        Seq(col("cluster"), col("id")))
+    else coded
       .repartition(col("c_bucket"))
       .sortWithinPartitions(col("cluster"), col("id"))
       .write.mode("append").partitionBy("c_bucket")
@@ -1388,12 +1468,14 @@ object Similarity {
     // per-query-complete top-k results is exact. The budget is
     // per-query bytes (map entries × residual's nProbe multiplier)
     // against `graft.pq.maxBroadcastMb` (default 64).
-    val (residual, rotated) = pqFlavor(spark, storePath)
+    val pin = pqPin(spark, storePath)
+    val (residual, rotated) = pqFlavor(spark, storePath, pin)
     val targetBytes = math.max(1.0, spark.conf
       .getOption("graft.pq.maxBroadcastMb")
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
       .getOrElse(64.0) * 1024 * 1024)
-    val ksub = spark.read.parquet(storePath + "/pq_codebook").count() / m
+    val ksub = pqDirDf(spark, storePath, "pq_codebook", "part", pin)
+      .count() / m
     // BOTH flavors broadcast one m×ksub distance map per PROBE row —
     // the vanilla side builds one map per query but joins it onto
     // probesM before broadcasting, duplicating it into every probe row
@@ -1420,7 +1502,7 @@ object Similarity {
       .flatMap(_.toIntOption).getOrElse(1)
     if (chunks == 1)
       pqAdcChunk(spark, storePath, queries, probesM, idCol, vecCol,
-        m, dsub, k, residual, rotated)
+        m, dsub, k, residual, rotated, pin)
     else if (chunks <= maxSerial)
       (0 until chunks).map { i =>
         pqAdcChunk(spark, storePath,
@@ -1428,12 +1510,12 @@ object Similarity {
             pmod(xxhash64(col(idCol)), lit(chunks.toLong)) === i),
           probesM.filter(
             pmod(xxhash64(col("query_id")), lit(chunks.toLong)) === i),
-          idCol, vecCol, m, dsub, k, residual, rotated)
+          idCol, vecCol, m, dsub, k, residual, rotated, pin)
           .localCheckpoint(true) // run now; free this chunk's broadcast
       }.reduce(_ unionByName _)
     else
       pqAdcChunk(spark, storePath, queries, probesM, idCol, vecCol,
-        m, dsub, k, residual, rotated, broadcastTables = false)
+        m, dsub, k, residual, rotated, pin, broadcastTables = false)
   }
 
   /** One bounded-broadcast slice of the store ADC search — the whole
@@ -1444,14 +1526,15 @@ object Similarity {
                          idCol: String, vecCol: String, m: Int,
                          dsub: Int, k: Int, residual: Boolean,
                          rotated: Boolean,
+                         pin: Option[Int] = None,
                          broadcastTables: Boolean = true): DataFrame = {
     val buckets = spark.read.parquet(storePath + "/meta").head.getInt(0)
     val probed = probesM.select(col("qc")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val tb = probed.map(c => (((c % buckets) + buckets) % buckets).toInt)
       .distinct
-    val pqcb = spark.read.parquet(storePath + "/pq_codebook")
-    val codes = spark.read.parquet(storePath + "/pq_codes")
+    val pqcb = pqDirDf(spark, storePath, "pq_codebook", "part", pin)
+    val codes = pqDirDf(spark, storePath, "pq_codes", "c_bucket", pin)
       .filter(col("c_bucket").isin(tb: _*) &&
         col("cluster").isin(probed: _*))
       .select(col("id").as("nid"), col("codes"), col("cluster"))
@@ -1607,7 +1690,7 @@ object Similarity {
     val frag = fragBuckets(spark, path, "pq_codes", "c_bucket",
       maxFilesPerBucket)
     if (frag.isEmpty) return Seq.empty
-    val slice = spark.read.parquet(path + "/pq_codes")
+    val slice = StoreSwap.readDir(spark, path, "pq_codes", "c_bucket")
       .filter(col("c_bucket").isin(frag: _*))
     StoreSwap.stagedRewrite(spark, path, "c_bucket", frag, slice,
       Seq(col("cluster"), col("id")), "pq_codes")
@@ -1661,10 +1744,8 @@ object Similarity {
   private def refreshPqCodes(spark: SparkSession, path: String,
                              df: DataFrame, idCol: String,
                              vecCol: String): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(path + "/pq_codebook")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return
-    val geo = spark.read.parquet(path + "/pq_codebook")
+    if (!StoreSwap.dirExists(spark, path, "pq_codebook")) return
+    val geo = StoreSwap.readDir(spark, path, "pq_codebook", "part")
       .agg(max(col("sub")).as("m1"), max(size(col("cent"))).as("d")).head
     appendPqCodes(spark, path,
       df.select(col(idCol), col(vecCol), col("cluster")),
@@ -1679,10 +1760,8 @@ object Similarity {
                           touched: Seq[Int],
                           keep: DataFrame => DataFrame): Unit = {
     pqRecover(spark, path)
-    val dir = new org.apache.hadoop.fs.Path(path + "/pq_codes")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return
-    val slice = spark.read.parquet(path + "/pq_codes")
+    if (!StoreSwap.dirExists(spark, path, "pq_codes")) return
+    val slice = StoreSwap.readDir(spark, path, "pq_codes", "c_bucket")
       .filter(col("c_bucket").isin(touched: _*))
     StoreSwap.stagedRewrite(spark, path, "c_bucket", touched, keep(slice),
       Seq(col("cluster"), col("id")), "pq_codes")
@@ -1816,12 +1895,12 @@ object Similarity {
     // geometry didn't move — only coarse ids did); a crash between the
     // append and this leaves the fresh clusters under-served by the PQ
     // path (codes absent), never wrongly served — re-run the refresh
-    val codesDir = new org.apache.hadoop.fs.Path(path + "/pq_codes")
-    val codesToRefresh = if (!tmpFs.exists(codesDir)) reassigned else {
+    val codesToRefresh =
+      if (!StoreSwap.dirExists(spark, path, "pq_codes")) reassigned else {
       val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
       val fb = freshIds
         .map(c => (((c % buckets) + buckets) % buckets).toInt).distinct
-      val present = spark.read.parquet(path + "/pq_codes")
+      val present = StoreSwap.readDir(spark, path, "pq_codes", "c_bucket")
         .filter(col("c_bucket").isin(fb: _*) &&
           col("cluster").isin(freshIds: _*))
         .select(col("id").as(idCol))

@@ -170,6 +170,77 @@ class UnifiedStoreSpec extends SparkSpec {
     assert(Similarity.readStandingStore(spark, path)._1.count() == 10)
   }
 
+  test("unified PQ sidecar: the triple commits in ONE rename and a pinned reader never sees a mix") {
+    import graft.operators.Similarity
+    def corpus() = (0L until 40L).map(i =>
+      (i, Seq.tabulate(4)(j => ((i * 7 % 13) + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding",
+      2, 2)
+    def assigned() = corpus()
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val path = Fixtures.tempDir("graft-ustore-").resolve("pq").toString
+    Similarity.writeStandingStore(assigned(), path, "cluster",
+      buckets = 8, versioned = true)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.unifyStandingStore(spark, path)
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+        m = 2, dsub = 2, ksub = 4)
+      // the triple is versioned now — no legacy live dirs, no pending
+      // marker protocol
+      Seq("pq_codebook", "pq_meta", "pq_codes").foreach { d =>
+        assert(!new java.io.File(s"$path/$d").exists, s"legacy $d dir")
+      }
+      val v0 = StoreSwap.snapshotVersions(spark, path, "pq_meta").last
+      val servedV0 = Similarity.pqTopKStore(spark, path,
+          corpus().filter(col("vec_id") === 1L), "vec_id", "embedding",
+          m = 2, dsub = 2, k = 5, nProbe = 2)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+      assert(servedV0.nonEmpty)
+      // FULL triple rewrite under a different flavor = ONE version bump
+      Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+        m = 2, dsub = 2, ksub = 4, residual = true)
+      val v1 = StoreSwap.snapshotVersions(spark, path, "pq_meta").last
+      assert(v1 == v0 + 1,
+        s"triple rewrite took ${v1 - v0} commits, wanted 1")
+      // the OLD triple stays resolvable AS A TRIPLE at v0: flavor,
+      // codebook, and codes from the same pinned manifest
+      val oldMeta = StoreSwap.readVersionedAt(spark, path, "pq_meta",
+        "part", v0).head
+      assert(!oldMeta.getAs[Boolean]("residual"))
+      assert(StoreSwap.readVersionedAt(spark, path, "pq_codes",
+        "c_bucket", v0).count() == 40)
+      val newMeta = StoreSwap.readVersionedAt(spark, path, "pq_meta",
+        "part", v1).head
+      assert(newMeta.getAs[Boolean]("residual"))
+      // the live search serves the new flavor end-to-end
+      assert(Similarity.pqTopKStore(spark, path,
+          corpus().filter(col("vec_id") === 1L), "vec_id", "embedding",
+          m = 2, dsub = 2, k = 5, nProbe = 2).count() == 5)
+      // a triple rewrite that CRASHES mid-way publishes NOTHING — the
+      // live triple stays the residual one in full (no mixed state
+      // for any reader, which is the reader-atomicity claim in its
+      // crash form)
+      import spark.implicits._
+      intercept[RuntimeException] {
+        StoreSwap.transact(spark, path) {
+          StoreSwap.overwriteDir(spark, path, "pq_meta", "part",
+            Seq((false, false, 0)).toDF("residual", "rotated", "part"),
+            Seq(col("residual")), forceVersioned = true)
+          sys.error("crash between meta and codes")
+        }
+      }
+      assert(StoreSwap.snapshotVersions(spark, path, "pq_meta").last == v1)
+      val liveMeta = StoreSwap.readDir(spark, path, "pq_meta", "part").head
+      assert(liveMeta.getAs[Boolean]("residual"),
+        "a crashed triple rewrite leaked a partial artifact")
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
   test("signature-store CDC: doc-level insert/update/delete, unchanged buckets never read") {
     // buckets = 8 and ids 0,1,2,3,8 ⇒ d_bucket = doc_id % 8: doc 1 in
     // bucket 1 stays untouched by every mutation below
