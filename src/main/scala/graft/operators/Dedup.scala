@@ -1364,8 +1364,10 @@ object Dedup {
     // Beyond the cap (a 4000-value OR chain overflowed the parquet
     // evaluator's stack; splitting per band into 8 unioned scans paid
     // more in scan setup than it pruned) the single unpruned scan
-    // stands: large batches amortize it across their docs — per-batch
-    // flatness matters for the small continuous batches under the cap.
+    // stands for THIS chunk — but the caller sizes chunks to the cap
+    // (pdChunks in [[lshJudgeStore]]) precisely so mid-size deltas
+    // never get here; only batches past graft.lsh.maxJudgeChunks
+    // amortize the unpruned scan across their docs instead.
     val idx0 = storeDir("bands", "bb_bucket")
       .filter(col("bb_bucket").isin(touched: _*))
     val dSigVals = dRows.select(col("bsig")).distinct()
