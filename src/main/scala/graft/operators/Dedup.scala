@@ -1249,16 +1249,58 @@ object Dedup {
                     threshold: Double = 0.5,
                     asOf: Option[Int] = None): DataFrame = {
     require(asOf.isEmpty || StoreSwap.isUnified(spark, path),
-      s"$path: historical judgment (asOf) needs the UNIFIED manifest —" +
+      s"$path: historical judgment (asOf) needs the UNIFIED manifest -" +
         " per-dataDir versions pin signatures only (bands and sidecar" +
         " version independently); migrate with unifySignatureStore")
     // a judgment-only process must also roll forward a crashed index
     // mutation's committed swap, or it serves stale band rows
     StoreSwap.recover(spark, path)
-    val (bands, _) = bandsMeta(spark, path)
+    val (bands, r) = bandsMeta(spark, path)
+    require(bands * r == numHashes, "band geometry must match the store")
+    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    // version-pinned store reads for the historical replay (meta and
+    // bands_meta stay live - layout constants fixed at build time)
+    def storeDir(dataDir: String, partCol: String): DataFrame = asOf match {
+      case Some(v) =>
+        StoreSwap.readVersionedAt(spark, path, dataDir, partCol, v)
+      case None => dirDf(spark, path, dataDir, partCol)
+    }
+    val sidecarPresent = asOf match {
+      case Some(v) =>
+        StoreSwap.snapshotEntriesAt(spark, path, "shingles", v).nonEmpty
+      case None => shingleSidecarExists(spark, path)
+    }
+    if (asOf.isDefined) require(sidecarPresent,
+      s"$path has no shingle sidecar at version ${asOf.get} - historical" +
+        " judgment has no text fallback (the corpus text of that moment" +
+        " is gone); only sidecar-carrying versions replay")
+    if (sidecarPresent) {
+      val sn = spark.read.parquet(path + "/shingles_meta").head.getInt(0)
+      require(sn == n,
+        s"shingle width n=$n must match the sidecar's (n=$sn)")
+    }
+    // DELTA-SIDE RELATIONS, computed ONCE for every chunk: the
+    // signatures/band rows and the distinct shingle hashes are the
+    // delta's whole footprint - materializing them here means a chunk
+    // costs only its own store reads and joins, not a re-derivation of
+    // the delta (the round-13 probe measured per-chunk re-derivation at
+    // ~4 s fixed cost x chunk count before this hoist)
+    val dSigs = minhashSignatures(delta, idCol, textCol, n, numHashes, seed)
+    val dRowsAll = bandRows(dSigs, idCol, bands, r, buckets)
+      .select(col("id").as("d_id"), col("band"), col("bsig"),
+        col("bb_bucket"))
+      .localCheckpoint(true) // bounded: |delta| x bands rows
+    val dShAll = docShingles(delta, idCol, textCol, n)
+      .select(col("id").as("d_id"), polyHash(col("sh")).as("x")).distinct()
+      .localCheckpoint(true) // bounded: the delta's distinct shingles
+    // sidecar-less fallback: the standing corpus' shingle hashes,
+    // derived from text - corpus-footprint, shared by every chunk (lazy;
+    // each chunk semi-joins its own candidates against it)
+    lazy val standingSh = docShingles(standingDocs, idCol, textCol, n)
+      .select(col("id").as("s_id"), polyHash(col("sh")).as("x")).distinct()
     // DELTA-BATCH CHUNKING, the text twin of the PQ search's: the
     // delta's band rows are the broadcast side of the candidate join,
-    // so an unbounded batch (1M docs × bands rows) would blow the
+    // so an unbounded batch (1M docs x bands rows) would blow the
     // broadcast budget. Judgments are per-delta-doc independent, so
     // hash-chunking the delta and unioning the per-chunk results is
     // exact; each chunk executes eagerly (one broadcast alive at a
@@ -1269,46 +1311,45 @@ object Dedup {
       .getOption("graft.lsh.maxBroadcastMb")
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
       .getOrElse(64.0) * 1024 * 1024)
-    val nDelta = delta.select(col(idCol)).distinct().count()
+    val nDelta = dRowsAll.select(col("d_id")).distinct().count()
     val bcChunks = math.max(1L,
       math.ceil(nDelta.toDouble * bands * 112L / targetBytes).toLong).toInt
     // PUSHDOWN-SIZED sub-chunking, the second chunking driver: each
-    // chunk's band-signature list (≤ chunkDocs × bands values) and
+    // chunk's band-signature list (<= chunkDocs x bands values) and
     // candidate-id list only reach the parquet readers while they fit
-    // [[PushdownCap]] — past it the scans fall back to the unpruned
+    // [[PushdownCap]] - past it the scans fall back to the unpruned
     // band-index slice and per-batch judge cost tracks STANDING size
-    // (round-12 evidence: 1.60× per 10× standing at 500-doc deltas vs
-    // 1.28× at 100 where both rungs engage). Sizing chunks to the cap
+    // (round-12 evidence: 1.60x per 10x standing at 500-doc deltas vs
+    // 1.28x at 100 where both rungs engage). Sizing chunks to the cap
     // keeps the rungs engaged for mid-size deltas at the price of one
-    // extra pruned scan per chunk. Unbounded it would explode (a 1M-doc
-    // batch would mean 8000 scans), so past `graft.lsh.maxJudgeChunks`
-    // (default 16) chunks the batch is big enough to amortize the
-    // unpruned scan and only the broadcast budget drives the split.
+    // extra pruned scan per chunk; `graft.lsh.maxJudgeChunks` (default
+    // 16) bounds the loop - past it the batch is big enough to
+    // amortize the unpruned scan and only the broadcast budget drives
+    // the split. Set maxJudgeChunks=1 to disable pushdown sizing.
     val maxJudgeChunks = spark.conf.getOption("graft.lsh.maxJudgeChunks")
       .flatMap(_.toIntOption).getOrElse(16)
     val pdChunks = math.ceil(nDelta.toDouble * bands / PushdownCap).toInt
     val chunks =
       if (pdChunks > bcChunks && pdChunks <= maxJudgeChunks) pdChunks
       else bcChunks
-    if (chunks == 1)
-      lshJudgeChunk(spark, path, standingDocs, delta, idCol, textCol,
-        n, numHashes, seed, threshold, asOf)
+    def slice(dRows: DataFrame, dSh: DataFrame): DataFrame =
+      lshJudgeSlice(spark, path, dRows, dSh, standingSh, sidecarPresent,
+        buckets, threshold, storeDir)
+    if (chunks == 1) slice(dRowsAll, dShAll)
     else
       (0 until chunks).map { i =>
-        lshJudgeChunk(spark, path, standingDocs,
-          delta.filter(
-            pmod(xxhash64(col(idCol)), lit(chunks.toLong)) === i),
-          idCol, textCol, n, numHashes, seed, threshold, asOf)
+        val in = pmod(xxhash64(col("d_id")), lit(chunks.toLong)) === i
+        slice(dRowsAll.filter(in), dShAll.filter(in))
           .localCheckpoint(true) // run now; free this chunk's broadcast
       }.reduce(_ unionByName _)
   }
 
   /** HISTORICAL JUDGMENT REPLAY: judge `delta` against the store AS OF
-    * retained unified version `version` — the band index AND the
+    * retained unified version `version` - the band index AND the
     * shingle sidecar resolve from the SAME pinned manifest, so the
     * verdicts are bit-exactly what [[lshJudgeStore]] returned when
     * that version was live (the consistency the unified manifest
-    * exists for; per-dataDir versioning cannot offer this — its
+    * exists for; per-dataDir versioning cannot offer this - its
     * time-travel pins signatures only). Audits, incident replay,
     * "what would yesterday's corpus have said about this batch". */
   def lshJudgeStoreAt(spark: SparkSession, path: String,
@@ -1322,52 +1363,28 @@ object Dedup {
       delta, idCol, textCol, n, numHashes, seed, threshold,
       asOf = Some(version))
 
-  /** One bounded-broadcast slice of the store judgment — the whole
-    * algorithm for delta batches under the budget. */
-  private def lshJudgeChunk(spark: SparkSession, path: String,
-                            standingDocs: DataFrame, delta: DataFrame,
-                            idCol: String, textCol: String, n: Int,
-                            numHashes: Int, seed: Long,
+  /** One bounded-broadcast slice of the store judgment, over the
+    * PRE-COMPUTED delta relations (band rows + distinct shingle
+    * hashes) - a chunk pays only its own store reads and joins. */
+  private def lshJudgeSlice(spark: SparkSession, path: String,
+                            dRows: DataFrame, dSh: DataFrame,
+                            standingSh: => DataFrame,
+                            sidecarPresent: Boolean, buckets: Int,
                             threshold: Double,
-                            asOf: Option[Int] = None): DataFrame = {
-    val (bands, r) = bandsMeta(spark, path)
-    require(bands * r == numHashes, "band geometry must match the store")
-    val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
-    // version-pinned store reads for the historical replay (meta and
-    // bands_meta stay live — layout constants fixed at build time)
-    def storeDir(dataDir: String, partCol: String): DataFrame = asOf match {
-      case Some(v) =>
-        StoreSwap.readVersionedAt(spark, path, dataDir, partCol, v)
-      case None => dirDf(spark, path, dataDir, partCol)
-    }
-    val sidecarPresent = asOf match {
-      case Some(v) =>
-        StoreSwap.snapshotEntriesAt(spark, path, "shingles", v).nonEmpty
-      case None => shingleSidecarExists(spark, path)
-    }
-    if (asOf.isDefined) require(sidecarPresent,
-      s"$path has no shingle sidecar at version ${asOf.get} — historical" +
-        " judgment has no text fallback (the corpus text of that moment" +
-        " is gone); only sidecar-carrying versions replay")
-    val dSigs = minhashSignatures(delta, idCol, textCol, n, numHashes, seed)
-    val dRows = bandRows(dSigs, idCol, bands, r, buckets)
-      .select(col("id").as("d_id"), col("band"), col("bsig"),
-        col("bb_bucket"))
-      .localCheckpoint(true) // bounded: |delta|·bands rows
+                            storeDir: (String, String) => DataFrame): DataFrame = {
     val touched = dRows.select(col("bb_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     // same two pruning rungs as the sidecar read below: bucket dirs
     // always, plus the delta's band-signature list pushed into the
-    // scan when it fits [[PushdownCap]] — the index files are
+    // scan when it fits [[PushdownCap]] - the index files are
     // (band, bsig)-sorted within each bucket, so page stats skip
     // non-colliding rows instead of scanning the full standing index.
     // Beyond the cap (a 4000-value OR chain overflowed the parquet
     // evaluator's stack; splitting per band into 8 unioned scans paid
     // more in scan setup than it pruned) the single unpruned scan
-    // stands for THIS chunk — but the caller sizes chunks to the cap
-    // (pdChunks in [[lshJudgeStore]]) precisely so mid-size deltas
-    // never get here; only batches past graft.lsh.maxJudgeChunks
-    // amortize the unpruned scan across their docs instead.
+    // stands for THIS chunk - the caller sizes chunks to the cap
+    // (pdChunks) so mid-size deltas never get here; only batches past
+    // graft.lsh.maxJudgeChunks amortize the unpruned scan instead.
     val idx0 = storeDir("bands", "bb_bucket")
       .filter(col("bb_bucket").isin(touched: _*))
     val dSigVals = dRows.select(col("bsig")).distinct()
@@ -1377,42 +1394,37 @@ object Dedup {
     val cand = idx.join(broadcast(dRows), Seq("band", "bsig"))
       .filter(col("id") =!= col("d_id"))
       .select(col("id").as("s_id"), col("d_id")).distinct()
-      .localCheckpoint(true) // candidate pairs — read 3-4×  below
+      .localCheckpoint(true) // candidate pairs - read 3-4x below
     // exact verification at the polyHash level (oracle-exact even under
-    // 31-bit hash collisions — both engines count the same x values)
-    val dSh = docShingles(delta, idCol, textCol, n)
-      .select(col("id").as("d_id"), polyHash(col("sh")).as("x")).distinct()
+    // 31-bit hash collisions - both engines count the same x values)
     val sIds = cand.select(col("s_id")).distinct()
-      .localCheckpoint(true) // candidate DOCS — bounded, read 2-3× below
+      .localCheckpoint(true) // candidate DOCS - bounded, read 2-3x below
     val sSh = if (sidecarPresent) {
       // DOC-FOOTPRINT verification: candidate docs' hash sets from their
-      // own sidecar buckets — the standing corpus text never opens
-      val sn = spark.read.parquet(path + "/shingles_meta").head.getInt(0)
-      require(sn == n,
-        s"shingle width n=$n must match the sidecar's (n=$sn)")
+      // own sidecar buckets - the standing corpus text never opens
       val db = sIds
         .select(pmod(col("s_id"), lit(buckets.toLong)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       // two pruning rungs: directory-level (the candidates' d_buckets)
-      // always; and — when the candidate set is bounded — the ids
+      // always; and - when the candidate set is bounded - the ids
       // PUSHED DOWN into the parquet scan itself, where the id-sorted
       // files' page stats skip non-candidate pages (dir pruning alone
       // goes blind once candidates outnumber buckets, and a broadcast
       // semi-join filters rows only AFTER they are read). The literal
       // id list is bounded by [[PushdownCap]] (the parquet OR-chain
-      // depth limit — see the index read above); beyond it the
+      // depth limit - see the index read above); beyond it the
       // semi-join path keeps correctness and the bucket count carries
       // the pruning. Sessions must raise
       // spark.sql.parquet.pushdown.inFilterThreshold (default 10) to
       // the cap so the IN list actually reaches the parquet reader as
       // OR-of-equals rather than a min/max range.
-      val nCand = sIds.count()
+      val ids = sIds.limit(PushdownCap + 1)
+        .collect().map(_.getLong(0)).toSeq
       val base = storeDir("shingles", "d_bucket")
         .filter(col("d_bucket").isin(db: _*))
-      val rows = (if (nCand <= PushdownCap) {
-        val ids = sIds.collect().map(_.getLong(0)).toSeq
+      val rows = (if (ids.length <= PushdownCap)
         base.filter(col("id").isin(ids: _*))
-      } else base.join(sIds.withColumnRenamed("s_id", "id"),
+      else base.join(sIds.withColumnRenamed("s_id", "id"),
         Seq("id"), "left_semi"))
         .select(col("id").as("s_id"), col("x"))
       // an incomplete sidecar must fail, not silently drop verdicts
@@ -1422,13 +1434,11 @@ object Dedup {
         .count()
       if (nMissing > 0) sys.error(
         s"$nMissing candidate doc(s) have no shingle sidecar rows under" +
-          s" $path/shingles — the sidecar is incomplete; merge the" +
+          s" $path/shingles - the sidecar is incomplete; merge the" +
           " missing docs with mergeShinglesIntoStore (or rebuild with" +
           " writeShingleSidecar) before judging")
       rows
-    } else docShingles(standingDocs, idCol, textCol, n)
-      .select(col("id").as("s_id"), polyHash(col("sh")).as("x")).distinct()
-      .join(sIds, Seq("s_id"), "left_semi")
+    } else standingSh.join(sIds, Seq("s_id"), "left_semi")
     val sizesD = dSh.groupBy(col("d_id")).agg(count(lit(1)).as("n_d"))
     val sizesS = sSh.groupBy(col("s_id")).agg(count(lit(1)).as("n_s"))
     cand.join(sSh, "s_id").join(dSh, Seq("d_id", "x"))
