@@ -107,8 +107,17 @@ object Dedup {
                             n: Int, threshold: Double,
                             maxShingleFreq: Int = 1000): DataFrame = {
     val spark = df.sparkSession
+    // MEASURED (round 13, sf10, 1M docs, quiet box): the banded route
+    // ran 81-102s vs the exact join's 43-61s on the benchmark corpus —
+    // its 32-minhash build outweighs the candidate-space saving when
+    // duplicate multiplicity is low (1 partner/doc), and HIGH-
+    // multiplicity clusters blow up BOTH generators (every cluster
+    // member collides in every band). Default is therefore OFF
+    // (threshold = Long.MaxValue); set graft.dedup.bandedAbove for
+    // corpora where the shingle join's candidate space, not the pair
+    // output, is the bottleneck (high shingle-df, low dup density).
     val bandedAbove = spark.conf.getOption("graft.dedup.bandedAbove")
-      .flatMap(_.toLongOption).getOrElse(100000L)
+      .flatMap(_.toLongOption).getOrElse(Long.MaxValue)
     if (df.count() <= bandedAbove)
       ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleFreq)
     else
@@ -237,23 +246,46 @@ object Dedup {
   }
 
   /** 64-bit SimHash over token hashes: sign of per-bit weighted sums.
-    * Columnar construction: explode tokens → per-bit contribution ±1 →
-    * sum per (id, bit) → assemble signature. */
+    * Columnar construction WITHOUT the per-bit row explosion: each token
+    * instance carries its full 64-element ±1 contribution vector, folded
+    * to per-document sums by ONE element-wise [[graft.plans.ArraySumAgg]]
+    * — the aggregate sees |instances| rows, not |instances|x64 (the
+    * explode formulation was the measured dominator of the sf10 dedup
+    * cascade: ~1.2e10 rows through the (id, bit) aggregate). Sums are
+    * identical, so results are bit-equal to the explode form. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(split(TextOps.normalizeText(col(textCol)), " ")).as("t"))
       .withColumn("h", xxhash64(col("t")))
-    val bits = toks.select(col("id"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("contrib",
-        when(expr("shiftright(h, CAST(bit AS INT)) & 1") === 1L, 1).otherwise(-1))
-    bits.groupBy(col("id"), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-          .otherwise(lit(0L)))
-      .groupBy(col("id"))
-      .agg(sum(col("bitval")).as("simhash"))
+    val contribRow = array((0 until 64).map { i =>
+      when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)
+    }: _*)
+    signBitsToLong(sumContribs(toks, contribRow, 64), 64)
+  }
+
+  /** Per-doc contribution sums via one [[graft.plans.ArraySumAgg]]. */
+  private def sumContribs(toks: DataFrame, contribRow: Column,
+                          bits: Int): DataFrame = {
+    val sumAgg = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(
+        graft.plans.ArraySumAgg(GraftColumnBridge.expression(contribRow),
+          bits).toAggregateExpression())
+    }
+    toks.groupBy(col("id")).agg(sumAgg.as("s"))
+  }
+
+  /** (id, s: array of per-bit sums) → (id, simhash): bit i set iff
+    * s(i) > 0 — the same positive-sum rule as the explode formulation,
+    * assembled by summing disjoint powers of two. */
+  private def signBitsToLong(sums: DataFrame, bits: Int): DataFrame = {
+    val pows = typedlit(Seq.tabulate(bits)(i => 1L << i))
+    sums.select(col("id"),
+      aggregate(
+        zip_with(col("s"), pows,
+          (v, pw) => when(v > 0, pw).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x).as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs with Hamming distance ≤ maxDist,
@@ -338,20 +370,16 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
         explode(split(TextOps.normalizeText(col(textCol)), " ")).as("t"))
       .withColumn("h", polyHash(col("t")))
-    val contribs = coefs.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("bit"),
-        when(pmod(col("h") * lit(a) + lit(b), lit(p)) < lit(p / 2), 1)
-          .otherwise(-1).as("contrib"))
-    }
-    toks.select(col("id"), explode(array(contribs: _*)).as("bc"))
-      .select(col("id"), col("bc.bit").as("bit"), col("bc.contrib").as("contrib"))
-      .groupBy(col("id"), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-          .otherwise(lit(0L)))
-      .groupBy(col("id"))
-      .agg(sum(col("bitval")).as("simhash"))
+    // one ±1 vector per token INSTANCE, summed by the element-wise
+    // aggregate — no |instances|×bits explosion (see [[simhash]]'s
+    // scaladoc for the measured sf10 rationale); sums, and therefore
+    // signatures, are bit-equal to the explode formulation, so the
+    // SQL oracle replay is unchanged
+    val contribRow = array(coefs.map { case (a, b) =>
+      when(pmod(col("h") * lit(a) + lit(b), lit(p)) < lit(p / 2), 1L)
+        .otherwise(-1L)
+    }: _*)
+    signBitsToLong(sumContribs(toks, contribRow, bits), bits)
   }
 
   /** Universal-hash coefficients (a_i, b_i) for [[simhashPortable]] — also
@@ -1318,16 +1346,21 @@ object Dedup {
     // chunk's band-signature list (<= chunkDocs x bands values) and
     // candidate-id list only reach the parquet readers while they fit
     // [[PushdownCap]] - past it the scans fall back to the unpruned
-    // band-index slice and per-batch judge cost tracks STANDING size
-    // (round-12 evidence: 1.60x per 10x standing at 500-doc deltas vs
-    // 1.28x at 100 where both rungs engage). Sizing chunks to the cap
-    // keeps the rungs engaged for mid-size deltas at the price of one
-    // extra pruned scan per chunk; `graft.lsh.maxJudgeChunks` (default
-    // 16) bounds the loop - past it the batch is big enough to
-    // amortize the unpruned scan and only the broadcast budget drives
-    // the split. Set maxJudgeChunks=1 to disable pushdown sizing.
+    // band-index slice. MEASURED AND REJECTED as the default
+    // (round 13, BandIndexProbe at 500k docs, quiet box, delta
+    // relations hoisted): 500-doc deltas 18.8s in 4 pushdown chunks vs
+    // 8.3s unchunked; 5000-doc deltas 95s in 40 chunks vs 8.1s
+    // unchunked - per-chunk fixed cost (store listings, candidate
+    // collects, verify joins) dwarfs the page-skip win, and the
+    // unpruned slice scan AMORTIZES: flatness per 10x standing is
+    // 1.14x at 100 docs (pushdown engaged, single chunk), 1.60x at
+    // 500 (the worst point - scan not yet amortized), and 1.19x at
+    // 5000 (amortized). `graft.lsh.maxJudgeChunks` (default 1 =
+    // pushdown sizing off) keeps the lever for deployments where a
+    // chunk's fixed cost is cheaper than an index-slice exchange;
+    // the broadcast budget below still chunks huge batches.
     val maxJudgeChunks = spark.conf.getOption("graft.lsh.maxJudgeChunks")
-      .flatMap(_.toIntOption).getOrElse(16)
+      .flatMap(_.toIntOption).getOrElse(1)
     val pdChunks = math.ceil(nDelta.toDouble * bands / PushdownCap).toInt
     val chunks =
       if (pdChunks > bcChunks && pdChunks <= maxJudgeChunks) pdChunks

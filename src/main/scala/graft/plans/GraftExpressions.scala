@@ -775,6 +775,46 @@ case class TokenMatchCount(child: Expression, words: Seq[String])
     copy(child = c)
 }
 
+/** Element-wise SUM over fixed-length `array<long>` rows — the SimHash
+  * per-bit accumulation as ONE aggregate column: each input row carries a
+  * token instance's full ±1 contribution vector, and the group's sums
+  * arrive without exploding `bits` rows per instance (the explode
+  * formulation pushed 1.2e10 rows through the aggregate at sf10 — the
+  * measured dominator of the dedup cascade; this keeps the row count at
+  * the instance count with a `bits`-wide buffer). Declarative
+  * (`zip_with(buf, row, +)`), so map-side partial aggregation and buffer
+  * merging come for free.
+  */
+case class ArraySumAgg(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  private val arrTpe = ArrayType(LongType, containsNull = true)
+  override def dataType: DataType = arrTpe
+  override def nullable: Boolean = false
+
+  private lazy val buf = AttributeReference("sumbuf", arrTpe, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(buf)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal.create(Seq.fill(n)(0L), arrTpe))
+
+  private def ewAdd(a: Expression, b: Expression): Expression = {
+    val x = NamedLambdaVariable("x", LongType, nullable = true)
+    val y = NamedLambdaVariable("y", LongType, nullable = true)
+    ZipWith(a, b, LambdaFunction(Add(x, y), Seq(x, y)))
+  }
+  // a null input array must be skipped (like the built-in sum), not fed
+  // to zip_with - whose null-out would poison the buffer for the group
+  override lazy val updateExpressions: Seq[Expression] =
+    Seq(If(IsNull(child), buf, ewAdd(buf, child)))
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(ewAdd(buf.left, buf.right))
+  override lazy val evaluateExpression: Expression = buf
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Element-wise minimum over fixed-length `array<long>` rows — the MinHash
   * signature fold as ONE aggregate column instead of `numHashes` separate
   * `min` aggregates (which widen the plan and the aggregation buffer

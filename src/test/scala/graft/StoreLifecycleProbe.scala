@@ -177,13 +177,14 @@ object StoreLifecycleProbe {
         base.filter(col("vec_id") < 100000), "vec_id", "embedding",
         m = 4, dsub = 16, k = 5, sProbe = 8, nProbe = 4).count()
     }
-    // the same 100k batch FORCED onto the shuffled-ADC plan — the
-    // crossover measurement for graft.pq.maxSerialChunks: below the
-    // cap the serial broadcast chunks win or tie (this pair records
-    // which), far above it the shuffle is the only plan that doesn't
-    // scale wall time with chunk count
-    spark.conf.set("graft.pq.maxSerialChunks", "1")
-    val pqSearch100kShuffleSec = t {
+    // the same 100k batch FORCED onto the serial broadcast-chunk loop
+    // — the crossover measurement for graft.pq.maxSerialChunks: the
+    // default is now 1 (any over-budget batch shuffles, after round
+    // 12 measured the shuffle winning already at 2 chunks), so the
+    // AUTO tier above records the shuffle and this tier records what
+    // the old serial plan would have cost
+    spark.conf.set("graft.pq.maxSerialChunks", "99")
+    val pqSearch100kSerialSec = t {
       Similarity.pqTopKStoreTwoLevel(spark, store,
         base.filter(col("vec_id") < 100000), "vec_id", "embedding",
         m = 4, dsub = 16, k = 5, sProbe = 8, nProbe = 4).count()
@@ -379,9 +380,9 @@ object StoreLifecycleProbe {
       f""""pq_search1000_sec":$pqSearchBigSec%.2f,""" +
       f""""pq_search1000_two_level_sec":$pqSearchBigLadderSec%.2f,""" +
       f""""pq_vs_float_ladder_overlap_pct":$overlapPct,""" +
-      f""""pq_search100k_chunked_sec":$pqSearch100kSec%.2f,""" +
+      f""""pq_search100k_auto_sec":$pqSearch100kSec%.2f,""" +
       f""""pq_search100k_rows":$search100kRows,""" +
-      f""""pq_search100k_shuffle_sec":$pqSearch100kShuffleSec%.2f,""" +
+      f""""pq_search100k_serial_sec":$pqSearch100kSerialSec%.2f,""" +
       f""""pq_search1m_shuffle_sec":$pqSearch1mSec%.2f,""" +
       f""""pq_search1m_rows":$search1mRows,""" +
       f""""pq256_write_sec":$pqWrite256Sec%.2f,""" +
