@@ -118,7 +118,10 @@ object Dedup {
     // output, is the bottleneck (high shingle-df, low dup density).
     val bandedAbove = spark.conf.getOption("graft.dedup.bandedAbove")
       .flatMap(_.toLongOption).getOrElse(Long.MaxValue)
-    if (df.count() <= bandedAbove)
+    // The count is a full corpus pass; with the knob unset the branch is
+    // statically decidable (n <= MaxValue always), so don't buy a scan
+    // to compute it — at 100 TB that count is an extra job per cascade.
+    if (bandedAbove == Long.MaxValue || df.count() <= bandedAbove)
       ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleFreq)
     else
       minhashLshPairs(df, idCol, textCol, n, numHashes = 32, bands = 16,
@@ -840,20 +843,18 @@ object Dedup {
     if (changed.isEmpty)
       return spark.range(0).select(lit("").as("change"),
         lit(0L).as(idCol)).filter(lit(false))
-    // per-doc signature FINGERPRINT over the changed buckets only: the
-    // k-sorted (k, mh) fold is order-canonical, so equal fingerprints
-    // ⇔ equal signatures (the fold is the oracle-replayable polynomial
-    // accumulator, not a black-box hash)
+    // per-doc signature VALUE over the changed buckets only: the
+    // k-sorted (k, mh) collect is order-canonical, and the comparison
+    // is on the full mh array — exact, no hash-collision bound (a
+    // 31-bit fingerprint would silently drop ~2^-31 of real updates
+    // from a feed a replica trusts). k longs per doc over the
+    // mutation footprint is still delta-scale, not corpus-scale.
     def side(v: Int, as: String) =
       StoreSwap.readVersionedAt(spark, path, "data", "d_bucket", v,
           buckets = Some(changed))
         .groupBy(col(idCol))
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("k"), col("mh")))),
-            e => e.getField("mh")),
-          lit(7L),
-          (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L)))
-          .as(as))
+        .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+          e => e.getField("mh")).as(as))
     side(fromV, "old_fp")
       .join(side(toV, "new_fp"), Seq(idCol), "full_outer")
       .withColumn("change",

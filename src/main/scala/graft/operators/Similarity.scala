@@ -1099,10 +1099,15 @@ object Similarity {
     *    whole triple, and every flavored read resolves codebook, meta,
     *    and codes AT ONE PINNED STORE VERSION ([[pqPin]]), so a reader
     *    racing the rewrite sees the old or the new TRIPLE, never a mix:
-    *    fully reader-atomic, no maintenance window. The codebook and
-    *    meta gain a constant `part=0` partition column (the versioned
-    *    reader infers partition columns from dir names; harmless to
-    *    every consumer). */
+    *    fully reader-atomic, no maintenance window. The ONE-TIME
+    *    cutover rewrite of a store unified after its sidecar was built
+    *    is the exception: it leaves the legacy dirs in place (readers
+    *    that resolved them pre-commit finish safely) and the NEXT
+    *    rewrite retires them — a reader still running across both
+    *    rewrites falls under the legacy maintenance-window contract it
+    *    started under. The codebook and meta gain a constant `part=0`
+    *    partition column (the versioned reader infers partition
+    *    columns from dir names; harmless to every consumer). */
   private val PqSidecarDirs = Seq("pq_codebook", "pq_meta", "pq_codes")
 
   /** Whether the sidecar commits through the unified store manifest:
@@ -1188,6 +1193,21 @@ object Similarity {
       .withColumn("c_bucket",
         pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
     if (StoreSwap.isUnified(spark, path)) {
+      // Retire LEGACY artifact dirs of a store unified after its
+      // sidecar was built — but only once a versioned triple has
+      // ALREADY been serving reads (i.e. on the rewrite AFTER the
+      // cutover one): deleting them in the same call that publishes
+      // the first versioned triple would race a reader that resolved
+      // the legacy path just before the commit (pqVersioned was still
+      // false for it). Deferred, the dirs are dead weight for one
+      // rewrite cycle; a reader that began before the cutover commit
+      // and is STILL running at the next rewrite falls under the
+      // legacy maintenance-window contract it started under.
+      if (pqVersioned(spark, path))
+        PqSidecarDirs.foreach { d =>
+          val live = new org.apache.hadoop.fs.Path(s"$path/$d")
+          if (fs.exists(live)) fs.delete(live, true)
+        }
       // READER-ATOMIC commit: the three artifacts become versioned
       // dataDirs published by ONE manifest rename. A crash anywhere
       // inside the txn leaves the previous triple fully live.
@@ -1200,12 +1220,6 @@ object Similarity {
           forceVersioned = true)
         StoreSwap.overwriteDir(spark, path, "pq_codes", "c_bucket",
           codes, Seq(col("cluster"), col("id")), forceVersioned = true)
-      }
-      // retire any LEGACY artifact dirs (a store unified after its
-      // sidecar was built): the versioned triple owns the names now
-      PqSidecarDirs.foreach { d =>
-        val live = new org.apache.hadoop.fs.Path(s"$path/$d")
-        if (fs.exists(live)) fs.delete(live, true)
       }
       return
     }

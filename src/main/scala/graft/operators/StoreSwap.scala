@@ -342,7 +342,8 @@ object StoreSwap {
   // live judgment saw at that version. Generation numbers stay
   // per-dataDir (allocated max+1 over every retained reference and
   // whatever is on disk, so orphans of crashed commits can never
-  // collide); reserved keys (#batches) are store-level.
+  // collide); ledger keys are namespaced per dataDir
+  // (`#batches:<dataDir>`) so independent batch streams never alias.
 
   /** The manifest family name of the unified mode — reserved; no
     * dataDir may be called this. */
@@ -382,26 +383,34 @@ object StoreSwap {
     }
 
   /** A dataDir's slice of a unified entry map: bare partDir keys, plus
-    * the store-level reserved keys (#batches). */
+    * the dataDir's OWN namespaced ledger renamed to the per-dataDir
+    * `#batches` key (other dataDirs' ledgers are not its business). */
   private def sliceDataDir(all: Map[String, Seq[Long]],
                            dataDir: String): Map[String, Seq[Long]] = {
     val pfx = dataDir + "/"
+    val bk = unifiedBatchesKey(dataDir)
     all.collect {
-      case (k, v) if isReservedKey(k) => k -> v
+      // only THIS dataDir's namespaced ledger, under its per-dataDir
+      // name — the slice looks exactly like a per-dataDir manifest
+      case (k, v) if k == bk => BatchesKey -> v
       case (k, v) if k.startsWith(pfx) => k.stripPrefix(pfx) -> v
     }
   }
 
   /** MIGRATE a versioned store to the unified manifest: each dataDir's
     * LATEST per-dataDir state (or its legacy live dir, renamed in as
-    * generation 0) becomes its slice of `store.v0`, and the old
-    * per-dataDir manifest families are retired. The store.v0 rename is
-    * the commit point — a crash before it leaves the store on its old
-    * protocol untouched; a crash after it leaves stale per-dataDir
-    * manifest files that a re-run deletes (reads already prefer the
-    * unified manifest). Per-dataDir HISTORY is not carried over: the
-    * unified numbering starts fresh at v0 (document the cutover in
-    * operational runbooks; retention windows restart). Idempotent. */
+    * generation 0) becomes its slice of the first `store.v<N>`
+    * manifest, and the old per-dataDir manifest families are retired.
+    * That manifest rename is the commit point — a crash before it
+    * leaves the store on its old protocol (a dataDir whose live→g0
+    * rename already completed is ADOPTED by the re-run, not skipped);
+    * a crash after it leaves stale per-dataDir manifest files that a
+    * re-run deletes (reads already prefer the unified manifest).
+    * Per-dataDir HISTORY is not carried over — retention restarts at
+    * the cutover — and the unified numbering starts ABOVE every
+    * pre-migration version, so a read of a pre-migration version
+    * number fails fast with the cutover runbook message instead of
+    * aliasing a later unified snapshot. Idempotent. */
   def unifyVersioning(spark: SparkSession, path: String,
                       dataDirs: Seq[String]): Unit = withLease(spark, path) {
     require(!dataDirs.contains(StoreFamily),
@@ -410,32 +419,50 @@ object StoreSwap {
     val fs = fsOf(spark, versionsDir(path))
     if (!isUnified(spark, path)) {
       var all = Map.empty[String, Seq[Long]]
+      // The unified numbering starts ABOVE every per-dataDir version:
+      // per-dataDir history is not carried across the cutover
+      // (retention restarts), and starting at v0 would let a
+      // pre-migration version NUMBER silently alias a later unified
+      // snapshot — a reader asking for the old "v2" must fail fast
+      // ([[readVersionedAt]]'s cutover message), never get a different
+      // store state that happens to share the number.
+      var startV = 0
       dataDirs.foreach { d =>
         val perDir = manifests(fs, path, d)
         if (perDir.nonEmpty) {
+          startV = math.max(startV, perDir.last._1 + 1)
           val e = readManifest(fs, perDir.last._2)
           all ++= e.collect {
             case (k, gs) if !isReservedKey(k) => s"$d/$k" -> gs
           }
+          // each dataDir tracked its OWN batch stream pre-migration;
+          // keep them namespaced so overlapping batch ids from
+          // independent streams can't alias into one store-wide ledger
           e.get(BatchesKey).foreach { ids =>
-            all += BatchesKey -> (all.getOrElse(BatchesKey, Seq.empty) ++ ids)
-              .distinct.takeRight(BatchLedgerKeep)
+            all += unifiedBatchesKey(d) -> ids
           }
         } else {
           val live = new Path(s"$path/$d")
+          val g0 = new Path(s"$path/$d.gens/g0")
           if (fs.exists(live)) {
-            val g0 = new Path(s"$path/$d.gens/g0")
             fs.mkdirs(g0.getParent)
             if (fs.exists(g0)) fs.delete(g0, true) // crashed predecessor
             if (!fs.rename(live, g0))
               sys.error(s"could not migrate $live to $g0")
+          }
+          // Adopt g0 whether THIS run renamed it or a crashed
+          // predecessor did (rename done, store.v0 not yet written):
+          // skipping a live-less g0 would commit a manifest WITHOUT the
+          // dataDir and orphan its data, breaking the idempotence
+          // contract. The rename is the per-dataDir migration point;
+          // the manifest write below is the store-wide commit point.
+          if (fs.exists(g0))
             all ++= fs.listStatus(g0)
               .filter(s => s.isDirectory && s.getPath.getName.contains("="))
               .map(s => s"$d/${s.getPath.getName}" -> Seq(0L))
-          }
         }
       }
-      writeManifest(fs, path, StoreFamily, 0, all) // the commit point
+      writeManifest(fs, path, StoreFamily, startV, all) // the commit point
     }
     // retire the per-dataDir families (also the crash-after-commit
     // cleanup path): the unified manifest took precedence the instant
@@ -547,8 +574,9 @@ object StoreSwap {
           stagedP.map(_ -> Seq(gen))
     val withLedger = batchRecord match {
       case Some(id) =>
-        entries + (BatchesKey ->
-          ((all0.getOrElse(BatchesKey, Seq.empty) :+ id)
+        val bk = unifiedBatchesKey(dataDir)
+        entries + (bk ->
+          ((all0.getOrElse(bk, Seq.empty) :+ id)
             .distinct.takeRight(BatchLedgerKeep)))
       case None => entries
     }
@@ -697,9 +725,13 @@ object StoreSwap {
     * acknowledges). */
   def committedBatches(spark: SparkSession, path: String,
                        dataDir: String): Set[Long] =
-    (if (isUnified(spark, path)) unifiedView(spark, path).map(_._2)
-     else latestSnapshot(spark, path, dataDir).map(_._2))
-      .flatMap(_.get(BatchesKey))
+    (if (isUnified(spark, path))
+       // per-dataDir namespaced ledger: two dataDirs tracking
+       // independent streams with overlapping batch ids must not alias
+       unifiedView(spark, path).map(_._2)
+         .flatMap(_.get(unifiedBatchesKey(dataDir)))
+     else latestSnapshot(spark, path, dataDir).map(_._2)
+       .flatMap(_.get(BatchesKey)))
       .map(_.toSet)
       .getOrElse(Set.empty)
 
@@ -725,6 +757,14 @@ object StoreSwap {
   }
 
   private val BatchesKey = "#batches"
+
+  /** Unified-manifest ledger key for one dataDir's batch stream. The
+    * per-dataDir protocol keys its ledger `#batches` inside the
+    * dataDir's own manifest; the unified manifest is store-wide, so
+    * the dataDir goes INTO the key — a migrated store's streams stay
+    * as independent as they were before migration. */
+  private def unifiedBatchesKey(dataDir: String): String =
+    s"$BatchesKey:$dataDir"
 
   /** How many trailing batch ids the ledger retains. Structured
     * Streaming redelivers at most the batches after the last epoch the
@@ -856,10 +896,23 @@ object StoreSwap {
     val family = if (unified) StoreFamily else dataDir
     val all = manifests(fs, path, family)
     val p = all.collectFirst { case (v, mp) if v == version => mp }
-      .getOrElse(sys.error(s"$path/$dataDir has no retained manifest" +
-        s" v$version — retained: ${all.map(_._1).mkString(",")}" +
-        " (raise graft.store.snapshotKeep before mutating to widen" +
-        " the time-travel window)"))
+      .getOrElse {
+        val cutoverHint =
+          if (unified && all.headOption.exists(version < _._1))
+            " — it was either GC'd past graft.store.snapshotKeep or" +
+              " PREDATES this store's unifyVersioning cutover" +
+              " (per-dataDir history does not carry across migration;" +
+              " the unified numbering starts above every pre-migration" +
+              " version so old numbers fail here instead of aliasing." +
+              " Runbook: restore from archive or re-run the producing" +
+              " mutation)"
+          else
+            " (raise graft.store.snapshotKeep before mutating to widen" +
+              " the time-travel window)"
+        sys.error(s"$path/$dataDir has no retained manifest" +
+          s" v$version — retained: ${all.map(_._1).mkString(",")}" +
+          cutoverHint)
+      }
     val entries =
       if (unified) sliceDataDir(readManifest(fs, p), dataDir)
       else readManifest(fs, p)

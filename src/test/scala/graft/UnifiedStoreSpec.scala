@@ -49,9 +49,13 @@ class UnifiedStoreSpec extends SparkSpec {
     val path = buildUnified(standing)
     assert(StoreSwap.isUnified(spark, path))
     assert(sigRows(Dedup.readSignatureStore(spark, path)._1) == before)
-    // idempotent re-run changes nothing
+    // idempotent re-run changes nothing; the unified numbering starts
+    // ABOVE the per-dataDir versions (cutover anti-aliasing), one
+    // retained version right after migration
+    val v0 = StoreSwap.snapshotVersions(spark, path, "data")
     Dedup.unifySignatureStore(spark, path)
-    assert(StoreSwap.snapshotVersions(spark, path, "data") == Seq(0))
+    assert(StoreSwap.snapshotVersions(spark, path, "data") == v0 &&
+      v0.size == 1)
     assert(sigRows(Dedup.readSignatureStore(spark, path)._1) == before)
     // data, bands, bands_inv, and shingles all resolve through the one
     // manifest and report the SAME version line
@@ -62,7 +66,8 @@ class UnifiedStoreSpec extends SparkSpec {
     // a post-unify mutation bumps the ONE store version
     Dedup.mergeIntoSignatureStore(spark, path,
       sigs(docs().filter(col("doc_id") === 8L)), "doc_id")
-    assert(StoreSwap.snapshotVersions(spark, path, "data").last == 1)
+    assert(StoreSwap.snapshotVersions(spark, path, "data").last ==
+      v0.head + 1)
     assert(sigRows(Dedup.readSignatureStore(spark, path)._1) ==
       sigRows(sigs(docs().filter(col("doc_id") < 4 || col("doc_id") === 8L))))
   }
@@ -239,6 +244,113 @@ class UnifiedStoreSpec extends SparkSpec {
       assert(liveMeta.getAs[Boolean]("residual"),
         "a crashed triple rewrite leaked a partial artifact")
     } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
+  test("pre-migration version numbers fail fast with the cutover message (never alias)") {
+    val standing = docs().filter(col("doc_id") < 4)
+    val path = Fixtures.tempDir("graft-ustore-").resolve("cut").toString
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      Dedup.writeSignatureStore(sigs(standing), path, "doc_id",
+        buckets = 8, versioned = true)
+      // a second per-dataDir version, so pre-migration history has
+      // MULTIPLE version numbers a user could remember
+      Dedup.mergeIntoSignatureStore(spark, path,
+        sigs(docs().filter(col("doc_id") === 8L)), "doc_id")
+      assert(StoreSwap.snapshotVersions(spark, path, "data") == Seq(0, 1))
+      Dedup.unifySignatureStore(spark, path)
+      val unifiedVs = StoreSwap.snapshotVersions(spark, path, "data")
+      assert(unifiedVs.head > 1,
+        s"unified numbering must start above pre-migration versions:" +
+          s" $unifiedVs")
+      // the pre-migration v0/v1 must not resolve to ANY snapshot —
+      // fail fast, cutover named, runbook included
+      Seq(0, 1).foreach { v =>
+        val ex = intercept[RuntimeException] {
+          StoreSwap.readVersionedAt(spark, path, "data", "d_bucket", v)
+        }
+        assert(ex.getMessage.contains("cutover"), ex.getMessage)
+        assert(ex.getMessage.contains("Runbook"), ex.getMessage)
+      }
+      // the live unified read is intact
+      assert(Dedup.readSignatureStore(spark, path)._1
+        .select("doc_id").distinct().count() == 5)
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
+  test("a crashed migration's completed live->g0 rename is adopted, not orphaned") {
+    val standing = docs().filter(col("doc_id") < 4)
+    val before = sigRows(sigs(standing))
+    val path = Fixtures.tempDir("graft-ustore-").resolve("crash").toString
+    Dedup.writeSignatureStore(sigs(standing), path, "doc_id",
+      buckets = 8, versioned = false)
+    // simulate the predecessor's crash window: the live->g0 rename
+    // completed but store.v<N> was never written — a re-run must adopt
+    // g0 as the dataDir's state, not commit a manifest without it
+    val live = new java.io.File(s"$path/data")
+    val g0 = new java.io.File(s"$path/data.gens/g0")
+    assert(g0.getParentFile.mkdirs())
+    assert(live.renameTo(g0))
+    Dedup.unifySignatureStore(spark, path)
+    assert(StoreSwap.isUnified(spark, path))
+    assert(sigRows(Dedup.readSignatureStore(spark, path)._1) == before,
+      "re-run after the crashed migration orphaned the dataDir's data")
+  }
+
+  test("unified ledgers are namespaced per dataDir: overlapping batch ids don't alias") {
+    val path = buildUnified(docs().filter(col("doc_id") < 4))
+    StoreSwap.ackBatch(spark, path, "data", 5L)
+    assert(StoreSwap.committedBatches(spark, path, "data") == Set(5L))
+    assert(StoreSwap.committedBatches(spark, path, "bands").isEmpty,
+      "a batch acked into data's stream aliased into bands' ledger")
+    // the same id's FIRST delivery to another dataDir's stream must
+    // commit (pre-fix it was silently skipped as a replay)
+    StoreSwap.ackBatch(spark, path, "bands", 5L)
+    assert(StoreSwap.committedBatches(spark, path, "bands") == Set(5L))
+    assert(StoreSwap.committedBatches(spark, path, "data") == Set(5L))
+  }
+
+  test("the one-time PQ cutover keeps legacy dirs for in-flight readers; the next rewrite retires them") {
+    import graft.operators.Similarity
+    def corpus() = (0L until 40L).map(i =>
+      (i, Seq.tabulate(4)(j => ((i * 7 % 13) + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding",
+      2, 2)
+    val assigned = corpus()
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val path = Fixtures.tempDir("graft-ustore-").resolve("pqcut").toString
+    Similarity.writeStandingStore(assigned, path, "cluster",
+      buckets = 8, versioned = true)
+    Similarity.writeCodebook(spark, path, cents)
+    // a LEGACY sidecar exists before unification
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4)
+    def legacyDirs() = Seq("pq_codebook", "pq_meta", "pq_codes")
+      .filter(d => new java.io.File(s"$path/$d").exists)
+    assert(legacyDirs().size == 3)
+    Similarity.unifyStandingStore(spark, path)
+    // the CUTOVER rewrite publishes the versioned triple but must NOT
+    // delete the legacy dirs — a reader that resolved them just before
+    // the commit may still be scanning
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4)
+    assert(legacyDirs().size == 3,
+      "cutover rewrite deleted legacy dirs under a possible reader")
+    // serving goes through the pinned versioned triple regardless
+    assert(Similarity.pqTopKStore(spark, path,
+        corpus().filter(col("vec_id") === 1L), "vec_id", "embedding",
+        m = 2, dsub = 2, k = 5, nProbe = 2).count() == 5)
+    // the NEXT rewrite retires them (pre-cutover readers are gone or
+    // under the legacy maintenance-window contract)
+    Similarity.writePqSidecar(spark, path, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 4)
+    assert(legacyDirs().isEmpty, "stale legacy dirs survived a rewrite")
+    assert(Similarity.pqTopKStore(spark, path,
+        corpus().filter(col("vec_id") === 1L), "vec_id", "embedding",
+        m = 2, dsub = 2, k = 5, nProbe = 2).count() == 5)
   }
 
   test("signature-store CDC: doc-level insert/update/delete, unchanged buckets never read") {
