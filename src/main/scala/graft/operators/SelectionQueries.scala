@@ -517,6 +517,59 @@ object SelectionQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q229: HISTORICAL SEMANTIC JUDGMENT REPLAY
+    * ([[Similarity.semanticJudgeStoreAt]]) — q227's embedding twin:
+    * the standing store AND its coarse codebook pin together under one
+    * retained unified manifest version, so judging a delta AS OF a
+    * version replays the verdicts that version's live judgment would
+    * have produced, bit-exactly. After pinning v0 the gate mutates
+    * BOTH halves of the judgment state: it appends reversed copies of
+    * every base vector (cos = 1 partners for the delta's reversed
+    * variants — a member leak flips their verdicts to drop) and
+    * commits a RETRAINED codebook over the grown corpus (different k,
+    * different assignments — a model leak reshuffles co-membership).
+    * The oracle replays the pre-mutation judgment only (q177's
+    * closed-form), so a leak of either artifact breaks the hash. The
+    * per-dataDir refusal (codebook and data versioning independently
+    * cannot pin together) is spec-gated in StandingStoreSpec. */
+  def q229SemanticReplay(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    val delta = augmentDelta(emb())
+    val nBase = base.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k, iters = 2)
+    def assigned(df: DataFrame, cs: Seq[Seq[Double]]) = df
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cs).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val store = Fixtures.tempDir("graft-q229-").resolve("standing").toString
+    Similarity.writeStandingStore(assigned(base, cents), store, "cluster",
+      buckets = 8, versioned = true)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.unifyStandingStore(spark, store)
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      val v0 = Similarity.standingStoreVersions(spark, store).last
+      // post-pin member mutation: reversed copies of every base vector
+      val delta2 = emb().select((col("vec_id") + 500000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      Similarity.appendToStandingStore(assigned(delta2, cents), store,
+        "cluster")
+      // post-pin model mutation: a refit over the grown corpus
+      val grown = base.unionByName(delta2)
+      val kNew = ((grown.count() + 49) / 50).toInt
+      Similarity.writeCodebook(spark, store,
+        Similarity.trainCentroids(grown, "vec_id", "embedding", kNew,
+          iters = 2))
+      Similarity.semanticJudgeStoreAt(spark, store, delta, "vec_id",
+          "embedding", v0, minCos = 0.99)
+        .orderBy(col("vec_id"))
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
   /** q187: incremental dedup over the PARTITIONED standing store
     * ([[Similarity.writeStandingStore]] / [[Similarity.semDedupIncrementalStore]])
     * — q181's scenario with the store hash-bucketed into `c_bucket`
@@ -1114,6 +1167,41 @@ object SelectionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q228: IVF-PQ SEARCH THROUGH THE UNIFIED TRIPLE — q199's search
+    * run end-to-end on the UNIFIED protocol: the store is versioned
+    * and migrated ([[Similarity.unifyStandingStore]]), the sidecar's
+    * codebook/meta/codes commit as versioned dataDirs in ONE
+    * [[graft.operators.StoreSwap.transact]] manifest rename, and the
+    * search resolves all three artifacts AT ONE PINNED STORE VERSION
+    * ([[Similarity.pqTopKStore]] via pqPin) — the reader-atomic
+    * serving path, hash-gated. The gate writes a RESIDUAL sidecar
+    * first and then rewrites it VANILLA: the oracle replays only the
+    * final vanilla flavor, so a read that pinned the stale version —
+    * or mixed artifacts across the two — serves residual distances
+    * and breaks the hash. */
+  def q228PqUnifiedStore(spark: SparkSession, dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+      8, iters = 2)
+    val store = Fixtures.tempDir("graft-q228-").resolve("standing").toString
+    Similarity.writeStandingStore(
+      emb()
+        .withColumn("cluster",
+          Similarity.assignCluster(col("embedding"), cents).cast("long"))
+        .withColumn("nrm", Similarity.norm(col("embedding"))),
+      store, "cluster", buckets = 8, versioned = true)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.unifyStandingStore(spark, store)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8, residual = true)
+    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 8)
+    Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q200: INCREMENTAL PQ INGEST ([[Similarity.appendPqCodes]]) — the
     * daily-flow twin of q199: the standing two-thirds of the corpus
     * train the coarse codebook AND the PQ codebook; the remaining third
@@ -1610,6 +1698,8 @@ object SelectionQueries {
     "q214_pq_residual_forget" -> q214PqResidualForget _,
     "q210_pq_geometry_recall" -> q210PqGeometryRecall _,
     "q199_pq_store" -> q199PqStore _,
+    "q228_pq_unified_store" -> q228PqUnifiedStore _,
+    "q229_semantic_replay" -> q229SemanticReplay _,
     "q200_pq_append" -> q200PqAppend _,
     "q201_pq_store_two_level" -> q201PqStoreTwoLevel _,
     "q202_pq_store_forget" -> q202PqStoreForget _,
@@ -2411,6 +2501,15 @@ object SelectionQueries {
         |GROUP BY ex.query_id
         |ORDER BY ex.query_id""".stripMargin,
     "q199_pq_store" -> ivfPqOracle("TRUE", "TRUE"),
+    // the unified-triple serving path: store state at search time is
+    // IDENTICAL to q199's (the residual sidecar was fully replaced by
+    // the vanilla rewrite), so the replay is q199's verbatim — what
+    // differs is the protocol under test (pinned-triple resolution)
+    "q228_pq_unified_store" -> ivfPqOracle("TRUE", "TRUE"),
+    // the pinned v0 state is exactly q177's scenario (base-trained
+    // codebook, base members); the post-pin append and refit exist
+    // only to leak if the pin is broken
+    "q229_semantic_replay" -> incrDedupOracle,
     // q193's ladder front (training levels, fasg, two-stage probe
     // lists) composed with q199's PQ scoring tail: candidates gated by
     // the LADDER cluster assignment, scored by the fixed-order ADC

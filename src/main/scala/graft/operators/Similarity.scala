@@ -849,15 +849,31 @@ object Similarity {
     StoreSwap.snapshotVersions(spark, path, "data")
 
   /** Migrate an embedding standing store to [[StoreSwap]]'s UNIFIED
-    * manifest. Only `data` migrates directly; a legacy PQ sidecar
-    * keeps serving through its `_pending_pq` protocol until the next
-    * [[writePqSidecar]], which rewrites the triple as versioned
-    * dataDirs committed in ONE [[StoreSwap.transact]] rename — from
-    * then on sidecar rewrites are reader-atomic (a concurrent flavored
-    * read pins codebook, meta, and codes at one store version via
-    * [[pqPin]] and can never observe a mixed triple). */
-  def unifyStandingStore(spark: SparkSession, path: String): Unit =
+    * manifest. `data` migrates directly; a legacy COARSE CODEBOOK is
+    * re-committed as a versioned dataDir in the same maintenance
+    * window (migration already holds the lease and is the documented
+    * offline cutover), so from then on codebook updates version WITH
+    * the memberships they assign — the consistency
+    * [[semanticJudgeStoreAt]]'s historical replay needs (a refit's new
+    * centroids must never be applied to a pinned version's members).
+    * A legacy PQ sidecar keeps serving through its `_pending_pq`
+    * protocol until the next [[writePqSidecar]], which rewrites the
+    * triple as versioned dataDirs committed in ONE
+    * [[StoreSwap.transact]] rename — from then on sidecar rewrites are
+    * reader-atomic (a concurrent flavored read pins codebook, meta,
+    * and codes at one store version via [[pqPin]] and can never
+    * observe a mixed triple). */
+  def unifyStandingStore(spark: SparkSession, path: String): Unit = {
     StoreSwap.unifyVersioning(spark, path, Seq("data"))
+    val legacy = new org.apache.hadoop.fs.Path(path + "/codebook")
+    val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(legacy) && !codebookVersioned(spark, path)) {
+      val rows = spark.read.parquet(path + "/codebook")
+        .select(col("cid"), col("cent")).localCheckpoint(true)
+      writeCodebookDf(spark, path, rows) // versioned from here on
+      fs.delete(legacy, true)
+    }
+  }
 
   /** MANIFEST-PRUNED CDC between two retained versions of a versioned
     * standing store: (change, vec_id, cluster) rows where `change` is
@@ -895,6 +911,42 @@ object Similarity {
       .filter(col("change").isNotNull)
       .select(col("change"), col("vec_id"),
         coalesce(col("new_cluster"), col("old_cluster")).as("cluster"))
+  }
+
+  /** HISTORICAL SEMANTIC JUDGMENT — [[Dedup.lshJudgeStoreAt]]'s
+    * embedding twin: incremental semantic dedup of `delta` AS OF a
+    * retained unified-store `version`, with the CODEBOOK and the
+    * MEMBERS both resolved from that ONE pinned manifest. The hazard
+    * this closes is artifacts straddling a commit: on a per-dataDir
+    * store the codebook and the data version independently, so "judge
+    * as of yesterday" can silently apply today's refit centroids to
+    * yesterday's members (different assignments → different
+    * co-membership → different verdicts). Requires the store unified
+    * AND its codebook migrated ([[unifyStandingStore]]); per-dataDir
+    * stores are REFUSED rather than given a best-effort answer.
+    * Verdict contract identical to [[semDedupIncrementalAssigned]]:
+    * (idCol, cluster, keep) per delta row. Delta-footprint at scale:
+    * the pinned members prune by the delta's clusters exactly like the
+    * live path when `pruneBaseByDeltaClusters` is set. */
+  def semanticJudgeStoreAt(spark: SparkSession, path: String,
+                           delta: DataFrame, idCol: String,
+                           vecCol: String, version: Int, minCos: Double,
+                           pruneBaseByDeltaClusters: Boolean = false)
+      : DataFrame = {
+    require(StoreSwap.isUnified(spark, path) &&
+      codebookVersioned(spark, path),
+      s"$path versions its codebook and data independently — a" +
+        " historical judgment cannot pin both; migrate with" +
+        " unifyStandingStore to the UNIFIED manifest first")
+    val cents = readCodebookAt(spark, path, version)
+    val (baseAt, _) = readStandingStoreAt(spark, path, version)
+    val d = delta.select(col(idCol), col(vecCol))
+      .withColumn("__cluster",
+        assignClusterIds(col(vecCol), cents).cast("long"))
+      .withColumn("__nrm", norm(col(vecCol)))
+    semDedupIncrementalPrepped(baseAt, d, idCol, vecCol,
+      "cluster", "nrm", "__cluster", "__nrm", minCos,
+      pruneBaseByDeltaClusters)
   }
 
   /** The store restricted to `touched` clusters with BOTH pruning
@@ -951,16 +1003,65 @@ object Similarity {
   def writeCodebook(spark: SparkSession, path: String,
                     centroids: Seq[Seq[Double]]): Unit = {
     import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-      .toDF("cid", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+    writeCodebookDf(spark, path,
+      centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("cid", "cent"))
   }
+
+  /** The codebook write under the store's commit protocol: a versioned
+    * dataDir on unified stores (so codebook updates version WITH the
+    * members they assign — one manifest rename inside an enclosing
+    * [[StoreSwap.transact]], and historical judgment can pin both at
+    * one version), the legacy write-once dir otherwise. The constant
+    * `part=0` partition column exists because the versioned reader
+    * infers partition columns from dir names (same move as the PQ
+    * triple's codebook). */
+  private def writeCodebookDf(spark: SparkSession, path: String,
+                              df: DataFrame): Unit =
+    if (StoreSwap.isUnified(spark, path))
+      StoreSwap.overwriteDir(spark, path, "codebook", "part",
+        df.withColumn("part", lit(0)), Seq(col("cid")),
+        forceVersioned = true)
+    else
+      df.coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+
+  /** Whether the store's coarse codebook commits through the unified
+    * manifest (migrated by [[unifyStandingStore]] or first written
+    * after unification). */
+  private def codebookVersioned(spark: SparkSession, path: String): Boolean =
+    StoreSwap.isUnified(spark, path) &&
+      StoreSwap.latestSnapshot(spark, path, "codebook").isDefined
+
+  /** The codebook relation (cid, cent) under the store's protocol,
+    * pinned to store version `pin` when given (unified stores only —
+    * the consistency point of [[semanticJudgeStoreAt]] and the
+    * residual ADC path). */
+  private def codebookDf(spark: SparkSession, path: String,
+                         pin: Option[Int] = None): DataFrame =
+    if (codebookVersioned(spark, path)) {
+      val v = pin.getOrElse(
+        StoreSwap.snapshotVersions(spark, path, "codebook").last)
+      StoreSwap.readVersionedAt(spark, path, "codebook", "part", v)
+        .drop("part")
+    } else spark.read.parquet(path + "/codebook")
 
   /** The persisted codebook, in training order. */
   def readCodebook(spark: SparkSession, path: String): Seq[Seq[Double]] =
-    spark.read.parquet(path + "/codebook")
+    codebookDf(spark, path)
       .orderBy(col("cid")).collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** The codebook AS OF a pinned unified-store version — the model
+    * half of a historical judgment: assignments replayed at `version`
+    * must use the centroids that version's live judgments used, not
+    * the latest refit's. */
+  def readCodebookAt(spark: SparkSession, path: String,
+                     version: Int): Seq[(Long, Seq[Double])] =
+    StoreSwap.readVersionedAt(spark, path, "codebook", "part", version)
+      .orderBy(col("cid")).collect()
+      .map(r => r.getAs[Long]("cid") ->
+        r.getSeq[Double](r.fieldIndex("cent")).toSeq)
+      .toSeq
 
   /** Persist a SPARSE codebook — (cid, cent) with explicit, possibly
     * non-contiguous ids. After an in-place refit the store's live
@@ -969,16 +1070,17 @@ object Similarity {
   def writeCodebookIds(spark: SparkSession, path: String,
                        entries: Seq[(Long, Seq[Double])]): Unit = {
     import spark.implicits._
-    entries.toDF("cid", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+    writeCodebookDf(spark, path, entries.toDF("cid", "cent"))
   }
 
   /** The persisted codebook with its explicit ids, id-ascending. */
   def readCodebookIds(spark: SparkSession,
                       path: String): Seq[(Long, Seq[Double])] =
-    spark.read.parquet(path + "/codebook")
+    codebookDf(spark, path)
       .orderBy(col("cid")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+      .map(r => r.getAs[Long]("cid") ->
+        r.getSeq[Double](r.fieldIndex("cent")).toSeq)
+      .toSeq
 
   /** Nearest-centroid assignment against a SPARSE (cid, cent) codebook:
     * the argmin runs over the centroids in id order (so distance ties
@@ -1255,7 +1357,7 @@ object Similarity {
     val (rdf, rcol) =
       if (!residual) (df, vecCol)
       else {
-        val cb = spark.read.parquet(path + "/codebook")
+        val cb = codebookDf(spark, path)
           .select(col("cid").as("__ccid"), col("cent").as("__ccent"))
         (df.join(broadcast(cb), col("cluster") === col("__ccid"))
           .withColumn("__enc",
@@ -1581,7 +1683,10 @@ object Similarity {
       // (|queries|·nProbe rows, one m×ksub map each); the extra cost is
       // nProbe distance-table builds per query instead of one, all
       // bounded model-state joins.
-      val cb = spark.read.parquet(storePath + "/codebook")
+      // the coarse codebook at the SAME pinned version as the PQ triple
+      // (a refit racing this read must not mix its new centroids with
+      // the pinned codes)
+      val cb = codebookDf(spark, storePath, pin)
         .select(col("cid").as("__ccid"), col("cent").as("__ccent"))
       val qres0 = probesM
         .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),

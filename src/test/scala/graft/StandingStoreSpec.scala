@@ -83,6 +83,56 @@ class StandingStoreSpec extends SparkSpec {
     }.toMap
   }
 
+  test("semanticJudgeStoreAt: pinned replay ignores post-pin members AND codebook; per-dataDir stores refused") {
+    import graft.operators.StoreSwap
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("sj").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8, versioned = true)
+    Similarity.writeCodebook(spark, path, cents)
+    // a per-dataDir store cannot pin codebook + members together
+    val delta = corpus().select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semanticJudgeStoreAt(spark, path, delta, "vec_id",
+        "embedding", 0, minCos = 0.99)
+    }
+    assert(ex.getMessage.contains("UNIFIED"), ex.getMessage)
+    Similarity.unifyStandingStore(spark, path)
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      val v0 = Similarity.standingStoreVersions(spark, path).last
+      val live = Similarity.semDedupIncrementalAssigned(
+          Similarity.readStandingStore(spark, path)._1, delta, "vec_id",
+          "embedding", "cluster", "nrm", cents, minCos = 0.99)
+        .orderBy("vec_id").collect().toSeq
+      // post-pin: append exact copies (cos-1 partners for every delta
+      // row) and commit a refit codebook — either leaking into the
+      // pinned judgment flips verdicts
+      Similarity.appendToStandingStore(
+        assigned(corpus().select((col("vec_id") + 2000L).as("vec_id"),
+          col("embedding")), cents), path, "cluster")
+      Similarity.writeCodebook(spark, path,
+        Similarity.trainCentroids(corpus(), "vec_id", "embedding", 4, 2))
+      val liveAfter = Similarity.semDedupIncrementalAssigned(
+          Similarity.readStandingStore(spark, path)._1, delta, "vec_id",
+          "embedding", "cluster", "nrm",
+          Similarity.readCodebook(spark, path), minCos = 0.99)
+        .orderBy("vec_id").collect().toSeq
+      assert(liveAfter != live,
+        "mutations should change the live verdict (weak scenario)")
+      val replay = Similarity.semanticJudgeStoreAt(spark, path, delta,
+          "vec_id", "embedding", v0, minCos = 0.99)
+        .orderBy("vec_id").collect().toSeq
+      assert(replay == live,
+        "pinned replay diverged from the verdict at that version")
+      // the codebook at v0 is the original; the latest is the refit
+      assert(Similarity.readCodebookAt(spark, path, v0).size == 2)
+      assert(StoreSwap.readVersionedAt(spark, path, "codebook", "part",
+        Similarity.standingStoreVersions(spark, path).last).count() == 4)
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
   test("deleteFromStandingStore rewrites only touched buckets and flips verdicts") {
     val base = corpus()
     val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
