@@ -36,6 +36,17 @@ import org.apache.spark.sql.SparkSession
   * canonical stamp outright. (b) or (c) mark the record
   * `"quiet": false` with the trigger, so loaded records self-identify
   * instead of reading as regressions.
+  *
+  * KEEP-THE-FASTER canonical rule (round 14): beyond the quiet gates, a
+  * run may replace `BENCH_canonical.json` only if its calib-scaled
+  * total over the gates BOTH records share is within 5% of the standing
+  * canonical's — a slower-scaled run (box state the load gates missed,
+  * e.g. round 13's q21 phantom from a start at loadavg 5.02 under the
+  * 6.4 gate) writes BENCH.json but self-flags `canonical:false` with
+  * the comparison in `quiet_trigger`. Real regressions then surface as
+  * persistent `over_prior` entries against the standing record instead
+  * of silently becoming the new baseline; an intentional perf tradeoff
+  * re-anchors by deleting the canonical file explicitly.
   */
 object Bench {
 
@@ -274,6 +285,11 @@ object Bench {
       case (k, m) if m.secs >= 0 && overPrior(k, m.secs) => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = results.values.map(_.secs).filter(_ >= 0).sum
+    // headline prepare wall (sum of the per-gate driver-side builds) —
+    // emitted NEXT TO `value` so round-over-round prepare drift (store
+    // builds getting slower) is visible in the canonical record itself,
+    // not only in the sf1/sf10 side-records
+    val prepTotal = results.values.map(_.prep).filter(_ > 0).sum
     // machine load at bench end: co-tenant CPU bursts can inflate wall
     // times several-fold, so the record carries its own noise diagnostic
     val load = try {
@@ -314,17 +330,48 @@ object Bench {
     // plain replace-always rule.
     val borderline = triggers.isEmpty && loadStart > 0.8 * loadGate &&
       priorQuietTotal.exists(ref => total >= ref)
-    val quietInfo =
-      if (triggers.nonEmpty)
-        s""","quiet":false,"canonical":false,"quiet_trigger":"${triggers.mkString("; ")}"""" +
-          priorQuietTotal.map(r => s""","quiet_ref":${fmt(r)}""").getOrElse("")
-      else if (borderline)
-        s""","quiet":true,"canonical":false,"quiet_trigger":"borderline start loadavg ${fmt(loadStart)} > 0.8x gate ${fmt(loadGate)} and not faster than canonical"""" +
-          priorQuietTotal.map(r => s""","quiet_ref":${fmt(r)}""").getOrElse("")
-      else priorQuietTotal match {
-        case Some(ref) =>
-          s""","quiet":true,"canonical":${!isSubset},"quiet_ref":${fmt(ref)}"""
-        case None => s""","quiet":true,"canonical":${!isSubset}"""
+    // KEEP-THE-FASTER RULE (round 14, closing the round-13 gap): a run
+    // may evict the standing canonical record only if it is at least
+    // as fast CALIB-SCALED over the gates both records share — the
+    // round-13 working-tree record started at loadavg 5.02 (< the 6.4
+    // gate, so not borderline), was slower scaled than the committed
+    // canonical (89.97 vs 88.31), carried a persisting 4× load phantom
+    // on untouched code (q21 at 9.17 s vs the canonical 2.29), and was
+    // still allowed to replace the faster record. Scaled and
+    // common-gate so that box-speed swings cancel and a round that
+    // ADDS gates can still re-anchor; 5% slack absorbs measurement
+    // jitter so a genuinely-equal run refreshes the chain. A slower
+    // run keeps its BENCH.json but self-flags canonical:false — a real
+    // regression then shows up as persistent over_prior entries
+    // against the standing record, which is the signal, not a silently
+    // rewritten baseline.
+    def slowerThanCanonical(calib: Double): Option[String] =
+      if (isSubset || calib <= 0) None
+      else {
+        try {
+          val p = java.nio.file.Paths.get("BENCH_canonical.json")
+          if (!java.nio.file.Files.exists(p)) None else {
+            val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            if (!jsonField(src, "sf").contains(sfDir)) None else {
+              val priorCalib = jsonField(src, "calib_sec")
+                .flatMap(_.toDoubleOption).getOrElse(-1.0)
+              val pq = jsonNumObj(src, "queries").filter(_._2 > 0)
+              val common = results.toSeq.collect {
+                case (k, m) if m.secs >= 0 && pq.contains(k) =>
+                  (m.secs, pq(k))
+              }
+              if (priorCalib <= 0 || common.isEmpty) None else {
+                val newScaled = common.map(_._1).sum / calib
+                val priorScaled = common.map(_._2).sum / priorCalib
+                if (newScaled > priorScaled * 1.05)
+                  Some(s"scaled common-gate total ${fmt(newScaled)} >" +
+                    s" 1.05x standing canonical ${fmt(priorScaled)}" +
+                    " — keeping the faster record")
+                else None
+              }
+            }
+          }
+        } catch { case _: Throwable => None }
       }
     val subsetInfo = if (isSubset) s""","subset":true""" else ""
     val calibEnd = try calibrate() catch { case e: Throwable =>
@@ -333,6 +380,22 @@ object Bench {
       case (a, b) if a > 0 && b > 0 => math.min(a, b)
       case (a, b) => math.max(a, b)
     }
+    val slower = slowerThanCanonical(calib)
+    val quietInfo =
+      if (triggers.nonEmpty)
+        s""","quiet":false,"canonical":false,"quiet_trigger":"${triggers.mkString("; ")}"""" +
+          priorQuietTotal.map(r => s""","quiet_ref":${fmt(r)}""").getOrElse("")
+      else if (borderline)
+        s""","quiet":true,"canonical":false,"quiet_trigger":"borderline start loadavg ${fmt(loadStart)} > 0.8x gate ${fmt(loadGate)} and not faster than canonical"""" +
+          priorQuietTotal.map(r => s""","quiet_ref":${fmt(r)}""").getOrElse("")
+      else if (slower.isDefined)
+        s""","quiet":true,"canonical":false,"quiet_trigger":"${slower.get}"""" +
+          priorQuietTotal.map(r => s""","quiet_ref":${fmt(r)}""").getOrElse("")
+      else priorQuietTotal match {
+        case Some(ref) =>
+          s""","quiet":true,"canonical":${!isSubset},"quiet_ref":${fmt(ref)}"""
+        case None => s""","quiet":true,"canonical":${!isSubset}"""
+      }
     // scaled_total = total / calib_sec: wall time in units of the fixed
     // calibration workload. Two records' scaled_totals compare directly
     // across boxes/days (the ~1.4× day-to-day CPU swing cancels); raw
@@ -340,7 +403,8 @@ object Bench {
     val scaledInfo =
       if (calib > 0) s""","scaled_total":${fmt(total / calib)}""" else ""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""prepare_total":${fmt(prepTotal)},"queries":$qs,""" +
         s""""query_load":$loads,"query_spread":$spreads,"retimed":$retimed,""" +
         s""""query_prepare":$preps,""" +
         s""""unstable":$unstable,"over_prior":$overPriorList,""" +
@@ -356,7 +420,7 @@ object Bench {
     // canonical preservation: only canonical runs may touch
     // BENCH_canonical.json, so the tree always carries the last
     // steering-grade record even after a loaded run rewrites BENCH.json
-    if (!isSubset && triggers.isEmpty && !borderline)
+    if (!isSubset && triggers.isEmpty && !borderline && slower.isEmpty)
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_canonical.json"),
         (json + "\n").getBytes("UTF-8"))
