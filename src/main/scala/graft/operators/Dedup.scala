@@ -1028,9 +1028,23 @@ object Dedup {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
+    // INDEX-DIRECTORY GRANULARITY — the layout lever for the judge's
+    // past-PushdownCap growth term: with `graft.lsh.bandIndexBuckets`
+    // unset the index shares the store's bucket count (64 dirs — a
+    // mid-size delta's ~4000 distinct bsigs touch every dir, so past
+    // the literal-pushdown cap the slice scan is unpruned). A FINER
+    // bsig partitioning (e.g. 4096 dirs) lets the touched-dir list
+    // itself prune: a delta touches ~min(|delta bsigs|, dirs) dirs, so
+    // directory pruning carries weight exactly where the literal list
+    // no longer fits (BandLayoutProbe measures both layouts at 500/
+    // 5000-doc deltas across a 10× standing step). Recorded in
+    // bands_meta so every later mutation/judgment derives the same
+    // layout.
+    val idxBuckets = spark.conf.getOption("graft.lsh.bandIndexBuckets")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(buckets)
     writeDir(spark, path, "bands", "bb_bucket",
       bandRows(sigs.select(col(idCol), col("k"), col("mh")),
-        idCol, bands, r, buckets),
+        idCol, bands, r, idxBuckets),
       Seq(col("band"), col("bsig"), col("id")))
     // per-doc BAND INVENTORY, partitioned by the doc's OWN bucket: the
     // index rows a doc currently owns stay DERIVABLE FROM ITS ID even
@@ -1048,7 +1062,7 @@ object Dedup {
           pmod(col("id"), lit(buckets.toLong)).cast("int")),
       Seq(col("id"), col("band")))
     spark.range(1).select(lit(bands).as("bands"),
-        lit(r).as("rows_per_band"))
+        lit(r).as("rows_per_band"), lit(idxBuckets).as("idx_buckets"))
       .write.mode("overwrite").parquet(path + "/bands_meta")
   }
 
@@ -1071,9 +1085,16 @@ object Dedup {
       .select(col("id"), col("band"), col("bsig"), col("bb_bucket"))
   }
 
-  private def bandsMeta(spark: SparkSession, path: String): (Int, Int) = {
-    val m = spark.read.parquet(path + "/bands_meta").head
-    (m.getInt(0), m.getInt(1))
+  /** (bands, rowsPerBand, idxBuckets) — idxBuckets falls back to the
+    * store's bucket count for indexes written before the layout knob
+    * existed (their bands_meta has two columns). */
+  private def bandsMeta(spark: SparkSession, path: String,
+                        storeBuckets: Int): (Int, Int, Int) = {
+    val df = spark.read.parquet(path + "/bands_meta")
+    val m = df.head
+    val idx = if (df.columns.contains("idx_buckets"))
+      m.getAs[Int]("idx_buckets") else storeBuckets
+    (m.getInt(0), m.getInt(1), idx)
   }
 
   /** Current doc-pruned band rows for `docIds` — reads the docs'
@@ -1082,7 +1103,7 @@ object Dedup {
                               docIds: DataFrame,
                               idCol: String): DataFrame = {
     val (sigs, buckets) = readSignatureStore(spark, path)
-    val (bands, r) = bandsMeta(spark, path)
+    val (bands, r, idxBuckets) = bandsMeta(spark, path, buckets)
     val ids = docIds.select(col(idCol)).distinct()
     val db = ids
       .select(pmod(col(idCol), lit(buckets.toLong)).cast("int").as("b"))
@@ -1090,7 +1111,7 @@ object Dedup {
     val docSigs = sigs.filter(col("d_bucket").isin(db: _*))
       .join(ids, Seq(idCol), "left_semi")
       .select(col(idCol), col("k"), col("mh"))
-    bandRows(docSigs, idCol, bands, r, buckets)
+    bandRows(docSigs, idCol, bands, r, idxBuckets)
   }
 
   /** Absorb docs into the band index AFTER their
@@ -1284,9 +1305,9 @@ object Dedup {
     // a judgment-only process must also roll forward a crashed index
     // mutation's committed swap, or it serves stale band rows
     StoreSwap.recover(spark, path)
-    val (bands, r) = bandsMeta(spark, path)
-    require(bands * r == numHashes, "band geometry must match the store")
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+    val (bands, r, idxBuckets) = bandsMeta(spark, path, buckets)
+    require(bands * r == numHashes, "band geometry must match the store")
     // version-pinned store reads for the historical replay (meta and
     // bands_meta stay live - layout constants fixed at build time)
     def storeDir(dataDir: String, partCol: String): DataFrame = asOf match {
@@ -1315,7 +1336,7 @@ object Dedup {
     // the delta (the round-13 probe measured per-chunk re-derivation at
     // ~4 s fixed cost x chunk count before this hoist)
     val dSigs = minhashSignatures(delta, idCol, textCol, n, numHashes, seed)
-    val dRowsAll = bandRows(dSigs, idCol, bands, r, buckets)
+    val dRowsAll = bandRows(dSigs, idCol, bands, r, idxBuckets)
       .select(col("id").as("d_id"), col("band"), col("bsig"),
         col("bb_bucket"))
       .localCheckpoint(true) // bounded: |delta| x bands rows

@@ -87,6 +87,42 @@ class SignatureStoreSpec extends SparkSpec {
     finally spark.conf.unset("graft.lsh.maxBroadcastMb")
   }
 
+  test("band-index directory granularity is layout-only: judge and merge verdicts invariant") {
+    val path = Fixtures.tempDir("graft-sigstore-").resolve("s").toString
+    val standing = docs()
+    Dedup.writeSignatureStore(sigs(standing), path, "doc_id", buckets = 8)
+    Dedup.writeBandIndex(spark, path, "doc_id", bands = 2)
+    val delta = standing.select((col("doc_id") + 100L).as("doc_id"),
+      col("text"))
+    def run() = Dedup.lshJudgeStore(spark, path, standing, delta,
+        "doc_id", "text", n = 3, numHashes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val at8 = run()
+    assert(at8.nonEmpty)
+    // rebuild FINER (128 bsig dirs) — bands_meta records the layout so
+    // judgments and later mutations derive the same bb_bucket
+    spark.conf.set("graft.lsh.bandIndexBuckets", "128")
+    try Dedup.writeBandIndex(spark, path, "doc_id", bands = 2)
+    finally spark.conf.unset("graft.lsh.bandIndexBuckets")
+    assert(run() == at8)
+    // a post-rebuild merge derives the RECORDED granularity (not the
+    // session conf, which is unset again) and the judge still agrees
+    val more = Seq((50L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    Dedup.mergeIntoSignatureStore(spark, path, sigs(more), "doc_id")
+    Dedup.mergeIntoBandIndex(spark, path, more.select("doc_id"), "doc_id")
+    // doc 101 (copy of doc 1) now also pairs with doc 50 (the grown
+    // corpus feeds text-fallback verification — no sidecar here)
+    val afterMerge = Dedup.lshJudgeStore(spark, path,
+        standing.unionByName(more), delta, "doc_id", "text",
+        n = 3, numHashes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(afterMerge.exists(p => p._1 == 50L && p._2 == 101L),
+      afterMerge.toString)
+  }
+
   test("sidecar-verified judgment equals text-fallback judgment (and never reads standing text)") {
     val path = Fixtures.tempDir("graft-sigstore-").resolve("s").toString
     val standing = docs()

@@ -225,6 +225,40 @@ object StoreLifecycleProbe {
       if (flCount == 0) 0L
       else pqTop256.join(flTop, pqTop256("query_id") === flTop("q2") &&
         pqTop256("neighbor_id") === flTop("n2")).count() * 100 / flCount
+    // UNIFIED-PROTOCOL tier (round 14): the sidecar write + search
+    // through the VERSIONED TRIPLE — writePqSidecar commits codebook/
+    // meta/codes inside ONE StoreSwap.transact manifest rename and
+    // pqTopKStoreTwoLevel resolves all three at one pinned version
+    // (pqPin). The r13 record's sidecar writes ran the legacy
+    // _pending_pq path; these rows are the same mechanisms on the
+    // unified protocol. The first write is the one-time CUTOVER
+    // (legacy dirs retained for in-flight readers), the second the
+    // steady-state reader-atomic rewrite a production store runs.
+    val unifyMigrateSec = t { Similarity.unifyStandingStore(spark, store) }
+    val pqWriteUnifiedCutoverSec = t {
+      Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+        m = 4, dsub = 16, ksub = 8)
+    }
+    val pqWriteUnifiedSec = t {
+      Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+        m = 4, dsub = 16, ksub = 8)
+    }
+    // proof the searches below resolve through the pinned triple, not
+    // the legacy live dirs: the triple is present in the unified
+    // manifest line
+    val pqUnifiedVersioned = graft.operators.StoreSwap
+      .snapshotVersions(spark, store, "pq_meta").nonEmpty
+    val pqSearchUnifiedSec = t {
+      Similarity.pqTopKStoreTwoLevel(spark, store, bigQueries,
+        "vec_id", "embedding", m = 4, dsub = 16, k = 5, sProbe = 8,
+        nProbe = 4).count()
+    }
+    val pqSearchUnified100kSec = t {
+      Similarity.pqTopKStoreTwoLevel(spark, store,
+        base.filter(col("vec_id") < 100000), "vec_id", "embedding",
+        m = 4, dsub = 16, k = 5, sProbe = 8, nProbe = 4).count()
+    }
+
     // RESIDUAL RUNG on CLUSTERED geometry — the realistic recall curve
     // (q210's regime at tier scale): 256 planted centers + 0.15× noise
     // derived from the corpus itself, ONE store, four sidecar flavors
@@ -388,6 +422,12 @@ object StoreLifecycleProbe {
       f""""pq256_write_sec":$pqWrite256Sec%.2f,""" +
       f""""pq256_search1000_two_level_sec":$pqSearch256Sec%.2f,""" +
       f""""pq256_vs_float_ladder_overlap_pct":$overlap256Pct,""" +
+      f""""unify_migrate_sec":$unifyMigrateSec%.2f,""" +
+      f""""pq_unified_write_cutover_sec":$pqWriteUnifiedCutoverSec%.2f,""" +
+      f""""pq_unified_write_sec":$pqWriteUnifiedSec%.2f,""" +
+      f""""pq_unified_versioned":$pqUnifiedVersioned,""" +
+      f""""pq_unified_search1000_sec":$pqSearchUnifiedSec%.2f,""" +
+      f""""pq_unified_search100k_sec":$pqSearchUnified100kSec%.2f,""" +
       f""""clus_n":$nClus,""" +
       f""""clus_recall12_vanilla_pct":$rec12v,""" +
       f""""clus_recall12_residual_pct":$rec12r,""" +
