@@ -1036,10 +1036,18 @@ object Dedup {
     // bsig partitioning (e.g. 4096 dirs) lets the touched-dir list
     // itself prune: a delta touches ~min(|delta bsigs|, dirs) dirs, so
     // directory pruning carries weight exactly where the literal list
-    // no longer fits (BandLayoutProbe measures both layouts at 500/
-    // 5000-doc deltas across a 10× standing step). Recorded in
-    // bands_meta so every later mutation/judgment derives the same
-    // layout.
+    // no longer fits. MEASURED AND REJECTED as the default (round 14,
+    // BandLayoutProbe, quiet box, 50k→500k standing): 4096 dirs lost
+    // ~2× absolute at every tier — judge 500-doc 12.1→14.3 s vs
+    // 4.6→7.0 s at 64 dirs, 5000-doc 15.6→17.2 vs 7.0→8.7 s, index
+    // build 28.6-29.7 vs 4.1-6.0 s (4096 tiny files per generation).
+    // The hypothesis direction was RIGHT — per-10×-standing flatness
+    // improved to 1.18×/1.10× (500/5000-doc) vs 1.51×/1.25× — but the
+    // listing + small-file constant dominates until per-dir row mass
+    // amortizes it (~3 more decades of standing, ≥500M docs). So the
+    // default stays the store bucket count and the knob is the
+    // documented lever for billion-doc corpora. Recorded in bands_meta
+    // so every later mutation/judgment derives the same layout.
     val idxBuckets = spark.conf.getOption("graft.lsh.bandIndexBuckets")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(buckets)
     writeDir(spark, path, "bands", "bb_bucket",
