@@ -58,6 +58,66 @@ object Bench {
     * legitimately drives it past any fixed threshold. */
   val SpreadThresh = 1.5
 
+  private[graft] def jsonField(src: String, key: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(key) + "\":(\"[^\"]*\"|[^,}]*)")
+      .matcher(src)
+    if (m.find()) Some(m.group(1).stripPrefix("\"").stripSuffix("\"")) else None
+  }
+
+  private[graft] def jsonNumObj(src: String, key: String): Map[String, Double] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(key) + "\":\\{([^}]*)\\}")
+      .matcher(src)
+    if (!m.find()) Map.empty
+    else m.group(1).split(",").iterator.flatMap { kv =>
+      kv.split(":") match {
+        case Array(k, v) => v.trim.toDoubleOption
+          .map(k.trim.stripPrefix("\"").stripSuffix("\"") -> _)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+  // a comma decimal separator would corrupt the JSON record
+  private[graft] def fmt(d: Double): String =
+    if (d.isNaN) "-1"
+    else String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+
+  /** The KEEP-THE-FASTER comparison, pure so BenchRuleSpec gates it:
+    * Some(reason) when this run's calib-scaled total over the gates it
+    * SHARES with the standing canonical record exceeds the record's by
+    * more than 5% — such a run must not evict the canonical. None when
+    * there is no comparable standing record (different sf, no calib,
+    * no shared gates) or the run is at least as fast. */
+  private[graft] def slowerThanStanding(newQueries: Map[String, Double],
+                                        newCalib: Double,
+                                        canonicalSrc: Option[String],
+                                        sfDir: String): Option[String] =
+    if (newCalib <= 0) None
+    else canonicalSrc.flatMap { src =>
+      if (!jsonField(src, "sf").contains(sfDir)) None
+      else {
+        val priorCalib = jsonField(src, "calib_sec")
+          .flatMap(_.toDoubleOption).getOrElse(-1.0)
+        val pq = jsonNumObj(src, "queries").filter(_._2 > 0)
+        val common = newQueries.toSeq.collect {
+          case (k, v) if v >= 0 && pq.contains(k) => (v, pq(k))
+        }
+        if (priorCalib <= 0 || common.isEmpty) None
+        else {
+          val newScaled = common.map(_._1).sum / newCalib
+          val priorScaled = common.map(_._2).sum / priorCalib
+          if (newScaled > priorScaled * 1.05)
+            Some(s"scaled common-gate total ${fmt(newScaled)} >" +
+              s" 1.05x standing canonical ${fmt(priorScaled)}" +
+              " — keeping the faster record")
+          else None
+        }
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -163,25 +223,6 @@ object Bench {
     // because BOTH their timed runs were equally polluted.
     val isSubset = only.isDefined
     val outFile = if (isSubset) "BENCH_subset.json" else "BENCH.json"
-    def jsonField(src: String, key: String): Option[String] = {
-      val m = java.util.regex.Pattern
-        .compile("\"" + java.util.regex.Pattern.quote(key) + "\":(\"[^\"]*\"|[^,}]*)")
-        .matcher(src)
-      if (m.find()) Some(m.group(1).stripPrefix("\"").stripSuffix("\"")) else None
-    }
-    def jsonNumObj(src: String, key: String): Map[String, Double] = {
-      val m = java.util.regex.Pattern
-        .compile("\"" + java.util.regex.Pattern.quote(key) + "\":\\{([^}]*)\\}")
-        .matcher(src)
-      if (!m.find()) Map.empty
-      else m.group(1).split(",").iterator.flatMap { kv =>
-        kv.split(":") match {
-          case Array(k, v) => v.trim.toDoubleOption
-            .map(k.trim.stripPrefix("\"").stripSuffix("\"") -> _)
-          case _ => None
-        }
-      }.toMap
-    }
     // BENCH_canonical.json first: BENCH.json may be a self-flagged loaded
     // record (quiet:false) that would yield no reference at all, while the
     // canonical file always holds the last quiet full-suite run
@@ -257,9 +298,6 @@ object Bench {
 
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma decimal separator would corrupt the JSON record
-    def fmt(d: Double): String =
-      if (d.isNaN) "-1"
-      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val qs = results.map { case (k, m) => "\"" + k + "\":" + fmt(m.secs) }
       .mkString("{", ",", "}")
     val loads = results.map { case (k, m) => "\"" + k + "\":" + fmt(m.load) }
@@ -345,42 +383,25 @@ object Bench {
     // regression then shows up as persistent over_prior entries
     // against the standing record, which is the signal, not a silently
     // rewritten baseline.
-    def slowerThanCanonical(calib: Double): Option[String] =
-      if (isSubset || calib <= 0) None
-      else {
-        try {
-          val p = java.nio.file.Paths.get("BENCH_canonical.json")
-          if (!java.nio.file.Files.exists(p)) None else {
-            val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            if (!jsonField(src, "sf").contains(sfDir)) None else {
-              val priorCalib = jsonField(src, "calib_sec")
-                .flatMap(_.toDoubleOption).getOrElse(-1.0)
-              val pq = jsonNumObj(src, "queries").filter(_._2 > 0)
-              val common = results.toSeq.collect {
-                case (k, m) if m.secs >= 0 && pq.contains(k) =>
-                  (m.secs, pq(k))
-              }
-              if (priorCalib <= 0 || common.isEmpty) None else {
-                val newScaled = common.map(_._1).sum / calib
-                val priorScaled = common.map(_._2).sum / priorCalib
-                if (newScaled > priorScaled * 1.05)
-                  Some(s"scaled common-gate total ${fmt(newScaled)} >" +
-                    s" 1.05x standing canonical ${fmt(priorScaled)}" +
-                    " — keeping the faster record")
-                else None
-              }
-            }
-          }
-        } catch { case _: Throwable => None }
-      }
-    val subsetInfo = if (isSubset) s""","subset":true""" else ""
     val calibEnd = try calibrate() catch { case e: Throwable =>
       System.err.println(s"[bench] calibration failed: ${e.getMessage}"); -1.0 }
     val calib = (calibStart, calibEnd) match {
       case (a, b) if a > 0 && b > 0 => math.min(a, b)
       case (a, b) => math.max(a, b)
     }
-    val slower = slowerThanCanonical(calib)
+    val slower =
+      if (isSubset) None
+      else Bench.slowerThanStanding(
+        results.collect { case (k, m) if m.secs >= 0 => k -> m.secs }.toMap,
+        calib,
+        try {
+          val cp = java.nio.file.Paths.get("BENCH_canonical.json")
+          if (java.nio.file.Files.exists(cp))
+            Some(new String(java.nio.file.Files.readAllBytes(cp), "UTF-8"))
+          else None
+        } catch { case _: Throwable => None },
+        sfDir)
+    val subsetInfo = if (isSubset) s""","subset":true""" else ""
     val quietInfo =
       if (triggers.nonEmpty)
         s""","quiet":false,"canonical":false,"quiet_trigger":"${triggers.mkString("; ")}"""" +

@@ -904,6 +904,26 @@ object PlanAudit {
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
     }
 
+    // q228 unified PQ serving: the ADC scan must be a broadcast of the
+    // query-side distance tables against the probe-pruned code scan —
+    // no cartesian, and the codes scan keeps partition pruning on
+    // c_bucket (the probed clusters' buckets)
+    audit("q228") {
+      val p = plan("q228_pq_unified_store")
+      check("q228 pinned-triple ADC: broadcast join, no cartesian",
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+      check("q228 code scan prunes c_bucket partitions",
+        p.contains("PartitionFilters: [") && p.contains("c_bucket"))
+    }
+    // q229 historical semantic replay: the pinned members join the
+    // delta on the cluster key (equi-join), never a cartesian; the
+    // verdict aggregation partial-aggregates
+    audit("q229") {
+      val p = plan("q229_semantic_replay")
+      check("q229 pinned replay: cluster equi-join, no cartesian",
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    }
+
     // DSv2 pushdown: a `_file` predicate must reach the graft-text scan
     // (PushedFilters) and prune the planned partitions to the one file
     audit("v2-pushdown") {
