@@ -882,7 +882,7 @@ object Dedup {
   def forgetDocsFromSignatureStore(spark: SparkSession, path: String,
                                    docIds: DataFrame,
                                    idCol: String): Long =
-    StoreSwap.withLease(spark, path) {
+    StoreSwap.withLeaseAtomic(spark, path) {
     val (standing, buckets) = readSignatureStore(spark, path)
     val ids = docIds.select(col(idCol)).distinct()
     val touched = ids
@@ -1135,7 +1135,7 @@ object Dedup {
     * touched buckets. */
   def mergeIntoBandIndex(spark: SparkSession, path: String,
                          docIds: DataFrame,
-                         idCol: String): Seq[Int] = StoreSwap.withLease(
+                         idCol: String): Seq[Int] = StoreSwap.withLeaseAtomic(
       spark, path) {
     val rows = bandRowsForDocs(spark, path, docIds, idCol)
       .localCheckpoint(true) // |docs|·bands rows, referenced twice
@@ -1182,7 +1182,7 @@ object Dedup {
     * changed signatures are missed. Returns rows removed. */
   def forgetFromBandIndex(spark: SparkSession, path: String,
                           docIds: DataFrame,
-                          idCol: String): Long = StoreSwap.withLease(
+                          idCol: String): Long = StoreSwap.withLeaseAtomic(
       spark, path) {
     StoreSwap.recover(spark, path)
     val hasInv = bandInvExists(spark, path)
@@ -1236,7 +1236,7 @@ object Dedup {
     * Returns the number of stale rows removed. */
   def reindexDocsInBandIndex(spark: SparkSession, path: String,
                              docIds: DataFrame,
-                             idCol: String): Long = StoreSwap.withLease(
+                             idCol: String): Long = StoreSwap.withLeaseAtomic(
       spark, path) {
     StoreSwap.recover(spark, path)
     require(bandInvExists(spark, path),

@@ -1038,11 +1038,18 @@ object Similarity {
     * residual ADC path). */
   private def codebookDf(spark: SparkSession, path: String,
                          pin: Option[Int] = None): DataFrame =
-    if (codebookVersioned(spark, path)) {
-      val v = pin.getOrElse(
-        StoreSwap.snapshotVersions(spark, path, "codebook").last)
-      StoreSwap.readVersionedAt(spark, path, "codebook", "part", v)
-        .drop("part")
+    if (codebookVersioned(spark, path)) pin match {
+      case Some(v) =>
+        StoreSwap.readVersionedAt(spark, path, "codebook", "part", v)
+          .drop("part")
+      case None =>
+        // the LIVE read goes through latestSnapshot so an open
+        // [[StoreSwap.transact]] sees the codebook its own earlier
+        // step committed (read-your-own-writes), not the pre-txn disk
+        // manifest — the hazard of composing a codebook update with a
+        // residual re-encode in one transaction
+        StoreSwap.readVersioned(spark, path, "codebook", "part")
+          .drop("part")
     } else spark.read.parquet(path + "/codebook")
 
   /** The persisted codebook, in training order. */
@@ -1835,7 +1842,7 @@ object Similarity {
     * number of rows deleted. */
   def deleteFromStandingStore(spark: SparkSession, path: String,
                               ids: DataFrame,
-                              idCol: String): Long = StoreSwap.withLease(
+                              idCol: String): Long = StoreSwap.withLeaseAtomic(
       spark, path) {
     val (df, buckets) = readStandingStore(spark, path)
     val idSet = ids.select(col(idCol)).distinct()
@@ -1941,10 +1948,22 @@ object Similarity {
                                 iters: Int = 2): Seq[(Long, Seq[Double])] = {
     if (drifted.isEmpty) return Seq.empty
     // one lease across the whole delete→append→re-encode→codebook
-    // sequence (constituent mutations re-enter it)
+    // sequence (constituent mutations re-enter it). On a UNIFIED store
+    // the sequence additionally publishes as ONE manifest rename
+    // ([[StoreSwap.transact]]): a reader racing the refit sees the
+    // pre-refit store or the finished one — never the window where the
+    // drifted members are deleted but their re-clustered rows not yet
+    // appended (per-dataDir stores keep the documented idempotent
+    // re-run recovery; their intermediate commits are each
+    // crash-atomic but individually visible). A crash anywhere inside
+    // the txn rolls the store to its pre-refit version — the
+    // `.refit-members` backup then just gets rebuilt from the intact
+    // store on the re-run.
     StoreSwap.withLease(spark, path) {
-      refitLocked(spark, path, idCol, vecCol, drifted, targetClusterSize,
-        iters)
+      StoreSwap.atomicallyIfUnified(spark, path) {
+        refitLocked(spark, path, idCol, vecCol, drifted,
+          targetClusterSize, iters)
+      }
     }
   }
 

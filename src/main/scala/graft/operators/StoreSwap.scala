@@ -510,6 +510,28 @@ object StoreSwap {
       }
     }
 
+  /** Run `body` as ONE composite commit when the store is unified —
+    * the wrapper every multi-swap mutation (forget across data +
+    * sidecar, band merge across index + inventory, refit across
+    * delete/append/codebook/codes) puts around its sequence so unified
+    * stores get reader-atomic, single-version semantics for the WHOLE
+    * operation, while per-dataDir stores keep their documented
+    * crash-atomic-per-swap + idempotent-re-run contract. Reentrant
+    * (an enclosing [[transact]] absorbs it). */
+  def atomicallyIfUnified[T](spark: SparkSession, path: String)
+                            (body: => T): T =
+    if (isUnified(spark, path)) transact(spark, path)(body) else body
+
+  /** [[withLease]] + [[atomicallyIfUnified]] — the standard bracket of
+    * a multi-swap store mutation. NOTE for bodies with early `return`:
+    * safe only while every such return precedes the first manifest
+    * mutation (a non-local return unwinds the open txn WITHOUT
+    * publishing) — all current callers return early only on empty
+    * work. */
+  def withLeaseAtomic[T](spark: SparkSession, path: String)
+                        (body: => T): T =
+    withLease(spark, path) { atomicallyIfUnified(spark, path)(body) }
+
   /** Next free generation number for `dataDir` — strictly above every
     * gen any RETAINED unified manifest references, the current (txn)
     * view references, or that exists on disk (orphans of crashed

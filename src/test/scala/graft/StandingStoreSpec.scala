@@ -133,6 +133,36 @@ class StandingStoreSpec extends SparkSpec {
     } finally spark.conf.unset("graft.store.snapshotKeep")
   }
 
+  test("on a unified store the whole refit publishes as ONE version (reader-atomic)") {
+    import graft.operators.StoreSwap
+    val cents = Similarity.trainCentroids(corpus(), "vec_id", "embedding", 2, 2)
+    val path = Fixtures.tempDir("graft-store-").resolve("ur").toString
+    Similarity.writeStandingStore(assigned(corpus(), cents), path,
+      "cluster", buckets = 8, versioned = true)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.unifyStandingStore(spark, path)
+    val v0 = Similarity.standingStoreVersions(spark, path).last
+    val fresh = Similarity.refitStoreDriftedClusters(spark, path,
+      "vec_id", "embedding", drifted = Set(0L),
+      targetClusterSize = 10, iters = 1)
+    assert(fresh.nonEmpty)
+    val v1 = Similarity.standingStoreVersions(spark, path).last
+    // delete + append + codebook rewrite land in ONE manifest rename —
+    // no reader can see the drifted members deleted but not re-appended
+    assert(v1 == v0 + 1, s"unified refit took ${v1 - v0} commits")
+    assert(Similarity.readStandingStore(spark, path)._1.count() == 40)
+    val cb = Similarity.readCodebookIds(spark, path)
+    assert(!cb.exists(_._1 == 0L), "drifted cid survived the refit")
+    assert(fresh.forall(f => cb.exists(_._1 == f._1)),
+      "fresh cids missing from the committed codebook")
+    // the refit state is a normal version: time travel to v0 still
+    // serves the pre-refit codebook
+    assert(Similarity.readCodebookAt(spark, path, v0)
+      .exists(_._1 == 0L))
+    assert(StoreSwap.readVersionedAt(spark, path, "data", "c_bucket", v0)
+      .count() == 40)
+  }
+
   test("deleteFromStandingStore rewrites only touched buckets and flips verdicts") {
     val base = corpus()
     val cents = Similarity.trainCentroids(base, "vec_id", "embedding", 2, 2)
