@@ -103,7 +103,7 @@ object StoreCdcProbe {
       var cdcRows = 0L
       var cdcFiles = 0L
       var leakFiles = 0L
-      val cdcSec = t {
+      var cdcSec = t {
         val diff = Dedup.signatureStoreDiff(spark, store, "doc_id",
           v0, live)
         diff.write.format("noop").mode("overwrite").save()
@@ -116,16 +116,25 @@ object StoreCdcProbe {
           !f.contains("d_bucket=13/") && !f.contains("d_bucket=23/"))
           .toLong
       }
+      // min-of-2 for the CDC wall too (same cold-first rationale)
+      cdcSec = math.min(cdcSec, t {
+        Dedup.signatureStoreDiff(spark, store, "doc_id", v0, live)
+          .write.format("noop").mode("overwrite").save()
+      })
       // a diff between identical versions is metadata-only
       val noopCdcSec = t {
         Dedup.signatureStoreDiff(spark, store, "doc_id", live, live)
           .write.format("noop").mode("overwrite").save()
       }
-      val judgeAsofSec = t {
+      // min-of-2 like Bench: the first execution pays JIT/codegen and
+      // file-listing caches — the r14 first-cut record read the as-of
+      // judge 1.28x over live mostly from running cold-first
+      def min2(body: => Unit): Double = math.min(t(body), t(body))
+      val judgeAsofSec = min2 {
         Dedup.lshJudgeStoreAt(spark, store, judged, "doc_id", "text",
           v0).count()
       }
-      val judgeLiveSec = t {
+      val judgeLiveSec = min2 {
         Dedup.lshJudgeStore(spark, store, corpus, judged,
           "doc_id", "text").count()
       }
