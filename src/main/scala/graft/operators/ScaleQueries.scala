@@ -1023,6 +1023,16 @@ object ScaleQueries {
       "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
         " FROM documents WHERE doc_id % 5 = 0",
       "s.id < 200000 AND d.id >= 200000"),
+    // q230: the same loop on the UNIFIED protocol (one txn per
+    // micro-batch, namespaced-ledger redelivery skip) must land in the
+    // identical judged state — same replay
+    "q230_stream_unified_txn" -> lshJudgeSql(
+      "SELECT doc_id AS id, text FROM documents" +
+        " UNION ALL SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '')" +
+        " FROM documents WHERE doc_id % 3 = 0",
+      "SELECT doc_id + 200000 AS id, regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text" +
+        " FROM documents WHERE doc_id % 5 = 0",
+      "s.id < 200000 AND d.id >= 200000"),
     // the repaired index must equal the banding of the post-merge
     // signatures exactly — minhash(union of shingles) = MIN-merge of
     // the two ingests' signatures, so one replay covers both

@@ -951,6 +951,81 @@ object StreamingQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q230: q224's STREAMING EXACTLY-ONCE LOOP on the UNIFIED protocol
+    * — each micro-batch's composed ingest (signature MIN-merge +
+    * shingle replace-merge + band merge + ledger ack) publishes as ONE
+    * `store.v<N>` manifest rename ([[graft.operators.StoreSwap
+    * .transact]] inside [[Dedup.ingestBatchIntoStore]]), so the gate
+    * REQUIRES exactly one version bump per micro-batch and zero for
+    * the post-stream redelivery (skipped from the per-dataDir
+    * namespaced ledger before evaluation). The final delta2 judgment
+    * must equal q206's batch-flow oracle exactly — the unified
+    * transactional flavor is content-invariant too. */
+  def q230StreamUnifiedTxn(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.select(col("doc_id"), col("text"))
+    def shifted(mod: Int, shift: Long, pat: String) =
+      standing.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + shift).as("doc_id"),
+          regexp_replace(col("text"), pat, "").as("text"))
+    val delta1 = shifted(3, 100000L, "^\\S+\\s+")
+    val delta2 = shifted(5, 200000L, "^\\S+\\s+\\S+\\s+")
+    val tmp = Fixtures.tempDir("graft-q230-")
+    val in = tmp.resolve("in")
+    Files.createDirectories(in)
+    val store = tmp.resolve("sigs").toString
+    Dedup.writeSignatureStore(
+      Dedup.minhashSignatures(standing, "doc_id", "text"),
+      store, "doc_id", buckets = 16, versioned = true)
+    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
+    Dedup.unifySignatureStore(spark, store)
+    val preV = Dedup.signatureStoreVersions(spark, store).last
+    def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val stage = tmp.resolve(s"stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = Files.list(stage)
+      val part = try listing.filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally listing.close()
+      val dest = in.resolve(s"$name.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    }
+    val t0 = 1600000000000L
+    stageChunk(delta1.filter(col("doc_id") % 2 === 0), "d1", t0)
+    stageChunk(delta1.filter(col("doc_id") % 2 =!= 0), "d2", t0 + 2000L)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.cache()
+        try Dedup.ingestBatchIntoStore(b.sparkSession, store, b,
+          "doc_id", "text", batchId = Some(id))
+        finally b.unpersist()
+      }
+      .option("checkpointLocation", tmp.resolve("cp").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val postV = Dedup.signatureStoreVersions(spark, store).last
+    require(postV == preV + 2,
+      s"unified streaming ingest took ${postV - preV} commits for 2" +
+        " micro-batches — the composed ingest must be ONE txn each")
+    // redelivery after an "unacknowledged epoch": the namespaced
+    // unified ledger must skip it WITHOUT a version bump
+    Dedup.ingestBatchIntoStore(spark, store,
+      delta1.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      batchId = Some(0L))
+    require(Dedup.signatureStoreVersions(spark, store).last == postV,
+      "redelivered batch bumped the unified store version")
+    Dedup.lshJudgeStore(spark, store, standing.unionByName(delta1),
+        delta2, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q174: STREAMING event-time session windows
     * ([[StreamingLoad.sessionCounts]], native `session_window`, 30-min
     * gap, 2-h watermark) under the driver's value gate — the q44
@@ -1112,6 +1187,7 @@ object StreamingQueries {
     "q212_stream_lsh_ingest" -> q212StreamLshIngest _,
     "q223_stream_exactly_once" -> q223StreamExactlyOnce _,
     "q224_stream_text_exactly_once" -> q224StreamTextExactlyOnce _,
+    "q230_stream_unified_txn" -> q230StreamUnifiedTxn _,
     "q114_stream_upsert" -> q114StreamUpsert _,
     "q127_stream_dedup"  -> q127StreamDedup _,
     "q141_stream_budget" -> q141StreamBudget _,
