@@ -939,14 +939,35 @@ object Similarity {
         " historical judgment cannot pin both; migrate with" +
         " unifyStandingStore to the UNIFIED manifest first")
     val cents = readCodebookAt(spark, path, version)
-    val (baseAt, _) = readStandingStoreAt(spark, path, version)
     val d = delta.select(col(idCol), col(vecCol))
       .withColumn("__cluster",
         assignClusterIds(col(vecCol), cents).cast("long"))
       .withColumn("__nrm", norm(col(vecCol)))
+      .localCheckpoint(true) // |delta| rows, referenced by the collect
+                             // below and both verdict joins
+    val baseAt =
+      if (!pruneBaseByDeltaClusters)
+        readStandingStoreAt(spark, path, version)._1
+      else {
+        // the SAME two pruning rungs as the live daily flow
+        // (semDedupIncrementalStore → readStandingStorePruned): the
+        // delta's clusters restrict c_bucket PARTITION DIRS and the
+        // cluster row groups — without the bucket rung the pinned read
+        // opened every bucket dir of the pinned generation and the
+        // as-of judgment scaled with the STORE (SemanticReplayProbe
+        // first cut: 2.4×/decade vs live 1.07×), exactly the
+        // store-size coupling this operator exists to avoid
+        val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+        val touched = d.select(col("__cluster")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val tb = touched
+          .map(c => (((c % buckets) + buckets) % buckets).toInt).distinct
+        StoreSwap.readVersionedAt(spark, path, "data", "c_bucket",
+            version, buckets = Some(tb))
+          .filter(col("cluster").isin(touched: _*))
+      }
     semDedupIncrementalPrepped(baseAt, d, idCol, vecCol,
-      "cluster", "nrm", "__cluster", "__nrm", minCos,
-      pruneBaseByDeltaClusters)
+      "cluster", "nrm", "__cluster", "__nrm", minCos)
   }
 
   /** The store restricted to `touched` clusters with BOTH pruning
