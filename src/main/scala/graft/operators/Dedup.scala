@@ -783,9 +783,24 @@ object Dedup {
     * publishes one store-wide snapshot. Any retained version is then
     * a CONSISTENT state of the whole store, which is what makes
     * [[lshJudgeStoreAt]]'s historical judgment replay exact. */
-  def unifySignatureStore(spark: SparkSession, path: String): Unit =
+  def unifySignatureStore(spark: SparkSession, path: String): Unit = {
+    // seed the versioned layout record from the live sidecar INTO the
+    // migration manifest: a band index built BEFORE migration thereby
+    // gets its constants pinned at the cutover, so historical
+    // judgments of the migration snapshot survive a later rebuild
+    // under a different graft.lsh.bandIndexBuckets (bandsMetaAt would
+    // otherwise have to fail fast on those versions)
+    val bm = new org.apache.hadoop.fs.Path(path + "/bands_meta")
+    val seed =
+      if (bm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(bm)) {
+        val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
+        val (b, r, ib) = bandsMeta(spark, path, buckets)
+        bandsMetaEntries(b, r, ib)
+      } else Map.empty[String, Seq[Long]]
     StoreSwap.unifyVersioning(spark, path,
-      Seq("data", "bands", "bands_inv", "shingles"))
+      Seq("data", "bands", "bands_inv", "shingles"), seedMeta = seed)
+  }
 
   /** The full signature store plus its recorded bucket count, with any
     * committed-but-unapplied bucket swap of a crashed mutation rolled
@@ -1022,7 +1037,7 @@ object Dedup {
     * search. Bands/rowsPerBand ride in a `bands_meta` sidecar. */
   def writeBandIndex(spark: SparkSession, path: String, idCol: String,
                      bands: Int = 8): Unit =
-    StoreSwap.withLease(spark, path) {
+    StoreSwap.withLeaseAtomic(spark, path) {
     val (sigs, buckets) = readSignatureStore(spark, path)
     val numHashes = sigs.agg(max(col("k"))).head.getLong(0).toInt + 1
     require(numHashes % bands == 0,
@@ -1072,7 +1087,34 @@ object Dedup {
     spark.range(1).select(lit(bands).as("bands"),
         lit(r).as("rows_per_band"), lit(idxBuckets).as("idx_buckets"))
       .write.mode("overwrite").parquet(path + "/bands_meta")
+    // On unified stores the layout constants ALSO version through the
+    // manifest (same rename as the band rows, via withLeaseAtomic): a
+    // historical judgment resolves bands/r/idx_buckets from its pinned
+    // version, so a rebuild under a different graft.lsh.bandIndexBuckets
+    // inside the retention window can never make a replay compute delta
+    // bb_buckets under the NEW layout against band rows written under
+    // the OLD one (which silently drops candidates).
+    if (StoreSwap.isUnified(spark, path))
+      putBandsMeta(spark, path, bands, r, idxBuckets)
   }
+
+  /** Manifest-metadata names under which the band-index layout
+    * constants version — ONE name per constant (manifest values
+    * serialize as sorted sets, so an ordered tuple can't ride in a
+    * single entry). */
+  private val BandsKey = "bands.b"
+  private val RowsPerBandKey = "bands.r"
+  private val IdxBucketsKey = "bands.idx"
+
+  private def bandsMetaEntries(bands: Int, r: Int,
+                               idxBuckets: Int): Map[String, Seq[Long]] =
+    Map(BandsKey -> Seq(bands.toLong), RowsPerBandKey -> Seq(r.toLong),
+      IdxBucketsKey -> Seq(idxBuckets.toLong))
+
+  private def putBandsMeta(spark: SparkSession, path: String,
+                           bands: Int, r: Int, idxBuckets: Int): Unit =
+    StoreSwap.putStoreMeta(spark, path,
+      bandsMetaEntries(bands, r, idxBuckets))
 
   /** Whether `path` carries the per-doc band inventory (indexes built
     * before it existed lack one until the next [[writeBandIndex]]). */
@@ -1104,6 +1146,41 @@ object Dedup {
       m.getAs[Int]("idx_buckets") else storeBuckets
     (m.getInt(0), m.getInt(1), idx)
   }
+
+  /** The layout constants a reader at `asOf` must derive band rows
+    * with. Live reads use the `bands_meta` sidecar; PINNED reads
+    * resolve from the pinned manifest ([[StoreSwap.storeMetaAt]]) —
+    * a [[writeBandIndex]] rebuild under a different
+    * `graft.lsh.bandIndexBuckets` inside the retention window rewrites
+    * the live sidecar, and deriving delta `bb_bucket`s from it against
+    * band rows PINNED under the old layout silently drops candidates.
+    * A pinned manifest that predates the first recorded layout falls
+    * back to the live sidecar only when NO retained manifest carries a
+    * record (index never rebuilt since the recording began — live
+    * still describes the pinned rows); otherwise it fails fast. */
+  private def bandsMetaAt(spark: SparkSession, path: String,
+                          storeBuckets: Int,
+                          asOf: Option[Int]): (Int, Int, Int) =
+    asOf match {
+      case Some(v) =>
+        (StoreSwap.storeMetaAt(spark, path, BandsKey, Some(v)),
+         StoreSwap.storeMetaAt(spark, path, RowsPerBandKey, Some(v)),
+         StoreSwap.storeMetaAt(spark, path, IdxBucketsKey, Some(v))) match {
+          case (Some(Seq(b)), Some(Seq(r)), Some(Seq(ib))) =>
+            (b.toInt, r.toInt, ib.toInt)
+          case _ =>
+            require(!StoreSwap.storeMetaRecordedEver(spark, path,
+                BandsKey),
+              s"$path: the band index was rebuilt AFTER version $v (a" +
+                " later retained manifest records layout constants this" +
+                " one lacks) - the live bands_meta may not describe the" +
+                " pinned band rows, so this replay would silently drop" +
+                " candidates. Re-pin at a post-rebuild version or" +
+                " restore the pre-rebuild index from archive")
+            bandsMeta(spark, path, storeBuckets)
+        }
+      case None => bandsMeta(spark, path, storeBuckets)
+    }
 
   /** Current doc-pruned band rows for `docIds` — reads the docs'
     * POST-merge signatures through the store's doc-bucket pruning. */
@@ -1314,10 +1391,13 @@ object Dedup {
     // mutation's committed swap, or it serves stale band rows
     StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
-    val (bands, r, idxBuckets) = bandsMeta(spark, path, buckets)
+    // layout constants resolve from the PINNED manifest on historical
+    // replays (a post-pin rebuild may have changed them); live from the
+    // bands_meta sidecar
+    val (bands, r, idxBuckets) = bandsMetaAt(spark, path, buckets, asOf)
     require(bands * r == numHashes, "band geometry must match the store")
-    // version-pinned store reads for the historical replay (meta and
-    // bands_meta stay live - layout constants fixed at build time)
+    // version-pinned store reads for the historical replay (meta stays
+    // live - store bucket count fixed at build time)
     def storeDir(dataDir: String, partCol: String): DataFrame = asOf match {
       case Some(v) =>
         StoreSwap.readVersionedAt(spark, path, dataDir, partCol, v)

@@ -867,10 +867,16 @@ object Similarity {
     StoreSwap.unifyVersioning(spark, path, Seq("data"))
     val legacy = new org.apache.hadoop.fs.Path(path + "/codebook")
     val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(legacy) && !codebookVersioned(spark, path)) {
-      val rows = spark.read.parquet(path + "/codebook")
-        .select(col("cid"), col("cent")).localCheckpoint(true)
-      writeCodebookDf(spark, path, rows) // versioned from here on
+    if (fs.exists(legacy)) {
+      if (!codebookVersioned(spark, path)) {
+        val rows = spark.read.parquet(path + "/codebook")
+          .select(col("cid"), col("cent")).localCheckpoint(true)
+        writeCodebookDf(spark, path, rows) // versioned from here on
+      }
+      // idempotent cleanup even when the codebook is ALREADY versioned:
+      // a crash between writeCodebookDf's commit and this delete would
+      // otherwise leave the stale legacy dir permanently (the re-run
+      // used to skip the whole branch once codebookVersioned was true)
       fs.delete(legacy, true)
     }
   }

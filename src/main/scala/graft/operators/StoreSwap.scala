@@ -389,12 +389,20 @@ object StoreSwap {
                            dataDir: String): Map[String, Seq[Long]] = {
     val pfx = dataDir + "/"
     val bk = unifiedBatchesKey(dataDir)
-    all.collect {
+    val sliced: Map[String, Seq[Long]] = all.collect {
       // only THIS dataDir's namespaced ledger, under its per-dataDir
       // name — the slice looks exactly like a per-dataDir manifest
       case (k, v) if k == bk => BatchesKey -> v
       case (k, v) if k.startsWith(pfx) => k.stripPrefix(pfx) -> v
     }
+    // Stores unified BEFORE the ledger was namespaced wrote ONE
+    // store-wide `#batches` key. Until a dataDir's first post-upgrade
+    // ack migrates it (commitUnified folds it into the namespaced
+    // key), that legacy ledger is every dataDir's ledger — dropping it
+    // here would erase the exactly-once window across the upgrade and
+    // re-apply a redelivered batch.
+    if (sliced.contains(BatchesKey)) sliced
+    else all.get(BatchesKey).fold(sliced)(v => sliced + (BatchesKey -> v))
   }
 
   /** MIGRATE a versioned store to the unified manifest: each dataDir's
@@ -410,9 +418,15 @@ object StoreSwap {
     * the cutover — and the unified numbering starts ABOVE every
     * pre-migration version, so a read of a pre-migration version
     * number fails fast with the cutover runbook message instead of
-    * aliasing a later unified snapshot. Idempotent. */
+    * aliasing a later unified snapshot. Idempotent.
+    * `seedMeta` pins model/layout constants (name → longs, see
+    * [[putStoreMeta]]) INTO the migration manifest itself, so the
+    * cutover snapshot is historically replayable without a second
+    * version bump. */
   def unifyVersioning(spark: SparkSession, path: String,
-                      dataDirs: Seq[String]): Unit = withLease(spark, path) {
+                      dataDirs: Seq[String],
+                      seedMeta: Map[String, Seq[Long]] = Map.empty)
+                     : Unit = withLease(spark, path) {
     require(!dataDirs.contains(StoreFamily),
       s"'$StoreFamily' is the unified manifest family name, not a dataDir")
     recover(spark, path)
@@ -462,6 +476,7 @@ object StoreSwap {
               .map(s => s"$d/${s.getPath.getName}" -> Seq(0L))
         }
       }
+      all ++= seedMeta.map { case (n, vs) => storeMetaKey(n) -> vs }
       writeManifest(fs, path, StoreFamily, startV, all) // the commit point
     }
     // retire the per-dataDir families (also the crash-after-commit
@@ -500,7 +515,25 @@ object StoreSwap {
         activeTxn.get(path) = t
         val result =
           try body
-          finally activeTxn.get.remove(path)
+          catch {
+            // A real exception ABORTS the txn by design (pre-txn
+            // version stays published; staged gens are orphans). A
+            // CONTROL throw — a non-local `return` in the body — is
+            // different: the caller believes it completed normally,
+            // so silently dropping accumulated mutations would be
+            // data loss. Safe only before the first mutation; a dirty
+            // txn unwinding this way is a caller bug — fail loudly.
+            case e: scala.util.control.ControlThrowable if t.dirty =>
+              activeTxn.get.remove(path)
+              sys.error(s"non-local return unwound an OPEN DIRTY store" +
+                s" transaction on $path without publishing — restructure" +
+                " the body to if/else (early returns are safe only" +
+                " before the first manifest mutation)")
+            case e: Throwable =>
+              activeTxn.get.remove(path)
+              throw e
+          }
+        activeTxn.get.remove(path)
         if (t.dirty) {
           val fs = fsOf(spark, versionsDir(path))
           writeManifest(fs, path, StoreFamily, baseV + 1, t.entries)
@@ -523,11 +556,10 @@ object StoreSwap {
     if (isUnified(spark, path)) transact(spark, path)(body) else body
 
   /** [[withLease]] + [[atomicallyIfUnified]] — the standard bracket of
-    * a multi-swap store mutation. NOTE for bodies with early `return`:
-    * safe only while every such return precedes the first manifest
-    * mutation (a non-local return unwinds the open txn WITHOUT
-    * publishing) — all current callers return early only on empty
-    * work. */
+    * a multi-swap store mutation. Bodies with early `return`: safe
+    * only while every such return precedes the first manifest mutation
+    * — [[transact]] now DETECTS a non-local return unwinding a dirty
+    * txn and fails loudly instead of silently dropping the work. */
   def withLeaseAtomic[T](spark: SparkSession, path: String)
                         (body: => T): T =
     withLease(spark, path) { atomicallyIfUnified(spark, path)(body) }
@@ -597,9 +629,15 @@ object StoreSwap {
     val withLedger = batchRecord match {
       case Some(id) =>
         val bk = unifiedBatchesKey(dataDir)
+        // seed from the legacy store-wide key when the namespaced one
+        // doesn't exist yet (store unified before the ledger was
+        // namespaced): the first post-upgrade ack migrates the window
+        // into the namespaced key. The legacy key stays — it may still
+        // be another dataDir's only ledger until ITS first ack.
+        val prior = all0.getOrElse(bk,
+          all0.getOrElse(BatchesKey, Seq.empty))
         entries + (bk ->
-          ((all0.getOrElse(bk, Seq.empty) :+ id)
-            .distinct.takeRight(BatchLedgerKeep)))
+          ((prior :+ id).distinct.takeRight(BatchLedgerKeep)))
       case None => entries
     }
     txnOpt match {
@@ -749,9 +787,12 @@ object StoreSwap {
                        dataDir: String): Set[Long] =
     (if (isUnified(spark, path))
        // per-dataDir namespaced ledger: two dataDirs tracking
-       // independent streams with overlapping batch ids must not alias
+       // independent streams with overlapping batch ids must not
+       // alias. Fall back to the legacy store-wide key for stores
+       // unified before the namespacing (same window, pre-upgrade).
        unifiedView(spark, path).map(_._2)
-         .flatMap(_.get(unifiedBatchesKey(dataDir)))
+         .flatMap(m => m.get(unifiedBatchesKey(dataDir))
+           .orElse(m.get(BatchesKey)))
      else latestSnapshot(spark, path, dataDir).map(_._2)
        .flatMap(_.get(BatchesKey)))
       .map(_.toSet)
@@ -787,6 +828,76 @@ object StoreSwap {
     * as independent as they were before migration. */
   private def unifiedBatchesKey(dataDir: String): String =
     s"$BatchesKey:$dataDir"
+
+  /** Record model/layout constants as a reserved `#meta:<name>` entry
+    * of the unified manifest, so the constants VERSION WITH the data
+    * they describe: a historical (as-of) reader resolves them from the
+    * pinned manifest, never from a live sidecar a later rebuild may
+    * have rewritten under different constants (e.g. the band index's
+    * `idx_buckets` layout — delta bucket ids computed under a new
+    * layout against band rows written under an old one silently drop
+    * candidates). Folds into an open [[transact]] (one rename with the
+    * mutation it describes) or publishes its own manifest version.
+    * Entries carry forward across later commits until overwritten.
+    * CAUTION: manifest values serialize as a SORTED multiset (they are
+    * generation SETS everywhere else) — an ORDERED tuple must be
+    * stored as one single-value entry per component name. */
+  def putStoreMeta(spark: SparkSession, path: String,
+                   meta: Map[String, Seq[Long]]): Unit =
+    withLease(spark, path) {
+    require(isUnified(spark, path),
+      s"$path: versioned store metadata needs the unified manifest")
+    val keyed = meta.map { case (n, vs) => storeMetaKey(n) -> vs }
+    val txnOpt = activeTxn.get.get(path)
+    val (baseV, all0) = txnOpt.map(t => (t.baseV, t.entries))
+      .orElse(latestUnifiedRaw(spark, path))
+      .getOrElse((-1, Map.empty[String, Seq[Long]]))
+    txnOpt match {
+      case Some(t) =>
+        t.entries = all0 ++ keyed
+        t.dirty = true
+      case None =>
+        val fs = fsOf(spark, versionsDir(path))
+        writeManifest(fs, path, StoreFamily, baseV + 1, all0 ++ keyed)
+        gcUnified(spark, fs, path)
+    }
+  }
+
+  /** The `#meta:<name>` constants at a pinned manifest `version`, or
+    * the current view when `version` is None. None when the manifest
+    * predates the first [[putStoreMeta]] of this name (or the store is
+    * not unified) — the caller decides whether a live-sidecar fallback
+    * is safe. `whenAbsent = latest-recorded-check`: see
+    * [[storeMetaRecordedEver]]. */
+  def storeMetaAt(spark: SparkSession, path: String, name: String,
+                  version: Option[Int] = None): Option[Seq[Long]] = {
+    if (!isUnified(spark, path)) return None
+    val key = storeMetaKey(name)
+    version match {
+      case Some(v) =>
+        val fs = fsOf(spark, versionsDir(path))
+        manifests(fs, path, StoreFamily)
+          .collectFirst { case (mv, p) if mv == v => readManifest(fs, p) }
+          .flatMap(_.get(key))
+      case None => unifiedView(spark, path).flatMap(_._2.get(key))
+    }
+  }
+
+  /** Whether ANY retained manifest carries `#meta:<name>` — the
+    * postdating check: a pinned version WITHOUT the record while a
+    * later retained version HAS it proves the constants were
+    * (re)recorded after the pin, so a live-sidecar fallback could
+    * apply post-pin constants to pinned data. */
+  def storeMetaRecordedEver(spark: SparkSession, path: String,
+                            name: String): Boolean = {
+    if (!isUnified(spark, path)) return false
+    val key = storeMetaKey(name)
+    val fs = fsOf(spark, versionsDir(path))
+    manifests(fs, path, StoreFamily)
+      .exists { case (_, p) => readManifest(fs, p).contains(key) }
+  }
+
+  private def storeMetaKey(name: String): String = s"#meta:$name"
 
   /** How many trailing batch ids the ledger retains. Structured
     * Streaming redelivers at most the batches after the last epoch the

@@ -386,4 +386,173 @@ class UnifiedStoreSpec extends SparkSpec {
         .count() == 0)
     } finally spark.conf.unset("graft.store.snapshotKeep")
   }
+
+  test("a store unified before the ledger was namespaced keeps its exactly-once window") {
+    // ADVICE r14: committedBatches read ONLY the namespaced
+    // '#batches:<dataDir>' key — a store whose manifest still carries
+    // the pre-namespacing store-wide '#batches' silently lost its
+    // ledger on upgrade and re-applied a redelivered batch.
+    val standing = docs().filter(col("doc_id") < 4)
+    val path = buildUnified(standing)
+    Dedup.ingestBatchIntoStore(spark, path,
+      docs().filter(col("doc_id") === 8L), "doc_id", "text",
+      batchId = Some(7L), n = 3, numHashes = 4)
+    // rewrite the latest manifest to the PRE-NAMESPACING layout
+    val mf = new java.io.File(s"$path/_v").listFiles()
+      .filter(_.getName.startsWith("store.v"))
+      .maxBy(_.getName.stripPrefix("store.v").toInt)
+    val body = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    assert(body.contains("#batches:data|"), body)
+    java.nio.file.Files.write(mf.toPath,
+      body.replace("#batches:data|", "#batches|").getBytes("UTF-8"))
+    // the raw rewrite invalidates Hadoop LocalFileSystem's checksum
+    // sidecar; drop it (a real pre-namespacing store's crc matches)
+    new java.io.File(mf.getParentFile, s".${mf.getName}.crc").delete()
+    // fallback read: the legacy store-wide window is still the window
+    assert(StoreSwap.committedBatches(spark, path, "data") == Set(7L))
+    val preV = StoreSwap.snapshotVersions(spark, path, "data").last
+    // a redelivered pre-upgrade batch is skipped, not re-applied
+    Dedup.ingestBatchIntoStore(spark, path,
+      docs().filter(col("doc_id") === 8L), "doc_id", "text",
+      batchId = Some(7L), n = 3, numHashes = 4)
+    assert(StoreSwap.snapshotVersions(spark, path, "data").last == preV,
+      "redelivered batch was re-applied after the namespacing upgrade")
+    // the first post-upgrade ack migrates the window into the
+    // namespaced key (union, not replacement)
+    Dedup.ingestBatchIntoStore(spark, path,
+      docs().filter(col("doc_id") === 2L), "doc_id", "text",
+      batchId = Some(8L), n = 3, numHashes = 4)
+    assert(StoreSwap.committedBatches(spark, path, "data") == Set(7L, 8L))
+    // and batch 7 redelivery is STILL a no-op after the migration
+    val v2 = StoreSwap.snapshotVersions(spark, path, "data").last
+    Dedup.ingestBatchIntoStore(spark, path,
+      docs().filter(col("doc_id") === 8L), "doc_id", "text",
+      batchId = Some(7L), n = 3, numHashes = 4)
+    assert(StoreSwap.snapshotVersions(spark, path, "data").last == v2)
+  }
+
+  test("a non-local return unwinding a dirty txn fails loudly instead of dropping the work") {
+    // ADVICE r14: a body's early `return` after the first mutation
+    // unwound transact WITHOUT publishing — the caller believed the
+    // mutation committed; the manifest silently stayed at the pre-txn
+    // version. Dirty unwinds must be loud.
+    val standing = docs().filter(col("doc_id") < 4)
+    val path = buildUnified(standing)
+    val preV = StoreSwap.snapshotVersions(spark, path, "data").last
+    def bad(): Unit =
+      StoreSwap.transact(spark, path) {
+        Dedup.mergeIntoSignatureStore(spark, path,
+          sigs(docs().filter(col("doc_id") === 8L)), "doc_id")
+        if (standing != null) return // caller bug: dirty non-local exit
+        ()
+      }
+    val ex = intercept[RuntimeException](bad())
+    assert(ex.getMessage.contains("non-local return"), ex.getMessage)
+    assert(StoreSwap.snapshotVersions(spark, path, "data").last == preV,
+      "dirty non-local return published anyway")
+    // an early return BEFORE any mutation stays allowed (the
+    // documented empty-work pattern)
+    def ok(): Int =
+      StoreSwap.transact(spark, path) {
+        if (standing != null) return 5
+        0
+      }
+    assert(ok() == 5)
+    assert(StoreSwap.snapshotVersions(spark, path, "data").last == preV)
+  }
+
+  test("historical replay resolves the band layout from the pinned manifest, not the live sidecar") {
+    // ADVICE r14: lshJudgeStore(asOf) derived delta bb_buckets from
+    // the LIVE bands_meta — a rebuild under a different
+    // graft.lsh.bandIndexBuckets inside the retention window made
+    // replays prune to the wrong index dirs and silently drop
+    // candidates.
+    val standing = docs().filter(col("doc_id") =!= 2L)
+    val path = buildUnified(standing)
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      val v0 = StoreSwap.snapshotVersions(spark, path, "data").last
+      // the cutover seeded the layout record into the migration
+      // manifest: bands=2, r=2, idxBuckets=store buckets=8
+      assert(StoreSwap.storeMetaAt(spark, path, "bands.b", Some(v0))
+        .contains(Seq(2L)))
+      assert(StoreSwap.storeMetaAt(spark, path, "bands.r", Some(v0))
+        .contains(Seq(2L)))
+      assert(StoreSwap.storeMetaAt(spark, path, "bands.idx", Some(v0))
+        .contains(Seq(8L)))
+      val probe = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog"),
+        (101L, "totally unrelated content nothing matches"))
+        .toDF("doc_id", "text")
+      val liveV0 = judgeRows(Dedup.lshJudgeStore(spark, path, standing,
+        probe, "doc_id", "text", n = 3, numHashes = 4))
+      assert(liveV0.nonEmpty, "weak scenario: probe matched nothing")
+      // rebuild the index under a DIFFERENT directory layout
+      spark.conf.set("graft.lsh.bandIndexBuckets", "3")
+      try Dedup.writeBandIndex(spark, path, "doc_id", bands = 2)
+      finally spark.conf.unset("graft.lsh.bandIndexBuckets")
+      assert(StoreSwap.storeMetaAt(spark, path, "bands.idx")
+        .contains(Seq(3L)))
+      // live serves under the new layout
+      assert(judgeRows(Dedup.lshJudgeStore(spark, path, standing, probe,
+        "doc_id", "text", n = 3, numHashes = 4)) == liveV0)
+      // the pinned replay derives delta buckets under the OLD layout
+      // (from the v0 manifest) — under the live layout the colliding
+      // band rows would be pruned away
+      assert(judgeRows(Dedup.lshJudgeStoreAt(spark, path, probe,
+        "doc_id", "text", v0, n = 3, numHashes = 4)) == liveV0,
+        "pinned replay used the post-rebuild layout")
+      // a pinned version WITHOUT a layout record while a later one HAS
+      // one proves the index was rebuilt after the pin: fail fast
+      val p2 = Fixtures.tempDir("graft-ustore-").resolve("nl").toString
+      val s2 = docs().filter(col("doc_id") < 4)
+      Dedup.writeSignatureStore(sigs(s2), p2, "doc_id",
+        buckets = 8, versioned = true)
+      Dedup.writeShingleSidecar(spark, p2, s2, "doc_id", "text", n = 3)
+      Dedup.unifySignatureStore(spark, p2) // no index yet: no record
+      val u0 = StoreSwap.snapshotVersions(spark, p2, "data").last
+      Dedup.writeBandIndex(spark, p2, "doc_id", bands = 2) // records
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.lshJudgeStoreAt(spark, p2, probe, "doc_id", "text", u0,
+          n = 3, numHashes = 4)
+      }
+      assert(ex.getMessage.contains("rebuilt AFTER"), ex.getMessage)
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
+  test("unifyStandingStore cleans a stale legacy codebook dir left by a crash after the versioned commit") {
+    // ADVICE r14: the legacy /codebook delete ran only when
+    // codebookVersioned was still false — a crash between
+    // writeCodebookDf's commit and the delete left the stale dir
+    // permanently because the re-run skipped the whole branch.
+    import graft.operators.Similarity
+    def corpus() = (0L until 40L).map(i =>
+      (i, Seq.tabulate(4)(j => ((i * 7 % 13) + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus(), "vec_id",
+      "embedding", 2, 2)
+    val assigned = corpus()
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cents).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val path = Fixtures.tempDir("graft-ustore-").resolve("cbcr").toString
+    Similarity.writeStandingStore(assigned, path, "cluster",
+      buckets = 4, versioned = true)
+    Similarity.writeCodebook(spark, path, cents)
+    Similarity.unifyStandingStore(spark, path)
+    val before = Similarity.readCodebook(spark, path)
+    val legacy = new java.io.File(s"$path/codebook")
+    assert(!legacy.exists(), "migration left the legacy codebook dir")
+    // simulate the crash window: versioned commit durable, delete lost
+    spark.range(1).select(lit(99L).as("cid"),
+        array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)).as("cent"))
+      .write.parquet(s"$path/codebook")
+    assert(legacy.exists())
+    Similarity.unifyStandingStore(spark, path) // idempotent re-run
+    assert(!legacy.exists(),
+      "re-run left the stale legacy codebook dir in place")
+    assert(Similarity.readCodebook(spark, path) == before,
+      "cleanup damaged the versioned codebook")
+  }
 }
