@@ -530,8 +530,14 @@ object SelectionQueries {
     * different assignments — a model leak reshuffles co-membership).
     * The oracle replays the pre-mutation judgment only (q177's
     * closed-form), so a leak of either artifact breaks the hash. The
-    * per-dataDir refusal (codebook and data versioning independently
-    * cannot pin together) is spec-gated in StandingStoreSpec. */
+    * judgment runs the PRUNED scale path (pruneBaseByDeltaClusters
+    * defaults true since round 15): the pinned members are read
+    * through the same two pruning rungs as the live daily flow, so a
+    * pruning bug that drops or leaks a cluster ALSO breaks the hash —
+    * the flat-per-decade read SemanticReplayProbe measures is the
+    * gated path. Pruned ≡ unpruned equivalence is spec-gated in
+    * StandingStoreSpec; the per-dataDir refusal (codebook and data
+    * versioning independently cannot pin together) likewise. */
   def q229SemanticReplay(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))

@@ -933,11 +933,18 @@ object Similarity {
     * Verdict contract identical to [[semDedupIncrementalAssigned]]:
     * (idCol, cluster, keep) per delta row. Delta-footprint at scale:
     * the pinned members prune by the delta's clusters exactly like the
-    * live path when `pruneBaseByDeltaClusters` is set. */
+    * live path — ON by default (verdict-invariant by construction:
+    * clusters absent from the delta contribute no pairs, and the q229
+    * oracle gate hash-gates the pruned read — a bucket-prune leak that
+    * drops or leaks a cluster breaks the hash). Disable only to
+    * diagnose the pruning itself; without the bucket rung the pinned
+    * read opens every bucket dir of the pinned generation and the
+    * as-of judgment scales with the STORE (SemanticReplayProbe first
+    * cut: 2.4×/decade vs flat). */
   def semanticJudgeStoreAt(spark: SparkSession, path: String,
                            delta: DataFrame, idCol: String,
                            vecCol: String, version: Int, minCos: Double,
-                           pruneBaseByDeltaClusters: Boolean = false)
+                           pruneBaseByDeltaClusters: Boolean = true)
       : DataFrame = {
     require(StoreSwap.isUnified(spark, path) &&
       codebookVersioned(spark, path),

@@ -126,6 +126,15 @@ class StandingStoreSpec extends SparkSpec {
         .orderBy("vec_id").collect().toSeq
       assert(replay == live,
         "pinned replay diverged from the verdict at that version")
+      // the default (pruned) read and the full-store read are verdict-
+      // equivalent: pruning drops only clusters absent from the delta,
+      // which contribute no pairs — the invariance the default relies on
+      val replayUnpruned = Similarity.semanticJudgeStoreAt(spark, path,
+          delta, "vec_id", "embedding", v0, minCos = 0.99,
+          pruneBaseByDeltaClusters = false)
+        .orderBy("vec_id").collect().toSeq
+      assert(replayUnpruned == replay,
+        "pruned and unpruned pinned reads disagreed")
       // the codebook at v0 is the original; the latest is the refit
       assert(Similarity.readCodebookAt(spark, path, v0).size == 2)
       assert(StoreSwap.readVersionedAt(spark, path, "codebook", "part",
