@@ -312,6 +312,14 @@ object Bench {
     val preps = results.collect { case (k, m) if m.prep > 0.05 =>
       "\"" + k + "\":" + fmt(m.prep) }
       .mkString("{", ",", "}")
+    // the prepare bill's top 10, ordered — the at-a-glance drift view
+    // (a store-write regression hides in prepare, not exec; r14's bill
+    // was 605 s against 130 s of gated exec before the shared-fixture
+    // work, and this list is what a round-over-round diff reads first)
+    val prepTop = results.toSeq.filter(_._2.prep > 0.05)
+      .sortBy(-_._2.prep).take(10)
+      .map { case (k, m) => "[\"" + k + "\"," + fmt(m.prep) + "]" }
+      .mkString("[", ",", "]")
     // entries whose runs never converged — treat their times as suspect
     val unstable = results.collect {
       case (k, m) if m.secs >= 0 && m.spread > SpreadThresh => "\"" + k + "\""
@@ -427,7 +435,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""prepare_total":${fmt(prepTotal)},"queries":$qs,""" +
         s""""query_load":$loads,"query_spread":$spreads,"retimed":$retimed,""" +
-        s""""query_prepare":$preps,""" +
+        s""""query_prepare":$preps,"prepare_top":$prepTop,""" +
         s""""unstable":$unstable,"over_prior":$overPriorList,""" +
         s""""sf":"$sfDir","loadavg":"$load","load_start":${fmt(loadStart)}""" +
         s""","calib_sec":${fmt(calib)},"calib_start":${fmt(calibStart)}""" +

@@ -386,15 +386,26 @@ object ScaleQueries {
     * only the delta's doc buckets are read and rewritten. The final
     * store must hold exactly the whole-corpus signatures — q88/q109's
     * oracle verbatim. */
+  /** The q196-q198 family's shared base: the PARTIAL standing corpus's
+    * (doc_id % 3 ≠ 0) plain signature store, buckets = 16, no index —
+    * each gate clones and layers its own merge/forget/crash state. */
+  private def sharedPartialSigStore(spark: SparkSession,
+                                    dir: String): String =
+    Fixtures.sharedDir(s"textstore-partial-$dir") { p =>
+      Dedup.writeSignatureStore(
+        Dedup.minhashSignatures(
+          Tables.documents(spark, dir).filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text"),
+        p.toString, "doc_id", buckets = 16)
+    }
+
   def q196SigStoreMerge(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val standing = Dedup.minhashSignatures(
-      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
     val delta = Dedup.minhashSignatures(
       docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 1),
       "doc_id", "text")
-    val store = Fixtures.tempDir("graft-q196-").resolve("sigs").toString
-    Dedup.writeSignatureStore(standing, store, "doc_id", buckets = 16)
+    val store = Fixtures.cloneDir(
+      sharedPartialSigStore(spark, dir), "graft-q196-")
     Dedup.mergeIntoSignatureStore(spark, store, delta, "doc_id")
     Dedup.readSignatureStore(spark, store)._1
       .select(col("doc_id"), col("k"), col("mh"))
@@ -410,12 +421,10 @@ object ScaleQueries {
     * the forgotten docs' rows. */
   def q197SigStoreForget(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val standing = Dedup.minhashSignatures(
-      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
     val delta = Dedup.minhashSignatures(
       docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
-    val store = Fixtures.tempDir("graft-q197-").resolve("sigs").toString
-    Dedup.writeSignatureStore(standing, store, "doc_id", buckets = 16)
+    val store = Fixtures.cloneDir(
+      sharedPartialSigStore(spark, dir), "graft-q197-")
     Dedup.mergeIntoSignatureStore(spark, store, delta, "doc_id")
     Dedup.forgetDocsFromSignatureStore(spark, store,
       docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
@@ -438,12 +447,10 @@ object ScaleQueries {
     * change), the hash breaks. */
   def q198SigStoreRecover(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val standing = Dedup.minhashSignatures(
-      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
     val delta = Dedup.minhashSignatures(
       docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
-    val store = Fixtures.tempDir("graft-q198-").resolve("sigs").toString
-    Dedup.writeSignatureStore(standing, store, "doc_id", buckets = 16)
+    val store = Fixtures.cloneDir(
+      sharedPartialSigStore(spark, dir), "graft-q198-")
     Dedup.mergeIntoSignatureStore(spark, store, delta, "doc_id")
     // the crashed mutation's committed-but-unapplied state
     Dedup.minhashSignatures(
@@ -482,17 +489,38 @@ object ScaleQueries {
     val docs = Tables.documents(spark, dir)
     val standing = docs.select(col("doc_id"), col("text"))
     val delta = nearDupDelta(standing, 3, 100000L, 1)
-    val store = Fixtures.tempDir("graft-q205-").resolve("sigs").toString
-    Dedup.writeSignatureStore(
-      Dedup.minhashSignatures(standing, "doc_id", "text"),
-      store, "doc_id", buckets = 16)
-    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
-    // shingle sidecar: verification reads candidate docs' own buckets,
-    // not the standing corpus text (standingDocs is ignored with it)
-    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
+    // judgment-only gate: reads the SHARED base store in place (the
+    // sidecar means verification reads candidate docs' own buckets,
+    // not the standing corpus text — standingDocs is ignored with it)
+    val store = sharedTextStore(spark, dir, versioned = false)
     Dedup.lshJudgeStore(spark, store, standing, delta, "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** The composed text-store gates' shared corpus-scale base — the
+    * FULL standing corpus's signature store (buckets = 16) plus band
+    * index (bands = 8) plus shingle sidecar, in legacy and VERSIONED
+    * flavors. Built ONCE per flavor per JVM ([[Fixtures.sharedDir]]);
+    * gates that mutate store state clone it ([[Fixtures.cloneDir]]),
+    * judgment-only gates read it in place. The build closure is the
+    * exact sequence the gates used to run inline per invocation
+    * (r14 query_prepare: rebuilding it per gate per run put the
+    * harness prepare bill at 605 s), so every oracle replays the same
+    * closed form against identical content. */
+  private[operators] def sharedTextStore(spark: SparkSession, dir: String,
+                                         versioned: Boolean): String =
+    Fixtures.sharedDir(s"textstore-${if (versioned) "v" else "l"}-$dir") {
+      p =>
+        val standing = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+        val store = p.toString
+        Dedup.writeSignatureStore(
+          Dedup.minhashSignatures(standing, "doc_id", "text"),
+          store, "doc_id", buckets = 16, versioned = versioned)
+        Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+        Dedup.writeShingleSidecar(spark, store, standing, "doc_id",
+          "text")
+    }
 
   /** q206: the band index ABSORBS a load and judges the next one — the
     * daily flow: delta1 merges into signature store then band index
@@ -506,12 +534,9 @@ object ScaleQueries {
     val standing = docs.select(col("doc_id"), col("text"))
     val delta1 = nearDupDelta(standing, 3, 100000L, 1)
     val delta2 = nearDupDelta(standing, 5, 200000L, 2)
-    val store = Fixtures.tempDir("graft-q206-").resolve("sigs").toString
-    Dedup.writeSignatureStore(
-      Dedup.minhashSignatures(standing, "doc_id", "text"),
-      store, "doc_id", buckets = 16)
-    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
-    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
+    // mutating gate: a private clone of the shared base store
+    val store = Fixtures.cloneDir(
+      sharedTextStore(spark, dir, versioned = false), "graft-q206-")
     Dedup.mergeIntoSignatureStore(spark, store,
       Dedup.minhashSignatures(delta1, "doc_id", "text"), "doc_id")
     // the ingest flow's sidecar half: delta1's shingle hashes land in
@@ -534,12 +559,9 @@ object ScaleQueries {
     val docs = Tables.documents(spark, dir)
     val standing = docs.select(col("doc_id"), col("text"))
     val delta = nearDupDelta(standing, 3, 100000L, 1)
-    val store = Fixtures.tempDir("graft-q207-").resolve("sigs").toString
-    Dedup.writeSignatureStore(
-      Dedup.minhashSignatures(standing, "doc_id", "text"),
-      store, "doc_id", buckets = 16)
-    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
-    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
+    // mutating gate (forget): a private clone of the shared base store
+    val store = Fixtures.cloneDir(
+      sharedTextStore(spark, dir, versioned = false), "graft-q207-")
     val doomed = standing.filter(col("doc_id") % 7 === 3)
       .select(col("doc_id"))
     Dedup.forgetFromBandIndex(spark, store, doomed, "doc_id")
@@ -572,11 +594,11 @@ object ScaleQueries {
     val changed = standing.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"),
         concat(lit("zzz qqq xyz "), col("text")).as("text"))
-    val store = Fixtures.tempDir("graft-q211-").resolve("sigs").toString
-    Dedup.writeSignatureStore(
-      Dedup.minhashSignatures(standing, "doc_id", "text"),
-      store, "doc_id", buckets = 16)
-    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
+    // mutating gate: a private clone of the shared base store (its
+    // shingle sidecar goes unused here — the gate dumps bands only,
+    // and none of the three mutations below consult it)
+    val store = Fixtures.cloneDir(
+      sharedTextStore(spark, dir, versioned = false), "graft-q211-")
     Dedup.mergeIntoSignatureStore(spark, store,
       Dedup.minhashSignatures(changed, "doc_id", "text"), "doc_id")
     Dedup.mergeIntoBandIndex(spark, store,
@@ -606,12 +628,9 @@ object ScaleQueries {
     val standing = docs.select(col("doc_id"), col("text"))
     val delta1 = nearDupDelta(standing, 3, 100000L, 1)
     val delta2 = nearDupDelta(standing, 5, 200000L, 2)
-    val store = Fixtures.tempDir("graft-q220-").resolve("sigs").toString
-    Dedup.writeSignatureStore(
-      Dedup.minhashSignatures(standing, "doc_id", "text"),
-      store, "doc_id", buckets = 16, versioned = true)
-    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
-    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
+    // mutating gate: a private clone of the shared VERSIONED base
+    val store = Fixtures.cloneDir(
+      sharedTextStore(spark, dir, versioned = true), "graft-q220-")
     Dedup.mergeIntoSignatureStore(spark, store,
       Dedup.minhashSignatures(delta1, "doc_id", "text"), "doc_id")
     Dedup.mergeShinglesIntoStore(spark, store, delta1, "doc_id", "text")
@@ -645,12 +664,15 @@ object ScaleQueries {
     val changed = standing.filter(col("doc_id") % 11 === 4)
       .select(col("doc_id"),
         concat(lit("zzz qqq xyz "), col("text")).as("text"))
-    val store = Fixtures.tempDir("graft-q226-").resolve("sigs").toString
+    // mutating gate: a private clone of the shared VERSIONED base —
+    // its band index and sidecar are extra state the diff never reads
+    // (signatureStoreDiff compares data manifests only); the forget
+    // additionally rewrites the sidecar's doomed buckets, which does
+    // not touch data's version line
+    val store = Fixtures.cloneDir(
+      sharedTextStore(spark, dir, versioned = true), "graft-q226-")
     spark.conf.set("graft.store.snapshotKeep", "8")
     try {
-      Dedup.writeSignatureStore(
-        Dedup.minhashSignatures(standing, "doc_id", "text"),
-        store, "doc_id", buckets = 16, versioned = true)
       val v0 = Dedup.signatureStoreVersions(spark, store).last
       Dedup.mergeIntoSignatureStore(spark, store,
         Dedup.minhashSignatures(delta1, "doc_id", "text"), "doc_id")
@@ -683,12 +705,10 @@ object ScaleQueries {
     val standing = docs.select(col("doc_id"), col("text"))
     val delta1 = nearDupDelta(standing, 3, 100000L, 1)
     val delta2 = nearDupDelta(standing, 5, 200000L, 2)
-    val store = Fixtures.tempDir("graft-q227-").resolve("sigs").toString
-    Dedup.writeSignatureStore(
-      Dedup.minhashSignatures(standing, "doc_id", "text"),
-      store, "doc_id", buckets = 16, versioned = true)
-    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
-    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
+    // mutating gate: a private clone of the shared VERSIONED base,
+    // migrated to the unified manifest (the migration itself mutates)
+    val store = Fixtures.cloneDir(
+      sharedTextStore(spark, dir, versioned = true), "graft-q227-")
     Dedup.unifySignatureStore(spark, store)
     spark.conf.set("graft.store.snapshotKeep", "8")
     try {

@@ -1153,21 +1153,75 @@ object SelectionQueries {
     * probe lists, PQ training/encoding, and the fixed-order ADC sum;
     * every distance is engine-exact, so rows/schema/hash must match to
     * the bit. */
+  /** The PQ gates' shared standing-store base over the FULL embedding
+    * corpus: coarse k = 8 (iters = 2), buckets = 8, codebook
+    * persisted, PQ sidecar at m = 4, dsub = 16, ksub = 8 — in every
+    * (assignment ladder × sidecar flavor) combination the gates
+    * exercise. Built once per combination per JVM ([[Fixtures
+    * .sharedDir]]); search-only gates read it in place, mutating gates
+    * clone it ([[Fixtures.cloneDir]]). Gates that need the centroids
+    * post-build reload them from the persisted codebook — the
+    * round-trip q200's daily flow already relies on. The build closure
+    * is the exact inline sequence the gates ran per invocation, so
+    * every oracle replays the same closed form. */
+  private[operators] def sharedPqStore(spark: SparkSession, dir: String,
+                                       twoLevel: Boolean = false,
+                                       residual: Boolean = false,
+                                       rotate: Boolean = false): String =
+    Fixtures.sharedDir("pqstore-" + (if (twoLevel) "2l" else "1l") +
+        (if (residual) "-res" else "") + (if (rotate) "-rot" else "") +
+        s"-$dir") { p =>
+      def emb() = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
+        8, iters = 2)
+      val cl =
+        if (twoLevel) {
+          val (supers, children) = Similarity.superQuantize(cents)
+          Similarity.assignClusterTwoLevel(col("embedding"), supers,
+            children)
+        } else Similarity.assignCluster(col("embedding"), cents)
+      val store = p.toString
+      Similarity.writeStandingStore(
+        emb().withColumn("cluster", cl.cast("long"))
+          .withColumn("nrm", Similarity.norm(col("embedding"))),
+        store, "cluster", buckets = 8)
+      Similarity.writeCodebook(spark, store, cents)
+      Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+        m = 4, dsub = 16, ksub = 8, residual = residual, rotate = rotate)
+    }
+
+  /** The partial-standing twin of [[sharedPqStore]] (vec_id % 3 ≠ 0
+    * trains and populates; the other third is the gates' delta):
+    * q200/q213's batch append flows and q204/q215's streaming ingest
+    * loops all mutate, so every user clones. */
+  private[operators] def sharedPqStorePartial(spark: SparkSession,
+                                              dir: String,
+                                              residual: Boolean): String =
+    Fixtures.sharedDir(
+      s"pqstore-part${if (residual) "-res" else ""}-$dir") { p =>
+      val standing = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 3 =!= 0)
+      val cents = Similarity.trainCentroids(standing, "vec_id",
+        "embedding", 8, iters = 2)
+      val store = p.toString
+      Similarity.writeStandingStore(
+        standing
+          .withColumn("cluster",
+            Similarity.assignCluster(col("embedding"), cents).cast("long"))
+          .withColumn("nrm", Similarity.norm(col("embedding"))),
+        store, "cluster", buckets = 8)
+      Similarity.writeCodebook(spark, store, cents)
+      Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+        m = 4, dsub = 16, ksub = 8, residual = residual)
+    }
+
   def q199PqStore(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
-      8, iters = 2)
-    val store = Fixtures.tempDir("graft-q199-").resolve("standing").toString
-    Similarity.writeStandingStore(
-      emb()
-        .withColumn("cluster",
-          Similarity.assignCluster(col("embedding"), cents).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8)
+    // search-only gate: the shared base serves in place
+    val store = sharedPqStore(spark, dir)
     Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
         "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))
@@ -1219,19 +1273,9 @@ object SelectionQueries {
   def q200PqAppend(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val standing = emb().filter(col("vec_id") % 3 =!= 0)
-    val cents = Similarity.trainCentroids(standing, "vec_id", "embedding",
-      8, iters = 2)
-    val store = Fixtures.tempDir("graft-q200-").resolve("standing").toString
-    Similarity.writeStandingStore(
-      standing
-        .withColumn("cluster",
-          Similarity.assignCluster(col("embedding"), cents).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8)
+    // mutating gate (append): a private clone of the shared partial base
+    val store = Fixtures.cloneDir(
+      sharedPqStorePartial(spark, dir, residual = false), "graft-q200-")
     val reloaded = Similarity.readCodebook(spark, store)
     val delta = emb().filter(col("vec_id") % 3 === 0)
       .withColumn("cluster",
@@ -1261,20 +1305,8 @@ object SelectionQueries {
   def q201PqStoreTwoLevel(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
-      8, iters = 2)
-    val (supers, children) = Similarity.superQuantize(cents)
-    val store = Fixtures.tempDir("graft-q201-").resolve("standing").toString
-    Similarity.writeStandingStore(
-      emb()
-        .withColumn("cluster",
-          Similarity.assignClusterTwoLevel(col("embedding"), supers,
-            children).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8)
+    // search-only gate: the shared two-level base serves in place
+    val store = sharedPqStore(spark, dir, twoLevel = true)
     Similarity.pqTopKStoreTwoLevel(spark, store,
         emb().filter(col("vec_id") < 10), "vec_id", "embedding",
         m = 4, dsub = 16, k = 5, sProbe = 2, nProbe = 2)
@@ -1293,18 +1325,8 @@ object SelectionQueries {
   def q202PqStoreForget(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
-      8, iters = 2)
-    val store = Fixtures.tempDir("graft-q202-").resolve("standing").toString
-    Similarity.writeStandingStore(
-      emb()
-        .withColumn("cluster",
-          Similarity.assignCluster(col("embedding"), cents).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8)
+    // mutating gate (forget): a private clone of the shared base
+    val store = Fixtures.cloneDir(sharedPqStore(spark, dir), "graft-q202-")
     Similarity.deleteFromStandingStore(spark, store,
       emb().filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
     Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
@@ -1323,20 +1345,8 @@ object SelectionQueries {
   def q203PqRecallAudit(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
-      8, iters = 2)
-    val (supers, children) = Similarity.superQuantize(cents)
-    val store = Fixtures.tempDir("graft-q203-").resolve("standing").toString
-    Similarity.writeStandingStore(
-      emb()
-        .withColumn("cluster",
-          Similarity.assignClusterTwoLevel(col("embedding"), supers,
-            children).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8)
+    // search-only audit: the shared two-level base serves in place
+    val store = sharedPqStore(spark, dir, twoLevel = true)
     val queries = emb().filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb(),
         "vec_id", "embedding", k = 5)
@@ -1367,18 +1377,8 @@ object SelectionQueries {
   def q208PqResidualStore(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
-      8, iters = 2)
-    val store = Fixtures.tempDir("graft-q208-").resolve("standing").toString
-    Similarity.writeStandingStore(
-      emb()
-        .withColumn("cluster",
-          Similarity.assignCluster(col("embedding"), cents).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8, residual = true)
+    // search-only gate: the shared residual base serves in place
+    val store = sharedPqStore(spark, dir, residual = true)
     Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
         "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))
@@ -1394,20 +1394,9 @@ object SelectionQueries {
   def q209PqResidualRecall(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
-      8, iters = 2)
-    val (supers, children) = Similarity.superQuantize(cents)
-    val store = Fixtures.tempDir("graft-q209-").resolve("standing").toString
-    Similarity.writeStandingStore(
-      emb()
-        .withColumn("cluster",
-          Similarity.assignClusterTwoLevel(col("embedding"), supers,
-            children).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8, residual = true)
+    // search-only audit: the shared two-level residual base
+    val store = sharedPqStore(spark, dir, twoLevel = true,
+      residual = true)
     val queries = emb().filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb(),
         "vec_id", "embedding", k = 5)
@@ -1452,23 +1441,26 @@ object SelectionQueries {
             (c, n) => c + n * lit(0.15)).as("embedding"))
     }
     // k = the number of planted centers, seeded by ids 0-15 = one seed
-    // per group: the coarse index can actually learn the structure
-    val cents = Similarity.trainCentroids(clus(), "vec_id", "embedding",
-      16, iters = 2)
-    def mkStore(tag: String, residual: Boolean): String = {
-      val store = Fixtures.tempDir(s"graft-q210$tag-")
-        .resolve("standing").toString
-      Similarity.writeStandingStore(
-        clus()
-          .withColumn("cluster",
-            Similarity.assignCluster(col("embedding"), cents).cast("long"))
-          .withColumn("nrm", Similarity.norm(col("embedding"))),
-        store, "cluster", buckets = 8)
-      Similarity.writeCodebook(spark, store, cents)
-      Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-        m = 4, dsub = 16, ksub = 8, residual = residual)
-      store
-    }
+    // per group: the coarse index can actually learn the structure.
+    // Both stores are search-only here, so they are SHARED fixtures
+    // (trainCentroids is deterministic — each flavor's closure derives
+    // the identical codebook on its one-time build).
+    def mkStore(tag: String, residual: Boolean): String =
+      Fixtures.sharedDir(s"pqstore-geo$tag-$dir") { p =>
+        val cents = Similarity.trainCentroids(clus(), "vec_id",
+          "embedding", 16, iters = 2)
+        val store = p.toString
+        Similarity.writeStandingStore(
+          clus()
+            .withColumn("cluster",
+              Similarity.assignCluster(col("embedding"), cents)
+                .cast("long"))
+            .withColumn("nrm", Similarity.norm(col("embedding"))),
+          store, "cluster", buckets = 8)
+        Similarity.writeCodebook(spark, store, cents)
+        Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+          m = 4, dsub = 16, ksub = 8, residual = residual)
+      }
     val storeV = mkStore("v", residual = false)
     val storeR = mkStore("r", residual = true)
     val queries = clus().filter(col("vec_id") < 10)
@@ -1504,19 +1496,10 @@ object SelectionQueries {
   def q213PqResidualAppend(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val standing = emb().filter(col("vec_id") % 3 =!= 0)
-    val cents = Similarity.trainCentroids(standing, "vec_id", "embedding",
-      8, iters = 2)
-    val store = Fixtures.tempDir("graft-q213-").resolve("standing").toString
-    Similarity.writeStandingStore(
-      standing
-        .withColumn("cluster",
-          Similarity.assignCluster(col("embedding"), cents).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8, residual = true)
+    // mutating gate (append): a private clone of the shared partial
+    // residual base
+    val store = Fixtures.cloneDir(
+      sharedPqStorePartial(spark, dir, residual = true), "graft-q213-")
     val reloaded = Similarity.readCodebook(spark, store)
     val delta = emb().filter(col("vec_id") % 3 === 0)
       .withColumn("cluster",
@@ -1539,18 +1522,9 @@ object SelectionQueries {
   def q214PqResidualForget(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
-      8, iters = 2)
-    val store = Fixtures.tempDir("graft-q214-").resolve("standing").toString
-    Similarity.writeStandingStore(
-      emb()
-        .withColumn("cluster",
-          Similarity.assignCluster(col("embedding"), cents).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8, residual = true)
+    // mutating gate (forget): a private clone of the shared residual base
+    val store = Fixtures.cloneDir(
+      sharedPqStore(spark, dir, residual = true), "graft-q214-")
     Similarity.deleteFromStandingStore(spark, store,
       emb().filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
     Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
@@ -1572,18 +1546,8 @@ object SelectionQueries {
   def q216PqRotatedStore(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
-      8, iters = 2)
-    val store = Fixtures.tempDir("graft-q216-").resolve("standing").toString
-    Similarity.writeStandingStore(
-      emb()
-        .withColumn("cluster",
-          Similarity.assignCluster(col("embedding"), cents).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8, rotate = true)
+    // search-only gate: the shared rotated base serves in place
+    val store = sharedPqStore(spark, dir, rotate = true)
     Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
         "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))
@@ -1629,22 +1593,24 @@ object SelectionQueries {
     * against. */
   def q217PqRotationRecall(spark: SparkSession, dir: String): DataFrame = {
     def aniso() = redundantCorpus(spark, dir)
-    val cents = Similarity.trainCentroids(aniso(), "vec_id", "embedding",
-      8, iters = 2)
-    def mkStore(tag: String, rotate: Boolean): String = {
-      val store = Fixtures.tempDir(s"graft-q217$tag-")
-        .resolve("standing").toString
-      Similarity.writeStandingStore(
-        aniso()
-          .withColumn("cluster",
-            Similarity.assignCluster(col("embedding"), cents).cast("long"))
-          .withColumn("nrm", Similarity.norm(col("embedding"))),
-        store, "cluster", buckets = 8)
-      Similarity.writeCodebook(spark, store, cents)
-      Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-        m = 4, dsub = 16, ksub = 8, rotate = rotate)
-      store
-    }
+    // both stores are search-only: SHARED fixtures (deterministic
+    // centroid training inside each flavor's one-time build closure)
+    def mkStore(tag: String, rotate: Boolean): String =
+      Fixtures.sharedDir(s"pqstore-redun$tag-$dir") { p =>
+        val cents = Similarity.trainCentroids(aniso(), "vec_id",
+          "embedding", 8, iters = 2)
+        val store = p.toString
+        Similarity.writeStandingStore(
+          aniso()
+            .withColumn("cluster",
+              Similarity.assignCluster(col("embedding"), cents)
+                .cast("long"))
+            .withColumn("nrm", Similarity.norm(col("embedding"))),
+          store, "cluster", buckets = 8)
+        Similarity.writeCodebook(spark, store, cents)
+        Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
+          m = 4, dsub = 16, ksub = 8, rotate = rotate)
+      }
     val storeP = mkStore("p", rotate = false)
     val storeR = mkStore("r", rotate = true)
     val queries = aniso().filter(col("vec_id") < 10)
@@ -1679,18 +1645,8 @@ object SelectionQueries {
   def q218PqRotatedResidual(spark: SparkSession, dir: String): DataFrame = {
     def emb() = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.trainCentroids(emb(), "vec_id", "embedding",
-      8, iters = 2)
-    val store = Fixtures.tempDir("graft-q218-").resolve("standing").toString
-    Similarity.writeStandingStore(
-      emb()
-        .withColumn("cluster",
-          Similarity.assignCluster(col("embedding"), cents).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8, residual = true, rotate = true)
+    // search-only gate: the shared rotated-residual base
+    val store = sharedPqStore(spark, dir, residual = true, rotate = true)
     Similarity.pqTopKStore(spark, store, emb().filter(col("vec_id") < 10),
         "vec_id", "embedding", m = 4, dsub = 16, k = 5, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))

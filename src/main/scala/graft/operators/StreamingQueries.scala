@@ -738,22 +738,14 @@ object StreamingQueries {
                              tag: String, residual: Boolean): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val standing = emb.filter(col("vec_id") % 3 =!= 0)
-    val cents = Similarity.trainCentroids(standing, "vec_id",
-      "embedding", 8, iters = 2)
     val tmp = Fixtures.tempDir(s"graft-$tag-")
     val in = tmp.resolve("in")
     Files.createDirectories(in)
-    val store = tmp.resolve("standing").toString
-    Similarity.writeStandingStore(
-      standing
-        .withColumn("cluster",
-          Similarity.assignCluster(col("embedding"), cents).cast("long"))
-        .withColumn("nrm", Similarity.norm(col("embedding"))),
-      store, "cluster", buckets = 8)
-    Similarity.writeCodebook(spark, store, cents)
-    Similarity.writePqSidecar(spark, store, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 8, residual = residual)
+    // mutating ingest loop: a private clone of the shared partial base
+    // (q200/q213's batch-flow twin — the same store those gates clone)
+    val store = Fixtures.cloneDir(
+      SelectionQueries.sharedPqStorePartial(spark, dir, residual),
+      s"graft-${tag}s-")
     def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
       val stage = tmp.resolve(s"stage-$name")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -824,12 +816,10 @@ object StreamingQueries {
     val tmp = Fixtures.tempDir("graft-q212-")
     val in = tmp.resolve("in")
     Files.createDirectories(in)
-    val store = tmp.resolve("sigs").toString
-    Dedup.writeSignatureStore(
-      Dedup.minhashSignatures(standing, "doc_id", "text"),
-      store, "doc_id", buckets = 16)
-    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
-    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
+    // mutating ingest loop: a private clone of the shared base store
+    val store = Fixtures.cloneDir(
+      ScaleQueries.sharedTextStore(spark, dir, versioned = false),
+      "graft-q212s-")
     def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
       val stage = tmp.resolve(s"stage-$name")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -906,12 +896,10 @@ object StreamingQueries {
     val tmp = Fixtures.tempDir("graft-q224-")
     val in = tmp.resolve("in")
     Files.createDirectories(in)
-    val store = tmp.resolve("sigs").toString
-    Dedup.writeSignatureStore(
-      Dedup.minhashSignatures(standing, "doc_id", "text"),
-      store, "doc_id", buckets = 16, versioned = true)
-    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
-    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
+    // mutating ingest loop: a private clone of the shared VERSIONED base
+    val store = Fixtures.cloneDir(
+      ScaleQueries.sharedTextStore(spark, dir, versioned = true),
+      "graft-q224s-")
     def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
       val stage = tmp.resolve(s"stage-$name")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -973,12 +961,11 @@ object StreamingQueries {
     val tmp = Fixtures.tempDir("graft-q230-")
     val in = tmp.resolve("in")
     Files.createDirectories(in)
-    val store = tmp.resolve("sigs").toString
-    Dedup.writeSignatureStore(
-      Dedup.minhashSignatures(standing, "doc_id", "text"),
-      store, "doc_id", buckets = 16, versioned = true)
-    Dedup.writeBandIndex(spark, store, "doc_id", bands = 8)
-    Dedup.writeShingleSidecar(spark, store, standing, "doc_id", "text")
+    // mutating ingest loop: a private clone of the shared VERSIONED
+    // base, migrated to the unified manifest (the migration mutates)
+    val store = Fixtures.cloneDir(
+      ScaleQueries.sharedTextStore(spark, dir, versioned = true),
+      "graft-q230s-")
     Dedup.unifySignatureStore(spark, store)
     val preV = Dedup.signatureStoreVersions(spark, store).last
     def stageChunk(df: DataFrame, name: String, mtimeMs: Long): Unit = {
