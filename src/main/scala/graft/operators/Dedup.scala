@@ -1039,7 +1039,11 @@ object Dedup {
                      bands: Int = 8): Unit =
     StoreSwap.withLeaseAtomic(spark, path) {
     val (sigs, buckets) = readSignatureStore(spark, path)
-    val numHashes = sigs.agg(max(col("k"))).head.getLong(0).toInt + 1
+    // one aggregation pass serves both constants: the hash count and
+    // the standing doc count the layout auto-selection needs
+    val aggRow = sigs.agg(max(col("k")).as("mk"),
+      count(lit(1)).as("n")).head
+    val numHashes = aggRow.getLong(0).toInt + 1
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
@@ -1059,12 +1063,18 @@ object Dedup {
     // The hypothesis direction was RIGHT — per-10×-standing flatness
     // improved to 1.18×/1.10× (500/5000-doc) vs 1.51×/1.25× — but the
     // listing + small-file constant dominates until per-dir row mass
-    // amortizes it (~3 more decades of standing, ≥500M docs). So the
-    // default stays the store bucket count and the knob is the
-    // documented lever for billion-doc corpora. Recorded in bands_meta
-    // so every later mutation/judgment derives the same layout.
+    // amortizes it (~3 more decades of standing, ≥500M docs). Since
+    // round 15 the default is AUTO-SELECTED from the standing doc
+    // count at the measured crossover ([[autoBandIndexBuckets]]): the
+    // store bucket count below it (= r14's measured best at 50k/500k),
+    // scaling as docs/125k past ≥500M docs per the recorded break-even.
+    // The manual knob stays as override. Recorded in bands_meta (and,
+    // on unified stores, the pinned manifest) so every later mutation/
+    // judgment derives the same layout.
+    val nDocs = aggRow.getLong(1) / numHashes // one row per (doc, k)
     val idxBuckets = spark.conf.getOption("graft.lsh.bandIndexBuckets")
-      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(buckets)
+      .flatMap(_.toIntOption).filter(_ >= 1)
+      .getOrElse(autoBandIndexBuckets(buckets, nDocs))
     writeDir(spark, path, "bands", "bb_bucket",
       bandRows(sigs.select(col(idCol), col("k"), col("mh")),
         idCol, bands, r, idxBuckets),
@@ -1096,6 +1106,25 @@ object Dedup {
     // the OLD one (which silently drops candidates).
     if (StoreSwap.isUnified(spark, path))
       putBandsMeta(spark, path, bands, r, idxBuckets)
+  }
+
+  /** AUTO band-index directory granularity from the standing doc
+    * count — the pure rule derived from BandLayoutProbe's measured
+    * crossover (round 14, quiet box): finer layouts improve
+    * per-decade flatness (1.18× vs 1.51× at 4096 dirs) but lose ~2×
+    * ABSOLUTE until per-dir row mass amortizes the dir-listing +
+    * small-file constant, which the probe places at ≥500M docs for
+    * 4096 dirs — i.e. ~125k docs per directory. Below the crossover
+    * the store's own bucket count is the measured best (50k and 500k
+    * tiers both); past it, directories scale as docs/125k (next power
+    * of two, capped at 65536 to bound per-generation file count). */
+  private[graft] def autoBandIndexBuckets(storeBuckets: Int,
+                                          nDocs: Long): Int = {
+    val perDir = 125000L // docs per dir at the measured break-even
+    val wanted = nDocs / perDir
+    if (wanted <= storeBuckets) storeBuckets
+    else math.min(65536L, java.lang.Long.highestOneBit(wanted - 1) * 2)
+      .toInt
   }
 
   /** Manifest-metadata names under which the band-index layout

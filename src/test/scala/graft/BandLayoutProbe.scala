@@ -114,7 +114,12 @@ object BandLayoutProbe {
       f""""judge500_4k_small_sec":$j500s4k%.2f,""" +
       f""""judge500_4k_full_sec":$j500f4k%.2f,""" +
       f""""judge5000_4k_small_sec":$j5000s4k%.2f,""" +
-      f""""judge5000_4k_full_sec":$j5000f4k%.2f}""")
+      f""""judge5000_4k_full_sec":$j5000f4k%.2f,""" +
+      // the AUTO rule's choice at each measured tier — must name the
+      // tier's measured-best layout (the store bucket count below the
+      // ~125k docs/dir crossover; see Dedup.autoBandIndexBuckets)
+      f""""auto_small":${Dedup.autoBandIndexBuckets(64, nSmall)},""" +
+      f""""auto_full":${Dedup.autoBandIndexBuckets(64, n)}}""")
     spark.stop()
   }
 }

@@ -123,6 +123,22 @@ class SignatureStoreSpec extends SparkSpec {
       afterMerge.toString)
   }
 
+  test("auto band-index granularity follows the measured crossover") {
+    // BandLayoutProbe r14: the store bucket count is the measured best
+    // at the 50k and 500k tiers; finer layouts only win once per-dir
+    // row mass amortizes the listing constant (~125k docs/dir, i.e.
+    // ≥500M docs for 4096 dirs). The auto rule must reproduce exactly
+    // those calls — and stay a power-of-two, capped, past crossover.
+    assert(Dedup.autoBandIndexBuckets(64, 50000L) == 64)
+    assert(Dedup.autoBandIndexBuckets(64, 500000L) == 64)
+    assert(Dedup.autoBandIndexBuckets(16, 60000L) == 16)
+    assert(Dedup.autoBandIndexBuckets(64, 500000000L) == 4096)
+    assert(Dedup.autoBandIndexBuckets(64, 5000000000L) == 65536)
+    assert(Dedup.autoBandIndexBuckets(64, 1000000000000L) == 65536)
+    // just past the store-bucket point: next power of two
+    assert(Dedup.autoBandIndexBuckets(64, 64L * 125000 + 125000) == 128)
+  }
+
   test("sidecar-verified judgment equals text-fallback judgment (and never reads standing text)") {
     val path = Fixtures.tempDir("graft-sigstore-").resolve("s").toString
     val standing = docs()
