@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
   * must never silence the rest of the audit.
   */
 object PlanAudit {
+  /** Checks executed by the last [[run]] (PASS + FAIL) — the property
+    * count README quotes; PlanAuditSpec asserts the two stay equal. */
+  @volatile var checksRun: Int = 0
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
@@ -41,7 +45,9 @@ object PlanAudit {
     * failure count. */
   def run(spark: SparkSession, sfDir: String): Int = {
     var failures = 0
+    checksRun = 0
     def check(name: String, cond: Boolean, detail: => String = ""): Unit = {
+      checksRun += 1
       if (cond) println(s"PASS $name")
       else { println(s"FAIL $name $detail"); failures += 1 }
     }

@@ -20,5 +20,15 @@ class PlanAuditSpec extends SparkSpec {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     val failures = PlanAudit.run(s, "/root/testdata/sf0.01")
     assert(failures == 0, s"$failures plan-audit check(s) failed — see FAIL lines above")
+    // README quotes the property count; keep it honest (r14 found it
+    // two rounds stale)
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = java.util.regex.Pattern
+      .compile("asserts (\\d+) plan properties").matcher(readme)
+    assert(m.find(), "README no longer states the plan-property count")
+    assert(m.group(1).toInt == PlanAudit.checksRun,
+      s"README claims ${m.group(1)} plan properties; the audit ran" +
+        s" ${PlanAudit.checksRun} — update README.md")
   }
 }
