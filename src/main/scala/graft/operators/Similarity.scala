@@ -1314,24 +1314,68 @@ object Similarity {
     fs.delete(pqPending(path), false)
   }
 
+  /** @param opqIters 0 (default) keeps the structured Walsh–Hadamard
+    *                  rotation when `rotate` is set; > 0 TRAINS an OPQ
+    *                  rotation instead ([[trainOpqRotation]], that many
+    *                  alternating-minimization iterations over a
+    *                  bounded seeded sample) and records the matrix in
+    *                  `pq_meta` so search/ingest/pinned reads apply the
+    *                  exact matrix the codes were encoded with.
+    *                  MEASURED AND REJECTED as the default (round 15,
+    *                  OpqProbe at sf10, 50k vectors, recall@5 vs exact,
+    *                  three geometries): at 12 bits every flavor is
+    *                  quantization-floor-bound (≤7%) with OPQ edging WH
+    *                  by 1-2 points; at 64 bits — where ADC actually
+    *                  discriminates — the TRAINED rotation LOSES to the
+    *                  structured WH (redundant 20% vs 25%, independent
+    *                  15% vs 22%, composed level at 7%), at ~1.2-1.6×
+    *                  sidecar-write cost (the 8192-row driver sample
+    *                  undertrains ksub=256 subquantizer geometry the
+    *                  rotation is fit against). So `rotate = true`
+    *                  keeps the WH default and this knob is the
+    *                  documented experiment lever; full numbers in
+    *                  BENCH_sf10.json ("probe":"opq"). */
   def writePqSidecar(spark: SparkSession, path: String, idCol: String,
                      vecCol: String, m: Int, dsub: Int, ksub: Int,
                      residual: Boolean = false,
-                     rotate: Boolean = false): Unit =
+                     rotate: Boolean = false,
+                     opqIters: Int = 0): Unit =
     StoreSwap.withLease(spark, path) {
     pqRecover(spark, path) // finish any interrupted predecessor first
     val (df, buckets) = readStandingStore(spark, path)
     val fs = pqPending(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val opq: Option[Seq[Seq[Double]]] =
+      if (!rotate || opqIters <= 0) None
+      else {
+        // train on a bounded, DETERMINISTIC sample of the encode input
+        // (pre-rotation): hash-picked ids, sorted before collect so the
+        // driver-side row order (hence the k-means picks) replays
+        val (pre, preCol) =
+          pqEncInput(spark, path, df, vecCol, residual, rotate = false,
+            m * dsub)
+        val total = pre.count()
+        val every = math.max(1L, total / 8192L)
+        val sample = pre
+          .select(col(idCol).as("__sid"),
+            col(preCol).cast("array<double>").as("__sv"))
+          .filter(pmod(xxhash64(col("__sid")), lit(every)) === 0L)
+          .orderBy(col("__sid"))
+          .collect().map(_.getSeq[Double](1).toArray)
+        Some(trainOpqRotation(sample, m, dsub, ksub, opqIters))
+      }
     val (enc, encCol) =
-      pqEncInput(spark, path, df, vecCol, residual, rotate, m * dsub)
+      pqEncInput(spark, path, df, vecCol, residual, rotate, m * dsub, opq)
     val cents = pqCodebooks(enc, idCol, encCol, m, dsub, ksub)
       .localCheckpoint(true) // m·ksub rows — bounded model state
     // the encoding FLAVOR is a property of the sidecar, recorded with
     // it — search and ingest auto-detect instead of trusting callers
-    // to pass a matching flag forever
-    val meta = spark.range(1).select(lit(residual).as("residual"),
+    // to pass a matching flag forever. The trained rotation (if any)
+    // rides in the same row: it must version and pin WITH the codes.
+    val meta0 = spark.range(1).select(lit(residual).as("residual"),
       lit(rotate).as("rotated"))
+    val meta = opq.fold(meta0)(mat =>
+      meta0.withColumn("opq_rotation", typedlit(mat)))
     val codes = packedCodes(enc, cents, idCol, encCol, m, dsub)
       .withColumn("c_bucket",
         pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
@@ -1394,7 +1438,9 @@ object Similarity {
     * already double), so the DuckDB oracle replays it bit-for-bit. */
   private def pqEncInput(spark: SparkSession, path: String, df: DataFrame,
                          vecCol: String, residual: Boolean,
-                         rotate: Boolean, d: Int): (DataFrame, String) = {
+                         rotate: Boolean, d: Int,
+                         opq: Option[Seq[Seq[Double]]] = None)
+      : (DataFrame, String) = {
     val (rdf, rcol) =
       if (!residual) (df, vecCol)
       else {
@@ -1407,7 +1453,7 @@ object Similarity {
           .drop("__ccid", "__ccent"), "__enc")
       }
     if (!rotate) (rdf, rcol)
-    else (whtRotate(rdf, rcol, "__rot", d), "__rot")
+    else (applyRot(rdf, rcol, "__rot", d, opq), "__rot")
   }
 
   /** 1/√2, the per-stage butterfly normalizer of [[whtRotate]] — a
@@ -1461,12 +1507,121 @@ object Similarity {
     cur
   }
 
-  /** The sidecar's encoding flavor — (residual, rotated), recorded by
-    * [[writePqSidecar]] in `pq_meta`; absent marker = vanilla, absent
-    * `rotated` column = unrotated (sidecars written before each flavor
-    * existed). */
+  /** TRAINED OPQ rotation (alternating minimization, driver-local,
+    * seeded): iterate [rotate sample → per-subspace k-means →
+    * reconstruct → orthogonal-Procrustes re-fit of R] for `iters`
+    * rounds, returning the d×d orthogonal matrix that minimizes the
+    * sample's quantization error ‖X·Rᵀ − X̂‖²_F. The Procrustes step is
+    * the closed form R = V·Uᵀ from the SVD of A = Xᵀ·X̂ (maximizes
+    * trace(R·A) over orthogonal R). Runs on a bounded driver-side
+    * sample (the model is d² doubles; the data never leaves the
+    * cluster beyond the sample), uses breeze's SVD (ships with
+    * Spark). Deterministic for a fixed sample order and seed. */
+  private[graft] def trainOpqRotation(sample: Array[Array[Double]],
+                                      m: Int, dsub: Int, ksub: Int,
+                                      iters: Int,
+                                      seed: Long = 41L): Seq[Seq[Double]] = {
+    import breeze.linalg.{svd, DenseMatrix, DenseVector}
+    val d = m * dsub
+    require(sample.nonEmpty && sample.head.length == d,
+      s"OPQ sample must be non-empty ${d}-dim rows")
+    val n = sample.length
+    val x = DenseMatrix(sample.map(r => DenseVector(r)): _*) // n×d
+    var r = DenseMatrix.eye[Double](d)
+    // seeded LCG for k-means init picks — replayable, library-free
+    def lcg(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
+    for (_ <- 0 until math.max(1, iters)) {
+      val y = x * r.t // n×d rotated rows (row i = (R·x_i)ᵀ)
+      val recon = DenseMatrix.zeros[Double](n, d)
+      for (s <- 0 until m) {
+        val lo = s * dsub
+        val ys = Array.tabulate(n)(i =>
+          Array.tabulate(dsub)(j => y(i, lo + j)))
+        // Lloyd's k-means, seeded init from LCG-picked sample rows
+        var st = lcg(seed + s)
+        val k = math.min(ksub, n)
+        val cents = Array.tabulate(k) { _ =>
+          st = lcg(st)
+          ys(((st >>> 33) % n).toInt).clone()
+        }
+        def nearest(row: Array[Double]): Int = {
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < k) {
+            var dd = 0.0; var j = 0
+            while (j < dsub) {
+              val t = row(j) - cents(c)(j); dd += t * t; j += 1
+            }
+            if (dd < bd) { bd = dd; best = c }
+            c += 1
+          }
+          best
+        }
+        for (_ <- 0 until 5) {
+          val sums = Array.fill(k)(new Array[Double](dsub))
+          val cnts = new Array[Int](k)
+          var i = 0
+          while (i < n) {
+            val c = nearest(ys(i)); cnts(c) += 1
+            var j = 0
+            while (j < dsub) { sums(c)(j) += ys(i)(j); j += 1 }
+            i += 1
+          }
+          var c = 0
+          while (c < k) {
+            if (cnts(c) > 0) {
+              var j = 0
+              while (j < dsub) { cents(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+            }
+            c += 1
+          }
+        }
+        var i = 0
+        while (i < n) {
+          val c = nearest(ys(i))
+          var j = 0
+          while (j < dsub) { recon(i, lo + j) = cents(c)(j); j += 1 }
+          i += 1
+        }
+      }
+      val a = x.t * recon // d×d
+      val svd.SVD(u, _, vt) = svd(a)
+      r = (vt.t * u.t) // V·Uᵀ — maximizes trace(R·A)
+    }
+    Seq.tabulate(d)(i => Seq.tabulate(d)(j => r(i, j)))
+  }
+
+  /** Rotate a vector column by an explicit orthogonal matrix (the
+    * trained-OPQ twin of [[whtRotate]]): out[i] = Σ_j R[i][j]·v[j].
+    * d² multiply-adds per vector, encode and query side only. */
+  private[graft] def matRotate(df: DataFrame, inCol: String,
+                               outCol: String,
+                               mat: Seq[Seq[Double]]): DataFrame =
+    df.withColumn(outCol,
+      transform(typedlit(mat), rrow =>
+        aggregate(zip_with(rrow, col(inCol).cast("array<double>"),
+          (a, b) => a * b), lit(0.0), (acc, v) => acc + v)))
+
+  /** The sidecar's rotation, applied to `inCol`: the TRAINED matrix
+    * when the sidecar carries one (`opq_rotation` in pq_meta), else
+    * the structured sign-flipped Walsh–Hadamard. */
+  private def applyRot(df: DataFrame, inCol: String, outCol: String,
+                       d: Int,
+                       opq: Option[Seq[Seq[Double]]]): DataFrame =
+    opq match {
+      case Some(mat) => matRotate(df, inCol, outCol, mat)
+      case None => whtRotate(df, inCol, outCol, d)
+    }
+
+  /** The sidecar's encoding flavor — (residual, rotated, trained OPQ
+    * matrix), recorded by [[writePqSidecar]] in `pq_meta`; absent
+    * marker = vanilla, absent `rotated` column = unrotated (sidecars
+    * written before each flavor existed), absent/null `opq_rotation`
+    * column = structured WH rotation. The matrix rides IN pq_meta so
+    * it versions and pins WITH the codes it describes — a re-trained
+    * rotation can never be applied to a pinned version's codes. */
   private def pqFlavor(spark: SparkSession, path: String,
-                       pin: Option[Int] = None): (Boolean, Boolean) = {
+                       pin: Option[Int] = None)
+      : (Boolean, Boolean, Option[Seq[Seq[Double]]]) = {
     // every flavored read/mutation funnels through here — roll a
     // committed-but-unapplied sidecar swap forward before trusting the
     // marker (the marker and the codes must never be read split-brain);
@@ -1476,12 +1631,18 @@ object Similarity {
     if (effPin.isEmpty) {
       val p = new org.apache.hadoop.fs.Path(path + "/pq_meta")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) return (false, false)
+      if (!fs.exists(p)) return (false, false, None)
     }
     val meta = pqDirDf(spark, path, "pq_meta", "part", effPin)
     val row = meta.head
+    val opq =
+      if (!meta.columns.contains("opq_rotation")) None
+      else Option(row.getAs[scala.collection.Seq[
+          scala.collection.Seq[Double]]]("opq_rotation"))
+        .map(_.map(_.toSeq).toSeq) // Spark hands back mutable ArraySeq
     (row.getAs[Boolean]("residual"),
-      meta.columns.contains("rotated") && row.getAs[Boolean]("rotated"))
+      meta.columns.contains("rotated") && row.getAs[Boolean]("rotated"),
+      opq)
   }
 
   /** Encode vectors against a PQ codebook relation into ONE row per
@@ -1525,9 +1686,10 @@ object Similarity {
     // codebook and flavor to ONE version (versioned sidecars).
     val pin = pqPin(spark, path)
     val pqcb = pqDirDf(spark, path, "pq_codebook", "part", pin)
-    val (residual, rotated) = pqFlavor(spark, path, pin)
+    val (residual, rotated, opq) = pqFlavor(spark, path, pin)
     val (enc, encCol) =
-      pqEncInput(spark, path, delta, vecCol, residual, rotated, m * dsub)
+      pqEncInput(spark, path, delta, vecCol, residual, rotated, m * dsub,
+        opq)
     val coded = packedCodes(enc, pqcb, idCol, encCol, m, dsub)
       .withColumn("c_bucket",
         pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
@@ -1626,7 +1788,7 @@ object Similarity {
     // per-query bytes (map entries × residual's nProbe multiplier)
     // against `graft.pq.maxBroadcastMb` (default 64).
     val pin = pqPin(spark, storePath)
-    val (residual, rotated) = pqFlavor(spark, storePath, pin)
+    val (residual, rotated, opq) = pqFlavor(spark, storePath, pin)
     val targetBytes = math.max(1.0, spark.conf
       .getOption("graft.pq.maxBroadcastMb")
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
@@ -1659,7 +1821,7 @@ object Similarity {
       .flatMap(_.toIntOption).getOrElse(1)
     if (chunks == 1)
       pqAdcChunk(spark, storePath, queries, probesM, idCol, vecCol,
-        m, dsub, k, residual, rotated, pin)
+        m, dsub, k, residual, rotated, opq, pin)
     else if (chunks <= maxSerial)
       (0 until chunks).map { i =>
         pqAdcChunk(spark, storePath,
@@ -1667,12 +1829,13 @@ object Similarity {
             pmod(xxhash64(col(idCol)), lit(chunks.toLong)) === i),
           probesM.filter(
             pmod(xxhash64(col("query_id")), lit(chunks.toLong)) === i),
-          idCol, vecCol, m, dsub, k, residual, rotated, pin)
+          idCol, vecCol, m, dsub, k, residual, rotated, opq, pin)
           .localCheckpoint(true) // run now; free this chunk's broadcast
       }.reduce(_ unionByName _)
     else
       pqAdcChunk(spark, storePath, queries, probesM, idCol, vecCol,
-        m, dsub, k, residual, rotated, pin, broadcastTables = false)
+        m, dsub, k, residual, rotated, opq, pin,
+        broadcastTables = false)
   }
 
   /** One bounded-broadcast slice of the store ADC search — the whole
@@ -1683,6 +1846,7 @@ object Similarity {
                          idCol: String, vecCol: String, m: Int,
                          dsub: Int, k: Int, residual: Boolean,
                          rotated: Boolean,
+                         opq: Option[Seq[Seq[Double]]] = None,
                          pin: Option[Int] = None,
                          broadcastTables: Boolean = true): DataFrame = {
     val buckets = spark.read.parquet(storePath + "/meta").head.getInt(0)
@@ -1701,8 +1865,8 @@ object Similarity {
       // ADC there estimates original-space distances)
       val (qin, qcol) =
         if (!rotated) (queries.select(col(idCol), col(vecCol)), vecCol)
-        else (whtRotate(queries.select(col(idCol), col(vecCol)), vecCol,
-          "__rot", m * dsub), "__rot")
+        else (applyRot(queries.select(col(idCol), col(vecCol)), vecCol,
+          "__rot", m * dsub, opq), "__rot")
       val dts = pqSubvectors(qin, idCol, qcol, m, dsub)
         .join(broadcast(pqcb), "sub")
         .withColumn("d2", sqDistCols(col("sv"), col("cent")))
@@ -1741,7 +1905,7 @@ object Similarity {
       // the encode side's order (residualize, then rotate)
       val qres =
         if (!rotated) qres0
-        else whtRotate(qres0, "rv", "rv", m * dsub)
+        else applyRot(qres0, "rv", "rv", m * dsub, opq)
       val subs = array((0 until m).map { s =>
         struct(lit(s).as("sub"), slice(col("rv"), s * dsub + 1, dsub).as("sv"))
       }: _*)
