@@ -258,6 +258,44 @@ object StoreLifecycleProbe {
         base.filter(col("vec_id") < 100000), "vec_id", "embedding",
         m = 4, dsub = 16, k = 5, sProbe = 8, nProbe = 4).count()
     }
+    // UNIFIED GC AT TIER SCALE: `graft.store.snapshotKeep` bounds the
+    // retained window and EVERY commit GCs expired manifests plus the
+    // generation dirs they alone referenced. Recorded: wall of 4
+    // 100-row appends at keep = 2 (each commit carries one expired
+    // version's gen reclamation at sf10 store sizes — GC cost rides
+    // the mutation, so this is how a production store pays it), the
+    // OLDEST retained version still reading exactly the rows it held
+    // when live, and the refusal for a GC'd version (a reader must
+    // never get a partial or aliased snapshot).
+    import graft.operators.StoreSwap
+    spark.conf.set("graft.store.snapshotKeep", "2")
+    val gcC0 = Similarity.readStandingStore(spark, store)._1.count()
+    val gcAppends4Sec = t {
+      (1 to 4).foreach { i =>
+        Similarity.appendToStandingStore(
+          assignedTwoLevel(base.filter(col("vec_id") < 100)
+            .select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+              col("embedding")))
+            .select(col("vec_id"), col("embedding"), col("cluster"),
+              col("nrm")),
+          store, "cluster")
+      }
+    }
+    val gcVs = StoreSwap.snapshotVersions(spark, store, "data")
+    // oldest retained = 2 appends in: base + 200 rows, byte-exact
+    val gcRetainedIntact = gcVs.size == 3 &&
+      StoreSwap.readVersionedAt(spark, store, "data", "c_bucket",
+        gcVs.head).count() == gcC0 + 200
+    val gcRefusalOk =
+      try {
+        StoreSwap.readVersionedAt(spark, store, "data", "c_bucket",
+          gcVs.head - 1)
+        false
+      } catch {
+        case e: RuntimeException =>
+          Option(e.getMessage).exists(_.contains("snapshotKeep"))
+      }
+    spark.conf.unset("graft.store.snapshotKeep")
 
     // RESIDUAL RUNG on CLUSTERED geometry — the realistic recall curve
     // (q210's regime at tier scale): 256 planted centers + 0.15× noise
@@ -428,6 +466,10 @@ object StoreLifecycleProbe {
       f""""pq_unified_versioned":$pqUnifiedVersioned,""" +
       f""""pq_unified_search1000_sec":$pqSearchUnifiedSec%.2f,""" +
       f""""pq_unified_search100k_sec":$pqSearchUnified100kSec%.2f,""" +
+      f""""gc_appends4_keep2_sec":$gcAppends4Sec%.2f,""" +
+      f""""gc_versions_retained":${gcVs.size},""" +
+      f""""gc_retained_intact":$gcRetainedIntact,""" +
+      f""""gc_refusal_ok":$gcRefusalOk,""" +
       f""""clus_n":$nClus,""" +
       f""""clus_recall12_vanilla_pct":$rec12v,""" +
       f""""clus_recall12_residual_pct":$rec12r,""" +

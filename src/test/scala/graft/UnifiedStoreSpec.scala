@@ -387,6 +387,47 @@ class UnifiedStoreSpec extends SparkSpec {
     } finally spark.conf.unset("graft.store.snapshotKeep")
   }
 
+  test("unified GC enforces the retention window: retained versions stay whole, GC'd ones refuse, orphan gens reclaimed") {
+    val standing = docs().filter(col("doc_id") < 4)
+    val path = buildUnified(standing)
+    spark.conf.set("graft.store.snapshotKeep", "2")
+    try {
+      def mut(id: Long): Unit = Dedup.ingestBatchIntoStore(spark, path,
+        docs().filter(col("doc_id") === 8L)
+          .select((col("doc_id") + id).as("doc_id"), col("text")),
+        "doc_id", "text", n = 3, numHashes = 4)
+      (1L to 5L).foreach(mut)
+      val vs = StoreSwap.snapshotVersions(spark, path, "data")
+      assert(vs.size == 3, s"keep=2 must retain keep+1 versions: $vs")
+      // every retained version resolves to a COMPLETE snapshot with
+      // the expected doc population (v grows by one ingested doc each)
+      // the oldest retained version is the 3rd mutation (4 base docs
+      // + 3 ingested); each newer retained version adds one more
+      vs.foreach { v =>
+        val n = StoreSwap.readVersionedAt(spark, path, "data",
+          "d_bucket", v).select("doc_id").distinct().count()
+        assert(n == 7 + (v - vs.head), s"v$v resolved to $n docs")
+      }
+      // a GC'd version refuses with the retention runbook, never a
+      // partial or aliased snapshot
+      val ex = intercept[RuntimeException] {
+        StoreSwap.readVersionedAt(spark, path, "data", "d_bucket",
+          vs.head - 1)
+      }
+      assert(ex.getMessage.contains("snapshotKeep"), ex.getMessage)
+      // generation dirs no retained manifest references are reclaimed:
+      // every on-disk gen of `data` must be referenced by SOME kept
+      // manifest
+      val referenced = vs.flatMap(v =>
+        StoreSwap.snapshotEntriesAt(spark, path, "data", v).values.flatten)
+        .toSet
+      val onDisk = new java.io.File(s"$path/data.gens").listFiles()
+        .map(_.getName.stripPrefix("g").toLong).toSet
+      assert(onDisk.subsetOf(referenced),
+        s"orphan generations survived GC: ${onDisk -- referenced}")
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
   test("a store unified before the ledger was namespaced keeps its exactly-once window") {
     // ADVICE r14: committedBatches read ONLY the namespaced
     // '#batches:<dataDir>' key — a store whose manifest still carries
