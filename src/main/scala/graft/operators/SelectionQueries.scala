@@ -576,6 +576,64 @@ object SelectionQueries {
     } finally spark.conf.unset("graft.store.snapshotKeep")
   }
 
+  /** q231: q229's replay with a CLUSTER-SPARSE delta, so the pruned
+    * pinned read is NON-VACUOUS at gate scale. q229's full augmented
+    * delta covers every cluster and bucket at sf0.01 (measured:
+    * 10/10 clusters, 8/8 buckets), so its pruned read degenerates to
+    * the full read and a prune-derivation bug (a cluster mapped to the
+    * wrong bucket dir, a dropped cluster in the touched list) could
+    * not break its hash. Here the judged delta is 5 rows (≤ 5 of 10
+    * clusters, provably < 8 buckets — `require`d, so a data-scale
+    * change can't silently re-vacuate the gate): buckets the delta
+    * does not touch are genuinely pruned away, and a prune leak or
+    * drop flips keep verdicts and breaks the hash. Same store build,
+    * same post-pin member + model mutations as q229. */
+  def q231SemanticReplaySparse(spark: SparkSession,
+                               dir: String): DataFrame = {
+    def emb() = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb()
+    // the sparse judged delta: variant-1 scaled twins of every 100th
+    // base id — 5 rows at sf0.01
+    val sparse = augmentDelta(emb())
+      .filter(col("vec_id") >= 100000L && col("vec_id") < 200000L &&
+        col("vec_id") % 100 === 0)
+    val nBase = base.count()
+    val k = ((nBase + 49) / 50).toInt
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      k, iters = 2)
+    def assigned(df: DataFrame, cs: Seq[Seq[Double]]) = df
+      .withColumn("cluster",
+        Similarity.assignCluster(col("embedding"), cs).cast("long"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val store = Fixtures.tempDir("graft-q231-").resolve("standing").toString
+    Similarity.writeStandingStore(assigned(base, cents), store, "cluster",
+      buckets = 8, versioned = true)
+    Similarity.writeCodebook(spark, store, cents)
+    Similarity.unifyStandingStore(spark, store)
+    // non-vacuity: with fewer delta rows than buckets, the touched
+    // bucket set is a proper subset — the prune must actually prune
+    require(sparse.count() < 8,
+      "q231's delta must stay cluster-sparse (fewer rows than buckets)" +
+        " or the pruned-read gate degenerates to q229's full read")
+    spark.conf.set("graft.store.snapshotKeep", "8")
+    try {
+      val v0 = Similarity.standingStoreVersions(spark, store).last
+      val delta2 = emb().select((col("vec_id") + 500000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      Similarity.appendToStandingStore(assigned(delta2, cents), store,
+        "cluster")
+      val grown = base.unionByName(delta2)
+      val kNew = ((grown.count() + 49) / 50).toInt
+      Similarity.writeCodebook(spark, store,
+        Similarity.trainCentroids(grown, "vec_id", "embedding", kNew,
+          iters = 2))
+      Similarity.semanticJudgeStoreAt(spark, store, sparse, "vec_id",
+          "embedding", v0, minCos = 0.99)
+        .orderBy(col("vec_id"))
+    } finally spark.conf.unset("graft.store.snapshotKeep")
+  }
+
   /** q187: incremental dedup over the PARTITIONED standing store
     * ([[Similarity.writeStandingStore]] / [[Similarity.semDedupIncrementalStore]])
     * — q181's scenario with the store hash-bucketed into `c_bucket`
@@ -1662,6 +1720,7 @@ object SelectionQueries {
     "q199_pq_store" -> q199PqStore _,
     "q228_pq_unified_store" -> q228PqUnifiedStore _,
     "q229_semantic_replay" -> q229SemanticReplay _,
+    "q231_semantic_replay_pruned" -> q231SemanticReplaySparse _,
     "q200_pq_append" -> q200PqAppend _,
     "q201_pq_store_two_level" -> q201PqStoreTwoLevel _,
     "q202_pq_store_forget" -> q202PqStoreForget _,
@@ -1838,7 +1897,14 @@ object SelectionQueries {
     * assignment over base ∪ delta, then the two incremental drop
     * rules — q181's parquet round-trip of the standing assignment is
     * bit-exact, so both gates check against the same math. */
-  private def incrDedupOracleCond(baseCond: String): String = {
+  private def incrDedupOracleCond(baseCond: String): String =
+    incrDedupOracleCondDd(baseCond, "vec_id >= 100000")
+
+  /** [[incrDedupOracleCondDd]]'s general form: `ddCond` restricts the
+    * JUDGED delta (q231 judges a cluster-sparse sub-delta so the
+    * pruned pinned read provably leaves buckets unread). */
+  private def incrDedupOracleCondDd(baseCond: String,
+                                    ddCond: String): String = {
     val cosAB =
       """list_reduce(list_prepend(0.0, list_transform(
         |          list_zip(a.embedding, b.embedding),
@@ -1854,7 +1920,7 @@ object SelectionQueries {
       |      (acc, x) -> acc + x)) AS nrm
       |  FROM jc),
       |bb AS (SELECT * FROM ad WHERE $baseCond),
-      |dd AS (SELECT * FROM ad WHERE vec_id >= 100000),
+      |dd AS (SELECT * FROM ad WHERE $ddCond),
       |drv AS (
       |  SELECT DISTINCT a.vec_id FROM dd a JOIN bb b
       |    ON a.cluster = b.cluster
@@ -2472,6 +2538,9 @@ object SelectionQueries {
     // codebook, base members); the post-pin append and refit exist
     // only to leak if the pin is broken
     "q229_semantic_replay" -> incrDedupOracle,
+    "q231_semantic_replay_pruned" -> incrDedupOracleCondDd(
+      "vec_id < 100000",
+      "vec_id >= 100000 AND vec_id < 200000 AND vec_id % 100 = 0"),
     // q193's ladder front (training levels, fasg, two-stage probe
     // lists) composed with q199's PQ scoring tail: candidates gated by
     // the LADDER cluster assignment, scored by the fixed-order ADC
