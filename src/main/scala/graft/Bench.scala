@@ -107,11 +107,38 @@ object Bench {
         }
         if (priorCalib <= 0 || common.isEmpty) None
         else {
-          val newScaled = common.map(_._1).sum / newCalib
-          val priorScaled = common.map(_._2).sum / priorCalib
-          if (newScaled > priorScaled * 1.05)
-            Some(s"scaled common-gate total ${fmt(newScaled)} >" +
-              s" 1.05x standing canonical ${fmt(priorScaled)}" +
+          // CALIBRATION-ARTIFACT GUARD (round 15): the calib workload
+          // itself can mis-measure — a quiet r15 run recorded calib
+          // 1.92 against the round's 1.31-1.48 band while its RAW
+          // common-gate total matched the standing record within 0.6%,
+          // so its scaled total read 35% "faster", evicted the honest
+          // record, and would have made every later honest run a
+          // refusal (the r13 phantom class, inverted). The artifact
+          // SIGNATURE is calib moving >25% while the raw totals stayed
+          // level (±10%): a genuinely slower/faster box moves BOTH
+          // together (the existing 2x-box tests), a mis-measured calib
+          // moves alone. Under the signature the scaled comparison is
+          // meaningless and the decision falls back to RAW common-gate
+          // totals (same box, hours apart — raw is the better
+          // comparator exactly when calib is the thing that moved).
+          // A real regression that this basis-switch could mask still
+          // surfaces through over_prior, which is the documented
+          // regression signal; the eviction rule only guards the
+          // canonical chain.
+          val rc = newCalib / priorCalib
+          val newRaw = common.map(_._1).sum
+          val priorRaw = common.map(_._2).sum
+          val rq = if (priorRaw > 0) newRaw / priorRaw else 1.0
+          val calibArtifact =
+            (rc > 1.25 || rc < 0.8) && rq >= 0.9 && rq <= 1.1
+          val (newTot, priorTot, basis) =
+            if (!calibArtifact)
+              (newRaw / newCalib, priorRaw / priorCalib, "scaled")
+            else (newRaw, priorRaw,
+              s"raw; calib artifact (calib ${fmt(rc)}x, raw ${fmt(rq)}x)")
+          if (newTot > priorTot * 1.05)
+            Some(s"$basis common-gate total ${fmt(newTot)} >" +
+              s" 1.05x standing canonical ${fmt(priorTot)}" +
               " — keeping the faster record")
           else None
         }

@@ -68,4 +68,31 @@ class BenchRuleSpec extends AnyFunSuite {
     assert(Bench.slowerThanStanding(Map("q1" -> -1.0, "q2" -> 3.0),
       1.0, Some(standing), "/data/sf0.1").isEmpty)
   }
+
+  test("calibration artifact (calib moved, raw level) compares on raw — both directions") {
+    // r15's live case: a quiet run's calib read 1.4x the standing
+    // record's while its raw total was level — its scaled total looked
+    // 30% "faster" purely from the bad divisor. Raw-level + calib-moved
+    // is the artifact signature; the decision must fall back to raw.
+    // Direction 1: the artifact run tries to evict an honest record —
+    // raw is level, so it replaces (harmless; its own calib is stamped
+    // into the file but the NEXT comparison self-heals, direction 2)
+    assert(Bench.slowerThanStanding(Map("q1" -> 2.01, "q2" -> 3.02),
+      newCalib = 1.4, Some(standing), "/data/sf0.1").isEmpty)
+    // Direction 2: an HONEST run vs a standing artifact record (its
+    // stamped calib 1.4x too high): scaled would read the honest run
+    // 40% "slower" and refuse it forever; raw is level so it replaces
+    val artifact = record("/data/sf0.1", 1.4,
+      Map("q1" -> 2.0, "q2" -> 3.0))
+    assert(Bench.slowerThanStanding(Map("q1" -> 2.02, "q2" -> 3.01),
+      newCalib = 1.0, Some(artifact), "/data/sf0.1").isEmpty)
+    // and a run whose raw total genuinely regressed >5% under the
+    // artifact signature's calib mismatch is still refused on raw
+    assert(Bench.slowerThanStanding(Map("q1" -> 2.2, "q2" -> 3.2),
+      newCalib = 1.4, Some(standing), "/data/sf0.1").isDefined)
+    // a 2x-slower box moves raw AND calib together — NOT the artifact
+    // signature; the scaled comparison still governs (cancels the box)
+    assert(Bench.slowerThanStanding(Map("q1" -> 4.0, "q2" -> 6.0),
+      newCalib = 2.0, Some(standing), "/data/sf0.1").isEmpty)
+  }
 }
