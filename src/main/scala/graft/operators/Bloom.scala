@@ -34,7 +34,16 @@ object Bloom {
     * only: explode bit positions → per-word `bit_or` (partially
     * aggregated map-side, so the shuffle is bounded by the number of
     * distinct words ≤ numBits/64, not by the gram count) → assemble the
-    * dense word array on the single result row. */
+    * dense word array on the single result row.
+    *
+    * Dense assembly is sort-based, NOT map-based: a zero row per word
+    * index is unioned in below the single `bit_or` aggregation (the
+    * identity, so the set bits are unchanged) and the final row sorts
+    * the now-complete (w, word) pairs. The previous
+    * `transform(sequence(0, nWords-1), wi -> m[wi])` probed a Catalyst
+    * map literal whose `GetMapValue` is a LINEAR scan per lookup —
+    * O(nWords²) on one core for the one result row, measured 21.6 s of
+    * q66's 27.5 s prepare at 2^20 bits (BloomBuildProbe stage D vs C). */
   def buildBitmap(grams: DataFrame, gramCol: String, numBits: Int,
                   numHashes: Int, seed: Long): DataFrame = {
     require(numBits % 64 == 0 && numBits > 0, "numBits must be a positive multiple of 64")
@@ -44,11 +53,12 @@ object Bloom {
       .select(explode(array(pos: _*)).as("pos"))
       .select((col("pos") / 64).cast("int").as("w"),
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("b"))
+      .unionByName(grams.sparkSession.range(nWords)
+        .select(col("id").cast("int").as("w"), lit(0L).as("b")))
       .groupBy(col("w")).agg(bit_or(col("b")).as("word"))
     words
-      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("word"))).as("m"))
-      .select(transform(sequence(lit(0), lit(nWords - 1)),
-        wi => coalesce(col("m")(wi), lit(0L))).as("bloom"))
+      .agg(array_sort(collect_list(struct(col("w"), col("word")))).as("s"))
+      .select(transform(col("s"), e => e.getField("word")).as("bloom"))
   }
 
   /** Per-KEY bitmaps — one Bloom filter per shard/partition, the data-
