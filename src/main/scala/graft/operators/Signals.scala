@@ -85,7 +85,19 @@ object Signals {
     * Each iteration = one equi-join of edges with ranks on src + one
     * partial-aggregated shuffle of contributions on dst — the Pregel
     * shape. `iters` is a plan-size knob (the loop unrolls into the
-    * logical plan), not driver state. */
+    * logical plan), not driver state.
+    *
+    * The edge relation, the out-degree table and each iteration's rank
+    * state are `localCheckpoint`ed (LAZY, so the materialization cost
+    * stays inside the measured action rather than moving to plan
+    * construction): the unrolled plan references `e` in every iteration
+    * plus both degree aggregates, and rank_k's subtree contains
+    * rank_{k-1}'s whole tree — without the cut the distinct-shuffle of
+    * the edges re-executes per reference and the per-iteration work
+    * re-executes per LEVEL (exchange reuse is a same-plan heuristic,
+    * not a guarantee across the grown trees). This is the standard
+    * Pregel iteration cache (GraphX materializes the edge/vertex RDDs
+    * the same way); state size is |V| rows per checkpoint, |E| once. */
   def pageRank(nodes: DataFrame, idCol: String,
                edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, scale: Long = 1000000000000L,
@@ -95,23 +107,30 @@ object Signals {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false) // read 3+iters times below
     val outDeg = e.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint(false) // read in every iteration + the final join
     // matches the scaladoc form exactly: multiply first, then one
     // truncating divide (scale·(dampDen−dampNum) stays ≪ 2⁶³ for any
     // sane damping, so the product cannot overflow before the div)
     val base = scale * (dampDen - dampNum) / dampDen
     var ranks = ids.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(outDeg, "src")
         .select(col("dst").as("id"),
           expr(s"(rank * $dampNum) div ($dampDen * deg)").as("c"))
       val inSum = contribs.groupBy(col("id")).agg(sum(col("c")).as("s"))
-      ranks = ids.join(inSum, Seq("id"), "left")
+      val next = ids.join(inSum, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+      // |V| rows; cut the per-iteration lineage — but keep the LAST
+      // iteration inline so the returned plan still carries the
+      // partial-aggregated contribution sum PlanAudit gates (and the
+      // final round's real work stays in the measured execution)
+      ranks = if (i < iters) next.localCheckpoint(false) else next
     }
     val inDeg = e.groupBy(col("dst"))
       .agg(count(lit(1)).cast("long").as("ind"))
@@ -142,6 +161,7 @@ object Signals {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false) // read 2·iters + 2 times below (see pageRank)
     def normalize(raw: DataFrame): DataFrame = {
       val mx = raw.agg(max(col("v")).as("m"))
       raw.crossJoin(broadcast(mx))
@@ -149,13 +169,20 @@ object Signals {
     }
     var hubs = ids.withColumn("v", lit(scale))
     var auth = ids.withColumn("v", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
+      // each state is read twice (the next aggregation + normalize's
+      // max) and its subtree would otherwise nest per half-iteration —
+      // |V|-row checkpoints, same rationale as pageRank's; the FINAL
+      // half-iteration stays inline so the returned plan keeps the
+      // partial-aggregated sum PlanAudit gates and the last round's
+      // work stays in the measured execution
       auth = normalize(e.join(hubs.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("v")).as("v"))
-        .withColumnRenamed("dst", "id"))
-      hubs = normalize(e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .withColumnRenamed("dst", "id")).localCheckpoint(false)
+      val h = normalize(e.join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src")).agg(sum(col("v")).as("v"))
         .withColumnRenamed("src", "id"))
+      hubs = if (i < iters) h.localCheckpoint(false) else h
     }
     val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).cast("long").as("ind"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).cast("long").as("outd"))
