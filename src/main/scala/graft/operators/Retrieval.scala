@@ -33,9 +33,20 @@ object Retrieval {
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = corpus.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("term"))
+    // The tf relation (the inverted index) feeds the df aggregate, the
+    // doc-length aggregate AND the match join; column pruning gives each
+    // consumer a different subtree, so exchange reuse cannot deduplicate
+    // them and the corpus tokenize+aggregate re-executes 3-4x (q148's
+    // static plan: 14 scans, 0 reused exchanges). Materialize the index
+    // once — lazily, so the cost stays inside the measured action — and
+    // likewise the per-doc lengths (read by the global stats AND the
+    // match join). This is the standard build-the-index-once step; both
+    // relations are corpus-bounded, far smaller than the token stream.
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint(false)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+      .localCheckpoint(false)
     val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
