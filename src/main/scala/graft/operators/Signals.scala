@@ -263,10 +263,15 @@ object Signals {
     * index builds — a deployment computes them once and serves both. */
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
+    // same shape as Retrieval.bm25TopK: tf feeds dl, dfr and the score
+    // join with per-consumer pruning, so exchange reuse can't dedup the
+    // corpus tokenize+aggregate — materialize the index once (lazily,
+    // cost stays in the measured action; corpus-bounded rows)
     val tf = df.select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint(false)
     val dl = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("dl"))
     val dfr = tf.groupBy(col("term"))
@@ -297,10 +302,16 @@ object Signals {
   def anchorProfile(edges: DataFrame, srcCol: String, dstCol: String,
                     srcAttrs: DataFrame, idCol: String, sourceCol: String,
                     kwCol: String): DataFrame = {
+    // the joined relation is aggregated twice (degree/source counts and
+    // per-(dst, kw) counts) with different pruning; checkpoint the
+    // linker-attribute side (one row per linker, often an expensive
+    // upstream like tfidfKeywords) so it computes once — the edge join
+    // itself re-executes per aggregate, which is the cheap half
     val joined = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .join(srcAttrs.select(col(idCol).as("src"),
-        col(sourceCol).as("lsrc"), col(kwCol).as("kw")), "src")
+        col(sourceCol).as("lsrc"), col(kwCol).as("kw"))
+        .localCheckpoint(false), "src")
     val base = joined.groupBy(col("dst"))
       .agg(count(lit(1)).cast("long").as("in_deg"),
         countDistinct(col("lsrc")).cast("long").as("n_sources"))
