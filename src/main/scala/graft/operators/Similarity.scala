@@ -98,12 +98,17 @@ object Similarity {
       col(clusterCol).as("cluster"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst"))
+    // the top-k relation is read three times below (both sides of the
+    // mutuality semi-join + the per-vector aggregate); without a cut
+    // the Σ|cluster|² pair scan + window re-executes per reference —
+    // lazily materialize the N·k rows (bounded, tiny vs the pair space)
     val topk = a.join(b, "cluster")
       .filter(col("src") =!= col("dst"))
       .withColumn("cos", cosine(col("av"), col("bv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src"), col("cluster"), col("dst"), col("cos"), col("rank"))
+      .localCheckpoint(false)
     val reversed = topk.select(col("dst").as("src"), col("src").as("dst"))
     val mutual = topk.join(reversed, Seq("src", "dst"), "left_semi")
       .groupBy(col("src"))
