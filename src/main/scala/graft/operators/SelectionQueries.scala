@@ -205,6 +205,13 @@ object SelectionQueries {
       .withColumn("q", TextOps.qualityScore(col("text"), stopwords))
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+      // nothing below reads text; the per-doc feature expressions
+      // (quality-score regexes, fingerprint, token count) are the
+      // expensive half and the relation is read by the best-per-fp
+      // aggregate AND the flag join (which itself feeds four consumers)
+      // — materialize the features once, lazily
+      .drop("text")
+      .localCheckpoint(false)
     val best = corpus.groupBy(col("fp"))
       .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
       .select(col("fp"), (-col("b.nid")).as("keep_id"))
