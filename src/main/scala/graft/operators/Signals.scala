@@ -341,6 +341,7 @@ object Signals {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false) // read 3x: both self-join sides + the union
     val hop2 = e.join(e.withColumnsRenamed(Map("src" -> "mid", "dst" -> "d2")),
         col("dst") === col("mid"))
       .select(col("src"), col("d2").as("dst"))
