@@ -194,6 +194,19 @@ object Bench {
       ((t0 - tq0) / 1e9, (System.nanoTime() - t0) / 1e9)
     }
 
+    /** Between-query cleanup. `clearCache` drops SQL-cached relations,
+      * but LOCALCHECKPOINT blocks (the Lineage plan cuts) are plain
+      * persisted RDDs the catalog never sees — without the RDD sweep
+      * they accumulate across 231 queries × 3 executions and lean on
+      * storage memory for the whole suite (r15 advisor finding). Safe
+      * here: every execution builds a fresh DataFrame, nothing reads a
+      * previous execution's blocks, and shared gate fixtures live on
+      * disk (Fixtures.sharedDir), not in block storage. */
+    def clearAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
     /** One timed run — (exec_sec, load, prepare_sec); the load sample
       * is taken BEFORE the run so it reflects pressure the run started
       * under. */
@@ -281,12 +294,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         results(name) = M(-1.0, -1.0, -1.0, 0)
-      } finally {
-        // operators that cache intermediate relations register a fresh
-        // cache entry per execution — drop them so later queries don't
-        // fight orphaned storage memory
-        spark.catalog.clearCache()
-      }
+      } finally clearAll()
     }
 
     // defense pass: re-time every query whose two runs disagreed OR
@@ -317,7 +325,7 @@ object Bench {
           } catch { case e: Throwable =>
             System.err.println(s"[bench] retime $name failed: ${e.getMessage}")
             tries = 2
-          } finally spark.catalog.clearCache()
+          } finally clearAll()
         }
         results(name) = cur
       }

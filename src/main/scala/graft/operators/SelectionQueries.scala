@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import Lineage.CutOps
 
 /** Driver gates for the corpus-SELECTION operators — the decision layer a
   * training-data pipeline runs after measurement: which duplicate to keep
@@ -209,9 +210,11 @@ object SelectionQueries {
       // (quality-score regexes, fingerprint, token count) are the
       // expensive half and the relation is read by the best-per-fp
       // aggregate AND the flag join (which itself feeds four consumers)
-      // — materialize the features once, lazily
+      // — plan-cut the features so they compute once (with the default
+      // checkpoint cut under AQE that happens at plan construction,
+      // the bench's `prepare` phase — see Lineage)
       .drop("text")
-      .localCheckpoint(false)
+      .planCut
     val best = corpus.groupBy(col("fp"))
       .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
       .select(col("fp"), (-col("b.nid")).as("keep_id"))

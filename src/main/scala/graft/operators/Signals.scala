@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import Lineage.CutOps
 
 /** Corpus-level SIGNALS a curation pipeline ranks and filters by: a
   * hashed linear quality classifier (the fastText-shaped model-based
@@ -88,16 +89,18 @@ object Signals {
     * logical plan), not driver state.
     *
     * The edge relation, the out-degree table and each iteration's rank
-    * state are `localCheckpoint`ed (LAZY, so the materialization cost
-    * stays inside the measured action rather than moving to plan
-    * construction): the unrolled plan references `e` in every iteration
-    * plus both degree aggregates, and rank_k's subtree contains
-    * rank_{k-1}'s whole tree — without the cut the distinct-shuffle of
-    * the edges re-executes per reference and the per-iteration work
-    * re-executes per LEVEL (exchange reuse is a same-plan heuristic,
-    * not a guarantee across the grown trees). This is the standard
-    * Pregel iteration cache (GraphX materializes the edge/vertex RDDs
-    * the same way); state size is |V| rows per checkpoint, |E| once. */
+    * state are plan-cut ([[Lineage.cut]] — by default a lazy
+    * `localCheckpoint`, whose upstream shuffles AQE executes at plan
+    * construction, i.e. in the bench's `prepare` bucket; see the
+    * [[Lineage]] doc for the measurement and fault-tolerance caveats):
+    * the unrolled plan references `e` in every iteration plus both
+    * degree aggregates, and rank_k's subtree contains rank_{k-1}'s
+    * whole tree — without the cut the distinct-shuffle of the edges
+    * re-executes per reference and the per-iteration work re-executes
+    * per LEVEL (exchange reuse is a same-plan heuristic, not a
+    * guarantee across the grown trees). This is the standard Pregel
+    * iteration cache (GraphX materializes the edge/vertex RDDs the
+    * same way); state size is |V| rows per checkpoint, |E| once. */
   def pageRank(nodes: DataFrame, idCol: String,
                edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, scale: Long = 1000000000000L,
@@ -107,10 +110,10 @@ object Signals {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(false) // read 3+iters times below
+      .planCut // read 3+iters times below
     val outDeg = e.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("deg"))
-      .localCheckpoint(false) // read in every iteration + the final join
+      .planCut // read in every iteration + the final join
     // matches the scaladoc form exactly: multiply first, then one
     // truncating divide (scale·(dampDen−dampNum) stays ≪ 2⁶³ for any
     // sane damping, so the product cannot overflow before the div)
@@ -130,7 +133,7 @@ object Signals {
       // iteration inline so the returned plan still carries the
       // partial-aggregated contribution sum PlanAudit gates (and the
       // final round's real work stays in the measured execution)
-      ranks = if (i < iters) next.localCheckpoint(false) else next
+      ranks = if (i < iters) next.planCut else next
     }
     val inDeg = e.groupBy(col("dst"))
       .agg(count(lit(1)).cast("long").as("ind"))
@@ -161,7 +164,7 @@ object Signals {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(false) // read 2·iters + 2 times below (see pageRank)
+      .planCut // read 2·iters + 2 times below (see pageRank)
     def normalize(raw: DataFrame): DataFrame = {
       val mx = raw.agg(max(col("v")).as("m"))
       raw.crossJoin(broadcast(mx))
@@ -178,11 +181,11 @@ object Signals {
       // work stays in the measured execution
       auth = normalize(e.join(hubs.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("v")).as("v"))
-        .withColumnRenamed("dst", "id")).localCheckpoint(false)
+        .withColumnRenamed("dst", "id")).planCut
       val h = normalize(e.join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src")).agg(sum(col("v")).as("v"))
         .withColumnRenamed("src", "id"))
-      hubs = if (i < iters) h.localCheckpoint(false) else h
+      hubs = if (i < iters) h.planCut else h
     }
     val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).cast("long").as("ind"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).cast("long").as("outd"))
@@ -265,13 +268,14 @@ object Signals {
                     k: Int): DataFrame = {
     // same shape as Retrieval.bm25TopK: tf feeds dl, dfr and the score
     // join with per-consumer pruning, so exchange reuse can't dedup the
-    // corpus tokenize+aggregate — materialize the index once (lazily,
-    // cost stays in the measured action; corpus-bounded rows)
+    // corpus tokenize+aggregate — plan-cut the index so it computes once
+    // (corpus-bounded rows; under AQE the default checkpoint cut runs
+    // the index build at plan construction — see Lineage)
     val tf = df.select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .localCheckpoint(false)
+      .planCut
     val dl = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("dl"))
     val dfr = tf.groupBy(col("term"))
@@ -303,7 +307,7 @@ object Signals {
                     srcAttrs: DataFrame, idCol: String, sourceCol: String,
                     kwCol: String): DataFrame = {
     // the joined relation is aggregated twice (degree/source counts and
-    // per-(dst, kw) counts) with different pruning; checkpoint the
+    // per-(dst, kw) counts) with different pruning; plan-cut the
     // linker-attribute side (one row per linker, often an expensive
     // upstream like tfidfKeywords) so it computes once — the edge join
     // itself re-executes per aggregate, which is the cheap half
@@ -311,7 +315,7 @@ object Signals {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .join(srcAttrs.select(col(idCol).as("src"),
         col(sourceCol).as("lsrc"), col(kwCol).as("kw"))
-        .localCheckpoint(false), "src")
+        .planCut, "src")
     val base = joined.groupBy(col("dst"))
       .agg(count(lit(1)).cast("long").as("in_deg"),
         countDistinct(col("lsrc")).cast("long").as("n_sources"))
@@ -341,7 +345,7 @@ object Signals {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(false) // read 3x: both self-join sides + the union
+      .planCut // read 3x: both self-join sides + the union
     val hop2 = e.join(e.withColumnsRenamed(Map("src" -> "mid", "dst" -> "d2")),
         col("dst") === col("mid"))
       .select(col("src"), col("d2").as("dst"))

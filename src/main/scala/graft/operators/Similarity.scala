@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import Lineage.CutOps
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -101,14 +102,19 @@ object Similarity {
     // the top-k relation is read three times below (both sides of the
     // mutuality semi-join + the per-vector aggregate); without a cut
     // the Σ|cluster|² pair scan + window re-executes per reference —
-    // lazily materialize the N·k rows (bounded, tiny vs the pair space)
+    // plan-cut the N·k rows (bounded, tiny vs the pair space). With the
+    // default checkpoint cut under AQE the pair scan runs at plan
+    // construction (bench `prepare`), and the static plan below the cut
+    // is a Scan ExistingRDD stub — PlanAudit audits this subtree with
+    // graft.plan.cuts=off so the blocked-join property stays checked
+    // for real (see [[Lineage]]).
     val topk = a.join(b, "cluster")
       .filter(col("src") =!= col("dst"))
       .withColumn("cos", cosine(col("av"), col("bv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src"), col("cluster"), col("dst"), col("cos"), col("rank"))
-      .localCheckpoint(false)
+      .planCut
     val reversed = topk.select(col("dst").as("src"), col("src").as("dst"))
     val mutual = topk.join(reversed, Seq("src", "dst"), "left_semi")
       .groupBy(col("src"))

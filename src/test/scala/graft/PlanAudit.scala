@@ -44,6 +44,24 @@ object PlanAudit {
     * run). The session must have AQE disabled (see main). Returns the
     * failure count. */
   def run(spark: SparkSession, sfDir: String): Int = {
+    // Audit the FULL operator trees: the default plan-cut (lazy
+    // localCheckpoint, graft.operators.Lineage) replaces everything
+    // below the cut with a `Scan ExistingRDD` stub, which had made the
+    // blocked-join / partial-agg checks on the cut queries (q133/q146/
+    // q148/q157/q164/q169...) vacuously green — a cartesian regression
+    // in the hidden subtree would have passed (r15 advisor finding).
+    // `off` keeps every subtree in the static plan this audit reads;
+    // restored afterwards so a shared test session is unaffected.
+    val priorCuts = spark.conf.getOption(graft.operators.Lineage.ModeKey)
+    spark.conf.set(graft.operators.Lineage.ModeKey, "off")
+    try runChecks(spark, sfDir)
+    finally priorCuts match {
+      case Some(v) => spark.conf.set(graft.operators.Lineage.ModeKey, v)
+      case None => spark.conf.unset(graft.operators.Lineage.ModeKey)
+    }
+  }
+
+  private def runChecks(spark: SparkSession, sfDir: String): Int = {
     var failures = 0
     checksRun = 0
     def check(name: String, cond: Boolean, detail: => String = ""): Unit = {
@@ -585,6 +603,13 @@ object PlanAudit {
       val p = plan("q133_knn_graph")
       check("q133 pair scoring is cluster-blocked (no cartesian)",
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+      // non-vacuity guard: the audit must see the REAL pair-scoring
+      // subtree, not a checkpoint stub — if a future change re-enables
+      // plan cuts in this session, the check above goes blind and this
+      // one fails loudly (the join + window must be visible)
+      check("q133 audit sees the full pair-scoring subtree (no checkpoint stub)",
+        !p.contains("ExistingRDD") && p.contains("Join") && p.contains("Window"),
+        "plan is truncated by a plan cut; audit would be vacuous")
     }
 
     // q134 budget allocation: the tiny per-stratum allocation relation

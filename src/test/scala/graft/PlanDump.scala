@@ -8,14 +8,17 @@ import java.nio.file.{Files, Paths}
   * evidence the optimization-round judge reads (`plans/r15/<q>_{before,
   * after}.txt`). Usage:
   *
-  *   Test/runMain graft.PlanDump <outDir> <suffix> <q1,q2,...> [sfDir]
+  *   Test/runMain graft.PlanDump <outDir> <suffix> <q1,q2,...> [sfDir] [cuts]
   *
-  * Writes `<outDir>/<query>_<suffix>.txt` per query. Same session confs
-  * as Bench (AQE on — the shipped shape; the formatted header shows the
-  * initial plan, and static properties like join strategy, pushed
-  * filters and exchange count are readable below it). Composed store
-  * gates build their fixture stores eagerly at plan construction, so
-  * the default sfDir is sf0.01 to keep the dump cheap.
+  * Writes `<outDir>/<query>_<suffix>.txt` per query. Bench-like session
+  * confs EXCEPT: AQE is OFF (the judge reads static properties — join
+  * strategy, pushed filters, exchange count — which AQE's pre-execution
+  * wrapper hides), and plan cuts default OFF (`cuts` arg: `off`|`on`) so
+  * the dumped tree is the full operator plan rather than a checkpoint's
+  * `Scan ExistingRDD` stub hiding the subtree below the cut — pass
+  * `on` to see the shipped (cut) shape. Composed store gates build
+  * their fixture stores eagerly at plan construction, so the default
+  * sfDir is sf0.01 to keep the dump cheap.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -23,7 +26,10 @@ object PlanDump {
     val suffix = args(1)
     val names = args(2).split(",").toSeq
     val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.01"
+    val cuts = if (args.length > 4) args(4) else "off"
     val spark = SparkSession.builder().master("local[8]")
+      .config(graft.operators.Lineage.ModeKey,
+        if (cuts == "on") "checkpoint" else "off")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
