@@ -127,13 +127,17 @@ object Bloom {
     // ONE corpus-side shuffle, keyed by document: the probe is a per-row
     // expression before the aggregation, and distinct-gram counting rides
     // the same grouped aggregate (hit is a function of the gram, so
-    // distinct-hit-grams ≡ distinct grams that hit)
+    // distinct-hit-grams ≡ distinct grams that hit). The distinct rides
+    // a 64-bit gram hash so the exchange carries longs, never the gram
+    // strings (guide §2.3) — counts equal the string counts unless two
+    // different grams of one doc collide in 2⁶⁴ (oracle-confirmed equal)
     grams
       .withColumn("hit",
         mightContain(bloom, Dedup.polyHash(col("sh")), numBits, numHashes, seed))
+      .select(col("id"), xxhash64(col("sh")).as("g"), col("hit"))
       .groupBy(col("id"))
-      .agg(countDistinct(col("sh")).cast("long").as("n_grams"),
-        countDistinct(when(col("hit"), col("sh"))).cast("long").as("n_flagged"))
+      .agg(countDistinct(col("g")).cast("long").as("n_grams"),
+        countDistinct(when(col("hit"), col("g"))).cast("long").as("n_flagged"))
       .select(col("id").as(idCol), col("n_grams"), col("n_flagged"),
         (col("n_flagged") >= minHits).as("contaminated"))
   }

@@ -81,9 +81,15 @@ object Dedup {
       .distinct()
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold. The
-    * self-join is on the shingle value; at 100 TB you'd pre-hash shingles
-    * (64-bit) and cap document frequency of a shingle to bound skew —
-    * `maxShingleFreq` implements the cap. */
+    * self-join is on the 64-bit shingle hash — shuffling 8-byte longs
+    * where shingle STRINGS (~n words each) used to cross both the
+    * distinct and the self-join exchanges (guide §2.3: shuffle keys,
+    * not payloads); `maxShingleFreq` caps a shingle's document
+    * frequency to bound skew. Hash-keyed counting is the same
+    * equivalence the verified q21 path has always used: common/n_sh
+    * counts differ from string counts only if two DIFFERENT shingles
+    * collide in the 64-bit space (2⁻⁶⁴ per pair; the oracle confirms
+    * equality on the gated corpora). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleFreq: Int = 1000): DataFrame =
@@ -133,18 +139,18 @@ object Dedup {
   def ngramJaccardPairsScoped(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double,
                               maxShingleFreq: Int = 1000): CachedResult = {
-    val ds = docShingles(df, idCol, textCol, n).cache()
+    val ds = shingleHashes(df, idCol, textCol, n).cache()
     val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // skew cap as a broadcast anti-join on the hot-shingle list: the
     // list has at most |shingles|/cap entries by construction, and the
-    // partial-aggregated groupBy ships only distinct shingles per task —
-    // unlike a count-over-window, which shuffles and sorts EVERY
+    // partial-aggregated groupBy ships only distinct shingle hashes per
+    // task — unlike a count-over-window, which shuffles and sorts EVERY
     // (id, shingle) row into per-shingle partitions before filtering
-    val hot = ds.groupBy(col("sh")).agg(count(lit(1)).as("df_sh"))
-      .filter(col("df_sh") > maxShingleFreq).select(col("sh"))
-    val capped = ds.join(broadcast(hot), Seq("sh"), "left_anti")
+    val hot = ds.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
+      .filter(col("df_sh") > maxShingleFreq).select(col("h"))
+    val capped = ds.join(broadcast(hot), Seq("h"), "left_anti")
     val pairs = capped.as("a")
-      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .join(capped.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     val verified = pairs
@@ -168,10 +174,33 @@ object Dedup {
     !exists(zip_with(slice(aArr, lit(1), pos), slice(bArr, lit(1), pos),
       (x, y) => x === y), p => p)
 
-  /** 64-bit shingle hash (xxhash64 — Spark-native, codegen'd). */
+  /** Distinct (id, 64-bit xxhash64 shingle hash) pairs. The hash runs
+    * BEFORE the distinct, fused into the shingle-explode scan, so the
+    * dedup exchange carries 8-byte longs instead of shingle strings
+    * (guide §2.3) — set-equal to hashing [[docShingles]]' output: the
+    * image of a set equals the image of the multiset, so per-doc hash
+    * SETS are identical by construction, and only the derived COUNTS
+    * (n_sh) could differ, under a per-doc 64-bit collision between
+    * different shingles (2⁻⁶⁴ per pair; oracle-confirmed equal on the
+    * gated corpora). */
   private def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docShingles(df, idCol, textCol, n)
+    df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
+      .distinct()
+
+  /** Distinct (id, portable [[polyHash]] shingle hash) pairs — the
+    * store/sidecar flavor of [[shingleHashes]] (the sidecar protocol
+    * and its DuckDB oracles replay polyHash, not xxhash64). Same
+    * hash-before-distinct shape: ONE exchange of (id, long) replaces
+    * the former two (distinct over (id, string), then distinct again
+    * over (id, hash)); per-id hash sets are identical by construction. */
+  private[operators] def shinglePolyHashes(df: DataFrame, idCol: String,
+                                           textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id"), polyHash(col("sh")).as("x"))
+      .distinct()
 
   /** MinHash signature matrix via K universal-hash permutations
     * h_k(x) = (a_k * x + b_k) mod p computed columnar (no UDF), then
@@ -620,7 +649,14 @@ object Dedup {
                         seed: Long = 7L): DataFrame = {
     val p = 2147483647L
     val coefs = minhashCoefs(numHashes, seed)
-    val hashed = docShingles(df, idCol, textCol, n)
+    // NO distinct before the aggregate: min over the shingle multiset
+    // equals min over its set, so deduplicating first would buy a full
+    // (id, shingle) exchange for nothing (guide §2.4 — the per-(id, k)
+    // MIN is already the partial-aggregated reduction); signature
+    // values are bit-identical either way, which the per-value oracle
+    // (q88) gates
+    val hashed = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("sh"))
       .select(col("id"), polyHash(col("sh")).as("x"))
     val coefArr = typedlit(coefs)
     val sigRow = transform(coefArr,
@@ -947,8 +983,7 @@ object Dedup {
     StoreSwap.recover(spark, path)
     val buckets = spark.read.parquet(path + "/meta").head.getInt(0)
     writeDir(spark, path, "shingles", "d_bucket",
-      docShingles(docs, idCol, textCol, n)
-        .select(col("id"), polyHash(col("sh")).as("x")).distinct()
+      shinglePolyHashes(docs, idCol, textCol, n)
         .withColumn("d_bucket",
           pmod(col("id"), lit(buckets.toLong)).cast("int")),
       Seq(col("id"), col("x")))
@@ -983,8 +1018,7 @@ object Dedup {
       .select(pmod(col("id"), lit(buckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return Seq.empty
-    val fresh = docShingles(deltaDocs, idCol, textCol, n)
-      .select(col("id"), polyHash(col("sh")).as("x")).distinct()
+    val fresh = shinglePolyHashes(deltaDocs, idCol, textCol, n)
       .withColumn("d_bucket", pmod(col("id"), lit(buckets.toLong)).cast("int"))
     val kept = dirDf(spark, path, "shingles", "d_bucket")
       .filter(col("d_bucket").isin(touched: _*))
@@ -1457,14 +1491,14 @@ object Dedup {
       .select(col("id").as("d_id"), col("band"), col("bsig"),
         col("bb_bucket"))
       .localCheckpoint(true) // bounded: |delta| x bands rows
-    val dShAll = docShingles(delta, idCol, textCol, n)
-      .select(col("id").as("d_id"), polyHash(col("sh")).as("x")).distinct()
+    val dShAll = shinglePolyHashes(delta, idCol, textCol, n)
+      .withColumnRenamed("id", "d_id")
       .localCheckpoint(true) // bounded: the delta's distinct shingles
     // sidecar-less fallback: the standing corpus' shingle hashes,
     // derived from text - corpus-footprint, shared by every chunk (lazy;
     // each chunk semi-joins its own candidates against it)
-    lazy val standingSh = docShingles(standingDocs, idCol, textCol, n)
-      .select(col("id").as("s_id"), polyHash(col("sh")).as("x")).distinct()
+    lazy val standingSh = shinglePolyHashes(standingDocs, idCol, textCol, n)
+      .withColumnRenamed("id", "s_id")
     // DELTA-BATCH CHUNKING, the text twin of the PQ search's: the
     // delta's band rows are the broadcast side of the candidate join,
     // so an unbounded batch (1M docs x bands rows) would blow the

@@ -138,10 +138,17 @@ object PipelineQueries {
     val docs = Sampling.withSplit(dupCorpus(spark, dir), "doc_id",
       Seq("train" -> 0.9, "test" -> 0.1), seed = 13L)
     // cache: both the train and the test branch filter this relation —
-    // without it the explode+distinct shuffle runs twice
+    // without it the explode+distinct shuffle runs twice. Shingles are
+    // hashed to 64 bits BEFORE the distinct, so the exchange (and the
+    // cache, and the contamination join) carry longs instead of 8-word
+    // strings — the q20/q21 discipline (guide §2.3); n_common is a
+    // distinct-hash count, equal to the string count unless two
+    // different shingles collide in 2⁶⁴ (oracle-confirmed equal here)
     val sh = docs.select(col("doc_id"), col("split"),
         explode(Dedup.shingles(col("text"), 8)).as("sh"))
-      .filter(length(col("sh")) > 0).distinct().cache()
+      .filter(length(col("sh")) > 0)
+      .select(col("doc_id"), col("split"), xxhash64(col("sh")).as("sh"))
+      .distinct().cache()
     // materialize eagerly: the shingle relation is a standing index (in a
     // deployment it is built once and probed by every decontam run), and a
     // lazily-filled cache made the first post-build execution pay the

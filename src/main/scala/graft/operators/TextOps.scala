@@ -698,9 +698,15 @@ object TextOps {
                          trainLabel: String, testLabel: String,
                          n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // shingles hashed to 64 bits at the explode, so the train-side
+    // distinct and the contamination join shuffle longs, not n-gram
+    // strings (the q20/q53 discipline, guide §2.3); a hit is a
+    // distinct-hash match — equal to the string match unless two
+    // different shingles collide in 2⁶⁴ (oracle-confirmed equal here)
     val sh = docs.select(col(idCol).as("id"), col(splitCol).as("split"),
         posexplode(Dedup.shingles(col(textCol), n)))
-      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "sh")
+      .select(col("id"), col("split"), col("pos"),
+        xxhash64(col("col")).as("sh"))
     val trainSh = sh.filter(col("split") === trainLabel)
       .select(col("sh")).distinct()
     val hits = sh.filter(col("split") === testLabel)

@@ -153,12 +153,17 @@ object CurationPipeline {
           docs.join(canonical, Seq(idCol), "left_semi")
 
         case Decontaminate(holdout, n, minCommon) =>
+          // shingles hashed to 64 bits before the distincts and the
+          // overlap join (the q20/q53 discipline, guide §2.3: the
+          // exchanges carry longs, not n-gram strings)
           val corpusSh = docs
             .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("sh"))
-            .filter(length(col("sh")) > 0).distinct()
+            .filter(length(col("sh")) > 0)
+            .select(col(idCol), xxhash64(col("sh")).as("sh")).distinct()
           val holdSh = holdout
             .select(explode(Dedup.shingles(col(textCol), n)).as("sh"))
-            .filter(length(col("sh")) > 0).distinct()
+            .filter(length(col("sh")) > 0)
+            .select(xxhash64(col("sh")).as("sh")).distinct()
           val contaminated = corpusSh.join(holdSh, "sh")
             .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
             .filter(col("__n") >= minCommon).select(col(idCol))
