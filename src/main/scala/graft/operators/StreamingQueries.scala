@@ -20,6 +20,54 @@ import java.nio.file.attribute.FileTime
   * equivalences in-test; this puts one under the driver's value gate. */
 object StreamingQueries {
 
+  /** Total bytes of regular files under `dirs` — the staged input size
+    * a gate just wrote, read driver-side (no Spark job). */
+  private def stagedBytes(dirs: Seq[Path]): Long =
+    dirs.map { d =>
+      val s = Files.walk(d)
+      try s.filter(p => Files.isRegularFile(p))
+        .mapToLong(p => Files.size(p)).sum()
+      finally s.close()
+    }.sum
+
+  /** Child session for a gate's micro-batch run, with the state/shuffle
+    * partition count derived from the STAGED INPUT SIZE instead of the
+    * session default (= the core count in the bench session). Stateful
+    * streaming shuffles bypass AQE coalescing — the state-store
+    * partition count is frozen at the first checkpoint — so every
+    * micro-batch otherwise runs `cores` state tasks and writes `cores`
+    * state-store delta files regardless of batch volume: pure per-batch
+    * overhead when batches are small, and the wrong sizing principle at
+    * any scale (the data, not the box, should size a shuffle — guide
+    * §2.2). Partitions = staged bytes / 32 MB, clamped to
+    * [1, defaultParallelism]; override per session with
+    * `graft.stream.statePartitions`. Results are partition-count-
+    * invariant: every streaming gate's output is an exact
+    * aggregate/join/dedup state, sorted before hashing — only task
+    * count changes. The behavioral confs the caller's session may have
+    * set at runtime (AQE, timezone, plan cuts...) are copied over, since
+    * `newSession()` only inherits builder-time config. */
+  private def streamSession(spark: SparkSession, stagedDirs: Path*): SparkSession = {
+    val ss = spark.newSession()
+    Seq("spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.pushdown.inFilterThreshold",
+        Lineage.ModeKey)
+      .foreach(k => spark.conf.getOption(k).foreach(ss.conf.set(k, _)))
+    val n = spark.conf.getOption("graft.stream.statePartitions")
+      .flatMap(_.toIntOption)
+      .getOrElse {
+        val per = 32L << 20 // 32 MB of staged input per state partition
+        math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong,
+          (stagedBytes(stagedDirs) + per - 1) / per)).toInt
+      }
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    ss
+  }
+
   /** lineitem subset → 3 base chunks (disjoint keys) + 1 overlay chunk
     * (every 80th order re-delivered with bumped quantity) staged as
     * delimited files with strictly increasing mtimes (Spark's file
@@ -125,7 +173,8 @@ object StreamingQueries {
       stageChunk(docs.filter(col("doc_id") % 7 === 0), "redelivery",
         t0 + 3 * 2000L)
 
-      val stream = spark.readStream
+      val ss = streamSession(spark, in) // state partitions from staged size
+      val stream = ss.readStream
         .schema(StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType))))
         .option("maxFilesPerTrigger", 1) // one chunk = one micro-batch
@@ -139,7 +188,7 @@ object StreamingQueries {
       try q.processAllAvailable() finally q.stop()
       // redelivered non-kept docs re-emit their (identical) dupe verdict;
       // distinct folds replays to the one decision per doc
-      spark.table(qn)
+      ss.table(qn)
         .select(col("doc_id"), col("fp"), col("is_first"))
         .distinct()
         .orderBy(col("doc_id"))
@@ -189,7 +238,8 @@ object StreamingQueries {
       stageChunk(docs.filter(col("doc_id") % 7 === 0), "redelivery",
         t0 + 3 * 2000L)
 
-      val stream = spark.readStream
+      val ss = streamSession(spark, in) // state partitions from staged size
+      val stream = ss.readStream
         .schema(StructType(Seq(StructField("doc_id", LongType),
           StructField("source", StringType),
           StructField("n_tokens", LongType))))
@@ -202,7 +252,7 @@ object StreamingQueries {
         .option("checkpointLocation", tmp.resolve("cp").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
-      spark.table(qn)
+      ss.table(qn)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("admitted"), col("tokens_before"))
         .orderBy(col("doc_id"))
@@ -246,7 +296,8 @@ object StreamingQueries {
       stageChunk(ev.filter(col("event_id") % 7 === 0), "redelivery",
         t0 + 3 * 2000L)
 
-      val stream = spark.readStream
+      val ss = streamSession(spark, in) // state partitions from staged size
+      val stream = ss.readStream
         .schema(StructType(Seq(StructField("event_id", LongType),
           StructField("user_id", LongType),
           StructField("event_type", StringType))))
@@ -263,7 +314,7 @@ object StreamingQueries {
         .option("checkpointLocation", tmp.resolve("cp").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
-      val regs = spark.table(qn)
+      val regs = ss.table(qn)
         .groupBy(col("event_type"), col("j"))
         .agg(max(col("mj")).as("mj"))
       Sketches.hllEstimate(regs, Seq("event_type"))
@@ -331,7 +382,8 @@ object StreamingQueries {
 
       val schema = StructType(Seq(StructField("event_id", LongType),
         StructField("user_id", LongType), StructField("ts", TimestampType)))
-      def src(dir: Path): DataFrame = spark.readStream.schema(schema)
+      val ss = streamSession(spark, inV, inB) // state partitions from staged size
+      def src(dir: Path): DataFrame = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1) // one time-quartile per batch
         .parquet(dir.toString)
       val qn = "q170_ij_" +
@@ -342,7 +394,7 @@ object StreamingQueries {
         .option("checkpointLocation", tmp.resolve("cp").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
-      spark.table(qn)
+      ss.table(qn)
         .select(col("user_id"), col("event_id").as("view_event"),
           col("event_id_r").as("buy_event"),
           unix_micros(col("ts")).as("view_us"),
@@ -415,7 +467,8 @@ object StreamingQueries {
       }
       val schema = StructType(Seq(StructField("event_id", LongType),
         StructField("user_id", LongType), StructField("ts", TimestampType)))
-      def src(d: Path): DataFrame = spark.readStream.schema(schema)
+      val ss = streamSession(spark, inV, inB) // state partitions from staged size
+      def src(d: Path): DataFrame = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(d.toString)
       val qn = "q182_oj_" +
@@ -426,7 +479,7 @@ object StreamingQueries {
         .option("checkpointLocation", tmp.resolve("cp").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
-      spark.table(qn)
+      ss.table(qn)
         .filter(col("user_id") >= 0)
         .select(col("user_id"), col("event_id").as("view_event"),
           col("event_id_r").as("buy_event"),
@@ -1058,7 +1111,8 @@ object StreamingQueries {
       val schema = StructType(Seq(StructField("user_id", LongType),
         StructField("ts", TimestampType),
         StructField("value", DoubleType)))
-      val stream = spark.readStream.schema(schema)
+      val ss = streamSession(spark, in) // state partitions from staged size
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in.toString)
       val qn = "q174_sess_" +
@@ -1069,7 +1123,7 @@ object StreamingQueries {
         .option("checkpointLocation", tmp.resolve("cp").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
-      spark.table(qn)
+      ss.table(qn)
         .select(col("user_id"),
           unix_micros(col("sess_start")).as("sess_start_us"),
           unix_micros(col("sess_end")).as("sess_end_us"),
@@ -1141,7 +1195,8 @@ object StreamingQueries {
       stageChunk(ev, "c5late", t0 + 10 * 2000L)
       val schema = StructType(Seq(StructField("event_type", StringType),
         StructField("ts", TimestampType), StructField("value", DoubleType)))
-      val stream = spark.readStream.schema(schema)
+      val ss = streamSession(spark, in) // state partitions from staged size
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in.toString)
       val qn = "q180_wm_" +
@@ -1155,7 +1210,7 @@ object StreamingQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("win_start"), col("event_type"))
         .orderBy(col("n").desc)
-      spark.table(qn)
+      ss.table(qn)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(unix_micros(col("win_start")).as("win_start_us"),
           col("event_type"), col("n").cast("long").as("n"),
