@@ -60,9 +60,14 @@ object StreamingQueries {
       .flatMap(_.toIntOption)
       .getOrElse {
         val per = 32L << 20 // 32 MB of staged input per state partition
-        math.max(1L, math.min(
-          spark.sparkContext.defaultParallelism.toLong,
-          (stagedBytes(stagedDirs) + per - 1) / per)).toInt
+        // floor of 4, not 1: a single state partition serializes the
+        // CPU-bound state ops (measured on q174's session-window merge:
+        // prepare 3.98 s at 32 partitions -> 5.7 s at 1, back to ~4 s
+        // at 4) while the per-batch task/file overhead the derivation
+        // exists to kill is already 8x down from the core count
+        math.max(math.min(4L, spark.sparkContext.defaultParallelism.toLong),
+          math.min(spark.sparkContext.defaultParallelism.toLong,
+            (stagedBytes(stagedDirs) + per - 1) / per)).toInt
       }
     ss.conf.set("spark.sql.shuffle.partitions", n.toString)
     ss
