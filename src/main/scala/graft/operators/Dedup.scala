@@ -67,6 +67,18 @@ object Dedup {
       graft.plans.ShingleArray(GraftColumnBridge.expression(text), n))
   }
 
+  /** Per-shingle 64-bit hashes, fused shingle+hash in one codegen pass
+    * ([[graft.plans.ShingleHashArray]]) — values bit-identical to
+    * hashing [[shingles]] elementwise (`xxhash64` for `poly = false`,
+    * [[polyHash]] for `poly = true`) without materializing a string per
+    * shingle: the hashes run over slices of the one normalized per-doc
+    * buffer. */
+  def shingleHashArr(text: Column, n: Int, poly: Boolean): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.ShingleHashArray(GraftColumnBridge.expression(text), n, poly))
+  }
+
   /** Exact dedup: keep the lowest-id representative per fingerprint.
     * Returns (fingerprint, keep_id, n_copies). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -185,8 +197,7 @@ object Dedup {
     * gated corpora). */
   private def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
+        explode(shingleHashArr(col(textCol), n, poly = false)).as("h"))
       .distinct()
 
   /** Distinct (id, portable [[polyHash]] shingle hash) pairs — the
@@ -198,8 +209,7 @@ object Dedup {
   private[operators] def shinglePolyHashes(df: DataFrame, idCol: String,
                                            textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("sh"))
-      .select(col("id"), polyHash(col("sh")).as("x"))
+        explode(shingleHashArr(col(textCol), n, poly = true)).as("x"))
       .distinct()
 
   /** MinHash signature matrix via K universal-hash permutations
@@ -656,8 +666,7 @@ object Dedup {
     // values are bit-identical either way, which the per-value oracle
     // (q88) gates
     val hashed = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("sh"))
-      .select(col("id"), polyHash(col("sh")).as("x"))
+        explode(shingleHashArr(col(textCol), n, poly = true)).as("x"))
     val coefArr = typedlit(coefs)
     val sigRow = transform(coefArr,
       c => pmod(col("x") * c.getField("_1") + c.getField("_2"), lit(p)))

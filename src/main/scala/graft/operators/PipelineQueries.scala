@@ -145,9 +145,7 @@ object PipelineQueries {
     // distinct-hash count, equal to the string count unless two
     // different shingles collide in 2⁶⁴ (oracle-confirmed equal here)
     val sh = docs.select(col("doc_id"), col("split"),
-        explode(Dedup.shingles(col("text"), 8)).as("sh"))
-      .filter(length(col("sh")) > 0)
-      .select(col("doc_id"), col("split"), xxhash64(col("sh")).as("sh"))
+        explode(Dedup.shingleHashArr(col("text"), 8, poly = false)).as("sh"))
       .distinct().cache()
     // materialize eagerly: the shingle relation is a standing index (in a
     // deployment it is built once and probed by every decontam run), and a

@@ -704,9 +704,8 @@ object TextOps {
     // distinct-hash match — equal to the string match unless two
     // different shingles collide in 2⁶⁴ (oracle-confirmed equal here)
     val sh = docs.select(col(idCol).as("id"), col(splitCol).as("split"),
-        posexplode(Dedup.shingles(col(textCol), n)))
-      .select(col("id"), col("split"), col("pos"),
-        xxhash64(col("col")).as("sh"))
+        posexplode(Dedup.shingleHashArr(col(textCol), n, poly = false)))
+      .withColumnRenamed("col", "sh")
     val trainSh = sh.filter(col("split") === trainLabel)
       .select(col("sh")).distinct()
     val hits = sh.filter(col("split") === testLabel)

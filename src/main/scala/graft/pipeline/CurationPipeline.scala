@@ -157,13 +157,12 @@ object CurationPipeline {
           // overlap join (the q20/q53 discipline, guide §2.3: the
           // exchanges carry longs, not n-gram strings)
           val corpusSh = docs
-            .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("sh"))
-            .filter(length(col("sh")) > 0)
-            .select(col(idCol), xxhash64(col("sh")).as("sh")).distinct()
+            .select(col(idCol),
+              explode(Dedup.shingleHashArr(col(textCol), n, poly = false)).as("sh"))
+            .distinct()
           val holdSh = holdout
-            .select(explode(Dedup.shingles(col(textCol), n)).as("sh"))
-            .filter(length(col("sh")) > 0)
-            .select(xxhash64(col("sh")).as("sh")).distinct()
+            .select(explode(Dedup.shingleHashArr(col(textCol), n, poly = false)).as("sh"))
+            .distinct()
           val contaminated = corpusSh.join(holdSh, "sh")
             .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
             .filter(col("__n") >= minCommon).select(col(idCol))

@@ -86,6 +86,100 @@ object GraftExpressions {
       out.toArray(new Array[UTF8String](out.size)))
   }
 
+  /** Per-shingle 64-bit hashes in ONE pass over the normalized text —
+    * bit-identical to hashing [[shingles]]' output elementwise, with no
+    * per-shingle string materialization: every word n-gram of the
+    * single-space-normalized text is a CONTIGUOUS substring (window i =
+    * norm[start_i, end_{min(i+n,T)-1})), so each hash runs over a slice
+    * of one per-doc buffer. `poly = false` → Spark's xxhash64 (XXH64
+    * over the UTF-8 bytes, seed 42 — byte-equal to
+    * `xxhash64(element_at(shingles, i))`); `poly = true` → [[polyHash]]
+    * (the same code-point fold over the substring). The one empty-
+    * shingle case [[shingles]] filters (norm = "" → one empty window)
+    * returns an empty array here too. */
+  def shingleHashes(s: UTF8String, n: Int, poly: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val norm = WsPattern.matcher(s.trim().toLowerCase().toString).replaceAll(" ")
+    // a window's joined length equals its slice length (token bytes +
+    // single separators), so [[shingles]]' empty-shingle filter
+    // (sb.length > 0) is exactly "skip zero-length slices" here —
+    // edge empty tokens exist whenever UTF8String.trim (0x20 only)
+    // left non-space whitespace that the collapse turned into a
+    // leading/trailing separator
+    if (poly) {
+      val len = norm.length
+      var spaces = 0
+      var i = 0
+      while (i < len) { if (norm.charAt(i) == ' ') spaces += 1; i += 1 }
+      val t = spaces + 1
+      // starts(k) = char index of token k; sentinel starts(t) = len + 1
+      // so `starts(j) - 1` is uniformly "end of token j-1"
+      val starts = new Array[Int](t + 1)
+      var k = 1
+      i = 0
+      while (i < len) {
+        if (norm.charAt(i) == ' ') { starts(k) = i + 1; k += 1 }
+        i += 1
+      }
+      starts(t) = len + 1
+      val nG = math.max(t - n, 0) + 1
+      val out = new Array[Long](nG)
+      var cnt = 0
+      var g = 0
+      while (g < nG) {
+        val from = starts(g)
+        val until = starts(math.min(g + n, t)) - 1
+        if (until > from) {
+          var acc = 0L
+          var j = from
+          while (j < until) {
+            val cp = norm.codePointAt(j)
+            acc = (acc * 31 + cp) % 2147483647L
+            j += Character.charCount(cp)
+          }
+          out(cnt) = acc
+          cnt += 1
+        }
+        g += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        java.util.Arrays.copyOf(out, cnt))
+    } else {
+      val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val len = bytes.length
+      var spaces = 0
+      var i = 0
+      // 0x20 never occurs inside a UTF-8 multi-byte sequence, so byte
+      // scanning finds exactly the token boundaries
+      while (i < len) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+      val t = spaces + 1
+      val starts = new Array[Int](t + 1)
+      var k = 1
+      i = 0
+      while (i < len) {
+        if (bytes(i) == 0x20) { starts(k) = i + 1; k += 1 }
+        i += 1
+      }
+      starts(t) = len + 1
+      val nG = math.max(t - n, 0) + 1
+      val out = new Array[Long](nG)
+      var cnt = 0
+      var g = 0
+      while (g < nG) {
+        val from = starts(g)
+        val until = starts(math.min(g + n, t)) - 1
+        if (until > from) {
+          out(cnt) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+            until - from, 42L)
+          cnt += 1
+        }
+        g += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        java.util.Arrays.copyOf(out, cnt))
+    }
+  }
+
   /** Character n-grams of the normalized text (lowercase, trim, collapse
     * whitespace — the [[graft.operators.TextOps.normalizeText]]
     * discipline), windows over code points: gram i = chars [i, i+n) for
@@ -511,6 +605,33 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.plans.GraftExpressions.shingles($s, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Fused shingle + hash ([[GraftExpressions.shingleHashes]]): the word
+  * n-gram hashes of the normalized text in one codegen'd pass, hashing
+  * byte/char SLICES of the per-doc normalized buffer instead of
+  * materializing one UTF8String per shingle and hashing it a step
+  * later. Values are bit-identical to `xxhash64(shingle)` (poly=false)
+  * / `PolyHash(shingle)` (poly=true) over [[ShingleArray]]'s elements —
+  * NativeParitySpec asserts the elementwise equality. Feeds every
+  * Jaccard-family scan (q20/q21/q53/q138/q163) and the signature-store
+  * builders. */
+case class ShingleHashArray(child: Expression, n: Int, poly: Boolean)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  require(n > 0, "need n > 0")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftExpressions.shingleHashes(s.asInstanceOf[UTF8String], n, poly)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.plans.GraftExpressions.shingleHashes($s, $n, $poly)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -54,6 +54,25 @@ class NativeParitySpec extends SparkSpec {
         declarativeShingles(col("t"), n), s"shingles(n=$n)")
   }
 
+  test("ShingleHashArray ≡ elementwise hash over ShingleArray (both flavors)") {
+    // the fused shingle+hash must be BIT-identical to hashing the
+    // materialized shingles: xxhash64 flavor byte-for-byte (XXH64 over
+    // the same UTF-8 slice, seed 42), polyHash flavor code-point-exact —
+    // including multi-byte tokens, whitespace runs, empties, and n >
+    // token count (single clamped window)
+    val texts = sample(150) ++ Seq("", " \t ", "one", "ä 中 é", "a b c d e f")
+    for (n <- Seq(1, 2, 5, 8)) {
+      assertParity(texts,
+        Dedup.shingleHashArr(col("t"), n, poly = false),
+        transform(Dedup.shingles(col("t"), n), s => xxhash64(s)),
+        s"shingleHashArr(xx, n=$n)")
+      assertParity(texts,
+        Dedup.shingleHashArr(col("t"), n, poly = true),
+        transform(Dedup.shingles(col("t"), n), s => Dedup.polyHash(s)),
+        s"shingleHashArr(poly, n=$n)")
+    }
+  }
+
   test("PolyHash ≡ declarative char-fold formulation") {
     def declarativePolyHash(t: Column): Column =
       aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
